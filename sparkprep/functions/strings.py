@@ -1,0 +1,69 @@
+"""Native-expression replacements for the reference's 7 Python row UDFs
+(SURVEY.md §2.11 X1-X8 and §4: "rewrite all 7 UDFs as native expressions
+... the single biggest perf win").
+
+Each function documents the EXACT Python-UDF semantics it replaces —
+``rstrip('%')`` strips all *trailing* '%' runs (X1) while
+``replace('%','')`` strips '%' *anywhere* (X2); these are different
+operators and we keep both. Everything here stays inside whole-stage
+codegen: no BatchEvalPython node, no pushdown barrier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def strip_trailing_percent(c) -> Column:
+    """X1 — ``udf(lambda x: x.rstrip('%'))`` (loanStat.py:178-185).
+
+    ``rstrip`` removes ALL trailing '%' chars, not just one → ``%+$``.
+    Null-safe (regexp_replace passes nulls through; the reference UDF
+    would have thrown on None and relied on upstream dropna).
+    """
+    return F.regexp_replace(_col(c), "%+$", "")
+
+
+def remove_all_percent(c) -> Column:
+    """X2 — null-safe ``x.replace('%','')`` (bde4.ipynb#cell18-20
+    ``py_replaceNull``): removes '%' anywhere in the string."""
+    return F.regexp_replace(_col(c), "%", "")
+
+
+def pct_to_double(c) -> Column:
+    """X1 + cast pipeline: ``'12.74%' → 12.74`` (loanStat.py:218)."""
+    return strip_trailing_percent(c).cast("double")
+
+
+def month_token(c) -> Column:
+    """X3 — ``udf(lambda x: x.split('-')[0])`` (loanStat.py:193-200):
+    ``'Apr-2001' → 'Apr'``. ``substring_index`` returns the whole string
+    when no '-' present, matching ``split()[0]``."""
+    return F.substring_index(_col(c), "-", 1)
+
+
+def remove_literal(c, literal: str) -> Column:
+    """X4 — ``udf(lambda x: x.replace('months',''))`` (loanStat.py:206).
+    Removes every occurrence of the literal (not a regex)."""
+    escaped = "".join("\\" + ch if ch in r"\.[]{}()*+-?^$|" else ch for ch in literal)
+    return F.regexp_replace(_col(c), escaped, "")
+
+
+def term_to_double(c, literal: str = "months") -> Column:
+    """X4 + cast: ``' 36 months' → 36.0`` — the double cast trims the
+    leftover whitespace, exactly as the reference relied on
+    (loanStat.py:218)."""
+    return remove_literal(c, literal).cast("double")
+
+
+def label_decode(c, one_label: str = "Charged Off", zero_label: str = "Fully Paid") -> Column:
+    """X8 — ``udf(lambda x: 'Charged Off' if x == 1.0 else 'Fully Paid')``
+    (mlpc.py:504). Note the reference returns ``zero_label`` for ANY
+    non-1.0 value (including null) — we reproduce that."""
+    col = _col(c)
+    return F.when(col == 1.0, F.lit(one_label)).otherwise(F.lit(zero_label))

@@ -1,0 +1,242 @@
+"""Cleaning operators: null handling (N1-N7), duplicate detection/removal
+with audit (W1/W2, SET2-SET4, A4), and the declarative validator+repair
+(X5-X7/F6) — SURVEY.md §2.7, §2.9, §2.10 and EP2.
+
+Scale notes:
+- The reference's dedup (dedup.ipynb:2156-2166) windows over ALL 22
+  columns with ``orderBy('loan_amnt')`` — a full-width shuffle + sort per
+  partition. We keep that form for audit parity (`dedup_window`) but also
+  provide `dedup_exact` (groupBy-based, no sort, map-side partial agg)
+  which is what you run at 100 TB when you don't need per-row occur_ids.
+- The validator generates native `when(rlike)` expressions from a rule
+  table (the most engine-like artifact in the corpus,
+  dedup+invalid.ipynb:9322,9588) — all rules evaluate in ONE pass.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# ---------------------------------------------------------------------------
+# Null handling (N1-N5; N6 imputation lives in impute())
+# ---------------------------------------------------------------------------
+
+
+def drop_nulls(df: DataFrame, how: str = "any", subset=None, thresh: int | None = None) -> DataFrame:
+    """N1/N2/N3 — ``df.dropna('all'|'any'[, subset])``
+    (nulls.ipynb#cell7-8, loanStat.py:143)."""
+    return df.na.drop(how=how, thresh=thresh, subset=subset)
+
+
+def fill_nulls(df: DataFrame, value, subset=None) -> DataFrame:
+    """N4 — ``df.fillna(v[, cols])`` / dict form (nulls.ipynb#cell10-12).
+
+    Spark's documented coercion applies (and the reference relies on it):
+    a STRING fill value is silently ignored for numeric columns — e.g.
+    ``fillna({'WeekInMonth': '2'})`` on an int column is a no-op.
+    """
+    return df.na.fill(value, subset)
+
+
+def impute(
+    df: DataFrame,
+    cols,
+    strategy: str = "mean",
+    fit_filter=None,
+    relative_error: float = 1e-4,
+) -> DataFrame:
+    """N5/N6 — mean/median imputation, fit on an optional sub-population
+    and applied globally (nulls.ipynb#cell13-15 fits the median on
+    ``Store == 'Store 1'`` only; bde4.ipynb#cell43 mean-imputes from a
+    precomputed scalar).
+
+    All fill scalars are computed in ONE aggregate job (vs. one
+    ``collect()`` per column in the reference), then applied with
+    ``coalesce`` — no Python UDF, no ml.Imputer model object needed.
+    Median uses ``percentile_approx`` (single-pass sketch; exact
+    percentile at 100 TB is a full sort — never do that).
+    """
+    if isinstance(cols, str):
+        cols = [cols]
+    fit_df = df.filter(fit_filter) if fit_filter is not None else df
+    if strategy == "mean":
+        aggs = [F.avg(c).alias(c) for c in cols]
+    elif strategy == "median":
+        aggs = [F.percentile_approx(c, 0.5, int(1.0 / relative_error)).alias(c) for c in cols]
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    scalars = fit_df.agg(*aggs).collect()[0].asDict()
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(scalars[c])))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Duplicates (SET2-SET4, W1/W2, A4 conservation)
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, subset=None) -> DataFrame:
+    """SET2/SET3 — ``distinct()`` / ``drop_duplicates()``
+    (dedup.ipynb:8944, dropdup.ipynb#cell4). Hash-aggregate based:
+    map-side partial dedup before the shuffle, no sort. This is the
+    100 TB-safe form."""
+    return df.dropDuplicates(subset) if subset else df.dropDuplicates()
+
+
+def add_occurrence_id(
+    df: DataFrame, keys=None, order_by=None, occur_col: str = "occur_id"
+) -> DataFrame:
+    """W1/W2 — occurrence numbering:
+    ``row_number().over(Window.partitionBy(keys).orderBy(order_by))``
+    (dedup.ipynb:2156-2166 over all 22 cols; dupwin.ipynb#cell3 per-key).
+
+    Reference quirk kept: ordering by a column constant within the
+    partition (they order by 'loan_amnt' while partitioning by all
+    columns) makes row IDENTITY nondeterministic but COUNTS deterministic
+    — tests must compare multisets, not row order (SURVEY §7).
+    """
+    keys = keys or df.columns
+    order_by = order_by if order_by is not None else keys[0]
+    if isinstance(order_by, str):
+        order_by = [order_by]
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return df.withColumn(occur_col, F.row_number().over(w))
+
+
+def dup_audit(df: DataFrame, keys=None, order_by=None) -> DataFrame:
+    """The dedup audit trail (dedup.ipynb:2208-2271): histogram of
+    occurrence ids — ``groupBy(occur_id).count()``. Row conservation
+    (``sum(count) == total``, A4) is checkable downstream; see
+    :func:`conservation_check`."""
+    withid = add_occurrence_id(df, keys, order_by)
+    return withid.groupBy("occur_id").agg(F.count(F.lit(1)).alias("count")).orderBy("occur_id")
+
+
+def conservation_check(audit_df: DataFrame, expected_total: int) -> bool:
+    """A4 — ``agg(sum('count')) == df.count()`` (dedup.ipynb:2230-2271)."""
+    got = audit_df.agg(F.sum("count").alias("s")).collect()[0]["s"]
+    return got == expected_total
+
+
+def dedup_window(
+    df: DataFrame, keys=None, order_by=None, keep_occurrences: int = 1
+) -> DataFrame:
+    """SET4 — keep-first dedup via occur_id ≤ k (dedup.ipynb:8904).
+    Reference outcome on LoanStats: 1,432,466 → 1,142,104 rows.
+
+    Use when you need the audit trail / keep-k semantics; use
+    :func:`dedup_exact` when you don't (cheaper: no per-partition sort).
+    """
+    return (
+        add_occurrence_id(df, keys, order_by)
+        .filter(F.col("occur_id") <= keep_occurrences)
+        .drop("occur_id")
+    )
+
+
+def duplicates_only(df: DataFrame, keys=None, order_by=None) -> DataFrame:
+    """The inspectable duplicate rows (occur_id > 1, dedup.ipynb:8881)."""
+    return add_occurrence_id(df, keys, order_by).filter(F.col("occur_id") > 1)
+
+
+# ---------------------------------------------------------------------------
+# Validator + repair (EP2's rule table — dedup+invalid.ipynb:9322,9588-9628)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Rule:
+    """One validity rule: column + label + Java regex (F6 ``rlike``).
+
+    Reference rule-table rows look like ``('int_rate', 'int_rate_label',
+    r'\\d+.\\d+%')`` (dedup+invalid.ipynb:9322-9323). Keep regexes in the
+    Java/POSIX-shared subset if DuckDB-oracle parity matters (SURVEY §7).
+    """
+
+    column: str
+    regex: str
+    label: str | None = None
+
+    @property
+    def label_col(self) -> str:
+        return self.label or f"{self.column}_validity"
+
+
+@dataclass
+class ValidationReport:
+    """Machine-readable validator output (the reference eyeballed
+    ``groupBy(label).count().show()`` — we return the numbers)."""
+
+    total: int
+    counts: dict[str, dict[str, int]] = field(default_factory=dict)  # col -> {valid,invalid,null}
+
+    def is_clean(self) -> bool:
+        return all(v.get("invalid", 0) == 0 for v in self.counts.values())
+
+
+class Validator:
+    """X7/F6 — data-driven validity labeling.
+
+    ``labeled = v.apply(df)`` adds one ``when(rlike, 'valid')
+    .otherwise('invalid')`` label column per rule (nulls label 'null' —
+    rlike on null yields null, which the reference's ``otherwise``
+    silently lumped into 'invalid'; we keep a distinct bucket and fold it
+    into invalid in counts for parity).
+
+    ``v.report(df)`` computes every rule's valid/invalid/null counts in
+    ONE aggregate pass over the data — the reference loops rule-by-rule,
+    one job per rule (dedup+invalid.ipynb:9588-9607).
+    """
+
+    def __init__(self, rules: list[Rule]):
+        self.rules = rules
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        out = df
+        for r in self.rules:
+            col = F.col(r.column)
+            out = out.withColumn(
+                r.label_col,
+                F.when(col.isNull(), F.lit("invalid"))
+                .when(col.rlike(r.regex), F.lit("valid"))
+                .otherwise(F.lit("invalid")),
+            )
+        return out
+
+    def report(self, df: DataFrame) -> ValidationReport:
+        aggs = [F.count(F.lit(1)).alias("__total")]
+        for i, r in enumerate(self.rules):
+            col = F.col(r.column)
+            aggs.append(
+                F.count(F.when(col.rlike(r.regex), True)).alias(f"__valid_{i}")
+            )
+            aggs.append(F.count(F.when(col.isNull(), True)).alias(f"__null_{i}"))
+        row = df.agg(*aggs).collect()[0]
+        rep = ValidationReport(total=row["__total"])
+        for i, r in enumerate(self.rules):
+            valid = row[f"__valid_{i}"]
+            nulls = row[f"__null_{i}"]
+            rep.counts[r.column] = {
+                "valid": valid,
+                "invalid": rep.total - valid,
+                "null": nulls,
+            }
+        return rep
+
+
+def repair_percent_column(df: DataFrame, col: str) -> DataFrame:
+    """X5 repair — ``regexp_replace(c,'%','')`` then double cast
+    (dedup+invalid.ipynb:9624)."""
+    return df.withColumn(col, F.regexp_replace(F.col(col), "%", "").cast("double"))
+
+
+def repair_extract_numeric(df: DataFrame, col: str, pattern: str = r"(\d+)") -> DataFrame:
+    """X6 repair — ``regexp_extract(c, '(\\d+)', 1)`` (dedup+invalid.ipynb:9626).
+    No-match yields '' (kept: the reference then filters ``!= ''`` — F7)."""
+    return df.withColumn(col, F.regexp_extract(F.col(col), pattern, 1))

@@ -1,0 +1,191 @@
+"""EDA / profiling operators (SURVEY.md §2.6 A1-A10, §2.4 F5, §2.10 N7).
+
+Everything is expressed as ONE aggregate plan per report — the reference
+runs a separate job per statistic (4 collect()s for 4 scalars,
+loanStat.py:241-266; per-column null loops). At 100 TB every extra pass
+is a full scan, so fusing the profile into a single job is the design
+center here. All aggregates are partial-aggregatable (map-side combine),
+so the shuffle carries one row per partition, not data.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def shape(df: DataFrame) -> tuple[int, int]:
+    """(rows, cols) — mssql.ipynb:238,211 (`count`, `len(df.columns)`)."""
+    return df.count(), len(df.columns)
+
+
+def null_count_exprs(cols) -> list[Column]:
+    """A8 — ``count(when(isnull(c), c)).alias(c)`` per column
+    (nulls.ipynb#cell5), as reusable expressions."""
+    return [F.count(F.when(F.isnull(c), True)).alias(c) for c in cols]
+
+
+def null_census(df: DataFrame, cols=None) -> DataFrame:
+    """A8 — one-row frame of per-column null counts, single pass."""
+    cols = cols or df.columns
+    return df.select(null_count_exprs(cols))
+
+
+def null_census_long(df: DataFrame, cols=None) -> DataFrame:
+    """Null census in long form: (column, null_count, null_frac) — easier
+    to sink/alert on than the one-row-wide form when there are 144 cols.
+    Still one aggregation job (the unpivot happens on the 1-row result).
+    """
+    cols = cols or df.columns
+    wide = df.agg(
+        F.count(F.lit(1)).alias("__total"), *null_count_exprs(cols)
+    )
+    stack = F.expr(
+        "stack({n}, {args}) as (column, null_count)".format(
+            n=len(cols),
+            args=", ".join(f"'{c}', `{c}`" for c in cols),
+        )
+    )
+    return wide.select(stack, F.col("__total")).select(
+        "column",
+        F.col("null_count").cast("long").alias("null_count"),
+        (F.col("null_count") / F.col("__total")).alias("null_frac"),
+    )
+
+
+def any_null_predicate(df: DataFrame, cols=None) -> Column:
+    """F5 — OR-reduction of ``isNull`` over columns (nulls.ipynb#cell6,
+    bde4.ipynb#cell26): the 'any-null row' finder."""
+    cols = cols or df.columns
+    return reduce(lambda a, b: a | b, (F.col(c).isNull() for c in cols))
+
+
+def rows_with_nulls(df: DataFrame, cols=None) -> DataFrame:
+    """F5 applied — the rows the null census is counting."""
+    return df.filter(any_null_predicate(df, cols))
+
+
+def freq(df: DataFrame, *cols: str, with_percent: bool = False, total: int | None = None) -> DataFrame:
+    """A2/A3 — frequency table: ``groupBy(cols).count().orderBy(count desc)``
+    (bde4.ipynb#cell11,31; mlpc.ipynb:1037). With ``with_percent``, adds
+    ``percent = count/total`` (bde4.ipynb#cell31) without a second job
+    when ``total`` is supplied (else a window-based global sum is used —
+    still one shuffle).
+    """
+    out = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("count"))
+    if with_percent:
+        if total is not None:
+            out = out.withColumn("percent", F.col("count") / F.lit(total))
+        else:
+            # broadcast the 1-row total back rather than a global window
+            # (empty-frame windows single-partition the data — see
+            # numeric.minmax_normalize_distributed)
+            totals = out.agg(F.sum("count").alias("__total"))
+            out = (
+                out.crossJoin(F.broadcast(totals))
+                .withColumn("percent", F.col("count") / F.col("__total"))
+                .drop("__total")
+            )
+    return out.orderBy(F.desc("count"), *[F.asc(c) for c in cols])
+
+
+def describe_long(df: DataFrame, cols=None, round_to: int | None = None) -> DataFrame:
+    """A7 — ``df.describe()`` semantics (count/mean/stddev/min/max per
+    column; nulls.ipynb#cell4, mssql.ipynb:575) but computed as ONE
+    fused aggregate and returned long-form:
+    (column, count, mean, stddev, min, max) — one row per column, typed
+    double instead of describe()'s all-string output.
+
+    Only numeric columns are profiled (describe()'s string-column
+    lexicographic min/max is kept in :func:`describe_compat` for golden
+    parity with the reference outputs).
+    """
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.simpleString() in ("double", "float", "int", "bigint", "smallint", "tinyint", "decimal")
+        or f.dataType.simpleString().startswith("decimal")
+    }
+    cols = [c for c in (cols or df.columns) if c in numeric]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"__cnt_{c}"),
+            F.avg(c).alias(f"__avg_{c}"),
+            F.stddev(c).alias(f"__std_{c}"),
+            F.min(F.col(c).cast("double")).alias(f"__min_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack = F.expr(
+        "stack({n}, {args}) as (column, count, mean, stddev, min, max)".format(
+            n=len(cols),
+            args=", ".join(
+                f"'{c}', `__cnt_{c}`, `__avg_{c}`, `__std_{c}`, `__min_{c}`, `__max_{c}`"
+                for c in cols
+            ),
+        )
+    )
+    out = wide.select(stack)
+    if round_to is not None:
+        out = out.select(
+            "column",
+            F.col("count").cast("long").alias("count"),
+            F.round("mean", round_to).alias("mean"),
+            F.round("stddev", round_to).alias("stddev"),
+            F.round("min", round_to).alias("min"),
+            F.round("max", round_to).alias("max"),
+        )
+    return out
+
+
+def describe_compat(df: DataFrame, *cols: str) -> DataFrame:
+    """Literal ``df.describe()`` (all-string, lexicographic min/max on
+    string cols — bde4.ipynb#cell16 shows min '10+ years') for golden
+    compatibility with reference outputs."""
+    return df.describe(*cols) if cols else df.describe()
+
+
+def distinct_values(df: DataFrame, col: str) -> DataFrame:
+    """A10 — ``df.select([c]).distinct()`` (mlpc.ipynb:581)."""
+    return df.select(col).distinct()
+
+
+def distinct_count(df: DataFrame, approx: bool = False, rsd: float = 0.01) -> int:
+    """A9 — ``df.distinct().count()`` (dedup.ipynb:8944). At 100 TB the
+    exact form is a full shuffle of every distinct row; ``approx=True``
+    switches to HyperLogLog++ (one pass, no shuffle of rows)."""
+    if approx:
+        return df.agg(
+            F.approx_count_distinct(F.struct(*df.columns), rsd).alias("n")
+        ).collect()[0]["n"]
+    return df.distinct().count()
+
+
+def profile_report(df: DataFrame, cols=None) -> dict:
+    """The reference's interactive EDA opening moves (printSchema /
+    count / describe / null census) as one machine-readable dict.
+    Two jobs total: shape+nulls+describe fused, plus nothing else.
+    """
+    cols = cols or df.columns
+    stats = describe_long(df, cols).collect()
+    nulls_row = df.agg(F.count(F.lit(1)).alias("__n"), *null_count_exprs(cols)).collect()[0]
+    total = nulls_row["__n"]
+    return {
+        "rows": total,
+        "columns": len(df.columns),
+        "schema": {f.name: f.dataType.simpleString() for f in df.schema.fields},
+        "null_counts": {c: nulls_row[c] for c in cols},
+        "numeric_profile": {
+            r["column"]: {
+                "count": r["count"],
+                "mean": r["mean"],
+                "stddev": r["stddev"],
+                "min": r["min"],
+                "max": r["max"],
+            }
+            for r in stats
+        },
+    }

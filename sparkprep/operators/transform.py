@@ -1,0 +1,90 @@
+"""Transformation operators: cast contracts, fused withColumn chains,
+class filtering/balancing, sampling/splitting (SURVEY.md §2.3, §2.4,
+§2.9 SET1, §2.12).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def cast_contract(df: DataFrame, contract: dict[str, str | Column]) -> DataFrame:
+    """P2/P3 — the 'schema hardening' step: 13 chained
+    ``withColumn(c, expr.cast(T))`` at loanStat.py:218, fused into a
+    single ``select`` so Catalyst sees one projection node instead of a
+    13-deep withColumn tower (identical plan after optimization, but
+    analysis cost is linear not quadratic — matters with 144 columns).
+
+    ``contract`` maps column name → either a type name ('double') or a
+    full replacement Column expression.
+    """
+    exprs = []
+    for name in df.columns:
+        spec = contract.get(name)
+        if spec is None:
+            exprs.append(F.col(name))
+        elif isinstance(spec, str):
+            exprs.append(F.col(name).cast(spec).alias(name))
+        else:
+            exprs.append(spec.alias(name))
+    return df.select(*exprs)
+
+
+def filter_in(df: DataFrame, col: str, values) -> DataFrame:
+    """F1+SET1 rewritten — the reference unions two single-value filters
+    (``filter(a=='Fully Paid').union(filter(a=='Charged Off'))``,
+    loanStat.py:301), which scans the source TWICE. ``isin`` is one scan
+    with one pushed-down predicate (SURVEY §4)."""
+    return df.filter(F.col(col).isin(*values))
+
+
+def union_of_filters(df: DataFrame, *predicates: Column) -> DataFrame:
+    """SET1 — literal union-of-filters surface for parity
+    (loanStat.py:301). Prefer :func:`filter_in`; this exists because bag
+    semantics differ if predicates overlap (union keeps both copies)."""
+    parts = [df.filter(p) for p in predicates]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def downsample_class(
+    df: DataFrame, col: str, value, fraction: float, seed: int = 42, with_replacement: bool = True
+) -> DataFrame:
+    """SA1 + SET1 — class balancing: sample the majority class, keep the
+    rest of the target classes intact (mlpc.py:344-356:
+    ``filter(FP).sample(True, 0.3, 42).union(filter(CO))``)."""
+    majority = df.filter(F.col(col) == value).sample(with_replacement, fraction, seed)
+    rest = df.filter(F.col(col) != value)
+    return majority.union(rest)
+
+
+def train_test_split(df: DataFrame, weights=(0.8, 0.2), seed: int = 42):
+    """SA2 — ``randomSplit`` (mlpc.py:362 — unseeded there; we seed for
+    reproducibility, SURVEY §7 'Nondeterminism quarantine')."""
+    return df.randomSplit(list(weights), seed=seed)
+
+
+def bucketize(df: DataFrame, col: str, splits, out_col: str | None = None, as_long: bool = True) -> DataFrame:
+    """M4 — manual binning (Bucketizer(splits=[-1,0,1,2,3,4,inf]) on dti,
+    mlpc.py:434-435) as a native expression: bucket i iff
+    splits[i] <= x < splits[i+1] (last bucket closed on +inf), null → null.
+    Native CASE keeps it codegen'd and SQL-oracle-comparable; the ml
+    Bucketizer is used in the features module where a Pipeline stage is
+    needed.
+    """
+    out_col = out_col or f"{col}_bucket"
+    x = F.col(col)
+    expr = F.lit(None).cast("long" if as_long else "double")
+    # build CASE from last bucket backwards
+    n = len(splits) - 1
+    cases = None
+    for i in range(n):
+        lo, hi = splits[i], splits[i + 1]
+        cond = (x >= F.lit(lo)) if hi == float("inf") else ((x >= F.lit(lo)) & (x < F.lit(hi)))
+        val = F.lit(i).cast("long") if as_long else F.lit(float(i))
+        cases = F.when(cond, val) if cases is None else cases.when(cond, val)
+    expr = cases.otherwise(expr) if cases is not None else expr
+    return df.withColumn(out_col, expr)

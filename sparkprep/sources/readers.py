@@ -1,0 +1,127 @@
+"""Sources S1-S6 (SURVEY.md §2.1), DataFrame-native.
+
+The reference's ingest pattern is "read permissively, profile, then
+harden": header CSV with ``mode=DROPMALFORMED`` and no schema
+(``loanStat-DataproctoBQ.py:32``), or with ``inferSchema``
+(``dedup.ipynb:122-124``). DROPMALFORMED silently changes row counts; we
+surface the drop count as observability the reference lacks (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    header: bool = True,
+    infer_schema: bool = False,
+    mode: str = "DROPMALFORMED",
+    schema=None,
+    **options,
+) -> DataFrame:
+    """S1/S2 — permissive header CSV scan.
+
+    Reference: ``spark.read.format('csv').option('header','true')
+    .option('mode','DROPMALFORMED').load(path)`` (loanStat.py:32);
+    ``inferSchema='true'`` variant at dedup.ipynb:122-124.
+
+    Note inferSchema costs a second pass over the data — at 100 TB always
+    pass an explicit ``schema`` (one pass, and the scan can prune columns).
+    """
+    reader = spark.read.options(header=str(header).lower(), mode=mode, **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer_schema:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def malformed_drop_count(spark: SparkSession, path: str, df: DataFrame, header: bool = True) -> int:
+    """How many raw lines DROPMALFORMED silently discarded (SURVEY §4:
+    'Malformed-row dropping at parse ... record drop counts')."""
+    raw = spark.read.text(path).count()
+    if header:
+        raw -= 1
+    return raw - df.count()
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """S3 — unstructured text/log scan, DataFrame-native.
+
+    Reference used ``sc.textFile`` (nasa.py:20); we stay in the DataFrame
+    API (column ``value: string``) so the log parser (functions.logs)
+    stays inside whole-stage codegen instead of Python ``Row`` mapping.
+    """
+    return spark.read.text(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar scan — our default interchange format (vectorized reader,
+    predicate pushdown, column pruning; none of which CSV gives you)."""
+    return spark.read.parquet(path)
+
+
+def read_table_dir(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load driver testdata tables: ``read_table_dir(spark, sf, 'lineitem', ...)``."""
+    return {n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")) for n in names}
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    user: str | None = None,
+    password: str | None = None,
+    driver: str | None = None,
+    partition_column: str | None = None,
+    num_partitions: int | None = None,
+    lower_bound=None,
+    upper_bound=None,
+    **options,
+) -> DataFrame:
+    """S6 — JDBC scan (reference: MSSQL read-back, mssql.ipynb:933-938).
+
+    The reference reads the whole table through ONE connection. At scale
+    that serializes the read; pass ``partition_column`` + bounds +
+    ``num_partitions`` to parallelize across executors.
+    """
+    reader = (
+        spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    )
+    for k, v in {
+        "user": user,
+        "password": password,
+        "driver": driver,
+        "partitionColumn": partition_column,
+        "numPartitions": num_partitions,
+        "lowerBound": lower_bound,
+        "upperBound": upper_bound,
+    }.items():
+        if v is not None:
+            reader = reader.option(k, str(v))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def from_rows(spark: SparkSession, data, columns) -> DataFrame:
+    """S4 — in-memory fixture (nulls.ipynb#cell2: ``spark.createDataFrame``)."""
+    return spark.createDataFrame(data, columns)
+
+
+def add_ingest_audit(df: DataFrame) -> DataFrame:
+    """Attach file provenance — input file + a stable surrogate row id.
+
+    ``monotonically_increasing_id`` is partition-local (no shuffle); the
+    reference has no row lineage at all, which is why its dedup audit
+    needs a full-width window. Having an id column makes keep-first dedup
+    deterministic and cheap at scale.
+    """
+    return df.withColumn("_ingest_file", F.input_file_name()).withColumn(
+        "_row_id", F.monotonically_increasing_id()
+    )

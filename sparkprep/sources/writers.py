@@ -1,0 +1,100 @@
+"""Sinks K1-K3 (SURVEY.md §2.2).
+
+Parquet is the default (the reference wrote CSV everywhere —
+``loanStat.py:354``, ``nasa.py:161`` — which loses types and vectorized
+scans); CSV/JDBC kept for surface parity; the BigQuery path
+(``bq load`` via staged CSV + schema string, ``loanStat.py:372-382``) is
+emulated locally as a staging contract so it is testable without GCP.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by=None) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    """K1 — ``df.write.mode('overwrite').format('csv').save(dir)``
+    (loanStat.py:354). Header on by default (the reference wrote
+    headerless CSV then re-supplied schema strings to ``bq load``)."""
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    user: str | None = None,
+    password: str | None = None,
+    driver: str | None = None,
+    batchsize: int = 10000,
+    **options,
+) -> None:
+    """K2 — JDBC write (mssql.ipynb:862-867). ``batchsize`` matters at
+    scale; the reference used the 1-row default. Writer parallelism =
+    DataFrame partitions; coalesce upstream if the target DB can't take
+    one connection per executor core."""
+    w = df.write.mode(mode).format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in {"user": user, "password": password, "driver": driver, "batchsize": batchsize}.items():
+        if v is not None:
+            w = w.option(k, str(v))
+    for k, v in options.items():
+        w = w.option(k, v)
+    w.save()
+
+
+_BQ_TYPE_MAP = {
+    "double": "FLOAT",
+    "float": "FLOAT",
+    "bigint": "INTEGER",
+    "int": "INTEGER",
+    "smallint": "INTEGER",
+    "tinyint": "INTEGER",
+    "boolean": "BOOLEAN",
+    "timestamp": "TIMESTAMP",
+    "date": "DATE",
+    "string": "STRING",
+}
+
+
+def bq_schema_string(df: DataFrame) -> str:
+    """The ``col:TYPE,...`` schema string the reference hand-wrote for
+    ``bq load`` (loanStat.py:374-382: ``loan_amnt:FLOAT,...``), derived
+    from the DataFrame schema instead of hand-maintained."""
+    parts = []
+    for f in df.schema.fields:
+        parts.append(f"{f.name}:{_BQ_TYPE_MAP.get(f.dataType.simpleString(), 'STRING')}")
+    return ",".join(parts)
+
+
+def bq_load_emulated(df: DataFrame, staging_dir: str, dataset: str, table: str) -> dict:
+    """K3 — BigQuery load contract, emulated locally.
+
+    Reference flow (loanStat.py:330-382, nasa.py:130-183): write CSV to a
+    GCS staging dir derived from the Hadoop conf, then
+    ``subprocess.check_call('bq load --source_format=CSV --replace
+    --autodetect {ds}.{tbl} {files} {schema_string}')``.
+
+    We produce the same artifacts — staged headerless CSV + schema string
+    + the command line that WOULD run — and return them as a manifest so
+    tests can assert the contract without GCP. In production the idiomatic
+    path is the spark-bigquery-connector (``df.write.format('bigquery')``),
+    which skips the CSV staging hop entirely.
+    """
+    out = os.path.join(staging_dir, dataset, table)
+    write_csv(df, out, header=False)
+    schema = bq_schema_string(df)
+    cmd = (
+        f"bq load --source_format=CSV --replace --autodetect "
+        f"{dataset}.{table} {out}/part-* {schema}"
+    )
+    return {"staging_path": out, "schema_string": schema, "command": cmd}
