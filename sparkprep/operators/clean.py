@@ -209,6 +209,32 @@ class Validator:
             )
         return out
 
+    def report_df(self, df: DataFrame) -> DataFrame:
+        """Long-form validity counts as a DataFrame:
+        (col_name, valid, invalid) — ONE aggregate pass for all rules,
+        vs. the reference's one job per rule (dedup+invalid.ipynb:9588).
+        Nulls count as invalid (matching the reference's ``otherwise``).
+        """
+        aggs = [F.count(F.lit(1)).alias("__total")]
+        for i, r in enumerate(self.rules):
+            aggs.append(
+                F.count(F.when(F.col(r.column).rlike(r.regex), True)).alias(f"__valid_{i}")
+            )
+        wide = df.agg(*aggs)
+        stack = F.expr(
+            "stack({n}, {args}) as (col_name, valid)".format(
+                n=len(self.rules),
+                args=", ".join(
+                    f"'{r.column}', `__valid_{i}`" for i, r in enumerate(self.rules)
+                ),
+            )
+        )
+        return wide.select(stack, F.col("__total")).select(
+            "col_name",
+            F.col("valid").cast("long").alias("valid"),
+            (F.col("__total") - F.col("valid")).cast("long").alias("invalid"),
+        )
+
     def report(self, df: DataFrame) -> ValidationReport:
         aggs = [F.count(F.lit(1)).alias("__total")]
         for i, r in enumerate(self.rules):

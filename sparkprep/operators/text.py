@@ -1,0 +1,169 @@
+"""Text-analysis operators for LLM training-data pipelines (north-star
+extension beyond the reference surface — BASELINE.json): tokenization,
+quality scoring, language ID, document fingerprinting, word counts.
+
+All operators are native Catalyst expressions (higher-order array
+functions), so they vectorize, partial-aggregate, and survive a 100 TB
+scan without a Python boundary. The reference's only text op was the RDD
+word count (Pyspark-WordCount-1.py) — kept here DataFrame-native (A11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _col(c) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens(c) -> Column:
+    """Whitespace tokenization. ``split`` on ``\\s+`` after trim, so
+    multi-space/tab/newline behave; empty string → single '' token
+    filtered out."""
+    return F.filter(F.split(F.trim(_col(c)), r"\s+"), lambda x: x != "")
+
+
+def token_count(c) -> Column:
+    return F.size(tokens(c)).cast("long")
+
+
+def char_count(c) -> Column:
+    return F.length(_col(c)).cast("long")
+
+
+def avg_word_len(c, round_to: int = 4) -> Column:
+    """Mean token length, via aggregate over the token array (no explode,
+    no shuffle)."""
+    toks = tokens(c)
+    total = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.round(total / F.size(toks), round_to)
+
+
+def stopword_ratio(c, stopwords: list[str], round_to: int = 4) -> Column:
+    """Fraction of tokens in a stopword list — the classic 'is this
+    natural language' quality signal (Gopher/C4-style filters)."""
+    toks = tokens(c)
+    hits = F.size(F.filter(toks, lambda x: x.isin(*stopwords)))
+    return F.round(hits / F.size(toks), round_to)
+
+
+def non_alpha_ratio(c, round_to: int = 4) -> Column:
+    """Fraction of characters outside [a-zA-Z ] — punctuation/digit/
+    symbol density."""
+    s = _col(c)
+    stripped = F.regexp_replace(s, "[a-zA-Z ]", "")
+    return F.round(F.length(stripped) / F.length(s), round_to)
+
+
+EN_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+_LANG_STOPWORDS = {
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit"],
+    "en": EN_STOPWORDS,
+    "es": ["el", "los", "las", "una", "y", "que", "por", "con"],
+    "fr": ["le", "les", "et", "des", "une", "est", "dans", "pour"],
+}
+
+
+def lang_scores(c, lang_stopwords: dict[str, list[str]] | None = None) -> dict[str, Column]:
+    """Per-language stopword hit counts (n-gram-free heuristic language
+    ID; word-level stopword evidence)."""
+    lang_stopwords = lang_stopwords or _LANG_STOPWORDS
+    toks = tokens(c)
+
+    def in_set(sw):
+        # single-arg lambda: F.filter treats 2-arg lambdas as (elem, idx)
+        return lambda x: x.isin(*sw)
+
+    return {lang: F.size(F.filter(toks, in_set(sw))) for lang, sw in lang_stopwords.items()}
+
+
+def lang_id(c, lang_stopwords: dict[str, list[str]] | None = None) -> Column:
+    """Argmax of :func:`lang_scores` with a FIXED priority tie-break
+    (alphabetical language order) so the result is deterministic and
+    mirror-able in oracle SQL as a CASE chain."""
+    scores = lang_scores(c, lang_stopwords)
+    langs = sorted(scores)  # tie-break: alphabetical priority
+    # CASE WHEN s[i] >= s[j] for all j>i THEN langs[i] ... ELSE langs[-1]
+    expr = None
+    for i, lang in enumerate(langs[:-1]):
+        cond = None
+        for other in langs[i + 1:]:
+            c2 = scores[lang] >= scores[other]
+            cond = c2 if cond is None else (cond & c2)
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit(langs[-1]))
+
+
+def quality_score(c, stopwords: list[str] | None = None, round_to: int = 4) -> Column:
+    """Composite [0,1] quality score from length/stopword/charset
+    signals — each component is a clamped linear ramp, all native:
+
+    - length component: 1 inside [50, 1000] chars, ramping to 0 at 0/5000
+    - stopword component: ratio clamped at 0.15 then scaled
+    - alpha component: 1 - non_alpha_ratio
+    """
+    stopwords = stopwords or EN_STOPWORDS
+    n = char_count(c)
+    len_comp = F.when(n < 50, n / F.lit(50.0)).when(
+        n > 1000, F.greatest(F.lit(0.0), 1 - (n - 1000) / F.lit(4000.0))
+    ).otherwise(F.lit(1.0))
+    sw_comp = F.least(stopword_ratio(c, stopwords, round_to=6) / F.lit(0.15), F.lit(1.0))
+    alpha_comp = 1 - non_alpha_ratio(c, round_to=6)
+    return F.round((len_comp + sw_comp + alpha_comp) / 3, round_to)
+
+
+def fingerprint(c) -> Column:
+    """Exact-dup fingerprint: md5 of the text (hex string — identical in
+    any engine)."""
+    return F.md5(_col(c))
+
+
+def shingles(token_col, k: int = 3) -> Column:
+    """k-token shingle array from a MATERIALIZED token array column.
+
+    Takes a column reference, not raw text, on purpose: higher-order
+    lambdas evaluate interpreted, and if the argument is a ``split(...)``
+    expression tree each ``element_at`` re-runs the split — measured
+    ~18x slower on real documents. Callers must project the token array
+    into its own column first (see :func:`add_shingle_fingerprint`).
+    """
+    toks = _col(token_col)
+    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+    )
+
+
+def add_shingle_fingerprint(
+    df: DataFrame, text_col: str, out_col: str = "fp_shingle", k: int = 3
+) -> DataFrame:
+    """Near-dup-stable fingerprint: minimum md5 over the document's
+    k-token shingles (1-hash MinHash). Two documents sharing their
+    minimal shingle collide — the building block the MinHash-LSH dedup
+    operator generalizes with many hash functions.
+    Null for documents shorter than k tokens.
+
+    Two-projection shape (tokens materialized first) — CollapseProject
+    keeps the boundary because the token array is non-cheap and
+    referenced many times, so ``split`` runs once per row.
+    """
+    staged = df.withColumn("__tk", tokens(text_col))
+    fp = F.array_min(F.transform(shingles(F.col("__tk"), k), F.md5))
+    return staged.withColumn(out_col, fp).drop("__tk")
+
+
+def word_count(df: DataFrame, c: str, token_col: str = "token") -> DataFrame:
+    """A11 — the reference's RDD word count (Pyspark-WordCount-1.py:7-9
+    ``map(lambda x:(x,1)).reduceByKey(add)``) as DataFrame ops:
+    explode + groupBy. Catalyst gives the map-side combine reduceByKey
+    had, plus AQE sizing."""
+    return (
+        df.select(F.explode(tokens(c)).alias(token_col))
+        .groupBy(token_col)
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), F.asc(token_col))
+    )

@@ -1,0 +1,327 @@
+"""Cleaning / validation / transform queries: dedup with audit,
+validator+repair, null handling, normalization, casts, sampling-adjacent
+ops (SURVEY.md §2.9-2.12, EP1/EP2).
+
+Dirty data is SYNTHESIZED deterministically from the clean TPC-H columns
+(the driver tables have no nulls/dups/format dirt), with the same
+expressions on the DuckDB side, so the repair semantics are what's
+actually under test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkprep.functions import numeric as npx
+from sparkprep.functions import strings as sx
+from sparkprep.operators import clean, transform
+from sparkprep.queries import t
+from sparkprep.session import tune_for_engine
+
+
+def q_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+A2/A4 — occurrence-id histogram (dedup.ipynb:2208). Counts are
+    deterministic even where row identity inside a tie is not."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    audit = clean.dup_audit(li, keys=["l_partkey", "l_suppkey"], order_by="l_partkey")
+    return audit.select(
+        F.col("occur_id").cast("long").alias("occur_id"),
+        F.col("count").cast("long").alias("count"),
+    )
+
+
+_DEDUP_AUDIT_SQL = """
+WITH t AS (
+  SELECT row_number() OVER (PARTITION BY l_partkey, l_suppkey ORDER BY l_partkey) AS occur_id
+  FROM lineitem
+)
+SELECT occur_id::BIGINT AS occur_id, count(*) AS count
+FROM t GROUP BY occur_id ORDER BY occur_id
+"""
+
+
+def q_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET4 — keep-first dedup via occur_id <= 1 (dedup.ipynb:8904),
+    projected to the partition keys (≡ DISTINCT, deterministic)."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return clean.dedup_window(li, keys=["l_partkey", "l_suppkey"], order_by="l_partkey")
+
+
+_WINDOW_DEDUP_SQL = "SELECT DISTINCT l_partkey, l_suppkey FROM lineitem"
+
+
+def q_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — min-max normalize via broadcast scalar join (vs. the
+    reference's 4 collect()s + Python UDF, loanStat.py:241-287)."""
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    out = npx.minmax_normalize_distributed(cust, "c_acctbal", suffix="_norm")
+    return out.select("c_custkey", F.round("c_acctbal_norm", 6).alias("acctbal_norm"))
+
+
+_MINMAX_SQL = """
+SELECT c_custkey,
+       round((c_acctbal - (SELECT min(c_acctbal) FROM customer))
+             / ((SELECT max(c_acctbal) FROM customer) - (SELECT min(c_acctbal) FROM customer)),
+             6) AS acctbal_norm
+FROM customer
+"""
+
+
+def q_validator_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7/F6 — declarative rule table → validity counts in ONE pass
+    (dedup+invalid.ipynb:9322,9588). '4-NOT SPECIFIED' fails the
+    priority rule, giving a real invalid bucket."""
+    orders = t(spark, sf_dir, "orders")
+    v = clean.Validator(
+        [
+            clean.Rule("o_orderpriority", r"^[0-9]-[A-Z]+$"),
+            clean.Rule("o_orderstatus", r"^[OFP]$"),
+        ]
+    )
+    return v.report_df(orders).orderBy("col_name")
+
+
+_VALIDATOR_SQL = """
+SELECT 'o_orderpriority' AS col_name,
+       count(*) FILTER (WHERE regexp_matches(o_orderpriority, '^[0-9]-[A-Z]+$'))::BIGINT AS valid,
+       count(*) FILTER (WHERE NOT regexp_matches(o_orderpriority, '^[0-9]-[A-Z]+$'))::BIGINT AS invalid
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus' AS col_name,
+       count(*) FILTER (WHERE regexp_matches(o_orderstatus, '^[OFP]$'))::BIGINT AS valid,
+       count(*) FILTER (WHERE NOT regexp_matches(o_orderstatus, '^[OFP]$'))::BIGINT AS invalid
+FROM orders
+ORDER BY col_name
+"""
+
+
+def q_repair_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X5 + X6 — synthesize LoanStats-style dirty strings
+    ('12.7%' int_rate, 'dti-ish' mixed), then repair: strip trailing %
+    → double (loanStat.py:218) and regexp_extract digit run
+    (dedup+invalid.ipynb:9626). Dirty values built from integer columns
+    so string formatting is engine-independent."""
+    li = t(spark, sf_dir, "lineitem")
+    dirty = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat(
+            F.col("l_linenumber").cast("string"),
+            F.lit("."),
+            (F.col("l_partkey") % 10).cast("string"),
+            F.lit("%"),
+        ).alias("rate_str"),
+        F.concat(
+            F.lit("x"), (F.col("l_suppkey") % 100).cast("string"), F.lit("y")
+        ).alias("dti_str"),
+    )
+    repaired = dirty.select(
+        "l_orderkey",
+        "l_linenumber",
+        sx.pct_to_double("rate_str").alias("rate"),
+        F.regexp_extract("dti_str", r"(\d+)", 1).alias("dti_digits"),
+    )
+    return repaired
+
+
+_REPAIR_PERCENT_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(regexp_replace(l_linenumber::VARCHAR || '.' || (l_partkey % 10)::VARCHAR || '%',
+                           '%+$', '') AS DOUBLE) AS rate,
+       regexp_extract('x' || (l_suppkey % 100)::VARCHAR || 'y', '(\\d+)', 1) AS dti_digits
+FROM lineitem
+"""
+
+
+def q_repair_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — ' 36 months' → 36.0: remove literal, cast trims whitespace
+    (loanStat.py:206,218)."""
+    li = t(spark, sf_dir, "lineitem")
+    dirty = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat(
+            F.lit(" "), (F.col("l_linenumber") * 12).cast("string"), F.lit(" months")
+        ).alias("term_str"),
+    )
+    return dirty.select(
+        "l_orderkey", "l_linenumber", sx.term_to_double("term_str").alias("term")
+    )
+
+
+_REPAIR_TERM_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(replace(' ' || (l_linenumber * 12)::VARCHAR || ' months', 'months', '') AS DOUBLE) AS term
+FROM lineitem
+"""
+
+
+def q_month_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — 'Apr-2001' → 'Apr' (split('-')[0], loanStat.py:193-200),
+    over date-formatted order dates; frequency per token."""
+    tune_for_engine(spark)
+    orders = t(spark, sf_dir, "orders")
+    tokens = orders.select(
+        sx.month_token(F.date_format("o_orderdate", "MMM-yyyy")).alias("month_token")
+    )
+    return (
+        tokens.groupBy("month_token")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy("month_token")
+    )
+
+
+_MONTH_TOKEN_SQL = """
+SELECT split_part(strftime(o_orderdate, '%b-%Y'), '-', 1) AS month_token, count(*) AS count
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_isin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1+SET1 rewritten as isin — ONE scan with a pushed predicate
+    instead of the reference's union of two filters (SURVEY §4)."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        transform.filter_in(orders, "o_orderstatus", ["O", "F"])
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy("o_orderstatus")
+    )
+
+
+_ISIN_SQL = """
+SELECT o_orderstatus, count(*) AS count FROM orders
+WHERE o_orderstatus IN ('O', 'F') GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_impute_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 — mean imputation: nulls synthesized (quantity < 5 → null),
+    fill scalar computed in one agg job, applied via coalesce
+    (bde4.ipynb#cell39,43)."""
+    li = t(spark, sf_dir, "lineitem")
+    with_nulls = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") < 5, F.lit(None))
+        .otherwise(F.col("l_extendedprice"))
+        .alias("val"),
+    )
+    imputed = clean.impute(with_nulls, "val", strategy="mean")
+    return imputed.select(
+        "l_orderkey", "l_linenumber", F.round("val", 2).alias("val_imputed")
+    )
+
+
+_IMPUTE_SQL = """
+WITH t AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_quantity < 5 THEN NULL ELSE l_extendedprice END AS val
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       round(coalesce(val, (SELECT avg(val) FROM t)), 2) AS val_imputed
+FROM t
+"""
+
+
+def q_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 — manual binning as a native CASE (Bucketizer semantics:
+    splits=[lo, ...); last bucket closed; mlpc.py:434-435)."""
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    splits = [float("-inf"), 0.0, 2000.0, 4000.0, 6000.0, 8000.0, float("inf")]
+    return transform.bucketize(cust, "c_acctbal", splits, out_col="acctbal_bucket").select(
+        "c_custkey", "acctbal_bucket"
+    )
+
+
+_BUCKETIZE_SQL = """
+SELECT c_custkey,
+       CASE WHEN c_acctbal >= 8000 THEN 5
+            WHEN c_acctbal >= 6000 THEN 4
+            WHEN c_acctbal >= 4000 THEN 3
+            WHEN c_acctbal >= 2000 THEN 2
+            WHEN c_acctbal >= 0    THEN 1
+            ELSE 0 END::BIGINT AS acctbal_bucket
+FROM customer
+"""
+
+
+def q_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11/S3 — the Apache log parser, fully native (vs. nasa.py's
+    Python-re RDD pipeline). Log lines synthesized from events so both
+    engines parse identical text."""
+    tune_for_engine(spark)
+    from sparkprep.functions.logs import parse_apache_log
+
+    ev = t(spark, sf_dir, "events")
+    lines = ev.select(
+        F.concat(
+            F.lit("10.0.0."),
+            (F.col("user_id") % 256).cast("string"),
+            F.lit(" - - ["),
+            F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss"),
+            F.lit(" -0400]"),
+        ).alias("value")
+    )
+    parsed = parse_apache_log(lines)
+    return parsed.select(
+        "ip_addr", "month", "year",
+        F.col("hour").cast("long").alias("hour"),
+        F.col("minute").cast("long").alias("minute"),
+        F.col("second").cast("long").alias("second"),
+        "datetime_stamp",
+    )
+
+
+_LOG_PARSE_SQL = r"""
+WITH lines AS (
+  SELECT '10.0.0.' || (user_id % 256)::VARCHAR || ' - - [' ||
+         strftime(ts, '%d/%b/%Y:%H:%M:%S') || ' -0400]' AS value
+  FROM events
+), parsed AS (
+  SELECT regexp_extract(value, '(\S*) - - \[(\d{2})/(\S*)/(\d{4}):(\d{2}):(\d{2}):(\d{2}) (\S*)\]', 1) AS ip_addr,
+         regexp_extract(value, '(\S*) - - \[(\d{2})/(\S*)/(\d{4}):(\d{2}):(\d{2}):(\d{2}) (\S*)\]', 2) AS day_of_month,
+         regexp_extract(value, '(\S*) - - \[(\d{2})/(\S*)/(\d{4}):(\d{2}):(\d{2}):(\d{2}) (\S*)\]', 3) AS month,
+         regexp_extract(value, '(\S*) - - \[(\d{2})/(\S*)/(\d{4}):(\d{2}):(\d{2}):(\d{2}) (\S*)\]', 4) AS year,
+         regexp_extract(value, '(\S*) - - \[(\d{2})/(\S*)/(\d{4}):(\d{2}):(\d{2}):(\d{2}) (\S*)\]', 5) AS hour,
+         regexp_extract(value, '(\S*) - - \[(\d{2})/(\S*)/(\d{4}):(\d{2}):(\d{2}):(\d{2}) (\S*)\]', 6) AS minute,
+         regexp_extract(value, '(\S*) - - \[(\d{2})/(\S*)/(\d{4}):(\d{2}):(\d{2}):(\d{2}) (\S*)\]', 7) AS second
+  FROM lines
+)
+SELECT ip_addr, month, year,
+       hour::BIGINT AS hour, minute::BIGINT AS minute, second::BIGINT AS second,
+       strptime(year || '-' || month || '-' || day_of_month || ' ' || hour || ':' || minute || ':' || second,
+                '%Y-%b-%d %H:%M:%S') AS datetime_stamp
+FROM parsed
+"""
+
+
+QUERIES = {
+    "dedup_audit": q_dedup_audit,
+    "window_dedup": q_window_dedup,
+    "minmax_normalize": q_minmax_normalize,
+    "validator_report": q_validator_report,
+    "repair_percent": q_repair_percent,
+    "repair_term": q_repair_term,
+    "month_token": q_month_token,
+    "isin_filter": q_isin_filter,
+    "impute_mean": q_impute_mean,
+    "bucketize": q_bucketize,
+    "log_parse": q_log_parse,
+}
+
+ORACLES = {
+    "dedup_audit": _DEDUP_AUDIT_SQL,
+    "window_dedup": _WINDOW_DEDUP_SQL,
+    "minmax_normalize": _MINMAX_SQL,
+    "validator_report": _VALIDATOR_SQL,
+    "repair_percent": _REPAIR_PERCENT_SQL,
+    "repair_term": _REPAIR_TERM_SQL,
+    "month_token": _MONTH_TOKEN_SQL,
+    "isin_filter": _ISIN_SQL,
+    "impute_mean": _IMPUTE_SQL,
+    "bucketize": _BUCKETIZE_SQL,
+    "log_parse": _LOG_PARSE_SQL,
+}

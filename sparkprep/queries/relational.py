@@ -1,0 +1,267 @@
+"""Relational / EDA queries: aggregation, frequency, profiling, sorts,
+joins, windows over the TPC-H-ish tables (SURVEY.md §2.6-2.8; joins are
+reference-absent but engine-supported, §2.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkprep.operators import profile
+from sparkprep.queries import t
+from sparkprep.session import tune_for_engine
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-shaped pricing summary. One shuffle on the
+    group keys; every aggregate partial-aggregates map-side."""
+    tune_for_engine(spark)
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 4)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_freq_orderpriority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3 — frequency table + derived percent (bde4.ipynb#cell31)."""
+    orders = t(spark, sf_dir, "orders")
+    return profile.freq(orders, "o_orderpriority", with_percent=True).select(
+        "o_orderpriority",
+        F.col("count").cast("long").alias("count"),
+        F.round("percent", 6).alias("percent"),
+    )
+
+
+_FREQ_SQL = """
+SELECT o_orderpriority, count(*) AS count,
+       round(count(*)::DOUBLE / (SELECT count(*) FROM orders), 6) AS percent
+FROM orders GROUP BY o_orderpriority ORDER BY count DESC, o_orderpriority
+"""
+
+
+_LINEITEM_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+    "l_shipdate",
+]
+
+
+def q_null_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/N7 — per-column null counts, single pass (nulls.ipynb#cell5)."""
+    li = t(spark, sf_dir, "lineitem")
+    return profile.null_census_long(li).select(
+        F.col("column").alias("col_name"),
+        "null_count",
+        F.round("null_frac", 6).alias("null_frac"),
+    )
+
+
+_NULL_CENSUS_SQL = " UNION ALL ".join(
+    f"SELECT '{c}' AS col_name, "
+    f"count(*) FILTER (WHERE {c} IS NULL)::BIGINT AS null_count, "
+    f"round(count(*) FILTER (WHERE {c} IS NULL)::DOUBLE / count(*), 6) AS null_frac "
+    f"FROM lineitem"
+    for c in _LINEITEM_COLS
+)
+
+
+_DESCRIBE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_describe_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — describe() as ONE fused aggregate, long form (SURVEY §4)."""
+    li = t(spark, sf_dir, "lineitem")
+    return profile.describe_long(li, _DESCRIBE_COLS, round_to=4).select(
+        F.col("column").alias("col_name"), "count", "mean", "stddev", "min", "max"
+    )
+
+
+_DESCRIBE_SQL = " UNION ALL ".join(
+    f"SELECT '{c}' AS col_name, count({c})::BIGINT AS count, "
+    f"round(avg({c}), 4) AS mean, round(stddev({c}), 4) AS stddev, "
+    f"round(min({c})::DOUBLE, 4) AS min, round(max({c})::DOUBLE, 4) AS max "
+    f"FROM lineitem"
+    for c in _DESCRIBE_COLS
+)
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O3 — sort + limit. Catalyst turns this into TakeOrderedAndProject
+    (per-partition top-k, then k*partitions rows to one reducer — no
+    global sort). Tie-broken on the key for determinism."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+_TOPK_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — distinct values of a column (mlpc.ipynb:581)."""
+    return profile.distinct_values(t(spark, sf_dir, "events"), "event_type")
+
+
+_DISTINCT_SQL = "SELECT DISTINCT event_type FROM events"
+
+
+def q_join_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join through two broadcast dims (nation, region): zero
+    shuffle on the fact side until the final small groupBy."""
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("num_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+_JOIN_REGIONS_SQL = """
+SELECT r_name, count(*) AS num_customers, round(avg(c_acctbal), 4) AS avg_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+def q_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped 3-way join + agg + top-k. Filters are pushed to
+    each scan; customer (small side after filter) broadcasts under AQE;
+    ordering on the raw (unrounded) revenue keeps the top-10 set
+    engine-independent."""
+    tune_for_engine(spark)
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    joined = cust.join(orders, cust.c_custkey == orders.o_custkey).join(
+        li, orders.o_orderkey == li.l_orderkey
+    )
+    rev = joined.groupBy("l_orderkey", "o_orderdate").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev")
+    )
+    return (
+        rev.orderBy(F.desc("__rev"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", F.round("__rev", 2).alias("revenue"), "o_orderdate")
+    )
+
+
+_JOIN_REVENUE_SQL = """
+WITH rev AS (
+  SELECT l_orderkey, o_orderdate,
+         sum(l_extendedprice * (1 - l_discount)) AS raw_rev
+  FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+    AND l_shipdate  > TIMESTAMP '1998-01-01'
+  GROUP BY l_orderkey, o_orderdate
+)
+SELECT l_orderkey, round(raw_rev, 2) AS revenue, o_orderdate
+FROM rev ORDER BY raw_rev DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the events table — the batch
+    equivalent of the streaming path (sparkprep.streaming); the same
+    ``F.window`` expression runs under readStream with a watermark."""
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+_EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "freq_orderpriority": q_freq_orderpriority,
+    "null_census": q_null_census,
+    "describe_lineitem": q_describe_lineitem,
+    "topk_orders": q_topk_orders,
+    "distinct_event_types": q_distinct_event_types,
+    "join_regions": q_join_regions,
+    "join_revenue": q_join_revenue,
+    "events_hourly": q_events_hourly,
+}
+
+ORACLES = {
+    "pricing_summary": _PRICING_SQL,
+    "freq_orderpriority": _FREQ_SQL,
+    "null_census": _NULL_CENSUS_SQL,
+    "describe_lineitem": _DESCRIBE_SQL,
+    "topk_orders": _TOPK_SQL,
+    "distinct_event_types": _DISTINCT_SQL,
+    "join_regions": _JOIN_REGIONS_SQL,
+    "join_revenue": _JOIN_REVENUE_SQL,
+    "events_hourly": _EVENTS_HOURLY_SQL,
+}

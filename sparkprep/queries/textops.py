@@ -1,0 +1,159 @@
+"""Text-analysis queries over the documents table (LLM-pipeline
+extension ops): token stats, quality scoring, language ID,
+fingerprinting, word count. Every one has a DuckDB mirror — the point is
+that the heuristics are pure, engine-independent expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkprep.operators import text as tx
+from sparkprep.queries import t
+
+_EN = tx.EN_STOPWORDS  # the, a, and, of, to, in, is, it
+_EN_SQL = "'" + "', '".join(_EN) + "'"
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char counts + mean word length per document, no explode."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count("text").alias("n_tokens"),
+        tx.char_count("text").alias("n_chars"),
+        tx.avg_word_len("text").alias("avg_word_len"),
+    )
+
+
+_TEXT_STATS_SQL = """
+SELECT doc_id,
+       len(string_split(text, ' '))::BIGINT AS n_tokens,
+       length(text)::BIGINT AS n_chars,
+       round(list_sum(list_transform(string_split(text, ' '), x -> length(x)))::DOUBLE
+             / len(string_split(text, ' ')), 4) AS avg_word_len
+FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length/stopword/charset ramps)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.stopword_ratio("text", _EN).alias("stop_ratio"),
+        tx.quality_score("text").alias("quality"),
+    )
+
+
+_QUALITY_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         length(text) AS n,
+         len(list_filter(string_split(text, ' '), x -> x IN ({_EN_SQL})))::DOUBLE
+           / len(string_split(text, ' ')) AS stop_ratio_raw,
+         length(regexp_replace(text, '[a-zA-Z ]', '', 'g'))::DOUBLE / length(text) AS non_alpha
+  FROM documents
+)
+SELECT doc_id,
+       round(stop_ratio_raw, 4) AS stop_ratio,
+       round((
+         (CASE WHEN n < 50 THEN n / 50.0
+               WHEN n > 1000 THEN greatest(0.0, 1 - (n - 1000) / 4000.0)
+               ELSE 1.0 END)
+         + least(round(stop_ratio_raw, 6) / 0.15, 1.0)
+         + (1 - round(non_alpha, 6))
+       ) / 3, 4) AS quality
+FROM s
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-evidence language ID with fixed alphabetical tie-break,
+    compared against the label column for an agreement count."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", tx.lang_id("text").alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy("lang", "lang_guess")
+    )
+
+
+_DE_SQL = "'der', 'die', 'und', 'das', 'ist', 'nicht', 'ein', 'mit'"
+_ES_SQL = "'el', 'los', 'las', 'una', 'y', 'que', 'por', 'con'"
+_FR_SQL = "'le', 'les', 'et', 'des', 'une', 'est', 'dans', 'pour'"
+
+_LANG_ID_SQL = f"""
+WITH s AS (
+  SELECT lang,
+         len(list_filter(string_split(text, ' '), x -> x IN ({_DE_SQL}))) AS s_de,
+         len(list_filter(string_split(text, ' '), x -> x IN ({_EN_SQL}))) AS s_en,
+         len(list_filter(string_split(text, ' '), x -> x IN ({_ES_SQL}))) AS s_es,
+         len(list_filter(string_split(text, ' '), x -> x IN ({_FR_SQL}))) AS s_fr
+  FROM documents
+), g AS (
+  SELECT lang,
+         CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+              WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+              WHEN s_es >= s_fr THEN 'es'
+              ELSE 'fr' END AS lang_guess
+  FROM s
+)
+SELECT lang, lang_guess, count(*) AS count FROM g GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (md5) + near-dup-stable (min-shingle-md5) fingerprints."""
+    docs = t(spark, sf_dir, "documents")
+    out = tx.add_shingle_fingerprint(docs, "text", out_col="fp_shingle", k=3)
+    return out.select(
+        "doc_id",
+        tx.fingerprint("text").alias("fp_exact"),
+        "fp_shingle",
+    )
+
+
+_FINGERPRINT_SQL = """
+WITH toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents
+)
+SELECT doc_id,
+       md5(text) AS fp_exact,
+       list_min(list_transform(range(1, len(tk) - 1),
+                i -> md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS fp_shingle
+FROM toks
+"""
+
+
+def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — the wordcount (Pyspark-WordCount-1.py) DataFrame-native:
+    explode + groupBy with map-side combine."""
+    docs = t(spark, sf_dir, "documents")
+    return tx.word_count(docs, "text")
+
+
+_WORD_COUNT_SQL = """
+SELECT token, count(*) AS count
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token ORDER BY count DESC, token
+"""
+
+
+QUERIES = {
+    "text_stats": q_text_stats,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "word_count": q_word_count,
+}
+
+ORACLES = {
+    "text_stats": _TEXT_STATS_SQL,
+    "quality_score": _QUALITY_SQL,
+    "lang_id": _LANG_ID_SQL,
+    "fingerprint": _FINGERPRINT_SQL,
+    "word_count": _WORD_COUNT_SQL,
+}
