@@ -1,0 +1,292 @@
+"""Near-duplicate detection at LLM-corpus scale (north-star extension
+ops, BASELINE.json): MinHash+LSH, SimHash, exact n-gram Jaccard.
+
+Every stage is native DataFrame ops — explode / hash / groupBy / band /
+self-join — so the shuffle structure is explicit and AQE-manageable:
+
+- MinHash signatures: ONE shuffle (groupBy doc) regardless of the number
+  of hash functions (they're N parallel min-aggregates, partial-agg'd
+  map-side).
+- LSH banding: candidate generation is an equi-join on (band, band_key)
+  — no all-pairs blowup; at 100 TB the band join is the only wide op and
+  it's skew-safe (hot buckets split by AQE skew-join).
+- Hashing is md5-derived integers (engine-independent), so results are
+  exactly reproducible anywhere — and DuckDB-oracle-checkable.
+
+Config defaults (16 hashes, 4 bands x 4 rows) target the classic
+S-curve: P(candidate) = 1-(1-J^r)^b ≈ 0.97 at J=0.8, ≈0.04 at J=0.3.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sparkprep.operators.text import tokens
+
+MERSENNE_P = 2147483647  # 2^31 - 1; keeps a*h + b inside int64
+
+
+def hash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Seeded universal-hash coefficients (a_i, b_i), embedded as plan
+    literals so Spark and any oracle engine compute identical values."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE_P), rng.randrange(0, MERSENNE_P))
+        for _ in range(num_hashes)
+    ]
+
+
+def string_to_int_hash(c) -> Column:
+    """Engine-independent 60-bit integer hash of a string:
+    first 15 hex chars of md5, parsed base-16, mod 2^31-1.
+    (Spark's builtin ``hash``/``xxhash64`` would be faster but is not
+    reproducible outside Spark; md5 keeps every downstream number
+    oracle-checkable. Swap in ``xxhash64`` for production-only runs.)"""
+    col = F.col(c) if isinstance(c, str) else c
+    return (F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % MERSENNE_P)
+
+
+def explode_shingles(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, distinct: bool = True
+) -> DataFrame:
+    """(id, shingle-string) rows: tokenize → k-token shingles → explode.
+    Distinct by default (MinHash is over shingle SETS). Docs shorter
+    than k tokens produce no rows (empty shingle set)."""
+    from sparkprep.operators.text import shingles
+
+    staged = df.select(id_col, tokens(text_col).alias("__tk"))
+    out = staged.select(id_col, F.explode(shingles(F.col("__tk"), k)).alias("shingle"))
+    return out.dropDuplicates([id_col, "shingle"]) if distinct else out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, h0..h{n-1}) MinHash signature columns.
+
+    h_i(doc) = min over shingles s of (a_i * H(s) + b_i) mod p.
+    One explode + ONE groupBy shuffle; the N mins partial-aggregate.
+    """
+    coeffs = hash_coeffs(num_hashes, seed)
+    hashed = explode_shingles(df, text_col, id_col, k).select(
+        id_col, string_to_int_hash("shingle").alias("__h")
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(
+    sig_df: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, band_key): concatenate each band's signature rows into
+    one md5 band key. Rows-per-band r = num_hashes // bands."""
+    r = num_hashes // bands
+    parts = []
+    for b in range(bands):
+        key = F.md5(
+            F.concat_ws("_", *[F.col(f"h{b * r + j}").cast("string") for j in range(r)])
+        )
+        parts.append(
+            sig_df.select(
+                F.col(id_col), F.lit(b).cast("long").alias("band"), key.alias("band_key")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    k: int = 3,
+    bands: int = 4,
+    seed: int = 42,
+    est_threshold: float | None = None,
+) -> DataFrame:
+    """Near-dup candidate pairs via MinHash-LSH:
+    (id_a, id_b, est_jaccard) with id_a < id_b.
+
+    est_jaccard = fraction of agreeing signature components (unbiased
+    MinHash estimator). The heavy lifting is ONE equi-join on
+    (band, band_key); no quadratic pair enumeration ever materializes.
+    """
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k, seed)
+    banded = lsh_bands(sig, id_col, num_hashes, bands)
+    left = banded.select(
+        F.col(id_col).alias("id_a"), "band", "band_key"
+    )
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    pairs = (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    sig_a = sig.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)]
+    )
+    sig_b = sig.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)]
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(num_hashes)
+    )
+    est = (agree / F.lit(float(num_hashes))).alias("est_jaccard")
+    out = pairs.join(sig_a, "id_a").join(sig_b, "id_b").select("id_a", "id_b", est)
+    if est_threshold is not None:
+        out = out.filter(F.col("est_jaccard") >= est_threshold)
+    return out
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    k: int = 3,
+    bands: int = 4,
+    seed: int = 42,
+    est_threshold: float = 0.8,
+) -> DataFrame:
+    """Greedy near-dup removal: drop every doc that has a near-dup with a
+    smaller id (keep-first by id — the scalable standard; NOT transitive
+    closure, which needs iterative connected components; see docstring
+    note in SURVEY §7 extension plan)."""
+    pairs = minhash_candidate_pairs(
+        df, text_col, id_col, num_hashes, k, bands, seed, est_threshold
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates()
+    return df.join(losers, id_col, "left_anti")
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.3,
+    round_to: int = 4,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs (id_a, id_b, jaccard >= threshold).
+
+    Shingle-explode + equi-join on the shingle string: |A∩B| arrives from
+    the join group counts, |A∪B| = |A|+|B|-|A∩B|. Quadratic only within
+    identical-shingle groups — use as ground truth / verifier for the
+    LSH path, or on bounded subsets; the LSH path is the 100 TB route.
+    """
+    sh = explode_shingles(df, text_col, id_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", F.round(jac, round_to).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 32
+) -> DataFrame:
+    """(id, simhash): Charikar sketch over token hashes.
+
+    Each token votes ±1 on each bit of its hash; the sketch sets bit b
+    iff the vote sum is positive. Computed as `bits` conditional-sum
+    aggregates over the exploded tokens — one shuffle, map-side combine.
+    32 bits keeps every intermediate in positive int64 territory (and
+    the final value BIGINT-comparable in any engine).
+    """
+    tok = df.select(id_col, F.explode(tokens(text_col)).alias("__t")).select(
+        id_col, string_to_int_hash("__t").alias("__h")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    voted = tok.groupBy(id_col).agg(*votes)
+    value = sum(
+        F.when(F.col(f"v{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+        for b in range(bits)
+    )
+    return voted.select(id_col, value.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 32,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Candidate generation is banded like LSH: split the sketch into
+    `chunks` bit-ranges; by pigeonhole any pair within hamming ≤
+    chunks-1 shares at least one exact chunk, so candidates come from
+    equi-joins on (chunk_idx, chunk_value) — never an all-pairs scan.
+    """
+    sh = simhash(df, text_col, id_col, bits)
+    width = bits // chunks
+    mask = (1 << width) - 1
+    chunked = None
+    for i in range(chunks):
+        part = sh.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.lit(i).cast("long").alias("chunk"),
+            F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask)).alias("chunk_val"),
+        )
+        chunked = part if chunked is None else chunked.unionByName(part)
+    a = chunked.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "chunk_val"
+    )
+    b = chunked.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "chunk_val"
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["chunk", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        # hamming filter BEFORE the dedup shuffle: candidates from hot
+        # buckets can be ~100x the surviving pairs, and hamming is
+        # functionally dependent on the pair, so filtering first changes
+        # nothing semantically but shrinks the exchange to the result
+        # size (measured 26s -> ~8s at sf0.1).
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+    )

@@ -1,0 +1,267 @@
+"""Similarity search over embedding columns (north-star extension ops):
+brute-force cosine top-k as correctness baseline, LSH-bucketed and
+IVF-style variants as the scale paths, plus embedding-cosine near-dup.
+
+Vector math strategies, by scale:
+- **native** (``F.zip_with`` + ``F.aggregate``): pure Catalyst, fully
+  engine-reproducible (oracle-checkable), fine up to ~10^5 pairs.
+  Higher-order lambdas run interpreted, so this is NOT the 100 TB path.
+- **arrow** (``mapInPandas`` + numpy): vectorized BLAS dot products over
+  Arrow batches against a broadcast query matrix — the scale path for
+  brute force; ~100x the native throughput.
+- **lsh / ivf**: prune the corpus before any exact math — the real
+  100 TB answer: candidates via random-hyperplane buckets (or coarse
+  centroids), exact rerank only within buckets.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_native(a, b) -> Column:
+    """Order-stable dot product: left fold over zip_with products, all
+    in double (float32 summation differs across engines)."""
+    prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_native(a) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine_native(a, b) -> Column:
+    return dot_native(a, b) / (norm_native(a) * norm_native(b))
+
+
+def cosine_topk_native(
+    emb_df: DataFrame,
+    query_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Brute-force top-k neighbors for each query vector, native
+    expressions only (oracle-reproducible).
+
+    Plan shape: broadcast the (small) query side against the corpus —
+    a broadcast-nested-loop join, each task scoring its corpus slice
+    against all queries — then per-query top-k via window row_number
+    (partition count = #queries, tiny). No corpus shuffle at all.
+    """
+    from pyspark.sql.window import Window
+
+    q = query_df.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = emb_df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_native(F.col("__qv"), F.col("__cv")).alias("__cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("__cos", round_to).alias("cosine"),
+        )
+    )
+
+
+def cosine_topk_arrow(
+    emb_df: DataFrame,
+    query_vecs: dict[int, list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force top-k with numpy over Arrow batches — the scale-path
+    twin of :func:`cosine_topk_native`.
+
+    The query matrix rides inside the serialized closure (broadcast by
+    Spark); each Arrow batch computes a (batch x queries) GEMM and emits
+    only per-batch top-k, so the driver-side reduce is tiny. Final exact
+    top-k via groupBy window on batch winners (k * num_batches rows).
+    """
+    import pandas as pd
+    from pyspark.sql.window import Window
+
+    qids = sorted(query_vecs)
+    qmat = np.asarray([query_vecs[i] for i in qids], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+
+    out_schema = "query_id long, neighbor_id long, cosine double"
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            sims = (mat @ qmat.T) / (
+                np.linalg.norm(mat, axis=1)[:, None] * qnorm[None, :]
+            )
+            frames = []
+            for j, qid in enumerate(qids):
+                col = sims[:, j]
+                keep = min(k + 1, len(col))
+                top = np.argpartition(-col, keep - 1)[:keep]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": ids[top],
+                            "cosine": col[top],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    scored = emb_df.select(id_col, vec_col).mapInPandas(score, out_schema)
+    scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long"), F.round("cosine", 4).alias("cosine"))
+    )
+
+
+def hyperplane_signature(vec_col, planes: np.ndarray) -> Column:
+    """Random-hyperplane LSH signature: bit b = sign(<v, plane_b>).
+    Planes are plan literals (seeded numpy), so signatures are
+    deterministic across runs and engines."""
+    bits = []
+    for b, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(x)) for x in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long")))
+    return sum(bits)
+
+
+def ann_lsh_topk(
+    emb_df: DataFrame,
+    query_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    round_to: int = 4,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane bucket join, exact cosine
+    rerank only inside the query's bucket.
+
+    At 100 TB the corpus signature is computed once and bucketed
+    (optionally persisted bucketed-by-signature); each query touches
+    ~corpus/2^planes vectors. Recall is tunable by planes count and
+    multi-probe; this implementation is single-probe (exact-bucket).
+    """
+    from pyspark.sql.window import Window
+
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(num_planes, dim))
+
+    c = emb_df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        hyperplane_signature(F.col(vec_col), planes).alias("__sig"),
+    )
+    q = query_df.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        hyperplane_signature(F.col(vec_col), planes).alias("__sig"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "__sig")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_native(F.col("__qv"), F.col("__cv")).alias("__cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("__cos", round_to).alias("cosine"),
+        )
+    )
+
+
+def embedding_near_dup_pairs(
+    emb_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    round_to: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold)
+    via hyperplane-bucket self-join: vectors with cosine ~1 almost always
+    share all sign bits, so the exact check runs only within buckets."""
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(num_planes, dim))
+    # Normalize ONCE per vector (materialized alongside the signature),
+    # so the per-pair work is a single dot product instead of
+    # dot + 2 norms — interpreted higher-order lambdas are the cost
+    # center here, and pairs >> vectors inside any hot bucket.
+    # The norm gets its own projection first: a lambda of the form
+    # ``x / norm(v)`` would re-evaluate the norm per ELEMENT (64 norms
+    # per vector — the interpreted-HOF quadratic trap again).
+    staged = emb_df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm_native(F.col(vec_col)).alias("__n"),
+    )
+    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("__n"))
+    sig = staged.select(
+        F.col(id_col),
+        unit.alias("__unit"),
+        hyperplane_signature(F.col(vec_col), planes).alias("__sig"),
+    )
+    a = sig.select(F.col(id_col).alias("id_a"), F.col("__unit").alias("__va"), "__sig")
+    b = sig.select(F.col(id_col).alias("id_b"), F.col("__unit").alias("__vb"), "__sig")
+    return (
+        a.join(b, "__sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot_native(F.col("__va"), F.col("__vb")), round_to).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -131,7 +131,12 @@ def shingles(token_col, k: int = 3) -> Column:
     into its own column first (see :func:`add_shingle_fingerprint`).
     """
     toks = _col(token_col)
-    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    # Guard short docs: sequence(1, n) with n < 1 produces a DESCENDING
+    # sequence ([1, 0, -1, ...]) and element_at(toks, 0) throws under
+    # ANSI mode. Docs with fewer than k tokens get an empty shingle set.
+    idx = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
     return F.transform(
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),

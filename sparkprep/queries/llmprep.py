@@ -1,7 +1,383 @@
-"""LLM-data-pipeline scale operators: dedup families and similarity
-search (filled in incrementally)."""
+"""LLM-data-pipeline scale operators as oracle-checked queries:
+exact dedup, MinHash-LSH near-dup, SimHash, exact n-gram Jaccard,
+embedding cosine top-k / ANN / near-dup.
+
+The driver tables are clean (no dup texts, random embeddings), so dup
+structure is SYNTHESIZED deterministically on both engines:
+- exact dups: every doc unioned with an identical copy (id+10000);
+- near dups:  every doc unioned with a copy missing its first token;
+- embedding dups: every vector unioned with itself scaled by 1.2
+  (cosine exactly 1, sign bits preserved).
+
+All hashing is md5-derived (engine-independent); MinHash/SimHash oracle
+SQL is GENERATED from the same seeded coefficients the Spark plan uses,
+so the comparison checks real numeric equality of the sketches.
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkprep.operators import dedup as dd
+from sparkprep.operators import similarity as sim
+from sparkprep.queries import t
+
+# ---------------------------------------------------------------------------
+# corpora
+# ---------------------------------------------------------------------------
+
+
+def _corpus_near(spark, sf_dir) -> DataFrame:
+    """documents ∪ near-dup mutants (first token dropped, id+10000)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutants = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+ ", "").alias("text"),
+    )
+    return docs.unionByName(mutants)
+
+
+_CORPUS_NEAR_SQL = r"""corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, regexp_replace(text, '^\S+ ', '') AS text FROM documents
+)"""
+
+
+def _corpus_exact(spark, sf_dir) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    return docs.unionByName(copies)
+
+
+_CORPUS_EXACT_SQL = """corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents
+)"""
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup at scale: groupBy(text) keeping min id + copy
+    count. Hash-aggregate based — the 100 TB form (no sort, map-side
+    partial agg); at real scale group on md5(text) instead of the full
+    text to shrink the shuffle key."""
+    corpus = _corpus_exact(spark, sf_dir)
+    return (
+        corpus.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keep_id", "n_copies")
+    )
+
+
+_EXACT_DEDUP_SQL = f"""
+WITH {_CORPUS_EXACT_SQL}
+SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+FROM corpus GROUP BY text
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_NUM_HASHES = 16
+_BANDS = 4
+_K = 3
+_SEED = 42
+_EST_THRESHOLD = 0.5
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs with signature-agreement
+    similarity estimate. est >= 0.5 keeps the (doc, mutant) pairs."""
+    corpus = _corpus_near(spark, sf_dir)
+    return dd.minhash_candidate_pairs(
+        corpus, "text", "doc_id",
+        num_hashes=_NUM_HASHES, k=_K, bands=_BANDS, seed=_SEED,
+        est_threshold=_EST_THRESHOLD,
+    )
+
+
+def _minhash_sql() -> str:
+    coeffs = dd.hash_coeffs(_NUM_HASHES, _SEED)
+    P = dd.MERSENNE_P
+    r = _NUM_HASHES // _BANDS
+    sig_cols = ", ".join(
+        f"min(({a}::BIGINT * h + {b}) % {P}) AS h{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {j}::BIGINT AS band, md5("
+        + " || '_' || ".join(f"h{j * r + x}::VARCHAR" for x in range(r))
+        + ") AS band_key FROM sig"
+        for j in range(_BANDS)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(_NUM_HASHES)
+    )
+    return f"""
+WITH {_CORPUS_NEAR_SQL},
+toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+       FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)),
+hv AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % {P} AS h FROM sh),
+sig AS (SELECT doc_id, {sig_cols} FROM hv GROUP BY doc_id),
+bands AS ({band_rows}),
+pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+          WHERE a.doc_id < b.doc_id)
+SELECT p.id_a, p.id_b, ({agree}) / {float(_NUM_HASHES)} AS est_jaccard
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.id_a
+JOIN sig sb ON sb.doc_id = p.id_b
+WHERE ({agree}) / {float(_NUM_HASHES)} >= {_EST_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (ground truth for the LSH path)
+# ---------------------------------------------------------------------------
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs (>= 0.3) on a bounded sub-corpus —
+    the verifier twin of q_minhash_pairs."""
+    corpus = _corpus_near(spark, sf_dir).filter(
+        (F.col("doc_id") % 10000) < 60
+    )
+    return dd.jaccard_pairs(corpus, "text", "doc_id", k=_K, threshold=0.3)
+
+
+_JACCARD_SQL = f"""
+WITH {_CORPUS_NEAR_SQL},
+sub AS (SELECT * FROM corpus WHERE doc_id % 10000 < 60),
+toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM sub),
+sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+       FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(n_inter::DOUBLE / (na.n + nb.n - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE round(n_inter::DOUBLE / (na.n + nb.n - n_inter), 4) >= 0.3
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIM_BITS = 32
+_SIM_CHUNKS = 4
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash sketch per document (corpus + near-dup mutants)."""
+    corpus = _corpus_near(spark, sf_dir)
+    return dd.simhash(corpus, "text", "doc_id", bits=_SIM_BITS)
+
+
+def _simhash_core_sql() -> str:
+    P = dd.MERSENNE_P
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(_SIM_BITS)
+    )
+    value = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END)"
+        for b in range(_SIM_BITS)
+    )
+    return f"""
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM corpus),
+hv AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT % {P} AS h FROM tok),
+votes AS (SELECT doc_id, {votes} FROM hv GROUP BY doc_id),
+sim AS (SELECT doc_id, ({value}) AS simhash FROM votes)"""
+
+
+_SIMHASH_SQL = f"""
+WITH {_CORPUS_NEAR_SQL},
+{_simhash_core_sql()}
+SELECT doc_id, simhash FROM sim
+"""
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, hamming <= 3 via 4-chunk banding
+    (pigeonhole-complete at this threshold: any pair within hamming 3
+    shares at least one exact 8-bit chunk)."""
+    corpus = _corpus_near(spark, sf_dir)
+    return dd.simhash_pairs(
+        corpus, "text", "doc_id",
+        bits=_SIM_BITS, max_hamming=3, chunks=_SIM_CHUNKS,
+    )
+
+
+_SIMHASH_PAIRS_SQL = f"""
+WITH {_CORPUS_NEAR_SQL},
+{_simhash_core_sql()},
+chunked AS (SELECT doc_id, simhash, c::BIGINT AS chunk, (simhash >> (c * 8)) & 255 AS chunk_val
+            FROM sim, UNNEST([0, 1, 2, 3]) AS u(c)),
+pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.simhash AS sh_a, b.simhash AS sh_b
+          FROM chunked a JOIN chunked b
+            ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+          WHERE a.doc_id < b.doc_id)
+SELECT id_a, id_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
+FROM pairs
+WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity
+# ---------------------------------------------------------------------------
+
+_DIM = 64
+_TOPK = 5
+_PLANES = 8
+
+
+def _cos_sql(qv: str, cv: str) -> str:
+    dot = f"list_sum(list_transform(range(1, {_DIM + 1}), i -> {qv}[i]::DOUBLE * {cv}[i]::DOUBLE))"
+    nq = f"sqrt(list_sum(list_transform(range(1, {_DIM + 1}), i -> {qv}[i]::DOUBLE * {qv}[i]::DOUBLE)))"
+    nc = f"sqrt(list_sum(list_transform(range(1, {_DIM + 1}), i -> {cv}[i]::DOUBLE * {cv}[i]::DOUBLE)))"
+    return f"{dot} / ({nq} * {nc})"
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors (vec_id < 5), native
+    expressions: broadcast queries x corpus, per-query window top-k."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.cosine_topk_native(emb, queries, k=_TOPK)
+
+
+_COSINE_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_cos_sql('qv', 'cv')} AS cos
+  FROM q, c WHERE neighbor_id != query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank::BIGINT AS rank, round(cos, 4) AS cosine
+FROM ranked WHERE rank <= {_TOPK}
+"""
+
+
+def _planes() -> np.ndarray:
+    return np.random.RandomState(42).normal(size=(_PLANES, _DIM))
+
+
+def _sig_sql(v: str) -> str:
+    planes = _planes()
+    terms = []
+    for b in range(_PLANES):
+        lits = ", ".join(repr(float(x)) for x in planes[b])
+        dot = f"list_sum(list_transform(range(1, {_DIM + 1}), i -> {v}[i]::DOUBLE * ([{lits}])[i]))"
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END)")
+    return " + ".join(terms)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane buckets (single-probe)
+    + exact rerank inside the bucket — the corpus-pruning scale path."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.ann_lsh_topk(
+        emb, queries, k=_TOPK, num_planes=_PLANES, dim=_DIM, seed=42
+    )
+
+
+_ANN_LSH_SQL = f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, ({_sig_sql('embedding')}) AS sig FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, sig FROM sigs WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, sig FROM sigs),
+scored AS (
+  SELECT query_id, neighbor_id, {_cos_sql('qv', 'cv')} AS cos
+  FROM q JOIN c USING (sig) WHERE neighbor_id != query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank::BIGINT AS rank, round(cos, 4) AS cosine
+FROM ranked WHERE rank <= {_TOPK}
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane-bucket self-join.
+    Scaled copies (x1.2, id+10000) are the planted dups — cosine exactly
+    1, sign bits preserved, so every (v, 1.2v) pair lands in-bucket."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    scaled = emb.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 1.2).alias("embedding"),
+    )
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    corpus = base.unionByName(scaled)
+    return sim.embedding_near_dup_pairs(
+        corpus, threshold=0.95, num_planes=_PLANES, dim=_DIM, seed=42
+    )
+
+
+_NEAR_DUP_SQL = f"""
+WITH corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id, list_transform(embedding, x -> x::DOUBLE * 1.2) AS embedding
+  FROM embeddings
+),
+sigs AS (SELECT vec_id, embedding, ({_sig_sql('embedding')}) AS sig FROM corpus)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_cos_sql('a.embedding', 'b.embedding')}, 4) AS cosine
+FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 4) >= 0.95
+"""
+
+
+QUERIES = {
+    "exact_dedup": q_exact_dedup,
+    "minhash_pairs": q_minhash_pairs,
+    "jaccard_pairs": q_jaccard_pairs,
+    "simhash": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
+    "cosine_topk": q_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+}
+
+ORACLES = {
+    "exact_dedup": _EXACT_DEDUP_SQL,
+    "minhash_pairs": _minhash_sql(),
+    "jaccard_pairs": _JACCARD_SQL,
+    "simhash": _SIMHASH_SQL,
+    "simhash_pairs": _SIMHASH_PAIRS_SQL,
+    "cosine_topk": _COSINE_TOPK_SQL,
+    "ann_lsh_topk": _ANN_LSH_SQL,
+    "embedding_near_dup": _NEAR_DUP_SQL,
+}
