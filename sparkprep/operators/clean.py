@@ -35,9 +35,12 @@ def drop_nulls(df: DataFrame, how: str = "any", subset=None, thresh: int | None 
 def fill_nulls(df: DataFrame, value, subset=None) -> DataFrame:
     """N4 — ``df.fillna(v[, cols])`` / dict form (nulls.ipynb#cell10-12).
 
-    Spark's documented coercion applies (and the reference relies on it):
-    a STRING fill value is silently ignored for numeric columns — e.g.
-    ``fillna({'WeekInMonth': '2'})`` on an int column is a no-op.
+    Coercion divergence from the reference era: on Spark 3.1.2 a STRING
+    fill value was silently IGNORED for numeric columns (so the
+    reference's ``fillna({'WeekInMonth': '2'})`` was a no-op); Spark 4
+    casts parseable numeric strings and applies them. We follow current
+    Spark semantics (verified in tests) rather than emulating the 3.1
+    quirk.
     """
     return df.na.fill(value, subset)
 

@@ -1,0 +1,148 @@
+"""ML feature-prep operators (SURVEY.md §2.14 M1-M9) — the reference's
+``mlpc.py`` pipeline surface, with its one big anti-pattern fixed:
+evaluation metrics are computed IN SPARK as conditional aggregates
+(M9), not by shipping the whole scored test set to pandas
+(``mlpc.py:519`` ``.toPandas()`` → driver OOM at scale).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class FeaturePlan:
+    """Declarative description of the feature pipeline the reference
+    hand-assembled (mlpc.py:418-466): label + categoricals (indexed and
+    one-hot), continuous passthrough, manual bucketization."""
+
+    label_col: str
+    categorical: list[str] = field(default_factory=list)
+    continuous: list[str] = field(default_factory=list)
+    bucketize: dict[str, list[float]] = field(default_factory=dict)
+    output_col: str = "features"
+
+
+def build_feature_pipeline(plan: FeaturePlan):
+    """M1-M5 composed into a pyspark.ml Pipeline:
+
+    - M1 StringIndexer on the label (handleInvalid='keep', mlpc.py:425)
+    - M2 per-column StringIndexer for categoricals (mlpc.py:427-428)
+    - M3 OneHotEncoder (dropLast default, mlpc.py:431-433)
+    - M4 Bucketizer per configured column (mlpc.py:434-435)
+    - M5 VectorAssembler over encoded + continuous + bucketized
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import Bucketizer, OneHotEncoder, StringIndexer, VectorAssembler
+
+    stages = [
+        StringIndexer(
+            inputCol=plan.label_col, outputCol="indexedLabel", handleInvalid="keep"
+        )
+    ]
+    encoded = []
+    for c in plan.categorical:
+        stages.append(
+            StringIndexer(inputCol=c, outputCol=f"{c}_indexed", handleInvalid="keep")
+        )
+        stages.append(OneHotEncoder(inputCol=f"{c}_indexed", outputCol=f"{c}_encoded"))
+        encoded.append(f"{c}_encoded")
+    bucketized = []
+    for c, splits in plan.bucketize.items():
+        stages.append(
+            Bucketizer(inputCol=c, outputCol=f"{c}_bucketized", splits=splits)
+        )
+        bucketized.append(f"{c}_bucketized")
+    stages.append(
+        VectorAssembler(
+            inputCols=encoded + plan.continuous + bucketized, outputCol=plan.output_col
+        )
+    )
+    return Pipeline(stages=stages)
+
+
+def mlp_layers_from_features(
+    train_df: DataFrame, hidden: list[int], num_classes: int, features_col: str = "features"
+) -> list[int]:
+    """M7 — input-layer width read from the assembled feature metadata
+    (mlpc.py:451-456: ``schema['features'].metadata['ml_attr']['num_attrs']``)."""
+    num_attrs = train_df.schema[features_col].metadata["ml_attr"]["num_attrs"]
+    return [num_attrs] + hidden + [num_classes]
+
+
+def build_mlpc(
+    layers: list[int], label_col: str = "indexedLabel", features_col: str = "features", seed: int = 42
+):
+    """M7 — MultilayerPerceptronClassifier (seeded; the reference left it
+    unseeded — SURVEY §7 nondeterminism quarantine)."""
+    from pyspark.ml.classification import MultilayerPerceptronClassifier
+
+    return MultilayerPerceptronClassifier(
+        labelCol=label_col, featuresCol=features_col, layers=layers, seed=seed
+    )
+
+
+def confusion_metrics(
+    scored: DataFrame,
+    label_col: str = "indexedLabel",
+    pred_col: str = "prediction",
+    positive: float = 1.0,
+) -> dict:
+    """M9 — confusion matrix + derived rates in ONE Spark aggregate.
+
+    Replaces ``eval_metrics`` (mlpc.py:382-401), which collected the
+    entire scored test set with ``.toPandas()`` and counted with boolean
+    masks. Four conditional counts cross the driver boundary instead of
+    every row.
+    """
+    lbl, prd = F.col(label_col), F.col(pred_col)
+    row = scored.agg(
+        F.count(F.when((lbl == positive) & (prd == positive), True)).alias("tp"),
+        F.count(F.when((lbl == positive) & (prd != positive), True)).alias("fn"),
+        F.count(F.when((lbl != positive) & (prd != positive), True)).alias("tn"),
+        F.count(F.when((lbl != positive) & (prd == positive), True)).alias("fp"),
+    ).collect()[0]
+    tp, fn, tn, fp = row["tp"], row["fn"], row["tn"], row["fp"]
+
+    def ratio(n, d):
+        return (n / d) if d else None
+
+    return {
+        "tp": tp, "fn": fn, "tn": tn, "fp": fp,
+        "ppv": ratio(tp, tp + fp),          # precision
+        "npv": ratio(tn, tn + fn),
+        "sensitivity": ratio(tp, tp + fn),  # recall
+        "specificity": ratio(tn, tn + fp),
+        "accuracy": ratio(tp + tn, tp + fn + tn + fp),
+    }
+
+
+def subset_search(
+    train_df: DataFrame,
+    test_df: DataFrame,
+    plan: FeaturePlan,
+    candidate_cols: list[str],
+    build_estimator,
+    max_size: int | None = None,
+):
+    """M8 — feature-subset search (mlpc.py:510-522:
+    ``itertools.combinations`` over categorical columns). Driver-side
+    orchestration loop by nature; each fit/score is distributed. Yields
+    (subset, metrics) so callers can early-stop."""
+    import itertools
+    from dataclasses import replace
+
+    sizes = range(1, (max_size or len(candidate_cols)) + 1)
+    for size in sizes:
+        for subset in itertools.combinations(candidate_cols, size):
+            sub_plan = replace(plan, categorical=list(subset))
+            pipe = build_feature_pipeline(sub_plan)
+            prep = pipe.fit(train_df)
+            train_t = prep.transform(train_df)
+            est = build_estimator(train_t)
+            model = est.fit(train_t)
+            scored = model.transform(prep.transform(test_df))
+            yield subset, confusion_metrics(scored)

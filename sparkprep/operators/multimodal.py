@@ -1,0 +1,149 @@
+"""Multimodal columns for LLM training-data pipelines (north-star
+extension): image/audio/video as opaque BINARY columns with typed
+metadata, processed by Arrow-batched pandas functions via
+``mapInPandas``.
+
+The Spark-side plumbing — schemas, batch iteration, partition sizing,
+UDF signatures — is real and tested; the actual codec work is STUBBED
+(this container has no image/audio libraries): ``decode_media`` raises
+``NotImplementedError`` unless ``fake=True``, in which case a
+deterministic md5-derived pseudo-decode stands in so the downstream
+plumbing (feature extraction, resize bookkeeping, frame sampling) is
+exercised end-to-end.
+
+Scale notes baked into the design:
+- binary payloads ride the scan; metadata-only predicates (media_type,
+  byte size) prune BEFORE any decode — never decode-then-filter;
+- ``mapInPandas`` streams Arrow batches, so executor memory is bounded
+  by ``spark.sql.execution.arrow.maxRecordsPerBatch`` x payload size —
+  tune it DOWN for large media (default 10k rows/batch is sized for
+  scalar columns);
+- decoded features are fixed-width float arrays → columnar, joinable
+  with the embedding-similarity operators.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),   # image | audio | video
+        StructField("content", BinaryType()),       # opaque payload
+        StructField("source_uri", StringType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+DECODED_SCHEMA = (
+    "media_id long, media_type string, width long, height long, "
+    "n_frames long, sample_rate long, feature array<double>"
+)
+
+_FEATURE_DIM = 16
+
+
+def synthesize_media(df: DataFrame, id_col: str, type_col_value: str = "image") -> DataFrame:
+    """Deterministic fake media rows from any keyed DataFrame — payload
+    bytes derived from md5(id), so tests are reproducible without real
+    files."""
+    content = F.unhex(
+        F.repeat(F.md5(F.col(id_col).cast("string")), 4)
+    )  # 64 deterministic bytes
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.lit(type_col_value).alias("media_type"),
+        content.alias("content"),
+        F.concat(F.lit("synthetic://"), F.col(id_col).cast("string")).alias("source_uri"),
+        F.length(content).cast("long").alias("n_bytes"),
+    )
+
+
+def _fake_decode(media_type: str, payload: bytes) -> dict:
+    """Deterministic pseudo-decode: dimensions and features derived from
+    the payload hash. Stands in for PIL/librosa/ffmpeg in tests."""
+    h = hashlib.md5(payload or b"").digest()
+    feature = (np.frombuffer(h, dtype=np.uint8).astype(np.float64) / 255.0).tolist()
+    return {
+        "width": 16 + h[0] % 240 if media_type in ("image", "video") else 0,
+        "height": 16 + h[1] % 240 if media_type in ("image", "video") else 0,
+        "n_frames": 1 if media_type == "image" else 1 + h[2] % 300,
+        "sample_rate": 16000 if media_type == "audio" else 0,
+        "feature": feature,
+    }
+
+
+def decode_media(
+    df: DataFrame,
+    fake: bool = False,
+    batch_size_hint: int | None = 256,
+) -> DataFrame:
+    """Decode + feature-extract media rows via ``mapInPandas``.
+
+    With ``fake=False`` this raises ``NotImplementedError`` at executor
+    time (no codec libraries in this environment) — the call SHAPE is
+    the production one: swap ``_fake_decode`` for a real
+    PIL/librosa/ffmpeg call and nothing else changes.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    if batch_size_hint:
+        # media payloads are orders of magnitude wider than scalar rows;
+        # shrink Arrow batches so a batch fits in executor memory
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size_hint))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if not fake:
+                raise NotImplementedError(
+                    "real media decode requires image/audio libraries not "
+                    "present in this environment; pass fake=True for the "
+                    "deterministic stub decoder"
+                )
+            decoded = [
+                _fake_decode(t, c) for t, c in zip(pdf["media_type"], pdf["content"])
+            ]
+            out = pd.DataFrame(decoded)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            out.insert(1, "media_type", pdf["media_type"].values)
+            yield out
+
+    return df.mapInPandas(decode, DECODED_SCHEMA)
+
+
+def frame_sample(decoded: DataFrame, every_nth: int = 30) -> DataFrame:
+    """Frame-sampling bookkeeping for video rows: which frame indices a
+    downstream extractor should touch — pure column math, no decode."""
+    n = F.col("n_frames")
+    idx = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(every_nth))
+    ).otherwise(F.expr("array()").cast("array<bigint>"))
+    return decoded.withColumn("sampled_frames", idx).withColumn(
+        "n_sampled", F.size("sampled_frames").cast("long")
+    )
+
+
+def media_feature_table(decoded: DataFrame) -> DataFrame:
+    """Decoded features as an embedding table compatible with the
+    similarity operators (vec_id, embedding) — multimodal near-dup
+    detection reuses the exact same LSH machinery."""
+    return decoded.select(
+        F.col("media_id").alias("vec_id"),
+        F.col("feature").alias("embedding"),
+    )

@@ -242,6 +242,59 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user, batch mode — the same
+    ``F.session_window`` the streaming module uses (unified API). State
+    note for streaming: sessions close when the watermark passes the
+    gap. Oracle is the classic gaps-and-islands rewrite (lag + cumsum),
+    proving the operator's semantics, not just its plumbing.
+
+    Boundary convention: Spark merges an event into a session while
+    ts < last_ts + gap (end-exclusive); the oracle's ``> INTERVAL``
+    matches. Exact-boundary events (gap of precisely 30:00.000000) would
+    diverge — microsecond event times make that measure-zero.
+    """
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+_EVENTS_SESSIONIZE_SQL = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+), f AS (
+  SELECT *, CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM o
+), s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "freq_orderpriority": q_freq_orderpriority,
@@ -252,6 +305,7 @@ QUERIES = {
     "join_regions": q_join_regions,
     "join_revenue": q_join_revenue,
     "events_hourly": q_events_hourly,
+    "events_sessionize": q_events_sessionize,
 }
 
 ORACLES = {
@@ -264,4 +318,5 @@ ORACLES = {
     "join_regions": _JOIN_REGIONS_SQL,
     "join_revenue": _JOIN_REVENUE_SQL,
     "events_hourly": _EVENTS_HOURLY_SQL,
+    "events_sessionize": _EVENTS_SESSIONIZE_SQL,
 }

@@ -1,0 +1,8 @@
+from sparkprep.streaming.events import (  # noqa: F401
+    dedup_stream,
+    foreach_batch_jdbc,
+    read_events_stream,
+    run_available_now,
+    sessionize_stream,
+    windowed_agg_stream,
+)

@@ -1,0 +1,157 @@
+"""Structured Streaming path (SURVEY.md §7 extension).
+
+The reference has NO streaming; its closest construct is an Airflow DAG
+re-running the whole batch every 15 minutes (dag_DataproctoBQ_scheduled.py:48
+``schedule_interval=timedelta(minutes=15)``). Here that becomes a real
+incremental pipeline: ``readStream`` → event-time windowed aggregation
+with a watermark (bounded state, late data handled) → streaming dedup
+(``dropDuplicates`` within the watermark = streaming SET4) →
+``foreachBatch`` sink for JDBC/parquet.
+
+The SAME ``F.window`` expressions run in batch mode (see
+queries/relational.q_events_hourly) — Spark's unified API is the point:
+the batch oracle validates the streaming logic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# events.parquet physical schema: ts is stored as timestamp[ns], which
+# Spark reads as LONG under spark.sql.legacy.parquet.nanosAsLong.
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over the events parquet (new files under
+    ``path`` are discovered per micro-batch — the production shape for
+    landing-zone ingest; at scale prefer a Kafka source, same plan
+    otherwise). Nanos ts rebuilt exactly as in the batch reader."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if path.endswith(".parquet") and os.path.isfile(path):
+        # file sources need a DIRECTORY; point at the parent and glob
+        # the single file (driver testdata keeps all tables in one dir)
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    raw = reader.parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_agg_stream(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling (or sliding, if ``slide`` given) event-time aggregation
+    with a watermark: state for a window is dropped once the watermark
+    passes its end, so memory is bounded no matter how long the stream
+    runs — this is what the reference's 15-minute full re-run could
+    never give (it recomputed ALL history every tick)."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_stream(
+    events: DataFrame, keys: list[str], watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming SET4: exactly-once keyed dedup within the watermark
+    horizon (``dropDuplicates`` keeps per-key state until the watermark
+    expires it — the streaming form of the batch window-dedup)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(keys + ["ts"])
+
+
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows (dynamic gap-based) per user — state closes a
+    session once the gap passes, emitting one row per session."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    sink_format: str = "memory",
+    query_name: str = "sparkprep_stream",
+    output_mode: str = "append",
+    checkpoint: str | None = None,
+    path: str | None = None,
+    foreach_batch=None,
+):
+    """Drain everything currently available and stop (Trigger.AvailableNow)
+    — the test/backfill harness; production would run continuously.
+    Returns the finished StreamingQuery."""
+    writer = stream_df.writeStream.outputMode(output_mode).trigger(availableNow=True)
+    if foreach_batch is not None:
+        writer = writer.foreachBatch(foreach_batch)
+    else:
+        writer = writer.format(sink_format)
+        if sink_format == "memory":
+            writer = writer.queryName(query_name)
+        if path:
+            writer = writer.option("path", path)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+    return q
+
+
+def foreach_batch_jdbc(url: str, table: str, mode: str = "append", **jdbc_opts):
+    """K2 as a streaming sink: the reference's batch JDBC load becomes an
+    idempotent-enough micro-batch upsert hook (foreachBatch receives
+    (DataFrame, batch_id); batch_id enables exactly-once bookkeeping)."""
+    from sparkprep.sources.writers import write_jdbc
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_jdbc(batch_df, url=url, table=table, mode=mode, **jdbc_opts)
+
+    return sink

@@ -1,0 +1,165 @@
+"""Golden-behavior tests on the reference's own toy fixtures
+(FIXTURES.md F1/F2; data values from nulls.ipynb#cell2 and
+dupwin.ipynb#cell1 — kept literal so outputs reconcile against the
+notebook cell outputs)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkprep.operators import clean, profile
+
+F1_ROWS = [
+    ("Store 1", 1, 448),
+    ("Store 1", 2, None),
+    ("Store 1", 3, 499),
+    ("Store 1", 44, 432),
+    (None, None, None),
+    ("Store 2", 1, 355),
+    ("Store 2", 1, 355),
+    ("Store 2", None, 345),
+    ("Store 2", 3, 387),
+    ("Store 2", 4, 312),
+]
+F1_COLS = ["Store", "WeekInMonth", "Revenue"]
+
+F2_ROWS = [
+    ("James", "Sales", 3000),
+    ("Michael", "Sales", 4600),
+    ("Robert", "Sales", 4100),
+    ("Maria", "Finance", 3000),
+    ("James", "Sales", 3000),
+    ("Scott", "Finance", 3300),
+    ("Jen", "Finance", 3900),
+    ("Jeff", "Marketing", 3000),
+    ("Kumar", "Marketing", 2000),
+    ("Saif", "Sales", 4100),
+]
+F2_COLS = ["employee_name", "department", "salary"]
+
+
+@pytest.fixture(scope="module")
+def store_df(spark):
+    return spark.createDataFrame(F1_ROWS, F1_COLS)
+
+
+@pytest.fixture(scope="module")
+def emp_df(spark):
+    return spark.createDataFrame(F2_ROWS, F2_COLS)
+
+
+# --- null census / any-null rows (A8/F5, nulls.ipynb#cell5-6) -------------
+
+
+def test_null_census(store_df):
+    row = profile.null_census(store_df).collect()[0]
+    assert row.asDict() == {"Store": 1, "WeekInMonth": 2, "Revenue": 2}
+
+
+def test_rows_with_nulls(store_df):
+    assert profile.rows_with_nulls(store_df).count() == 3
+
+
+# --- dropna variants (N1-N3, nulls.ipynb#cell7-8) -------------------------
+
+
+def test_dropna_all_removes_only_allnull_row(store_df):
+    assert clean.drop_nulls(store_df, how="all").count() == 9
+
+
+def test_dropna_any(store_df):
+    assert clean.drop_nulls(store_df, how="any").count() == 7
+
+
+def test_dropna_subset(store_df):
+    out = clean.drop_nulls(store_df, how="any", subset=["Store", "WeekInMonth"])
+    assert out.count() == 8
+
+
+# --- fillna variants (N4, nulls.ipynb#cell10-12) --------------------------
+
+
+def test_fillna_single_column(store_df):
+    out = clean.fill_nulls(store_df, 0, ["Revenue"])
+    assert out.filter(F.col("Revenue") == 0).count() == 2
+    assert out.filter(F.col("WeekInMonth").isNull()).count() == 2
+
+
+def test_fillna_dict_coercion(store_df):
+    # Divergence note (SURVEY §7 hard parts): Spark 3.1.2 silently
+    # IGNORED string '2' for the numeric column; Spark 4 casts and
+    # applies it. We assert current-Spark semantics.
+    out = clean.fill_nulls(store_df, {"Store": "Unknown", "WeekInMonth": "2", "Revenue": 3})
+    assert out.filter(F.col("Store") == "Unknown").count() == 1
+    assert out.filter(F.col("WeekInMonth").isNull()).count() == 0  # coerced+filled
+    assert out.filter(F.col("WeekInMonth") == 2).count() == 3
+    assert out.filter(F.col("Revenue") == 3).count() == 2
+
+
+# --- imputation (N5/N6, bde4#cell43, nulls.ipynb#cell13-15) ----------------
+
+
+def test_impute_mean(store_df):
+    out = clean.impute(store_df, "Revenue", strategy="mean")
+    mean = sum(r for _, _, r in F1_ROWS if r is not None) / 8
+    got = {r.Revenue for r in out.filter(F.col("WeekInMonth").isNull()).collect()}
+    assert got == {mean, 345.0}
+
+
+def test_impute_median_fit_on_subpopulation(store_df):
+    # nulls.ipynb#cell13-15: fit median on Store 1 only, apply globally
+    out = clean.impute(
+        store_df, "Revenue", strategy="median", fit_filter=F.col("Store") == "Store 1"
+    )
+    filled = out.filter(F.col("Store").isNull()).collect()[0].Revenue
+    assert filled in (432, 448)  # Store 1 revenues: 448, 499, 432 -> median 448
+
+
+# --- duplicates (SET2-SET4, W1/W2) ----------------------------------------
+
+
+def test_drop_duplicates_exact(store_df):
+    # dropdup.ipynb#cell4: ('Store 2',1,355) x2 collapses
+    assert clean.dedup_exact(store_df).count() == 9
+
+
+def test_occurrence_window_matches_reference(emp_df):
+    # dupwin.ipynb#cell3: James/Sales/3000 duplicated -> occur_id 1,2
+    withid = clean.add_occurrence_id(
+        emp_df, keys=["employee_name"], order_by="salary"
+    )
+    james = withid.filter(F.col("employee_name") == "James").collect()
+    assert sorted(r.occur_id for r in james) == [1, 2]
+
+
+def test_window_dedup_audit_conservation(emp_df):
+    audit = clean.dup_audit(emp_df, keys=F2_COLS, order_by="salary")
+    rows = {r.occur_id: r["count"] for r in audit.collect()}
+    assert rows == {1: 9, 2: 1}
+    assert clean.conservation_check(audit, expected_total=10)
+
+
+def test_window_dedup_keep_first(emp_df):
+    deduped = clean.dedup_window(emp_df, keys=F2_COLS, order_by="salary")
+    assert deduped.count() == 9
+    assert clean.dedup_exact(deduped).count() == 9  # idempotence (dedup.ipynb:8944)
+
+
+# --- validator (X7/F6, dedup+invalid.ipynb:9322,9588) ---------------------
+
+
+def test_validator_report_counts(spark):
+    df = spark.createDataFrame(
+        [("12.74%",), ("5.31%",), ("bad",), (None,)], ["int_rate"]
+    )
+    v = clean.Validator([clean.Rule("int_rate", r"\d+.\d+%")])
+    rep = v.report(df)
+    assert rep.counts["int_rate"] == {"valid": 2, "invalid": 2, "null": 1}
+    labeled = v.apply(df)
+    assert labeled.filter(F.col("int_rate_validity") == "valid").count() == 2
+
+
+def test_validator_repair_cycle(spark):
+    df = spark.createDataFrame([("12.74%",), ("5.31%",)], ["int_rate"])
+    repaired = clean.repair_percent_column(df, "int_rate")
+    vals = sorted(r.int_rate for r in repaired.collect())
+    assert vals == [5.31, 12.74]
