@@ -65,5 +65,8 @@ def minmax_normalize_distributed(df: DataFrame, *cols: str, suffix: str = "") ->
     out = df.crossJoin(F.broadcast(scalars))
     for c in cols:
         mn, mx = F.col(f"__mn_{c}"), F.col(f"__mx_{c}")
-        out = out.withColumn(c + suffix, (F.col(c) - mn) / (mx - mn))
+        # degenerate column (mx == mn) -> null, matching minmax_normalize;
+        # a bare division trips ANSI divide-by-zero
+        denom = F.when(mx != mn, mx - mn)
+        out = out.withColumn(c + suffix, (F.col(c) - mn) / denom)
     return out.drop(*[f"__{p}_{c}" for c in cols for p in ("mn", "mx")])

@@ -298,6 +298,51 @@ FROM parsed
 """
 
 
+def q_union_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET1 — union keeps bag semantics (both copies of overlapping
+    rows), the property the reference's union-of-filters relied on
+    (loanStat.py:301). Overlap engineered: statuses ('O','F') ∪ ('F','P')
+    double-counts 'F'."""
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    a = orders.filter(F.col("o_orderstatus").isin("O", "F"))
+    b = orders.filter(F.col("o_orderstatus").isin("F", "P"))
+    return (
+        a.union(b)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy("o_orderstatus")
+    )
+
+
+_UNION_BAG_SQL = """
+WITH u AS (
+  SELECT o_orderstatus FROM orders WHERE o_orderstatus IN ('O', 'F')
+  UNION ALL
+  SELECT o_orderstatus FROM orders WHERE o_orderstatus IN ('F', 'P')
+)
+SELECT o_orderstatus, count(*) AS count FROM u GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SA1+SET1 — seeded majority-class downsampling (mlpc.py:344-356:
+    ``filter(FP).sample(True, 0.3, 42).union(filter(CO))``).
+
+    No oracle: Spark's Bernoulli/Poisson sampler RNG has no DuckDB
+    equivalent — the driver records rows-only; determinism (same seed →
+    same rows) is pinned by the unit tests instead.
+    """
+    orders = t(spark, sf_dir, "orders")
+    balanced = transform.downsample_class(
+        orders, "o_orderstatus", "O", fraction=0.3, seed=42
+    )
+    return (
+        balanced.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy("o_orderstatus")
+    )
+
+
 QUERIES = {
     "dedup_audit": q_dedup_audit,
     "window_dedup": q_window_dedup,
@@ -310,6 +355,8 @@ QUERIES = {
     "impute_mean": q_impute_mean,
     "bucketize": q_bucketize,
     "log_parse": q_log_parse,
+    "union_bag": q_union_bag,
+    "class_balance": q_class_balance,
 }
 
 ORACLES = {
@@ -324,4 +371,7 @@ ORACLES = {
     "impute_mean": _IMPUTE_SQL,
     "bucketize": _BUCKETIZE_SQL,
     "log_parse": _LOG_PARSE_SQL,
+    "union_bag": _UNION_BAG_SQL,
+    # class_balance: intentionally no oracle (seeded sampler RNG is
+    # Spark-specific) -> rows-only check
 }

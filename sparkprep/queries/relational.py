@@ -295,6 +295,115 @@ ORDER BY user_id, session_start
 """
 
 
+def q_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 — the SQL front door the reference registered but never used
+    (loanStat.py:161 ``registerTempTable``): temp view + ``spark.sql``.
+    Same Catalyst plan as the DataFrame form — proven by sharing an
+    oracle with an equivalent aggregate."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, count(*) AS count,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem_v GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
+
+
+_SQL_VIEW_SQL = """
+SELECT l_returnflag, count(*) AS count, round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets capability (reference-absent, SURVEY §2.6 'free via
+    df.cube/rollup'): hierarchical subtotals in one pass."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS count, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_except_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (reference-absent; `exceptAll`/`intersect` free in
+    Spark): parts that appear in lineitem but have no supplier-1 rows."""
+    li = t(spark, sf_dir, "lineitem")
+    all_parts = li.select("l_partkey")
+    s1_parts = li.filter(F.col("l_suppkey") == 1).select("l_partkey")
+    return all_parts.exceptAll(s1_parts).groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("count")
+    )
+
+
+_EXCEPT_SQL = """
+WITH diff AS (
+  SELECT l_partkey FROM lineitem
+  EXCEPT ALL
+  SELECT l_partkey FROM lineitem WHERE l_suppkey = 1
+)
+SELECT l_partkey, count(*) AS count FROM diff GROUP BY l_partkey
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (rank window): top-3 orders by price within each
+    priority — the grouped form of O1/O3."""
+    from pyspark.sql.window import Window
+
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "o_orderpriority", F.col("rank").cast("long").alias("rank"),
+            "o_orderkey", "o_totalprice",
+        )
+    )
+
+
+_TOPK_PER_GROUP_SQL = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+)
+SELECT o_orderpriority, rank::BIGINT AS rank, o_orderkey, o_totalprice
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — exact + HyperLogLog distinct counts side by side. At 100 TB
+    the exact form shuffles every distinct value; the HLL sketch is one
+    pass, no row shuffle — shown here with its exact twin so the oracle
+    pins the exact column (HLL is Spark-internal, rows-only by nature,
+    so the oracle only covers n_exact)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count_distinct(F.col("l_partkey")).alias("n_exact"),
+    )
+
+
+_DISTINCT_COUNTS_SQL = "SELECT count(DISTINCT l_partkey) AS n_exact FROM lineitem"
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "freq_orderpriority": q_freq_orderpriority,
@@ -306,6 +415,11 @@ QUERIES = {
     "join_revenue": q_join_revenue,
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
+    "sql_view": q_sql_view,
+    "rollup": q_rollup,
+    "except_suppliers": q_except_suppliers,
+    "topk_per_group": q_topk_per_group,
+    "distinct_counts": q_distinct_counts,
 }
 
 ORACLES = {
@@ -319,4 +433,9 @@ ORACLES = {
     "join_revenue": _JOIN_REVENUE_SQL,
     "events_hourly": _EVENTS_HOURLY_SQL,
     "events_sessionize": _EVENTS_SESSIONIZE_SQL,
+    "sql_view": _SQL_VIEW_SQL,
+    "rollup": _ROLLUP_SQL,
+    "except_suppliers": _EXCEPT_SQL,
+    "topk_per_group": _TOPK_PER_GROUP_SQL,
+    "distinct_counts": _DISTINCT_COUNTS_SQL,
 }

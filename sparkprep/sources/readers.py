@@ -43,11 +43,20 @@ def read_csv(
 
 def malformed_drop_count(spark: SparkSession, path: str, df: DataFrame, header: bool = True) -> int:
     """How many raw lines DROPMALFORMED silently discarded (SURVEY §4:
-    'Malformed-row dropping at parse ... record drop counts')."""
+    'Malformed-row dropping at parse ... record drop counts').
+
+    Spark quirk this must work around: ``df.count()`` on a CSV read
+    skips parsing entirely (zero-column pushdown), so malformed rows are
+    COUNTED even though any real projection drops them — and column
+    pruning can even hide extra-trailing-token rows. ``df.rdd.count()``
+    materializes every column, giving the true post-DROPMALFORMED
+    cardinality. This is an audit operator; the extra full parse is the
+    point.
+    """
     raw = spark.read.text(path).count()
     if header:
         raw -= 1
-    return raw - df.count()
+    return raw - df.rdd.count()
 
 
 def read_text(spark: SparkSession, path: str) -> DataFrame:

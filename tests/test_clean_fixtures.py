@@ -163,3 +163,26 @@ def test_validator_repair_cycle(spark):
     repaired = clean.repair_percent_column(df, "int_rate")
     vals = sorted(r.int_rate for r in repaired.collect())
     assert vals == [5.31, 12.74]
+
+# --- sampling determinism (SA1/SA2, SURVEY §7 quarantine) ------------------
+
+
+def test_seeded_sample_deterministic(spark, sf_dir):
+    from sparkprep.operators import transform
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = transform.downsample_class(orders, "o_orderstatus", "O", 0.3, seed=42)
+    b = transform.downsample_class(orders, "o_orderstatus", "O", 0.3, seed=42)
+    assert sorted(r.o_orderkey for r in a.collect()) == sorted(
+        r.o_orderkey for r in b.collect()
+    )
+
+
+def test_seeded_split_deterministic_and_partitions(spark, sf_dir):
+    from sparkprep.operators import transform
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    tr1, te1 = transform.train_test_split(orders, (0.8, 0.2), seed=7)
+    tr2, te2 = transform.train_test_split(orders, (0.8, 0.2), seed=7)
+    assert tr1.count() == tr2.count() and te1.count() == te2.count()
+    assert tr1.count() + te1.count() == orders.count()
