@@ -1,0 +1,55 @@
+"""Physical-control operators (SURVEY.md §2.13 C1-C4), systematized.
+
+The reference hard-codes ``repartition(60)`` three times
+(loanStat.py:149,230,307) and sprinkles ``cache()`` as ritual. Policy
+here (SURVEY §4): let AQE coalesce; when an explicit repartition IS
+needed (e.g. before a partitioned write), derive the count from data
+size, never a constant; cache only what is referenced more than once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: F401
+
+
+def input_size_bytes(df: DataFrame) -> int | None:
+    """Best-effort logical-plan size estimate (from file statistics for
+    scans; Catalyst propagates through projections/filters)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
+def repartition_by_size(
+    df: DataFrame, target_partition_bytes: int = 128 * 1024 * 1024, min_partitions: int = 1
+) -> DataFrame:
+    """C1 done right: partition count = ceil(size / target), bounded
+    below. 128 MB default matches ``spark.sql.files.maxPartitionBytes``
+    — partitions that fit executor memory at any SF, instead of the
+    reference's magic 60."""
+    size = input_size_bytes(df)
+    if size is None:
+        return df
+    n = max(min_partitions, -(-size // target_partition_bytes))
+    return df.repartition(int(n))
+
+
+def cache_if_reused(df: DataFrame, num_downstream_uses: int) -> DataFrame:
+    """C2 as policy: cache exactly when a frame feeds >= 2 actions
+    (e.g. the scalar-agg + main-flow pair in EP1); a cache used once
+    only costs memory and a write pass."""
+    return df.cache() if num_downstream_uses >= 2 else df
+
+
+def partition_count(df: DataFrame) -> int:
+    """C4 — ``df.rdd.getNumPartitions()`` (mssql.ipynb:184)."""
+    return df.rdd.getNumPartitions()
+
+
+def coalesce_for_write(df: DataFrame, max_files: int) -> DataFrame:
+    """Writer-side small-files control: coalesce (no shuffle) down to a
+    file budget — the missing half of the reference's CSV sinks, which
+    emitted one file per task."""
+    return df.coalesce(max_files)

@@ -79,14 +79,16 @@ def freq(df: DataFrame, *cols: str, with_percent: bool = False, total: int | Non
         if total is not None:
             out = out.withColumn("percent", F.col("count") / F.lit(total))
         else:
-            # broadcast the 1-row total back rather than a global window
-            # (empty-frame windows single-partition the data — see
-            # numeric.minmax_normalize_distributed)
-            totals = out.agg(F.sum("count").alias("__total"))
-            out = (
-                out.crossJoin(F.broadcast(totals))
-                .withColumn("percent", F.col("count") / F.col("__total"))
-                .drop("__total")
+            # Global window over the AGGREGATED frame. An empty-frame
+            # window does single-partition its input — but the input
+            # here is one row per group, not the data; that's cheap at
+            # any scale. The alternative (crossJoin(broadcast(agg)))
+            # re-executes the whole upstream subtree: the plan showed
+            # TWO full scans + two exchanges of the source table.
+            from pyspark.sql.window import Window
+
+            out = out.withColumn(
+                "percent", F.col("count") / F.sum("count").over(Window.partitionBy())
             )
     return out.orderBy(F.desc("count"), *[F.asc(c) for c in cols])
 

@@ -220,6 +220,85 @@ def ann_lsh_topk(
     )
 
 
+def ann_ivf_topk(
+    emb_df: DataFrame,
+    query_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_centroids: int = 16,
+    num_probes: int = 2,
+    seed: int = 42,
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus to seeded sample
+    centroids, search only the query's ``num_probes`` nearest cells.
+
+    A one-pass k-means-free IVF (centroids = deterministic corpus
+    sample): at 100 TB you'd run a few Lloyd iterations on a sample and
+    persist the corpus BUCKETED BY cell so each query touches
+    ~num_probes/num_centroids of the data with zero shuffle. Assignment
+    is a broadcast of the (tiny) centroid set; recall is tunable via
+    ``num_probes``.
+    """
+    from pyspark.sql.window import Window
+
+    centroids = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in emb_df.select(id_col, vec_col)
+        .orderBy(F.pmod(F.xxhash64(F.col(id_col) + seed), 997), F.col(id_col))
+        .limit(num_centroids)
+        .collect()
+    ]
+
+    def cell_scores(vec):
+        return [
+            (cid, cosine_native(vec, F.array(*[F.lit(x) for x in cvec])))
+            for cid, cvec in centroids
+        ]
+
+    def top_cells(vec, n):
+        scored = F.array(
+            *[F.struct((-s).alias("neg"), F.lit(cid).cast("long").alias("cid"))
+              for cid, s in cell_scores(vec)]
+        )
+        return F.slice(F.array_sort(scored), 1, n)
+
+    c = emb_df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        top_cells(F.col(vec_col), 1)[0]["cid"].alias("__cell"),
+    )
+    q = query_df.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(
+            F.transform(top_cells(F.col(vec_col), num_probes), lambda s: s["cid"])
+        ).alias("__cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "__cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_native(F.col("__qv"), F.col("__cv")).alias("__cos"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("__cos", round_to).alias("cosine"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     emb_df: DataFrame,
     id_col: str = "vec_id",

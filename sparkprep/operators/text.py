@@ -29,6 +29,21 @@ def token_count(c) -> Column:
     return F.size(tokens(c)).cast("long")
 
 
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def regex_tokens(c, pattern: str = BPE_ISH_PATTERN) -> Column:
+    """BPE-ish pre-tokenization (GPT-2-style coarse classes: letter
+    runs, digit runs, single punctuation marks) — the token-budget
+    estimator for LLM pipelines. Word-count proxies undercount code and
+    punctuation-heavy text; this doesn't."""
+    return F.regexp_extract_all(_col(c), F.lit(pattern), 0)
+
+
+def regex_token_count(c, pattern: str = BPE_ISH_PATTERN) -> Column:
+    return F.size(regex_tokens(c, pattern)).cast("long")
+
+
 def char_count(c) -> Column:
     return F.length(_col(c)).cast("long")
 

@@ -37,6 +37,26 @@ FROM documents
 """
 
 
+def q_token_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish token counts side by side — the LLM
+    token-budget estimate (regex classes: letter runs / digit runs /
+    punctuation) next to the naive word count."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count("text").alias("ws_tokens"),
+        tx.regex_token_count("text").alias("bpe_ish_tokens"),
+    )
+
+
+_TOKEN_MODES_SQL = r"""
+SELECT doc_id,
+       len(string_split(text, ' '))::BIGINT AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS bpe_ish_tokens
+FROM documents
+"""
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score (length/stopword/charset ramps)."""
     docs = t(spark, sf_dir, "documents")
@@ -143,6 +163,7 @@ GROUP BY token ORDER BY count DESC, token
 
 
 QUERIES = {
+    "token_modes": q_token_modes,
     "text_stats": q_text_stats,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
@@ -151,6 +172,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "token_modes": _TOKEN_MODES_SQL,
     "text_stats": _TEXT_STATS_SQL,
     "quality_score": _QUALITY_SQL,
     "lang_id": _LANG_ID_SQL,

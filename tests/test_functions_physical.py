@@ -1,0 +1,122 @@
+"""Unit tests: native string functions (X1-X8 exact semantics vs the
+reference's Python UDFs), physical-control helpers, describe-compat
+golden behavior, IVF ANN."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkprep.functions import strings as sx
+from sparkprep.operators import physical, profile
+from sparkprep.operators import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def sdf(spark):
+    rows = [
+        ("12.74%", "10.5%%", " 36 months", "Apr-2001", "noperc"),
+        ("5.31%", None, " 60 months", "Dec-1999", "%start"),
+    ]
+    return spark.createDataFrame(
+        rows, ["int_rate", "multi", "term", "cr_line", "odd"]
+    )
+
+
+def test_strip_trailing_percent_rstrip_semantics(sdf):
+    # X1: rstrip('%') removes ALL trailing '%' chars, nothing interior
+    got = sdf.select(
+        sx.strip_trailing_percent("multi").alias("m"),
+        sx.strip_trailing_percent("odd").alias("o"),
+    ).collect()
+    assert got[0].m == "10.5" and got[0].o == "noperc"
+    assert got[1].m is None and got[1].o == "%start"  # only trailing stripped
+
+
+def test_remove_all_percent_vs_trailing(sdf):
+    got = sdf.select(sx.remove_all_percent("odd").alias("o")).collect()
+    assert got[1].o == "start"  # X2 removes anywhere
+
+
+def test_pct_term_month_pipelines(sdf):
+    row = sdf.select(
+        sx.pct_to_double("int_rate").alias("r"),
+        sx.term_to_double("term").alias("t"),
+        sx.month_token("cr_line").alias("m"),
+    ).collect()
+    assert (row[0].r, row[0].t, row[0].m) == (12.74, 36.0, "Apr")
+    assert (row[1].r, row[1].t, row[1].m) == (5.31, 60.0, "Dec")
+
+
+def test_month_token_no_separator_passthrough(spark):
+    # split('-')[0] on a string without '-' returns the whole string
+    df = spark.createDataFrame([("NoDash",)], ["c"])
+    assert df.select(sx.month_token("c").alias("m")).collect()[0].m == "NoDash"
+
+
+def test_label_decode(spark):
+    df = spark.createDataFrame([(1.0,), (0.0,), (None,)], ["p"])
+    got = [r.l for r in df.select(sx.label_decode("p").alias("l")).collect()]
+    # X8: reference returns the zero-label for ANY non-1.0 incl. null
+    assert got == ["Charged Off", "Fully Paid", "Fully Paid"]
+
+
+def test_remove_literal_escapes_regex_chars(spark):
+    df = spark.createDataFrame([("a+b+c",)], ["c"])
+    got = df.select(sx.remove_literal("c", "+b+").alias("x")).collect()[0].x
+    assert got == "ac"
+
+
+# --- physical helpers (C1-C4) ---------------------------------------------
+
+
+def test_repartition_by_size(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    small = physical.repartition_by_size(li, target_partition_bytes=64 * 1024)
+    n = physical.partition_count(small)
+    assert n >= 2  # ~300KB of data / 64KB targets
+    one = physical.repartition_by_size(li, target_partition_bytes=10 * 1024 ** 3)
+    assert physical.partition_count(one) == 1
+
+
+def test_cache_if_reused(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    assert physical.cache_if_reused(li, 1).storageLevel.useMemory is False
+    cached = physical.cache_if_reused(li, 2)
+    assert cached.storageLevel.useMemory is True
+    cached.unpersist()
+
+
+def test_coalesce_for_write(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(8)
+    assert physical.partition_count(physical.coalesce_for_write(li, 2)) == 2
+
+
+# --- describe-compat golden (A7 string lexicographic min/max) --------------
+
+
+def test_describe_compat_string_lexicographic(spark):
+    # bde4.ipynb#cell16 output: min of a %-string column is lexicographic
+    df = spark.createDataFrame(
+        [("12.74%",), ("5.31%",), ("9.99%",)], ["int_rate"]
+    )
+    rows = {r.summary: r.int_rate for r in profile.describe_compat(df).collect()}
+    assert rows["min"] == "12.74%"  # '1' < '5' < '9' lexicographically
+    assert rows["max"] == "9.99%"
+
+
+# --- IVF ANN ---------------------------------------------------------------
+
+
+def test_ivf_topk_reasonable_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    brute = sim.cosine_topk_native(emb, queries, k=5)
+    ivf = sim.ann_ivf_topk(emb, queries, k=5, num_centroids=8, num_probes=8)
+    # probing ALL cells must reproduce brute force exactly
+    key = lambda df: sorted(  # noqa: E731
+        (r.query_id, r.neighbor_id, r.rank) for r in df.collect()
+    )
+    assert key(ivf) == key(brute)
+    # fewer probes: valid subset with sane ranks
+    ivf2 = sim.ann_ivf_topk(emb, queries, k=5, num_centroids=8, num_probes=2)
+    rows = ivf2.collect()
+    assert rows and all(1 <= r.rank <= 5 for r in rows)

@@ -1,0 +1,109 @@
+"""Physical-plan assertions: the 100 TB story, checked.
+
+Each key query's optimized/physical plan must have the shape you'd want
+on a 1000-executor cluster — filters pushed to the scan, columns pruned,
+dims broadcast, sort+limit as TakeOrdered, partial aggregation map-side,
+no accidental cartesian products, whole-stage codegen in the hot paths.
+A correct result from a bad plan fails these tests.
+"""
+
+import pytest
+
+from sparkprep.plans import explain_formatted
+from sparkprep.queries import registry
+
+QUERIES, _ = registry()
+
+_NAMES = (
+    "pricing_summary", "join_regions", "join_revenue", "topk_orders",
+    "freq_orderpriority", "minhash_pairs", "window_dedup",
+    "cosine_topk", "null_census",
+)
+
+
+def _simple(df) -> str:
+    """Physical plan tree WITHOUT the formatted details section (which
+    repeats every node's arguments and breaks occurrence counting)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    return {name: explain_formatted(QUERIES[name](spark, sf_dir)) for name in _NAMES}
+
+
+@pytest.fixture(scope="module")
+def simple_plans(spark, sf_dir):
+    return {name: _simple(QUERIES[name](spark, sf_dir)) for name in _NAMES}
+
+
+def test_flagship_filter_pushed_and_pruned(plans):
+    plan = plans["pricing_summary"]
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    read = plan.split("ReadSchema")[-1]
+    assert "l_orderkey" not in read  # only the 7 needed columns scanned
+    assert "l_partkey" not in read
+
+
+def test_flagship_partial_aggregation(plans):
+    # partial_ functions = map-side combine before the exchange
+    assert "partial_sum" in plans["pricing_summary"]
+    assert plans["pricing_summary"].count("HashAggregate") >= 2
+
+
+def test_dim_joins_broadcast(plans):
+    assert "BroadcastHashJoin" in plans["join_regions"]
+    assert "SortMergeJoin" not in plans["join_regions"]
+
+
+def test_q3_join_no_cartesian(plans):
+    plan = plans["join_revenue"]
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters" in plan  # date/segment filters reach the scans
+
+
+def test_topk_is_take_ordered(plans):
+    assert "TakeOrderedAndProject" in plans["topk_orders"]
+    assert "Exchange rangepartitioning" not in plans["topk_orders"]  # no global sort
+
+
+def test_freq_single_shuffle(simple_plans):
+    # one hashpartitioning exchange for the groupBy; percent via
+    # broadcast, not a second data shuffle
+    assert simple_plans["freq_orderpriority"].count("Exchange hashpartitioning") <= 1
+
+
+def test_minhash_no_cartesian(plans):
+    assert "CartesianProduct" not in plans["minhash_pairs"]
+
+
+def test_window_dedup_single_exchange(simple_plans):
+    # window partitionBy keys -> exactly one hash exchange
+    assert simple_plans["window_dedup"].count("Exchange hashpartitioning") == 1
+
+
+def test_cosine_topk_broadcasts_queries(plans):
+    # corpus never shuffles: queries broadcast into a nested-loop join
+    assert "BroadcastNestedLoopJoin" in plans["cosine_topk"]
+
+
+def test_null_census_no_shuffle_of_rows(plans):
+    # global aggregate: single-partition exchange of ONE combined row
+    # per task, never a hashpartitioning of the data
+    assert "Exchange hashpartitioning" not in plans["null_census"]
+
+
+def test_codegen_in_hot_path(spark, sf_dir):
+    # codegen stages only materialize in the EXECUTED plan under AQE
+    # (pre-execution AdaptiveSparkPlan shows isFinalPlan=false, no stages)
+    df = QUERIES["pricing_summary"](spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark WholeStageCodegen stages in the tree string
+    assert "*(" in executed
+    assert "BatchEvalPython" not in executed  # no Python UDFs
+
+
+def test_no_python_udfs_anywhere(plans):
+    for name, plan in plans.items():
+        assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
