@@ -1,0 +1,69 @@
+"""Arrow-batched grouped Python operators — the sanctioned escape hatch
+when built-ins can't express the semantics (SURVEY §2.15: the reference
+had only row-at-a-time scalar UDFs; no pandas_udf/UDAF/grouped map).
+
+These exist to exercise and document the FAST Python path:
+- grouped-map (``applyInPandas``): whole-group pandas function, Arrow
+  transfer, one shuffle on the key;
+- grouped-agg (``pandas_udf``): vectorized UDAF, partial-agg NOT
+  available (Python aggregates see whole groups), so the shuffle carries
+  raw rows — use only when no native aggregate composition exists.
+
+Both examples ship with native-SQL oracle equivalents in the query
+registry, proving the Python path computes exactly what the declarative
+form would — the contract any custom pandas operator here must meet.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator  # noqa: F401
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def grouped_zscore(
+    df: DataFrame, key_cols: list[str], value_col: str, out_col: str = "zscore"
+) -> DataFrame:
+    """Per-group z-score via ``applyInPandas`` (grouped map).
+
+    Expressible natively with window functions — and the oracle checks
+    exactly that — but implemented through the pandas path as the
+    template for genuinely non-native per-group logic (model scoring,
+    scipy transforms, ...). Groups stream through Arrow; memory bound =
+    largest single group, the operator's real scale constraint.
+    """
+    schema_fields = ", ".join(f"{c} {df.schema[c].dataType.simpleString()}" for c in df.columns)
+    out_schema = f"{schema_fields}, {out_col} double"
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[value_col]
+        sd = v.std(ddof=1)  # sample stddev, matching Spark/SQL stddev
+        pdf = pdf.copy()
+        pdf[out_col] = (v - v.mean()) / sd if sd and sd > 0 else float("nan")
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(zscore, out_schema)
+
+
+def grouped_geometric_mean(df: DataFrame, key_cols: list[str], value_col: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF: exp(mean(ln(x))) — a UDAF Spark has
+    no single built-in for (though exp(avg(ln(x))) composes natively;
+    the oracle uses that composition to pin this implementation).
+
+    The UDF is created lazily — ``@pandas_udf`` resolves its return type
+    against the ACTIVE SparkSession, so a module-level decorator would
+    crash any import that happens before a session exists.
+    """
+
+    @pandas_udf("double")
+    def geometric_mean(v: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.exp(np.log(v[v > 0]).mean()))
+
+    return df.groupBy(*key_cols).agg(
+        geometric_mean(F.col(value_col)).alias("gmean")
+    )

@@ -1,0 +1,138 @@
+"""Temporal join operators Spark lacks as built-ins: AS-OF join and
+RANGE (interval) join — expressed as compositions of existing DataFrame
+ops per the engine's design rules (no custom physical operators needed).
+
+AS-OF join — the "most recent value at or before t" join (market-data /
+feature-store staple):
+    Implemented with the union-and-window technique: tag both sides,
+    union on the time axis, sort within each key partition once, and
+    carry the right side's latest values forward with ``last(ignorenulls)``
+    over an unbounded-preceding window. Cost: ONE shuffle on the key +
+    one per-partition sort — same shape as a sort-merge join, with no
+    row explosion, no inequality-join fallback to broadcast-nested-loop.
+    This scales to 100 TB the same way any keyed window does.
+
+RANGE join — "events inside [start, end)" against an interval table:
+    A naive ``ON e.ts BETWEEN i.start AND i.end`` inequality join forces
+    BroadcastNestedLoopJoin (every event x every interval). We bin time
+    into fixed buckets: intervals explode to the buckets they overlap,
+    events map to one bucket, the join becomes an EQUI-join on the
+    bucket plus a residual range filter. Candidate pairs shrink from
+    |E| x |I| to sum over buckets — the standard interval-binning trick
+    (cf. Spark's own range-join hints in Databricks runtime, absent in
+    OSS).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | None = None,
+    value_cols: list[str] | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row, attach the right row's values with the largest
+    ``on`` <= left.``on`` (direction='backward'; 'forward' mirrors with
+    the smallest >=), optionally matching within ``by`` groups.
+
+    Left rows with no prior right row keep nulls (like pandas
+    ``merge_asof``). Ties on the time column: the right row wins (right
+    rows sort before left rows at equal timestamps, so an exactly-equal
+    timestamp IS visible to the left row — matches ``ASOF JOIN ON
+    l.ts >= r.ts`` semantics).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(direction)
+    value_cols = value_cols or [
+        c for c in right.columns if c != on and c != by
+    ]
+    lcols = [c for c in left.columns]
+
+    tagged_left = left.select(
+        *lcols,
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+    )
+    tagged_right = right.select(
+        *[
+            F.col(on).alias(c) if c == on else (F.col(by).alias(c) if c == by else F.lit(None).cast(left.schema[c].dataType).alias(c))
+            for c in lcols
+        ],
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+
+    order = [F.col(on).asc(), F.col("__side").asc()]
+    if direction == "forward":
+        order = [F.col(on).desc(), F.col("__side").asc()]
+    w = (
+        (Window.partitionBy(by) if by else Window.partitionBy())
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    carried = unioned.select(
+        *lcols,
+        "__side",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col("__side") == 1).select(
+        *lcols, *[F.col(f"__c_{c}").alias(c) for c in value_cols]
+    )
+
+
+_UNITS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+}
+
+
+def _duration_seconds(spec: str) -> int:
+    qty, unit = spec.strip().split()
+    return int(qty) * _UNITS[unit.lower()]
+
+
+def range_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Equi-join-able interval join: events.ts in [start, end).
+
+    ``bucket`` should be on the order of the TYPICAL interval length:
+    too coarse → large candidate groups; too fine → interval rows
+    explode into many buckets. At 100 TB you'd pick it from interval
+    statistics (p50 length) — here it's a parameter.
+    """
+    # integer bucket ids from epoch seconds (F.window can't be used
+    # twice in one projection — Spark rejects multiple time windows)
+    n = _duration_seconds(bucket)
+    ev_b = events.withColumn(
+        "__bucket", F.floor(F.unix_timestamp(F.col(ts_col)) / n).cast("long")
+    )
+    iv_b = intervals.withColumn(
+        "__buckets",
+        F.sequence(
+            F.floor(F.unix_timestamp(F.col(start_col)) / n).cast("long"),
+            F.floor(F.unix_timestamp(F.col(end_col)) / n).cast("long"),
+        ),
+    ).withColumn("__bucket", F.explode("__buckets")).drop("__buckets")
+
+    joined = ev_b.join(iv_b, "__bucket").filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    )
+    return joined.drop("__bucket")

@@ -54,11 +54,11 @@ def _read(spark: SparkSession, path: str) -> DataFrame:
 
 
 def registry():
-    from sparkprep.queries import cleaning, llmprep, relational, textops
+    from sparkprep.queries import cleaning, llmprep, relational, temporal_grouped, textops
 
     queries: dict = {}
     oracles: dict = {}
-    for mod in (relational, cleaning, textops, llmprep):
+    for mod in (relational, cleaning, textops, llmprep, temporal_grouped):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles

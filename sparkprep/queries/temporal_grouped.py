@@ -1,0 +1,129 @@
+"""Temporal-join and Arrow-grouped-operator queries.
+
+- asof_rate: AS-OF join (union-and-window composition, one keyed
+  shuffle) vs DuckDB's native ASOF JOIN — the strongest possible oracle
+  for an operator Spark lacks as a built-in.
+- range_count: interval join via bucket-binning equi-join vs the plain
+  inequality join DuckDB can afford at this scale.
+- grouped_zscore / gmean: pandas-path operators pinned by native-SQL
+  oracles (the Python path must equal the declarative form).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkprep.operators import grouped, temporal
+from sparkprep.queries import t
+from sparkprep.session import tune_for_engine
+
+
+def q_asof_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event joined to the most recent hourly per-type average at
+    or before its timestamp (feature-store point-in-time-correct join)."""
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    rates = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.round(F.avg("value"), 4).alias("rate"))
+        .select(F.col("w.start").alias("ts"), "event_type", "rate")
+    )
+    joined = temporal.asof_join(
+        ev, rates, on="ts", by="event_type", value_cols=["rate"]
+    )
+    return joined.select("event_id", "event_type", "rate")
+
+
+_ASOF_SQL = """
+WITH rates AS (
+  SELECT date_trunc('hour', ts) AS rts, event_type, round(avg(value), 4) AS rate
+  FROM events GROUP BY 1, 2
+)
+SELECT e.event_id, e.event_type, r.rate
+FROM events e
+ASOF JOIN rates r ON e.event_type = r.event_type AND e.ts >= r.rts
+"""
+
+
+def q_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events inside each user's first-24h interval, via the binned
+    equi-join (a naive inequality join would be a nested-loop over
+    |events| x |intervals|)."""
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events")
+    intervals = (
+        ev.filter(F.col("user_id") < 20)
+        .groupBy(F.col("user_id").alias("iv_user"))
+        .agg(F.min("ts").alias("start_ts"))
+        .withColumn("end_ts", F.col("start_ts") + F.expr("INTERVAL 1 DAY"))
+    )
+    joined = temporal.range_join(
+        ev.select("event_id", "ts"), intervals,
+        ts_col="ts", start_col="start_ts", end_col="end_ts", bucket="6 hours",
+    )
+    return (
+        joined.groupBy("iv_user")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("iv_user")
+    )
+
+
+_RANGE_SQL = """
+WITH iv AS (
+  SELECT user_id AS iv_user, min(ts) AS start_ts, min(ts) + INTERVAL 1 DAY AS end_ts
+  FROM events WHERE user_id < 20 GROUP BY 1
+)
+SELECT iv_user, count(*) AS n_events
+FROM events e JOIN iv ON e.ts >= iv.start_ts AND e.ts < iv.end_ts
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas per-type z-scores, pinned by the native window-
+    function oracle (Python path == declarative path)."""
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = grouped.grouped_zscore(ev, ["event_type"], "value")
+    return out.select("event_id", "event_type", F.round("zscore", 4).alias("zscore"))
+
+
+_ZSCORE_SQL = """
+SELECT event_id, event_type,
+       round((value - avg(value) OVER (PARTITION BY event_type))
+             / stddev(value) OVER (PARTITION BY event_type), 4) AS zscore
+FROM events
+"""
+
+
+def q_pandas_gmean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF (geometric mean of price per return flag)
+    vs the native exp(avg(ln)) composition."""
+    li = t(spark, sf_dir, "lineitem")
+    out = grouped.grouped_geometric_mean(li, ["l_returnflag"], "l_extendedprice")
+    return out.select(
+        "l_returnflag", F.round("gmean", 2).alias("gmean")
+    ).orderBy("l_returnflag")
+
+
+_GMEAN_SQL = """
+SELECT l_returnflag, round(exp(avg(ln(l_extendedprice))), 2) AS gmean
+FROM lineitem WHERE l_extendedprice > 0
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+QUERIES = {
+    "asof_rate": q_asof_rate,
+    "range_count": q_range_count,
+    "grouped_zscore": q_grouped_zscore,
+    "pandas_gmean": q_pandas_gmean,
+}
+
+ORACLES = {
+    "asof_rate": _ASOF_SQL,
+    "range_count": _RANGE_SQL,
+    "grouped_zscore": _ZSCORE_SQL,
+    "pandas_gmean": _GMEAN_SQL,
+}

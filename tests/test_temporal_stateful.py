@@ -1,0 +1,108 @@
+"""Temporal joins (unit-level semantics) + custom stateful streaming
+operator (applyInPandasWithState) reconciliation."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkprep.operators import temporal
+
+
+@pytest.fixture(scope="module")
+def ticks(spark):
+    # left: trades; right: quotes (market-data asof classic)
+    trades = spark.createDataFrame(
+        [
+            ("A", 5.0, 100),
+            ("A", 10.0, 200),
+            ("A", 3.0, 300),   # before any quote for A at t=3? quote at 2
+            ("B", 4.0, 400),
+            ("B", 1.0, 500),   # before first B quote (t=2) -> null
+        ],
+        ["sym", "t", "qty"],
+    )
+    quotes = spark.createDataFrame(
+        [("A", 2.0, 9.9), ("A", 5.0, 10.1), ("A", 9.0, 10.5), ("B", 2.0, 20.0)],
+        ["sym", "t", "px"],
+    )
+    return trades, quotes
+
+
+def test_asof_backward_with_ties_and_nulls(ticks):
+    trades, quotes = ticks
+    out = temporal.asof_join(trades, quotes, on="t", by="sym", value_cols=["px"])
+    got = {(r.sym, r.t): r.px for r in out.collect()}
+    assert got[("A", 5.0)] == 10.1   # tie: equal timestamp visible
+    assert got[("A", 10.0)] == 10.5
+    assert got[("A", 3.0)] == 9.9
+    assert got[("B", 4.0)] == 20.0
+    assert got[("B", 1.0)] is None   # no quote yet -> null
+
+
+def test_asof_forward(ticks):
+    trades, quotes = ticks
+    out = temporal.asof_join(
+        trades, quotes, on="t", by="sym", value_cols=["px"], direction="forward"
+    )
+    got = {(r.sym, r.t): r.px for r in out.collect()}
+    assert got[("A", 3.0)] == 10.1   # next quote at t=5
+    assert got[("A", 10.0)] is None  # nothing after t=9
+
+
+def test_range_join_binning_matches_naive(spark, sf_dir):
+    from sparkprep.queries import t as load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    iv = (
+        ev.limit(50)
+        .select(F.col("ts").alias("start_ts"))
+        .withColumn("end_ts", F.col("start_ts") + F.expr("INTERVAL 3 HOURS"))
+        .withColumn("iv_id", F.monotonically_increasing_id())
+    )
+    binned = temporal.range_join(ev, iv, "ts", "start_ts", "end_ts", bucket="1 hour")
+    naive = ev.join(
+        iv, (ev.ts >= iv.start_ts) & (ev.ts < iv.end_ts)
+    )
+    assert binned.count() == naive.count()
+    b = {(r.event_id, r.iv_id) for r in binned.select("event_id", "iv_id").collect()}
+    n = {(r.event_id, r.iv_id) for r in naive.select("event_id", "iv_id").collect()}
+    assert b == n
+
+
+def test_stateful_running_profile_matches_batch(spark, sf_dir):
+    from sparkprep import streaming as st
+    from sparkprep.streaming.stateful import running_user_profile
+
+    ckpt = tempfile.mkdtemp(prefix="sparkprep-state-")
+    try:
+        stream = st.read_events_stream(spark, f"{sf_dir}/events.parquet")
+        prof = running_user_profile(stream)
+        st.run_available_now(
+            prof, query_name="user_prof", output_mode="update",
+            checkpoint=f"{ckpt}/p",
+        )
+        got = {
+            r.user_id: (r.n_events, r.sum_value)
+            for r in spark.sql(
+                # update mode: keep the LAST row per user (monotone n)
+                """SELECT user_id, max_by(n_events, n_events) AS n_events,
+                          max_by(sum_value, n_events) AS sum_value
+                   FROM user_prof GROUP BY user_id"""
+            ).collect()
+        }
+        from sparkprep.queries import t as load_table
+
+        batch = (
+            load_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("s"),
+            )
+        )
+        expected = {r.user_id: (r.n, r.s) for r in batch.collect()}
+        assert got == expected
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
