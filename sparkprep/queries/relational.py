@@ -358,6 +358,23 @@ SELECT l_partkey, count(*) AS count FROM diff GROUP BY l_partkey
 """
 
 
+def q_intersect_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (distinct semantics): parts supplied by BOTH
+    supplier 1 and supplier 2."""
+    li = t(spark, sf_dir, "lineitem")
+    s1 = li.filter(F.col("l_suppkey") == 1).select("l_partkey")
+    s2 = li.filter(F.col("l_suppkey") == 2).select("l_partkey")
+    return s1.intersect(s2).orderBy("l_partkey")
+
+
+_INTERSECT_SQL = """
+SELECT l_partkey FROM lineitem WHERE l_suppkey = 1
+INTERSECT
+SELECT l_partkey FROM lineitem WHERE l_suppkey = 2
+ORDER BY l_partkey
+"""
+
+
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group top-k (rank window): top-3 orders by price within each
     priority — the grouped form of O1/O3."""
@@ -418,6 +435,7 @@ QUERIES = {
     "sql_view": q_sql_view,
     "rollup": q_rollup,
     "except_suppliers": q_except_suppliers,
+    "intersect_parts": q_intersect_parts,
     "topk_per_group": q_topk_per_group,
     "distinct_counts": q_distinct_counts,
 }
@@ -436,6 +454,7 @@ ORACLES = {
     "sql_view": _SQL_VIEW_SQL,
     "rollup": _ROLLUP_SQL,
     "except_suppliers": _EXCEPT_SQL,
+    "intersect_parts": _INTERSECT_SQL,
     "topk_per_group": _TOPK_PER_GROUP_SQL,
     "distinct_counts": _DISTINCT_COUNTS_SQL,
 }
