@@ -36,8 +36,14 @@ def main() -> None:
 
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
-    # warm-up: JVM + parquet footer caches on the smallest table
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # warm-up: JVM/codegen spin-up + parquet footer caches (counts are
+    # metadata-only for parquet, so this reads no data); the loader
+    # handles the events table's timestamp[ns] schema
+    from sparkprep.queries import t as load_table
+
+    for tbl in ("region", "nation", "customer", "orders", "lineitem",
+                "events", "documents", "embeddings"):
+        load_table(spark, sf_dir, tbl).count()
 
     total = 0.0
     for name, fn in queries.items():

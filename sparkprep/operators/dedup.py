@@ -90,22 +90,30 @@ def lsh_bands(
     sig_df: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
     """(id, band, band_key): concatenate each band's signature rows into
-    one md5 band key. Rows-per-band r = num_hashes // bands."""
+    one md5 band key. Rows-per-band r = num_hashes // bands.
+
+    Built as ONE explode over an array of band structs, not a union of
+    per-band selects: a union duplicates the signature subtree `bands`
+    times, re-running the whole shingle+groupBy computation per band
+    (and again per join side downstream).
+    """
     r = num_hashes // bands
-    parts = []
-    for b in range(bands):
-        key = F.md5(
-            F.concat_ws("_", *[F.col(f"h{b * r + j}").cast("string") for j in range(r)])
-        )
-        parts.append(
-            sig_df.select(
-                F.col(id_col), F.lit(b).cast("long").alias("band"), key.alias("band_key")
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "_", *[F.col(f"h{b * r + j}").cast("string") for j in range(r)]
+                    )
+                ).alias("band_key"),
             )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+            for b in range(bands)
+        ]
+    )
+    return sig_df.select(F.col(id_col), F.explode(band_structs).alias("__b")).select(
+        id_col, F.col("__b.band").alias("band"), F.col("__b.band_key").alias("band_key")
+    )
 
 
 def minhash_candidate_pairs(
@@ -261,15 +269,25 @@ def simhash_pairs(
     sh = simhash(df, text_col, id_col, bits)
     width = bits // chunks
     mask = (1 << width) - 1
-    chunked = None
-    for i in range(chunks):
-        part = sh.select(
-            F.col(id_col),
-            F.col("simhash"),
-            F.lit(i).cast("long").alias("chunk"),
-            F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask)).alias("chunk_val"),
-        )
-        chunked = part if chunked is None else chunked.unionByName(part)
+    # one explode, not a union of selects — a union re-executes the
+    # simhash aggregation once per chunk per join side (8x here)
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("chunk"),
+                F.shiftright(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("chunk_val"),
+            )
+            for i in range(chunks)
+        ]
+    )
+    chunked = sh.select(
+        F.col(id_col), F.col("simhash"), F.explode(chunk_structs).alias("__c")
+    ).select(
+        id_col, "simhash",
+        F.col("__c.chunk").alias("chunk"), F.col("__c.chunk_val").alias("chunk_val"),
+    )
     a = chunked.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "chunk_val"
     )

@@ -1,0 +1,89 @@
+"""Skew-mitigation operators: salting for hot keys (task brief: 'skewed
+keys hurt ... salting for skew').
+
+AQE's skew-join splitting handles sort-merge JOIN skew automatically
+(enabled in our session factory), but AGGREGATION skew — one giant group
+saturating a single reducer — still needs salting. The pattern:
+
+    phase 1: groupBy(key, salt) — the hot group splits across
+             `salt_buckets` reducers, each seeing 1/N of it;
+    phase 2: groupBy(key)       — merge the tiny per-salt partials.
+
+Phase 2's input is #distinct-keys x salt_buckets rows, so the second
+shuffle is negligible. Works for any algebraic aggregate (sum/count/
+min/max; avg = sum+count merged at phase 2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, str],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation.
+
+    ``aggs`` maps output column -> "fn(col)" with fn in
+    {count, sum, min, max, avg}. avg is decomposed into sum+count and
+    recombined, since avg of partial avgs is wrong under skew.
+    """
+    salted = df.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+
+    partial_exprs = []
+    final_exprs = []
+    for out, spec in aggs.items():
+        fn, col = spec.rstrip(")").split("(", 1)
+        fn = fn.strip().lower()
+        if fn == "count":
+            partial_exprs.append(F.count(F.lit(1)).alias(f"__p_{out}"))
+            final_exprs.append(F.sum(f"__p_{out}").cast("long").alias(out))
+        elif fn == "sum":
+            partial_exprs.append(F.sum(col).alias(f"__p_{out}"))
+            final_exprs.append(F.sum(f"__p_{out}").alias(out))
+        elif fn == "min":
+            partial_exprs.append(F.min(col).alias(f"__p_{out}"))
+            final_exprs.append(F.min(f"__p_{out}").alias(out))
+        elif fn == "max":
+            partial_exprs.append(F.max(col).alias(f"__p_{out}"))
+            final_exprs.append(F.max(f"__p_{out}").alias(out))
+        elif fn == "avg":
+            partial_exprs.append(F.sum(col).alias(f"__ps_{out}"))
+            partial_exprs.append(F.count(col).alias(f"__pc_{out}"))
+            final_exprs.append(
+                (F.sum(f"__ps_{out}") / F.sum(f"__pc_{out}")).alias(out)
+            )
+        else:
+            raise ValueError(f"unsupported aggregate {fn!r}")
+
+    partial = salted.groupBy(*keys, "__salt").agg(*partial_exprs)
+    return partial.groupBy(*keys).agg(*final_exprs)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the (large, skewed) LEFT side randomly;
+    REPLICATE every right row across all salt values, so each
+    (key, salt) bucket joins locally. Right side grows x salt_buckets —
+    use when right is the small/moderate side and AQE's skew splitting
+    can't apply (e.g. broadcast is too big but a few left keys are hot).
+    """
+    l_salted = left.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    r_replicated = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    out = l_salted.join(r_replicated, [on, "__salt"], how)
+    return out.drop("__salt")

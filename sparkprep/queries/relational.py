@@ -295,6 +295,74 @@ ORDER BY user_id, session_start
 """
 
 
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (skew mitigation): results must be
+    IDENTICAL to a plain groupBy — which is exactly what the oracle
+    checks. The hot-key win only shows at scale; the semantics contract
+    is checkable at any scale."""
+    from sparkprep.operators.skew import salted_agg
+
+    ev = t(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n": "count(*)",
+            "total": "sum(value)",
+            "avg_value": "avg(value)",
+            "max_value": "max(value)",
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("total", 2).alias("total"),
+        F.round("avg_value", 4).alias("avg_value"),
+        "max_value",
+    ).orderBy("event_type")
+
+
+_SALTED_AGG_SQL = """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS total,
+       round(avg(value), 4) AS avg_value, max(value) AS max_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h width, 30 min slide): every event lands in
+    two overlapping windows. Oracle mirrors via a union of the two
+    aligned bucketings."""
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+_EVENTS_SLIDING_SQL = """
+WITH assigned AS (
+  -- ::TIMESTAMP strips DuckDB's to_timestamp TIMESTAMPTZ back to naive
+  SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800)::TIMESTAMP - INTERVAL 30 MINUTE AS window_start,
+         event_type
+  FROM events
+  UNION ALL
+  SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800)::TIMESTAMP AS window_start, event_type
+  FROM events
+)
+SELECT window_start, event_type, count(*) AS n_events
+FROM assigned GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3 — the SQL front door the reference registered but never used
     (loanStat.py:161 ``registerTempTable``): temp view + ``spark.sql``.
@@ -432,6 +500,8 @@ QUERIES = {
     "join_revenue": q_join_revenue,
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
+    "events_sliding": q_events_sliding,
+    "salted_agg": q_salted_agg,
     "sql_view": q_sql_view,
     "rollup": q_rollup,
     "except_suppliers": q_except_suppliers,
@@ -451,6 +521,8 @@ ORACLES = {
     "join_revenue": _JOIN_REVENUE_SQL,
     "events_hourly": _EVENTS_HOURLY_SQL,
     "events_sessionize": _EVENTS_SESSIONIZE_SQL,
+    "events_sliding": _EVENTS_SLIDING_SQL,
+    "salted_agg": _SALTED_AGG_SQL,
     "sql_view": _SQL_VIEW_SQL,
     "rollup": _ROLLUP_SQL,
     "except_suppliers": _EXCEPT_SQL,
