@@ -295,6 +295,35 @@ ORDER BY user_id, session_start
 """
 
 
+def q_stats_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended statistical profile beyond describe(): exact interpolated
+    percentiles (p50/p90) + correlation + sample covariance per group.
+    At 100 TB switch percentile -> percentile_approx (single-pass
+    sketch; exact percentile is a per-group sort) — profile.describe_long
+    documents the same trade."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_price"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_STATS_EXTENDED_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation (skew mitigation): results must be
     IDENTICAL to a plain groupBy — which is exactly what the oracle
@@ -501,6 +530,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
     "events_sliding": q_events_sliding,
+    "stats_extended": q_stats_extended,
     "salted_agg": q_salted_agg,
     "sql_view": q_sql_view,
     "rollup": q_rollup,
@@ -522,6 +552,7 @@ ORACLES = {
     "events_hourly": _EVENTS_HOURLY_SQL,
     "events_sessionize": _EVENTS_SESSIONIZE_SQL,
     "events_sliding": _EVENTS_SLIDING_SQL,
+    "stats_extended": _STATS_EXTENDED_SQL,
     "salted_agg": _SALTED_AGG_SQL,
     "sql_view": _SQL_VIEW_SQL,
     "rollup": _ROLLUP_SQL,
