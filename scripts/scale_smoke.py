@@ -1,0 +1,105 @@
+"""Scale smoke: run the heavy operators on a synthetic corpus 10-50x
+the bench scale and report wall times + rows, to catch nonlinear cliffs
+(quadratic pair blowups, single-partition stages, interpreted-lambda
+hotspots) that sf0.1 is too small to expose.
+
+Usage: python scripts/scale_smoke.py [num_docs] [num_rows]
+Writes nothing to the repo; synthesizes under /tmp.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from sparkprep.session import build_session
+
+VOCAB = (
+    "key agg row scan slow fast table value part hash merge batch spark line "
+    "sort window data column join small customer query big group stream filter "
+    "order the a vector"
+).split()
+
+
+def main() -> None:
+    num_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    num_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+    spark = build_session(app_name="scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # --- synthetic documents: ~120 tokens from a 30-word vocab ---------
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    docs = (
+        spark.range(num_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(120)),
+                    lambda i: F.element_at(
+                        vocab, (F.pmod(F.xxhash64(F.col("id") * 1000 + i), 30) + 1).cast("int")
+                    ),
+                ),
+            ).alias("text"),
+        )
+        .repartition(64)
+    )
+    docs.write.mode("overwrite").parquet("/tmp/scale_docs.parquet")
+    docs = spark.read.parquet("/tmp/scale_docs.parquet")
+
+    rows = (
+        spark.range(num_rows)
+        .select(
+            F.col("id").alias("k"),
+            (F.pmod(F.xxhash64("id"), 1000)).alias("g"),
+            (F.pmod(F.xxhash64(F.col("id") + 7), 100000) / 100.0).alias("v"),
+        )
+        .repartition(64)
+    )
+    rows.write.mode("overwrite").parquet("/tmp/scale_rows.parquet")
+    rows = spark.read.parquet("/tmp/scale_rows.parquet")
+
+    def materialize(df) -> int:
+        # noop sink: full materialization; a bare count() would let
+        # Catalyst prune projections and fake instant "timings"
+        df.write.format("noop").mode("overwrite").save()
+        return -1
+
+    def bench(name, fn):
+        t0 = time.perf_counter()
+        n = fn()
+        dt = time.perf_counter() - t0
+        print(f"{name:32s} {dt:8.2f}s  rows={n if n >= 0 else 'n/a'}")
+
+    from sparkprep.operators import clean, dedup, text
+    from sparkprep.operators.skew import salted_agg
+
+    print(f"--- scale smoke: {num_docs:,} docs / {num_rows:,} rows on local[{os.environ.get('SPARK_GRAFT_CPUS','32')}] ---")
+    bench("groupBy agg (1000 groups)", lambda: materialize(rows.groupBy("g").agg(
+        F.sum("v"), F.avg("v"), F.count(F.lit(1)))))
+    bench("salted agg", lambda: materialize(salted_agg(
+        rows, ["g"], {"s": "sum(v)", "n": "count(*)"})))
+    bench("window dedup audit", lambda: materialize(clean.dup_audit(
+        rows.select("g", (F.col("k") % 1000).alias("k2")), keys=["g", "k2"], order_by="g")))
+    bench("null census (3 cols)", lambda: rows.select(
+        *[F.count(F.when(F.isnull(c), True)) for c in rows.columns]).count())
+    bench("text stats", lambda: materialize(docs.select(
+        text.token_count("text"), text.char_count("text"))))
+    bench("shingle fingerprint", lambda: materialize(text.add_shingle_fingerprint(
+        docs, "text").select("fp_shingle")))
+    bench("minhash signatures", lambda: materialize(dedup.minhash_signatures(
+        docs, "text", "doc_id")))
+    bench("simhash", lambda: materialize(dedup.simhash(docs, "text", "doc_id")))
+    bench("minhash LSH pairs (est>=0.8)", lambda: materialize(dedup.minhash_candidate_pairs(
+        docs, "text", "doc_id", est_threshold=0.8)))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
