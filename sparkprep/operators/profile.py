@@ -166,6 +166,35 @@ def distinct_count(df: DataFrame, approx: bool = False, rsd: float = 0.01) -> in
     return df.distinct().count()
 
 
+def profile_delta(before: dict, after: dict) -> dict:
+    """Machine-readable diff of two :func:`profile_report` outputs — the
+    reference's eyeballed before/after ``describe()`` comparisons
+    (mssql.ipynb:575,1524; bde4 cells 16→44) as data. Keys:
+    row_delta, per-column null_count deltas, and numeric-stat deltas for
+    columns present in both profiles."""
+    out = {
+        "row_delta": after["rows"] - before["rows"],
+        "columns_added": sorted(set(after["schema"]) - set(before["schema"])),
+        "columns_removed": sorted(set(before["schema"]) - set(after["schema"])),
+        "null_deltas": {},
+        "stat_deltas": {},
+    }
+    for c in set(before["null_counts"]) & set(after["null_counts"]):
+        d = after["null_counts"][c] - before["null_counts"][c]
+        if d:
+            out["null_deltas"][c] = d
+    for c in set(before["numeric_profile"]) & set(after["numeric_profile"]):
+        b, a = before["numeric_profile"][c], after["numeric_profile"][c]
+        deltas = {
+            k: (a[k] - b[k])
+            for k in ("count", "mean", "stddev", "min", "max")
+            if a[k] is not None and b[k] is not None and a[k] != b[k]
+        }
+        if deltas:
+            out["stat_deltas"][c] = deltas
+    return out
+
+
 def profile_report(df: DataFrame, cols=None) -> dict:
     """The reference's interactive EDA opening moves (printSchema /
     count / describe / null census) as one machine-readable dict.

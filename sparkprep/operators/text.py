@@ -176,6 +176,75 @@ def add_shingle_fingerprint(
     return staged.withColumn(out_col, fp).drop("__tk")
 
 
+def normalize_text(c) -> Column:
+    """Canonical text normalization for dedup keys: lowercase, collapse
+    whitespace runs, strip ASCII control chars, trim. Run BEFORE exact/
+    near-dup fingerprinting so trivial formatting differences don't
+    defeat dedup."""
+    s = F.lower(_col(c))
+    s = F.regexp_replace(s, r"[\x00-\x1f]", " ")
+    s = F.regexp_replace(s, r"\s+", " ")
+    return F.trim(s)
+
+
+PII_PATTERNS = [
+    # order matters: URLs before bare hostnames would; emails before words
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\+?\d{1,2}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(c, patterns: list[tuple[str, str]] | None = None) -> Column:
+    """Training-data PII scrubbing: chained regexp_replace over email /
+    URL / IP / phone patterns. Pure Catalyst expressions → runs at scan
+    speed; the pattern list is data, extend per corpus. (Porting note:
+    Spark's regexp_replace is global; DuckDB needs the 'g' flag.)"""
+    out = _col(c)
+    for pattern, token in patterns or PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def add_repetition_signals(
+    df: DataFrame, text_col: str, k: int = 3, round_to: int = 4
+) -> DataFrame:
+    """Gopher-style repetition filters: fraction of duplicate k-token
+    shingles and the most-frequent-token share. High values mark
+    boilerplate/spam for LLM-corpus filtering. One projection pass,
+    token array materialized once.
+
+    Complexity note: top_token_ratio scans tokens once per DISTINCT
+    token (O(d*n) per doc, in-row) — fine through ~1k distinct tokens;
+    for book-length documents compute it via explode + groupBy(doc,
+    token) instead (one shuffle, unbounded doc length)."""
+    staged = df.withColumn("__tk", tokens(text_col))
+    sh = shingles(F.col("__tk"), k)
+    staged = staged.withColumn("__sh", sh)
+    dup_ratio = F.when(
+        F.size("__sh") > 0,
+        1 - F.size(F.array_distinct("__sh")) / F.size("__sh"),
+    ).otherwise(F.lit(None))
+    top_tok = F.when(
+        F.size("__tk") > 0,
+        F.aggregate(
+            F.transform(
+                F.array_distinct("__tk"),
+                lambda t: F.size(F.filter(F.col("__tk"), lambda x: x == t)),
+            ),
+            F.lit(0),
+            lambda acc, x: F.greatest(acc, x),
+        )
+        / F.size("__tk"),
+    ).otherwise(F.lit(None))
+    return (
+        staged.withColumn("dup_shingle_ratio", F.round(dup_ratio, round_to))
+        .withColumn("top_token_ratio", F.round(top_tok, round_to))
+        .drop("__tk", "__sh")
+    )
+
+
 def word_count(df: DataFrame, c: str, token_col: str = "token") -> DataFrame:
     """A11 — the reference's RDD word count (Pyspark-WordCount-1.py:7-9
     ``map(lambda x:(x,1)).reduceByKey(add)``) as DataFrame ops:

@@ -148,6 +148,81 @@ FROM toks
 """
 
 
+def q_text_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """normalize (lowercase/whitespace/control) + PII redaction
+    (email/URL/IP/phone → placeholder tokens) on deterministically
+    dirtied text. DuckDB mirror needs the 'g' flag (Spark regexp_replace
+    is global by default)."""
+    docs = t(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("  Contact USER"),
+            F.col("doc_id").cast("string"),
+            F.lit("@Example.COM via https://site"),
+            F.col("doc_id").cast("string"),
+            F.lit(".example/page?q=1 from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7\tEND"),
+        ).alias("raw"),
+    )
+    return dirty.select(
+        "doc_id", tx.redact_pii(tx.normalize_text("raw")).alias("clean")
+    )
+
+
+_TEXT_CLEANUP_SQL = r"""
+WITH dirty AS (
+  SELECT doc_id,
+         text || '  Contact USER' || doc_id::VARCHAR || '@Example.COM via https://site'
+              || doc_id::VARCHAR || '.example/page?q=1 from 10.0.' || (doc_id % 256)::VARCHAR
+              || '.7' || chr(9) || 'END' AS raw
+  FROM documents
+), norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(raw), '[\x00-\x1f]', ' ', 'g'),
+                             '\s+', ' ', 'g')) AS s
+  FROM dirty
+)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        'https?://[^\s]+', '<URL>', 'g'),
+      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+    '\b\+?\d{1,2}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b', '<PHONE>', 'g') AS clean
+FROM norm
+"""
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics per document (duplicate-shingle
+    fraction, top-token share)."""
+    docs = t(spark, sf_dir, "documents")
+    out = tx.add_repetition_signals(docs, "text", k=3)
+    return out.select("doc_id", "dup_shingle_ratio", "top_token_ratio")
+
+
+_REPETITION_SQL = """
+WITH tk AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id, t,
+         list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS s
+  FROM tk
+)
+SELECT doc_id,
+       round(CASE WHEN len(s) > 0
+                  THEN 1 - len(list_distinct(s))::DOUBLE / len(s) END, 4) AS dup_shingle_ratio,
+       round(CASE WHEN len(t) > 0
+                  THEN list_max(list_transform(list_distinct(t),
+                         d -> len(list_filter(t, x -> x = d))))::DOUBLE / len(t) END, 4) AS top_token_ratio
+FROM sh
+"""
+
+
 def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11 — the wordcount (Pyspark-WordCount-1.py) DataFrame-native:
     explode + groupBy with map-side combine."""
@@ -168,6 +243,8 @@ QUERIES = {
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    "text_cleanup": q_text_cleanup,
+    "repetition_signals": q_repetition_signals,
     "word_count": q_word_count,
 }
 
@@ -177,5 +254,7 @@ ORACLES = {
     "quality_score": _QUALITY_SQL,
     "lang_id": _LANG_ID_SQL,
     "fingerprint": _FINGERPRINT_SQL,
+    "text_cleanup": _TEXT_CLEANUP_SQL,
+    "repetition_signals": _REPETITION_SQL,
     "word_count": _WORD_COUNT_SQL,
 }

@@ -186,3 +186,19 @@ def test_seeded_split_deterministic_and_partitions(spark, sf_dir):
     tr2, te2 = transform.train_test_split(orders, (0.8, 0.2), seed=7)
     assert tr1.count() == tr2.count() and te1.count() == te2.count()
     assert tr1.count() + te1.count() == orders.count()
+
+
+# --- profile report + delta (A7/A8 composition, SURVEY §5) -----------------
+
+
+def test_profile_report_and_delta(store_df):
+    before = profile.profile_report(store_df)
+    assert before["rows"] == 10
+    assert before["null_counts"]["Revenue"] == 2
+    after_df = clean.drop_nulls(store_df, how="any")
+    after = profile.profile_report(after_df)
+    delta = profile.profile_delta(before, after)
+    assert delta["row_delta"] == -3
+    assert delta["null_deltas"]["Revenue"] == -2
+    assert delta["columns_added"] == [] and delta["columns_removed"] == []
+    assert "Revenue" in delta["stat_deltas"]
