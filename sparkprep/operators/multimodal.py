@@ -56,13 +56,17 @@ DECODED_SCHEMA = (
 _FEATURE_DIM = 16
 
 
-def synthesize_media(df: DataFrame, id_col: str, type_col_value: str = "image") -> DataFrame:
+def synthesize_media(
+    df: DataFrame, id_col: str, type_col_value: str = "image", ascii_payload: bool = False
+) -> DataFrame:
     """Deterministic fake media rows from any keyed DataFrame — payload
     bytes derived from md5(id), so tests are reproducible without real
-    files."""
-    content = F.unhex(
-        F.repeat(F.md5(F.col(id_col).cast("string")), 4)
-    )  # 64 deterministic bytes
+    files. ``ascii_payload=True`` stores the hex STRING's utf-8 bytes
+    instead of the decoded bytes (128 ASCII bytes vs 64 raw) — used by
+    the oracle-checked query, since DuckDB's md5 only hashes VARCHAR so
+    the cross-engine mirror needs a text payload."""
+    hex_str = F.repeat(F.md5(F.col(id_col).cast("string")), 4)
+    content = F.encode(hex_str, "utf-8") if ascii_payload else F.unhex(hex_str)
     return df.select(
         F.col(id_col).alias("media_id"),
         F.lit(type_col_value).alias("media_type"),

@@ -245,6 +245,42 @@ def add_repetition_signals(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    width: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """RAG-style document chunking: overlapping ``width``-token windows
+    every ``stride`` tokens, as one native explode (no Python UDTF —
+    same result, scan-speed). Emits (id, chunk_id, chunk_text,
+    n_chunk_tokens); the final partial window is kept (standard
+    chunker behavior), docs shorter than one stride yield one chunk.
+    """
+    staged = df.withColumn("__tk", tokens(text_col))
+    n = F.size("__tk")
+    n_chunks = F.greatest(F.ceil((n - (width - stride)) / F.lit(stride)), F.lit(1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.concat_ws(" ", F.slice(F.col("__tk"), i * stride + 1, width)).alias(
+                "chunk_text"
+            ),
+        ),
+    )
+    return (
+        staged.select(id_col, F.explode(chunks).alias("__c"))
+        .select(
+            id_col,
+            F.col("__c.chunk_id").alias("chunk_id"),
+            F.col("__c.chunk_text").alias("chunk_text"),
+        )
+        .withColumn("n_chunk_tokens", token_count("chunk_text"))
+    )
+
+
 def word_count(df: DataFrame, c: str, token_col: str = "token") -> DataFrame:
     """A11 — the reference's RDD word count (Pyspark-WordCount-1.py:7-9
     ``map(lambda x:(x,1)).reduceByKey(add)``) as DataFrame ops:

@@ -360,6 +360,44 @@ WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 4) >= 0.95
 """
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end under the ORACLE: synthetic binary
+    payloads (md5-derived) → mapInPandas fake-decode → per-media feature
+    vector. The stub decoder is hash-deterministic, so DuckDB can mirror
+    every byte: payload = unhex(repeat(md5(id),4)), features = bytes of
+    md5(payload)/255. This pins the Arrow batch plumbing, not a codec.
+    """
+    from sparkprep.operators import multimodal as mm
+
+    base = t(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("id"))
+    media = mm.synthesize_media(base, "id", "image", ascii_payload=True)
+    decoded = mm.decode_media(media, fake=True)
+    return decoded.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        F.round(F.element_at("feature", 16), 6).alias("f15"),
+    )
+
+
+_MEDIA_SQL = """
+WITH payload AS (
+  -- ascii payload: the content bytes ARE the hex string, so VARCHAR md5
+  -- equals the executor-side hashlib.md5(payload_bytes)
+  SELECT vec_id AS media_id,
+         md5(repeat(md5(vec_id::VARCHAR), 4)) AS h
+  FROM embeddings
+)
+SELECT media_id,
+       (16 + ('0x' || substr(h, 1, 2))::BIGINT % 240) AS width,
+       (16 + ('0x' || substr(h, 3, 2))::BIGINT % 240) AS height,
+       round(('0x' || substr(h, 1, 2))::BIGINT / 255.0, 6) AS f0,
+       round(('0x' || substr(h, 31, 2))::BIGINT / 255.0, 6) AS f15
+FROM payload
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "minhash_pairs": q_minhash_pairs,
@@ -369,6 +407,7 @@ QUERIES = {
     "cosine_topk": q_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "embedding_near_dup": q_embedding_near_dup,
+    "media_features": q_media_features,
 }
 
 ORACLES = {
@@ -380,4 +419,5 @@ ORACLES = {
     "cosine_topk": _COSINE_TOPK_SQL,
     "ann_lsh_topk": _ANN_LSH_SQL,
     "embedding_near_dup": _NEAR_DUP_SQL,
+    "media_features": _MEDIA_SQL,
 }

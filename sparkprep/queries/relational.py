@@ -295,6 +295,50 @@ ORDER BY user_id, session_start
 """
 
 
+def q_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9 — confusion matrix + derived rates as ONE aggregate, under the
+    oracle: a deterministic rule stands in for a model (label =
+    status 'F', prediction = totalprice below threshold), so both
+    engines score identical 'predictions'. The reference computed these
+    by collecting the whole scored set to pandas (mlpc.py:519)."""
+    orders = t(spark, sf_dir, "orders")
+    lbl = F.col("o_orderstatus") == "F"
+    prd = F.col("o_totalprice") < 150000.0
+    return orders.agg(
+        F.count(F.when(lbl & prd, True)).alias("tp"),
+        F.count(F.when(lbl & ~prd, True)).alias("fn"),
+        F.count(F.when(~lbl & ~prd, True)).alias("tn"),
+        F.count(F.when(~lbl & prd, True)).alias("fp"),
+        F.round(
+            F.count(F.when(lbl & prd, True)) / F.count(F.when(prd, True)), 6
+        ).alias("ppv"),
+        F.round(
+            F.count(F.when(lbl & prd, True)) / F.count(F.when(lbl, True)), 6
+        ).alias("sensitivity"),
+        F.round(
+            (F.count(F.when(lbl & prd, True)) + F.count(F.when(~lbl & ~prd, True)))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("accuracy"),
+    )
+
+
+_CONFUSION_SQL = """
+SELECT count(*) FILTER (WHERE o_orderstatus = 'F' AND o_totalprice < 150000)::BIGINT AS tp,
+       count(*) FILTER (WHERE o_orderstatus = 'F' AND o_totalprice >= 150000)::BIGINT AS fn,
+       count(*) FILTER (WHERE o_orderstatus != 'F' AND o_totalprice >= 150000)::BIGINT AS tn,
+       count(*) FILTER (WHERE o_orderstatus != 'F' AND o_totalprice < 150000)::BIGINT AS fp,
+       round(count(*) FILTER (WHERE o_orderstatus = 'F' AND o_totalprice < 150000)::DOUBLE
+             / count(*) FILTER (WHERE o_totalprice < 150000), 6) AS ppv,
+       round(count(*) FILTER (WHERE o_orderstatus = 'F' AND o_totalprice < 150000)::DOUBLE
+             / count(*) FILTER (WHERE o_orderstatus = 'F'), 6) AS sensitivity,
+       round((count(*) FILTER (WHERE o_orderstatus = 'F' AND o_totalprice < 150000)
+              + count(*) FILTER (WHERE o_orderstatus != 'F' AND o_totalprice >= 150000))::DOUBLE
+             / count(*), 6) AS accuracy
+FROM orders
+"""
+
+
 def q_stats_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extended statistical profile beyond describe(): exact interpolated
     percentiles (p50/p90) + correlation + sample covariance per group.
@@ -531,6 +575,7 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_sliding": q_events_sliding,
     "stats_extended": q_stats_extended,
+    "confusion_metrics": q_confusion_metrics,
     "salted_agg": q_salted_agg,
     "sql_view": q_sql_view,
     "rollup": q_rollup,
@@ -553,6 +598,7 @@ ORACLES = {
     "events_sessionize": _EVENTS_SESSIONIZE_SQL,
     "events_sliding": _EVENTS_SLIDING_SQL,
     "stats_extended": _STATS_EXTENDED_SQL,
+    "confusion_metrics": _CONFUSION_SQL,
     "salted_agg": _SALTED_AGG_SQL,
     "sql_view": _SQL_VIEW_SQL,
     "rollup": _ROLLUP_SQL,

@@ -223,6 +223,30 @@ FROM sh
 """
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-token / 48-stride document chunks (RAG prep) —
+    native explode, no UDTF."""
+    docs = t(spark, sf_dir, "documents")
+    return tx.chunk_documents(docs, "text", "doc_id", width=64, stride=48)
+
+
+_DOC_CHUNKS_SQL = """
+WITH tk AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), n AS (
+  SELECT doc_id, t, greatest(ceil((len(t) - 16)::DOUBLE / 48)::BIGINT, 1) AS n_chunks
+  FROM tk
+), chunks AS (
+  SELECT doc_id, i AS chunk_id,
+         array_to_string(t[i * 48 + 1 : i * 48 + 64], ' ') AS chunk_text
+  FROM n, UNNEST(range(0, n_chunks)) AS u(i)
+)
+SELECT doc_id, chunk_id, chunk_text,
+       len(string_split(chunk_text, ' '))::BIGINT AS n_chunk_tokens
+FROM chunks
+"""
+
+
 def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11 — the wordcount (Pyspark-WordCount-1.py) DataFrame-native:
     explode + groupBy with map-side combine."""
