@@ -52,6 +52,39 @@ def write_jdbc(
     w.save()
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    format: str = "parquet",
+) -> None:
+    """Bucketed managed table (``bucketBy`` + optional ``sortBy``) — the
+    co-located-join primitive: two tables bucketed by the same key into
+    the same bucket count join with NO exchange (and with ``sortBy``, no
+    sort either). At 100 TB this is how repeatedly-joined fact tables
+    amortize their shuffle once at write time. Only ``saveAsTable``
+    supports bucketing (plain ``save`` paths do not carry bucket specs).
+    """
+    w = df.write.mode(mode).format(format).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-style partitioned layout: directory per partition value, so
+    partition-key predicates prune entire directories at planning time
+    (``PartitionFilters`` in the scan, zero I/O for pruned values).
+    Choose LOW-cardinality keys; a high-cardinality partition column
+    creates a small-files explosion."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
 _BQ_TYPE_MAP = {
     "double": "FLOAT",
     "float": "FLOAT",
