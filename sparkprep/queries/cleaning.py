@@ -298,6 +298,144 @@ FROM parsed
 """
 
 
+def q_ep1_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FULL production prep chain (EP1, loanStat.py:
+    select → dropna → UDF-repairs → casts → min-max normalize → status
+    filter) as ONE oracle-checked query over LoanStats-shaped dirty
+    strings synthesized from lineitem. This is the direct BASELINE.md
+    comparison point: the reference spent ~100s on 1.43M rows with
+    Python row UDFs; this plan is pure Catalyst expressions."""
+    tune_for_engine(spark)
+    li = t(spark, sf_dir, "lineitem")
+    raw = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat((F.col("l_partkey") % 40000).cast("string")).alias("loan_amnt"),
+        F.concat(F.lit(" "), ((F.col("l_linenumber") % 2 + 1) * 36).cast("string"), F.lit(" months")).alias("term"),
+        F.concat((F.col("l_suppkey") % 20).cast("string"), F.lit("."),
+                 (F.col("l_partkey") % 100).cast("string"), F.lit("%")).alias("int_rate"),
+        # floor, not a double->int cast: DuckDB's ::INT rounds while
+        # Spark's cast truncates — floor is identical in both
+        F.when(F.col("l_quantity") < 3, F.lit(None)).otherwise(
+            F.floor("l_extendedprice").cast("string")
+        ).alias("annual_inc"),
+        F.when(F.col("l_returnflag") == "A", "Fully Paid")
+        .when(F.col("l_returnflag") == "R", "Charged Off")
+        .otherwise("Current").alias("loan_status"),
+        F.concat(F.date_format("l_shipdate", "MMM-yyyy")).alias("earliest_cr_line"),
+    )
+    from sparkprep.functions import numeric as npx
+
+    prepped = (
+        raw.na.drop(how="any")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("loan_amnt").cast("double").alias("loan_amnt"),
+            sx.term_to_double("term").alias("term"),
+            sx.pct_to_double("int_rate").alias("int_rate"),
+            F.col("annual_inc").cast("double").alias("annual_inc"),
+            "loan_status",
+            sx.month_token("earliest_cr_line").alias("cr_month"),
+        )
+    )
+    normalized = npx.minmax_normalize_distributed(prepped, "annual_inc", suffix="_norm")
+    out = transform.filter_in(normalized, "loan_status", ["Fully Paid", "Charged Off"])
+    return out.select(
+        "l_orderkey", "l_linenumber", "loan_amnt", "term", "int_rate",
+        F.round("annual_inc_norm", 6).alias("annual_inc_norm"),
+        "loan_status", "cr_month",
+    )
+
+
+_EP1_PREP_SQL = """
+WITH raw AS (
+  SELECT l_orderkey, l_linenumber,
+         (l_partkey % 40000)::VARCHAR AS loan_amnt,
+         ' ' || ((l_linenumber % 2 + 1) * 36)::VARCHAR || ' months' AS term,
+         (l_suppkey % 20)::VARCHAR || '.' || (l_partkey % 100)::VARCHAR || '%' AS int_rate,
+         CASE WHEN l_quantity < 3 THEN NULL ELSE floor(l_extendedprice)::BIGINT::VARCHAR END AS annual_inc,
+         CASE WHEN l_returnflag = 'A' THEN 'Fully Paid'
+              WHEN l_returnflag = 'R' THEN 'Charged Off'
+              ELSE 'Current' END AS loan_status,
+         strftime(l_shipdate, '%b-%Y') AS earliest_cr_line
+  FROM lineitem
+), dropped AS (
+  SELECT * FROM raw
+  WHERE loan_amnt IS NOT NULL AND term IS NOT NULL AND int_rate IS NOT NULL
+    AND annual_inc IS NOT NULL AND loan_status IS NOT NULL AND earliest_cr_line IS NOT NULL
+), prepped AS (
+  SELECT l_orderkey, l_linenumber,
+         loan_amnt::DOUBLE AS loan_amnt,
+         CAST(replace(term, 'months', '') AS DOUBLE) AS term,
+         CAST(regexp_replace(int_rate, '%+$', '') AS DOUBLE) AS int_rate,
+         annual_inc::DOUBLE AS annual_inc,
+         loan_status,
+         split_part(earliest_cr_line, '-', 1) AS cr_month
+  FROM dropped
+)
+SELECT l_orderkey, l_linenumber, loan_amnt, term, int_rate,
+       round((annual_inc - (SELECT min(annual_inc) FROM prepped))
+             / ((SELECT max(annual_inc) FROM prepped) - (SELECT min(annual_inc) FROM prepped)), 6)
+         AS annual_inc_norm,
+       loan_status, cr_month
+FROM prepped
+WHERE loan_status IN ('Fully Paid', 'Charged Off')
+"""
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: which corpus documents share an
+    8-token shingle with the 'benchmark set' (doc_id < 20 stands in) —
+    the n-gram-overlap check every LLM training pipeline runs before
+    training. Shingle equi-join, never doc x doc."""
+    from sparkprep.operators import dedup as dd
+
+    docs = t(spark, sf_dir, "documents")
+    corpus_sh = dd.explode_shingles(docs.filter(F.col("doc_id") >= 20), "text", "doc_id", k=8)
+    bench_sh = dd.explode_shingles(
+        docs.filter(F.col("doc_id") < 20).select(
+            F.col("doc_id").alias("bench_id"), "text"
+        ),
+        "text", "bench_id", k=8,
+    )
+    hits = corpus_sh.join(bench_sh, "shingle").select("doc_id", "bench_id").dropDuplicates()
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_benchmarks_hit"))
+        .orderBy("doc_id")
+    )
+
+
+_CONTAMINATION_SQL = """
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+              t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] AS s
+       FROM tk, UNNEST(range(1, len(t) - 6)) AS u(i)),
+hits AS (SELECT DISTINCT c.doc_id, b.doc_id AS bench_id
+         FROM sh c JOIN sh b ON c.s = b.s
+         WHERE c.doc_id >= 20 AND b.doc_id < 20)
+SELECT doc_id, count(*) AS n_benchmarks_hit
+FROM hits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SA1 extension — per-stratum sampling fractions (``sampleBy``),
+    seeded. Rows-only (Spark's stratified sampler RNG has no SQL
+    equivalent); determinism is pinned in unit tests."""
+    orders = t(spark, sf_dir, "orders")
+    sampled = orders.sampleBy(
+        "o_orderstatus", fractions={"O": 0.1, "F": 0.5, "P": 1.0}, seed=42
+    )
+    return (
+        sampled.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy("o_orderstatus")
+    )
+
+
 def q_union_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SET1 — union keeps bag semantics (both copies of overlapping
     rows), the property the reference's union-of-filters relied on
@@ -357,6 +495,9 @@ QUERIES = {
     "log_parse": q_log_parse,
     "union_bag": q_union_bag,
     "class_balance": q_class_balance,
+    "ep1_prep": q_ep1_prep,
+    "contamination": q_contamination,
+    "stratified_sample": q_stratified_sample,
 }
 
 ORACLES = {
@@ -372,6 +513,8 @@ ORACLES = {
     "bucketize": _BUCKETIZE_SQL,
     "log_parse": _LOG_PARSE_SQL,
     "union_bag": _UNION_BAG_SQL,
-    # class_balance: intentionally no oracle (seeded sampler RNG is
-    # Spark-specific) -> rows-only check
+    "ep1_prep": _EP1_PREP_SQL,
+    "contamination": _CONTAMINATION_SQL,
+    # class_balance / stratified_sample: intentionally no oracle (seeded
+    # sampler RNG is Spark-specific) -> rows-only checks
 }

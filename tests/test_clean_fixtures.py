@@ -202,3 +202,17 @@ def test_profile_report_and_delta(store_df):
     assert delta["null_deltas"]["Revenue"] == -2
     assert delta["columns_added"] == [] and delta["columns_removed"] == []
     assert "Revenue" in delta["stat_deltas"]
+
+
+def test_stratified_sample_deterministic(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    fr = {"O": 0.1, "F": 0.5, "P": 1.0}
+    a = orders.sampleBy("o_orderstatus", fractions=fr, seed=42)
+    b = orders.sampleBy("o_orderstatus", fractions=fr, seed=42)
+    assert sorted(r.o_orderkey for r in a.collect()) == sorted(
+        r.o_orderkey for r in b.collect()
+    )
+    # P stratum: fraction 1.0 keeps every row
+    p_all = orders.filter(F.col("o_orderstatus") == "P").count()
+    p_kept = a.filter(F.col("o_orderstatus") == "P").count()
+    assert p_kept == p_all
