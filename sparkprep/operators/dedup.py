@@ -218,6 +218,96 @@ def jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Transitive dedup clusters: connected components over a near-dup
+    pair graph via iterative min-label propagation.
+
+    Greedy pair-based dedup (``minhash_dedup``) is not transitive (A~B,
+    B~C but A!~C still all one cluster); this closes the transitive
+    closure. Each iteration: every node adopts the minimum label among
+    itself and its neighbors — one join + one aggregate per round,
+    converging in O(component diameter) rounds (near-dup clusters are
+    shallow; 20 covers pathological chains). Early-exits when an
+    iteration changes nothing (one extra count per round — the
+    convergence check IS the driver loop; this is the engine's
+    'iterative algorithm' template).
+
+    Returns (node, component) with component = min node id reachable.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .dropDuplicates()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .dropDuplicates()
+        .withColumn("component", F.col("node"))
+    )
+    edges = edges.cache()
+    # localCheckpoint each round: iterative self-referential plans grow
+    # lineage PER ITERATION until Catalyst itself OOMs just printing the
+    # tree (measured on a 30-round chain). Checkpointing materializes
+    # the frame and truncates the plan to a leaf — the canonical pattern
+    # for any iterate-until-fixpoint algorithm on Spark.
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        neighbor_labels = (
+            edges.join(labels, edges.v == labels.node)
+            .select(F.col("u").alias("node"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("node", "component")
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    k: int = 3,
+    bands: int = 4,
+    seed: int = 42,
+    est_threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash pairs → transitive clusters → (id, cluster_rep); docs
+    with no near-dup get themselves as rep. Drop ``id != cluster_rep``
+    rows for a transitively-correct dedup."""
+    prs = minhash_candidate_pairs(
+        df, text_col, id_col, num_hashes, k, bands, seed, est_threshold
+    )
+    cc = connected_components(prs)
+    return (
+        df.select(F.col(id_col))
+        .join(cc, df[id_col] == cc.node, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("cluster_rep"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -109,7 +109,7 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(est_threshold: float = _EST_THRESHOLD) -> str:
     coeffs = dd.hash_coeffs(_NUM_HASHES, _SEED)
     P = dd.MERSENNE_P
     r = _NUM_HASHES // _BANDS
@@ -140,7 +140,7 @@ SELECT p.id_a, p.id_b, ({agree}) / {float(_NUM_HASHES)} AS est_jaccard
 FROM pairs p
 JOIN sig sa ON sa.doc_id = p.id_a
 JOIN sig sb ON sb.doc_id = p.id_b
-WHERE ({agree}) / {float(_NUM_HASHES)} >= {_EST_THRESHOLD}
+WHERE ({agree}) / {float(_NUM_HASHES)} >= {est_threshold}
 """
 
 
@@ -360,6 +360,41 @@ WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 4) >= 0.95
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: MinHash-LSH pairs closed under
+    connected components (iterative min-label propagation). Oracle is a
+    recursive CTE doing the same min-reachable-id fixpoint — the
+    strongest check an iterative distributed algorithm can get."""
+    corpus = _corpus_near(spark, sf_dir)
+    return dd.dedup_clusters(
+        corpus, "text", "doc_id",
+        num_hashes=_NUM_HASHES, k=_K, bands=_BANDS, seed=_SEED,
+        est_threshold=0.8,
+    )
+
+
+def _dedup_clusters_sql() -> str:
+    # the pair query at threshold 0.8, then recursive min-label CC
+    pair_sql = _minhash_sql(est_threshold=0.8)
+    return f"""
+WITH RECURSIVE base AS ({pair_sql}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM base
+  UNION
+  SELECT id_b AS u, id_a AS v FROM base
+),
+cc(node, label) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, cc.label FROM cc JOIN edges e ON cc.node = e.u
+),
+comp AS (SELECT node, min(label) AS component FROM cc GROUP BY node),
+{_CORPUS_NEAR_SQL}
+SELECT c.doc_id, coalesce(comp.component, c.doc_id) AS cluster_rep
+FROM corpus c LEFT JOIN comp ON comp.node = c.doc_id
+"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end under the ORACLE: synthetic binary
     payloads (md5-derived) → mapInPandas fake-decode → per-media feature
@@ -408,6 +443,7 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "media_features": q_media_features,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 ORACLES = {
@@ -420,4 +456,5 @@ ORACLES = {
     "ann_lsh_topk": _ANN_LSH_SQL,
     "embedding_near_dup": _NEAR_DUP_SQL,
     "media_features": _MEDIA_SQL,
+    "dedup_clusters": _dedup_clusters_sql(),
 }

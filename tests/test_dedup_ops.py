@@ -71,3 +71,27 @@ def test_arrow_topk_agrees_with_native(spark, sf_dir):
     arrow = sim.cosine_topk_arrow(emb, qvecs, k=5).collect()
     key = lambda rows: sorted((r.query_id, r.neighbor_id, r.rank) for r in rows)  # noqa: E731
     assert key(native) == key(arrow)
+
+def test_connected_components_transitive_closure(spark):
+    # chain 1-2-3, pair 10-11, singleton via dedup_clusters coalesce
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    cc = {r.node: r.component for r in dd.connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # 30-node path graph: needs ~log-diameter rounds of min propagation
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["id_a", "id_b"]
+    )
+    cc = dd.connected_components(pairs, max_iterations=40).collect()
+    assert {r.component for r in cc} == {0}
+    assert len(cc) == 31
+
+
+def test_dedup_clusters_keep_reps(docs):
+    clusters = dd.dedup_clusters(docs, "text", "doc_id", est_threshold=0.5)
+    got = {r.doc_id: r.cluster_rep for r in clusters.collect()}
+    assert got == {1: 1, 2: 1, 3: 3, 4: 4}
