@@ -70,3 +70,49 @@ def minmax_normalize_distributed(df: DataFrame, *cols: str, suffix: str = "") ->
         denom = F.when(mx != mn, mx - mn)
         out = out.withColumn(c + suffix, (F.col(c) - mn) / denom)
     return out.drop(*[f"__{p}_{c}" for c in cols for p in ("mn", "mx")])
+
+
+def quantile_bucket(
+    df: DataFrame,
+    value_col: str,
+    probs: list[float] = (0.25, 0.5, 0.75),
+    group_col: str | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Quantile bucketing WITHOUT a global window.
+
+    The naive formulation — ``ntile(k) OVER (PARTITION BY group)`` —
+    funnels every row of a group through ONE task (3 statuses over a
+    100 TB orders table = 3 tasks), which is the classic WindowExec
+    scale trap. Instead: exact per-group percentile cutoffs in one
+    hash aggregate (tiny result — one row per group), broadcast-joined
+    back, bucket assigned by a codegen'd CASE. Two narrow passes over
+    the data, no row ever leaves its partition for the assignment.
+
+    Bucket b = number of cutoffs strictly below x's ``<=`` boundary:
+    x <= q[0] -> 0, q[0] < x <= q[1] -> 1, ..., x > q[-1] -> len(probs).
+    Nulls -> null bucket.
+    """
+    out_col = out_col or f"{value_col}_bucket"
+    probs = list(probs)
+    cuts = [
+        F.expr(f"percentile({value_col}, {p})").alias(f"__q{i}")
+        for i, p in enumerate(probs)
+    ]
+    x = F.col(value_col)
+    cases = None
+    for i in range(len(probs)):
+        cond = x <= F.col(f"__q{i}")
+        val = F.lit(i).cast("long")
+        cases = F.when(cond, val) if cases is None else cases.when(cond, val)
+    cases = cases.otherwise(
+        F.when(x.isNotNull(), F.lit(len(probs)).cast("long"))
+    )
+    drop = [f"__q{i}" for i in range(len(probs))]
+    if group_col is None:
+        cutoffs = df.agg(*cuts)
+        joined = df.join(F.broadcast(cutoffs))
+    else:
+        cutoffs = df.groupBy(group_col).agg(*cuts)
+        joined = df.join(F.broadcast(cutoffs), group_col)
+    return joined.withColumn(out_col, cases).drop(*drop)

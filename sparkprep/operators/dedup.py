@@ -256,27 +256,27 @@ def connected_components(
     # the frame and truncates the plan to a leaf — the canonical pattern
     # for any iterate-until-fixpoint algorithm on Spark.
     labels = labels.localCheckpoint(eager=True)
+    # convergence check: labels only ever DECREASE under min-propagation,
+    # so sum(component) is strictly monotone until fixpoint — comparing
+    # sums is one tiny aggregate on the checkpointed frame instead of a
+    # join + filter + count (halves the per-round job count; job setup
+    # dominates on the small pair graphs dedup produces)
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
     for _ in range(max_iterations):
         neighbor_labels = (
             edges.join(labels, edges.v == labels.node)
             .select(F.col("u").alias("node"), "component")
         )
-        new_labels = (
+        labels = (
             labels.unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     edges.unpersist()
     return labels.select("node", "component")
 

@@ -88,3 +88,40 @@ def bucketize(df: DataFrame, col: str, splits, out_col: str | None = None, as_lo
         cases = F.when(cond, val) if cases is None else cases.when(cond, val)
     expr = cases.otherwise(expr) if cases is not None else expr
     return df.withColumn(out_col, expr)
+
+
+def pivot_table(
+    df: DataFrame,
+    group_col: str,
+    pivot_col: str,
+    values: list[str],
+    value_col: str,
+    agg_builder,
+    names: dict[str, str] | None = None,
+) -> DataFrame:
+    """Wide pivot as ONE hash aggregate of masked-input aggregates:
+    `agg_builder(CASE WHEN pivot_col = v THEN value_col END)` per value.
+
+    Why not `groupBy().pivot()`: without explicit values it runs an extra
+    distinct-scan job over the full input to discover the column set
+    (capped by spark.sql.pivotMaxValues); even WITH values it compiles
+    to a two-level aggregate — a pre-agg shuffled on (group, pivot) keys
+    feeding a `pivotfirst` shuffled on the group key. The conditional-
+    aggregation form is a single shuffle on `group_col` with map-side
+    partial aggregation, and each output cell is a codegen'd CASE.
+
+    `agg_builder` receives the masked value column (null where the row's
+    pivot value differs), e.g. `lambda c: F.round(F.sum(c), 2)` — so
+    counting aggregates count MATCHING rows only, same as SQL pivot.
+    `names` renames output cells (raw values like `4-NOT SPECIFIED` are
+    hostile to downstream SQL).
+    """
+    names = names or {}
+    return df.groupBy(group_col).agg(
+        *[
+            agg_builder(
+                F.when(F.col(pivot_col) == v, F.col(value_col))
+            ).alias(names.get(v, v))
+            for v in values
+        ]
+    )

@@ -8,7 +8,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sparkprep.operators import profile
+from sparkprep.functions import numeric
+from sparkprep.operators import profile, transform
 from sparkprep.queries import t
 from sparkprep.session import tune_for_engine
 
@@ -478,6 +479,137 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped six-table star join: two broadcast dims
+    (region→nation), two shuffle joins on the fact chain
+    (customer⋈orders⋈lineitem), supplier joined on BOTH suppkey and the
+    customer's nation (the 'local supplier' predicate). Shape notes for
+    scale: region/nation broadcast (KBs), supplier broadcasts under AQE
+    at any SF where it fits, and the only large shuffles are the two
+    fact-chain joins on their natural keys — the same keys a bucketed
+    layout (writers.write_bucketed) would co-locate to zero-exchange."""
+    tune_for_engine(spark)
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = t(spark, sf_dir, "nation")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    asia_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    return (
+        cust.join(F.broadcast(asia_nations), cust.c_nationkey == F.col("n_nationkey"))
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+_LOCAL_SUPPLIER_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def q_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quartile bucketing via numeric.quantile_bucket — the
+    scale-sane replacement for ntile() OVER (PARTITION BY status), which
+    would funnel each status's full 100 TB slice through one task. Exact
+    percentile cutoffs (one row per group) broadcast back; oracle uses
+    DuckDB percentile_cont, which shares Spark percentile's linear
+    interpolation. Bucket counts + per-bucket avg pin the assignment."""
+    orders = t(spark, sf_dir, "orders")
+    bucketed = numeric.quantile_bucket(
+        orders, "o_totalprice", group_col="o_orderstatus", out_col="bucket"
+    )
+    return bucketed.groupBy("o_orderstatus", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+
+
+_QUANTILE_BUCKETS_SQL = """
+WITH cuts AS (
+  SELECT o_orderstatus,
+         percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS q0,
+         percentile_cont(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS q1,
+         percentile_cont(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS q2
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o.o_orderstatus,
+       CAST(CASE WHEN o_totalprice <= q0 THEN 0
+                 WHEN o_totalprice <= q1 THEN 1
+                 WHEN o_totalprice <= q2 THEN 2
+                 ELSE 3 END AS BIGINT) AS bucket,
+       count(*) AS n,
+       round(avg(o_totalprice), 2) AS avg_price
+FROM orders o JOIN cuts c ON o.o_orderstatus = c.o_orderstatus
+GROUP BY o.o_orderstatus, bucket
+"""
+
+
+def q_pivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot (reference-absent): order revenue by status ×
+    priority, compiled as conditional aggregation — ONE hash aggregate
+    (sum(CASE WHEN ...) per value), single shuffle on the group key, no
+    distinct-discovery pass and no pivotfirst second level (which is
+    what `groupBy().pivot()` would plan)."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        transform.pivot_table(
+            orders,
+            "o_orderstatus",
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+            "o_totalprice",
+            lambda c: F.round(F.sum(c), 2),
+            names={
+                "1-URGENT": "urgent",
+                "2-HIGH": "high",
+                "3-MEDIUM": "medium",
+                "4-NOT SPECIFIED": "not_specified",
+                "5-LOW": "low",
+            },
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_PIVOT_SQL = """
+SELECT o_orderstatus,
+       round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2)        AS urgent,
+       round(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 2)          AS high,
+       round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 2)        AS medium,
+       round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 2) AS not_specified,
+       round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2)           AS low
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def q_except_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set difference (reference-absent; `exceptAll`/`intersect` free in
     Spark): parts that appear in lineitem but have no supplier-1 rows."""
@@ -579,6 +711,9 @@ QUERIES = {
     "salted_agg": q_salted_agg,
     "sql_view": q_sql_view,
     "rollup": q_rollup,
+    "pivot_priority": q_pivot_priority,
+    "local_supplier_volume": q_local_supplier_volume,
+    "quantile_buckets": q_quantile_buckets,
     "except_suppliers": q_except_suppliers,
     "intersect_parts": q_intersect_parts,
     "topk_per_group": q_topk_per_group,
@@ -602,6 +737,9 @@ ORACLES = {
     "salted_agg": _SALTED_AGG_SQL,
     "sql_view": _SQL_VIEW_SQL,
     "rollup": _ROLLUP_SQL,
+    "pivot_priority": _PIVOT_SQL,
+    "local_supplier_volume": _LOCAL_SUPPLIER_SQL,
+    "quantile_buckets": _QUANTILE_BUCKETS_SQL,
     "except_suppliers": _EXCEPT_SQL,
     "intersect_parts": _INTERSECT_SQL,
     "topk_per_group": _TOPK_PER_GROUP_SQL,

@@ -261,6 +261,42 @@ GROUP BY token ORDER BY count DESC, token
 """
 
 
+def q_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (§2.15 UDTF surface): word-bigram exploder in a
+    LATERAL join. API-parity coverage for the table-function extension
+    point — when the transform IS expressible natively, prefer the
+    explode-based path (see q_doc_chunks / q_word_count): a row-wise
+    Python UDTF is the slow path, so this query bounds its input
+    (doc_id < 100) and exists to pin the UDTF contract (yield-per-row,
+    lateral correlation, declared schema), not to win benchmarks."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: bigint, bigram: string")
+    class WordBigrams:
+        def eval(self, text: str):
+            if text is None:
+                return
+            words = text.split(" ")
+            for i in range(len(words) - 1):
+                yield i, words[i] + " " + words[i + 1]
+
+    spark.udtf.register("word_bigrams", WordBigrams)
+    t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).createOrReplaceTempView(
+        "udtf_docs"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, b.pos, b.bigram FROM udtf_docs d, LATERAL word_bigrams(d.text) b"
+    )
+
+
+_UDTF_BIGRAMS_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents WHERE doc_id < 100),
+e AS (SELECT doc_id, unnest(range(1, len(words))) AS i, words FROM w)
+SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, words[i] || ' ' || words[i + 1] AS bigram
+FROM e
+"""
+
+
 QUERIES = {
     "token_modes": q_token_modes,
     "text_stats": q_text_stats,
@@ -270,6 +306,7 @@ QUERIES = {
     "text_cleanup": q_text_cleanup,
     "repetition_signals": q_repetition_signals,
     "word_count": q_word_count,
+    "udtf_bigrams": q_udtf_bigrams,
 }
 
 ORACLES = {
@@ -281,4 +318,5 @@ ORACLES = {
     "text_cleanup": _TEXT_CLEANUP_SQL,
     "repetition_signals": _REPETITION_SQL,
     "word_count": _WORD_COUNT_SQL,
+    "udtf_bigrams": _UDTF_BIGRAMS_SQL,
 }

@@ -216,3 +216,21 @@ def test_stratified_sample_deterministic(spark, sf_dir):
     p_all = orders.filter(F.col("o_orderstatus") == "P").count()
     p_kept = a.filter(F.col("o_orderstatus") == "P").count()
     assert p_kept == p_all
+
+
+def test_pivot_table_explicit_values(spark):
+    from sparkprep.operators import transform
+
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "x", 2.0), ("a", "y", 10.0), ("b", "y", 5.0)],
+        ["g", "p", "v"],
+    )
+    out = transform.pivot_table(
+        df, "g", "p", ["x", "y", "z"], "v", lambda c: F.sum(c),
+        names={"z": "never_seen"},
+    ).orderBy("g")
+    assert out.columns == ["g", "x", "y", "never_seen"]
+    rows = out.collect()
+    # missing (g,p) combinations and never-observed pivot values -> null
+    assert (rows[0].x, rows[0].y, rows[0].never_seen) == (3.0, 10.0, None)
+    assert (rows[1].x, rows[1].y, rows[1].never_seen) == (None, 5.0, None)

@@ -120,3 +120,35 @@ def test_ivf_topk_reasonable_recall(spark, sf_dir):
     ivf2 = sim.ann_ivf_topk(emb, queries, k=5, num_centroids=8, num_probes=2)
     rows = ivf2.collect()
     assert rows and all(1 <= r.rank <= 5 for r in rows)
+
+def test_quantile_bucket_semantics(spark):
+    from sparkprep.functions import numeric
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(1, 9)] + [(None,)], ["x"]
+    )
+    out = numeric.quantile_bucket(df, "x", out_col="b")
+    got = {r.x: r.b for r in out.collect()}
+    # quartiles of 1..8: q25=2.75, q50=4.5, q75=6.25
+    assert got[1.0] == 0 and got[2.0] == 0
+    assert got[3.0] == 1 and got[4.0] == 1
+    assert got[5.0] == 2 and got[6.0] == 2
+    assert got[7.0] == 3 and got[8.0] == 3
+    assert got[None] is None
+
+
+def test_quantile_bucket_grouped_counts_balanced(spark, sf_dir):
+    from sparkprep.functions import numeric
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = numeric.quantile_bucket(
+        orders, "o_totalprice", group_col="o_orderstatus", out_col="b"
+    )
+    counts = {
+        (r.o_orderstatus, r.b): r["count"]
+        for r in out.groupBy("o_orderstatus", "b").count().collect()
+    }
+    # quartile buckets must be near-balanced within every group
+    for status in {k[0] for k in counts}:
+        sizes = [v for (s, _), v in counts.items() if s == status]
+        assert max(sizes) - min(sizes) <= max(2, int(0.02 * sum(sizes)))

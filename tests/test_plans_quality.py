@@ -107,3 +107,28 @@ def test_codegen_in_hot_path(spark, sf_dir):
 def test_no_python_udfs_anywhere(plans):
     for name, plan in plans.items():
         assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
+
+def test_q5_star_join_shape(spark, sf_dir):
+    plan = _simple(QUERIES["local_supplier_volume"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan          # region->nation->customer dims
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in _or_formatted(spark, sf_dir, "local_supplier_volume")
+
+
+def _or_formatted(spark, sf_dir, name):
+    return explain_formatted(QUERIES[name](spark, sf_dir))
+
+
+def test_quantile_bucket_no_global_window(spark, sf_dir):
+    # the whole point: NO WindowExec anywhere — cutoffs via hash agg +
+    # broadcast join back
+    plan = _simple(QUERIES["quantile_buckets"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pivot_single_aggregate(spark, sf_dir):
+    # explicit pivot values -> one hash-agg pair (partial+final), no
+    # distinct-discovery job, no extra shuffle
+    plan = _simple(QUERIES["pivot_priority"](spark, sf_dir))
+    assert plan.count("Exchange") <= 2  # one shuffle for agg + one for sort
