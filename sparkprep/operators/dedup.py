@@ -356,6 +356,11 @@ def simhash_pairs(
     chunks-1 shares at least one exact chunk, so candidates come from
     equi-joins on (chunk_idx, chunk_value) — never an all-pairs scan.
     """
+    # NOTE: no checkpoint/persist of the sketch needed — the self-join
+    # sides canonicalize to the same exchange despite differing aliases,
+    # so AQE ReusedExchange computes the sketch once (verified: eager
+    # localCheckpoint gained nothing at sf0.1; the ~5s warm cost is the
+    # 1.2M-pair join output + dedup shuffle, inherent to the semantics).
     sh = simhash(df, text_col, id_col, bits)
     width = bits // chunks
     mask = (1 << width) - 1

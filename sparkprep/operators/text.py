@@ -292,3 +292,35 @@ def word_count(df: DataFrame, c: str, token_col: str = "token") -> DataFrame:
         .agg(F.count(F.lit(1)).alias("count"))
         .orderBy(F.desc("count"), F.asc(token_col))
     )
+
+
+def unigram_lm_score(
+    df: DataFrame, text_col: str, id_col: str, round_to: int = 4
+) -> DataFrame:
+    """Corpus-self-trained unigram LM score per document: mean
+    log p(token) under the corpus's own unigram distribution — the
+    classic cheap fluency/perplexity proxy for LLM-data quality
+    filtering (low score = tokens rare in this corpus = outlier doc).
+
+    Dataflow (two shuffles, both map-combined):
+      1. explode tokens -> groupBy(token) count  = the "model fit"
+      2. token stream ⋈ vocab on token -> groupBy(doc) avg(log p)
+
+    The corpus-total normalizer is a window over the AGGREGATED vocab
+    frame — single-partition by construction, but over |vocab| rows,
+    not |corpus| (fine until the vocab itself outgrows one executor, at
+    which point: localCheckpoint the vocab and embed the total as a
+    literal, the A6 scalar pattern).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__tok"))
+    vocab = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    vocab = vocab.withColumn(
+        "__lp", F.log(F.col("__c") / F.sum("__c").over(Window.partitionBy()))
+    ).select("__tok", "__lp")
+    return (
+        toks.join(vocab, "__tok")
+        .groupBy(id_col)
+        .agg(F.round(F.avg("__lp"), round_to).alias("lm_score"))
+    )

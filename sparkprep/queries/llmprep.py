@@ -433,6 +433,78 @@ FROM payload
 """
 
 
+def q_llm_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole LLM-prep quality gate as ONE funnel-accounting pass:
+    length gate → composite quality gate → repetition gate → exact
+    dedup, each stage's survivor count from a conditional aggregate
+    over cumulative predicates. One projection computes every signal,
+    one window (hash-partitioned by text) marks dedup canonicals, one
+    aggregate emits the funnel — three stages total regardless of data
+    size. Run over the exact-dup corpus so the dedup stage bites."""
+    from sparkprep.operators import text as tx
+    from pyspark.sql import Window
+
+    corpus = _corpus_exact(spark, sf_dir)
+    staged = tx.add_repetition_signals(corpus, "text")
+    staged = staged.select(
+        "doc_id", "text", "dup_shingle_ratio",
+        tx.quality_score("text").alias("__q"),
+        tx.char_count("text").alias("__n"),
+    ).withColumn(
+        "__min_id", F.min("doc_id").over(Window.partitionBy("text"))
+    )
+    c_len = (F.col("__n") >= 80) & (F.col("__n") <= 450)
+    c_qual = c_len & (F.col("__q") >= 0.8)
+    c_rep = c_qual & (
+        F.col("dup_shingle_ratio").isNull() | (F.col("dup_shingle_ratio") <= 0.2)
+    )
+    c_dedup = c_rep & (F.col("doc_id") == F.col("__min_id"))
+    return staged.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count(F.when(c_len, 1)).alias("after_length"),
+        F.count(F.when(c_qual, 1)).alias("after_quality"),
+        F.count(F.when(c_rep, 1)).alias("after_repetition"),
+        F.count(F.when(c_dedup, 1)).alias("after_dedup"),
+    )
+
+
+_EN_FUNNEL = "'the', 'a', 'and', 'of', 'to', 'in', 'is', 'it'"
+
+_LLM_FUNNEL_SQL = f"""
+WITH {_CORPUS_EXACT_SQL.strip()},
+sig AS (
+  SELECT doc_id, text,
+         length(text) AS n,
+         round((
+           (CASE WHEN length(text) < 50 THEN length(text) / 50.0
+                 WHEN length(text) > 1000 THEN greatest(0.0, 1 - (length(text) - 1000) / 4000.0)
+                 ELSE 1.0 END)
+           + least(round(len(list_filter(string_split(text, ' '), x -> x IN ({_EN_FUNNEL})))::DOUBLE
+                         / len(string_split(text, ' ')), 6) / 0.15, 1.0)
+           + (1 - round(length(regexp_replace(text, '[a-zA-Z ]', '', 'g'))::DOUBLE / length(text), 6))
+         ) / 3, 4) AS q,
+         round(CASE WHEN len(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) > 0
+                    THEN 1 - len(list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])))::DOUBLE
+                          / len(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
+               END, 4) AS dup_ratio,
+         min(doc_id) OVER (PARTITION BY text) AS min_id
+  FROM corpus
+)
+SELECT count(*) AS total,
+       count(*) FILTER (WHERE n BETWEEN 80 AND 450) AS after_length,
+       count(*) FILTER (WHERE n BETWEEN 80 AND 450 AND q >= 0.8) AS after_quality,
+       count(*) FILTER (WHERE n BETWEEN 80 AND 450 AND q >= 0.8
+                          AND (dup_ratio IS NULL OR dup_ratio <= 0.2)) AS after_repetition,
+       count(*) FILTER (WHERE n BETWEEN 80 AND 450 AND q >= 0.8
+                          AND (dup_ratio IS NULL OR dup_ratio <= 0.2)
+                          AND doc_id = min_id) AS after_dedup
+FROM sig
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "minhash_pairs": q_minhash_pairs,
@@ -444,6 +516,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "media_features": q_media_features,
     "dedup_clusters": q_dedup_clusters,
+    "llm_funnel": q_llm_funnel,
 }
 
 ORACLES = {
@@ -457,4 +530,5 @@ ORACLES = {
     "embedding_near_dup": _NEAR_DUP_SQL,
     "media_features": _MEDIA_SQL,
     "dedup_clusters": _dedup_clusters_sql(),
+    "llm_funnel": _LLM_FUNNEL_SQL,
 }

@@ -535,6 +535,35 @@ GROUP BY n_name
 """
 
 
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: typed JSON extraction from the
+    events.props payload (from_json with explicit schema — JVM-side
+    Jackson parse, no Python) feeding a grouped aggregate. The schema-
+    on-read pattern for landing-zone event payloads."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.from_json(F.col("props"), "k BIGINT")["k"].alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_JSON_PROPS_SQL = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(props->>'k' AS BIGINT))::BIGINT AS sum_k,
+       round(avg(CAST(props->>'k' AS BIGINT)), 4) AS avg_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group quartile bucketing via numeric.quantile_bucket — the
     scale-sane replacement for ntile() OVER (PARTITION BY status), which
@@ -714,6 +743,7 @@ QUERIES = {
     "pivot_priority": q_pivot_priority,
     "local_supplier_volume": q_local_supplier_volume,
     "quantile_buckets": q_quantile_buckets,
+    "json_props": q_json_props,
     "except_suppliers": q_except_suppliers,
     "intersect_parts": q_intersect_parts,
     "topk_per_group": q_topk_per_group,
@@ -740,6 +770,7 @@ ORACLES = {
     "pivot_priority": _PIVOT_SQL,
     "local_supplier_volume": _LOCAL_SUPPLIER_SQL,
     "quantile_buckets": _QUANTILE_BUCKETS_SQL,
+    "json_props": _JSON_PROPS_SQL,
     "except_suppliers": _EXCEPT_SQL,
     "intersect_parts": _INTERSECT_SQL,
     "topk_per_group": _TOPK_PER_GROUP_SQL,

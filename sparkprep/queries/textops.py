@@ -297,6 +297,69 @@ FROM e
 """
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM fluency proxy: mean log p(token) per doc under the
+    corpus's own unigram distribution (text.unigram_lm_score). The
+    standard cheap outlier-document filter in LLM-data pipelines."""
+    docs = t(spark, sf_dir, "documents")
+    return tx.unigram_lm_score(docs, "text", "doc_id")
+
+
+_LM_SCORE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+lp AS (SELECT tok, ln(c / sum(c) OVER ()) AS lp FROM vocab)
+SELECT doc_id, round(avg(lp.lp), 4) AS lm_score
+FROM toks JOIN lp USING (tok)
+GROUP BY doc_id
+"""
+
+
+def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential token packing (the concat-and-chunk step of LLM
+    training prep): per-source running token total assigns each doc to
+    the context-window pack its first token lands in. Window is
+    partitioned by source — at 100 TB you pack per (source, date-shard)
+    so no shard outgrows a task; the ORDER BY doc_id makes packing
+    deterministic. Output is the per-pack manifest."""
+    budget = 2048
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", tx.token_count("text").alias("__nt")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    packed = docs.withColumn(
+        "pack_id",
+        F.floor((F.sum("__nt").over(w) - F.col("__nt")) / budget).cast("long"),
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+_TOKEN_PACKING_SQL = r"""
+WITH d AS (
+  SELECT doc_id, source,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))::BIGINT AS nt
+  FROM documents
+),
+p AS (
+  SELECT doc_id, source, nt,
+         CAST(floor((sum(nt) OVER (PARTITION BY source ORDER BY doc_id) - nt) / 2048.0) AS BIGINT) AS pack_id
+  FROM d
+)
+SELECT source, pack_id, count(*) AS n_docs, sum(nt)::BIGINT AS n_tokens, min(doc_id) AS first_doc
+FROM p GROUP BY source, pack_id
+"""
+
+
 QUERIES = {
     "token_modes": q_token_modes,
     "text_stats": q_text_stats,
@@ -307,6 +370,8 @@ QUERIES = {
     "repetition_signals": q_repetition_signals,
     "word_count": q_word_count,
     "udtf_bigrams": q_udtf_bigrams,
+    "lm_score": q_lm_score,
+    "token_packing": q_token_packing,
 }
 
 ORACLES = {
@@ -319,4 +384,6 @@ ORACLES = {
     "repetition_signals": _REPETITION_SQL,
     "word_count": _WORD_COUNT_SQL,
     "udtf_bigrams": _UDTF_BIGRAMS_SQL,
+    "lm_score": _LM_SCORE_SQL,
+    "token_packing": _TOKEN_PACKING_SQL,
 }

@@ -1,5 +1,6 @@
 from sparkprep.streaming.events import (  # noqa: F401
     dedup_stream,
+    enrich_stream,
     foreach_batch_jdbc,
     read_events_stream,
     run_available_now,

@@ -117,6 +117,25 @@ def sessionize_stream(
     )
 
 
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    CURRENT state of the static side (Spark re-plans the batch side per
+    micro-batch, so a dim table refreshed between batches is picked up
+    without restarting the query). With ``broadcast_dim`` the static
+    side ships to executors once per batch and the stream side never
+    shuffles — the only viable shape when the stream is the big side,
+    which it always is. Stateless: no watermark needed for inner/left
+    joins against a static frame."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return events.join(d, on, how)
+
+
 def run_available_now(
     stream_df: DataFrame,
     sink_format: str = "memory",

@@ -1,0 +1,81 @@
+"""Property-based tests (hypothesis): operator invariants that a
+single golden fixture can't pin down. Example counts are kept low
+(10-20) because every example is a Spark job; lists of values are
+batched into one DataFrame per example.
+"""
+
+import math
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from sparkprep.functions import numeric, strings
+from sparkprep.operators import text as tx
+
+_texts = st.text(
+    alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+    max_size=80,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                          min_value=-1e6, max_value=1e6),
+                min_size=2, max_size=30))
+def test_minmax_normalize_bounds(spark, xs):
+    df = spark.createDataFrame([(float(x),) for x in xs], ["x"])
+    out = numeric.minmax_normalize(df, "x").collect()
+    lo, hi = min(xs), max(xs)
+    for r in out:
+        if lo == hi:
+            assert r.x is None  # degenerate column -> null, documented
+        else:
+            assert -1e-9 <= r.x <= 1 + 1e-9
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_texts, min_size=1, max_size=10))
+def test_token_count_matches_java_whitespace_contract(spark, texts):
+    # the operator's contract is Java \s+ = [ \t\n\x0b\f\r] — NOT Python
+    # str.split(), which also splits on \x1c-\x1f/\x85 (hypothesis found
+    # exactly that divergence)
+    import re
+
+    df = spark.createDataFrame([(t,) for t in texts], ["t"])
+    got = [r.n for r in df.select(tx.token_count("t").alias("n")).collect()]
+    expected = [
+        len([x for x in re.split(r"[ \t\n\x0b\f\r]+", t) if x]) for t in texts
+    ]
+    assert got == expected
+
+
+@settings(max_examples=15, deadline=None)
+@given(_texts)
+def test_strip_trailing_percent_is_rstrip(spark, s):
+    df = spark.createDataFrame([(s,)], ["c"])
+    got = df.select(strings.strip_trailing_percent("c").alias("o")).collect()[0].o
+    assert got == s.rstrip("%")
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                          min_value=-1e4, max_value=1e4),
+                min_size=4, max_size=40))
+def test_quantile_bucket_monotone(spark, xs):
+    df = spark.createDataFrame([(float(x),) for x in xs], ["x"])
+    rows = numeric.quantile_bucket(df, "x", out_col="b").collect()
+    by_x = sorted((r.x, r.b) for r in rows)
+    buckets = [b for _, b in by_x]
+    # bucket id must be monotone in x and span at most 0..len(probs)
+    assert buckets == sorted(buckets)
+    assert all(0 <= b <= 3 for b in buckets)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=40),
+                min_size=1, max_size=8))
+def test_normalize_text_idempotent(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], ["t"])
+    once = df.select(tx.normalize_text("t").alias("t"))
+    twice = once.select(tx.normalize_text("t").alias("t"))
+    assert [r.t for r in once.collect()] == [r.t for r in twice.collect()]

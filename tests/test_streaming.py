@@ -94,3 +94,24 @@ def test_foreach_batch_parquet_roundtrip(spark, sf_dir, ckpt):
         assert captured
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+def test_enrich_stream_matches_batch_join(spark, sf_dir, ckpt):
+    stream = st.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = st.enrich_stream(stream, cust, "user_id").select(
+        "event_id", "user_id", "c_mktsegment"
+    )
+    st.run_available_now(
+        enriched, query_name="enriched", output_mode="append",
+        checkpoint=f"{ckpt}/enrich",
+    )
+    got = spark.sql("SELECT * FROM enriched")
+
+    batch = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    expected = batch.join(cust, "user_id", "left").select(
+        "event_id", "user_id", "c_mktsegment"
+    )
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert key(got) == key(expected)
