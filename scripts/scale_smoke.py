@@ -98,6 +98,14 @@ def main() -> None:
     bench("simhash", lambda: materialize(dedup.simhash(docs, "text", "doc_id")))
     bench("minhash LSH pairs (est>=0.8)", lambda: materialize(dedup.minhash_candidate_pairs(
         docs, "text", "doc_id", est_threshold=0.8)))
+    bench("unigram LM score", lambda: materialize(text.unigram_lm_score(
+        docs, "text", "doc_id")))
+    # pair graph: num_docs/10 chains of length 10 -> CC must converge in
+    # ~diameter rounds with bounded lineage (localCheckpoint per round)
+    edges = spark.range(num_docs - 1).filter(F.pmod("id", 10) != 9).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    bench("connected components (chains)", lambda: materialize(
+        dedup.connected_components(edges, max_iterations=15)))
     spark.stop()
 
 

@@ -445,9 +445,21 @@ def q_llm_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     corpus = _corpus_exact(spark, sf_dir)
-    staged = tx.add_repetition_signals(corpus, "text")
+    # only the dup-shingle signal is gated on — do NOT pay for
+    # add_repetition_signals' top_token_ratio (O(distinct·n) per row).
+    # Token array materialized in its OWN projection before the shingle
+    # lambda touches it (an inline tokens() re-splits the text per
+    # element inside transform — the 18x landmine)
+    staged = corpus.withColumn("__tk", tx.tokens("text")).withColumn(
+        "__sh", tx.shingles(F.col("__tk"), 3)
+    )
+    dup_ratio = F.when(
+        F.size("__sh") > 0,
+        1 - F.size(F.array_distinct("__sh")) / F.size("__sh"),
+    )
     staged = staged.select(
-        "doc_id", "text", "dup_shingle_ratio",
+        "doc_id", "text",
+        F.round(dup_ratio, 4).alias("dup_shingle_ratio"),
         tx.quality_score("text").alias("__q"),
         tx.char_count("text").alias("__n"),
     ).withColumn(

@@ -535,6 +535,119 @@ GROUP BY n_name
 """
 
 
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped conditional-ratio aggregate: promo revenue share
+    per month. part (small dim) broadcasts; the ratio is two conditional
+    sums in ONE aggregate — no second pass, no self-join. ANSI-safe:
+    denominator guarded (a month with zero revenue yields null)."""
+    tune_for_engine(spark)
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+    total_rev = F.sum(rev)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.round(
+                F.when(total_rev != 0, 100.0 * promo_rev / total_rev), 4
+            ).alias("promo_share"),
+            F.round(total_rev, 2).alias("total_revenue"),
+        )
+    )
+
+
+_PROMO_SHARE_SQL = """
+SELECT date_trunc('month', l_shipdate)::TIMESTAMP AS ship_month,
+       round(CASE WHEN sum(l_extendedprice * (1 - l_discount)) <> 0
+                  THEN 100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                        THEN l_extendedprice * (1 - l_discount)
+                                        ELSE 0.0 END)
+                       / sum(l_extendedprice * (1 - l_discount)) END, 4) AS promo_share,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY date_trunc('month', l_shipdate)
+"""
+
+
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped having-semi-join: orders whose total lineitem
+    quantity exceeds a threshold, rejoined to orders+customer. The
+    groupBy-HAVING side reduces lineitem to a tiny key set FIRST (one
+    shuffle on l_orderkey, map-combined), which then broadcasts into
+    the orders join under AQE — the anti-pattern it replaces is joining
+    full lineitem to orders and aggregating after."""
+    tune_for_engine(spark)
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
+_BIG_ORDERS_SQL = """
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 150
+)
+SELECT c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-flavored decorrelation: for each part, the supplier
+    offering its minimum line price. The correlated-subquery phrasing
+    ('price = (SELECT min(price) ... WHERE same part)') becomes a
+    window-min over the part key — one shuffle, no subquery re-scan,
+    then a broadcast join to supplier names. Ties kept (same as the
+    SQL EXISTS form); min_price carried for the oracle hash."""
+    tune_for_engine(spark)
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    supp = t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("l_partkey")
+    cheapest = (
+        li.withColumn("__min_price", F.min("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("__min_price"))
+        .select(
+            "l_partkey", "l_suppkey",
+            F.round("l_extendedprice", 2).alias("min_price"),
+        )
+        .dropDuplicates(["l_partkey", "l_suppkey"])
+    )
+    return cheapest.join(
+        F.broadcast(supp), cheapest.l_suppkey == supp.s_suppkey
+    ).select("l_partkey", "l_suppkey", "s_name", "min_price")
+
+
+_CHEAPEST_SUPPLIER_SQL = """
+WITH cheapest AS (
+  SELECT DISTINCT l_partkey, l_suppkey, round(l_extendedprice, 2) AS min_price
+  FROM (
+    SELECT l_partkey, l_suppkey, l_extendedprice,
+           min(l_extendedprice) OVER (PARTITION BY l_partkey) AS mn
+    FROM lineitem
+  ) WHERE l_extendedprice = mn
+)
+SELECT l_partkey, l_suppkey, s_name, min_price
+FROM cheapest JOIN supplier ON l_suppkey = s_suppkey
+"""
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured column handling: typed JSON extraction from the
     events.props payload (from_json with explicit schema — JVM-side
@@ -744,6 +857,9 @@ QUERIES = {
     "local_supplier_volume": q_local_supplier_volume,
     "quantile_buckets": q_quantile_buckets,
     "json_props": q_json_props,
+    "promo_share": q_promo_share,
+    "big_orders": q_big_orders,
+    "cheapest_supplier": q_cheapest_supplier,
     "except_suppliers": q_except_suppliers,
     "intersect_parts": q_intersect_parts,
     "topk_per_group": q_topk_per_group,
@@ -771,6 +887,9 @@ ORACLES = {
     "local_supplier_volume": _LOCAL_SUPPLIER_SQL,
     "quantile_buckets": _QUANTILE_BUCKETS_SQL,
     "json_props": _JSON_PROPS_SQL,
+    "promo_share": _PROMO_SHARE_SQL,
+    "big_orders": _BIG_ORDERS_SQL,
+    "cheapest_supplier": _CHEAPEST_SUPPLIER_SQL,
     "except_suppliers": _EXCEPT_SQL,
     "intersect_parts": _INTERSECT_SQL,
     "topk_per_group": _TOPK_PER_GROUP_SQL,
