@@ -648,6 +648,85 @@ FROM cheapest JOIN supplier ON l_suppkey = s_suppkey
 """
 
 
+def q_user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 frames + lag: per-user inter-event gaps (lag over event
+    time) and a 3-row rolling value sum (rowsBetween frame), rolled up
+    to one row per user. The window partitions on user_id — max
+    parallelism |users|, no global sort — and (ts, event_id) ordering
+    makes lag/frame results deterministic under ties."""
+    tune_for_engine(spark)
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-2, 0)
+    staged = ev.select(
+        "user_id",
+        "value",
+        (
+            F.col("ts").cast("double")
+            - F.lag(F.col("ts").cast("double")).over(w)
+        ).alias("__gap"),
+        F.sum("value").over(wf).alias("__roll3"),
+    )
+    return staged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("__gap"), 2).alias("avg_gap_sec"),
+        F.round(F.max("__roll3"), 2).alias("max_roll3"),
+    )
+
+
+_USER_EVENT_GAPS_SQL = """
+WITH s AS (
+  SELECT user_id, value,
+         date_part('epoch', ts) - lag(date_part('epoch', ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap,
+         sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll3
+  FROM events
+)
+SELECT user_id, count(*) AS n_events,
+       round(avg(gap), 2) AS avg_gap_sec,
+       round(max(roll3), 2) AS max_roll3
+FROM s GROUP BY user_id
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention over the events stream: users bucketed by
+    first-touch day, distinct actives per (cohort, day-offset). Two
+    shuffles — the cohort fit (groupBy user, map-combined) and the
+    cohort join (user-keyed; the cohort frame is |users| rows so AQE
+    broadcasts it at any realistic fan-out) — then one distinct-count
+    aggregate. The standard product-analytics rollup, expressed so no
+    stage ever sees more than |events| rows."""
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("__day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("__day").alias("cohort_day"))
+    return (
+        ev.join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("__day"), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+_RETENTION_SQL = """
+WITH e AS (SELECT user_id, date_trunc('day', ts)::TIMESTAMP AS day FROM events),
+f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+SELECT f.cohort_day, date_diff('day', f.cohort_day, e.day)::BIGINT AS day_offset,
+       count(DISTINCT e.user_id) AS n_users
+FROM e JOIN f USING (user_id)
+GROUP BY f.cohort_day, day_offset
+"""
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured column handling: typed JSON extraction from the
     events.props payload (from_json with explicit schema — JVM-side
@@ -860,6 +939,8 @@ QUERIES = {
     "promo_share": q_promo_share,
     "big_orders": q_big_orders,
     "cheapest_supplier": q_cheapest_supplier,
+    "retention_cohorts": q_retention_cohorts,
+    "user_event_gaps": q_user_event_gaps,
     "except_suppliers": q_except_suppliers,
     "intersect_parts": q_intersect_parts,
     "topk_per_group": q_topk_per_group,
@@ -890,6 +971,8 @@ ORACLES = {
     "promo_share": _PROMO_SHARE_SQL,
     "big_orders": _BIG_ORDERS_SQL,
     "cheapest_supplier": _CHEAPEST_SUPPLIER_SQL,
+    "retention_cohorts": _RETENTION_SQL,
+    "user_event_gaps": _USER_EVENT_GAPS_SQL,
     "except_suppliers": _EXCEPT_SQL,
     "intersect_parts": _INTERSECT_SQL,
     "topk_per_group": _TOPK_PER_GROUP_SQL,
