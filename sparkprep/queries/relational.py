@@ -648,6 +648,47 @@ FROM cheapest JOIN supplier ON l_suppkey = s_suppkey
 """
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): per-user
+    min-timestamp per step in ONE conditional aggregate (no per-step
+    self-joins — the naive funnel is k-1 joins over the full event
+    stream), then step-ordering comparisons and a single global count.
+    Scales as one shuffle on user_id + a scalar rollup."""
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    did_view = F.col("t_view").isNotNull()
+    did_click = did_view & (F.col("t_click") > F.col("t_view"))
+    did_purchase = did_click & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count(F.when(did_view, 1)).alias("n_view"),
+        F.count(F.when(did_click, 1)).alias("n_view_click"),
+        F.count(F.when(did_purchase, 1)).alias("n_view_click_purchase"),
+    )
+
+
+_EVENT_FUNNEL_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT count(*) FILTER (WHERE t_view IS NOT NULL) AS n_view,
+       count(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view) AS n_view_click,
+       count(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view
+                          AND t_purchase > t_click) AS n_view_click_purchase
+FROM per_user
+"""
+
+
 def q_user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 frames + lag: per-user inter-event gaps (lag over event
     time) and a 3-row rolling value sum (rowsBetween frame), rolled up
@@ -941,6 +982,7 @@ QUERIES = {
     "cheapest_supplier": q_cheapest_supplier,
     "retention_cohorts": q_retention_cohorts,
     "user_event_gaps": q_user_event_gaps,
+    "event_funnel": q_event_funnel,
     "except_suppliers": q_except_suppliers,
     "intersect_parts": q_intersect_parts,
     "topk_per_group": q_topk_per_group,
@@ -973,6 +1015,7 @@ ORACLES = {
     "cheapest_supplier": _CHEAPEST_SUPPLIER_SQL,
     "retention_cohorts": _RETENTION_SQL,
     "user_event_gaps": _USER_EVENT_GAPS_SQL,
+    "event_funnel": _EVENT_FUNNEL_SQL,
     "except_suppliers": _EXCEPT_SQL,
     "intersect_parts": _INTERSECT_SQL,
     "topk_per_group": _TOPK_PER_GROUP_SQL,
