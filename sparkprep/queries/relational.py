@@ -956,6 +956,111 @@ def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DISTINCT_COUNTS_SQL = "SELECT count(DISTINCT l_partkey) AS n_exact FROM lineitem"
 
 
+def q_returned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped existence check: orders with at least one
+    returned lineitem, counted by priority. LEFT SEMI join keeps the
+    probe side narrow (no lineitem columns survive, no row blowup for
+    multi-match orders); the returned-only filter prunes the build side
+    before the shuffle, and only l_orderkey is scanned from lineitem."""
+    tune_for_engine(spark)
+    orders = t(spark, sf_dir, "orders")
+    returned = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_RETURNED_ORDERS_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped big-big join + conditional counts: lineitem
+    joined to orders on the order key, high- vs low-priority line
+    counts per linestatus in ONE aggregate pass. Both sides project to
+    two columns before the shuffle; at cluster scale the join is a
+    sort-merge on l_orderkey/o_orderkey — bucketing both tables on the
+    order key (writers.write_bucketed) makes it zero-exchange."""
+    tune_for_engine(spark)
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linestatus")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+_PRIORITY_BY_STATUS_SQL = """
+SELECT l_linestatus,
+       count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+         AS high_line_count,
+       count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def q_quiet_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped scalar subquery + anti-join: customers with an
+    above-average (positive) balance and no urgent orders. The average
+    is ONE distributed agg collected as a scalar (the A6 pattern,
+    loanStat.py:241-266, fused to a single job) — not a
+    crossJoin(broadcast(agg)), which re-executes the upstream subtree.
+    The urgent-customer build side is filtered then deduped map-side
+    (distinct partial-aggregates) before the LEFT ANTI shuffle."""
+    tune_for_engine(spark)
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("a"))
+        .first()[0]
+    )
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.filter(F.col("c_acctbal") > F.lit(avg_bal))
+        .join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .select(
+            "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal")
+        )
+    )
+
+
+_QUIET_RICH_SQL = """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "freq_orderpriority": q_freq_orderpriority,
@@ -987,6 +1092,9 @@ QUERIES = {
     "intersect_parts": q_intersect_parts,
     "topk_per_group": q_topk_per_group,
     "distinct_counts": q_distinct_counts,
+    "returned_orders": q_returned_orders,
+    "priority_by_status": q_priority_by_status,
+    "quiet_rich_customers": q_quiet_rich_customers,
 }
 
 ORACLES = {
@@ -1020,4 +1128,7 @@ ORACLES = {
     "intersect_parts": _INTERSECT_SQL,
     "topk_per_group": _TOPK_PER_GROUP_SQL,
     "distinct_counts": _DISTINCT_COUNTS_SQL,
+    "returned_orders": _RETURNED_ORDERS_SQL,
+    "priority_by_status": _PRIORITY_BY_STATUS_SQL,
+    "quiet_rich_customers": _QUIET_RICH_SQL,
 }

@@ -132,3 +132,28 @@ def test_pivot_single_aggregate(spark, sf_dir):
     # distinct-discovery job, no extra shuffle
     plan = _simple(QUERIES["pivot_priority"](spark, sf_dir))
     assert plan.count("Exchange") <= 2  # one shuffle for agg + one for sort
+
+
+def test_semi_join_prunes_and_pushes(spark, sf_dir):
+    # returned_orders: lineitem side must scan only l_orderkey with the
+    # returnflag filter pushed; the join must be LeftSemi (no row blowup)
+    plan = explain_formatted(QUERIES["returned_orders"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "EqualTo(l_returnflag,R)" in plan  # pushed to parquet scan
+    li_read = [s for s in plan.split("ReadSchema: ") if "l_orderkey" in s][0]
+    assert "l_quantity" not in li_read.split("\n")[0]
+
+
+def test_anti_join_shape(spark, sf_dir):
+    plan = explain_formatted(QUERIES["quiet_rich_customers"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "EqualTo(o_orderpriority,1-URGENT)" in plan  # pushed to scan
+
+
+def test_priority_by_status_projects_before_shuffle(spark, sf_dir):
+    # both join inputs scan exactly two columns
+    plan = explain_formatted(QUERIES["priority_by_status"](spark, sf_dir))
+    for frag in plan.split("ReadSchema: ")[1:]:
+        schema_line = frag.split("\n")[0]
+        assert schema_line.count(":") <= 2, schema_line
