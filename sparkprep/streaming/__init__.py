@@ -2,6 +2,7 @@ from sparkprep.streaming.events import (  # noqa: F401
     dedup_stream,
     enrich_stream,
     foreach_batch_jdbc,
+    join_streams,
     read_events_stream,
     run_available_now,
     sessionize_stream,

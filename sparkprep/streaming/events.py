@@ -136,6 +136,39 @@ def enrich_stream(
     return events.join(d, on, how)
 
 
+def join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: tuple[str, str],
+    left_ts: str,
+    right_ts: str,
+    within: str = "1 hour",
+    watermarks: tuple[str, str] = ("2 hours", "2 hours"),
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream time-bounded join (attribution shape): a right-side
+    event matches a left-side event with the same key when it lands in
+    ``[left_ts, left_ts + within]``.
+
+    Both sides carry watermarks and the join condition bounds event time
+    on BOTH sides, so Spark can expire buffered rows: left state is held
+    for watermark + ``within``, right state for its watermark — bounded
+    memory for an unbounded stream, the property a batch re-run (the
+    reference's 15-min Airflow loop, dag_DataproctoBQ_scheduled.py:48)
+    cannot provide. Caller projects distinct column names on each side;
+    ``on`` is the (left_key, right_key) pair.
+    """
+    l_wm, r_wm = watermarks
+    cond = (
+        (F.col(on[0]) == F.col(on[1]))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return left.withWatermark(left_ts, l_wm).join(
+        right.withWatermark(right_ts, r_wm), cond, how
+    )
+
+
 def run_available_now(
     stream_df: DataFrame,
     sink_format: str = "memory",

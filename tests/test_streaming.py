@@ -115,3 +115,47 @@ def test_enrich_stream_matches_batch_join(spark, sf_dir, ckpt):
     )
     key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
     assert key(got) == key(expected)
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, ckpt):
+    # attribution: purchases within 1 hour of a click by the same user.
+    # AvailableNow drains the file source in one micro-batch, so every
+    # inner-join match is emitted before the query stops — exact batch
+    # reconcile is valid.
+    def split(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            "value",
+        )
+        return clicks, purchases
+
+    s_clicks, _ = split(st.read_events_stream(spark, f"{sf_dir}/events.parquet"))
+    _, s_purch = split(st.read_events_stream(spark, f"{sf_dir}/events.parquet"))
+    joined = st.join_streams(
+        s_clicks, s_purch, on=("c_user", "p_user"),
+        left_ts="click_ts", right_ts="purchase_ts", within="1 hour",
+    )
+    st.run_available_now(
+        joined, query_name="attribution", output_mode="append",
+        checkpoint=f"{ckpt}/ss_join",
+    )
+    got = spark.sql("SELECT click_id, purchase_id FROM attribution")
+
+    b_clicks, b_purch = split(load_table(spark, sf_dir, "events"))
+    expected = b_clicks.join(
+        b_purch,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 hour")),
+    ).select("click_id", "purchase_id")
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    got_rows, exp_rows = key(got), key(expected)
+    assert got_rows == exp_rows
+    assert got_rows, "expected at least one attributed purchase"
