@@ -1061,6 +1061,41 @@ WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
 """
 
 
+def q_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped outer-join distribution: how many customers
+    placed 0, 1, 2, ... orders. orders pre-aggregates to one row per
+    custkey BEFORE the left join (shuffle carries |custkeys| rows, not
+    |orders|), unmatched customers surface as count 0 via coalesce, and
+    the histogram is a second tiny agg. The naive shape — left-join raw
+    orders then double-aggregate — shuffles the full orders table."""
+    tune_for_engine(spark)
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce("__n", F.lit(0).cast("long")).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_ORDER_DISTRIBUTION_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "freq_orderpriority": q_freq_orderpriority,
@@ -1095,6 +1130,7 @@ QUERIES = {
     "returned_orders": q_returned_orders,
     "priority_by_status": q_priority_by_status,
     "quiet_rich_customers": q_quiet_rich_customers,
+    "order_distribution": q_order_distribution,
 }
 
 ORACLES = {
@@ -1131,4 +1167,5 @@ ORACLES = {
     "returned_orders": _RETURNED_ORDERS_SQL,
     "priority_by_status": _PRIORITY_BY_STATUS_SQL,
     "quiet_rich_customers": _QUIET_RICH_SQL,
+    "order_distribution": _ORDER_DISTRIBUTION_SQL,
 }
