@@ -1061,6 +1061,28 @@ WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
 """
 
 
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over (returnflag, linestatus): all 2^2 grouping sets in
+    ONE pass (Spark expands the sets and still partial-aggregates
+    map-side — no per-set rescan of lineitem)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS count, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 def q_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13-shaped outer-join distribution: how many customers
     placed 0, 1, 2, ... orders. orders pre-aggregates to one row per
@@ -1131,6 +1153,7 @@ QUERIES = {
     "priority_by_status": q_priority_by_status,
     "quiet_rich_customers": q_quiet_rich_customers,
     "order_distribution": q_order_distribution,
+    "cube": q_cube,
 }
 
 ORACLES = {
@@ -1168,4 +1191,5 @@ ORACLES = {
     "priority_by_status": _PRIORITY_BY_STATUS_SQL,
     "quiet_rich_customers": _QUIET_RICH_SQL,
     "order_distribution": _ORDER_DISTRIBUTION_SQL,
+    "cube": _CUBE_SQL,
 }
