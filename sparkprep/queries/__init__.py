@@ -58,7 +58,12 @@ def registry():
 
     queries: dict = {}
     oracles: dict = {}
-    for mod in (relational, cleaning, textops, llmprep, temporal_grouped):
+    # Merge order is deliberate: the correctness driver adjudicates the
+    # first 50 registry entries per round. Modules whose queries lack a
+    # driver verdict (r1 covered the first 50 = relational + cleaning
+    # head) merge FIRST so they land inside the window; relational's
+    # already-green rows move to the tail.
+    for mod in (textops, llmprep, temporal_grouped, cleaning, relational):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles

@@ -368,6 +368,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "text_cleanup": q_text_cleanup,
     "repetition_signals": q_repetition_signals,
+    "doc_chunks": q_doc_chunks,
     "word_count": q_word_count,
     "udtf_bigrams": q_udtf_bigrams,
     "lm_score": q_lm_score,
@@ -382,6 +383,7 @@ ORACLES = {
     "fingerprint": _FINGERPRINT_SQL,
     "text_cleanup": _TEXT_CLEANUP_SQL,
     "repetition_signals": _REPETITION_SQL,
+    "doc_chunks": _DOC_CHUNKS_SQL,
     "word_count": _WORD_COUNT_SQL,
     "udtf_bigrams": _UDTF_BIGRAMS_SQL,
     "lm_score": _LM_SCORE_SQL,
