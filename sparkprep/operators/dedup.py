@@ -230,12 +230,17 @@ def connected_components(
     Greedy pair-based dedup (``minhash_dedup``) is not transitive (A~B,
     B~C but A!~C still all one cluster); this closes the transitive
     closure. Each iteration: every node adopts the minimum label among
-    itself and its neighbors — one join + one aggregate per round,
-    converging in O(component diameter) rounds (near-dup clusters are
-    shallow; 20 covers pathological chains). Early-exits when an
-    iteration changes nothing (one extra count per round — the
-    convergence check IS the driver loop; this is the engine's
-    'iterative algorithm' template).
+    itself and its neighbors (one-hop propagation), then remaps its
+    label to its label's OWN label (pointer doubling / path
+    shortcutting) — so reachable-distance to the component minimum
+    shrinks geometrically and the loop converges in O(log diameter)
+    rounds, not O(diameter): ``max_iterations=20`` covers components of
+    diameter ~2^20, far beyond any real near-dup graph. Early-exits
+    when an iteration changes nothing (labels only decrease, so
+    sum(component) is monotone — the convergence check IS the driver
+    loop; this is the engine's 'iterative algorithm' template). If the
+    loop exhausts without reaching the fixpoint it RAISES rather than
+    silently returning partial clusters.
 
     Returns (node, component) with component = min node id reachable.
     """
@@ -264,22 +269,44 @@ def connected_components(
     # on a 100k-node chain graph).
     labels = labels.localCheckpoint(eager=False)
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    converged = False
     for _ in range(max_iterations):
         neighbor_labels = (
             edges.join(labels, edges.v == labels.node)
             .select(F.col("u").alias("node"), "component")
         )
-        labels = (
+        hop = (
             labels.unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer doubling: remap each node's label to its label's label.
+        # Every label value is itself a node id present in `hop`, so the
+        # lookup always hits; coalesce guards the (impossible) miss. A
+        # label is already <= its node, so the remap only ever decreases.
+        parent = hop.select(
+            F.col("node").alias("p_node"), F.col("component").alias("p_comp")
+        )
+        labels = (
+            hop.join(parent, hop.component == parent.p_node, "left")
+            .select(
+                "node",
+                F.coalesce("p_comp", "component").alias("component"),
+            )
             .localCheckpoint(eager=False)
         )
         new_sum = labels.agg(F.sum("component")).collect()[0][0]
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations — component diameter exceeds 2^iterations; raise "
+            "max_iterations (wrong cluster labels must not pass silently)"
+        )
     return labels.select("node", "component")
 
 

@@ -42,7 +42,14 @@ def grouped_zscore(
         v = pdf[value_col]
         sd = v.std(ddof=1)  # sample stddev, matching Spark/SQL stddev
         pdf = pdf.copy()
-        pdf[out_col] = (v - v.mean()) / sd if sd and sd > 0 else float("nan")
+        if sd and sd > 0:  # NaN (n=1) and 0 both fall through
+            pdf[out_col] = (v - v.mean()) / sd
+        else:
+            # SQL NULL semantics: stddev_samp is NULL for n=1 and the
+            # z-score is NULL for zero variance — emit nulls, not NaN
+            # (Arrow keeps NaN as a double, which would diverge from
+            # any window-function oracle).
+            pdf[out_col] = pd.array([None] * len(pdf), dtype="Float64")
         return pdf
 
     return df.groupBy(*key_cols).applyInPandas(zscore, out_schema)
@@ -62,7 +69,12 @@ def grouped_geometric_mean(df: DataFrame, key_cols: list[str], value_col: str) -
     def geometric_mean(v: pd.Series) -> float:
         import numpy as np
 
-        return float(np.exp(np.log(v[v > 0]).mean()))
+        pos = v[v > 0]
+        if len(pos) == 0:
+            # SQL NULL semantics: avg(ln(x)) FILTER (WHERE x > 0) over a
+            # group with no positive values is NULL, not NaN.
+            return None
+        return float(np.exp(np.log(pos).mean()))
 
     return df.groupBy(*key_cols).agg(
         geometric_mean(F.col(value_col)).alias("gmean")

@@ -47,9 +47,22 @@ def asof_join(
     rows sort before left rows at equal timestamps, so an exactly-equal
     timestamp IS visible to the left row — matches ``ASOF JOIN ON
     l.ts >= r.ts`` semantics).
+
+    ``by=None`` is REFUSED: an unkeyed as-of needs
+    ``Window.partitionBy()`` (empty frame), which funnels the entire
+    union through ONE partition — correct results, catastrophic at
+    scale, and silent. Add a constant key only if the data is known
+    tiny, or pre-bucket time into a coarse key and as-of within it.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(direction)
+    if by is None:
+        raise ValueError(
+            "asof_join(by=None) would run the whole union through a "
+            "single partition (empty window frame). Pass a key column; "
+            "for a truly global as-of on small data, add a constant "
+            "column and pass it as `by`."
+        )
     value_cols = value_cols or [
         c for c in right.columns if c != on and c != by
     ]

@@ -1032,10 +1032,15 @@ def q_quiet_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_engine(spark)
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders")
-    avg_bal = (
+    # rounded to 6dp BOTH here and in the oracle subquery: engine
+    # summation order differs at ~1e-12, and a balance inside that
+    # window of the raw mean would be kept by one engine and dropped by
+    # the other — the threshold must be bit-identical on both sides.
+    avg_bal = round(
         cust.filter(F.col("c_acctbal") > 0)
         .agg(F.avg("c_acctbal").alias("a"))
-        .first()[0]
+        .first()[0],
+        6,
     )
     urgent = (
         orders.filter(F.col("o_orderpriority") == "1-URGENT")
@@ -1054,7 +1059,7 @@ def q_quiet_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUIET_RICH_SQL = """
 SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
 FROM customer c
-WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+WHERE c_acctbal > (SELECT round(avg(c_acctbal), 6) FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderpriority = '1-URGENT')

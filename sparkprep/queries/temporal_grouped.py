@@ -108,8 +108,9 @@ def q_pandas_gmean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _GMEAN_SQL = """
-SELECT l_returnflag, round(exp(avg(ln(l_extendedprice))), 2) AS gmean
-FROM lineitem WHERE l_extendedprice > 0
+SELECT l_returnflag,
+       round(exp(avg(ln(l_extendedprice)) FILTER (WHERE l_extendedprice > 0)), 2) AS gmean
+FROM lineitem
 GROUP BY l_returnflag ORDER BY l_returnflag
 """
 

@@ -95,3 +95,24 @@ def test_dedup_clusters_keep_reps(docs):
     clusters = dd.dedup_clusters(docs, "text", "doc_id", est_threshold=0.5)
     got = {r.doc_id: r.cluster_rep for r in clusters.collect()}
     assert got == {1: 1, 2: 1, 3: 3, 4: 4}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    # a 10-node path cannot reach its fixpoint in one round even with
+    # pointer doubling — the loop must refuse to return partial labels
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(pairs, max_iterations=1)
+
+
+def test_connected_components_log_rounds(spark):
+    # pointer doubling: a 100-node path converges within default
+    # max_iterations=20 (one-hop propagation alone would need ~100)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], ["id_a", "id_b"]
+    )
+    cc = dd.connected_components(pairs).collect()
+    assert {r.component for r in cc} == {0}
+    assert len(cc) == 101

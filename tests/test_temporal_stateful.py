@@ -106,3 +106,10 @@ def test_stateful_running_profile_matches_batch(spark, sf_dir):
         assert got == expected
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+def test_asof_unkeyed_refused(ticks):
+    # by=None would build Window.partitionBy() — the empty-frame
+    # single-partition landmine; the API must refuse it loudly
+    trades, quotes = ticks
+    with pytest.raises(ValueError, match="single partition"):
+        temporal.asof_join(trades, quotes, on="t", by=None, value_cols=["px"])
