@@ -145,6 +145,41 @@ def cosine_topk_arrow(
     )
 
 
+def hyperplane_dots(vec_col, planes: np.ndarray) -> Column:
+    """Per-plane dot products as ONE array<double> column — the shared
+    base for both the bucket signature and multi-probe margin ranking
+    (|dot| = distance to the hyperplane = flip confidence). Left-fold
+    summation keeps the result bit-identical to any engine that sums
+    sequentially (the oracle contract)."""
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    vec_col,
+                    F.array(*[F.lit(float(x)) for x in plane]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for plane in planes
+        ]
+    )
+
+
+def signature_from_dots(dots_col, num_planes: int) -> Column:
+    """Bucket id from a MATERIALIZED dots column (pass ``F.col``, not
+    the dots expression — interpreted lambdas re-evaluate embedded
+    trees, see the near-dup norm note below)."""
+    bits = [
+        F.when(dots_col[b] >= 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for b in range(num_planes)
+    ]
+    return sum(bits)
+
+
 def hyperplane_signature(vec_col, planes: np.ndarray) -> Column:
     """Random-hyperplane LSH signature: bit b = sign(<v, plane_b>).
     Planes are plan literals (seeded numpy), so signatures are
@@ -174,14 +209,23 @@ def ann_lsh_topk(
     dim: int = 64,
     seed: int = 42,
     round_to: int = 4,
+    num_probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane bucket join, exact cosine
-    rerank only inside the query's bucket.
+    rerank only inside the probed buckets.
 
     At 100 TB the corpus signature is computed once and bucketed
     (optionally persisted bucketed-by-signature); each query touches
-    ~corpus/2^planes vectors. Recall is tunable by planes count and
-    multi-probe; this implementation is single-probe (exact-bucket).
+    ~num_probes * corpus/2^planes vectors. ``num_probes > 1`` enables
+    multi-probe: beyond the exact bucket, the query also probes the
+    buckets reached by flipping its ``num_probes - 1``
+    lowest-|margin| sign bits (the planes it sits closest to — where
+    a true neighbor most likely landed on the other side). Probe
+    signatures are all distinct, so a corpus vector (one bucket) can
+    match a query at most once — no candidate dedup shuffle needed.
+    Multi-probe recovers the near-boundary recall single-probe loses
+    WITHOUT touching the corpus side: only the (tiny, broadcast)
+    query side explodes.
     """
     from pyspark.sql.window import Window
 
@@ -193,11 +237,40 @@ def ann_lsh_topk(
         F.col(vec_col).alias("__cv"),
         hyperplane_signature(F.col(vec_col), planes).alias("__sig"),
     )
-    q = query_df.select(
+    # dots materialized in their own projection, signature + probe set
+    # derived from the column (not the expression) — HOF re-eval trap
+    q_stage = query_df.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        hyperplane_signature(F.col(vec_col), planes).alias("__sig"),
+        hyperplane_dots(F.col(vec_col), planes).alias("__dots"),
+    ).select(
+        "query_id",
+        "__qv",
+        "__dots",
+        signature_from_dots(F.col("__dots"), num_planes).alias("__sig0"),
     )
+    if num_probes > 1:
+        margins = F.array_sort(
+            F.transform(
+                F.col("__dots"),
+                lambda d, i: F.struct(F.abs(d).alias("m"), i.alias("i")),
+            )
+        )
+        flip_idx = F.transform(
+            F.slice(margins, 1, min(num_probes - 1, num_planes)),
+            lambda s: s["i"],
+        )
+        bitvals = F.array(*[F.lit(1 << b).cast("long") for b in range(num_planes)])
+        probe_sigs = F.concat(
+            F.array(F.col("__sig0")),
+            F.transform(
+                flip_idx,
+                lambda ix: F.col("__sig0").bitwiseXOR(F.element_at(bitvals, ix + 1)),
+            ),
+        )
+        q = q_stage.select("query_id", "__qv", F.explode(probe_sigs).alias("__sig"))
+    else:
+        q = q_stage.select("query_id", "__qv", F.col("__sig0").alias("__sig"))
     scored = (
         c.join(F.broadcast(q), "__sig")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -230,26 +303,47 @@ def ann_ivf_topk(
     num_probes: int = 2,
     seed: int = 42,
     round_to: int = 4,
+    lloyd_iterations: int = 2,
+    sample_size: int = 1024,
 ) -> DataFrame:
-    """IVF-style ANN: coarse-quantize the corpus to seeded sample
+    """IVF-style ANN: coarse-quantize the corpus to Lloyd-refined
     centroids, search only the query's ``num_probes`` nearest cells.
 
-    A one-pass k-means-free IVF (centroids = deterministic corpus
-    sample): at 100 TB you'd run a few Lloyd iterations on a sample and
-    persist the corpus BUCKETED BY cell so each query touches
-    ~num_probes/num_centroids of the data with zero shuffle. Assignment
-    is a broadcast of the (tiny) centroid set; recall is tunable via
-    ``num_probes``.
+    Centroids: a deterministic pseudo-random corpus sample (hash-order
+    ``limit``) refined by ``lloyd_iterations`` rounds of spherical
+    k-means ON THE SAMPLE, driver-side numpy — the sample is O(1)
+    bounded (``sample_size`` rows x dim doubles) regardless of corpus
+    size, so this stays off the scale path. Refined centroids spread
+    with the data's actual density, which evens out cell populations
+    (raw sampled centroids leave hot cells that blow up rerank cost).
+    At 100 TB you'd persist the corpus BUCKETED BY cell so each query
+    touches ~num_probes/num_centroids of the data with zero shuffle.
+    Assignment is a broadcast of the (tiny) centroid set; recall is
+    tunable via ``num_probes``.
     """
     from pyspark.sql.window import Window
 
-    centroids = [
-        (int(r[0]), [float(x) for x in r[1]])
+    sample = [
+        [float(x) for x in r[1]]
         for r in emb_df.select(id_col, vec_col)
         .orderBy(F.pmod(F.xxhash64(F.col(id_col) + seed), 997), F.col(id_col))
-        .limit(num_centroids)
+        .limit(max(sample_size, num_centroids))
         .collect()
     ]
+    cmat = np.asarray(sample[:num_centroids], dtype=np.float64)
+    if lloyd_iterations > 0 and len(sample) > num_centroids:
+        X = np.asarray(sample, dtype=np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        for _ in range(lloyd_iterations):
+            Cn = cmat / np.maximum(
+                np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12
+            )
+            assign = np.argmax(Xn @ Cn.T, axis=1)
+            for j in range(num_centroids):
+                members = X[assign == j]
+                if len(members):  # empty cell keeps its old centroid
+                    cmat[j] = members.mean(axis=0)
+    centroids = [(j, [float(x) for x in cmat[j]]) for j in range(num_centroids)]
 
     def cell_scores(vec):
         return [

@@ -327,6 +327,72 @@ FROM ranked WHERE rank <= {_TOPK}
 """
 
 
+def _dots_sql(v: str) -> str:
+    """Per-plane dot list — DuckDB twin of ``similarity.hyperplane_dots``
+    (same left-to-right summation, so margins are bit-identical)."""
+    planes = _planes()
+    dots = []
+    for b in range(_PLANES):
+        lits = ", ".join(repr(float(x)) for x in planes[b])
+        dots.append(
+            f"list_sum(list_transform(range(1, {_DIM + 1}), i -> {v}[i]::DOUBLE * ([{lits}])[i]))"
+        )
+    return "[" + ", ".join(dots) + "]"
+
+
+def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe ANN (3 probes): beyond the exact hyperplane bucket,
+    each query probes the buckets behind its two lowest-|margin| sign
+    bits — the standard recall fix for single-probe LSH at scale (only
+    the tiny query side explodes; the corpus stays put)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.ann_lsh_topk(
+        emb, queries, k=_TOPK, num_planes=_PLANES, dim=_DIM, seed=42, num_probes=3
+    )
+
+
+_ANN_MULTIPROBE_SQL = f"""
+WITH csig AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv, ({_sig_sql('embedding')}) AS sig
+  FROM embeddings
+),
+qd AS (
+  SELECT vec_id AS query_id, embedding AS qv, {_dots_sql('embedding')} AS dots
+  FROM embeddings WHERE vec_id < 5
+),
+qs AS (
+  SELECT query_id, qv, dots,
+         list_sum(list_transform(range(1, {_PLANES + 1}),
+           i -> CASE WHEN dots[i] >= 0 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END))::BIGINT AS sig0
+  FROM qd
+),
+qf AS (
+  SELECT query_id, qv, sig0,
+         list_transform(
+           list_sort(list_transform(range(1, {_PLANES + 1}), i -> [abs(dots[i]), (i - 1)::DOUBLE]))[1:2],
+           p -> p[2]::INTEGER) AS flips
+  FROM qs
+),
+qp AS (
+  SELECT query_id, qv,
+         unnest(list_prepend(sig0, list_transform(flips, ix -> xor(sig0, 1::BIGINT << ix)))) AS sig
+  FROM qf
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_cos_sql('qv', 'cv')} AS cos
+  FROM qp JOIN csig ON qp.sig = csig.sig WHERE neighbor_id != query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank::BIGINT AS rank, round(cos, 4) AS cosine
+FROM ranked WHERE rank <= {_TOPK}
+"""
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via hyperplane-bucket self-join.
     Scaled copies (x1.2, id+10000) are the planted dups — cosine exactly
@@ -525,6 +591,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "cosine_topk": q_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_multiprobe": q_ann_multiprobe,
     "embedding_near_dup": q_embedding_near_dup,
     "media_features": q_media_features,
     "dedup_clusters": q_dedup_clusters,
@@ -539,6 +606,7 @@ ORACLES = {
     "simhash_pairs": _SIMHASH_PAIRS_SQL,
     "cosine_topk": _COSINE_TOPK_SQL,
     "ann_lsh_topk": _ANN_LSH_SQL,
+    "ann_multiprobe": _ANN_MULTIPROBE_SQL,
     "embedding_near_dup": _NEAR_DUP_SQL,
     "media_features": _MEDIA_SQL,
     "dedup_clusters": _dedup_clusters_sql(),

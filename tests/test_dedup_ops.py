@@ -116,3 +116,59 @@ def test_connected_components_log_rounds(spark):
     cc = dd.connected_components(pairs).collect()
     assert {r.component for r in cc} == {0}
     assert len(cc) == 101
+
+
+def _planted_corpus(spark, n_base=200, n_planted=20, dim=64, noise=0.1, seed=7):
+    # base gaussian corpus + perturbed copies (cosine ~0.995) of the
+    # first n_planted vectors: the planted copy IS the true nearest
+    # neighbor, the regime LSH/IVF serve (random-vector top-k is
+    # near-orthogonal and unfindable by ANY sublinear index)
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    base = rng.normal(size=(n_base, dim))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n_base)]
+    for i in range(n_planted):
+        pert = base[i] + noise * rng.normal(size=dim)
+        rows.append((10_000 + i, [float(x) for x in pert]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    return df, n_planted
+
+
+def _planted_recall(rows, n_planted):
+    # fraction of planted queries whose returned neighbors include
+    # their base twin
+    hits = {r.query_id for r in rows if r.neighbor_id == r.query_id - 10_000}
+    return len(hits) / n_planted
+
+
+def test_multiprobe_lsh_recall(spark):
+    corpus, n = _planted_corpus(spark)
+    queries = corpus.filter(F.col("vec_id") >= 10_000)
+    single = sim.ann_lsh_topk(corpus, queries, k=5, num_probes=1).collect()
+    multi = sim.ann_lsh_topk(corpus, queries, k=5, num_probes=9).collect()
+    r1, r9 = _planted_recall(single, n), _planted_recall(multi, n)
+    # multi-probe (exact bucket + all 1-bit flips) must recover the
+    # near-boundary twins single-probe drops
+    assert r9 >= 0.9
+    assert r9 >= r1
+
+
+def test_multiprobe_single_probe_unchanged(spark, sf_dir):
+    # num_probes=1 must be bit-for-bit the original single-probe result
+    # (the oracle-checked query runs with the default)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    a = sorted(map(tuple, sim.ann_lsh_topk(emb, queries, k=5).collect()))
+    b = sorted(map(tuple, sim.ann_lsh_topk(emb, queries, k=5, num_probes=1).collect()))
+    assert a == b
+
+
+def test_ivf_lloyd_recall(spark):
+    corpus, n = _planted_corpus(spark)
+    queries = corpus.filter(F.col("vec_id") >= 10_000)
+    refined = sim.ann_ivf_topk(
+        corpus, queries, k=5, num_centroids=8, num_probes=4,
+        lloyd_iterations=2, sample_size=256,
+    ).collect()
+    assert _planted_recall(refined, n) >= 0.9
