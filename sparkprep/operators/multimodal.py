@@ -90,6 +90,53 @@ def _fake_decode(media_type: str, payload: bytes) -> dict:
     }
 
 
+def _real_decode(media_type: str, payload: bytes) -> dict:
+    """Real codec path, optional-dependency imports at call time
+    (executor-side, where the decode actually runs): PIL for images,
+    soundfile for audio. Features are a fixed 16-dim downsample in both
+    modalities so the output unifies with :data:`DECODED_SCHEMA` and
+    the similarity operators. Raises ImportError when the library is
+    absent (translated to the documented NotImplementedError by the
+    caller) and NotImplementedError for video (needs ffmpeg — out of
+    scope for optional deps)."""
+    import io
+
+    if media_type == "image":
+        from PIL import Image  # optional dep — ImportError handled above
+
+        img = Image.open(io.BytesIO(payload))
+        img.load()
+        gray = np.asarray(
+            img.convert("L").resize((4, 4)), dtype=np.float64
+        )
+        return {
+            "width": int(img.width),
+            "height": int(img.height),
+            "n_frames": 1,
+            "sample_rate": 0,
+            "feature": (gray.ravel() / 255.0).tolist(),
+        }
+    if media_type == "audio":
+        import soundfile  # optional dep
+
+        data, rate = soundfile.read(io.BytesIO(payload))
+        mono = np.abs(np.atleast_2d(data).reshape(len(data), -1).mean(axis=1))
+        # 16 equal-width mean-energy bins (zero-padded for short clips)
+        pad = (-len(mono)) % _FEATURE_DIM
+        binned = np.pad(mono, (0, pad)).reshape(_FEATURE_DIM, -1).mean(axis=1)
+        return {
+            "width": 0,
+            "height": 0,
+            "n_frames": int(len(data)),
+            "sample_rate": int(rate),
+            "feature": binned.tolist(),
+        }
+    raise NotImplementedError(
+        f"no real decoder for media_type={media_type!r} (video needs "
+        "ffmpeg); pass fake=True for the deterministic stub"
+    )
+
+
 def decode_media(
     df: DataFrame,
     fake: bool = False,
@@ -97,10 +144,11 @@ def decode_media(
 ) -> DataFrame:
     """Decode + feature-extract media rows via ``mapInPandas``.
 
-    With ``fake=False`` this raises ``NotImplementedError`` at executor
-    time (no codec libraries in this environment) — the call SHAPE is
-    the production one: swap ``_fake_decode`` for a real
-    PIL/librosa/ffmpeg call and nothing else changes.
+    With ``fake=False`` the real codec path runs when its optional
+    libraries (PIL for image, soundfile for audio) are importable on
+    the executor, and raises ``NotImplementedError`` otherwise — decode
+    failures must be loud, never silently fake. ``fake=True`` keeps the
+    deterministic md5-derived stub the oracle queries rely on.
     """
     import pandas as pd
 
@@ -114,15 +162,24 @@ def decode_media(
         for pdf in batches:
             if pdf.empty:
                 continue
-            if not fake:
-                raise NotImplementedError(
-                    "real media decode requires image/audio libraries not "
-                    "present in this environment; pass fake=True for the "
-                    "deterministic stub decoder"
-                )
-            decoded = [
-                _fake_decode(t, c) for t, c in zip(pdf["media_type"], pdf["content"])
-            ]
+            if fake:
+                decoded = [
+                    _fake_decode(t, c)
+                    for t, c in zip(pdf["media_type"], pdf["content"])
+                ]
+            else:
+                try:
+                    decoded = [
+                        _real_decode(t, bytes(c))
+                        for t, c in zip(pdf["media_type"], pdf["content"])
+                    ]
+                except ImportError as e:
+                    raise NotImplementedError(
+                        "real media decode requires optional libraries "
+                        "(PIL for image, soundfile for audio) not present "
+                        "in this environment; pass fake=True for the "
+                        "deterministic stub decoder"
+                    ) from e
             out = pd.DataFrame(decoded)
             out.insert(0, "media_id", pdf["media_id"].values)
             out.insert(1, "media_type", pdf["media_type"].values)

@@ -97,10 +97,41 @@ def test_multimodal_decode_plumbing(spark):
 
 
 def test_multimodal_real_decode_raises(spark):
+    # only meaningful where the optional codec lib is ABSENT: the
+    # missing-library path must be loud, never silently fake
+    try:
+        import soundfile  # noqa: F401
+
+        pytest.skip("soundfile installed; missing-lib path not reachable")
+    except ImportError:
+        pass
     media = mm.synthesize_media(spark.range(3), "id", "audio")
     with pytest.raises(Exception) as exc:
         mm.decode_media(media, fake=False).collect()
     assert "NotImplementedError" in str(exc.value) or "real media decode" in str(exc.value)
+
+
+def test_multimodal_real_image_decode_with_pil(spark):
+    # runs only where PIL exists (skip-not-fail otherwise): real PNG
+    # payloads flow through the SAME mapInPandas plumbing as the stub
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    rows = []
+    for i in range(3):
+        img = Image.new("RGB", (8 + i, 6), color=(10 * i, 20, 30))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        payload = buf.getvalue()
+        rows.append((i, "image", bytearray(payload), f"mem://{i}", len(payload)))
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.decode_media(media, fake=False).collect()
+    got = {r.media_id: (r.width, r.height, r.n_frames) for r in out}
+    assert got == {0: (8, 6, 1), 1: (9, 6, 1), 2: (10, 6, 1)}
+    assert all(len(r.feature) == 16 for r in out)
+    assert all(0.0 <= x <= 1.0 for r in out for x in r.feature)
 
 
 def test_frame_sample_and_feature_table(spark):
