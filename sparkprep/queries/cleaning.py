@@ -481,6 +481,148 @@ def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dirty_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically planted nulls over customer (the TPC-H tables
+    are clean; null-handling semantics need actual nulls): phone nulled
+    every 7th key, acctbal every 11th, segment every 13th — so
+    'all-null' rows exist exactly at multiples of 1001."""
+    cust = t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 != 0, F.col("c_name")).alias("phone"),
+        F.when(F.col("c_custkey") % 11 != 0, F.col("c_acctbal")).alias("acctbal"),
+        F.when(F.col("c_custkey") % 13 != 0, F.col("c_mktsegment")).alias("segment"),
+    )
+
+
+_DIRTY_CUST_CTE = """
+dirty AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 != 0 THEN c_name END AS phone,
+         CASE WHEN c_custkey % 11 != 0 THEN c_acctbal END AS acctbal,
+         CASE WHEN c_custkey % 13 != 0 THEN c_mktsegment END AS segment
+  FROM customer
+)
+"""
+
+
+def q_dropna_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1 — ``dropna(how='all', subset)``: a row survives if ANY of the
+    subset columns is present (nulls.ipynb#cell7)."""
+    dirty = _dirty_customers(spark, sf_dir)
+    return clean.drop_nulls(dirty, how="all", subset=["phone", "acctbal", "segment"])
+
+
+_DROPNA_ALL_SQL = f"""
+WITH {_DIRTY_CUST_CTE}
+SELECT * FROM dirty
+WHERE NOT (phone IS NULL AND acctbal IS NULL AND segment IS NULL)
+"""
+
+
+def q_dropna_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 — ``dropna(how='any', subset=[phone, acctbal])``: segment may
+    stay null, the subset columns may not (nulls.ipynb#cell8)."""
+    dirty = _dirty_customers(spark, sf_dir)
+    return clean.drop_nulls(dirty, how="any", subset=["phone", "acctbal"])
+
+
+_DROPNA_SUBSET_SQL = f"""
+WITH {_DIRTY_CUST_CTE}
+SELECT * FROM dirty
+WHERE phone IS NOT NULL AND acctbal IS NOT NULL
+"""
+
+
+def q_fillna_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 — dict-form fillna incl. the Spark-4 coercion change: the
+    numeric-STRING fill value '123.5' is cast and applied to the double
+    column (on Spark 3.1 it was silently ignored — nulls.ipynb#cell12
+    relied on that; the oracle pins current semantics)."""
+    dirty = _dirty_customers(spark, sf_dir)
+    filled = clean.fill_nulls(
+        clean.fill_nulls(dirty, {"phone": "N/A", "segment": "UNKNOWN"}),
+        {"acctbal": "123.5"},
+    )
+    return filled
+
+
+_FILLNA_DICT_SQL = f"""
+WITH {_DIRTY_CUST_CTE}
+SELECT c_custkey,
+       coalesce(phone, 'N/A') AS phone,
+       coalesce(acctbal, 123.5) AS acctbal,
+       coalesce(segment, 'UNKNOWN') AS segment
+FROM dirty
+"""
+
+
+def q_replace_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — null-safe ``replace('%','')`` on mid-string percents (the
+    reference's py_replaceNull UDF, bde4.ipynb#cell18-20): nulls pass
+    through, every '%' goes, not just trailing runs."""
+    cust = t(spark, sf_dir, "customer")
+    staged = cust.select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 11 != 0,
+            F.concat(
+                (F.col("c_custkey") % 100).cast("string"),
+                F.lit("%"),
+                F.col("c_mktsegment"),
+                F.lit("%"),
+            ),
+        ).alias("raw"),
+    )
+    return staged.select(
+        "c_custkey", sx.remove_all_percent("raw").alias("cleaned")
+    )
+
+
+_REPLACE_NULLSAFE_SQL = """
+WITH staged AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 11 != 0
+              THEN (c_custkey % 100)::VARCHAR || '%' || c_mktsegment || '%'
+         END AS raw
+  FROM customer
+)
+SELECT c_custkey, regexp_replace(raw, '%', '', 'g') AS cleaned
+FROM staged
+"""
+
+
+def q_label_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 — prediction-label decode incl. the reference's null quirk:
+    any non-1.0 value (null included) decodes to the zero label
+    (mlpc.py:504)."""
+    cust = t(spark, sf_dir, "customer")
+    staged = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(1.0))
+        .when(F.col("c_custkey") % 3 == 1, F.lit(0.0))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("prediction"),
+    )
+    return staged.select(
+        "c_custkey", sx.label_decode("prediction").alias("label")
+    )
+
+
+_LABEL_DECODE_SQL = """
+WITH staged AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 3 = 0 THEN 1.0
+              WHEN c_custkey % 3 = 1 THEN 0.0
+         END AS prediction
+  FROM customer
+)
+SELECT c_custkey,
+       CASE WHEN prediction = 1.0 THEN 'Charged Off' ELSE 'Fully Paid' END AS label
+FROM staged
+"""
+
+
 QUERIES = {
     "dedup_audit": q_dedup_audit,
     "window_dedup": q_window_dedup,
@@ -498,6 +640,11 @@ QUERIES = {
     "ep1_prep": q_ep1_prep,
     "contamination": q_contamination,
     "stratified_sample": q_stratified_sample,
+    "dropna_all": q_dropna_all,
+    "dropna_subset": q_dropna_subset,
+    "fillna_dict": q_fillna_dict,
+    "replace_nullsafe": q_replace_nullsafe,
+    "label_decode": q_label_decode,
 }
 
 ORACLES = {
@@ -515,6 +662,11 @@ ORACLES = {
     "union_bag": _UNION_BAG_SQL,
     "ep1_prep": _EP1_PREP_SQL,
     "contamination": _CONTAMINATION_SQL,
+    "dropna_all": _DROPNA_ALL_SQL,
+    "dropna_subset": _DROPNA_SUBSET_SQL,
+    "fillna_dict": _FILLNA_DICT_SQL,
+    "replace_nullsafe": _REPLACE_NULLSAFE_SQL,
+    "label_decode": _LABEL_DECODE_SQL,
     # class_balance / stratified_sample: intentionally no oracle (seeded
     # sampler RNG is Spark-specific) -> rows-only checks
 }
