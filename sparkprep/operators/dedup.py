@@ -270,29 +270,33 @@ def connected_components(
     labels = labels.localCheckpoint(eager=False)
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
     converged = False
-    for _ in range(max_iterations):
+    for round_idx in range(max_iterations):
         neighbor_labels = (
             edges.join(labels, edges.v == labels.node)
             .select(F.col("u").alias("node"), "component")
         )
-        hop = (
-            labels.unionByName(neighbor_labels)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
-        )
-        # pointer doubling: remap each node's label to its label's label.
-        # Every label value is itself a node id present in `hop`, so the
-        # lookup always hits; coalesce guards the (impossible) miss. A
-        # label is already <= its node, so the remap only ever decreases.
-        parent = hop.select(
-            F.col("node").alias("p_node"), F.col("component").alias("p_comp")
-        )
-        labels = (
-            hop.join(parent, hop.component == parent.p_node, "left")
-            .select(
-                "node",
-                F.coalesce("p_comp", "component").alias("component"),
+        candidates = labels.unionByName(neighbor_labels)
+        # pointer doubling, fused into the hop aggregate and DEFERRED to
+        # round 3+: label-of-label candidates (labels self-joined on
+        # component == node — every label value IS a node, so the lookup
+        # always hits) join the one-hop candidates in the SAME
+        # min-aggregate. Near-dup graphs are shallow (pairs/triangles,
+        # done in <=2 hop-only rounds — the common case pays nothing);
+        # a chain that survives round 2 then shrinks geometrically, so
+        # total rounds stay O(log diameter) and max_iterations=20 still
+        # covers diameter ~2^20.
+        if round_idx >= 2:
+            parent = labels.select(
+                F.col("node").alias("p_node"), F.col("component").alias("p_comp")
             )
+            shortcut = (
+                labels.join(parent, labels.component == parent.p_node)
+                .select("node", F.col("p_comp").alias("component"))
+            )
+            candidates = candidates.unionByName(shortcut)
+        labels = (
+            candidates.groupBy("node")
+            .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=False)
         )
         new_sum = labels.agg(F.sum("component")).collect()[0][0]
