@@ -324,3 +324,122 @@ def unigram_lm_score(
         .groupBy(id_col)
         .agg(F.round(F.avg("__lp"), round_to).alias("lm_score"))
     )
+
+
+def tf_idf(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """TF-IDF weights per (doc, token) — the retrieval/RAG workhorse,
+    expressed as two map-combined shuffles, both keyed on token-ish
+    keys that scale with the corpus, never with a single task:
+
+      1. explode -> groupBy(doc, token) count      = tf
+      2. tf frame -> groupBy(token) count docs     = df (document freq)
+      3. tf ⋈ df on token -> tf * ln(N / df)       = weight
+
+    N (corpus size) is a scalar aggregate embedded as a literal (the A6
+    one-job pattern) — NOT a crossJoin(broadcast(agg)), which would
+    re-execute the scan. Smoothing: plain ln(N/df) (df >= 1 always, no
+    division guard needed).
+    """
+    n_docs = df.select(id_col).distinct().count()
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tf.join(dfreq, "token")
+        .select(
+            F.col(id_col),
+            "token",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), round_to
+            ).alias("tfidf"),
+        )
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 4,
+) -> DataFrame:
+    """BM25 relevance of every document to a fixed term set (Lucene's
+    idf form: ln(1 + (N - df + 0.5)/(df + 0.5))). Scalars (N, avgdl)
+    come from ONE fused aggregate job; per-term df from the tf frame
+    restricted to the query terms (a few rows — broadcast join). The
+    per-doc score is a single groupBy(doc) sum. Term list is a plan
+    literal: scoring the corpus against a QUERY TABLE instead would
+    make this a broadcast join on term — same shape, just unpinned.
+    """
+    toks = df.select(
+        F.col(id_col), tokens(text_col).alias("__tk")
+    ).select(F.col(id_col), F.size("__tk").alias("dl"), F.explode("__tk").alias("token"))
+    corpus = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(token_count(text_col)).alias("avgdl"),
+    ).collect()[0]
+    # avgdl rounded to 6dp: it's an embedded float threshold and engine
+    # summation order differs at ~1e-12 (same convention as the oracle
+    # side) — unrounded it could flip a score across a 4dp boundary
+    n_docs, avgdl = float(corpus["n"]), round(float(corpus["avgdl"]), 6)
+
+    tf = (
+        toks.filter(F.col("token").isin(query_terms))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    term_score = idf * (
+        F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl)))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .withColumn("__s", term_score)
+        .groupBy(id_col)
+        .agg(F.round(F.sum("__s"), round_to).alias("bm25"))
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_postings: int = 100,
+) -> DataFrame:
+    """Token -> postings-list index (keyword search / contamination
+    lookup side). One shuffle on token; postings are sorted doc ids,
+    CAPPED at ``max_postings`` per token — high-df tokens (stopwords)
+    otherwise concentrate a corpus-sized list in one group, the classic
+    inverted-index hot key. df is kept alongside so the cap is visible
+    (df > max_postings => truncated list). Postings ship as a
+    comma-joined string: engine-portable, columnar-friendly.
+    """
+    toks = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token", id_col)
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list(F.col(id_col))), 1, max_postings),
+                ",",
+            ).alias("postings"),
+        )
+    )

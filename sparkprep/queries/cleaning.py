@@ -624,6 +624,16 @@ FROM staged
 
 
 QUERIES = {
+    # round-2 additions first: driver verdicts cover the first 50
+    # registry entries per round; the rows below already have green
+    # round-1 verdicts and can fall past the cutoff
+    "dropna_all": q_dropna_all,
+    "dropna_subset": q_dropna_subset,
+    "fillna_dict": q_fillna_dict,
+    "replace_nullsafe": q_replace_nullsafe,
+    "label_decode": q_label_decode,
+    # rows-only, still driver-unseen after r1 (it was entry #51)
+    "stratified_sample": q_stratified_sample,
     "dedup_audit": q_dedup_audit,
     "window_dedup": q_window_dedup,
     "minmax_normalize": q_minmax_normalize,
@@ -639,12 +649,6 @@ QUERIES = {
     "class_balance": q_class_balance,
     "ep1_prep": q_ep1_prep,
     "contamination": q_contamination,
-    "stratified_sample": q_stratified_sample,
-    "dropna_all": q_dropna_all,
-    "dropna_subset": q_dropna_subset,
-    "fillna_dict": q_fillna_dict,
-    "replace_nullsafe": q_replace_nullsafe,
-    "label_decode": q_label_decode,
 }
 
 ORACLES = {

@@ -360,6 +360,84 @@ FROM p GROUP BY source, pack_id
 """
 
 
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF weights per (doc, token): two map-combined shuffles + a
+    token join; N embedded as a one-job scalar (retrieval/RAG prep)."""
+    docs = t(spark, sf_dir, "documents")
+    return tx.tf_idf(docs, "text", "doc_id")
+
+
+_TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1)
+SELECT doc_id, token, tf, df,
+       round(tf * ln((SELECT count(DISTINCT doc_id) FROM documents)::DOUBLE / df), 4) AS tfidf
+FROM tf JOIN dfreq USING (token)
+"""
+
+_BM25_TERMS = ["spark", "join", "vector"]
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document to a fixed term set (keyword
+    retrieval / contamination-lookup scoring), Lucene idf form."""
+    docs = t(spark, sf_dir, "documents")
+    return tx.bm25_scores(docs, "text", "doc_id", _BM25_TERMS)
+
+
+_BM25_TERMS_SQL = "'" + "', '".join(_BM25_TERMS) + "'"
+
+_BM25_SQL = rf"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, round(avg(len(tk))::DOUBLE, 6) AS avgdl FROM d
+),
+toks AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS token FROM d),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf, first(dl) AS dl
+  FROM toks WHERE token IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, token
+),
+dfreq AS (SELECT token, count(*)::DOUBLE AS df FROM tf GROUP BY token)
+SELECT doc_id,
+       round(sum(
+         ln(1 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5))
+         * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (SELECT avgdl FROM stats)))
+       ), 4) AS bm25
+FROM tf JOIN dfreq USING (token)
+GROUP BY doc_id
+"""
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token -> capped sorted postings list + df (the search-side
+    artifact of the corpus); postings as a comma-joined string for
+    engine-portable comparison."""
+    docs = t(spark, sf_dir, "documents")
+    return tx.inverted_index(docs, "text", "doc_id", max_postings=100)
+
+
+_INVERTED_INDEX_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS token
+  FROM documents
+),
+tf AS (SELECT token, doc_id FROM toks GROUP BY token, doc_id)
+SELECT token, count(*)::BIGINT AS df,
+       array_to_string(list_sort(list(doc_id))[1:100], ',') AS postings
+FROM tf GROUP BY token
+"""
+
+
 QUERIES = {
     "token_modes": q_token_modes,
     "text_stats": q_text_stats,
@@ -373,6 +451,9 @@ QUERIES = {
     "udtf_bigrams": q_udtf_bigrams,
     "lm_score": q_lm_score,
     "token_packing": q_token_packing,
+    "tfidf": q_tfidf,
+    "bm25": q_bm25,
+    "inverted_index": q_inverted_index,
 }
 
 ORACLES = {
@@ -388,4 +469,7 @@ ORACLES = {
     "udtf_bigrams": _UDTF_BIGRAMS_SQL,
     "lm_score": _LM_SCORE_SQL,
     "token_packing": _TOKEN_PACKING_SQL,
+    "tfidf": _TFIDF_SQL,
+    "bm25": _BM25_SQL,
+    "inverted_index": _INVERTED_INDEX_SQL,
 }
