@@ -149,3 +149,56 @@ def range_join(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
     )
     return joined.drop("__bucket")
+
+
+def resample_ffill(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    step: str = "1 hour",
+    round_to: int = 4,
+) -> DataFrame:
+    """Fixed-step resampling with forward fill (timeseries gap-fill):
+    per key, a dense bucket grid from the key's first to last
+    observation, each bucket carrying the aggregated observed value or
+    the most recent earlier one (``is_gap`` marks filled rows).
+
+    Dataflow: bucket arithmetic on epoch seconds (integer, no session
+    TZ dependence) -> one groupBy(key, bucket) for observed values ->
+    per-key bounds -> ``sequence``-explode the grid (rows scale with
+    span/step per key, generated distributed, never on the driver) ->
+    left join + ``last(ignorenulls)`` over the keyed window. Every
+    shuffle is on the key: skew follows the hottest key's SPAN, not its
+    row count — cap spans upstream if keys live for years.
+    """
+    from pyspark.sql.window import Window
+
+    n = _duration_seconds(step)
+    b = df.select(
+        F.col(key_col),
+        F.floor(F.unix_timestamp(F.col(ts_col)) / n).cast("long").alias("__bkt"),
+        F.col(value_col),
+    )
+    obs = b.groupBy(key_col, "__bkt").agg(
+        F.round(F.avg(value_col), round_to).alias("__v")
+    )
+    grid = (
+        b.groupBy(key_col)
+        .agg(F.min("__bkt").alias("__b0"), F.max("__bkt").alias("__b1"))
+        .select(key_col, F.explode(F.sequence("__b0", "__b1")).alias("__bkt"))
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, [key_col, "__bkt"], "left")
+        .select(
+            key_col,
+            F.timestamp_seconds(F.col("__bkt") * n).alias("ts"),
+            F.last("__v", ignorenulls=True).over(w).alias("value_ff"),
+            F.col("__v").isNull().alias("is_gap"),
+        )
+    )

@@ -125,3 +125,50 @@ def pivot_table(
             for v in values
         ]
     )
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """MERGE INTO semantics (SCD-type-1 upsert) as a DataFrame
+    composition: matched keys take the update row's values, unmatched
+    target rows pass through, unmatched update rows insert. Spark has no
+    MERGE without a table format (Delta/Iceberg); this is the engine's
+    format-free equivalent.
+
+    Plan shape: ONE full-outer join on the key + per-column coalesce
+    (update side wins). The join shuffles both sides on the key — at
+    100 TB prefer the update side small (broadcast) or both sides
+    bucketed by the key so the shuffle disappears; MERGE in table
+    formats does the same thing with extra bookkeeping. Requires
+    key-unique updates (enforce upstream with dedup_exact — duplicate
+    update keys would fan out matched rows, same as SQL MERGE's
+    cardinality error).
+    """
+    value_cols = [c for c in target.columns if c not in key_cols]
+    u = updates.select(
+        *[F.col(c).alias(f"__u_{c}") for c in key_cols],
+        *[F.col(c).alias(f"__uv_{c}") for c in value_cols],
+    )
+    cond = None
+    for c in key_cols:
+        eq = target[c] == u[f"__u_{c}"]
+        cond = eq if cond is None else cond & eq
+    joined = target.join(u, cond, "full_outer")
+    return joined.select(
+        *[
+            F.coalesce(u[f"__u_{c}"], target[c]).alias(c)
+            for c in key_cols
+        ],
+        *[
+            # update row wins WHOLESALE on key match (SQL MERGE UPDATE
+            # SET *) — not per-column null-coalescing: an update row's
+            # null must overwrite
+            F.when(u[f"__u_{key_cols[0]}"].isNotNull(), u[f"__uv_{c}"])
+            .otherwise(target[c])
+            .alias(c)
+            for c in value_cols
+        ],
+    )

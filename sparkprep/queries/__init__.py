@@ -54,7 +54,14 @@ def _read(spark: SparkSession, path: str) -> DataFrame:
 
 
 def registry():
-    from sparkprep.queries import cleaning, llmprep, relational, temporal_grouped, textops
+    from sparkprep.queries import (
+        cleaning,
+        llmprep,
+        relational,
+        relational_ext,
+        temporal_grouped,
+        textops,
+    )
 
     queries: dict = {}
     oracles: dict = {}
@@ -63,7 +70,7 @@ def registry():
     # driver verdict (r1 covered the first 50 = relational + cleaning
     # head) merge FIRST so they land inside the window; relational's
     # already-green rows move to the tail.
-    for mod in (textops, llmprep, temporal_grouped, cleaning, relational):
+    for mod in (textops, llmprep, temporal_grouped, relational_ext, cleaning, relational):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles

@@ -115,9 +115,41 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-step gap-fill: per-user hourly grid over each user's
+    observed span, forward-filled (timeseries resample — the feature-
+    store densification step). Bucket math on epoch seconds keeps it
+    session-TZ-independent; ts reconstructed for the output."""
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    return temporal.resample_ffill(ev, "ts", "user_id", "value", step="1 hour")
+
+
+_RESAMPLE_SQL = """
+WITH b AS (
+  SELECT user_id, floor(epoch(ts) / 3600)::BIGINT AS bkt, value
+  FROM events WHERE user_id < 20
+),
+obs AS (SELECT user_id, bkt, round(avg(value), 4) AS v FROM b GROUP BY 1, 2),
+bounds AS (SELECT user_id, min(bkt) AS b0, max(bkt) AS b1 FROM b GROUP BY 1),
+grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bkt FROM bounds),
+f AS (
+  SELECT g.user_id, g.bkt, o.v,
+         last_value(o.v IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.bkt
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vf
+  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.bkt = o.bkt
+)
+SELECT user_id, to_timestamp(bkt * 3600)::TIMESTAMP AS ts,
+       vf AS value_ff, (v IS NULL) AS is_gap
+FROM f
+"""
+
+
 QUERIES = {
     "asof_rate": q_asof_rate,
     "range_count": q_range_count,
+    "resample_ffill": q_resample_ffill,
     "grouped_zscore": q_grouped_zscore,
     "pandas_gmean": q_pandas_gmean,
 }
@@ -125,6 +157,7 @@ QUERIES = {
 ORACLES = {
     "asof_rate": _ASOF_SQL,
     "range_count": _RANGE_SQL,
+    "resample_ffill": _RESAMPLE_SQL,
     "grouped_zscore": _ZSCORE_SQL,
     "pandas_gmean": _GMEAN_SQL,
 }

@@ -113,3 +113,36 @@ def test_asof_unkeyed_refused(ticks):
     trades, quotes = ticks
     with pytest.raises(ValueError, match="single partition"):
         temporal.asof_join(trades, quotes, on="t", by=None, value_cols=["px"])
+
+
+def test_merge_upsert_null_overwrites(spark):
+    # SQL MERGE semantics: a matched update row wins WHOLESALE — its
+    # nulls overwrite target values (not per-column coalesce)
+    from sparkprep.operators import transform
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], ["k", "name", "val"]
+    )
+    updates = spark.createDataFrame(
+        [(2, None, 99.0), (3, "c", 30.0)], ["k", "name", "val"]
+    )
+    out = {r.k: (r.name, r.val) for r in
+           transform.merge_upsert(target, updates, ["k"]).collect()}
+    assert out == {1: ("a", 10.0), 2: (None, 99.0), 3: ("c", 30.0)}
+
+
+def test_resample_ffill_gaps(spark):
+    # 3-hour gap -> two filled rows carrying the last observed value
+    from sparkprep.operators import temporal
+
+    df = spark.createDataFrame(
+        [("u", "2024-01-01 00:10:00", 1.0), ("u", "2024-01-01 03:20:00", 4.0)],
+        ["k", "ts_s", "v"],
+    ).select("k", F.to_timestamp("ts_s").alias("ts"), "v")
+    rows = sorted(
+        temporal.resample_ffill(df, "ts", "k", "v").collect(),
+        key=lambda r: r.ts,
+    )
+    assert len(rows) == 4
+    assert [r.value_ff for r in rows] == [1.0, 1.0, 1.0, 4.0]
+    assert [r.is_gap for r in rows] == [False, True, True, False]
