@@ -116,14 +116,38 @@ UNPIVOT (value FOR metric IN (l_quantity, l_discount, l_tax))
 """
 
 
+def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-rank feature scaling per event type (rank-based
+    normalization is outlier-immune where min-max isn't) — one keyed
+    window, deterministic under ties by definition."""
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("value")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.percent_rank().over(w), 4).alias("value_pr"),
+    )
+
+
+_PERCENT_RANK_SQL = """
+SELECT event_id, event_type,
+       round(percent_rank() OVER (PARTITION BY event_type ORDER BY value), 4) AS value_pr
+FROM events
+"""
+
+
 QUERIES = {
     "merge_upsert": q_merge_upsert,
     "correlations": q_correlations,
     "unpivot": q_unpivot,
+    "percent_rank": q_percent_rank,
 }
 
 ORACLES = {
     "merge_upsert": _MERGE_UPSERT_SQL,
     "correlations": _CORRELATIONS_SQL,
     "unpivot": _UNPIVOT_SQL,
+    "percent_rank": _PERCENT_RANK_SQL,
 }

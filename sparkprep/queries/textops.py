@@ -438,6 +438,76 @@ FROM tf GROUP BY token
 """
 
 
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-20 tokens (tokenizer-coverage check in LLM data prep: high OOV
+    = domain drift or noise). Vocab is a 20-row broadcast; the per-doc
+    ratio is one avg over an anti-join-flagged token stream."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tx.tokens("text")).alias("token"))
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.desc("__c"), F.asc("token"))
+        .limit(20)
+        .select("token", F.lit(True).alias("__in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(F.when(F.col("__in_vocab").isNull(), 1.0).otherwise(0.0)), 4
+            ).alias("oov_rate")
+        )
+    )
+
+
+_OOV_RATE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS token
+  FROM documents
+),
+vocab AS (
+  SELECT token FROM toks GROUP BY token
+  ORDER BY count(*) DESC, token LIMIT 20
+)
+SELECT doc_id,
+       round(avg(CASE WHEN v.token IS NULL THEN 1.0 ELSE 0.0 END), 4) AS oov_rate
+FROM toks LEFT JOIN vocab v USING (token)
+GROUP BY doc_id
+"""
+
+
+def q_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic K-per-group sampling: 3 documents per source,
+    chosen by md5-hash order (engine-portable, unlike Spark's RNG
+    sampler — the md5 convention all oracle-reaching hashing uses).
+    The distributed form of 'grab a few examples from every shard'."""
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "source", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+_PER_GROUP_SAMPLE_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, source, rn::BIGINT AS rn FROM ranked WHERE rn <= 3
+"""
+
+
 QUERIES = {
     "token_modes": q_token_modes,
     "text_stats": q_text_stats,
@@ -454,6 +524,8 @@ QUERIES = {
     "tfidf": q_tfidf,
     "bm25": q_bm25,
     "inverted_index": q_inverted_index,
+    "oov_rate": q_oov_rate,
+    "per_group_sample": q_per_group_sample,
 }
 
 ORACLES = {
@@ -472,4 +544,6 @@ ORACLES = {
     "tfidf": _TFIDF_SQL,
     "bm25": _BM25_SQL,
     "inverted_index": _INVERTED_INDEX_SQL,
+    "oov_rate": _OOV_RATE_SQL,
+    "per_group_sample": _PER_GROUP_SAMPLE_SQL,
 }
