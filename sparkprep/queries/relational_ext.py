@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from sparkprep.operators import transform
 from sparkprep.queries import t
+from sparkprep.session import tune_for_engine
 
 
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -138,11 +139,373 @@ FROM events
 """
 
 
+def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item report: top-20 customers by
+    revenue lost to returns in one quarter. Quarter + returnflag
+    filters push to the scans; nation broadcasts; top-k compiles to
+    TakeOrderedAndProject (no global sort). ``c_custkey`` tie-break
+    keeps the limit deterministic for the oracle."""
+    tune_for_engine(spark)
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = t(spark, sf_dir, "nation")
+    money = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    revenue = F.sum(money)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(revenue, 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+_RETURNED_REVENUE_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped argmax: supplier(s) with the maximum quarterly
+    revenue. The global max comes from an empty-frame window over the
+    ALREADY-AGGREGATED per-supplier frame (tiny — safe where the same
+    window on raw data would single-partition it), avoiding the
+    crossJoin(agg) re-execution trap."""
+    tune_for_engine(spark)
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    money = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(money), 2).cast("double").alias("total_revenue")
+    )
+    best = per_supp.withColumn(
+        "max_rev", F.max("total_revenue").over(Window.partitionBy())
+    ).filter(F.col("total_revenue") == F.col("max_rev"))
+    supp = t(spark, sf_dir, "supplier")
+    return (
+        best.join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+_TOP_SUPPLIER_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey, round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped avg-threshold scalar: yearly revenue lost if
+    small-quantity orders (below 20%% of the part's average quantity)
+    for one brand went unfilled. Aggregate-then-join: the per-part
+    average is computed once on the brand-pruned lineitem slice and
+    broadcast back — never a correlated per-row subquery."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select(
+        "p_partkey"
+    )
+    brand_li = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    avg_qty = brand_li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
+    )
+    return (
+        brand_li.join(F.broadcast(avg_qty), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+_SMALL_QTY_SQL = """
+SELECT round(sum(CAST(l_extendedprice AS DECIMAL(18,4)))::DOUBLE / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (
+    SELECT 0.2 * avg(l2.l_quantity)
+    FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey
+  )
+"""
+
+
+def q_discount_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped OR-of-ANDs predicate: revenue from three
+    disjunctive brand/size/quantity bands. The part-only disjunction
+    (brand+size) is applied BEFORE the join so the scan prunes; the
+    full cross-table predicate runs post-join. At scale this keeps the
+    shuffled part side ~3 brands instead of all parts."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#21")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    part_only = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15))
+        | ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 25))
+        | ((F.col("p_brand") == "Brand#21") & F.col("p_size").between(1, 35))
+    )
+    return (
+        li.join(F.broadcast(part.filter(part_only)), li.l_partkey == part.p_partkey)
+        .filter(band)
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+_DISCOUNT_BAND_SQL = """
+SELECT round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped profit rollup by nation and order year over a
+    5-way join. Adapted: no partsupp table exists at this schema, so
+    supply cost is proxied as 10%% of ``p_retailprice`` per unit
+    (documented, oracle uses the same formula). PROMO parts prune the
+    part scan before the big join; dims broadcast."""
+    tune_for_engine(spark)
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    orders = t(spark, sf_dir, "orders")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * 0.1 * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+_PRODUCT_PROFIT_SQL = """
+SELECT n_name AS nation,
+       year(o_orderdate) AS o_year,
+       round(sum(CAST(l_extendedprice * (1 - l_discount) - p_retailprice * 0.1 * l_quantity AS DECIMAL(18,4))), 2)::DOUBLE AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_type = 'PROMO'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+def q_nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped bilateral trade: shipped revenue between two
+    nations (both directions) by ship year. Nation filters broadcast
+    into both legs BEFORE the lineitem join, so the big fact only
+    joins rows that can survive the pair predicate."""
+    tune_for_engine(spark)
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    pair = ["NATION_1", "NATION_2"]
+    n1 = nation.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    supp_leg = supp.join(F.broadcast(n1), supp.s_nationkey == n1.s_nkey).select(
+        "s_suppkey", "supp_nation"
+    )
+    cust_leg = cust.join(F.broadcast(n2), cust.c_nationkey == n2.c_nkey).select(
+        "c_custkey", "cust_nation"
+    )
+    return (
+        li.join(F.broadcast(supp_leg), li.l_suppkey == supp_leg.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_leg, orders.o_custkey == cust_leg.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_NATION_TRADE_SQL = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE ns.n_name IN ('NATION_1', 'NATION_2')
+  AND nc.n_name IN ('NATION_1', 'NATION_2')
+  AND ns.n_name <> nc.n_name
+GROUP BY ns.n_name, nc.n_name, year(l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped HAVING-vs-global-scalar: parts whose shipped
+    value (from one nation's suppliers) exceeds 0.1%% of the total.
+    Adapted: no partsupp table, value = discounted lineitem revenue.
+    The global total is an empty-frame window over the per-part
+    AGGREGATE (small frame — the safe placement), not a crossJoin
+    against the raw data."""
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    nat_supp = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey")
+    per_part = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == nat_supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("raw_value")
+        )
+    )
+    return (
+        per_part.withColumn(
+            "total", F.sum("raw_value").over(Window.partitionBy())
+        )
+        .filter(F.col("raw_value") > F.col("total") * 0.001)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("raw_value"), 2).cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+_IMPORTANT_PARTS_SQL = """
+WITH per_part AS (
+  SELECT l_partkey AS p_partkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS raw_value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey
+)
+SELECT p_partkey, round(raw_value, 2)::DOUBLE AS part_value
+FROM per_part
+WHERE raw_value > (SELECT sum(raw_value) FROM per_part) * 0.001
+ORDER BY part_value DESC, p_partkey
+"""
+
+
 QUERIES = {
     "merge_upsert": q_merge_upsert,
     "correlations": q_correlations,
     "unpivot": q_unpivot,
     "percent_rank": q_percent_rank,
+    "returned_revenue": q_returned_revenue,
+    "top_supplier": q_top_supplier,
+    "small_qty_revenue": q_small_qty_revenue,
+    "discount_band_revenue": q_discount_band_revenue,
+    "product_profit": q_product_profit,
+    "nation_trade_flow": q_nation_trade_flow,
+    "important_parts": q_important_parts,
 }
 
 ORACLES = {
@@ -150,4 +513,11 @@ ORACLES = {
     "correlations": _CORRELATIONS_SQL,
     "unpivot": _UNPIVOT_SQL,
     "percent_rank": _PERCENT_RANK_SQL,
+    "returned_revenue": _RETURNED_REVENUE_SQL,
+    "top_supplier": _TOP_SUPPLIER_SQL,
+    "small_qty_revenue": _SMALL_QTY_SQL,
+    "discount_band_revenue": _DISCOUNT_BAND_SQL,
+    "product_profit": _PRODUCT_PROFIT_SQL,
+    "nation_trade_flow": _NATION_TRADE_SQL,
+    "important_parts": _IMPORTANT_PARTS_SQL,
 }

@@ -157,3 +157,52 @@ def test_priority_by_status_projects_before_shuffle(spark, sf_dir):
     for frag in plan.split("ReadSchema: ")[1:]:
         schema_line = frag.split("\n")[0]
         assert schema_line.count(":") <= 2, schema_line
+
+
+def test_returned_revenue_topk_shape(spark, sf_dir):
+    # Q10 shape: top-20 compiles to TakeOrdered (no global sort), the
+    # quarter filter reaches the orders scan, nation stays broadcast
+    plan = explain_formatted(QUERIES["returned_revenue"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(l_returnflag,R)" in plan  # pushed to lineitem scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # pushed to orders scan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_discount_band_part_filter_prejoined(spark, sf_dir):
+    # Q19 shape: the part-only disjunction (brand+size) must prune the
+    # part side BEFORE the join — the part scan carries pushed Or
+    # filters — and the pruned dim broadcasts
+    plan = explain_formatted(QUERIES["discount_band_revenue"](spark, sf_dir))
+    part_frag = [s for s in plan.split("PushedFilters: ")[1:] if "p_brand" in s]
+    assert part_frag and "Or(" in part_frag[0].split("\n")[0]
+    assert "BroadcastHashJoin" in plan
+
+
+def test_small_qty_no_correlated_reexecution(spark, sf_dir):
+    # Q17 shape: the per-part average is ONE aggregate joined back, not
+    # a correlated per-row subquery; brand filter prunes the part scan
+    plan = explain_formatted(QUERIES["small_qty_revenue"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "EqualTo(p_brand,Brand#1)" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_product_profit_dims_broadcast(spark, sf_dir):
+    # Q9 shape: part/supplier/nation broadcast; only the orders join may
+    # shuffle; PROMO filter pushed to the part scan
+    plan = explain_formatted(QUERIES["product_profit"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "EqualTo(p_type,PROMO)" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_important_parts_window_post_agg(spark, sf_dir):
+    # Q11 shape: the empty-frame window runs over the per-part AGGREGATE
+    # (HashAggregate below Window in the tree), never over raw lineitem
+    plan = _simple(QUERIES["important_parts"](spark, sf_dir))
+    assert "Window" in plan
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos < agg_pos  # window consumes the agg
