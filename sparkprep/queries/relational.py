@@ -1123,6 +1123,274 @@ ORDER BY custdist DESC, c_count DESC
 """
 
 
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped conditional-ratio: NATION_1 suppliers' share of
+    ECONOMY-part revenue sold to ASIA customers, by order year. The
+    share is a conditional sum over the SAME joined frame (one pass,
+    no second scan); all dims broadcast before the fact joins."""
+    tune_for_engine(spark)
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    part = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    cust_region = (
+        cust.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region), nation.n_regionkey == region.r_regionkey
+                ).select("n_nationkey")
+            ),
+            cust.c_nationkey == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    supp_nation = supp.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supp.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    money = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_region, orders.o_custkey == cust_region.c_custkey)
+        .join(F.broadcast(supp_nation), li.l_suppkey == supp_nation.s_suppkey)
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            money.alias("volume"),
+            F.col("supp_nation"),
+        )
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(
+                        F.lit(0).cast("decimal(18,4)")
+                    )
+                ).cast("double")
+                / F.sum("volume").cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+_MARKET_SHARE_SQL = """
+SELECT year(o_orderdate) AS o_year,
+       round(
+         sum(CASE WHEN n_s.n_name = 'NATION_1'
+                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                  ELSE CAST(0 AS DECIMAL(18,4)) END)::DOUBLE
+         / sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))::DOUBLE,
+         6) AS mkt_share
+FROM lineitem
+JOIN part       ON l_partkey = p_partkey
+JOIN orders     ON l_orderkey = o_orderkey
+JOIN customer   ON o_custkey = c_custkey
+JOIN nation n_c ON c_nationkey = n_c.n_nationkey
+JOIN region     ON n_c.n_regionkey = r_regionkey
+JOIN supplier   ON l_suppkey = s_suppkey
+JOIN nation n_s ON s_nationkey = n_s.n_nationkey
+WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+GROUP BY year(o_orderdate)
+ORDER BY o_year
+"""
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped supplier-relationship count: distinct suppliers
+    per (brand, type, size) bucket, excluding one brand and suppliers
+    with negative balances (the schema has no partsupp/comment, so
+    lineitem is the bridge — deduped to distinct pairs FIRST so order
+    multiplicity can't inflate the count — and negative ``s_acctbal``
+    proxies the complaint filter)."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 10, 15, 20)
+    )
+    bad_supp = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    pairs = (
+        li.select("l_partkey", "l_suppkey")
+        .dropDuplicates()
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == bad_supp.s_suppkey,
+            "left_anti",
+        )
+    )
+    return (
+        pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+_SUPPLIER_PART_COUNTS_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON ps.l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 5, 10, 15, 20)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped nested semi-join: suppliers in one nation who
+    shipped an above-average 1997 volume of some 'red' part. The
+    per-(part,supplier) 1997 totals aggregate once; the threshold (half
+    the part's mean per-supplier volume) joins back broadcast — the
+    whole 'exists part with heavy availability' predicate collapses to
+    aggregate -> join -> semi-join, no correlated subquery."""
+    from pyspark.sql.window import Window
+
+    tune_for_engine(spark)
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    red_parts = t(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("red")
+    ).select("p_partkey")
+    shipped = (
+        li.join(F.broadcast(red_parts), li.l_partkey == red_parts.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+    heavy = shipped.withColumn(
+        "avg_qty", F.avg("qty").over(Window.partitionBy("l_partkey"))
+    ).filter(F.col("qty") > F.col("avg_qty") * 0.5)
+    nat_supp = (
+        t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        nat_supp.join(
+            heavy.select("l_suppkey").dropDuplicates(),
+            nat_supp.s_suppkey == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+_PROMO_SUPPLIERS_SQL = """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey, round(sum(l_quantity), 2) AS qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey, l_suppkey
+),
+heavy AS (
+  SELECT DISTINCT l_suppkey FROM (
+    SELECT l_suppkey, qty, avg(qty) OVER (PARTITION BY l_partkey) AS avg_qty
+    FROM shipped
+  ) WHERE qty > avg_qty * 0.5
+)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_2' AND s_suppkey IN (SELECT l_suppkey FROM heavy)
+ORDER BY s_suppkey
+"""
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped sole-blame analysis: suppliers who were the ONLY
+    late shipper in a finished multi-supplier order ('late' adapted to
+    shipdate > orderdate + 60 days; the schema has no commit/receipt
+    dates). The exists/not-exists pair collapses to ONE per-order
+    aggregate (distinct suppliers, distinct late suppliers) joined back
+    to the late rows — two shuffles total, no correlated subqueries."""
+    tune_for_engine(spark)
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = t(spark, sf_dir, "supplier")
+    rows = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("is_late"),
+        )
+    )
+    per_order = rows.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    blamed = (
+        rows.filter(F.col("is_late"))
+        .join(
+            per_order.filter(
+                (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+            ).select("l_orderkey"),
+            "l_orderkey",
+        )
+        .select("l_orderkey", "l_suppkey")
+        .dropDuplicates()
+    )
+    return (
+        blamed.join(F.broadcast(supp), blamed.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+_WAITING_SUPPLIERS_SQL = """
+WITH rows_f AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 60 DAY AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+),
+per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supp
+  FROM rows_f GROUP BY l_orderkey
+),
+blamed AS (
+  SELECT DISTINCT r.l_orderkey, r.l_suppkey
+  FROM rows_f r
+  JOIN per_order p ON r.l_orderkey = p.l_orderkey
+  WHERE r.is_late AND p.n_supp > 1 AND p.n_late_supp = 1
+)
+SELECT s_name, count(*) AS numwait
+FROM blamed JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "freq_orderpriority": q_freq_orderpriority,
@@ -1159,6 +1427,10 @@ QUERIES = {
     "quiet_rich_customers": q_quiet_rich_customers,
     "order_distribution": q_order_distribution,
     "cube": q_cube,
+    "market_share": q_market_share,
+    "supplier_part_counts": q_supplier_part_counts,
+    "promo_suppliers": q_promo_suppliers,
+    "waiting_suppliers": q_waiting_suppliers,
 }
 
 ORACLES = {
@@ -1197,4 +1469,8 @@ ORACLES = {
     "quiet_rich_customers": _QUIET_RICH_SQL,
     "order_distribution": _ORDER_DISTRIBUTION_SQL,
     "cube": _CUBE_SQL,
+    "market_share": _MARKET_SHARE_SQL,
+    "supplier_part_counts": _SUPPLIER_PART_COUNTS_SQL,
+    "promo_suppliers": _PROMO_SUPPLIERS_SQL,
+    "waiting_suppliers": _WAITING_SUPPLIERS_SQL,
 }
