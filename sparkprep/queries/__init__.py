@@ -59,6 +59,7 @@ def registry():
         llmprep,
         relational,
         relational_ext,
+        scale_ops,
         temporal_grouped,
         textops,
     )
@@ -70,7 +71,7 @@ def registry():
     # driver verdict (r1 covered the first 50 = relational + cleaning
     # head) merge FIRST so they land inside the window; relational's
     # already-green rows move to the tail.
-    for mod in (textops, llmprep, temporal_grouped, relational_ext, cleaning, relational):
+    for mod in (textops, llmprep, temporal_grouped, relational_ext, cleaning, relational, scale_ops):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles

@@ -1,0 +1,103 @@
+"""Scale-substitute operators under the driver contract: embedding
+quantization (exact oracle — the math is deterministic double
+arithmetic mirrored expression-for-expression in DuckDB) and sketch
+aggregates (rows-only by design: HLL++/GK sketch values are
+algorithm-specific, so the error-bound verification lives in
+tests/test_sketches.py against the exact answers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkprep.operators import quantize, sketches
+from sparkprep.queries import t
+
+_DIM = 64
+_LEVELS = 255
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-style scalar quantization fidelity over the embeddings
+    table: per-vector bounds, mean absolute reconstruction error, and
+    cosine(original, dequantized). 4x storage/shuffle compression with
+    provably bounded error — checked exactly against DuckDB running the
+    identical floor((x-min)/span*levels+0.5) pipeline."""
+    emb = t(spark, sf_dir, "embeddings")
+    stats = quantize.reconstruction_stats(emb, "embedding", levels=_LEVELS)
+    return stats.select(
+        "vec_id",
+        F.round("q_min", 6).alias("q_min"),
+        F.round("q_max", 6).alias("q_max"),
+        F.round("mean_abs_err", 8).alias("mean_abs_err"),
+        F.round("cos_fidelity", 6).alias("cos_fidelity"),
+    )
+
+
+_EMBEDDING_QUANTIZE_SQL = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+bounds AS (
+  SELECT vec_id, v, list_min(v) AS q_min, list_max(v) AS q_max FROM base
+),
+coded AS (
+  SELECT vec_id, v, q_min, q_max,
+         CASE WHEN q_max - q_min = 0
+              THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x ->
+                floor((x - q_min) / (q_max - q_min) * {float(_LEVELS)} + 0.5)::INTEGER)
+         END AS codes
+  FROM bounds
+),
+dq AS (
+  SELECT vec_id, v, q_min, q_max,
+         list_transform(codes, c -> q_min + c::DOUBLE / {float(_LEVELS)} * (q_max - q_min)) AS dqv
+  FROM coded
+)
+SELECT vec_id,
+       round(q_min, 6) AS q_min,
+       round(q_max, 6) AS q_max,
+       round(list_sum(list_transform(range(1, {_DIM + 1}), i -> abs(v[i] - dqv[i]))) / {_DIM}, 8) AS mean_abs_err,
+       round(
+         list_sum(list_transform(range(1, {_DIM + 1}), i -> v[i] * dqv[i]))
+         / (sqrt(list_sum(list_transform(range(1, {_DIM + 1}), i -> v[i] * v[i])))
+            * sqrt(list_sum(list_transform(range(1, {_DIM + 1}), i -> dqv[i] * dqv[i])))),
+         6) AS cos_fidelity
+FROM dq
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct counts over events (user_id, event_type) — the
+    fixed-state substitute for exact COUNT(DISTINCT) at 100 TB.
+    Rows-only under the driver (sketch values are HLL-implementation-
+    specific); tests/test_sketches.py asserts |approx-exact|/exact
+    within the published rsd bound."""
+    ev = t(spark, sf_dir, "events")
+    return sketches.approx_distinct_counts(ev, ["user_id", "event_type"], rsd=0.02)
+
+
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GK-sketch percentiles of o_totalprice — mergeable, no per-group
+    sort (exact twin: stats_extended's F.percentile). Rows-only under
+    the driver; rank-error bound asserted in tests/test_sketches.py."""
+    orders = t(spark, sf_dir, "orders")
+    return sketches.approx_quantiles(
+        orders, "o_totalprice", (0.25, 0.5, 0.75, 0.95), accuracy=10000
+    )
+
+
+QUERIES = {
+    "embedding_quantize": q_embedding_quantize,
+    "approx_distinct": q_approx_distinct,
+    "approx_quantiles": q_approx_quantiles,
+}
+
+ORACLES = {
+    "embedding_quantize": _EMBEDDING_QUANTIZE_SQL,
+    # approx_distinct / approx_quantiles: rows-only by design (sketch
+    # values are engine-specific; bounds verified in tests/test_sketches.py)
+}
