@@ -1,0 +1,62 @@
+"""Training-mix resampling: shape a corpus to target group quotas.
+
+A 100 TB pretraining pipeline rarely trains on the crawl's natural
+source/language distribution — it resamples to a target mix (e.g. 60%
+en, 20% de, ...). This operator takes an exact per-group quota and
+selects rows DETERMINISTICALLY (md5-hash order, the repo's
+oracle-portable convention — Spark's RNG sampler can't be replayed by
+another engine), so the same corpus + quotas always yields the same
+training set. One keyed window per group; no collect, no RNG.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def resample_to_quotas(
+    df: DataFrame,
+    group_col: str,
+    quotas: Mapping[str, int],
+    order_col: str,
+) -> DataFrame:
+    """Keep the first `quotas[g]` md5-ordered rows of each group.
+
+    Groups absent from `quotas` are dropped (mix says zero). Groups
+    with fewer rows than their quota keep everything they have — the
+    caller can compare achieved vs requested counts downstream. Adds
+    ``mix_rank`` (1-based position within the group's md5 order).
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(order_col).cast("string")), F.col(order_col)
+    )
+    quota = _quota_expr(F.col(group_col), quotas)
+    return (
+        df.withColumn("mix_rank", F.row_number().over(w))
+        .filter(F.col("mix_rank") <= quota)
+        .withColumn("mix_rank", F.col("mix_rank").cast("long"))
+    )
+
+
+def _quota_expr(group: Column, quotas: Mapping[str, int]) -> Column:
+    expr = F.lit(0)
+    for key, k in sorted(quotas.items()):
+        expr = F.when(group == key, F.lit(int(k))).otherwise(expr)
+    return expr
+
+
+def achieved_mix(df: DataFrame, group_col: str) -> DataFrame:
+    """Per-group achieved counts + fraction of total (one aggregate +
+    a broadcast of the single-row total; the audit record that belongs
+    next to every resampled training set)."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    total_w = Window.partitionBy()
+    return counts.select(
+        group_col,
+        "n",
+        F.round(F.col("n") / F.sum("n").over(total_w), 6).alias("fraction"),
+    )

@@ -90,14 +90,79 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_QUOTAS = {"en": 60, "de": 20, "fr": 12, "es": 8, "zh": 5}
+
+
+def q_train_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix resampling: shape the documents corpus to a target
+    language mix via exact per-language quotas, rows chosen by md5
+    order (deterministic, engine-portable — no RNG). Languages under
+    quota keep all rows; absent languages drop."""
+    from sparkprep.operators import mix
+
+    docs = t(spark, sf_dir, "documents")
+    return mix.resample_to_quotas(docs, "lang", _MIX_QUOTAS, "doc_id").select(
+        "doc_id", "lang", "mix_rank"
+    )
+
+
+_TRAIN_MIX_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, rn::BIGINT AS mix_rank
+FROM ranked
+WHERE rn <= CASE lang
+  WHEN 'en' THEN {_MIX_QUOTAS['en']} WHEN 'de' THEN {_MIX_QUOTAS['de']}
+  WHEN 'fr' THEN {_MIX_QUOTAS['fr']} WHEN 'es' THEN {_MIX_QUOTAS['es']}
+  WHEN 'zh' THEN {_MIX_QUOTAS['zh']} ELSE 0 END
+"""
+
+_Z_BITS = 8
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-order key over (partkey, suppkey) low bits — the
+    multi-dimensional layout key used by ``zorder_layout`` before
+    partitioned writes. Pure bit arithmetic (codegen, no UDF), mirrored
+    bit-for-bit in the oracle."""
+    from sparkprep.functions import zorder
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    return zorder.add_zorder_key(
+        li, ["l_partkey", "l_suppkey"], bits=_Z_BITS
+    ).select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "zkey")
+
+
+def _morton_sql() -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((((l_partkey & 255) >> {i}) & 1) << {2 * i})")
+        terms.append(f"((((l_suppkey & 255) >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_ZORDER_KEY_SQL = f"""
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       ({_morton_sql()})::BIGINT AS zkey
+FROM lineitem WHERE l_orderkey < 500
+"""
+
+
 QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "approx_distinct": q_approx_distinct,
     "approx_quantiles": q_approx_quantiles,
+    "train_mix": q_train_mix,
+    "zorder_key": q_zorder_key,
 }
 
 ORACLES = {
     "embedding_quantize": _EMBEDDING_QUANTIZE_SQL,
     # approx_distinct / approx_quantiles: rows-only by design (sketch
     # values are engine-specific; bounds verified in tests/test_sketches.py)
+    "train_mix": _TRAIN_MIX_SQL,
+    "zorder_key": _ZORDER_KEY_SQL,
 }

@@ -1,0 +1,77 @@
+"""Z-order layout quality and training-mix resampling semantics —
+the properties the value-hash oracle can't see.
+"""
+
+from pyspark.sql import functions as F
+
+from sparkprep.functions import zorder
+from sparkprep.operators import mix
+from sparkprep.queries import t
+
+
+def test_morton_interleaves_exactly(spark):
+    df = spark.createDataFrame([(3, 5)], "x int, y int")
+    # x=0b011 -> even bit positions; y=0b101 -> odd positions:
+    # z = 1*1 + 1*4 + 0*16 + 1*2 + 0*8 + 1*32 = 39
+    got = df.select(zorder.morton_key(["x", "y"], bits=3).alias("z")).collect()[0]["z"]
+    assert got == 39
+
+
+def test_zorder_layout_prunes_both_dims(spark):
+    # 32x32 grid; 16 files. Z-order layout must give every file a small
+    # bounding box in BOTH dims; a single-column sort leaves the other
+    # dimension's per-file span at full range.
+    grid = spark.range(1024).select(
+        (F.col("id") % 32).alias("x"), (F.col("id") / 32).cast("int").alias("y")
+    )
+    z = zorder.zorder_layout(grid, ["x", "y"], num_files=16, bits=5)
+    spans = (
+        z.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        )
+        .agg(F.max("sx").alias("wx"), F.max("sy").alias("wy"))
+        .collect()[0]
+    )
+    # 16 z-tiles of a 32x32 grid are 8x8 squares: both spans far below 31
+    assert spans["wx"] <= 15 and spans["wy"] <= 15
+    one_col = (
+        grid.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg((F.max("y") - F.min("y")).alias("sy"))
+        .agg(F.max("sy").alias("wy"))
+        .collect()[0]
+    )
+    assert one_col["wy"] == 31  # single-column sort can't prune y
+
+
+def test_mix_quotas_exact_and_deterministic(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    quotas = {"en": 5, "de": 3}
+    out1 = mix.resample_to_quotas(docs, "lang", quotas, "doc_id")
+    out2 = mix.resample_to_quotas(docs, "lang", quotas, "doc_id")
+    rows1 = sorted((r["lang"], r["doc_id"]) for r in out1.collect())
+    rows2 = sorted((r["lang"], r["doc_id"]) for r in out2.collect())
+    assert rows1 == rows2  # deterministic
+    counts = dict(
+        (r["lang"], r["n"])
+        for r in out1.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    )
+    avail = dict(
+        (r["lang"], r["n"])
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    )
+    for lang, k in quotas.items():
+        assert counts[lang] == min(k, avail[lang])
+    assert set(counts) == {"en", "de"}  # unlisted groups dropped
+
+
+def test_achieved_mix_fractions_sum_to_one(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    out = mix.achieved_mix(docs, "lang")
+    total = out.agg(F.sum("fraction")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-4
