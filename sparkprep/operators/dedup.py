@@ -182,6 +182,65 @@ def minhash_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
+def incremental_minhash_filter(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    k: int = 3,
+    bands: int = 4,
+    seed: int = 42,
+    est_threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental dedup: drop new-batch docs near-duplicating the
+    existing reference corpus.
+
+    The daily-ingest form of near-dup removal: at 100 TB you never
+    re-pair the whole corpus — the reference side's signatures and band
+    table are compute-once artifacts (store them; here they're derived
+    inline from ``ref_df`` with the same seed so both sides sketch
+    identically), and each batch costs one band equi-join proportional
+    to the BATCH, never ref x ref. Candidates are new-vs-ref only;
+    agreement >= est_threshold on the signature components flags the
+    new doc; survivors return unchanged. Keys of `new_df` and `ref_df`
+    must be disjoint (callers namespace batch ids).
+    """
+    sig_new = minhash_signatures(new_df, text_col, id_col, num_hashes, k, seed)
+    sig_ref = minhash_signatures(ref_df, text_col, id_col, num_hashes, k, seed)
+    bands_new = lsh_bands(sig_new, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("new_id"), "band", "band_key"
+    )
+    bands_ref = lsh_bands(sig_ref, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("ref_id"), "band", "band_key"
+    )
+    cand = (
+        bands_new.join(bands_ref, ["band", "band_key"])
+        .select("new_id", "ref_id")
+        .dropDuplicates()
+    )
+    sa = sig_new.select(
+        F.col(id_col).alias("new_id"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)],
+    )
+    sb = sig_ref.select(
+        F.col(id_col).alias("ref_id"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    flagged = (
+        cand.join(sa, "new_id")
+        .join(sb, "ref_id")
+        .filter(agree / F.lit(float(num_hashes)) >= est_threshold)
+        .select(F.col("new_id").alias(id_col))
+        .dropDuplicates()
+    )
+    return new_df.join(flagged, id_col, "left_anti")
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str,

@@ -151,12 +151,93 @@ FROM lineitem WHERE l_orderkey < 500
 """
 
 
+_NUM_HASHES = 16
+_BANDS = 4
+_K = 3
+_SEED = 42
+_INC_THRESHOLD = 0.5
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (new-batch vs reference-corpus) MinHash dedup: the
+    mutants (first token dropped, id+10000) arrive as today's batch,
+    the documents table is the existing corpus — survivors are batch
+    docs with no near-dup in the reference. Candidates come from a
+    new-vs-ref band join only (cost ∝ batch, never ref x ref — the
+    daily-ingest form at 100 TB)."""
+    from sparkprep.operators import dedup as dd
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+ ", "").alias("text"),
+    )
+    survivors = dd.incremental_minhash_filter(
+        batch, docs, "text", "doc_id",
+        num_hashes=_NUM_HASHES, k=_K, bands=_BANDS, seed=_SEED,
+        est_threshold=_INC_THRESHOLD,
+    )
+    return survivors.select("doc_id")
+
+
+def _incremental_dedup_sql() -> str:
+    from sparkprep.operators import dedup as dd
+
+    coeffs = dd.hash_coeffs(_NUM_HASHES, _SEED)
+    P = dd.MERSENNE_P
+    r = _NUM_HASHES // _BANDS
+    sig_cols = ", ".join(
+        f"min(({a}::BIGINT * h + {b}) % {P}) AS h{i}" for i, (a, b) in enumerate(coeffs)
+    )
+
+    def side(name: str, corpus: str) -> str:
+        band_rows = " UNION ALL ".join(
+            f"SELECT doc_id, {j}::BIGINT AS band, md5("
+            + " || '_' || ".join(f"h{j * r + x}::VARCHAR" for x in range(r))
+            + f") AS band_key FROM sig_{name}"
+            for j in range(_BANDS)
+        )
+        return f"""
+toks_{name} AS (SELECT doc_id, string_split(text, ' ') AS tk FROM {corpus}),
+sh_{name} AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+       FROM toks_{name}, UNNEST(range(1, len(tk) - 1)) AS u(i)),
+hv_{name} AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % {P} AS h FROM sh_{name}),
+sig_{name} AS (SELECT doc_id, {sig_cols} FROM hv_{name} GROUP BY doc_id),
+bands_{name} AS ({band_rows})"""
+
+    agree = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(_NUM_HASHES)
+    )
+    return f"""
+WITH batch AS (
+  SELECT doc_id + 10000 AS doc_id, regexp_replace(text, '^\\S+ ', '') AS text
+  FROM documents
+),
+ref AS (SELECT doc_id, text FROM documents),
+{side('new', 'batch')},
+{side('ref', 'ref')},
+cand AS (SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS ref_id
+         FROM bands_new n JOIN bands_ref r
+           ON n.band = r.band AND n.band_key = r.band_key),
+flagged AS (
+  SELECT DISTINCT new_id
+  FROM cand
+  JOIN sig_new sa ON sa.doc_id = cand.new_id
+  JOIN sig_ref sb ON sb.doc_id = cand.ref_id
+  WHERE ({agree}) / {float(_NUM_HASHES)} >= {_INC_THRESHOLD}
+)
+SELECT doc_id FROM batch
+WHERE doc_id NOT IN (SELECT new_id FROM flagged)
+"""
+
+
 QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "approx_distinct": q_approx_distinct,
     "approx_quantiles": q_approx_quantiles,
     "train_mix": q_train_mix,
     "zorder_key": q_zorder_key,
+    "incremental_dedup": q_incremental_dedup,
 }
 
 ORACLES = {
@@ -165,4 +246,5 @@ ORACLES = {
     # values are engine-specific; bounds verified in tests/test_sketches.py)
     "train_mix": _TRAIN_MIX_SQL,
     "zorder_key": _ZORDER_KEY_SQL,
+    "incremental_dedup": _incremental_dedup_sql(),
 }
