@@ -168,7 +168,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkprep.operators import dedup as dd
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    batch = docs.select(
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 10000).alias("doc_id"),
         F.regexp_replace("text", r"^\S+ ", "").alias("text"),
     )
@@ -211,7 +211,7 @@ bands_{name} AS ({band_rows})"""
     return f"""
 WITH batch AS (
   SELECT doc_id + 10000 AS doc_id, regexp_replace(text, '^\\S+ ', '') AS text
-  FROM documents
+  FROM documents WHERE doc_id % 5 = 0
 ),
 ref AS (SELECT doc_id, text FROM documents),
 {side('new', 'batch')},
