@@ -1391,6 +1391,77 @@ LIMIT 20
 """
 
 
+def q_window_medley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window surface in one keyed pass: ntile quartiles,
+    cume_dist, lead-gap and first-value anchor per order-priority
+    group. ONE window spec (same partition+order) so Catalyst computes
+    all four in a single WindowExec, no repeated sorts."""
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("bigint").alias("price_quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.round(
+            F.lead("o_totalprice", 1).over(w) - F.col("o_totalprice"), 2
+        ).alias("gap_to_next"),
+        F.round(F.first("o_totalprice").over(w), 2).alias("group_min_price"),
+    )
+
+
+_WINDOW_MEDLEY_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       ntile(4)     OVER w AS price_quartile,
+       round(cume_dist() OVER w, 6) AS cdist,
+       round(lead(o_totalprice, 1) OVER w - o_totalprice, 2) AS gap_to_next,
+       round(first_value(o_totalprice) OVER w, 2) AS group_min_price
+FROM orders
+WHERE o_orderkey < 3000
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+def q_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar feature extraction (the date-dimension projection every
+    warehouse pipeline derives): y/q/m/dow/doy + month-end flag from
+    o_orderdate — pure projection, zero shuffles beyond the final
+    group count."""
+    tune_for_engine(spark)
+    orders = t(spark, sf_dir, "orders")
+    feats = orders.select(
+        F.year("o_orderdate").cast("bigint").alias("y"),
+        F.quarter("o_orderdate").cast("bigint").alias("q"),
+        F.month("o_orderdate").cast("bigint").alias("m"),
+        (F.dayofweek("o_orderdate").cast("bigint") - 1).alias("dow"),
+        (F.col("o_orderdate") == F.last_day("o_orderdate")).alias("is_month_end"),
+    )
+    return (
+        feats.groupBy("y", "q", "m", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("is_month_end"), 1).otherwise(0)).alias(
+                "n_month_end"
+            ),
+        )
+        .orderBy("y", "q", "m", "dow")
+    )
+
+
+_CALENDAR_SQL = """
+SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+       month(o_orderdate) AS m, dayofweek(o_orderdate) AS dow,
+       count(*) AS n,
+       sum(CASE WHEN o_orderdate = last_day(o_orderdate) + INTERVAL 0 DAY
+                THEN 1 ELSE 0 END)::BIGINT AS n_month_end
+FROM orders
+GROUP BY 1, 2, 3, 4
+ORDER BY y, q, m, dow
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "freq_orderpriority": q_freq_orderpriority,
@@ -1431,6 +1502,8 @@ QUERIES = {
     "supplier_part_counts": q_supplier_part_counts,
     "promo_suppliers": q_promo_suppliers,
     "waiting_suppliers": q_waiting_suppliers,
+    "window_medley": q_window_medley,
+    "calendar_features": q_calendar_features,
 }
 
 ORACLES = {
@@ -1473,4 +1546,6 @@ ORACLES = {
     "supplier_part_counts": _SUPPLIER_PART_COUNTS_SQL,
     "promo_suppliers": _PROMO_SUPPLIERS_SQL,
     "waiting_suppliers": _WAITING_SUPPLIERS_SQL,
+    "window_medley": _WINDOW_MEDLEY_SQL,
+    "calendar_features": _CALENDAR_SQL,
 }

@@ -231,6 +231,62 @@ WHERE doc_id NOT IN (SELECT new_id FROM flagged)
 """
 
 
+def q_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage / fuzzy matching: find near-identical records by
+    edit distance WITHOUT an all-pairs scan — candidates come from a
+    blocking-key equi-join (a mutation-stable substring here; phonetic
+    or fingerprint keys in the wild), then exact levenshtein scores the
+    candidates only. Corpus: documents + planted one-char-substitution
+    mutants (position 5 -> 'z', id+20000), so the expected distance is
+    exactly the substitution distance."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 60).alias("s")
+    ).filter(F.length("s") >= 20)
+    mutants = docs.select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(
+            F.substring("s", 1, 4), F.lit("z"), F.substring("s", 6, 55)
+        ).alias("s"),
+    )
+    a = docs.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("s").alias("s_a"),
+        F.substring("s", 10, 8).alias("blk"),
+    )
+    b = mutants.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("s").alias("s_b"),
+        F.substring("s", 10, 8).alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("s_a", "s_b").cast("bigint").alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+    )
+
+
+_FUZZY_LINKAGE_SQL = """
+WITH docs AS (
+  SELECT doc_id, substr(text, 1, 60) AS s FROM documents
+  WHERE length(substr(text, 1, 60)) >= 20
+),
+mutants AS (
+  SELECT doc_id + 20000 AS doc_id,
+         substr(s, 1, 4) || 'z' || substr(s, 6, 55) AS s
+  FROM docs
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.s, b.s)::BIGINT AS dist
+FROM docs a
+JOIN mutants b ON substr(a.s, 10, 8) = substr(b.s, 10, 8)
+WHERE levenshtein(a.s, b.s) <= 2
+"""
+
+
 QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "approx_distinct": q_approx_distinct,
@@ -238,6 +294,7 @@ QUERIES = {
     "train_mix": q_train_mix,
     "zorder_key": q_zorder_key,
     "incremental_dedup": q_incremental_dedup,
+    "fuzzy_linkage": q_fuzzy_linkage,
 }
 
 ORACLES = {
@@ -247,4 +304,5 @@ ORACLES = {
     "train_mix": _TRAIN_MIX_SQL,
     "zorder_key": _ZORDER_KEY_SQL,
     "incremental_dedup": _incremental_dedup_sql(),
+    "fuzzy_linkage": _FUZZY_LINKAGE_SQL,
 }
