@@ -44,6 +44,9 @@ def main() -> None:
     for tbl in ("region", "nation", "customer", "orders", "lineitem",
                 "events", "documents", "embeddings"):
         load_table(spark, sf_dir, tbl).count()
+    # one throwaway materialized job so the first TIMED query doesn't
+    # absorb scheduler/codegen/noop-sink spin-up (~0.6s measured)
+    materialize(load_table(spark, sf_dir, "documents").groupBy("lang").count())
 
     total = 0.0
     for name, fn in queries.items():

@@ -1,6 +1,7 @@
 from sparkprep.streaming.events import (  # noqa: F401
     dedup_stream,
     enrich_stream,
+    foreach_batch_incremental_dedup,
     foreach_batch_jdbc,
     join_streams,
     read_events_stream,

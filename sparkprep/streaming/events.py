@@ -207,3 +207,28 @@ def foreach_batch_jdbc(url: str, table: str, mode: str = "append", **jdbc_opts):
         write_jdbc(batch_df, url=url, table=table, mode=mode, **jdbc_opts)
 
     return sink
+
+
+def foreach_batch_incremental_dedup(
+    ref_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    out_path: str,
+    **minhash_kw,
+):
+    """Streaming ingest dedup: each micro-batch of arriving documents is
+    near-dup-filtered against the STATIC reference corpus
+    (``dedup.incremental_minhash_filter`` — new-vs-ref band join, cost
+    per batch ∝ batch) and survivors append to ``out_path``. Batches
+    are independent by design (batch-vs-batch dups are the previous
+    batch's job once it lands in the reference index); production
+    rotates the reference snapshot between epochs."""
+    from sparkprep.operators.dedup import incremental_minhash_filter
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        survivors = incremental_minhash_filter(
+            batch_df, ref_df, text_col, id_col, **minhash_kw
+        )
+        survivors.write.mode("append").parquet(out_path)
+
+    return sink

@@ -206,3 +206,18 @@ def test_important_parts_window_post_agg(spark, sf_dir):
     agg_pos = plan.find("HashAggregate")
     win_pos = plan.find("Window")
     assert agg_pos != -1 and win_pos < agg_pos  # window consumes the agg
+
+
+def test_window_medley_single_window_exec(spark, sf_dir):
+    # four ranking functions share ONE window spec -> exactly one
+    # WindowExec (and its one sort), not four
+    plan = _simple(QUERIES["window_medley"](spark, sf_dir))
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_fuzzy_linkage_blocked_not_cartesian(spark, sf_dir):
+    # levenshtein runs only on block-join candidates, never all-pairs
+    plan = _simple(QUERIES["fuzzy_linkage"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

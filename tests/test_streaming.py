@@ -159,3 +159,54 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, ckpt):
     got_rows, exp_rows = key(got), key(expected)
     assert got_rows == exp_rows
     assert got_rows, "expected at least one attributed purchase"
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, sf_dir, ckpt):
+    # two micro-batches of arriving docs (half mutants of the reference
+    # corpus, half fresh) dedup against the static corpus per batch;
+    # the union of survivors must equal the batch-mode answer.
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sparkprep.operators.dedup import incremental_minhash_filter
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mutants = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 50000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+ ", "").alias("text"),
+    )
+    fresh = docs.filter(F.col("doc_id") % 7 == 1).select(
+        (F.col("doc_id") + 60000).alias("doc_id"),
+        F.reverse("text").alias("text"),  # unrelated content
+    )
+    arriving = mutants.unionByName(fresh)
+
+    src = tempfile.mkdtemp(prefix="sparkprep-arrivals-")
+    out = tempfile.mkdtemp(prefix="sparkprep-survivors-") + "/out"
+    mutants.write.mode("append").parquet(src)  # file 1 = batch 1
+    fresh.write.mode("append").parquet(src)  # file(s) 2 = batch 2
+
+    stream = (
+        spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    st.run_available_now(
+        stream,
+        foreach_batch=st.foreach_batch_incremental_dedup(
+            docs, "text", "doc_id", out, est_threshold=0.5
+        ),
+        checkpoint=f"{ckpt}/inc_dedup",
+    )
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    expected = sorted(
+        r["doc_id"]
+        for r in incremental_minhash_filter(
+            arriving, docs, "text", "doc_id", est_threshold=0.5
+        ).collect()
+    )
+    assert got == expected
+    # every fresh (reversed) doc must survive; it's not in the corpus
+    fresh_ids = {r["doc_id"] for r in fresh.select("doc_id").collect()}
+    assert fresh_ids <= set(got)
