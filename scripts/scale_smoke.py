@@ -106,6 +106,36 @@ def main() -> None:
         F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
     bench("connected components (chains)", lambda: materialize(
         dedup.connected_components(edges, max_iterations=15)))
+
+    # --- round-2 additions: incremental dedup, quantize, zorder, mix --
+    from sparkprep.functions import zorder
+    from sparkprep.operators import mix, quantize
+
+    batch = docs.filter(F.pmod("doc_id", 10) == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+ ", "").alias("text"),
+    )
+    bench("incremental dedup (10% batch)", lambda: materialize(
+        dedup.incremental_minhash_filter(batch, docs, "text", "doc_id",
+                                         est_threshold=0.5)))
+    vecs = spark.range(num_docs).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: (F.pmod(F.xxhash64(F.col("id") * 100 + i), 1000) / 500.0 - 1.0),
+        ).alias("embedding"),
+    )
+    bench("scalar quantize + fidelity", lambda: materialize(
+        quantize.reconstruction_stats(vecs, "embedding").select(
+            "vec_id", "mean_abs_err", "cos_fidelity")))
+    bench("zorder layout (64 files)", lambda: materialize(
+        zorder.zorder_layout(rows.select(
+            (F.col("k") % 65536).alias("x"), (F.pmod(F.xxhash64("k"), 65536)).alias("y")),
+            ["x", "y"], num_files=64)))
+    bench("train-mix resample", lambda: materialize(
+        mix.resample_to_quotas(
+            docs.withColumn("grp", F.pmod("doc_id", 8).cast("string")),
+            "grp", {str(g): num_docs // 20 for g in range(8)}, "doc_id")))
     spark.stop()
 
 
