@@ -231,6 +231,22 @@ WHERE doc_id NOT IN (SELECT new_id FROM flagged)
 """
 
 
+def q_ann_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN at exhaustive probes (num_probes == num_centroids):
+    every cell is searched, so results EQUAL brute-force cosine top-k
+    and the brute-force oracle applies — this pins the IVF machinery
+    (Lloyd centroids, cell assignment, probe union, in-cell rerank)
+    under the driver's value-hash, while the recall tests cover the
+    pruned-probe configurations."""
+    from sparkprep.operators import similarity as sim
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.ann_ivf_topk(
+        emb, queries, k=5, num_centroids=8, num_probes=8, seed=42
+    )
+
+
 def q_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record linkage / fuzzy matching: find near-identical records by
     edit distance WITHOUT an all-pairs scan — candidates come from a
@@ -295,6 +311,7 @@ QUERIES = {
     "zorder_key": q_zorder_key,
     "incremental_dedup": q_incremental_dedup,
     "fuzzy_linkage": q_fuzzy_linkage,
+    "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
 }
 
 ORACLES = {
@@ -305,4 +322,8 @@ ORACLES = {
     "zorder_key": _ZORDER_KEY_SQL,
     "incremental_dedup": _incremental_dedup_sql(),
     "fuzzy_linkage": _FUZZY_LINKAGE_SQL,
+    # exhaustive probes == brute force, so the cosine_topk oracle applies
+    "ann_ivf_exhaustive": __import__(
+        "sparkprep.queries.llmprep", fromlist=["_COSINE_TOPK_SQL"]
+    )._COSINE_TOPK_SQL,
 }
