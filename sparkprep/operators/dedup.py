@@ -53,13 +53,18 @@ def explode_shingles(
     df: DataFrame, text_col: str, id_col: str, k: int = 3, distinct: bool = True
 ) -> DataFrame:
     """(id, shingle-string) rows: tokenize → k-token shingles → explode.
-    Distinct by default (MinHash is over shingle SETS). Docs shorter
-    than k tokens produce no rows (empty shingle set)."""
+    Distinct by default (MinHash is over shingle SETS) — via
+    ``array_distinct`` BEFORE the explode: distinctness is per-document,
+    so it's a row-local array op, not the dropDuplicates SHUFFLE a
+    post-explode dedup would cost (one full exchange removed from every
+    MinHash path)."""
     from sparkprep.operators.text import shingles
 
     staged = df.select(id_col, tokens(text_col).alias("__tk"))
-    out = staged.select(id_col, F.explode(shingles(F.col("__tk"), k)).alias("shingle"))
-    return out.dropDuplicates([id_col, "shingle"]) if distinct else out
+    sh = shingles(F.col("__tk"), k)
+    if distinct:
+        sh = F.array_distinct(sh)
+    return staged.select(id_col, F.explode(sh).alias("shingle"))
 
 
 def minhash_signatures(
