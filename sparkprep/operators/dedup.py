@@ -420,6 +420,14 @@ def simhash(
     aggregates over the exploded tokens — one shuffle, map-side combine.
     32 bits keeps every intermediate in positive int64 territory (and
     the final value BIGINT-comparable in any engine).
+
+    Deliberately NOT the row-local formulation (filter+size per bit on
+    the token array): per-element lambdas run INTERPRETED (no codegen),
+    and removing the exchange also removes the ReusedExchange that lets
+    a downstream self-join compute the sketch once — measured 30%
+    SLOWER end-to-end in simhash_pairs despite "zero shuffles". The
+    map-side-combined exchange here moves one partial row per doc per
+    partition, not the token stream.
     """
     tok = df.select(id_col, F.explode(tokens(text_col)).alias("__t")).select(
         id_col, string_to_int_hash("__t").alias("__h")
