@@ -95,8 +95,11 @@ def reconstruction_stats(
     norm_d = F.sqrt(
         F.aggregate(F.col("_dq"), F.lit(0.0), lambda acc, x: acc + x * x)
     )
+    # ANSI mode: a zero vector (norm 0) must yield NULL fidelity, not a
+    # divide-by-zero error (hypothesis-found edge)
+    denom = norm_v * norm_d
     return q.select(
         "*",
         (abs_err_sum / dim).alias("mean_abs_err"),
-        (dot / (norm_v * norm_d)).alias("cos_fidelity"),
+        F.when(denom != 0, dot / denom).alias("cos_fidelity"),
     ).drop("_vd", "_dq")

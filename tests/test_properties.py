@@ -79,3 +79,50 @@ def test_normalize_text_idempotent(spark, texts):
     once = df.select(tx.normalize_text("t").alias("t"))
     twice = once.select(tx.normalize_text("t").alias("t"))
     assert [r.t for r in once.collect()] == [r.t for r in twice.collect()]
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(allow_nan=False, allow_infinity=False,
+                      min_value=-1e4, max_value=1e4),
+            min_size=2, max_size=16,
+        ),
+        min_size=1, max_size=6,
+    )
+)
+def test_quantize_error_bound_property(spark, vecs):
+    from sparkprep.operators import quantize
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "id int, v array<double>",
+    )
+    rows = quantize.reconstruction_stats(df, "v", levels=255).collect()
+    for r, v in zip(sorted(rows, key=lambda r: r.id), vecs):
+        span = max(v) - min(v)
+        # per-element reconstruction error bound: span / (2 * levels)
+        assert r.mean_abs_err <= span / (2 * 255) + 1e-9
+        assert all(0 <= c <= 255 for c in r.codes)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2**16 - 1), st.integers(0, 2**16 - 1)),
+        min_size=1, max_size=12,
+    )
+)
+def test_morton_key_deinterleaves_exactly(spark, pts):
+    from sparkprep.functions import zorder
+
+    df = spark.createDataFrame(
+        [(int(x), int(y)) for x, y in pts], "x long, y long"
+    )
+    rows = zorder.add_zorder_key(df, ["x", "y"], bits=16).collect()
+    for r in rows:
+        # de-interleave: even bits -> x, odd bits -> y (bit-exact inverse)
+        x = sum(((r.zkey >> (2 * i)) & 1) << i for i in range(16))
+        y = sum(((r.zkey >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (x, y) == (r.x, r.y)
