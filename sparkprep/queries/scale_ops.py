@@ -303,6 +303,92 @@ WHERE levenshtein(a.s, b.s) <= 2
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — the dataset-versioning audit between two
+    epochs: one full-outer join on id, content equality via md5, and a
+    single status rollup (added / removed / changed / unchanged). The
+    synthetic v2 snapshot deletes every 13th doc, edits every 17th
+    surviving doc, and adds 20 fresh ids — mirrored exactly in SQL."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    v2 = (
+        docs.filter(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 17 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") < 20).select(
+                (F.col("doc_id") + 90000).alias("doc_id"), "text"
+            )
+        )
+    )
+    a = docs.select("doc_id", F.md5("text").alias("h_old"))
+    b = v2.select("doc_id", F.md5("text").alias("h_new"))
+    status = (
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        a.join(b, "doc_id", "full_outer")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("status")
+    )
+
+
+_SNAPSHOT_DIFF_SQL = """
+WITH v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 != 0
+  UNION ALL
+  SELECT doc_id + 90000, text FROM documents WHERE doc_id < 20
+),
+j AS (
+  SELECT CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN md5(a.text) != md5(b.text) THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+)
+SELECT status, count(*) AS n FROM j GROUP BY status ORDER BY status
+"""
+
+
+def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling: keep a document with
+    probability proportional to its (length-based) weight, decided by
+    an md5 hash threshold instead of RNG — replayable by any engine,
+    stable across runs/partitionings, and exactly the curation
+    primitive for 'sample better docs more' at 100 TB."""
+    from sparkprep.operators import dedup as dd
+
+    docs = t(spark, sf_dir, "documents")
+    w = F.least(F.col("n_chars") / 400.0, F.lit(1.0))
+    keep = (dd.string_to_int_hash(F.col("doc_id").cast("string")) % 10000) < (
+        F.floor(w * 10000)
+    )
+    return (
+        docs.select("doc_id", F.round(w, 4).alias("weight"))
+        .filter(keep)
+        .orderBy("doc_id")
+    )
+
+
+_IMPORTANCE_SAMPLE_SQL = f"""
+SELECT doc_id, round(least(n_chars / 400.0, 1.0), 4) AS weight
+FROM documents
+WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 2147483647) % 10000
+      < floor(least(n_chars / 400.0, 1.0) * 10000)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "approx_distinct": q_approx_distinct,
@@ -312,6 +398,8 @@ QUERIES = {
     "incremental_dedup": q_incremental_dedup,
     "fuzzy_linkage": q_fuzzy_linkage,
     "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
+    "snapshot_diff": q_snapshot_diff,
+    "importance_sample": q_importance_sample,
 }
 
 ORACLES = {
@@ -326,4 +414,6 @@ ORACLES = {
     "ann_ivf_exhaustive": __import__(
         "sparkprep.queries.llmprep", fromlist=["_COSINE_TOPK_SQL"]
     )._COSINE_TOPK_SQL,
+    "snapshot_diff": _SNAPSHOT_DIFF_SQL,
+    "importance_sample": _IMPORTANCE_SAMPLE_SQL,
 }
