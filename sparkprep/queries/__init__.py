@@ -71,6 +71,12 @@ def registry():
     # driver verdict (r1 covered the first 50 = relational + cleaning
     # head) merge FIRST so they land inside the window; relational's
     # already-green rows move to the tail.
+    # ROTATION (next round): once CORRECTNESS_r02 lands, move scale_ops
+    # and the relational tail (market_share..calendar_features,
+    # snapshot_diff..) to the front — they are the only queries without
+    # a driver verdict — and retire this round's verified heads to the
+    # tail. Every query keeps local sf0.001 oracle coverage regardless
+    # (tests/test_entry_oracle.py).
     for mod in (textops, llmprep, temporal_grouped, relational_ext, cleaning, relational, scale_ops):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
