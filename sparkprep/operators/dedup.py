@@ -308,9 +308,22 @@ def connected_components(
 
     Returns (node, component) with component = min node id reachable.
     """
+    # symmetrize via explode-over-struct-array, NOT union-of-selects: a
+    # union of two selects from `pairs` plants the (expensive) pair-
+    # generation subtree in the plan TWICE and re-executes it when edges
+    # first materializes (CLAUDE.md landmine; ~2x MinHash cost measured
+    # on dedup_clusters cold runs). Explode emits both directions in one
+    # row-local pass.
     edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .dropDuplicates()
     )
     labels = (
