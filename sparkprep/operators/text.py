@@ -281,6 +281,89 @@ def chunk_documents(
     )
 
 
+def dedup_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    width: int = 32,
+) -> DataFrame:
+    """C4/RefinedWeb-style exact span dedup at chunk granularity:
+    repeated ``width``-token chunks are removed corpus-wide (the FIRST
+    occurrence, ordered by (id, position), survives; every later
+    occurrence is dropped), then each document is reassembled from its
+    surviving chunks. Emits (id, n_chunks, n_kept, dedup_text);
+    fully-duplicate docs come back with dedup_text = ''.
+
+    Shuffle budget (the 100 TB concern — chunk text is the corpus):
+    the keep/drop decision travels as (md5, id, pos) rows only — one
+    map-combined groupBy on the hash picks min(struct(id, pos)) per
+    chunk content, one tiny groupBy folds keeper positions to a
+    per-doc array. Chunk TEXT crosses exactly ONE exchange: the id-join
+    of exploded chunks with that keep-array (post-join partitioning is
+    hash(id), so the reassembly groupBy(id) reuses it instead of adding
+    a second exchange). The tokenize+explode runs twice (once per
+    branch) — re-reading the scan is row-local and beats shipping the
+    corpus through a second shuffle, and neither branch can be cached
+    at target scale.
+    """
+    staged = df.withColumn("__tk", tokens(text_col))
+    n_chunks = F.greatest(
+        F.ceil(F.size("__tk") / F.lit(float(width))).cast("int"), F.lit(1)
+    )
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            F.concat_ws(" ", F.slice(F.col("__tk"), i * width + 1, width)).alias(
+                "chunk"
+            ),
+        ),
+    )
+    exploded = staged.select(id_col, F.explode(chunk_arr).alias("__c")).select(
+        F.col(id_col),
+        F.col("__c.pos").alias("pos"),
+        F.col("__c.chunk").alias("chunk"),
+    )
+    first = (
+        exploded.select(id_col, "pos", F.md5("chunk").alias("h"))
+        .groupBy("h")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("k"))
+    )
+    keep_per_doc = (
+        first.select(
+            F.col(f"k.{id_col}").alias(id_col), F.col("k.pos").alias("pos")
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("__keep"))
+    )
+    return (
+        exploded.join(keep_per_doc, id_col, "left")
+        .withColumn(
+            "kept",
+            F.coalesce(F.array_contains("__keep", F.col("pos")), F.lit(False)),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.coalesce(F.sum(F.col("kept").cast("long")), F.lit(0)).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("kept"),
+                                F.struct(F.col("pos"), F.col("chunk")),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("dedup_text"),
+        )
+    )
+
+
 def word_count(df: DataFrame, c: str, token_col: str = "token") -> DataFrame:
     """A11 — the reference's RDD word count (Pyspark-WordCount-1.py:7-9
     ``map(lambda x:(x,1)).reduceByKey(add)``) as DataFrame ops:
@@ -323,6 +406,47 @@ def unigram_lm_score(
         toks.join(vocab, "__tok")
         .groupBy(id_col)
         .agg(F.round(F.avg("__lp"), round_to).alias("lm_score"))
+    )
+
+
+def bigram_lm_score(
+    df: DataFrame, text_col: str, id_col: str, round_to: int = 4
+) -> DataFrame:
+    """Corpus-self-trained bigram LM score per document: mean
+    log p(w2 | w1) over the doc's bigram positions, with
+    p(w2 | w1) = c(w1 w2) / c(w1 ·) from the corpus's own counts. The
+    context-sensitive upgrade of ``unigram_lm_score`` — a word-salad
+    doc whose tokens are individually common still scores low because
+    its TRANSITIONS are rare. Every observed bigram has nonzero
+    probability under its own fit, so no smoothing term is needed.
+    Docs with < 2 tokens have no bigram evidence and are dropped.
+
+    Dataflow mirrors the unigram op (two map-combined shuffles): bigram
+    explode -> groupBy(w1, w2) fit; prefix totals are a window over the
+    AGGREGATED counts frame partitioned by w1 (|bigram vocab| rows, not
+    |corpus|); stream ⋈ fit -> groupBy(doc) avg.
+    """
+    from pyspark.sql import Window
+
+    staged = df.withColumn("__tk", tokens(text_col)).filter(F.size("__tk") >= 2)
+    n = F.size("__tk")
+    bigrams = F.zip_with(
+        F.slice(F.col("__tk"), 1, n - 1),
+        F.slice(F.col("__tk"), 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = staged.select(F.col(id_col), F.explode(bigrams).alias("__b")).select(
+        id_col, F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2")
+    )
+    counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c"))
+    counts = counts.withColumn(
+        "__lp",
+        F.log(F.col("__c") / F.sum("__c").over(Window.partitionBy("w1"))),
+    ).select("w1", "w2", "__lp")
+    return (
+        bg.join(counts, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(F.round(F.avg("__lp"), round_to).alias("bigram_lm"))
     )
 
 

@@ -56,6 +56,7 @@ def _read(spark: SparkSession, path: str) -> DataFrame:
 def registry():
     from sparkprep.queries import (
         cleaning,
+        corpus,
         llmprep,
         relational,
         relational_ext,
@@ -77,7 +78,7 @@ def registry():
     # a driver verdict — and retire this round's verified heads to the
     # tail. Every query keeps local sf0.001 oracle coverage regardless
     # (tests/test_entry_oracle.py).
-    for mod in (textops, llmprep, temporal_grouped, relational_ext, cleaning, relational, scale_ops):
+    for mod in (textops, llmprep, temporal_grouped, relational_ext, cleaning, relational, scale_ops, corpus):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles

@@ -1,0 +1,101 @@
+"""Corpus-surgery queries (LLM-pipeline extensions, round 2 tail):
+span-level exact dedup (C4/RefinedWeb-style repeated-passage removal)
+and a self-trained bigram-LM fluency score. Registered AFTER every
+module that still lacks a driver verdict — these get local sf0.001
+oracle coverage now (tests/test_entry_oracle.py) and rotate into the
+driver's 50-entry window next round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkprep.operators import text as tx
+from sparkprep.queries import t
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact span dedup at 32-token chunk granularity:
+    repeated chunks keep only their first (doc_id, pos) occurrence and
+    documents are reassembled from surviving chunks. The C4-style
+    repeated-boilerplate scrub; see operators/text.dedup_spans for the
+    one-text-exchange shuffle design."""
+    docs = t(spark, sf_dir, "documents")
+    out = tx.dedup_spans(docs, "text", "doc_id", width=32)
+    return out.select(
+        "doc_id",
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.md5("dedup_text").alias("dedup_digest"),
+    )
+
+
+# The oracle compares an md5 digest of the reassembled text, not the
+# text itself — same evidence, ~100x smaller compare payload.
+_SPAN_DEDUP_SQL = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+), n AS (
+  SELECT doc_id, t,
+         greatest(ceil(len(t)::DOUBLE / 32)::BIGINT, 1) AS n_chunks
+  FROM tk
+), chunks AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(t[i * 32 + 1 : i * 32 + 32], ' ') AS chunk
+  FROM n, UNNEST(range(0, n_chunks)) AS u(i)
+), ranked AS (
+  SELECT doc_id, pos, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_chunks,
+       coalesce(sum(CASE WHEN rn = 1 THEN 1 END), 0)::BIGINT AS n_kept,
+       md5(coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE rn = 1), ''))
+         AS dedup_digest
+FROM ranked
+GROUP BY doc_id
+"""
+
+
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained bigram-LM fluency: mean log p(w2 | w1) per doc
+    under the corpus's own bigram counts — the context-sensitive
+    upgrade of lm_score (word-salad docs score low even when every
+    individual token is common). Docs with < 2 tokens are dropped
+    (no bigram evidence)."""
+    docs = t(spark, sf_dir, "documents")
+    return tx.bigram_lm_score(docs, "text", "doc_id")
+
+
+_BIGRAM_LM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+), bg AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+), counts AS (
+  SELECT w1, w2, count(*) AS c,
+         sum(count(*)) OVER (PARTITION BY w1) AS c_prefix
+  FROM bg GROUP BY w1, w2
+)
+SELECT doc_id, round(avg(ln(c / c_prefix)), 4) AS bigram_lm
+FROM bg JOIN counts USING (w1, w2)
+GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "span_dedup": q_span_dedup,
+    "bigram_lm": q_bigram_lm,
+}
+
+ORACLES = {
+    "span_dedup": _SPAN_DEDUP_SQL,
+    "bigram_lm": _BIGRAM_LM_SQL,
+}

@@ -1,0 +1,89 @@
+"""Planted-fixture semantics for corpus-surgery ops (span dedup,
+bigram LM) — the edges the sf oracle data can't exercise: cross-doc
+and within-doc span repetition, fully-duplicate docs, sub-width docs,
+and a hand-computed bigram probability."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from sparkprep.operators import text as tx
+
+
+def _w(n, tag):
+    return " ".join(f"{tag}{i}" for i in range(n))
+
+
+def test_span_dedup_cross_doc_first_occurrence_wins(spark):
+    shared = _w(4, "s")
+    df = spark.createDataFrame(
+        [
+            (1, shared + " " + _w(4, "a")),  # chunk0 = shared, chunk1 = a*
+            (2, shared + " " + _w(4, "b")),  # chunk0 duplicates doc 1's
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in tx.dedup_spans(df, "text", "doc_id", width=4).collect()
+    }
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["dedup_text"] == shared + " " + _w(4, "a")
+    assert out[2]["n_chunks"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["dedup_text"] == _w(4, "b")
+
+
+def test_span_dedup_within_doc_repetition(spark):
+    rep = _w(4, "r")
+    df = spark.createDataFrame(
+        [(7, rep + " " + _w(4, "m") + " " + rep)], ["doc_id", "text"]
+    )
+    row = tx.dedup_spans(df, "text", "doc_id", width=4).collect()[0]
+    assert row["n_chunks"] == 3 and row["n_kept"] == 2
+    assert row["dedup_text"] == rep + " " + _w(4, "m")
+
+
+def test_span_dedup_fully_duplicate_doc_empties(spark):
+    body = _w(8, "d")
+    df = spark.createDataFrame([(1, body), (2, body)], ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in tx.dedup_spans(df, "text", "doc_id", width=4).collect()
+    }
+    assert out[1]["n_kept"] == 2 and out[1]["dedup_text"] == body
+    assert out[2]["n_kept"] == 0 and out[2]["dedup_text"] == ""
+
+
+def test_span_dedup_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(1, "only two")], ["doc_id", "text"])
+    row = tx.dedup_spans(df, "text", "doc_id", width=4).collect()[0]
+    assert row["n_chunks"] == 1 and row["n_kept"] == 1
+    assert row["dedup_text"] == "only two"
+
+
+def test_bigram_lm_hand_computed(spark):
+    # corpus: "a b a b" and "a c". bigram counts: (a,b)x2 (b,a)x1 (a,c)x1
+    # prefix counts: a->3, b->1. p(b|a)=2/3, p(a|b)=1, p(c|a)=1/3
+    df = spark.createDataFrame([(1, "a b a b"), (2, "a c")], ["doc_id", "text"])
+    out = {r["doc_id"]: r["bigram_lm"] for r in tx.bigram_lm_score(df, "text", "doc_id").collect()}
+    exp1 = (math.log(2 / 3) + math.log(1.0) + math.log(2 / 3)) / 3
+    exp2 = math.log(1 / 3)
+    assert abs(out[1] - round(exp1, 4)) < 1e-9
+    assert abs(out[2] - round(exp2, 4)) < 1e-9
+
+
+def test_bigram_lm_drops_single_token_docs(spark):
+    df = spark.createDataFrame([(1, "solo"), (2, "two tokens")], ["doc_id", "text"])
+    ids = [r["doc_id"] for r in tx.bigram_lm_score(df, "text", "doc_id").collect()]
+    assert ids == [2]
+
+
+def test_span_dedup_text_crosses_one_exchange(spark):
+    """The chunk text must reach the reassembly through exactly one
+    exchange: the keep-decision branches shuffle only (hash, id, pos)."""
+    df = spark.createDataFrame(
+        [(i, _w(40, f"t{i}_")) for i in range(20)], ["doc_id", "text"]
+    )
+    plan = tx.dedup_spans(df, "text", "doc_id", width=8)._jdf.queryExecution().executedPlan().toString()
+    # count exchanges whose output carries the chunk string column
+    assert plan.count("Exchange") <= 4  # 2 narrow key shuffles + 1 text + agg reuse
