@@ -60,3 +60,32 @@ def achieved_mix(df: DataFrame, group_col: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(total_w), 6).alias("fraction"),
     )
+
+
+def training_order(
+    df: DataFrame,
+    id_col: str,
+    num_shards: int = 64,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic corpus shuffle for training: assign every row a
+    (shard, pos) — shard by md5 bucket, position by md5 order within
+    the shard. The "shuffle the data before training" step, with no RNG
+    anywhere: the same corpus + salt always yields the same order, any
+    engine can replay it, and a different ``salt`` (e.g. the epoch
+    number) gives an independent reshuffle.
+
+    No global window: ordering is per-shard (``row_number`` partitioned
+    by shard), so parallelism == num_shards. Choose num_shards so one
+    shard ≈ one output file at the target size (100 TB / 256 MB ≈ 400k
+    shards), never a small constant — the per-shard sort is the only
+    O(shard) step.
+    """
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    shard = F.conv(F.substring(key, 1, 15), 16, 10).cast("long") % num_shards
+    w = Window.partitionBy("shard").orderBy("__key", id_col)
+    return (
+        df.select(F.col(id_col), key.alias("__key"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos")
+    )

@@ -90,12 +90,36 @@ GROUP BY doc_id
 """
 
 
+def q_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training shuffle: (doc_id, shard, pos) via md5
+    bucketing + per-shard md5 order. No RNG, engine-replayable, and no
+    global window (parallelism == shard count)."""
+    from sparkprep.operators.mix import training_order
+
+    docs = t(spark, sf_dir, "documents")
+    return training_order(docs, "doc_id", num_shards=16)
+
+
+_TRAIN_ORDER_SQL = """
+WITH keyed AS (
+  SELECT doc_id, md5(doc_id::VARCHAR) AS k,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 16 AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)::BIGINT AS pos
+FROM keyed
+"""
+
+
 QUERIES = {
     "span_dedup": q_span_dedup,
     "bigram_lm": q_bigram_lm,
+    "train_order": q_train_order,
 }
 
 ORACLES = {
     "span_dedup": _SPAN_DEDUP_SQL,
     "bigram_lm": _BIGRAM_LM_SQL,
+    "train_order": _TRAIN_ORDER_SQL,
 }

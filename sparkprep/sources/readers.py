@@ -69,6 +69,20 @@ def read_text(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.text(path)
 
 
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-Lines scan (LLM-corpus interchange). ALWAYS pass a schema
+    in production: without one Spark runs a full extra inference pass
+    over the data (doubling the scan at corpus scale) and silently
+    widens mixed-type fields to string. Schema-on-read also prunes —
+    only the requested fields are parsed per line. Malformed lines
+    surface under ``_corrupt_record`` in PERMISSIVE mode rather than
+    failing the job (same accounting contract as read_csv)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Columnar scan — our default interchange format (vectorized reader,
     predicate pushdown, column pruning; none of which CSV gives you)."""

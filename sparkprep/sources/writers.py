@@ -28,6 +28,27 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = 
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
 
 
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = "gzip",
+) -> None:
+    """JSON-Lines sink — the LLM-corpus interchange format (one JSON
+    object per line; what most open-data releases and tokenizer
+    pipelines consume). Spark's native json source writes one file per
+    partition, so writer parallelism and downstream shard count are the
+    DataFrame's partitioning — ``repartition(n)`` upstream to pick the
+    shard layout. Gzip by default: corpus text compresses ~5x and
+    JSONL is line-splittable only when uncompressed, so choose gzip for
+    archival hand-off and ``compression=None`` when the next reader is
+    a parallel scan."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

@@ -1,0 +1,66 @@
+"""JSONL source/sink roundtrip — the LLM-corpus interchange format:
+content-exact write/readback, shard count = partitioning, explicit
+schema-on-read, and malformed-line accounting."""
+
+import glob
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from sparkprep.sources.readers import read_jsonl
+from sparkprep.sources.writers import write_jsonl
+
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+
+def test_jsonl_roundtrip_exact(spark, sf_dir, tmp_path):
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text", "lang")
+        .repartition(3)
+    )
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, out, compression=None)
+    back = read_jsonl(spark, out, schema=DOC_SCHEMA)
+    assert back.count() == docs.count()
+    digest = lambda df: (
+        df.select(F.md5(F.concat_ws("\x01", "doc_id", "text", "lang")).alias("h"))
+        .agg(F.sum(F.conv(F.substring("h", 1, 15), 16, 10).cast("decimal(38,0)")))
+        .collect()[0][0]
+    )
+    assert digest(back) == digest(docs)
+    # shard layout = writer partitioning
+    assert len(glob.glob(os.path.join(out, "part-*"))) == 3
+
+
+def test_jsonl_gzip_shards(spark, tmp_path):
+    df = spark.range(100).select(F.col("id").alias("doc_id")).repartition(2)
+    out = str(tmp_path / "gz")
+    write_jsonl(df, out)  # gzip default
+    parts = glob.glob(os.path.join(out, "part-*"))
+    assert len(parts) == 2 and all(p.endswith(".gz") for p in parts)
+
+
+def test_jsonl_malformed_line_accounting(spark, tmp_path):
+    p = tmp_path / "corrupt.jsonl"
+    p.write_text(
+        json.dumps({"doc_id": 1, "text": "ok", "lang": "en"})
+        + "\n{not json at all\n"
+        + json.dumps({"doc_id": 2, "text": "also ok", "lang": "en"})
+        + "\n"
+    )
+    schema = DOC_SCHEMA.add(StructField("_corrupt_record", StringType()))
+    back = read_jsonl(spark, str(p), schema=schema).cache()
+    try:
+        assert back.filter(F.col("_corrupt_record").isNotNull()).count() == 1
+        assert back.filter(F.col("_corrupt_record").isNull()).count() == 2
+    finally:
+        back.unpersist()

@@ -75,3 +75,22 @@ def test_achieved_mix_fractions_sum_to_one(spark, sf_dir):
     out = mix.achieved_mix(docs, "lang")
     total = out.agg(F.sum("fraction")).collect()[0][0]
     assert abs(total - 1.0) < 1e-4
+
+
+def test_training_order_deterministic_and_salted(spark):
+    from sparkprep.operators.mix import training_order
+
+    df = spark.range(200).select(F.col("id").alias("doc_id"))
+    a = training_order(df, "doc_id", num_shards=8).collect()
+    b = training_order(df, "doc_id", num_shards=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # every row present exactly once; positions within a shard are 1..n
+    assert len(a) == 200
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # a different salt reshuffles: some doc changes shard or pos
+    c = training_order(df, "doc_id", num_shards=8, salt="epoch1").collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
