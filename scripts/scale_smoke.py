@@ -136,6 +136,13 @@ def main() -> None:
         mix.resample_to_quotas(
             docs.withColumn("grp", F.pmod("doc_id", 8).cast("string")),
             "grp", {str(g): num_docs // 20 for g in range(8)}, "doc_id")))
+    # span dedup explodes ~4 chunks/doc and shuffles the md5 keep-keys;
+    # the op whose shuffle volume grows fastest with corpus size
+    bench("span dedup (32-tok chunks)", lambda: materialize(
+        text.dedup_spans(docs, "text", "doc_id", width=32)
+        .select("doc_id", "n_chunks", "n_kept")))
+    bench("training order (1024 shards)", lambda: materialize(
+        mix.training_order(docs, "doc_id", num_shards=1024)))
     spark.stop()
 
 
