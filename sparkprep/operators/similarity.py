@@ -438,3 +438,39 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def grouped_centroids(
+    df: DataFrame,
+    vec_col: str,
+    group_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group elementwise mean vector (class prototypes / cluster
+    centroids / label embeddings). Emits (group, n_vecs, centroid).
+
+    Explode-by-dimension, NOT collect-and-average: posexplode fans each
+    vector into (group, dim, value) rows, and the groupBy(group, dim)
+    average partial-aggregates map-side — every partition contributes
+    at most |groups| x D pre-combined rows to the shuffle regardless of
+    corpus size. The collect_list alternative ships every vector to one
+    reducer per group (OOM at the first million-vector label). Second
+    tiny shuffle folds (group, dim, mean) back to an ordered array.
+    """
+    dims = df.select(
+        F.col(group_col), F.posexplode(F.col(vec_col)).alias("__d", "__v")
+    )
+    per_dim = dims.groupBy(group_col, "__d").agg(
+        F.avg("__v").alias("__m"), F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        per_dim.groupBy(group_col)
+        .agg(
+            F.max("__n").alias("n_vecs"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__d", "__m"))),
+                lambda s: F.round(s["__m"], round_to),
+            ).alias("centroid"),
+        )
+        .select(group_col, F.col("n_vecs").cast("long").alias("n_vecs"), "centroid")
+    )

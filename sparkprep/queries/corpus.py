@@ -112,14 +112,45 @@ FROM keyed
 """
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (class prototypes), emitted in
+    long form (label, n_vecs, dim, c_val) so the oracle compares
+    scalar doubles instead of float arrays."""
+    from sparkprep.operators.similarity import grouped_centroids
+
+    emb = t(spark, sf_dir, "embeddings")
+    cent = grouped_centroids(emb, "embedding", "label")
+    return cent.select(
+        "label",
+        "n_vecs",
+        F.posexplode("centroid").alias("dim", "c_val"),
+    ).select("label", "n_vecs", F.col("dim").cast("long").alias("dim"), "c_val")
+
+
+_LABEL_CENTROIDS_SQL = """
+WITH d AS (
+  SELECT label, i - 1 AS dim, embedding[i] AS v
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+)
+SELECT label,
+       count(*)::BIGINT AS n_vecs,
+       dim::BIGINT AS dim,
+       round(avg(v), 6) AS c_val
+FROM d
+GROUP BY label, dim
+"""
+
+
 QUERIES = {
     "span_dedup": q_span_dedup,
     "bigram_lm": q_bigram_lm,
     "train_order": q_train_order,
+    "label_centroids": q_label_centroids,
 }
 
 ORACLES = {
     "span_dedup": _SPAN_DEDUP_SQL,
     "bigram_lm": _BIGRAM_LM_SQL,
     "train_order": _TRAIN_ORDER_SQL,
+    "label_centroids": _LABEL_CENTROIDS_SQL,
 }

@@ -126,3 +126,69 @@ def test_morton_key_deinterleaves_exactly(spark, pts):
         x = sum(((r.zkey >> (2 * i)) & 1) << i for i in range(16))
         y = sum(((r.zkey >> (2 * i + 1)) & 1) << i for i in range(16))
         assert (x, y) == (r.x, r.y)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=1, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_dedup_spans_invariants(spark, texts):
+    """Global chunk conservation: kept chunks across the corpus ==
+    distinct chunk contents; every doc's surviving text is an ordered
+    subsequence of its original chunks."""
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    out = tx.dedup_spans(df, "text", "doc_id", width=3).collect()
+    chunks_of = {}
+    for i, t in enumerate(texts):
+        tk = t.split()
+        chunks_of[i] = [" ".join(tk[j : j + 3]) for j in range(0, len(tk), 3)]
+    distinct = set(c for cs in chunks_of.values() for c in cs)
+    assert sum(r["n_kept"] for r in out) == len(distinct)
+    for r in out:
+        kept = r["dedup_text"].split()
+        orig = chunks_of[r["doc_id"]]
+        # kept text = concatenation of a subsequence of original chunks
+        rebuilt, idx = [], 0
+        for c in orig:
+            w = c.split()
+            if rebuilt is not None and kept[idx : idx + len(w)] == w:
+                idx += len(w)
+        assert idx == len(kept)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.lists(
+                st.floats(min_value=-100, max_value=100, allow_nan=False),
+                min_size=4,
+                max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_grouped_centroids_match_numpy(spark, rows):
+    import numpy as np
+
+    from sparkprep.operators.similarity import grouped_centroids
+
+    df = spark.createDataFrame(
+        [(g, [float(x) for x in v]) for g, v in rows], ["label", "embedding"]
+    )
+    out = {r["label"]: r for r in grouped_centroids(df, "embedding", "label").collect()}
+    groups = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(v)
+    for g, vs in groups.items():
+        assert out[g]["n_vecs"] == len(vs)
+        exp = np.mean(np.array(vs, dtype=float), axis=0)
+        got = out[g]["centroid"]
+        assert all(abs(a - round(float(b), 6)) <= 1e-6 for a, b in zip(got, exp))
