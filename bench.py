@@ -38,7 +38,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     # warm-up: JVM/codegen spin-up + parquet footer caches (counts are
     # metadata-only for parquet, so this reads no data); the loader
-    # handles the events table's timestamp[ns] schema
+    # normalizes the events table's ts encoding (ns or µs) to TimestampType
     from sparkprep.queries import t as load_table
 
     for tbl in ("region", "nation", "customer", "orders", "lineitem",
@@ -64,26 +64,39 @@ def main() -> None:
         )
     )
 
+    # Per-query fault isolation: one broken query must never erase the
+    # round's performance evidence (round 2 lost ALL timings to a single
+    # AnalysisException). Failures land in "errors"; the other timings
+    # survive and the process still exits non-zero so the failure is
+    # loud, not silent.
     total = 0.0
+    errors: dict[str, str] = {}
     for name, fn in queries.items():
         t0 = time.perf_counter()
-        materialize(fn(spark, sf_dir))
+        try:
+            materialize(fn(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001 — isolate per query
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench: query {name!r} FAILED: {errors[name]}", file=sys.stderr)
+            continue
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 4)
         total += dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": round(total, 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_wall_sec",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
+    # Exit 0 even with per-query errors: a non-zero rc makes the driver
+    # discard the whole JSON line (round 2 lost every timing that way).
+    # The "errors" key is the loud signal; the timings must survive.
 
 
 if __name__ == "__main__":

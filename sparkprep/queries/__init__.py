@@ -26,14 +26,24 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _read(spark: SparkSession, path: str) -> DataFrame:
-    """Parquet read that tolerates TIMESTAMP(NANOS) columns.
+    """Parquet read that normalizes ``ts`` to ONE Spark type.
 
-    The events table is written as parquet timestamp[ns], which Spark's
-    reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read nanos as
-    LONG (legacy conf) and rebuild the timestamp with integer division
-    (``div 1000`` — exact on int64; a double roundtrip would lose
-    precision above 2^53 ns), truncating toward zero exactly like
-    DuckDB's ns→us conversion.
+    The events table's physical encoding has flipped between testdata
+    generations (timestamp[ns] → timestamp[us]); this loader is the
+    single place that absorbs that drift. Contract: whatever the file
+    stores, a ``ts`` column comes out as session-TZ ``TimestampType``
+    (queries that touch it pin UTC via ``tune_for_engine`` first, so
+    values match DuckDB's naive microsecond timestamps).
+
+    - timestamp[ns]: Spark's reader rejects NANOS outright
+      ([PARQUET_TYPE_ILLEGAL]); read nanos as LONG (legacy conf) and
+      rebuild with integer division (``div 1000`` — exact on int64;
+      a double roundtrip would lose precision above 2^53 ns),
+      truncating toward zero exactly like DuckDB's ns→us conversion.
+    - timestamp[us] (no tz): Spark reads TIMESTAMP_NTZ; cast to
+      TIMESTAMP (identity under the pinned-UTC session). Spark 4
+      forbids NTZ→numeric casts, so leaving NTZ leak into queries
+      crashes epoch arithmetic — normalize here, once.
     """
     from pyspark.sql import functions as F
 
@@ -50,7 +60,40 @@ def _read(spark: SparkSession, path: str) -> DataFrame:
         for c, typ in df.dtypes:
             if c == "ts" and typ == "bigint":
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for c, typ in df.dtypes:
+        if c == "ts" and typ == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+# Round-3 rotation (VERDICT r2 "What's missing" #1): the 21 queries that
+# have never been inside the driver's 50-entry adjudication window go
+# FIRST, by name — explicit so module sizes can't silently push one out.
+# r1 verified the relational/cleaning head, r2 the textops/llmprep/
+# temporal/dedup block; after this round every query has a driver verdict.
+_DRIVER_WINDOW_PRIORITY = [
+    "stratified_sample",
+    "market_share",
+    "supplier_part_counts",
+    "promo_suppliers",
+    "waiting_suppliers",
+    "window_medley",
+    "calendar_features",
+    "embedding_quantize",
+    "approx_distinct",
+    "approx_quantiles",
+    "train_mix",
+    "zorder_key",
+    "incremental_dedup",
+    "fuzzy_linkage",
+    "ann_ivf_exhaustive",
+    "snapshot_diff",
+    "importance_sample",
+    "span_dedup",
+    "bigram_lm",
+    "train_order",
+    "label_centroids",
+]
 
 
 def registry():
@@ -65,20 +108,18 @@ def registry():
         textops,
     )
 
-    queries: dict = {}
+    merged_q: dict = {}
     oracles: dict = {}
-    # Merge order is deliberate: the correctness driver adjudicates the
-    # first 50 registry entries per round. Modules whose queries lack a
-    # driver verdict (r1 covered the first 50 = relational + cleaning
-    # head) merge FIRST so they land inside the window; relational's
-    # already-green rows move to the tail.
-    # ROTATION (next round): once CORRECTNESS_r02 lands, move scale_ops
-    # and the relational tail (market_share..calendar_features,
-    # snapshot_diff..) to the front — they are the only queries without
-    # a driver verdict — and retire this round's verified heads to the
-    # tail. Every query keeps local sf0.001 oracle coverage regardless
-    # (tests/test_entry_oracle.py).
     for mod in (textops, llmprep, temporal_grouped, relational_ext, cleaning, relational, scale_ops, corpus):
-        queries.update(mod.QUERIES)
+        merged_q.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
+    # The correctness driver adjudicates the FIRST 50 registry entries
+    # per round: never-verified names first (KeyError here = a priority
+    # name was renamed without updating the rotation — fail loudly),
+    # then everything else in module order. Every query keeps local
+    # sf0.001 oracle coverage regardless (tests/test_entry_oracle.py).
+    queries: dict = {name: merged_q[name] for name in _DRIVER_WINDOW_PRIORITY}
+    for name, fn in merged_q.items():
+        if name not in queries:
+            queries[name] = fn
     return queries, oracles

@@ -701,13 +701,15 @@ def q_user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wf = w.rowsBetween(-2, 0)
+    # Gap via unix_micros (exact int64 epoch µs) — Spark 4 forbids a
+    # direct NTZ/timestamp→double cast; the µs difference divided by 1e6
+    # is exact for any realistic gap and matches DuckDB's
+    # date_part('epoch', ts) fractional seconds.
+    mic = F.unix_micros(F.col("ts"))
     staged = ev.select(
         "user_id",
         "value",
-        (
-            F.col("ts").cast("double")
-            - F.lag(F.col("ts").cast("double")).over(w)
-        ).alias("__gap"),
+        ((mic - F.lag(mic).over(w)) / F.lit(1000000.0)).alias("__gap"),
         F.sum("value").over(wf).alias("__roll3"),
     )
     return staged.groupBy("user_id").agg(

@@ -23,38 +23,74 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
-# events.parquet physical schema: ts is stored as timestamp[ns], which
-# Spark reads as LONG under spark.sql.legacy.parquet.nanosAsLong.
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+
+def _ts_encoding(path: str) -> str:
+    """Probe the physical encoding of ``ts`` from the parquet footer
+    (pyarrow, no Spark job). Returns the arrow unit string ('ns'/'us').
+
+    The streaming source needs an explicit schema, and that schema must
+    match the file's PHYSICAL encoding — hard-coding it is how round 2
+    silently divided microseconds by 1000 when the testdata regenerated
+    ns→µs. Deriving it from the footer shares the batch loader's
+    contract: whatever the file stores, ``ts`` comes out TimestampType.
+    """
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+        if not files:
+            raise FileNotFoundError(f"no parquet files under {path}")
+        path = files[0]
+    field = pq.read_schema(path).field("ts")
+    return field.type.unit  # 'ns' | 'us' | 'ms' | 's'
+
+
+def events_raw_schema(ts_unit: str) -> StructType:
+    """Streaming-source schema for the events table, parameterized by
+    the file's physical ts encoding: ns → LONG (legacy nanosAsLong
+    read), anything else → TIMESTAMP_NTZ (parquet without tz info)."""
+    ts_type = LongType() if ts_unit == "ns" else TimestampNTZType()
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over the events parquet (new files under
     ``path`` are discovered per micro-batch — the production shape for
     landing-zone ingest; at scale prefer a Kafka source, same plan
-    otherwise). Nanos ts rebuilt exactly as in the batch reader."""
+    otherwise). The ts column is normalized to TimestampType exactly
+    like the batch reader (``sparkprep.queries._read``), with the
+    physical encoding probed from the file footer rather than assumed."""
     import os
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    unit = _ts_encoding(path)
+    reader = spark.readStream.schema(events_raw_schema(unit))
     if path.endswith(".parquet") and os.path.isfile(path):
         # file sources need a DIRECTORY; point at the parent and glob
         # the single file (driver testdata keeps all tables in one dir)
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
+    if unit == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = reader.parquet(path)
+        # exact int64 div — same truncation as DuckDB's ns→us
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     raw = reader.parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_agg_stream(
