@@ -364,6 +364,98 @@ def dedup_spans(
     )
 
 
+def boilerplate_scrub(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    domain_col: str,
+    width: int = 16,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-domain boilerplate removal (the C4/RefinedWeb line rule,
+    at ``width``-token chunk granularity since this corpus has no line
+    structure): a chunk whose content recurs in >= ``min_docs`` DISTINCT
+    documents of the SAME domain is boilerplate (nav bars, cookie
+    banners, footers) and EVERY occurrence is dropped — unlike
+    ``dedup_spans``, no first-occurrence survivor. Emits
+    (id, n_chunks, n_kept, scrub_text).
+
+    Shuffle budget at 100 TB: chunk content travels as (domain, md5)
+    through the recurrence count (map-combined groupBy; count DISTINCT
+    ids via two-level agg, no expensive exact-distinct over the raw
+    stream), the boilerplate verdict returns as a per-doc keep-position
+    array joined on id, and chunk TEXT crosses exactly ONE exchange —
+    the id-join — whose hash(id) partitioning the reassembly
+    groupBy(id) then reuses. Same skeleton as ``dedup_spans``.
+    """
+    staged = df.withColumn("__tk", tokens(text_col))
+    n_chunks = F.greatest(
+        F.ceil(F.size("__tk") / F.lit(float(width))).cast("int"), F.lit(1)
+    )
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            F.concat_ws(" ", F.slice(F.col("__tk"), i * width + 1, width)).alias(
+                "chunk"
+            ),
+        ),
+    )
+    exploded = staged.select(
+        id_col, domain_col, F.explode(chunk_arr).alias("__c")
+    ).select(
+        F.col(id_col),
+        F.col(domain_col),
+        F.col("__c.pos").alias("pos"),
+        F.col("__c.chunk").alias("chunk"),
+    )
+    # distinct docs per (domain, chunk-hash): pre-distinct on the full
+    # key THEN count — two map-combined hash aggregates, cheaper than
+    # countDistinct's expand at scale
+    hashed = exploded.select(
+        id_col, "pos", F.col(domain_col), F.md5("chunk").alias("h")
+    )
+    doc_hits = hashed.select(id_col, domain_col, "h").dropDuplicates()
+    bad = (
+        doc_hits.groupBy(domain_col, "h")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select(domain_col, "h")
+    )
+    keep_per_doc = (
+        hashed.join(bad, [domain_col, "h"], "left_anti")
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("__keep"))
+    )
+    return (
+        exploded.drop(domain_col)
+        .join(keep_per_doc, id_col, "left")
+        .withColumn(
+            "kept",
+            F.coalesce(F.array_contains("__keep", F.col("pos")), F.lit(False)),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.coalesce(F.sum(F.col("kept").cast("long")), F.lit(0)).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("kept"),
+                                F.struct(F.col("pos"), F.col("chunk")),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("scrub_text"),
+        )
+    )
+
+
 def word_count(df: DataFrame, c: str, token_col: str = "token") -> DataFrame:
     """A11 — the reference's RDD word count (Pyspark-WordCount-1.py:7-9
     ``map(lambda x:(x,1)).reduceByKey(add)``) as DataFrame ops:

@@ -141,11 +141,99 @@ GROUP BY label, dim
 """
 
 
+def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain boilerplate removal (C4/RefinedWeb rule at 16-token
+    chunk granularity): a chunk recurring in >= 2 distinct docs of the
+    same source is dropped everywhere — distinct from span_dedup, which
+    keeps a first occurrence corpus-wide. Digest compare like
+    span_dedup."""
+    docs = t(spark, sf_dir, "documents")
+    out = tx.boilerplate_scrub(docs, "text", "doc_id", "source", width=16, min_docs=2)
+    return out.select(
+        "doc_id",
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.md5("scrub_text").alias("scrub_digest"),
+    )
+
+
+_BOILERPLATE_SCRUB_SQL = r"""
+WITH tk AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+), n AS (
+  SELECT doc_id, source, t,
+         greatest(ceil(len(t)::DOUBLE / 16)::BIGINT, 1) AS n_chunks
+  FROM tk
+), chunks AS (
+  SELECT doc_id, source, i AS pos,
+         array_to_string(t[i * 16 + 1 : i * 16 + 16], ' ') AS chunk
+  FROM n, UNNEST(range(0, n_chunks)) AS u(i)
+), bad AS (
+  SELECT source, chunk
+  FROM chunks GROUP BY source, chunk
+  HAVING count(DISTINCT doc_id) >= 2
+), marked AS (
+  SELECT c.doc_id, c.pos, c.chunk, b.chunk IS NULL AS kept
+  FROM chunks c LEFT JOIN bad b ON c.source = b.source AND c.chunk = b.chunk
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_chunks,
+       coalesce(sum(CASE WHEN kept THEN 1 END), 0)::BIGINT AS n_kept,
+       md5(coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE kept), ''))
+         AS scrub_digest
+FROM marked
+GROUP BY doc_id
+"""
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus health report (the first screen of any
+    CommonCrawl-style ingest): doc count, volume, average length,
+    language spread, and the within-domain exact-dup count (docs minus
+    distinct text digests). One map-combined groupBy on source;
+    distinct-text via md5 so only 32-byte digests, not the corpus,
+    reach the aggregate state."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            F.length("text").alias("__len"),
+            "lang",
+            F.md5("text").alias("__h"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__len").alias("total_chars"),
+            F.round(F.avg("__len"), 2).alias("avg_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            (F.count(F.lit(1)) - F.countDistinct("__h")).alias("n_exact_dups"),
+        )
+        .orderBy("source")
+    )
+
+
+_DOMAIN_STATS_SQL = """
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(length(text))::BIGINT AS total_chars,
+       round(avg(length(text)), 2) AS avg_chars,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       (count(*) - count(DISTINCT md5(text)))::BIGINT AS n_exact_dups
+FROM documents
+GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "span_dedup": q_span_dedup,
     "bigram_lm": q_bigram_lm,
     "train_order": q_train_order,
     "label_centroids": q_label_centroids,
+    "boilerplate_scrub": q_boilerplate_scrub,
+    "domain_stats": q_domain_stats,
 }
 
 ORACLES = {
@@ -153,4 +241,6 @@ ORACLES = {
     "bigram_lm": _BIGRAM_LM_SQL,
     "train_order": _TRAIN_ORDER_SQL,
     "label_centroids": _LABEL_CENTROIDS_SQL,
+    "boilerplate_scrub": _BOILERPLATE_SCRUB_SQL,
+    "domain_stats": _DOMAIN_STATS_SQL,
 }

@@ -87,3 +87,55 @@ def test_span_dedup_text_crosses_one_exchange(spark):
     plan = tx.dedup_spans(df, "text", "doc_id", width=8)._jdf.queryExecution().executedPlan().toString()
     # count exchanges whose output carries the chunk string column
     assert plan.count("Exchange") <= 4  # 2 narrow key shuffles + 1 text + agg reuse
+
+def test_boilerplate_scrub_drops_all_occurrences_per_domain(spark):
+    """Unlike span dedup there is NO surviving first occurrence: a
+    chunk seen in >=2 distinct docs of one domain vanishes from both;
+    the same chunk in ANOTHER domain (only one doc there) survives."""
+    banner = _w(4, "nav")
+    df = spark.createDataFrame(
+        [
+            (1, "d1", banner + " " + _w(4, "a")),
+            (2, "d1", banner + " " + _w(4, "b")),
+            (3, "d2", banner + " " + _w(4, "c")),
+        ],
+        ["doc_id", "source", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in tx.boilerplate_scrub(
+            df, "text", "doc_id", "source", width=4, min_docs=2
+        ).collect()
+    }
+    assert out[1]["n_kept"] == 1 and out[1]["scrub_text"] == _w(4, "a")
+    assert out[2]["n_kept"] == 1 and out[2]["scrub_text"] == _w(4, "b")
+    # d2 has the banner only once — not boilerplate there
+    assert out[3]["n_kept"] == 2
+    assert out[3]["scrub_text"] == banner + " " + _w(4, "c")
+
+
+def test_boilerplate_scrub_within_doc_repeat_not_boilerplate(spark):
+    """Repetition inside ONE doc does not meet the distinct-doc bar."""
+    rep = _w(4, "r")
+    df = spark.createDataFrame(
+        [(1, "d1", rep + " " + rep)], ["doc_id", "source", "text"]
+    )
+    row = tx.boilerplate_scrub(
+        df, "text", "doc_id", "source", width=4, min_docs=2
+    ).collect()[0]
+    assert row["n_chunks"] == 2 and row["n_kept"] == 2
+
+
+def test_boilerplate_scrub_fully_boilerplate_doc_empties(spark):
+    body = _w(4, "x")
+    df = spark.createDataFrame(
+        [(1, "d1", body), (2, "d1", body)], ["doc_id", "source", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in tx.boilerplate_scrub(
+            df, "text", "doc_id", "source", width=4, min_docs=2
+        ).collect()
+    }
+    assert out[1]["n_kept"] == 0 and out[1]["scrub_text"] == ""
+    assert out[2]["n_kept"] == 0 and out[2]["scrub_text"] == ""
