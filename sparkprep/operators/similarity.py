@@ -474,3 +474,96 @@ def grouped_centroids(
         )
         .select(group_col, F.col("n_vecs").cast("long").alias("n_vecs"), "centroid")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_clusters: int = 8,
+    dim: int = 64,
+    tau: float = 0.95,
+    seed: int = 7,
+    round_to: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    partition the corpus into clusters by nearest centroid, then inside
+    each cluster drop every item whose cosine to a LOWER-id item is
+    ``>= tau``. Emits (id, cluster, keep) for every input row.
+
+    Scale shape: cluster assignment is map-only (K fixed dot products
+    per row, no shuffle); the near-dup check is an equi-join on the
+    cluster key, so the quadratic term is bounded by the largest
+    cluster — the same bucketed-join skeleton as LSH banding, never
+    all-pairs. At 100 TB, K grows ~sqrt(N) and centroids come from a
+    k-means fit on an O(1) driver-side sample (see :func:`ann_ivf_topk`);
+    here they are seeded random unit vectors so the DuckDB oracle can
+    inline them as literals and replay the exact assignment.
+
+    Determinism: argmax ties break to the LOWEST cluster index (strict
+    CASE chain, mirrored in SQL); the keep rule is non-transitive by
+    design (a dropped item still shadows its own higher-id neighbors),
+    matching the one-pass semantics of the published method.
+    """
+    rng = np.random.RandomState(seed)
+    cents = rng.normal(size=(num_clusters, dim))
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+    # Materialize the norm in its own projection: an interpreted HOF
+    # lambda referencing norm(v) would re-evaluate it per ELEMENT.
+    staged = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm_native(F.col(vec_col)).alias("__n"),
+    )
+    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("__n"))
+    scored = staged.select(
+        F.col(id_col),
+        unit.alias("__unit"),
+        *[
+            dot_native(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in cents[k]]),
+            ).alias(f"__d{k}")
+            for k in range(num_clusters)
+        ],
+    )
+    # argmax over unit centroids == argmax cosine (|v| scales all dots
+    # equally); first-k-wins CASE chain = ties to lowest index.
+    cluster = None
+    for k in range(num_clusters - 1):
+        cond = None
+        for j in range(k + 1, num_clusters):
+            c2 = F.col(f"__d{k}") >= F.col(f"__d{j}")
+            cond = c2 if cond is None else (cond & c2)
+        cluster = (
+            F.when(cond, F.lit(k)) if cluster is None else cluster.when(cond, F.lit(k))
+        )
+    cluster = cluster.otherwise(F.lit(num_clusters - 1))
+    assigned = scored.select(
+        F.col(id_col), F.col("__unit"), cluster.cast("long").alias("cluster")
+    )
+    a = assigned.select(
+        F.col("cluster"), F.col(id_col).alias("__id_a"), F.col("__unit").alias("__va")
+    )
+    b = assigned.select(
+        F.col("cluster"), F.col(id_col).alias("__id_b"), F.col("__unit").alias("__vb")
+    )
+    # Rounded-then-compared cosine: boundary-stable across engines
+    # (identical double rounding on both sides of the oracle).
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("__id_a") < F.col("__id_b"))
+        .filter(F.round(dot_native(F.col("__va"), F.col("__vb")), round_to) >= tau)
+        .select(F.col("__id_b").alias(id_col))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cluster"),
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"),
+        )
+    )

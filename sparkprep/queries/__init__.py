@@ -96,6 +96,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "bigram_lm",
     "train_order",
     "label_centroids",
+    # round-3 additions: new this round, so also never driver-verified
+    "semantic_dedup",
 ]
 
 

@@ -499,6 +499,82 @@ FROM payload
 """
 
 
+_SEM_K = 8
+_SEM_TAU = 0.95
+
+
+def _sem_cents() -> np.ndarray:
+    rng = np.random.RandomState(7)
+    c = rng.normal(size=(_SEM_K, _DIM))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embedding corpus with
+    planted near-dups (the x1.2 scaled copies, id+10000): nearest seeded
+    centroid → within-cluster cosine >= tau vs any lower id → keep flag.
+    Cluster assignment is map-only; the pair check is an equi-join on
+    the cluster key (bounded by largest cluster, never all-pairs)."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    scaled = emb.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 1.2).alias("embedding"),
+    )
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    corpus = base.unionByName(scaled)
+    return sim.semantic_dedup(
+        corpus, num_clusters=_SEM_K, dim=_DIM, tau=_SEM_TAU, seed=7
+    )
+
+
+def _sem_dedup_sql() -> str:
+    cents = _sem_cents()
+    dots = []
+    for k in range(_SEM_K):
+        lits = ", ".join(repr(float(x)) for x in cents[k])
+        dots.append(
+            f"list_sum(list_transform(range(1, {_DIM + 1}),"
+            f" i -> embedding[i]::DOUBLE * ([{lits}])[i])) AS d{k}"
+        )
+    # first-k-wins CASE chain == argmax with ties to lowest index
+    arms = []
+    for k in range(_SEM_K - 1):
+        cond = " AND ".join(f"d{k} >= d{j}" for j in range(k + 1, _SEM_K))
+        arms.append(f"WHEN {cond} THEN {k}")
+    case = "CASE " + " ".join(arms) + f" ELSE {_SEM_K - 1} END"
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id, list_transform(embedding, x -> x::DOUBLE * 1.2) AS embedding
+  FROM embeddings
+),
+dk AS (
+  SELECT vec_id, embedding, {", ".join(dots)}
+  FROM corpus
+),
+assigned AS (
+  SELECT vec_id, embedding, ({case})::BIGINT AS cluster FROM dk
+),
+un AS (
+  SELECT vec_id, cluster,
+         list_transform(embedding, x -> x / nrm) AS u
+  FROM (SELECT vec_id, cluster, embedding,
+               sqrt(list_sum(list_transform(embedding, x -> x * x))) AS nrm
+        FROM assigned)
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM un a JOIN un b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE round(list_sum(list_transform(range(1, {_DIM + 1}), i -> a.u[i] * b.u[i])), 4) >= {_SEM_TAU}
+)
+SELECT u.vec_id, u.cluster, (d.vec_id IS NULL) AS keep
+FROM un u LEFT JOIN dropped d ON u.vec_id = d.vec_id
+"""
+
+
 def q_llm_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole LLM-prep quality gate as ONE funnel-accounting pass:
     length gate → composite quality gate → repetition gate → exact
@@ -595,6 +671,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "media_features": q_media_features,
     "dedup_clusters": q_dedup_clusters,
+    "semantic_dedup": q_semantic_dedup,
     "llm_funnel": q_llm_funnel,
 }
 
@@ -610,5 +687,6 @@ ORACLES = {
     "embedding_near_dup": _NEAR_DUP_SQL,
     "media_features": _MEDIA_SQL,
     "dedup_clusters": _dedup_clusters_sql(),
+    "semantic_dedup": _sem_dedup_sql(),
     "llm_funnel": _LLM_FUNNEL_SQL,
 }

@@ -172,3 +172,39 @@ def test_ivf_lloyd_recall(spark):
         lloyd_iterations=2, sample_size=256,
     ).collect()
     assert _planted_recall(refined, n) >= 0.9
+
+
+def test_semantic_dedup_drops_scaled_twin_keeps_base(spark):
+    """A x1.2 scaled copy has cosine exactly 1 with its base and the
+    same argmax cluster (scaling multiplies every centroid dot equally),
+    so the higher-id twin must be dropped and the base kept."""
+    import numpy as np
+    from sparkprep.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(3)
+    vecs = rng.normal(size=(6, 64))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(6)]
+    rows += [(100 + i, [float(x) * 1.2 for x in vecs[i]]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, num_clusters=4, dim=64, tau=0.95, seed=7)
+    got = {r["vec_id"]: (r["cluster"], r["keep"]) for r in out.collect()}
+    assert len(got) == 12
+    for i in range(6):
+        assert got[i][1] is True, f"base {i} must be kept"
+        assert got[100 + i][1] is False, f"twin {100 + i} must be dropped"
+        assert got[i][0] == got[100 + i][0], "twin must share the base's cluster"
+
+
+def test_semantic_dedup_orthogonal_vectors_all_kept(spark):
+    """One-hot (orthogonal) vectors have pairwise cosine 0 — nothing
+    may be dropped regardless of cluster collisions."""
+    from sparkprep.operators.similarity import semantic_dedup
+
+    rows = []
+    for i in range(8):
+        v = [0.0] * 64
+        v[i] = 1.0
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, num_clusters=4, dim=64, tau=0.5, seed=7)
+    assert all(r["keep"] for r in out.collect())
