@@ -659,3 +659,105 @@ def inverted_index(
             ).alias("postings"),
         )
     )
+
+
+GOPHER_REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    c: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    round_to: int = 4,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, public):
+    word-count bounds, mean word length in [3,10], symbol-to-word ratio
+    ('#' and '...') <= 0.1, bullet-line ratio <= 0.9, ellipsis-line
+    ratio <= 0.3, >= 80% of words containing an alphabetic character,
+    and >= 2 distinct required stopwords. Adds every signal column plus
+    the conjunction as ``pass``.
+
+    Pure native expressions, one projection pipeline, no shuffle — the
+    rules run as a map over the scan at any scale. Token and line
+    arrays are materialized in their OWN projection before any lambda
+    touches them (interpreted HOFs re-evaluate embedded trees per
+    element). Ratios are rounded THEN compared, so the oracle's
+    threshold decisions replay bit-identically.
+    """
+    s = _col(c)
+    staged = df.withColumn("__tk", tokens(c)).withColumn(
+        "__ln", F.filter(F.split(s, "\n"), lambda x: F.trim(x) != "")
+    )
+    nw = F.size("__tk").cast("long")
+    nl = F.size("__ln")
+    hashes = F.length(s) - F.length(F.replace(s, F.lit("#"), F.lit("")))
+    ellipses = (F.length(s) - F.length(F.replace(s, F.lit("..."), F.lit("")))) / 3
+    staged = staged.select(
+        "*",
+        nw.alias("n_words"),
+        F.when(
+            nw > 0,
+            F.round(
+                F.aggregate("__tk", F.lit(0), lambda a, x: a + F.length(x)) / nw,
+                round_to,
+            ),
+        ).alias("mean_word_len"),
+        F.when(nw > 0, F.round((hashes + ellipses) / nw, round_to)).alias(
+            "symbol_ratio"
+        ),
+        F.when(
+            nl > 0,
+            F.round(
+                F.size(
+                    F.filter(
+                        "__ln",
+                        lambda x: F.substring(F.ltrim(x), 1, 1).isin("-", "*", "•"),
+                    )
+                )
+                / nl,
+                round_to,
+            ),
+        ).otherwise(F.lit(0.0)).alias("bullet_ratio"),
+        F.when(
+            nl > 0,
+            F.round(
+                F.size(
+                    F.filter(
+                        "__ln",
+                        lambda x: F.rtrim(x).endswith("...")
+                        | F.rtrim(x).endswith("…"),
+                    )
+                )
+                / nl,
+                round_to,
+            ),
+        ).otherwise(F.lit(0.0)).alias("ellipsis_ratio"),
+        F.when(
+            nw > 0,
+            F.round(
+                F.size(F.filter("__tk", lambda x: x.rlike("[A-Za-z]"))) / nw,
+                round_to,
+            ),
+        ).alias("alpha_ratio"),
+        F.size(
+            F.array_intersect(
+                F.transform("__tk", F.lower),
+                F.array(*[F.lit(w) for w in GOPHER_REQUIRED_STOPWORDS]),
+            )
+        ).cast("long").alias("stop_hits"),
+    )
+    gate = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("bullet_ratio") <= 0.9)
+        & (F.col("ellipsis_ratio") <= 0.3)
+        & (F.col("alpha_ratio") >= 0.8)
+        & (F.col("stop_hits") >= 2)
+    )
+    return staged.withColumn("pass", F.coalesce(gate, F.lit(False))).drop(
+        "__tk", "__ln"
+    )

@@ -98,6 +98,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "label_centroids",
     # round-3 additions: new this round, so also never driver-verified
     "semantic_dedup",
+    "gopher_rules",
 ]
 
 

@@ -508,7 +508,70 @@ SELECT doc_id, source, rn::BIGINT AS rn FROM ranked WHERE rn <= 3
 """
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule gate (Rae et al. 2021): every signal
+    column plus the conjunction, map-only over the scan."""
+    docs = t(spark, sf_dir, "documents")
+    return tx.gopher_quality_flags(docs, "text").select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "bullet_ratio",
+        "ellipsis_ratio",
+        "alpha_ratio",
+        "stop_hits",
+        "pass",
+    )
+
+
+_GOPHER_STOPS = "'" + "', '".join(tx.GOPHER_REQUIRED_STOPWORDS) + "'"
+
+_GOPHER_SQL = rf"""
+WITH staged AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS tk,
+         list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS ln
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         len(tk)::BIGINT AS n_words,
+         CASE WHEN len(tk) > 0
+              THEN round(list_sum(list_transform(tk, x -> length(x)))::DOUBLE / len(tk), 4)
+         END AS mean_word_len,
+         CASE WHEN len(tk) > 0
+              THEN round(((length(text) - length(replace(text, '#', '')))
+                          + (length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE
+                         / len(tk), 4)
+         END AS symbol_ratio,
+         CASE WHEN len(ln) > 0
+              THEN round(len(list_filter(ln, x -> substr(ltrim(x), 1, 1) IN ('-', '*', '•')))::DOUBLE
+                         / len(ln), 4)
+              ELSE 0.0 END AS bullet_ratio,
+         CASE WHEN len(ln) > 0
+              THEN round(len(list_filter(ln, x -> ends_with(rtrim(x), '...') OR ends_with(rtrim(x), '…')))::DOUBLE
+                         / len(ln), 4)
+              ELSE 0.0 END AS ellipsis_ratio,
+         CASE WHEN len(tk) > 0
+              THEN round(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                         / len(tk), 4)
+         END AS alpha_ratio,
+         len(list_intersect(list_transform(tk, x -> lower(x)), [{_GOPHER_STOPS}]))::BIGINT AS stop_hits
+  FROM staged
+)
+SELECT *,
+       coalesce(n_words >= 50 AND n_words <= 100000
+                AND mean_word_len >= 3 AND mean_word_len <= 10
+                AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+                AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
+                AND stop_hits >= 2, false) AS pass
+FROM sig
+"""
+
+
 QUERIES = {
+    "gopher_rules": q_gopher_rules,
     "token_modes": q_token_modes,
     "text_stats": q_text_stats,
     "quality_score": q_quality_score,
@@ -529,6 +592,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "gopher_rules": _GOPHER_SQL,
     "token_modes": _TOKEN_MODES_SQL,
     "text_stats": _TEXT_STATS_SQL,
     "quality_score": _QUALITY_SQL,

@@ -139,3 +139,26 @@ def test_boilerplate_scrub_fully_boilerplate_doc_empties(spark):
     }
     assert out[1]["n_kept"] == 0 and out[1]["scrub_text"] == ""
     assert out[2]["n_kept"] == 0 and out[2]["scrub_text"] == ""
+
+
+def test_gopher_rules_planted_violations(spark):
+    from sparkprep.operators.text import gopher_quality_flags
+
+    good = ("the quick brown fox jumps over that lazy dog with style and "
+            "grace to be of sound mind and body " * 5)
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    dots = " ".join(["word..."] * 60)
+    short = "too few words"
+    df = spark.createDataFrame(
+        [(1, good), (2, bullets), (3, dots), (4, short), (5, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_quality_flags(df, "text").collect()}
+    assert out[1]["pass"] is True
+    assert out[1]["stop_hits"] >= 2
+    assert out[2]["bullet_ratio"] == 1.0 and out[2]["pass"] is False
+    assert out[3]["ellipsis_ratio"] == 1.0 and out[3]["symbol_ratio"] > 0.1
+    assert out[3]["pass"] is False
+    assert out[4]["n_words"] == 3 and out[4]["pass"] is False
+    assert out[5]["n_words"] == 0 and out[5]["pass"] is False
+    assert out[5]["mean_word_len"] is None
