@@ -89,6 +89,26 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC columnar scan — the Hive-ecosystem interchange twin of
+    parquet (vectorized reader, predicate pushdown via ORC SearchArgs,
+    column pruning), built into Spark."""
+    return spark.read.orc(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro row-format scan (Kafka/streaming-ecosystem interchange).
+    Avro is an EXTERNAL Spark module (spark-avro jar) — raise a clear
+    error when it isn't deployed instead of a late AnalysisException."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as exc:  # noqa: BLE001 — surface the deploy hint
+        raise RuntimeError(
+            "Avro source requires the spark-avro package "
+            "(--packages org.apache.spark:spark-avro_2.13:<spark-version>)"
+        ) from exc
+
+
 def read_table_dir(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Load driver testdata tables: ``read_table_dir(spark, sf, 'lineitem', ...)``."""
     return {n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")) for n in names}

@@ -21,6 +21,15 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     w.parquet(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite", partition_by=None) -> None:
+    """ORC columnar sink (built-in). Same layout contract as parquet:
+    one file per partition, optional hive-style partition dirs."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
     """K1 — ``df.write.mode('overwrite').format('csv').save(dir)``
     (loanStat.py:354). Header on by default (the reference wrote
