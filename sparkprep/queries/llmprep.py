@@ -509,6 +509,18 @@ def _sem_cents() -> np.ndarray:
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
+def _sem_sig_sql(v: str) -> str:
+    """Hyperplane signature twin of the operator's candidate prefilter
+    (planes from RandomState(seed + 100), same >= 0 bit convention)."""
+    planes = np.random.RandomState(107).normal(size=(_PLANES, _DIM))
+    terms = []
+    for b in range(_PLANES):
+        lits = ", ".join(repr(float(x)) for x in planes[b])
+        dot = f"list_sum(list_transform(range(1, {_DIM + 1}), i -> {v}[i]::DOUBLE * ([{lits}])[i]))"
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END)")
+    return " + ".join(terms)
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup over the embedding corpus with
     planted near-dups (the x1.2 scaled copies, id+10000): nearest seeded
@@ -556,18 +568,20 @@ dk AS (
   FROM corpus
 ),
 assigned AS (
-  SELECT vec_id, embedding, ({case})::BIGINT AS cluster FROM dk
+  SELECT vec_id, embedding, ({case})::BIGINT AS cluster,
+         ({_sem_sig_sql('embedding')}) AS sig
+  FROM dk
 ),
 un AS (
-  SELECT vec_id, cluster,
+  SELECT vec_id, cluster, sig,
          list_transform(embedding, x -> x / nrm) AS u
-  FROM (SELECT vec_id, cluster, embedding,
+  FROM (SELECT vec_id, cluster, sig, embedding,
                sqrt(list_sum(list_transform(embedding, x -> x * x))) AS nrm
         FROM assigned)
 ),
 dropped AS (
   SELECT DISTINCT b.vec_id
-  FROM un a JOIN un b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  FROM un a JOIN un b ON a.cluster = b.cluster AND a.sig = b.sig AND a.vec_id < b.vec_id
   WHERE round(list_sum(list_transform(range(1, {_DIM + 1}), i -> a.u[i] * b.u[i])), 4) >= {_SEM_TAU}
 )
 SELECT u.vec_id, u.cluster, (d.vec_id IS NULL) AS keep
