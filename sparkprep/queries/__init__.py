@@ -99,6 +99,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # round-3 additions: new this round, so also never driver-verified
     "semantic_dedup",
     "gopher_rules",
+    "length_histogram",
 ]
 
 

@@ -525,6 +525,41 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training sequence-length histogram: BPE-ish token counts bucketed
+    to 64-token bins with corpus share — the report that sizes context
+    windows and packing efficiency before a training run. One map-side-
+    combined groupBy (bucket cardinality ~= max_len/16, tiny); the share
+    window runs over the aggregated frame only."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    bucketed = docs.select(
+        (F.floor(tx.regex_token_count("text") / 16) * 16).cast("long").alias("bucket_lo")
+    )
+    agg = bucketed.groupBy("bucket_lo").agg(F.count(F.lit(1)).alias("n_docs"))
+    # empty partitionBy is safe HERE: the window input is the already-
+    # aggregated bucket frame (dozens of rows), not raw data
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return agg.select(
+        "bucket_lo",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(F.col("n_docs") / total, 4).alias("share"),
+    )
+
+
+_LENGTH_HISTOGRAM_SQL = r"""
+WITH b AS (
+  SELECT (floor(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) / 16) * 16)::BIGINT AS bucket_lo
+  FROM documents
+),
+agg AS (SELECT bucket_lo, count(*) AS n_docs FROM b GROUP BY bucket_lo)
+SELECT bucket_lo, n_docs::BIGINT AS n_docs,
+       round(n_docs::DOUBLE / sum(n_docs) OVER (), 4) AS share
+FROM agg
+"""
+
+
 _GOPHER_STOPS = "'" + "', '".join(tx.GOPHER_REQUIRED_STOPWORDS) + "'"
 
 _GOPHER_SQL = rf"""
@@ -572,6 +607,7 @@ FROM sig
 
 QUERIES = {
     "gopher_rules": q_gopher_rules,
+    "length_histogram": q_length_histogram,
     "token_modes": q_token_modes,
     "text_stats": q_text_stats,
     "quality_score": q_quality_score,
@@ -593,6 +629,7 @@ QUERIES = {
 
 ORACLES = {
     "gopher_rules": _GOPHER_SQL,
+    "length_histogram": _LENGTH_HISTOGRAM_SQL,
     "token_modes": _TOKEN_MODES_SQL,
     "text_stats": _TEXT_STATS_SQL,
     "quality_score": _QUALITY_SQL,
