@@ -143,6 +143,16 @@ def main() -> None:
         .select("doc_id", "n_chunks", "n_kept")))
     bench("training order (1024 shards)", lambda: materialize(
         mix.training_order(docs, "doc_id", num_shards=1024)))
+
+    # --- round-3 additions: semantic dedup, gopher gate ----------------
+    from sparkprep.operators import similarity
+
+    # candidate pairs bounded by (cluster x signature) buckets: 8 x 256
+    # buckets over num_docs vectors — the quadratic term must stay flat
+    bench("semantic dedup (8x256 buckets)", lambda: materialize(
+        similarity.semantic_dedup(vecs)))
+    bench("gopher quality gate", lambda: materialize(
+        text.gopher_quality_flags(docs, "text").select("doc_id", "pass")))
     spark.stop()
 
 

@@ -669,14 +669,20 @@ def gopher_quality_flags(
     c: str = "text",
     min_words: int = 50,
     max_words: int = 100_000,
+    required_stopwords: list[str] | None = None,
+    min_stop_hits: int = 2,
     round_to: int = 4,
 ) -> DataFrame:
     """Gopher-style document quality rules (Rae et al. 2021, public):
     word-count bounds, mean word length in [3,10], symbol-to-word ratio
     ('#' and '...') <= 0.1, bullet-line ratio <= 0.9, ellipsis-line
     ratio <= 0.3, >= 80% of words containing an alphabetic character,
-    and >= 2 distinct required stopwords. Adds every signal column plus
-    the conjunction as ``pass``.
+    and >= ``min_stop_hits`` distinct required stopwords. Adds every
+    signal column plus the conjunction as ``pass``.
+
+    The stopword list is corpus/language CONFIGURATION (Gopher's own
+    list is English-web-specific): pass the list that matches the
+    corpus, or the rule degenerates into a constant reject.
 
     Pure native expressions, one projection pipeline, no shuffle — the
     rules run as a map over the scan at any scale. Token and line
@@ -685,6 +691,7 @@ def gopher_quality_flags(
     element). Ratios are rounded THEN compared, so the oracle's
     threshold decisions replay bit-identically.
     """
+    required_stopwords = required_stopwords or GOPHER_REQUIRED_STOPWORDS
     s = _col(c)
     staged = df.withColumn("__tk", tokens(c)).withColumn(
         "__ln", F.filter(F.split(s, "\n"), lambda x: F.trim(x) != "")
@@ -743,7 +750,7 @@ def gopher_quality_flags(
         F.size(
             F.array_intersect(
                 F.transform("__tk", F.lower),
-                F.array(*[F.lit(w) for w in GOPHER_REQUIRED_STOPWORDS]),
+                F.array(*[F.lit(w) for w in required_stopwords]),
             )
         ).cast("long").alias("stop_hits"),
     )
@@ -756,7 +763,7 @@ def gopher_quality_flags(
         & (F.col("bullet_ratio") <= 0.9)
         & (F.col("ellipsis_ratio") <= 0.3)
         & (F.col("alpha_ratio") >= 0.8)
-        & (F.col("stop_hits") >= 2)
+        & (F.col("stop_hits") >= min_stop_hits)
     )
     return staged.withColumn("pass", F.coalesce(gate, F.lit(False))).drop(
         "__tk", "__ln"

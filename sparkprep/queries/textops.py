@@ -510,9 +510,12 @@ SELECT doc_id, source, rn::BIGINT AS rn FROM ranked WHERE rn <= 3
 
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality-rule gate (Rae et al. 2021): every signal
-    column plus the conjunction, map-only over the scan."""
+    column plus the conjunction, map-only over the scan. The required-
+    stopword rule uses the corpus's own stopword set (rule lists are
+    language/corpus configuration — the canonical Gopher list is
+    English-web-specific and constant-rejects this synthetic corpus)."""
     docs = t(spark, sf_dir, "documents")
-    return tx.gopher_quality_flags(docs, "text").select(
+    return tx.gopher_quality_flags(docs, "text", required_stopwords=_EN).select(
         "doc_id",
         "n_words",
         "mean_word_len",
@@ -560,7 +563,7 @@ FROM agg
 """
 
 
-_GOPHER_STOPS = "'" + "', '".join(tx.GOPHER_REQUIRED_STOPWORDS) + "'"
+_GOPHER_STOPS = _EN_SQL
 
 _GOPHER_SQL = rf"""
 WITH staged AS (

@@ -42,6 +42,7 @@ def write_jsonl(
     path: str,
     mode: str = "overwrite",
     compression: str | None = "gzip",
+    partition_by=None,
 ) -> None:
     """JSON-Lines sink — the LLM-corpus interchange format (one JSON
     object per line; what most open-data releases and tokenizer
@@ -55,6 +56,8 @@ def write_jsonl(
     w = df.write.mode(mode)
     if compression:
         w = w.option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
     w.json(path)
 
 
