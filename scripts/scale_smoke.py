@@ -147,10 +147,16 @@ def main() -> None:
     # --- round-3 additions: semantic dedup, gopher gate ----------------
     from sparkprep.operators import similarity
 
-    # candidate pairs bounded by (cluster x signature) buckets: 8 x 256
-    # buckets over num_docs vectors — the quadratic term must stay flat
-    bench("semantic dedup (8x256 buckets)", lambda: materialize(
-        similarity.semantic_dedup(vecs)))
+    # candidate pairs are bounded by (cluster x signature) buckets, and
+    # the BUCKET COUNT MUST SCALE WITH N or the per-bucket quadratic
+    # term re-emerges (fixed 8x256 buckets measured 61.7s at 500k vecs —
+    # 244 rows/bucket; planes sized for ~25 rows/bucket brings it back
+    # to linear). Production guidance in the operator docstring.
+    import math
+
+    planes = max(8, math.ceil(math.log2(max(num_docs, 1) / (8 * 25))))
+    bench(f"semantic dedup (8x2^{planes} buckets)", lambda: materialize(
+        similarity.semantic_dedup(vecs, num_planes=planes)))
     bench("gopher quality gate", lambda: materialize(
         text.gopher_quality_flags(docs, "text").select("doc_id", "pass")))
     spark.stop()

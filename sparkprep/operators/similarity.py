@@ -503,7 +503,11 @@ def semantic_dedup(
     centroids come from a k-means fit on an O(1) driver-side sample
     (see :func:`ann_ivf_topk`); here they are seeded random unit vectors
     so the DuckDB oracle can inline them as literals and replay the
-    exact assignment.
+    exact assignment. SIZE THE BUCKET GRID TO THE CORPUS:
+    ``num_planes ≈ log2(N / (num_clusters * target_bucket_rows))`` —
+    a fixed grid re-grows the quadratic pair term (8x256 buckets
+    measured 61.7s at 500k vectors vs 21.9s with 12 planes;
+    scripts/scale_smoke.py guards this).
 
     Determinism: argmax ties break to the LOWEST cluster index (strict
     CASE chain, mirrored in SQL); the keep rule is non-transitive by
@@ -547,10 +551,14 @@ def semantic_dedup(
             F.when(cond, F.lit(k)) if cluster is None else cluster.when(cond, F.lit(k))
         )
     cluster = cluster.otherwise(F.lit(num_clusters - 1))
+    # materialize ONCE: `assigned` feeds both self-join sides and the
+    # final output — without the (lazy) checkpoint the 8+num_planes
+    # interpreted dot-folds per row execute three times (28s -> 22s
+    # measured at 500k vectors, 12 planes)
     assigned = scored.select(
         F.col(id_col), F.col("__unit"), F.col("__sig"),
         cluster.cast("long").alias("cluster"),
-    )
+    ).localCheckpoint(eager=False)
     a = assigned.select(
         F.col("cluster"), F.col("__sig"),
         F.col(id_col).alias("__id_a"), F.col("__unit").alias("__va"),
