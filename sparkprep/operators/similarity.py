@@ -476,49 +476,16 @@ def grouped_centroids(
     )
 
 
-def semantic_dedup(
+def _semantic_assign_native(
     df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    num_clusters: int = 8,
-    dim: int = 64,
-    tau: float = 0.95,
-    seed: int = 7,
-    num_planes: int = 8,
-    round_to: int = 4,
+    id_col: str,
+    vec_col: str,
+    cents: np.ndarray,
+    planes: np.ndarray,
+    num_clusters: int,
 ) -> DataFrame:
-    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
-    partition the corpus into clusters by nearest centroid, then inside
-    each cluster drop every item whose cosine to a LOWER-id item is
-    ``>= tau``. Emits (id, cluster, keep) for every input row.
-
-    Scale shape: cluster assignment is map-only (K fixed dot products
-    per row, no shuffle); candidate pairs come from an equi-join on
-    (cluster, hyperplane-signature) — at tau >= 0.95 near-dups agree on
-    every sign bit with overwhelming probability, so the quadratic term
-    is bounded by the largest (cluster x signature) bucket, never by the
-    cluster alone (measured 12.5s -> sub-second at sf0.1: 8 clusters x
-    2^8 signatures vs 8 clusters). Same skeleton as
-    :func:`embedding_near_dup_pairs`. At 100 TB, K grows ~sqrt(N) and
-    centroids come from a k-means fit on an O(1) driver-side sample
-    (see :func:`ann_ivf_topk`); here they are seeded random unit vectors
-    so the DuckDB oracle can inline them as literals and replay the
-    exact assignment. SIZE THE BUCKET GRID TO THE CORPUS:
-    ``num_planes ≈ log2(N / (num_clusters * target_bucket_rows))`` —
-    a fixed grid re-grows the quadratic pair term (8x256 buckets
-    measured 61.7s at 500k vectors vs 21.9s with 12 planes;
-    scripts/scale_smoke.py guards this).
-
-    Determinism: argmax ties break to the LOWEST cluster index (strict
-    CASE chain, mirrored in SQL); the keep rule is non-transitive by
-    design (a dropped item still shadows its own higher-id neighbors),
-    matching the one-pass semantics of the published method.
-    """
-    rng = np.random.RandomState(seed)
-    cents = rng.normal(size=(num_clusters, dim))
-    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
-    planes = np.random.RandomState(seed + 100).normal(size=(num_planes, dim))
-
+    """Oracle-reproducible assignment: left-fold dots, first-k-wins
+    argmax CASE chain (ties to lowest index, mirrored in SQL)."""
     # Materialize the norm in its own projection: an interpreted HOF
     # lambda referencing norm(v) would re-evaluate it per ELEMENT.
     staged = df.select(
@@ -551,14 +518,115 @@ def semantic_dedup(
             F.when(cond, F.lit(k)) if cluster is None else cluster.when(cond, F.lit(k))
         )
     cluster = cluster.otherwise(F.lit(num_clusters - 1))
+    return scored.select(
+        F.col(id_col), F.col("__unit"), F.col("__sig"),
+        cluster.cast("long").alias("cluster"),
+    )
+
+
+def _semantic_assign_arrow(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents: np.ndarray,
+    planes: np.ndarray,
+) -> DataFrame:
+    """Scale-path assignment: one (batch x dim) @ (dim x K+P) GEMM per
+    Arrow batch replaces 8+num_planes interpreted dot-folds per row.
+    numpy argmax takes the FIRST maximum — the same lowest-index
+    tie-break as the native CASE chain."""
+    import pandas as pd
+
+    cmat = cents.T  # dim x K
+    pmat = planes.T  # dim x P
+    bits = np.power(2.0, np.arange(planes.shape[0]))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            cluster = np.argmax(mat @ cmat, axis=1).astype(np.int64)
+            sig = (((mat @ pmat) >= 0) @ bits).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "__unit": list(unit),
+                    "__sig": sig,
+                    "cluster": cluster,
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, __unit array<double>, __sig long, cluster long"
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_clusters: int = 8,
+    dim: int = 64,
+    tau: float = 0.95,
+    seed: int = 7,
+    num_planes: int = 8,
+    round_to: int = 4,
+    engine: str = "native",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    partition the corpus into clusters by nearest centroid, then inside
+    each cluster drop every item whose cosine to a LOWER-id item is
+    ``>= tau``. Emits (id, cluster, keep) for every input row.
+
+    Scale shape: cluster assignment is map-only (K fixed dot products
+    per row, no shuffle); candidate pairs come from an equi-join on
+    (cluster, hyperplane-signature) — at tau >= 0.95 near-dups agree on
+    every sign bit with overwhelming probability, so the quadratic term
+    is bounded by the largest (cluster x signature) bucket, never by the
+    cluster alone (measured 12.5s -> sub-second at sf0.1: 8 clusters x
+    2^8 signatures vs 8 clusters). Same skeleton as
+    :func:`embedding_near_dup_pairs`. At 100 TB, K grows ~sqrt(N) and
+    centroids come from a k-means fit on an O(1) driver-side sample
+    (see :func:`ann_ivf_topk`); here they are seeded random unit vectors
+    so the DuckDB oracle can inline them as literals and replay the
+    exact assignment. SIZE THE BUCKET GRID TO THE CORPUS:
+    ``num_planes ≈ log2(N / (num_clusters * target_bucket_rows))`` —
+    a fixed grid re-grows the quadratic pair term (8x256 buckets
+    measured 61.7s at 500k vectors vs 21.9s with 12 planes;
+    scripts/scale_smoke.py guards this).
+
+    Determinism: argmax ties break to the LOWEST cluster index (strict
+    CASE chain, mirrored in SQL); the keep rule is non-transitive by
+    design (a dropped item still shadows its own higher-id neighbors),
+    matching the one-pass semantics of the published method.
+
+    ``engine='native'`` keeps every double bit-reproducible for the
+    DuckDB oracle; ``engine='arrow'`` computes the assignment stage
+    (unit vectors, signature, centroid argmax) as one numpy GEMM over
+    Arrow batches — the 100 TB path (interpreted HOF folds are the cost
+    center; 20.1s native vs 16.0s arrow at 500k vectors, and the gap
+    grows with num_clusters + num_planes). The join skeleton is identical;
+    results agree except on ~1e-16 argmax/rounding ties (see
+    test_semantic_dedup_arrow_agrees_with_native).
+    """
+    rng = np.random.RandomState(seed)
+    cents = rng.normal(size=(num_clusters, dim))
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    planes = np.random.RandomState(seed + 100).normal(size=(num_planes, dim))
+
+    if engine == "arrow":
+        assigned = _semantic_assign_arrow(df, id_col, vec_col, cents, planes)
+    else:
+        assigned = _semantic_assign_native(
+            df, id_col, vec_col, cents, planes, num_clusters
+        )
     # materialize ONCE: `assigned` feeds both self-join sides and the
     # final output — without the (lazy) checkpoint the 8+num_planes
     # interpreted dot-folds per row execute three times (28s -> 22s
     # measured at 500k vectors, 12 planes)
-    assigned = scored.select(
-        F.col(id_col), F.col("__unit"), F.col("__sig"),
-        cluster.cast("long").alias("cluster"),
-    ).localCheckpoint(eager=False)
+    assigned = assigned.localCheckpoint(eager=False)
     a = assigned.select(
         F.col("cluster"), F.col("__sig"),
         F.col(id_col).alias("__id_a"), F.col("__unit").alias("__va"),

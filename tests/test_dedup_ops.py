@@ -208,3 +208,22 @@ def test_semantic_dedup_orthogonal_vectors_all_kept(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     out = semantic_dedup(df, num_clusters=4, dim=64, tau=0.5, seed=7)
     assert all(r["keep"] for r in out.collect())
+
+
+def test_semantic_dedup_arrow_agrees_with_native(spark, sf_dir):
+    import os
+
+    from sparkprep.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    nat = {
+        r["vec_id"]: (r["cluster"], r["keep"])
+        for r in semantic_dedup(emb, engine="native").collect()
+    }
+    arr = {
+        r["vec_id"]: (r["cluster"], r["keep"])
+        for r in semantic_dedup(emb, engine="arrow").collect()
+    }
+    assert nat == arr
