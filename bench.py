@@ -24,6 +24,33 @@ def materialize(df) -> int:
     return 0
 
 
+def run_queries(
+    spark, queries: dict, sf_dir: str, passes: int = 2
+) -> tuple[dict, dict]:
+    """Best-of-N timing loop with per-query fault isolation: one broken
+    query must never erase the round's performance evidence (round 2
+    lost ALL timings to a single AnalysisException). Failures land in
+    the returned errors dict; the other timings survive. Tested by
+    tests/test_bench_isolation.py."""
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for _pass in range(passes):
+        for name, fn in queries.items():
+            if name in errors:
+                continue
+            t0 = time.perf_counter()
+            try:
+                materialize(fn(spark, sf_dir))
+            except Exception as exc:  # noqa: BLE001 — isolate per query
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"bench: query {name!r} FAILED: {errors[name]}", file=sys.stderr)
+                continue
+            dt = round(time.perf_counter() - t0, 4)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+    return timings, errors
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -35,7 +62,6 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     queries = entry_mod.queries()
-    timings: dict[str, float] = {}
     # warm-up (NON-FATAL — a warm-up failure must degrade to cold first
     # queries, never kill the run): JVM/codegen spin-up + parquet footer
     # caches, then the big payload columns (documents.text,
@@ -91,29 +117,11 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         print(f"bench: warm-up failed (continuing cold): {exc}", file=sys.stderr)
 
-    # Per-query fault isolation: one broken query must never erase the
-    # round's performance evidence (round 2 lost ALL timings to a single
-    # AnalysisException). Failures land in "errors"; the other timings
-    # survive.
     # Two passes, min per query: single-pass timings on local[32] showed
     # 2-5x run-to-run spread on sub-2s queries (scheduler/GC noise),
     # flagging phantom regressions; best-of-2 is stable and the second
     # pass runs against warmed page/footers caches like production would.
-    errors: dict[str, str] = {}
-    for _pass in range(2):
-        for name, fn in queries.items():
-            if name in errors:
-                continue
-            t0 = time.perf_counter()
-            try:
-                materialize(fn(spark, sf_dir))
-            except Exception as exc:  # noqa: BLE001 — isolate per query
-                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-                print(f"bench: query {name!r} FAILED: {errors[name]}", file=sys.stderr)
-                continue
-            dt = round(time.perf_counter() - t0, 4)
-            if name not in timings or dt < timings[name]:
-                timings[name] = dt
+    timings, errors = run_queries(spark, queries, sf_dir, passes=2)
     total = sum(timings.values())
 
     out = {
