@@ -100,6 +100,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "semantic_dedup",
     "gopher_rules",
     "length_histogram",
+    "mix_weights",
 ]
 
 

@@ -227,8 +227,60 @@ GROUP BY source ORDER BY source
 """
 
 
+_MIX_ALPHA = 0.7
+_MIX_BUDGET = 100_000
+
+
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled corpus mixing (the GPT-3/PaLM rule, public):
+    per-source sampling weight ∝ n_docs^alpha, alpha < 1 up-weighting
+    small sources relative to raw proportion. Emits raw share,
+    temperature share, the boost factor, and the per-source quota for a
+    fixed token budget — the numbers `mix.resample_to_quotas` consumes.
+    One map-combined groupBy; the normalizing window runs over the
+    aggregated per-source frame only (tiny)."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    agg = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy()
+    pw = F.pow(F.col("n_docs").cast("double"), F.lit(_MIX_ALPHA))
+    scored = agg.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        (F.col("n_docs") / F.sum("n_docs").over(w)).alias("__raw"),
+        (pw / F.sum(pw).over(w)).alias("__temp"),
+    )
+    return scored.select(
+        "source",
+        "n_docs",
+        F.round("__raw", 4).alias("raw_share"),
+        F.round("__temp", 4).alias("temp_share"),
+        F.round(F.col("__temp") / F.col("__raw"), 4).alias("boost"),
+        F.round(F.col("__temp") * _MIX_BUDGET, 0).cast("long").alias("quota"),
+    ).orderBy("source")
+
+
+_MIX_WEIGHTS_SQL = f"""
+WITH agg AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source),
+s AS (
+  SELECT source, n_docs,
+         n_docs / sum(n_docs) OVER () AS raw,
+         pow(n_docs::DOUBLE, {_MIX_ALPHA}) / sum(pow(n_docs::DOUBLE, {_MIX_ALPHA})) OVER () AS temp
+  FROM agg
+)
+SELECT source, n_docs,
+       round(raw, 4) AS raw_share,
+       round(temp, 4) AS temp_share,
+       round(temp / raw, 4) AS boost,
+       round(temp * {_MIX_BUDGET}, 0)::BIGINT AS quota
+FROM s ORDER BY source
+"""
+
+
 QUERIES = {
     "span_dedup": q_span_dedup,
+    "mix_weights": q_mix_weights,
     "bigram_lm": q_bigram_lm,
     "train_order": q_train_order,
     "label_centroids": q_label_centroids,
@@ -238,6 +290,7 @@ QUERIES = {
 
 ORACLES = {
     "span_dedup": _SPAN_DEDUP_SQL,
+    "mix_weights": _MIX_WEIGHTS_SQL,
     "bigram_lm": _BIGRAM_LM_SQL,
     "train_order": _TRAIN_ORDER_SQL,
     "label_centroids": _LABEL_CENTROIDS_SQL,
