@@ -208,3 +208,95 @@ def media_feature_table(decoded: DataFrame) -> DataFrame:
         F.col("media_id").alias("vec_id"),
         F.col("feature").alias("embedding"),
     )
+
+
+def resize_plan(decoded: DataFrame, max_side: int = 64) -> DataFrame:
+    """Aspect-preserving resize targets for decoded image rows — pure
+    column math (like :func:`frame_sample`): ``scale = min(1,
+    max_side/longest_side)``, targets rounded, floored at 1px. The
+    planning step is engine-side so a 100 TB resize job shuffles
+    nothing and decodes nothing it will not use."""
+    longest = F.greatest("width", "height")
+    scale = F.least(F.lit(1.0), F.lit(float(max_side)) / longest)
+    return decoded.withColumn(
+        "target_w",
+        F.greatest(F.lit(1), F.round(F.col("width") * scale, 0).cast("long")),
+    ).withColumn(
+        "target_h",
+        F.greatest(F.lit(1), F.round(F.col("height") * scale, 0).cast("long")),
+    )
+
+
+RESIZED_SCHEMA = (
+    "media_id long, media_type string, target_w long, target_h long, "
+    "content binary"
+)
+
+
+def resize_media(
+    df: DataFrame,
+    max_side: int = 64,
+    fake: bool = False,
+    batch_size_hint: int | None = 256,
+) -> DataFrame:
+    """Resize media payloads via ``mapInPandas`` over raw media rows
+    (MEDIA_SCHEMA in, RESIZED_SCHEMA out).
+
+    Real path: PIL when importable on the executor, loud
+    ``NotImplementedError`` otherwise (this container ships no codecs —
+    decode failures must never silently fake). ``fake=True`` exercises
+    every piece of the distributed plumbing — Arrow batch sizing,
+    schema, per-row dimension math — and passes the payload through
+    unchanged (a stub, clearly NOT pixel work): targets are derived
+    from the same md5 dims as the stub decoder, so tests and oracles
+    can replay them."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    if batch_size_hint:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size_hint)
+        )
+
+    def _targets(w: int, h: int) -> tuple[int, int]:
+        scale = min(1.0, float(max_side) / max(w, h))
+        return max(1, round(w * scale)), max(1, round(h * scale))
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            tw, th, content = [], [], []
+            for t, c in zip(pdf["media_type"], pdf["content"]):
+                payload = bytes(c)
+                if fake:
+                    d = _fake_decode(t, payload)
+                    w, h = _targets(d["width"], d["height"])
+                    tw.append(w), th.append(h), content.append(payload)
+                    continue
+                try:
+                    from io import BytesIO
+
+                    from PIL import Image
+                except ImportError as e:
+                    raise NotImplementedError(
+                        "real media resize requires PIL, not present in "
+                        "this environment; pass fake=True for the "
+                        "plumbing-only stub"
+                    ) from e
+                img = Image.open(BytesIO(payload))
+                w, h = _targets(*img.size)
+                buf = BytesIO()
+                img.resize((w, h)).save(buf, format=img.format or "PNG")
+                tw.append(w), th.append(h), content.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "media_type": pdf["media_type"].values,
+                    "target_w": tw,
+                    "target_h": th,
+                    "content": content,
+                }
+            )
+
+    return df.mapInPandas(resize, RESIZED_SCHEMA)

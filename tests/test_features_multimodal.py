@@ -179,3 +179,58 @@ def test_plan_assertions(spark, sf_dir):
     plan = explain_formatted(q)
     assert "PushedFilters" in plan  # predicate reached the parquet scan
     assert "l_extendedprice" not in plan.split("ReadSchema")[-1]  # pruned
+
+def test_resize_plan_bounds_and_aspect(spark):
+    from sparkprep.operators import multimodal as mm
+
+    base = spark.range(64).select(F.col("id"))
+    media = mm.synthesize_media(base, "id", "image")
+    decoded = mm.decode_media(media, fake=True)
+    planned = mm.resize_plan(decoded, max_side=64)
+    rows = planned.select("width", "height", "target_w", "target_h").collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["target_w"] <= 64 and 1 <= r["target_h"] <= 64
+        # no upscale
+        assert r["target_w"] <= r["width"] and r["target_h"] <= r["height"]
+        # aspect preserved within rounding (1px)
+        if r["width"] >= r["height"]:
+            expect_h = round(r["height"] * min(1.0, 64 / r["width"]))
+            assert abs(r["target_h"] - max(1, expect_h)) <= 1
+
+
+def test_resize_media_stub_plumbing_matches_plan(spark):
+    from sparkprep.operators import multimodal as mm
+
+    base = spark.range(32).select(F.col("id"))
+    media = mm.synthesize_media(base, "id", "image")
+    resized = mm.resize_media(media, max_side=64, fake=True)
+    decoded = mm.resize_plan(mm.decode_media(media, fake=True), max_side=64)
+    got = {r["media_id"]: (r["target_w"], r["target_h"]) for r in resized.collect()}
+    want = {r["media_id"]: (r["target_w"], r["target_h"]) for r in decoded.collect()}
+    assert got == want
+    # stub passes payloads through unchanged
+    n0 = {r["media_id"]: bytes(r["content"]) for r in media.collect()}
+    n1 = {r["media_id"]: bytes(r["content"]) for r in resized.collect()}
+    assert n0 == n1
+
+
+def test_resize_media_real_path_raises_without_pil(spark):
+    import pytest as _pytest
+
+    from sparkprep.operators import multimodal as mm
+
+    try:
+        import PIL  # noqa: F401
+        _pytest.skip("PIL present — real path exercised elsewhere")
+    except ImportError:
+        pass
+    base = spark.range(4).select(F.col("id"))
+    media = mm.synthesize_media(base, "id", "image")
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises(Exception) as exc:
+        mm.resize_media(media, fake=False).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, Py4JJavaError
+    )
