@@ -101,6 +101,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "gopher_rules",
     "length_histogram",
     "mix_weights",
+    "chunk_overlap",
 ]
 
 

@@ -109,7 +109,11 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sql(est_threshold: float = _EST_THRESHOLD) -> str:
+def _minhash_core_ctes(est_threshold: float) -> str:
+    """CTE chain (toks → … → mh) over a preceding CTE named ``corpus``
+    with (doc_id, text): ``mh`` = (id_a, id_b, est_jaccard) filtered at
+    ``est_threshold``. Shared by the doc-level and chunk-level oracles
+    so the two can never drift."""
     coeffs = dd.hash_coeffs(_NUM_HASHES, _SEED)
     P = dd.MERSENNE_P
     r = _NUM_HASHES // _BANDS
@@ -125,9 +129,7 @@ def _minhash_sql(est_threshold: float = _EST_THRESHOLD) -> str:
     agree = " + ".join(
         f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(_NUM_HASHES)
     )
-    return f"""
-WITH {_CORPUS_NEAR_SQL},
-toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+    return f"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
 sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
        FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)),
 hv AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % {P} AS h FROM sh),
@@ -135,12 +137,19 @@ sig AS (SELECT doc_id, {sig_cols} FROM hv GROUP BY doc_id),
 bands AS ({band_rows}),
 pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-          WHERE a.doc_id < b.doc_id)
-SELECT p.id_a, p.id_b, ({agree}) / {float(_NUM_HASHES)} AS est_jaccard
-FROM pairs p
-JOIN sig sa ON sa.doc_id = p.id_a
-JOIN sig sb ON sb.doc_id = p.id_b
-WHERE ({agree}) / {float(_NUM_HASHES)} >= {est_threshold}
+          WHERE a.doc_id < b.doc_id),
+mh AS (SELECT p.id_a, p.id_b, ({agree}) / {float(_NUM_HASHES)} AS est_jaccard
+       FROM pairs p
+       JOIN sig sa ON sa.doc_id = p.id_a
+       JOIN sig sb ON sb.doc_id = p.id_b
+       WHERE ({agree}) / {float(_NUM_HASHES)} >= {est_threshold})"""
+
+
+def _minhash_sql(est_threshold: float = _EST_THRESHOLD) -> str:
+    return f"""
+WITH {_CORPUS_NEAR_SQL},
+{_minhash_core_ctes(est_threshold)}
+SELECT id_a, id_b, est_jaccard FROM mh
 """
 
 
@@ -499,6 +508,89 @@ FROM payload
 """
 
 
+_CHUNK_W = 32
+_CHUNK_EST = 0.8
+
+
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style SUB-document fuzzy dedup report: non-overlapping
+    32-token chunks, MinHash-LSH near-dup pairs at chunk granularity,
+    cross-document matches only, rolled up per document as a shared-
+    chunk ratio (the 'how much of this doc is copied from elsewhere'
+    signal that doc-level dedup misses entirely).
+
+    Scale shape: the chunk explode is row-local; chunk pairs reuse the
+    banded-LSH equi-join (never all-pairs); matched ids come from
+    explode-over-struct, NOT a union of two selects from the pair
+    subtree (which would re-execute the MinHash join — CLAUDE.md
+    landmine); the rollup is one map-combined groupBy."""
+    from sparkprep.operators import text as tx
+
+    corpus = _corpus_near(spark, sf_dir)
+    chunks = tx.chunk_documents(
+        corpus, "text", "doc_id", width=_CHUNK_W, stride=_CHUNK_W
+    )
+    cdf = chunks.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("cid"),
+        "chunk_text",
+    )
+    pairs = dd.minhash_candidate_pairs(
+        cdf, "chunk_text", "cid",
+        num_hashes=_NUM_HASHES, k=_K, bands=_BANDS, seed=_SEED,
+        est_threshold=_CHUNK_EST,
+    )
+    cross = pairs.filter(F.expr("id_a div 1000") != F.expr("id_b div 1000"))
+    matched = (
+        cross.select(F.explode(F.array("id_a", "id_b")).alias("cid"))
+        .distinct()
+        .withColumn("__m", F.lit(1))
+    )
+    return (
+        cdf.join(matched, "cid", "left")
+        .groupBy(F.expr("cid div 1000").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count("__m").alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(F.col("n_shared") / F.col("n_chunks"), 4).alias("shared_ratio"),
+        )
+    )
+
+
+def _chunk_overlap_sql() -> str:
+    base = _CORPUS_NEAR_SQL.replace("corpus AS (", "base AS (", 1)
+    return f"""
+WITH {base},
+tk0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM base),
+nch AS (SELECT doc_id, t,
+               greatest(ceil(len(t)::DOUBLE / {_CHUNK_W})::BIGINT, 1) AS n_chunks
+        FROM tk0),
+corpus AS (
+  SELECT doc_id * 1000 + i AS doc_id,
+         array_to_string(t[i * {_CHUNK_W} + 1 : i * {_CHUNK_W} + {_CHUNK_W}], ' ') AS text
+  FROM nch, UNNEST(range(0, n_chunks)) AS u(i)
+),
+{_minhash_core_ctes(_CHUNK_EST)},
+cross_p AS (SELECT id_a, id_b FROM mh WHERE id_a // 1000 <> id_b // 1000),
+matched AS (SELECT DISTINCT cid
+            FROM (SELECT unnest([id_a, id_b]) AS cid FROM cross_p)),
+per AS (
+  SELECT c.doc_id // 1000 AS doc_id,
+         count(*) AS n_chunks,
+         count(m.cid) AS n_shared
+  FROM corpus c LEFT JOIN matched m ON c.doc_id = m.cid
+  GROUP BY 1
+)
+SELECT doc_id, n_chunks::BIGINT AS n_chunks, n_shared::BIGINT AS n_shared,
+       round(n_shared::DOUBLE / n_chunks, 4) AS shared_ratio
+FROM per
+"""
+
+
 _SEM_K = 8
 _SEM_TAU = 0.95
 
@@ -685,6 +777,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "media_features": q_media_features,
     "dedup_clusters": q_dedup_clusters,
+    "chunk_overlap": q_chunk_overlap,
     "semantic_dedup": q_semantic_dedup,
     "llm_funnel": q_llm_funnel,
 }
@@ -701,6 +794,7 @@ ORACLES = {
     "embedding_near_dup": _NEAR_DUP_SQL,
     "media_features": _MEDIA_SQL,
     "dedup_clusters": _dedup_clusters_sql(),
+    "chunk_overlap": _chunk_overlap_sql(),
     "semantic_dedup": _sem_dedup_sql(),
     "llm_funnel": _LLM_FUNNEL_SQL,
 }
