@@ -112,6 +112,52 @@ def lang_id(c, lang_stopwords: dict[str, list[str]] | None = None) -> Column:
     return expr.otherwise(F.lit(langs[-1]))
 
 
+_LANG_TRIGRAMS = {
+    "de": ["der", "ein", "ich", "und", "sch"],
+    "en": ["the", "and", "ing", "ion", "ent"],
+    "es": ["que", "los", "por", "una", "con"],
+    "fr": ["les", "des", "est", "une", "ans"],
+}
+
+
+def lang_ngram_scores(c, lang_trigrams: dict[str, list[str]] | None = None) -> dict[str, Column]:
+    """Char-trigram occurrence counts per language — the n-gram
+    heuristic twin of the stopword-based :func:`lang_scores`. Occurrence
+    counting via the replace-length trick ((len - len(replace))/3),
+    which is engine-identical (non-overlapping left-to-right in both
+    Spark and DuckDB), so the oracle replays it exactly. Substring
+    counts see morphology inside words ('ing', 'sch'), which
+    whitespace-token stopwords cannot."""
+    lang_trigrams = lang_trigrams or _LANG_TRIGRAMS
+    s = F.lower(_col(c))
+    out = {}
+    for lang, grams in lang_trigrams.items():
+        score = None
+        for g in grams:
+            cnt = (
+                (F.length(s) - F.length(F.replace(s, F.lit(g), F.lit(""))))
+                / F.lit(3)
+            ).cast("long")
+            score = cnt if score is None else score + cnt
+        out[lang] = score
+    return out
+
+
+def lang_id_ngram(c, lang_trigrams: dict[str, list[str]] | None = None) -> Column:
+    """Argmax of :func:`lang_ngram_scores` with the same FIXED
+    alphabetical tie-break as :func:`lang_id`."""
+    scores = lang_ngram_scores(c, lang_trigrams)
+    langs = sorted(scores)
+    expr = None
+    for i, lang in enumerate(langs[:-1]):
+        cond = None
+        for other in langs[i + 1:]:
+            c2 = scores[lang] >= scores[other]
+            cond = c2 if cond is None else (cond & c2)
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit(langs[-1]))
+
+
 def quality_score(c, stopwords: list[str] | None = None, round_to: int = 4) -> Column:
     """Composite [0,1] quality score from length/stopword/charset
     signals — each component is a clamped linear ramp, all native:

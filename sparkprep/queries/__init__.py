@@ -102,6 +102,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "length_histogram",
     "mix_weights",
     "chunk_overlap",
+    "lang_id_ngram",
 ]
 
 

@@ -125,6 +125,47 @@ SELECT lang, lang_guess, count(*) AS count FROM g GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram language ID (the n-gram heuristic; catches
+    morphology inside words that token-level stopwords miss), as an
+    agreement table against the label column."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", tx.lang_id_ngram("text").alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy("lang", "lang_guess")
+    )
+
+
+def _lang_ngram_sql() -> str:
+    score = {
+        lang: " + ".join(
+            f"(length(lower(text)) - length(replace(lower(text), '{g}', ''))) // 3"
+            for g in grams
+        )
+        for lang, grams in tx._LANG_TRIGRAMS.items()
+    }
+    return f"""
+WITH s AS (
+  SELECT lang,
+         {score['de']} AS s_de,
+         {score['en']} AS s_en,
+         {score['es']} AS s_es,
+         {score['fr']} AS s_fr
+  FROM documents
+), g AS (
+  SELECT lang,
+         CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+              WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+              WHEN s_es >= s_fr THEN 'es'
+              ELSE 'fr' END AS lang_guess
+  FROM s
+)
+SELECT lang, lang_guess, count(*) AS count FROM g GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact (md5) + near-dup-stable (min-shingle-md5) fingerprints."""
     docs = t(spark, sf_dir, "documents")
@@ -611,6 +652,7 @@ FROM sig
 QUERIES = {
     "gopher_rules": q_gopher_rules,
     "length_histogram": q_length_histogram,
+    "lang_id_ngram": q_lang_id_ngram,
     "token_modes": q_token_modes,
     "text_stats": q_text_stats,
     "quality_score": q_quality_score,
@@ -633,6 +675,7 @@ QUERIES = {
 ORACLES = {
     "gopher_rules": _GOPHER_SQL,
     "length_histogram": _LENGTH_HISTOGRAM_SQL,
+    "lang_id_ngram": _lang_ngram_sql(),
     "token_modes": _TOKEN_MODES_SQL,
     "text_stats": _TEXT_STATS_SQL,
     "quality_score": _QUALITY_SQL,
