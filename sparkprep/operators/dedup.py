@@ -326,12 +326,20 @@ def connected_components(
         .select("e.u", "e.v")
         .dropDuplicates()
     )
-    labels = (
-        edges.select(F.col("u").alias("node"))
-        .dropDuplicates()
-        .withColumn("component", F.col("node"))
-    )
     edges = edges.cache()
+    # round 0 fused: from identity labels, the first hop ALWAYS yields
+    # label(u) = min(u, min neighbor) — compute that directly from the
+    # edge list (one groupBy) instead of spending a full join round on
+    # it. Every graph saves exactly one iteration; a single planted
+    # pair now converges in one confirming round.
+    labels = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("__mn"))
+        .select(
+            F.col("u").alias("node"),
+            F.least(F.col("u"), F.col("__mn")).alias("component"),
+        )
+    )
     # localCheckpoint each round: iterative self-referential plans grow
     # lineage PER ITERATION until Catalyst itself OOMs just printing the
     # tree (measured on a 30-round chain). Checkpointing materializes
