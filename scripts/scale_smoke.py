@@ -159,6 +159,19 @@ def main() -> None:
         similarity.semantic_dedup(vecs, num_planes=planes)))
     bench("gopher quality gate", lambda: materialize(
         text.gopher_quality_flags(docs, "text").select("doc_id", "pass")))
+
+    # chunk-granular minhash: the explode multiplies the MinHash load by
+    # ~docs/chunk ratio — watch for superlinear growth vs the doc-level
+    # "minhash LSH pairs" row above
+    def chunk_minhash():
+        chunks = text.chunk_documents(docs, "text", "doc_id", width=32, stride=32)
+        cdf = chunks.select(
+            (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("cid"), "chunk_text"
+        )
+        return materialize(dedup.minhash_candidate_pairs(
+            cdf, "chunk_text", "cid", est_threshold=0.8))
+
+    bench("chunk-level minhash pairs", chunk_minhash)
     spark.stop()
 
 
