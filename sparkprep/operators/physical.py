@@ -53,3 +53,41 @@ def coalesce_for_write(df: DataFrame, max_files: int) -> DataFrame:
     file budget — the missing half of the reference's CSV sinks, which
     emitted one file per task."""
     return df.coalesce(max_files)
+
+
+def compact_files(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    fmt: str = "parquet",
+    target_partition_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-file compaction — the table-maintenance op every long-lived
+    100 TB layout needs (streaming sinks and per-trigger appends leave
+    thousands of KB-sized files; scan cost becomes per-file overhead).
+
+    Reads the directory, repartitions to the size-derived count
+    (:func:`repartition_by_size`), writes to an EXPLICIT destination —
+    never in-place: object stores have no atomic directory rename, so
+    the safe pattern everywhere is write-new + flip pointers, and a
+    local-FS "swap" would train users on a pattern that loses data on
+    S3/GCS. Returns an accounting manifest (rows, files before/after).
+    """
+    import glob
+    import os
+
+    df = spark.read.format(fmt).load(src_dir)
+    files_before = len(
+        [p for p in glob.glob(os.path.join(src_dir, "part-*"))]
+    )
+    rows = df.count()
+    out = repartition_by_size(df, target_partition_bytes)
+    out.write.mode("overwrite").format(fmt).save(dst_dir)
+    files_after = len([p for p in glob.glob(os.path.join(dst_dir, "part-*"))])
+    return {
+        "rows": rows,
+        "files_before": files_before,
+        "files_after": files_after,
+        "src": src_dir,
+        "dst": dst_dir,
+    }

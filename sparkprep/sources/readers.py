@@ -83,10 +83,21 @@ def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return r.json(path)
 
 
-def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+def read_parquet(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
     """Columnar scan — our default interchange format (vectorized reader,
-    predicate pushdown, column pruning; none of which CSV gives you)."""
-    return spark.read.parquet(path)
+    predicate pushdown, column pruning; none of which CSV gives you).
+
+    ``merge_schema=True`` unions the schemas of every footer in the
+    directory (schema evolution across ingest epochs: new columns read
+    as NULL for old files). Off by default — merging reads every
+    footer up front, a real cost at 100k-file scale; evolved tables
+    should carry their contract in a metastore instead."""
+    r = spark.read
+    if merge_schema:
+        r = r.option("mergeSchema", "true")
+    return r.parquet(path)
 
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:

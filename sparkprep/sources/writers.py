@@ -14,8 +14,20 @@ import os
 from pyspark.sql import DataFrame
 
 
-def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by=None) -> None:
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by=None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Parquet sink. ``max_records_per_file`` bounds file size from the
+    writer side (the task-level split Spark applies after partitioning)
+    — the knob that keeps a skewed partition from emitting one 10 GB
+    file that a downstream scan can't split."""
     w = df.write.mode(mode)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)

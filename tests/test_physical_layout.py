@@ -2,6 +2,7 @@
 joins (no exchange) and partition pruning (no I/O for pruned values) —
 asserted on the actual plans."""
 
+import os
 import shutil
 import tempfile
 
@@ -55,3 +56,49 @@ def test_partition_pruning(spark, sf_dir):
         assert q.count() == clicks
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+def test_compact_files_reduces_file_count(spark, sf_dir, tmp_path):
+    from sparkprep.operators.physical import compact_files
+
+    src = str(tmp_path / "fragmented")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs.repartition(37).write.parquet(src)
+    dst = str(tmp_path / "compacted")
+    manifest = compact_files(spark, src, dst)
+    assert manifest["files_before"] == 37
+    assert manifest["files_after"] < manifest["files_before"]
+    back = spark.read.parquet(dst)
+    assert back.count() == manifest["rows"] == docs.count()
+
+
+def test_max_records_per_file_bounds_files(spark, sf_dir, tmp_path):
+    import glob
+
+    from sparkprep.sources.writers import write_parquet
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).coalesce(1)
+    out = str(tmp_path / "bounded")
+    write_parquet(docs, out, max_records_per_file=100)
+    parts = glob.glob(os.path.join(out, "part-*"))
+    total = docs.count()
+    assert len(parts) >= -(-total // 100)
+    for p in parts:
+        import pyarrow.parquet as pq
+
+        assert pq.read_metadata(p).num_rows <= 100
+
+
+def test_merge_schema_reads_evolved_table(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sparkprep.sources.readers import read_parquet
+
+    base = str(tmp_path / "evolve")
+    spark.range(10).select(F.col("id").alias("a")).write.parquet(base + "/e1")
+    spark.range(10).select(
+        F.col("id").alias("a"), (F.col("id") * 2).alias("b")
+    ).write.parquet(base + "/e2")
+    merged = read_parquet(spark, base + "/e*", merge_schema=True)
+    assert set(merged.columns) == {"a", "b"}
+    assert merged.count() == 20
+    assert merged.filter(F.col("b").isNull()).count() == 10
