@@ -210,3 +210,41 @@ def test_streaming_incremental_dedup_matches_batch(spark, sf_dir, ckpt):
     # every fresh (reversed) doc must survive; it's not in the corpus
     fresh_ids = {r["doc_id"] for r in fresh.select("doc_id").collect()}
     assert fresh_ids <= set(got)
+
+
+def test_streaming_quality_gate_matches_batch(spark, sf_dir, ckpt):
+    """The gate is a stateless map: streaming survivors must equal the
+    batch gate's survivors exactly (ids compared, not just counts)."""
+    from sparkprep.operators.text import EN_STOPWORDS, gopher_quality_flags
+    from sparkprep.streaming import corpus as sc
+
+    out_dir = tempfile.mkdtemp(prefix="sparkprep-gate-out-")
+    try:
+        stream = sc.read_documents_stream(
+            spark, f"{sf_dir}/documents.parquet", max_files_per_trigger=1
+        )
+        gated = sc.gated_stream(stream, required_stopwords=EN_STOPWORDS)
+        (
+            gated.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", f"{ckpt}/gate")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+        got = {
+            r["doc_id"] for r in spark.read.parquet(out_dir).select("doc_id").collect()
+        }
+        batch = load_table(spark, sf_dir, "documents")
+        want = {
+            r["doc_id"]
+            for r in gopher_quality_flags(
+                batch, "text", required_stopwords=EN_STOPWORDS
+            )
+            .filter(F.col("pass"))
+            .select("doc_id")
+            .collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
