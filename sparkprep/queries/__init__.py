@@ -103,6 +103,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "mix_weights",
     "chunk_overlap",
     "lang_id_ngram",
+    # added between the r2 window and this session (corpus module sorts
+    # last in merge order — without priority they would never be seen)
+    "boilerplate_scrub",
+    "domain_stats",
 ]
 
 
