@@ -191,4 +191,8 @@ def test_grouped_centroids_match_numpy(spark, rows):
         assert out[g]["n_vecs"] == len(vs)
         exp = np.mean(np.array(vs, dtype=float), axis=0)
         got = out[g]["centroid"]
-        assert all(abs(a - round(float(b), 6)) <= 1e-6 for a, b in zip(got, exp))
+        # 1.5e-6: 0.5e-6 legitimate rounding width + 1e-6 rounding-MODE
+        # skew (Spark F.round is HALF_UP, Python round is banker's — an
+        # exact .0000005 boundary value differs by exactly 1e-6;
+        # hypothesis found mean([0,0,1,-0.96875]) = 0.0078125)
+        assert all(abs(a - round(float(b), 6)) <= 1.5e-6 for a, b in zip(got, exp))

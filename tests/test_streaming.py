@@ -48,7 +48,11 @@ def test_windowed_stream_matches_batch(spark, sf_dir, ckpt):
     key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
     got_rows, exp_rows = key(got), key(finalized)
     assert got_rows == exp_rows
-    assert len(key(expected)) - len(exp_rows) <= 4  # only the tail horizon held back
+    # only the tail horizon may be held back: at most (watermark + 1)
+    # hourly windows per event type — a constant bound broke at sf0.01,
+    # where 5 event types x 3 horizon windows = 15 held-back rows
+    n_types = batch.select("event_type").distinct().count()
+    assert len(key(expected)) - len(exp_rows) <= 3 * n_types
 
 
 def test_streaming_dedup(spark, sf_dir, ckpt):
