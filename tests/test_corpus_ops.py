@@ -162,3 +162,40 @@ def test_gopher_rules_planted_violations(spark):
     assert out[4]["n_words"] == 3 and out[4]["pass"] is False
     assert out[5]["n_words"] == 0 and out[5]["pass"] is False
     assert out[5]["mean_word_len"] is None
+
+
+def test_chunk_overlap_planted_full_and_zero(spark):
+    """A verbatim copy of a doc must show shared_ratio 1.0 on both ids;
+    a doc with a disjoint vocabulary must show 0.0."""
+    from sparkprep.operators import dedup as dd
+    from sparkprep.operators import text as tx
+    from pyspark.sql import functions as F
+
+    base = " ".join(f"tok{i} word{i % 7} item{i % 13}" for i in range(40))
+    other = " ".join(f"zzz{i} qqq{i % 5} mmm{i % 11}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, other)], "doc_id long, text string"
+    )
+    chunks = tx.chunk_documents(df, "text", "doc_id", width=32, stride=32)
+    cdf = chunks.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("cid"), "chunk_text"
+    )
+    pairs = dd.minhash_candidate_pairs(
+        cdf, "chunk_text", "cid", est_threshold=0.8
+    )
+    cross = pairs.filter(F.expr("id_a div 1000") != F.expr("id_b div 1000"))
+    matched = (
+        cross.select(F.explode(F.array("id_a", "id_b")).alias("cid"))
+        .distinct()
+        .withColumn("__m", F.lit(1))
+    )
+    out = {
+        r["doc_id"]: (r["n_chunks"], r["n_shared"])
+        for r in cdf.join(matched, "cid", "left")
+        .groupBy(F.expr("cid div 1000").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_chunks"), F.count("__m").alias("n_shared"))
+        .collect()
+    }
+    assert out[1][0] == out[1][1] > 0, "copy must share every chunk"
+    assert out[2][0] == out[2][1] > 0
+    assert out[3][1] == 0, "disjoint vocabulary must share nothing"
