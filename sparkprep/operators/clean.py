@@ -269,3 +269,29 @@ def repair_extract_numeric(df: DataFrame, col: str, pattern: str = r"(\d+)") -> 
     """X6 repair — ``regexp_extract(c, '(\\d+)', 1)`` (dedup+invalid.ipynb:9626).
     No-match yields '' (kept: the reference then filters ``!= ''`` — F7)."""
     return df.withColumn(col, F.regexp_extract(F.col(col), pattern, 1))
+
+
+def dedup_keep_best(
+    df: DataFrame, keys, quality_col: str, tiebreak_col: str, dup_count_col: str = "dup_count"
+) -> DataFrame:
+    """Keep-BEST dedup: one canonical row per key group, chosen by
+    highest ``quality_col`` (ties broken deterministically by ascending
+    ``tiebreak_col``), annotated with the group size.
+
+    :func:`dedup_window` keeps the first *occurrence* — fine when rows
+    are interchangeable; corpus canonicalization wants the best
+    *version* (longest text, highest quality score). Same physical
+    shape either way: one shuffle on the keys, one per-partition sort,
+    ``row_number`` + a group-frame ``count`` sharing the single
+    WindowExec partitioning. Deterministic given a total tiebreak —
+    never order by quality alone.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    w = Window.partitionBy(*keys).orderBy(F.col(quality_col).desc(), F.col(tiebreak_col).asc())
+    wg = Window.partitionBy(*keys)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .withColumn(dup_count_col, F.count(F.lit(1)).over(wg).cast("long"))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )

@@ -202,3 +202,37 @@ def resample_ffill(
             F.col("__v").isNull().alias("is_gap"),
         )
     )
+
+
+def rolling_time_agg(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    window: str = "1 hour",
+    round_to: int = 4,
+) -> DataFrame:
+    """Trailing time-interval rolling aggregate (a RANGE frame, not a
+    ROWS frame): every row annotated with the mean and count of its
+    key's values in the closed interval ``[ts - window, ts]``.
+
+    The frame is declared over ``unix_micros(ts)`` — exact int64 epoch
+    arithmetic (Spark 4 forbids NTZ→numeric casts, and a double epoch
+    loses precision above 2^53 µs) — with ``rangeBetween(-w_µs, 0)``.
+    One shuffle on the key, one per-partition sort; WindowExec evaluates
+    the sliding frame incrementally (add/remove at the frame edges), so
+    cost is O(rows) per key, not O(rows · frame-width). Skew follows the
+    hottest key, same as any keyed window — salt upstream if one key
+    owns the stream.
+    """
+    n_us = _duration_seconds(window) * 1_000_000
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(-n_us, 0)
+    )
+    return df.select(
+        "*",
+        F.round(F.avg(value_col).over(w), round_to).alias(f"{value_col}_roll_avg"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_in_window"),
+    )

@@ -107,6 +107,11 @@ _DRIVER_WINDOW_PRIORITY = [
     # last in merge order — without priority they would never be seen)
     "boilerplate_scrub",
     "domain_stats",
+    # round-3 session-2 additions (never driver-verified)
+    "rolling_hourly",
+    "daily_trend",
+    "outlier_fences",
+    "keep_best",
 ]
 
 

@@ -278,8 +278,49 @@ FROM s ORDER BY source
 """
 
 
+def q_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-version selection: documents grouped by a head
+    fingerprint (md5 of the first 8 normalized words — the cheap
+    "same opening" near-dup heuristic), keeping the LONGEST version per
+    group with a deterministic doc_id tiebreak. Keep-best, not
+    keep-first: corpus canonicalization wants the best surviving copy.
+    One keyed shuffle + one sort (clean.dedup_keep_best)."""
+    from sparkprep.operators import clean
+
+    docs = t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    head = F.md5(F.array_join(F.slice(F.split(norm, " "), 1, 8), " "))
+    kept = clean.dedup_keep_best(
+        docs.withColumn("head_key", head), "head_key", "n_chars", "doc_id"
+    )
+    return kept.select(
+        "doc_id", "head_key", F.col("n_chars").cast("long").alias("n_chars"), "dup_count"
+    ).orderBy("doc_id")
+
+
+_KEEP_BEST_SQL = r"""
+WITH n AS (
+  SELECT doc_id, n_chars,
+         md5(array_to_string(list_slice(
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+           1, 8), ' ')) AS head_key
+  FROM documents
+),
+r AS (
+  SELECT doc_id, head_key, n_chars,
+         row_number() OVER (PARTITION BY head_key
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk,
+         count(*) OVER (PARTITION BY head_key) AS dup_count
+  FROM n
+)
+SELECT doc_id, head_key, n_chars::BIGINT AS n_chars, dup_count::BIGINT AS dup_count
+FROM r WHERE rk = 1 ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "span_dedup": q_span_dedup,
+    "keep_best": q_keep_best,
     "mix_weights": q_mix_weights,
     "bigram_lm": q_bigram_lm,
     "train_order": q_train_order,
@@ -290,6 +331,7 @@ QUERIES = {
 
 ORACLES = {
     "span_dedup": _SPAN_DEDUP_SQL,
+    "keep_best": _KEEP_BEST_SQL,
     "mix_weights": _MIX_WEIGHTS_SQL,
     "bigram_lm": _BIGRAM_LM_SQL,
     "train_order": _TRAIN_ORDER_SQL,

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sparkprep.functions import numeric
 from sparkprep.operators import grouped, temporal
 from sparkprep.queries import t
 from sparkprep.session import tune_for_engine
@@ -146,12 +147,113 @@ FROM f
 """
 
 
+def q_rolling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour per-user rolling mean — a RANGE (time-interval)
+    window frame, not a ROWS frame: each event sees exactly the events
+    in its user's last hour regardless of how many there are. Frame
+    bounds ride on exact int64 ``unix_micros`` (see
+    temporal.rolling_time_agg for why not a double epoch)."""
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = temporal.rolling_time_agg(ev, "ts", "user_id", "value", window="1 hour")
+    return out.select("event_id", "user_id", "value_roll_avg", "n_in_window")
+
+
+_ROLLING_SQL = """
+SELECT event_id, user_id,
+       round(avg(value) OVER w, 4) AS value_roll_avg,
+       (count(*) OVER w)::BIGINT AS n_in_window
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type linear trend of daily volume: ordinary
+    least-squares slope/intercept via the built-in ``regr_slope`` /
+    ``regr_intercept`` aggregates (grouped regression without MLlib —
+    two map-combined shuffles, day counts first, then the 5-row fit).
+    x is days since a fixed epoch so the intercept is interpretable and
+    the doubles stay small."""
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    d2 = daily.select(
+        "event_type",
+        F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")).cast("double").alias("x"),
+        "n",
+    )
+    return (
+        d2.groupBy("event_type")
+        .agg(
+            F.round(F.expr("regr_slope(n, x)"), 4).alias("slope"),
+            F.round(F.expr("regr_intercept(n, x)"), 4).alias("intercept"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_DAILY_TREND_SQL = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts)::DATE AS day, count(*)::DOUBLE AS n
+  FROM events GROUP BY 1, 2
+),
+d2 AS (
+  SELECT event_type, date_diff('day', DATE '2024-01-01', day)::DOUBLE AS x, n
+  FROM daily
+)
+SELECT event_type,
+       round(regr_slope(n, x), 4) AS slope,
+       round(regr_intercept(n, x), 4) AS intercept,
+       count(*)::BIGINT AS n_days
+FROM d2 GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Tukey-fence outlier census over event values: exact
+    interpolated quartiles, k=1.5 fences, outliers counted against the
+    UNROUNDED bounds. One scan — quartiles as partition-frame window
+    aggregates, the rollup reusing the same hash partitioning (no
+    second exchange; asserted in tests/test_new_analytics.py)."""
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    return numeric.iqr_outlier_report(ev, "event_type", "value", k=1.5)
+
+
+_OUTLIER_SQL = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY 1
+),
+f AS (
+  SELECT event_type, q1, q3,
+         q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+  FROM b
+)
+SELECT e.event_type,
+       round(min(f.q1), 4) AS q1, round(min(f.q3), 4) AS q3,
+       round(min(f.lo), 4) AS lo_fence, round(min(f.hi), 4) AS hi_fence,
+       count(*)::BIGINT AS n,
+       sum(CASE WHEN e.value < f.lo OR e.value > f.hi THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+FROM events e JOIN f USING (event_type)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "asof_rate": q_asof_rate,
     "range_count": q_range_count,
     "resample_ffill": q_resample_ffill,
     "grouped_zscore": q_grouped_zscore,
     "pandas_gmean": q_pandas_gmean,
+    "rolling_hourly": q_rolling_hourly,
+    "daily_trend": q_daily_trend,
+    "outlier_fences": q_outlier_fences,
 }
 
 ORACLES = {
@@ -160,4 +262,7 @@ ORACLES = {
     "resample_ffill": _RESAMPLE_SQL,
     "grouped_zscore": _ZSCORE_SQL,
     "pandas_gmean": _GMEAN_SQL,
+    "rolling_hourly": _ROLLING_SQL,
+    "daily_trend": _DAILY_TREND_SQL,
+    "outlier_fences": _OUTLIER_SQL,
 }

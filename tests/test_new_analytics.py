@@ -1,0 +1,111 @@
+"""Semantics the driver oracle can't see for the round-3 analytics ops:
+RANGE-frame inclusivity/exclusivity at exact boundaries, Tukey-fence
+classification on planted outliers (plus the one-exchange plan shape),
+and keep-best dedup tie-breaking/determinism on planted groups.
+"""
+
+import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sparkprep.functions import numeric
+from sparkprep.operators import clean, temporal
+
+
+def _ts(minute, second=0):
+    return datetime.datetime(2024, 1, 1, 10, minute, second)
+
+
+class TestRollingTimeAgg:
+    def test_window_membership_at_boundaries(self, spark):
+        # u1: events at 10:00, 10:30, 11:00, 11:00:01.
+        # Closed frame [ts-1h, ts]: the 11:00 row still sees 10:00
+        # (exactly one hour earlier); the 11:00:01 row no longer does.
+        rows = [
+            Row(event_id=1, user_id=1, ts=_ts(0), value=10.0),
+            Row(event_id=2, user_id=1, ts=_ts(30), value=20.0),
+            Row(event_id=3, user_id=1, ts=datetime.datetime(2024, 1, 1, 11, 0), value=30.0),
+            Row(event_id=4, user_id=1, ts=datetime.datetime(2024, 1, 1, 11, 0, 1), value=40.0),
+            Row(event_id=5, user_id=2, ts=_ts(15), value=99.0),
+        ]
+        out = temporal.rolling_time_agg(
+            spark.createDataFrame(rows), "ts", "user_id", "value", window="1 hour"
+        )
+        got = {r.event_id: (r.value_roll_avg, r.n_in_window) for r in out.collect()}
+        assert got[1] == (10.0, 1)
+        assert got[2] == (15.0, 2)          # 10:00 + 10:30
+        assert got[3] == (20.0, 3)          # inclusive lower bound: all three
+        assert got[4] == (30.0, 3)          # 10:00 aged out, 10:30..11:00:01 remain
+        assert got[5] == (99.0, 1)          # other key isolated
+
+    def test_ties_share_frame(self, spark):
+        # Two events at the identical timestamp are RANGE peers: each
+        # sees the other (a ROWS frame would order them arbitrarily).
+        rows = [
+            Row(event_id=1, user_id=1, ts=_ts(0), value=10.0),
+            Row(event_id=2, user_id=1, ts=_ts(0), value=30.0),
+        ]
+        out = temporal.rolling_time_agg(
+            spark.createDataFrame(rows), "ts", "user_id", "value", window="1 hour"
+        )
+        assert {(r.value_roll_avg, r.n_in_window) for r in out.collect()} == {(20.0, 2)}
+
+
+class TestIqrOutliers:
+    def test_planted_outliers(self, spark):
+        # 11 values 0..10 per key: q1=2.5, q3=7.5, IQR=5 -> fences
+        # [-5, 15]. Plant 100.0 (out) and 14.9 (in, near the fence).
+        base = [Row(k="a", v=float(i)) for i in range(11)]
+        planted = [Row(k="a", v=100.0), Row(k="a", v=14.9)]
+        df = spark.createDataFrame(base + planted)
+        r = numeric.iqr_outlier_report(df, "k", "v").collect()[0]
+        assert r.n == 13
+        assert r.n_outliers == 1
+        assert abs(r.lo_fence - (-5.6875)) < 1e-9 or r.lo_fence < r.q1  # fences below q1
+        assert r.hi_fence > r.q3
+
+    def test_nulls_ignored_by_quartiles_counted_in_n(self, spark):
+        df = spark.createDataFrame(
+            [Row(k="a", v=float(i)) for i in range(11)] + [Row(k="a", v=None)]
+        )
+        r = numeric.iqr_outlier_report(df, "k", "v").collect()[0]
+        assert r.n == 12            # count(*) includes the null row
+        assert r.n_outliers == 0    # null is not classified as an outlier
+        assert abs(r.q1 - 2.5) < 1e-9 and abs(r.q3 - 7.5) < 1e-9
+
+    def test_single_exchange_plan(self, spark):
+        # Window quartiles + rollup share one hash partitioning: the
+        # groupBy must not re-shuffle what the window already keyed.
+        df = spark.createDataFrame([Row(k="a", v=1.0), Row(k="b", v=2.0)])
+        plan = numeric.iqr_outlier_report(df, "k", "v")._jdf.queryExecution().executedPlan().toString()
+        # one exchange for the window/groupBy key; orderBy adds a range
+        # exchange over the tiny aggregated frame only
+        assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestKeepBestDedup:
+    def test_best_wins_with_tiebreak(self, spark):
+        rows = [
+            Row(id=1, key="g1", q=5.0),
+            Row(id=2, key="g1", q=9.0),   # winner: highest quality
+            Row(id=3, key="g1", q=9.0),   # same quality, higher id loses
+            Row(id=4, key="g2", q=1.0),   # singleton group
+        ]
+        out = clean.dedup_keep_best(spark.createDataFrame(rows), "key", "q", "id")
+        got = {r.key: (r.id, r.dup_count) for r in out.collect()}
+        assert got == {"g1": (2, 3), "g2": (4, 1)}
+
+    def test_deterministic_across_runs(self, spark):
+        rows = [Row(id=i, key=f"g{i % 7}", q=float(i % 3)) for i in range(200)]
+        df = spark.createDataFrame(rows).repartition(8)
+        a = sorted((r.key, r.id) for r in clean.dedup_keep_best(df, "key", "q", "id").collect())
+        b = sorted((r.key, r.id) for r in clean.dedup_keep_best(df, "key", "q", "id").collect())
+        assert a == b
+        # winner per group is max-q then min-id, independent of layout
+        expect = {}
+        for r in rows:
+            cur = expect.get(r.key)
+            if cur is None or (r.q, -r.id) > (cur[0], -cur[1]):
+                expect[r.key] = (r.q, r.id)
+        assert dict(a) == {k: v[1] for k, v in expect.items()}
