@@ -1,5 +1,6 @@
 from sparkprep.streaming.events import (  # noqa: F401
     dedup_stream,
+    dedup_stream_within_watermark,
     enrich_stream,
     foreach_batch_incremental_dedup,
     foreach_batch_jdbc,

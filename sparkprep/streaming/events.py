@@ -131,6 +131,21 @@ def dedup_stream(
     return events.withWatermark("ts", watermark).dropDuplicates(keys + ["ts"])
 
 
+def dedup_stream_within_watermark(
+    events: DataFrame, keys: list[str], watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming dedup on the BUSINESS key alone: two arrivals of the
+    same key collapse even when their event times differ (retries,
+    at-least-once replays with re-stamped timestamps — the case
+    ``dropDuplicates(keys + [ts])`` misses because the perturbed ts
+    makes the composite key unique). ``dropDuplicatesWithinWatermark``
+    keeps per-key state only within the watermark horizon, so state
+    stays bounded; duplicates farther apart than the watermark are out
+    of contract (lengthen the watermark or reconcile downstream in
+    batch)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def sessionize_stream(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:
@@ -193,6 +208,13 @@ def join_streams(
     reference's 15-min Airflow loop, dag_DataproctoBQ_scheduled.py:48)
     cannot provide. Caller projects distinct column names on each side;
     ``on`` is the (left_key, right_key) pair.
+
+    ``how='left_outer'`` is supported with the same state bounds, but
+    emission timing differs: matched pairs emit as they match, while
+    null-padded rows for unmatched left events emit only once the
+    watermark proves no match can still arrive (left_ts + within <
+    watermark). Downstream consumers must tolerate that lag; the
+    reconcile test pins the semantics on the finalized horizon.
     """
     l_wm, r_wm = watermarks
     cond = (

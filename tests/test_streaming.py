@@ -252,3 +252,84 @@ def test_streaming_quality_gate_matches_batch(spark, sf_dir, ckpt):
         assert got == want and len(want) > 0
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_dedup_within_watermark_collapses_perturbed_ts(spark, sf_dir, ckpt):
+    # at-least-once replay with re-stamped timestamps: the duplicate
+    # arrives 1 second later. dropDuplicates(event_id, ts) keeps both;
+    # dropDuplicatesWithinWatermark(event_id) collapses them.
+    stream = st.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    replay = stream.withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 SECOND"))
+    dd = st.dedup_stream_within_watermark(
+        stream.union(replay), keys=["event_id"], watermark="2 hours"
+    )
+    st.run_available_now(
+        dd, query_name="dedup_wm", output_mode="append",
+        checkpoint=f"{ckpt}/dedup_wm",
+    )
+    total = load_table(spark, sf_dir, "events").count()
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_wm").collect()[0]
+    assert got.n == total        # every duplicate collapsed
+    assert got.d == total        # and every original survived
+
+
+def test_stream_stream_left_outer_join_matches_batch(spark, sf_dir, ckpt):
+    # same attribution shape, but clicks with NO purchase must surface
+    # as null-padded rows once the watermark proves no match can still
+    # arrive. Reconcile on the finalized horizon only: a click is
+    # finalized when click_ts + within + watermark <= max event time.
+    def split(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        return clicks, purchases
+
+    s_clicks, _ = split(st.read_events_stream(spark, f"{sf_dir}/events.parquet"))
+    _, s_purch = split(st.read_events_stream(spark, f"{sf_dir}/events.parquet"))
+    joined = st.join_streams(
+        s_clicks, s_purch, on=("c_user", "p_user"),
+        left_ts="click_ts", right_ts="purchase_ts", within="1 hour",
+        watermarks=("2 hours", "2 hours"), how="left_outer",
+    )
+    st.run_available_now(
+        joined, query_name="attribution_outer", output_mode="append",
+        checkpoint=f"{ckpt}/ss_join_outer",
+    )
+    got = spark.sql("SELECT click_id, purchase_id FROM attribution_outer")
+
+    batch = load_table(spark, sf_dir, "events")
+    b_clicks, b_purch = split(batch)
+    expected = b_clicks.join(
+        b_purch,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 hour")),
+        "left",
+    ).select("click_id", "purchase_id", "click_ts")
+    # The query-wide watermark is min over BOTH watermark operators:
+    # min(max click ts, max purchase ts) - 2h. An unmatched click emits
+    # once click_ts + within < that watermark. Backed off 1s: the
+    # engine's watermark is ms-truncated and eviction is strict, so a
+    # click exactly AT the horizon is legitimately still buffered.
+    wm_base = min(
+        b_clicks.agg(F.max("click_ts")).collect()[0][0],
+        b_purch.agg(F.max("purchase_ts")).collect()[0][0],
+    )
+    horizon = F.lit(wm_base) - F.expr("INTERVAL 3 hours") - F.expr("INTERVAL 1 second")
+    exp_final = expected.filter(F.col("click_ts") <= horizon).select("click_id", "purchase_id")
+    got_final = got.join(
+        expected.filter(F.col("click_ts") <= horizon).select("click_id").distinct(),
+        "click_id",
+    ).select("click_id", "purchase_id")
+    key = lambda df: sorted((r.click_id, r.purchase_id) for r in df.collect())  # noqa: E731
+    got_rows, exp_rows = key(got_final), key(exp_final)
+    assert got_rows == exp_rows
+    assert any(p is None for _, p in exp_rows), "expected unmatched clicks in the horizon"
+    assert any(p is not None for _, p in exp_rows), "expected matched clicks in the horizon"
