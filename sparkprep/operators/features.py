@@ -146,3 +146,53 @@ def subset_search(
             model = est.fit(train_t)
             scored = model.transform(prep.transform(test_df))
             yield subset, confusion_metrics(scored)
+
+
+def fit_quality_classifier(
+    labeled: DataFrame,
+    signal_cols: list[str],
+    label_col: str = "label",
+    max_iter: int = 50,
+    reg_param: float = 0.01,
+):
+    """Fit the LR quality filter on a labeled sample of quality signals
+    (the standard corpus-filter recipe: label a few thousand docs, fit a
+    tiny linear model, then serve it corpus-wide as native column math —
+    queries/textops.q_quality_logit is the serving path).
+
+    The fit runs on the labeled SAMPLE (thousands of rows — iterative
+    L-BFGS over 100 TB would be wrong and is unnecessary); what must
+    scale is scoring, and :func:`lr_scoring_expr` exports the fitted
+    model as a pure Column expression so serving never touches MLlib or
+    a UDF. Returns the fitted PipelineModel.
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=list(signal_cols), outputCol="__sig"),
+            LogisticRegression(
+                featuresCol="__sig",
+                labelCol=label_col,
+                maxIter=max_iter,
+                regParam=reg_param,
+            ),
+        ]
+    )
+    return pipe.fit(labeled)
+
+
+def lr_scoring_expr(model, signal_cols: list[str]):
+    """Distill a fitted binary LR pipeline into a native Column:
+    ``sigmoid(intercept + Σ coef_i · signal_i)``. This is the bridge
+    from MLlib fit to 100 TB serving — the scoring pass is map-only
+    whole-stage-codegen column arithmetic, no vector assembly, no
+    Python, no model object on the executors."""
+    lr = model.stages[-1]
+    coefs = lr.coefficients.toArray().tolist()
+    z = F.lit(float(lr.intercept))
+    for c, w in zip(signal_cols, coefs):
+        z = z + float(w) * F.col(c)
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))

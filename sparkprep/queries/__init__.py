@@ -112,6 +112,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "daily_trend",
     "outlier_fences",
     "keep_best",
+    "anomaly_flags",
+    "quality_logit",
 ]
 
 

@@ -245,6 +245,55 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-shaped anomaly detection in batch: each event scored
+    against its user's trailing 1-hour mean/stddev (RANGE frame), flagged
+    when it sits more than 2σ out with ≥5 supporting points. All three
+    window aggregates share ONE spec → one WindowExec, one keyed
+    shuffle. mean/σ are rounded THEN compared so the flag decision
+    replays bit-identically on both engines (the gopher rounded-ratio
+    pattern)."""
+    from pyspark.sql.window import Window
+
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    mean_r = F.round(F.avg("value").over(w), 4)
+    std_r = F.round(F.stddev("value").over(w), 4)
+    n = F.count(F.lit(1)).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        mean_r.alias("roll_mean"),
+        std_r.alias("roll_std"),
+        n.cast("long").alias("n_in_window"),
+        F.coalesce(
+            (F.abs(F.col("value") - mean_r) > 2 * std_r) & (n >= 5), F.lit(False)
+        ).alias("is_anomaly"),
+    )
+
+
+_ANOMALY_SQL = """
+WITH w0 AS (
+  SELECT event_id, user_id, value,
+         round(avg(value) OVER w, 4) AS roll_mean,
+         round(stddev_samp(value) OVER w, 4) AS roll_std,
+         (count(*) OVER w)::BIGINT AS n_in_window
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, roll_mean, roll_std, n_in_window,
+       coalesce(abs(value - roll_mean) > 2 * roll_std AND n_in_window >= 5,
+                false) AS is_anomaly
+FROM w0
+"""
+
+
 QUERIES = {
     "asof_rate": q_asof_rate,
     "range_count": q_range_count,
@@ -254,6 +303,7 @@ QUERIES = {
     "rolling_hourly": q_rolling_hourly,
     "daily_trend": q_daily_trend,
     "outlier_fences": q_outlier_fences,
+    "anomaly_flags": q_anomaly_flags,
 }
 
 ORACLES = {
@@ -265,4 +315,5 @@ ORACLES = {
     "rolling_hourly": _ROLLING_SQL,
     "daily_trend": _DAILY_TREND_SQL,
     "outlier_fences": _OUTLIER_SQL,
+    "anomaly_flags": _ANOMALY_SQL,
 }

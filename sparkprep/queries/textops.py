@@ -606,8 +606,9 @@ FROM agg
 
 _GOPHER_STOPS = _EN_SQL
 
-_GOPHER_SQL = rf"""
-WITH staged AS (
+# Shared signal CTEs: gopher_rules surfaces the raw signals + gate;
+# quality_logit scores the same signals through a fixed logistic model.
+_GOPHER_SIG_CTES = rf"""staged AS (
   SELECT doc_id, text,
          list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS tk,
          list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS ln
@@ -638,7 +639,10 @@ sig AS (
          END AS alpha_ratio,
          len(list_intersect(list_transform(tk, x -> lower(x)), [{_GOPHER_STOPS}]))::BIGINT AS stop_hits
   FROM staged
-)
+)"""
+
+_GOPHER_SQL = rf"""
+WITH {_GOPHER_SIG_CTES}
 SELECT *,
        coalesce(n_words >= 50 AND n_words <= 100000
                 AND mean_word_len >= 3 AND mean_word_len <= 10
@@ -649,8 +653,54 @@ FROM sig
 """
 
 
+def q_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model scoring at corpus scale: a FIXED-coefficient logistic
+    quality model applied natively over the gopher signals — the shape
+    of serving a distilled fastText/LR quality filter (the fit is a
+    small-sample problem, see features.fit_quality_classifier; the
+    100 TB-relevant part is this map-only scoring pass). Signals are the
+    rounded values, the linear form is written identically on both
+    engines, so the score is bit-reproducible."""
+    docs = t(spark, sf_dir, "documents")
+    sig = tx.gopher_quality_flags(docs, "text", required_stopwords=_EN)
+    z = (
+        F.lit(-3.0)
+        + 3.5 * F.col("alpha_ratio")
+        + 0.4 * F.least(F.col("stop_hits").cast("double"), F.lit(10.0))
+        - 6.0 * F.col("symbol_ratio")
+        - 1.5 * F.col("bullet_ratio")
+        - 2.0 * F.col("ellipsis_ratio")
+        + 0.002 * F.least(F.col("n_words").cast("double"), F.lit(1000.0))
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return sig.select(
+        "doc_id",
+        F.round(score, 6).alias("quality_logit"),
+        F.coalesce(score >= 0.5, F.lit(False)).alias("keep"),
+    )
+
+
+_QUALITY_LOGIT_SQL = rf"""
+WITH {_GOPHER_SIG_CTES},
+scored AS (
+  SELECT doc_id,
+         1.0 / (1.0 + exp(-(-3.0 + 3.5 * alpha_ratio
+                            + 0.4 * least(stop_hits, 10)
+                            - 6.0 * symbol_ratio
+                            - 1.5 * bullet_ratio
+                            - 2.0 * ellipsis_ratio
+                            + 0.002 * least(n_words, 1000)))) AS score
+  FROM sig
+)
+SELECT doc_id, round(score, 6) AS quality_logit,
+       coalesce(score >= 0.5, false) AS keep
+FROM scored
+"""
+
+
 QUERIES = {
     "gopher_rules": q_gopher_rules,
+    "quality_logit": q_quality_logit,
     "length_histogram": q_length_histogram,
     "lang_id_ngram": q_lang_id_ngram,
     "token_modes": q_token_modes,
@@ -674,6 +724,7 @@ QUERIES = {
 
 ORACLES = {
     "gopher_rules": _GOPHER_SQL,
+    "quality_logit": _QUALITY_LOGIT_SQL,
     "length_histogram": _LENGTH_HISTOGRAM_SQL,
     "lang_id_ngram": _lang_ngram_sql(),
     "token_modes": _TOKEN_MODES_SQL,

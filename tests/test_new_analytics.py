@@ -109,3 +109,42 @@ class TestKeepBestDedup:
             if cur is None or (r.q, -r.id) > (cur[0], -cur[1]):
                 expect[r.key] = (r.q, r.id)
         assert dict(a) == {k: v[1] for k, v in expect.items()}
+
+
+class TestQualityClassifier:
+    def test_fit_separates_planted_labels(self, spark):
+        from sparkprep.operators import features as ft
+
+        # separable: good docs have high alpha_ratio & stop_hits
+        rows = [
+            Row(alpha_ratio=0.9 + (i % 5) * 0.01, stop_hits=5.0 + i % 3, label=1.0)
+            for i in range(60)
+        ] + [
+            Row(alpha_ratio=0.2 + (i % 5) * 0.01, stop_hits=0.0 + i % 2, label=0.0)
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(rows)
+        model = ft.fit_quality_classifier(df, ["alpha_ratio", "stop_hits"])
+        scored = model.transform(df)
+        acc = scored.filter(F.col("prediction") == F.col("label")).count() / df.count()
+        assert acc >= 0.95
+
+    def test_distilled_expr_matches_mllib_probability(self, spark):
+        from sparkprep.operators import features as ft
+
+        rows = [
+            Row(alpha_ratio=float(i % 10) / 10, stop_hits=float(i % 7), label=float(i % 2))
+            for i in range(100)
+        ]
+        df = spark.createDataFrame(rows)
+        cols = ["alpha_ratio", "stop_hits"]
+        model = ft.fit_quality_classifier(df, cols)
+        from pyspark.ml.functions import vector_to_array
+
+        mllib = model.transform(df).select(
+            "alpha_ratio", "stop_hits",
+            vector_to_array("probability")[1].alias("p_mllib"),
+        )
+        native = mllib.withColumn("p_native", ft.lr_scoring_expr(model, cols))
+        bad = native.filter(F.abs(F.col("p_mllib") - F.col("p_native")) > 1e-9).count()
+        assert bad == 0
