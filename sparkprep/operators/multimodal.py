@@ -300,3 +300,74 @@ def resize_media(
             )
 
     return df.mapInPandas(resize, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = (
+    "media_id long, frame_idx long, width long, height long, frame binary"
+)
+
+
+def extract_frames(
+    df: DataFrame,
+    every_nth: int = 30,
+    fake: bool = False,
+    batch_size_hint: int | None = 64,
+) -> DataFrame:
+    """Frame extraction for video rows: MEDIA_SCHEMA in, one row per
+    SAMPLED frame out (``frame_idx`` stepping by ``every_nth``) — the
+    row-EXPLODING ``mapInPandas`` shape, where output cardinality
+    exceeds input. Arrow still bounds memory per batch, but now by
+    frames-per-video × frame size, so the batch hint defaults far lower
+    than the scalar-decode path.
+
+    Real path needs ffmpeg (not shipped here) and raises the documented
+    ``NotImplementedError``; ``fake=True`` derives each frame's bytes
+    deterministically from md5(payload ‖ frame_idx) and its dimensions
+    from the stub decoder, so partitioning, schema, and the explode
+    shape are exercised end-to-end (and replayable in tests).
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    if batch_size_hint:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size_hint)
+        )
+
+    def explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if not fake:
+                raise NotImplementedError(
+                    "real frame extraction requires ffmpeg, not present in "
+                    "this environment; pass fake=True for the deterministic "
+                    "plumbing stub"
+                )
+            ids, idxs, ws, hs, frames = [], [], [], [], []
+            for mid, t, c in zip(pdf["media_id"], pdf["media_type"], pdf["content"]):
+                if t != "video":
+                    continue
+                payload = bytes(c)
+                d = _fake_decode(t, payload)
+                for i in range(0, d["n_frames"], every_nth):
+                    ids.append(mid)
+                    idxs.append(i)
+                    ws.append(d["width"])
+                    hs.append(d["height"])
+                    frames.append(
+                        hashlib.md5(payload + str(i).encode()).digest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "width": ws,
+                    "height": hs,
+                    "frame": frames,
+                }
+            )
+
+    return df.filter(F.col("media_type") == "video").mapInPandas(
+        explode_frames, FRAMES_SCHEMA
+    )

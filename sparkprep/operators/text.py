@@ -814,3 +814,39 @@ def gopher_quality_flags(
     return staged.withColumn("pass", F.coalesce(gate, F.lit(False))).drop(
         "__tk", "__ln"
     )
+
+
+def pii_census(
+    df: DataFrame, text_col: str, group_col: str, patterns: list[tuple[str, str]] | None = None
+) -> DataFrame:
+    """PII exposure audit — the census that justifies (and QA-checks)
+    :func:`redact_pii`: per-group occurrence counts of each PII pattern
+    plus how many documents carry any hit.
+
+    Counts run INDEPENDENTLY on the raw text (one projection, one
+    map-combined groupBy), not on the progressively-redacted stages: the
+    chained form re-inlines every prior regexp_replace into every later
+    count after projection collapse (O(k²) regex evals/row), and an
+    audit wants "what's present", not "what the scrubber would see
+    mid-chain". Patterns are data — pass the corpus's own list.
+    """
+    patterns = patterns or PII_PATTERNS
+    names = [tok.strip("<>").lower() for _, tok in patterns]
+    counted = df.select(
+        F.col(group_col),
+        *[
+            F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(f"n_{name}")
+            for (pat, _), name in zip(patterns, names)
+        ],
+    )
+    any_hit = sum((F.col(f"n_{name}") > 0).cast("int") for name in names) > 0
+    return (
+        counted.withColumn("__hit", any_hit.cast("long"))
+        .groupBy(group_col)
+        .agg(
+            *[F.sum(f"n_{name}").alias(f"n_{name}") for name in names],
+            F.sum("__hit").alias("docs_with_pii"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy(group_col)
+    )

@@ -114,6 +114,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "keep_best",
     "anomaly_flags",
     "quality_logit",
+    "pii_census",
 ]
 
 

@@ -238,6 +238,55 @@ FROM norm
 """
 
 
+def q_pii_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII exposure audit over the same deterministically
+    dirtied text as text_cleanup: occurrence counts per pattern
+    (independent, on raw text — see operators/text.pii_census for why
+    not chained) plus documents-with-any-hit. The audit that runs
+    BEFORE a redaction pass and QA-checks it after."""
+    docs = t(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit("  Contact USER"),
+            F.col("doc_id").cast("string"),
+            F.lit("@Example.COM via https://site"),
+            F.col("doc_id").cast("string"),
+            F.lit(".example/page?q=1 from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7\tEND"),
+        ).alias("raw"),
+    )
+    return tx.pii_census(dirty, "raw", "source")
+
+
+_PII_COUNT_COLS = ",\n       ".join(
+    "sum(len(regexp_extract_all(raw, '{p}')))::BIGINT AS n_{n}".format(
+        p=pat, n=tok.strip("<>").lower()
+    )
+    for pat, tok in tx.PII_PATTERNS
+)
+_PII_HIT = " OR ".join(
+    "len(regexp_extract_all(raw, '{p}')) > 0".format(p=pat)
+    for pat, _ in tx.PII_PATTERNS
+)
+_PII_CENSUS_SQL = rf"""
+WITH dirty AS (
+  SELECT source,
+         text || '  Contact USER' || doc_id::VARCHAR || '@Example.COM via https://site'
+              || doc_id::VARCHAR || '.example/page?q=1 from 10.0.' || (doc_id % 256)::VARCHAR
+              || '.7' || chr(9) || 'END' AS raw
+  FROM documents
+)
+SELECT source,
+       {_PII_COUNT_COLS},
+       sum(CASE WHEN {_PII_HIT} THEN 1 ELSE 0 END)::BIGINT AS docs_with_pii,
+       count(*)::BIGINT AS n_docs
+FROM dirty GROUP BY source ORDER BY source
+"""
+
+
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition metrics per document (duplicate-shingle
     fraction, top-token share)."""
@@ -701,6 +750,7 @@ FROM scored
 QUERIES = {
     "gopher_rules": q_gopher_rules,
     "quality_logit": q_quality_logit,
+    "pii_census": q_pii_census,
     "length_histogram": q_length_histogram,
     "lang_id_ngram": q_lang_id_ngram,
     "token_modes": q_token_modes,
@@ -725,6 +775,7 @@ QUERIES = {
 ORACLES = {
     "gopher_rules": _GOPHER_SQL,
     "quality_logit": _QUALITY_LOGIT_SQL,
+    "pii_census": _PII_CENSUS_SQL,
     "length_histogram": _LENGTH_HISTOGRAM_SQL,
     "lang_id_ngram": _lang_ngram_sql(),
     "token_modes": _TOKEN_MODES_SQL,

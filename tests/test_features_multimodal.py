@@ -234,3 +234,36 @@ def test_resize_media_real_path_raises_without_pil(spark):
     assert "NotImplementedError" in str(exc.value) or isinstance(
         exc.value, Py4JJavaError
     )
+
+
+def test_extract_frames_explode_shape(spark):
+    # row-exploding mapInPandas: output rows = sum over videos of
+    # ceil(n_frames / every_nth), deterministic from the stub decoder
+    media = mm.synthesize_media(spark.range(15), "id", "video")
+    decoded = mm.decode_media(media, fake=True)
+    expected = {
+        r.media_id: (r.n_frames + 29) // 30 for r in decoded.collect()
+    }
+    frames = mm.extract_frames(media, every_nth=30, fake=True)
+    rows = frames.collect()
+    got = {}
+    for r in rows:
+        got[r.media_id] = got.get(r.media_id, 0) + 1
+        assert r.frame_idx % 30 == 0
+        assert len(bytes(r.frame)) == 16          # md5-derived stub frame
+        assert r.width >= 16 and r.height >= 16
+    assert got == expected
+    # deterministic replay: same ids -> same frame bytes
+    again = {(r.media_id, r.frame_idx): bytes(r.frame) for r in frames.collect()}
+    first = {(r.media_id, r.frame_idx): bytes(r.frame) for r in rows}
+    assert again == first
+
+
+def test_extract_frames_ignores_non_video_and_raises_real(spark):
+    images = mm.synthesize_media(spark.range(5), "id", "image")
+    assert mm.extract_frames(images, fake=True).count() == 0
+    videos = mm.synthesize_media(spark.range(2), "id", "video")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="ffmpeg|NotImplemented"):
+        mm.extract_frames(videos, fake=False).collect()
