@@ -115,6 +115,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "anomaly_flags",
     "quality_logit",
     "pii_census",
+    "score_calibration",
 ]
 
 

@@ -238,6 +238,45 @@ FROM norm
 """
 
 
+def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration table for the distilled quality filter: fixed score
+    buckets (floor(score·10), map-only — a global ntile would single-
+    partition the corpus, the fixed grid scales) against the gopher
+    rule gate's pass rate per bucket. The QA artifact that says whether
+    the cheap logistic score agrees with the expensive rule stack."""
+    docs = t(spark, sf_dir, "documents")
+    sig = tx.gopher_quality_flags(docs, "text", required_stopwords=_EN)
+    z = (
+        F.lit(-3.0)
+        + 3.5 * F.col("alpha_ratio")
+        + 0.4 * F.least(F.col("stop_hits").cast("double"), F.lit(10.0))
+        - 6.0 * F.col("symbol_ratio")
+        - 1.5 * F.col("bullet_ratio")
+        - 2.0 * F.col("ellipsis_ratio")
+        + 0.002 * F.least(F.col("n_words").cast("double"), F.lit(1000.0))
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    # least() SKIPS nulls in both engines (least(NULL, 9) = 9!), so the
+    # empty-doc NULL score needs an explicit branch, not a coalesce
+    bucketed = sig.select(
+        F.when(score.isNull(), F.lit(-1).cast("long"))
+        .otherwise(F.least(F.floor(score * 10).cast("long"), F.lit(9).cast("long")))
+        .alias("score_bucket"),
+        F.col("pass").cast("int").alias("__p"),
+    )
+    return (
+        bucketed.groupBy("score_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__p").cast("long").alias("n_pass"),
+            F.round(F.avg("__p"), 4).alias("pass_rate"),
+        )
+        .orderBy("score_bucket")
+    )
+
+
+
+
 def q_pii_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source PII exposure audit over the same deterministically
     dirtied text as text_cleanup: occurrence counts per pattern
@@ -747,10 +786,36 @@ FROM scored
 """
 
 
+_SCORE_CALIBRATION_SQL = rf"""
+WITH {_GOPHER_SIG_CTES},
+scored AS (
+  SELECT round(1.0 / (1.0 + exp(-(-3.0 + 3.5 * alpha_ratio
+                                  + 0.4 * least(stop_hits, 10)
+                                  - 6.0 * symbol_ratio
+                                  - 1.5 * bullet_ratio
+                                  - 2.0 * ellipsis_ratio
+                                  + 0.002 * least(n_words, 1000)))), 6) AS score,
+         coalesce(n_words >= 50 AND n_words <= 100000
+                  AND mean_word_len >= 3 AND mean_word_len <= 10
+                  AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+                  AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
+                  AND stop_hits >= 2, false) AS pass
+  FROM sig
+)
+SELECT CASE WHEN score IS NULL THEN -1
+            ELSE least(floor(score * 10)::BIGINT, 9) END AS score_bucket,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN pass THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+       round(avg(CASE WHEN pass THEN 1 ELSE 0 END), 4) AS pass_rate
+FROM scored GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "gopher_rules": q_gopher_rules,
     "quality_logit": q_quality_logit,
     "pii_census": q_pii_census,
+    "score_calibration": q_score_calibration,
     "length_histogram": q_length_histogram,
     "lang_id_ngram": q_lang_id_ngram,
     "token_modes": q_token_modes,
@@ -776,6 +841,7 @@ ORACLES = {
     "gopher_rules": _GOPHER_SQL,
     "quality_logit": _QUALITY_LOGIT_SQL,
     "pii_census": _PII_CENSUS_SQL,
+    "score_calibration": _SCORE_CALIBRATION_SQL,
     "length_histogram": _LENGTH_HISTOGRAM_SQL,
     "lang_id_ngram": _lang_ngram_sql(),
     "token_modes": _TOKEN_MODES_SQL,
