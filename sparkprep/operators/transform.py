@@ -172,3 +172,72 @@ def merge_upsert(
             for c in value_cols
         ],
     )
+
+
+def merge_scd2(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    effective_col: str = "effective_ts",
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """SCD-type-2 MERGE: history-preserving upsert. A matched update
+    with CHANGED values closes the current row (``valid_to`` =
+    effective time, ``is_current`` = false) and opens a new current
+    version; an identical update is a no-op; new keys insert as
+    current; closed history passes through untouched.
+
+    Plan shape: closed history never enters the join — only CURRENT
+    rows shuffle (one full-outer join on the key), then each match
+    emits its 1-or-2 output versions via explode-over-struct-array
+    (the union-of-selects form would re-execute the join per branch).
+    Change detection is null-safe per value column (a value going
+    null IS a change). Same 100 TB posture as :func:`merge_upsert`:
+    broadcast small update batches, or bucket both sides by the key.
+    Requires key-unique updates, like SQL MERGE.
+    """
+    meta = [from_col, to_col, current_col]
+    value_cols = [c for c in target.columns if c not in key_cols + meta]
+    cur = target.filter(F.col(current_col))
+    hist = target.filter(~F.col(current_col))
+    u = updates.select(
+        *[F.col(c).alias(f"__u_{c}") for c in key_cols],
+        *[F.col(c).alias(f"__uv_{c}") for c in value_cols],
+        F.col(effective_col).alias("__eff"),
+    )
+    cond = None
+    for c in key_cols:
+        eq = cur[c] == u[f"__u_{c}"]
+        cond = eq if cond is None else cond & eq
+    j = cur.join(u, cond, "full_outer")
+
+    t_matched = cur[key_cols[0]].isNotNull()
+    u_matched = u[f"__u_{key_cols[0]}"].isNotNull()
+    changed = None
+    for c in value_cols:
+        diff = ~cur[c].eqNullSafe(u[f"__uv_{c}"])
+        changed = diff if changed is None else changed | diff
+
+    def ver(keys_from_update: bool, closed: bool, new: bool):
+        fields = []
+        for c in key_cols:
+            fields.append((u[f"__u_{c}"] if keys_from_update else cur[c]).alias(c))
+        for c in value_cols:
+            fields.append((u[f"__uv_{c}"] if new else cur[c]).alias(c))
+        fields.append((u["__eff"] if new else cur[from_col]).alias(from_col))
+        fields.append(
+            (u["__eff"] if closed else (F.lit(None).cast(cur.schema[to_col].dataType) if new else cur[to_col])).alias(to_col)
+        )
+        fields.append(F.lit(not closed).alias(current_col))
+        return F.struct(*fields)
+
+    out_rows = (
+        F.when(t_matched & u_matched & changed, F.array(ver(False, True, False), ver(True, False, True)))
+        .when(t_matched & u_matched, F.array(ver(False, False, False)))
+        .when(t_matched, F.array(ver(False, False, False)))
+        .otherwise(F.array(ver(True, False, True)))
+    )
+    exploded = j.select(F.explode(out_rows).alias("__v")).select("__v.*")
+    return exploded.unionByName(hist.select(*exploded.columns))

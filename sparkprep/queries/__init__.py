@@ -116,6 +116,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "quality_logit",
     "pii_census",
     "score_calibration",
+    "merge_scd2",
 ]
 
 

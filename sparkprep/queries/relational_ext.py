@@ -494,8 +494,105 @@ ORDER BY part_value DESC, p_partkey
 """
 
 
+def q_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 MERGE over a customer snapshot seeded as all-current
+    history: every 10th key arrives changed (closes the old version,
+    opens a new one), every key ≡3 (mod 10) arrives IDENTICAL (no-op —
+    must stay one current row), five new keys insert. History rows
+    never join; matches explode to their 1-or-2 output versions."""
+    cust = t(spark, sf_dir, "customer")
+    target = cust.select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        F.to_date(F.lit("2024-01-01")).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            F.concat(F.lit("UPD-"), F.col("c_name")).alias("c_name"),
+            (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 10 == 3).select(
+                "c_custkey", "c_name", "c_acctbal"
+            )
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") < 5).select(
+                (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+                F.lit("NEW CUSTOMER").alias("c_name"),
+                F.lit(0.0).alias("c_acctbal"),
+            )
+        )
+        .withColumn("effective_ts", F.to_date(F.lit("2024-06-01")))
+    )
+    merged = transform.merge_scd2(target, updates, key_cols=["c_custkey"])
+    # validity window as STRINGS with the standard 9999-12-31 open-end
+    # sentinel: a typed DATE column round-trips differently through the
+    # two engines' pandas bridges (datetime.date vs datetime64), and a
+    # NULL stringifies as 'None' vs 'nan' — both flip the value hash
+    return merged.select(
+        "c_custkey",
+        "c_name",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format(
+            F.coalesce(F.col("valid_to"), F.to_date(F.lit("9999-12-31"))), "yyyy-MM-dd"
+        ).alias("valid_to"),
+        "is_current",
+    )
+
+
+_MERGE_SCD2_SQL = """
+WITH target AS (
+  SELECT c_custkey, c_name, c_acctbal,
+         DATE '2024-01-01' AS valid_from,
+         CAST(NULL AS DATE) AS valid_to, true AS is_current
+  FROM customer
+),
+upd AS (
+  SELECT c_custkey, 'UPD-' || c_name AS c_name, c_acctbal + 1000.0 AS c_acctbal,
+         DATE '2024-06-01' AS eff
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey, c_name, c_acctbal, DATE '2024-06-01'
+  FROM customer WHERE c_custkey % 10 = 3
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEW CUSTOMER', 0.0, DATE '2024-06-01'
+  FROM customer WHERE c_custkey < 5
+),
+j AS (
+  SELECT t.c_custkey AS tk, t.c_name AS tn, t.c_acctbal AS tb,
+         t.valid_from AS tvf, t.valid_to AS tvt,
+         u.c_custkey AS uk, u.c_name AS un, u.c_acctbal AS ub, u.eff
+  FROM target t FULL OUTER JOIN upd u ON t.c_custkey = u.c_custkey
+),
+flags AS (
+  SELECT *,
+         (tk IS NOT NULL AND uk IS NOT NULL
+          AND (tn IS DISTINCT FROM un OR tb IS DISTINCT FROM ub)) AS chg
+  FROM j
+)
+SELECT tk AS c_custkey, tn AS c_name, round(tb, 2) AS c_acctbal,
+       strftime(tvf, '%Y-%m-%d') AS valid_from,
+       strftime(coalesce(CASE WHEN chg THEN eff ELSE tvt END, DATE '9999-12-31'),
+                '%Y-%m-%d') AS valid_to,
+       NOT chg AS is_current
+FROM flags WHERE tk IS NOT NULL
+UNION ALL
+SELECT uk, un, round(ub, 2), strftime(eff, '%Y-%m-%d'),
+       strftime(DATE '9999-12-31', '%Y-%m-%d'), true
+FROM flags WHERE uk IS NOT NULL AND (tk IS NULL OR chg)
+"""
+
+
 QUERIES = {
     "merge_upsert": q_merge_upsert,
+    "merge_scd2": q_merge_scd2,
     "correlations": q_correlations,
     "unpivot": q_unpivot,
     "percent_rank": q_percent_rank,
@@ -510,6 +607,7 @@ QUERIES = {
 
 ORACLES = {
     "merge_upsert": _MERGE_UPSERT_SQL,
+    "merge_scd2": _MERGE_SCD2_SQL,
     "correlations": _CORRELATIONS_SQL,
     "unpivot": _UNPIVOT_SQL,
     "percent_rank": _PERCENT_RANK_SQL,

@@ -148,3 +148,62 @@ class TestQualityClassifier:
         native = mllib.withColumn("p_native", ft.lr_scoring_expr(model, cols))
         bad = native.filter(F.abs(F.col("p_mllib") - F.col("p_native")) > 1e-9).count()
         assert bad == 0
+
+
+class TestMergeScd2:
+    def _target(self, spark):
+        import datetime as dt
+
+        rows = [
+            # key 1: has closed history + a current row
+            Row(k=1, v="a", valid_from=dt.date(2023, 1, 1), valid_to=dt.date(2024, 1, 1), is_current=False),
+            Row(k=1, v="b", valid_from=dt.date(2024, 1, 1), valid_to=None, is_current=True),
+            Row(k=2, v="x", valid_from=dt.date(2024, 1, 1), valid_to=None, is_current=True),
+            Row(k=3, v=None, valid_from=dt.date(2024, 1, 1), valid_to=None, is_current=True),
+        ]
+        from pyspark.sql.types import (
+            BooleanType, DateType, LongType, StringType, StructField, StructType,
+        )
+
+        schema = StructType([
+            StructField("k", LongType()), StructField("v", StringType()),
+            StructField("valid_from", DateType()), StructField("valid_to", DateType()),
+            StructField("is_current", BooleanType()),
+        ])
+        return spark.createDataFrame(rows, schema)
+
+    def test_change_noop_insert_history(self, spark):
+        import datetime as dt
+
+        from sparkprep.operators import transform as tr
+
+        eff = dt.date(2024, 6, 1)
+        updates = spark.createDataFrame(
+            [
+                Row(k=1, v="c", effective_ts=eff),     # changed -> close + open
+                Row(k=2, v="x", effective_ts=eff),     # identical -> no-op
+                Row(k=3, v="now", effective_ts=eff),   # null -> value IS a change
+                Row(k=9, v="new", effective_ts=eff),   # brand-new key
+            ]
+        )
+        out = tr.merge_scd2(self._target(spark), updates, key_cols=["k"]).collect()
+        by = {}
+        for r in out:
+            by.setdefault(r.k, []).append(r)
+        # key 1: closed 2023 history untouched + closed 'b' + current 'c'
+        k1 = sorted(by[1], key=lambda r: (str(r.valid_from), str(r.v)))
+        assert [(r.v, r.is_current, r.valid_to) for r in k1] == [
+            ("a", False, dt.date(2024, 1, 1)),
+            ("b", False, eff),
+            ("c", True, None),
+        ]
+        # key 2: exactly one row, still current, untouched window
+        assert [(r.v, r.is_current, r.valid_from, r.valid_to) for r in by[2]] == [
+            ("x", True, dt.date(2024, 1, 1), None)
+        ]
+        # key 3: null -> 'now' is a CHANGE (null-safe compare)
+        assert {(r.v, r.is_current) for r in by[3]} == {(None, False), ("now", True)}
+        # key 9: inserted current with effective window
+        assert [(r.v, r.is_current, r.valid_from, r.valid_to) for r in by[9]] == [
+            ("new", True, eff, None)
+        ]
