@@ -117,6 +117,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "pii_census",
     "score_calibration",
     "merge_scd2",
+    "grouping_sets",
 ]
 
 

@@ -479,6 +479,38 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the non-hierarchical case rollup/cube
+    can't express: ((flag, status), (status), ()) skips the (flag)
+    subtotal a rollup would force. One pass, still map-side partial-
+    aggregated per set; ``grouping_id`` disambiguates subtotal NULLs
+    from data NULLs (bit order: first column = MSB in both engines)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("count"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
+       count(*) AS count, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+
 def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped six-table star join: two broadcast dims
     (region→nation), two shuffle joins on the fact chain
@@ -1481,6 +1513,7 @@ QUERIES = {
     "salted_agg": q_salted_agg,
     "sql_view": q_sql_view,
     "rollup": q_rollup,
+    "grouping_sets": q_grouping_sets,
     "pivot_priority": q_pivot_priority,
     "local_supplier_volume": q_local_supplier_volume,
     "quantile_buckets": q_quantile_buckets,
@@ -1525,6 +1558,7 @@ ORACLES = {
     "salted_agg": _SALTED_AGG_SQL,
     "sql_view": _SQL_VIEW_SQL,
     "rollup": _ROLLUP_SQL,
+    "grouping_sets": _GROUPING_SETS_SQL,
     "pivot_priority": _PIVOT_SQL,
     "local_supplier_volume": _LOCAL_SUPPLIER_SQL,
     "quantile_buckets": _QUANTILE_BUCKETS_SQL,
