@@ -143,8 +143,32 @@ def registry():
     # name was renamed without updating the rotation — fail loudly),
     # then everything else in module order. Every query keeps local
     # sf0.001 oracle coverage regardless (tests/test_entry_oracle.py).
-    queries: dict = {name: merged_q[name] for name in _DRIVER_WINDOW_PRIORITY}
+    # Safety net: any registered query absent from EVERY recorded
+    # CORRECTNESS_r*.json is auto-promoted behind the explicit list, so
+    # forgetting to extend the rotation can't strand a new query
+    # outside the adjudication window.
+    priority = list(_DRIVER_WINDOW_PRIORITY)
+    seen = _driver_verified_names()
+    priority += [n for n in merged_q if n not in seen and n not in priority]
+    queries: dict = {name: merged_q[name] for name in priority}
     for name, fn in merged_q.items():
         if name not in queries:
             queries[name] = fn
     return queries, oracles
+
+
+def _driver_verified_names() -> set:
+    """Union of query names across every CORRECTNESS_r*.json the driver
+    has recorded in the repo root (empty set if none readable)."""
+    import glob
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    names: set = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as fh:
+                names.update(json.load(fh).keys())
+        except Exception:
+            continue
+    return names

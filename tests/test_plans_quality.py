@@ -221,3 +221,36 @@ def test_fuzzy_linkage_blocked_not_cartesian(spark, sf_dir):
     plan = _simple(QUERIES["fuzzy_linkage"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rolling_and_anomaly_single_window_exec(spark, sf_dir):
+    # all RANGE-frame aggregates (avg/stddev/count) must share ONE
+    # window spec -> one WindowExec, one keyed exchange
+    for name in ("rolling_hourly", "anomaly_flags"):
+        plan = _simple(QUERIES[name](spark, sf_dir))
+        assert plan.count("Window") - plan.count("WindowGroupLimit") == 1, name
+        assert plan.count("Exchange hashpartitioning") == 1, name
+
+
+def test_grouping_sets_single_pass(spark, sf_dir):
+    # one Expand + one partial/final aggregate pair: the sets must not
+    # rescan lineitem per set
+    plan = _simple(QUERIES["grouping_sets"](spark, sf_dir))
+    assert plan.count("Expand") == 1
+    assert plan.count("Scan parquet") == 1
+
+
+def test_merge_scd2_single_join_history_bypass(spark, sf_dir):
+    # current rows join ONCE (full outer); closed history unions in
+    # without touching the join
+    plan = _simple(QUERIES["merge_scd2"](spark, sf_dir))
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_outlier_fences_quartiles_share_exchange(spark, sf_dir):
+    # window quartiles + rollup on the same key: one hash exchange for
+    # the data; the orderBy range-exchange runs on the 5-row aggregate
+    plan = _simple(QUERIES["outlier_fences"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
