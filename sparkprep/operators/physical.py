@@ -91,3 +91,74 @@ def compact_files(
         "src": src_dir,
         "dst": dst_dir,
     }
+
+
+def plan_metrics(df: DataFrame) -> dict:
+    """Post-action cost attribution from the executed plan's SQL metric
+    registry — the per-query observability a 100 TB deployment bills
+    by: rows scanned, shuffle volume, spill, peak operator memory.
+
+    Call AFTER an action: metrics accumulate during execution. Under
+    AQE, resolving the final plan on a not-yet-run query FORCES the
+    remaining stages to execute (same as an action) — so this never
+    reads zeros, but on an unexecuted frame you pay the run here.
+    Resolves the AQE root to the final
+    physical plan and descends through materialized query stages
+    (``QueryStageExec.plan()``) so exchange metrics aren't hidden
+    behind stage boundaries. Driver-side tooling over py4j — reads
+    accumulators only, never touches data.
+    """
+    node = df._jdf.queryExecution().executedPlan()
+    try:
+        node = node.finalPhysicalPlan()
+    except Exception:
+        pass  # non-AQE plan: already physical
+
+    totals = {
+        "rows_scanned": 0,
+        "scan_files_read": 0,
+        "scan_bytes_read": 0,
+        "shuffle_records_written": 0,
+        "shuffle_bytes_written": 0,
+        "spill_bytes": 0,
+        "peak_operator_memory": 0,
+        "output_rows": None,
+    }
+
+    def metric_values(n) -> dict:
+        m = n.metrics()
+        it = m.keySet().iterator()
+        vals = {}
+        while it.hasNext():
+            k = it.next()
+            vals[k] = m.get(k).get().value()
+        return vals
+
+    def walk(n, is_root=False):
+        name = n.nodeName()
+        vals = metric_values(n)
+        if is_root and totals["output_rows"] is None and "numOutputRows" in vals:
+            totals["output_rows"] = vals["numOutputRows"]
+        if name.startswith("Scan"):
+            totals["rows_scanned"] += vals.get("numOutputRows", 0)
+            totals["scan_files_read"] += vals.get("numFiles", 0)
+            totals["scan_bytes_read"] += vals.get("filesSize", 0)
+        totals["shuffle_records_written"] += vals.get("shuffleRecordsWritten", 0)
+        totals["shuffle_bytes_written"] += vals.get("shuffleBytesWritten", 0)
+        totals["spill_bytes"] += vals.get("spillSize", 0)
+        totals["peak_operator_memory"] = max(
+            totals["peak_operator_memory"], vals.get("peakMemory", 0)
+        )
+        kids = []
+        try:
+            kids.append(n.plan())  # QueryStageExec: the materialized stage
+        except Exception:
+            pass
+        ch = n.children()
+        for i in range(ch.size()):
+            kids.append(ch.apply(i))
+        for k in kids:
+            walk(k)
+
+    walk(node, is_root=True)
+    return totals

@@ -152,3 +152,37 @@ def test_quantile_bucket_grouped_counts_balanced(spark, sf_dir):
     for status in {k[0] for k in counts}:
         sizes = [v for (s, _), v in counts.items() if s == status]
         assert max(sizes) - min(sizes) <= max(2, int(0.02 * sum(sizes)))
+
+
+def test_plan_metrics_cost_attribution(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sparkprep.operators.physical import plan_metrics
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    total = li.count()
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    n_out = df.count()
+    df.collect()
+    m = plan_metrics(df)
+    assert m["rows_scanned"] == total
+    assert m["scan_files_read"] >= 1 and m["scan_bytes_read"] > 0
+    # the empirical proof of map-side combine: what crosses the wire is
+    # one partial row per key per input partition, not the input rows
+    assert 0 < m["shuffle_records_written"] <= n_out * li.rdd.getNumPartitions() + 8
+    assert m["shuffle_records_written"] < total / 100
+    assert m["spill_bytes"] == 0
+
+
+def test_plan_metrics_forces_final_plan(spark, sf_dir):
+    # under AQE, resolving the final plan on an unexecuted query RUNS
+    # the remaining stages — metrics are never silently zero
+    from pyspark.sql import functions as F
+
+    from sparkprep.operators.physical import plan_metrics
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = li.groupBy("l_linestatus").agg(F.count(F.lit(1)))
+    m = plan_metrics(df)  # no prior action
+    assert m["rows_scanned"] == li.count()
+    assert m["shuffle_records_written"] > 0
