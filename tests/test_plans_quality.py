@@ -254,3 +254,19 @@ def test_outlier_fences_quartiles_share_exchange(spark, sf_dir):
     # the data; the orderBy range-exchange runs on the 5-row aggregate
     plan = _simple(QUERIES["outlier_fences"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_minhash_pairs_shuffle_volume_bounded(spark, sf_dir):
+    # empirical scale evidence via the metric registry: the LSH path
+    # must shuffle O(docs x (hashes + bands)) partial rows, never the
+    # O(docs^2) pair space a naive all-pairs design would
+    from sparkprep.operators.physical import plan_metrics
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    df = QUERIES["minhash_pairs"](spark, sf_dir)
+    df.collect()
+    m = plan_metrics(df)
+    assert m["spill_bytes"] == 0
+    assert 0 < m["shuffle_records_written"] < 80 * n_docs  # ~hashes+bands per doc, x partitions
+    assert m["shuffle_records_written"] < n_docs * n_docs / 4
