@@ -196,3 +196,72 @@ def test_grouped_centroids_match_numpy(spark, rows):
         # exact .0000005 boundary value differs by exactly 1e-6;
         # hypothesis found mean([0,0,1,-0.96875]) = 0.0078125)
         assert all(abs(a - round(float(b), 6)) <= 1.5e-6 for a, b in zip(got, exp))
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),              # key
+            st.integers(min_value=0, max_value=7200),           # seconds offset
+            st.floats(allow_nan=False, allow_infinity=False,
+                      min_value=-1e3, max_value=1e3),
+        ),
+        min_size=1, max_size=25,
+    )
+)
+def test_rolling_time_agg_matches_pandas(spark, rows):
+    # independent recomputation: closed [t-1h, t] per key, via brute
+    # pandas filtering (not pandas.rolling, whose boundary semantics
+    # differ) — pins frame inclusivity and peer handling under ties
+    import datetime
+
+    from sparkprep.operators import temporal
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (i, k, base + datetime.timedelta(seconds=s), float(v))
+        for i, (k, s, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, ["event_id", "user_id", "ts", "value"])
+    out = {
+        r.event_id: (r.value_roll_avg, r.n_in_window)
+        for r in temporal.rolling_time_agg(df, "ts", "user_id", "value").collect()
+    }
+    for i, (k, s, v) in enumerate(rows):
+        members = [
+            v2 for (k2, s2, v2) in rows if k2 == k and s - 3600 <= s2 <= s
+        ]
+        assert out[i][1] == len(members)
+        assert abs(out[i][0] - round(sum(members) / len(members), 4)) <= 1e-9
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=4),
+                  st.floats(allow_nan=False, allow_infinity=False,
+                            min_value=-1e6, max_value=1e6)),
+        min_size=2, max_size=40,
+    )
+)
+def test_iqr_report_matches_numpy(spark, rows):
+    import numpy as np
+
+    from sparkprep.functions import numeric as nm
+
+    df = spark.createDataFrame([(f"k{k}", float(v)) for k, v in rows], ["k", "v"])
+    got = {r.k: r for r in nm.iqr_outlier_report(df, "k", "v").collect()}
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for k, v in rows:
+        groups[f"k{k}"].append(v)
+    for k, vs in groups.items():
+        q1, q3 = np.quantile(vs, 0.25), np.quantile(vs, 0.75)  # linear interp = Spark percentile
+        lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+        n_out = sum(1 for v in vs if v < lo or v > hi)
+        assert got[k].n == len(vs)
+        assert got[k].n_outliers == n_out
+        assert abs(got[k].q1 - round(float(q1), 4)) <= 1e-6
+        assert abs(got[k].q3 - round(float(q3), 4)) <= 1e-6
