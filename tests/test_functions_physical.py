@@ -186,3 +186,15 @@ def test_plan_metrics_forces_final_plan(spark, sf_dir):
     m = plan_metrics(df)  # no prior action
     assert m["rows_scanned"] == li.count()
     assert m["shuffle_records_written"] > 0
+
+
+def test_cli_list_and_oracle(capsys):
+    from sparkprep.__main__ import main
+
+    assert main(["list", "dedup*"]) == 0
+    out = capsys.readouterr().out
+    assert "dedup_clusters" in out and "dedup_audit" in out
+    assert main(["oracle", "word_count"]) == 0
+    assert "GROUP BY token" in capsys.readouterr().out
+    assert main(["run", "nope_not_a_query"]) == 2
+    assert main(["oracle", "approx_distinct"]) == 1  # rows-only
