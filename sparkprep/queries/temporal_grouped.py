@@ -294,8 +294,63 @@ FROM w0
 """
 
 
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, minutes from FIRST click
+    to the first purchase at-or-after it, rolled up to p50/p90/max.
+    Both stages shuffle on user_id (the join and the per-user min reuse
+    one partitioning); latency math on exact int64 ``unix_micros``.
+    The product-analytics companion to event_funnel — the funnel says
+    how many convert, this says how long conversion takes."""
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") >= F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"), F.min("tc").alias("tc"))
+    )
+    mins = (F.unix_micros("tp") - F.unix_micros("tc")) / F.lit(60_000_000.0)
+    lat = conv.select(mins.alias("mins"))
+    return lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.expr("percentile(mins, 0.5)"), 4).alias("p50_min"),
+        F.round(F.expr("percentile(mins, 0.9)"), 4).alias("p90_min"),
+        F.round(F.max("mins"), 4).alias("max_min"),
+    )
+
+
+_CONVERSION_LATENCY_SQL = """
+WITH c AS (
+  SELECT user_id, min(ts) AS tc FROM events
+  WHERE event_type = 'click' GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS tp, min(c.tc) AS tc
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= c.tc
+  GROUP BY e.user_id
+),
+l AS (
+  SELECT (epoch_us(tp) - epoch_us(tc)) / 60000000.0 AS mins FROM p
+)
+SELECT count(*)::BIGINT AS n_converted,
+       round(quantile_cont(mins, 0.5), 4) AS p50_min,
+       round(quantile_cont(mins, 0.9), 4) AS p90_min,
+       round(max(mins), 4) AS max_min
+FROM l
+"""
+
+
 QUERIES = {
     "asof_rate": q_asof_rate,
+    "conversion_latency": q_conversion_latency,
     "range_count": q_range_count,
     "resample_ffill": q_resample_ffill,
     "grouped_zscore": q_grouped_zscore,
@@ -308,6 +363,7 @@ QUERIES = {
 
 ORACLES = {
     "asof_rate": _ASOF_SQL,
+    "conversion_latency": _CONVERSION_LATENCY_SQL,
     "range_count": _RANGE_SQL,
     "resample_ffill": _RESAMPLE_SQL,
     "grouped_zscore": _ZSCORE_SQL,
