@@ -179,3 +179,47 @@ def add_ingest_audit(df: DataFrame) -> DataFrame:
     return df.withColumn("_ingest_file", F.input_file_name()).withColumn(
         "_row_id", F.monotonically_increasing_id()
     )
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    value_schema: str | None = None,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Kafka streaming source — the production ingest path the file
+    stream (`streaming.read_events_stream`) stands in for in tests.
+    Kafka is an EXTERNAL Spark module (spark-sql-kafka jar); raise the
+    deploy hint eagerly instead of a late AnalysisException. When
+    ``value_schema`` is given, the value bytes parse as JSON into typed
+    columns (the landing contract used by the documents stream);
+    otherwise raw (key, value, timestamp) passes through.
+
+    The downstream plan is IDENTICAL either way — every watermark,
+    window, dedup, and join operator in ``sparkprep.streaming`` takes
+    whatever ``readStream`` produced. That unification is the point:
+    swap the source, keep the pipeline.
+    """
+    from pyspark.sql import functions as F
+
+    try:
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .load()
+        )
+    except Exception as exc:  # noqa: BLE001 — surface the deploy hint
+        raise RuntimeError(
+            "Kafka source requires the spark-sql-kafka package "
+            "(--packages org.apache.spark:spark-sql-kafka-0-10_2.13:"
+            "<spark-version>)"
+        ) from exc
+    if value_schema is None:
+        return raw
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
+        F.col("timestamp").alias("kafka_ts"),
+    ).select("v.*", "kafka_ts")

@@ -64,3 +64,12 @@ def test_jsonl_malformed_line_accounting(spark, tmp_path):
         assert back.filter(F.col("_corrupt_record").isNull()).count() == 2
     finally:
         back.unpersist()
+
+
+def test_kafka_reader_raises_deploy_hint(spark):
+    import pytest as _pytest
+
+    from sparkprep.sources.readers import read_kafka_stream
+
+    with _pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        read_kafka_stream(spark, "localhost:9092", "events")
