@@ -7,13 +7,16 @@ deciding thresholds, then feed the chosen cut to the prep pipeline.
 
 Every number here is oracle-checked in the registry (gopher_rules,
 quality_logit, score_calibration, pii_census); this script just
-composes them over one session and one cached scan.
+composes them over one session (each block is one job; the gate
+counts fuse into a single aggregate).
 """
 
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
 
 from sparkprep.queries import registry  # noqa: E402
 from sparkprep.session import build_session  # noqa: E402
@@ -26,8 +29,10 @@ if __name__ == "__main__":
     queries, _ = registry()
 
     gate = queries["gopher_rules"](spark, SF_DIR)
-    n_docs = gate.count()
-    n_pass = gate.filter("pass").count()
+    counts = gate.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("pass").cast("int")).alias("p")
+    ).collect()[0]
+    n_docs, n_pass = counts.n, counts.p
     print(f"rule gate: {n_pass}/{n_docs} documents pass "
           f"({100.0 * n_pass / n_docs:.1f}%)")
 

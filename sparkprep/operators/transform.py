@@ -202,10 +202,16 @@ def merge_scd2(
     value_cols = [c for c in target.columns if c not in key_cols + meta]
     cur = target.filter(F.col(current_col))
     hist = target.filter(~F.col(current_col))
+    # presence markers, NOT key null-ness: a NULL business key on either
+    # side never joins, and checking key.isNotNull() would misread such
+    # a row as "absent" and corrupt it into an all-NULL insert (SQL
+    # MERGE's NOT-MATCHED-BY-SOURCE rows must pass through untouched)
+    cur = cur.withColumn("__t_present", F.lit(True))
     u = updates.select(
         *[F.col(c).alias(f"__u_{c}") for c in key_cols],
         *[F.col(c).alias(f"__uv_{c}") for c in value_cols],
         F.col(effective_col).alias("__eff"),
+        F.lit(True).alias("__u_present"),
     )
     cond = None
     for c in key_cols:
@@ -213,8 +219,8 @@ def merge_scd2(
         cond = eq if cond is None else cond & eq
     j = cur.join(u, cond, "full_outer")
 
-    t_matched = cur[key_cols[0]].isNotNull()
-    u_matched = u[f"__u_{key_cols[0]}"].isNotNull()
+    t_matched = cur["__t_present"].isNotNull()
+    u_matched = u["__u_present"].isNotNull()
     changed = None
     for c in value_cols:
         diff = ~cur[c].eqNullSafe(u[f"__uv_{c}"])

@@ -163,7 +163,11 @@ def _driver_verified_names() -> set:
     import glob
     import json
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # repo root = two levels above this file's PACKAGE directory
+    # (sparkprep/queries/__init__.py → sparkprep/queries → sparkprep → repo)
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
     names: set = set()
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         try:

@@ -238,15 +238,11 @@ FROM norm
 """
 
 
-def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Calibration table for the distilled quality filter: fixed score
-    buckets (floor(score·10), map-only — a global ntile would single-
-    partition the corpus, the fixed grid scales) against the gopher
-    rule gate's pass rate per bucket. The QA artifact that says whether
-    the cheap logistic score agrees with the expensive rule stack."""
-    docs = t(spark, sf_dir, "documents")
-    sig = tx.gopher_quality_flags(docs, "text", required_stopwords=_EN)
-    z = (
+def _logit_z():
+    """The fixed quality-model linear form — ONE definition feeding
+    quality_logit AND score_calibration (Spark side); _LOGIT_Z_SQL is
+    its verbatim SQL twin. Edit them together."""
+    return (
         F.lit(-3.0)
         + 3.5 * F.col("alpha_ratio")
         + 0.4 * F.least(F.col("stop_hits").cast("double"), F.lit(10.0))
@@ -255,6 +251,25 @@ def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 2.0 * F.col("ellipsis_ratio")
         + 0.002 * F.least(F.col("n_words").cast("double"), F.lit(1000.0))
     )
+
+
+_LOGIT_Z_SQL = """(-3.0 + 3.5 * alpha_ratio
+                            + 0.4 * least(stop_hits, 10)
+                            - 6.0 * symbol_ratio
+                            - 1.5 * bullet_ratio
+                            - 2.0 * ellipsis_ratio
+                            + 0.002 * least(n_words, 1000))"""
+
+
+def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration table for the distilled quality filter: fixed score
+    buckets (floor(score·10), map-only — a global ntile would single-
+    partition the corpus, the fixed grid scales) against the gopher
+    rule gate's pass rate per bucket. The QA artifact that says whether
+    the cheap logistic score agrees with the expensive rule stack."""
+    docs = t(spark, sf_dir, "documents")
+    sig = tx.gopher_quality_flags(docs, "text", required_stopwords=_EN)
+    z = _logit_z()
     score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
     # least() SKIPS nulls in both engines (least(NULL, 9) = 9!), so the
     # empty-doc NULL score needs an explicit branch, not a coalesce
@@ -729,14 +744,16 @@ sig AS (
   FROM staged
 )"""
 
-_GOPHER_SQL = rf"""
-WITH {_GOPHER_SIG_CTES}
-SELECT *,
-       coalesce(n_words >= 50 AND n_words <= 100000
+_GOPHER_GATE_SQL = """coalesce(n_words >= 50 AND n_words <= 100000
                 AND mean_word_len >= 3 AND mean_word_len <= 10
                 AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
                 AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
-                AND stop_hits >= 2, false) AS pass
+                AND stop_hits >= 2, false)"""
+
+_GOPHER_SQL = rf"""
+WITH {_GOPHER_SIG_CTES}
+SELECT *,
+       {_GOPHER_GATE_SQL} AS pass
 FROM sig
 """
 
@@ -751,15 +768,7 @@ def q_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, so the score is bit-reproducible."""
     docs = t(spark, sf_dir, "documents")
     sig = tx.gopher_quality_flags(docs, "text", required_stopwords=_EN)
-    z = (
-        F.lit(-3.0)
-        + 3.5 * F.col("alpha_ratio")
-        + 0.4 * F.least(F.col("stop_hits").cast("double"), F.lit(10.0))
-        - 6.0 * F.col("symbol_ratio")
-        - 1.5 * F.col("bullet_ratio")
-        - 2.0 * F.col("ellipsis_ratio")
-        + 0.002 * F.least(F.col("n_words").cast("double"), F.lit(1000.0))
-    )
+    z = _logit_z()
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     return sig.select(
         "doc_id",
@@ -772,12 +781,7 @@ _QUALITY_LOGIT_SQL = rf"""
 WITH {_GOPHER_SIG_CTES},
 scored AS (
   SELECT doc_id,
-         1.0 / (1.0 + exp(-(-3.0 + 3.5 * alpha_ratio
-                            + 0.4 * least(stop_hits, 10)
-                            - 6.0 * symbol_ratio
-                            - 1.5 * bullet_ratio
-                            - 2.0 * ellipsis_ratio
-                            + 0.002 * least(n_words, 1000)))) AS score
+         1.0 / (1.0 + exp(-{_LOGIT_Z_SQL})) AS score
   FROM sig
 )
 SELECT doc_id, round(score, 6) AS quality_logit,
@@ -789,17 +793,8 @@ FROM scored
 _SCORE_CALIBRATION_SQL = rf"""
 WITH {_GOPHER_SIG_CTES},
 scored AS (
-  SELECT round(1.0 / (1.0 + exp(-(-3.0 + 3.5 * alpha_ratio
-                                  + 0.4 * least(stop_hits, 10)
-                                  - 6.0 * symbol_ratio
-                                  - 1.5 * bullet_ratio
-                                  - 2.0 * ellipsis_ratio
-                                  + 0.002 * least(n_words, 1000)))), 6) AS score,
-         coalesce(n_words >= 50 AND n_words <= 100000
-                  AND mean_word_len >= 3 AND mean_word_len <= 10
-                  AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
-                  AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
-                  AND stop_hits >= 2, false) AS pass
+  SELECT round(1.0 / (1.0 + exp(-{_LOGIT_Z_SQL})), 6) AS score,
+         {_GOPHER_GATE_SQL} AS pass
   FROM sig
 )
 SELECT CASE WHEN score IS NULL THEN -1

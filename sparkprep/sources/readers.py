@@ -211,12 +211,18 @@ def read_kafka_stream(
             .option("startingOffsets", starting_offsets)
             .load()
         )
-    except Exception as exc:  # noqa: BLE001 — surface the deploy hint
-        raise RuntimeError(
-            "Kafka source requires the spark-sql-kafka package "
-            "(--packages org.apache.spark:spark-sql-kafka-0-10_2.13:"
-            "<spark-version>)"
-        ) from exc
+    except Exception as exc:
+        # translate ONLY the missing-datasource failure into the deploy
+        # hint; a real config error (bad offsets, malformed option) with
+        # the jar present must surface as itself
+        msg = str(exc)
+        if "Failed to find data source" in msg or "ClassNotFoundException" in msg:
+            raise RuntimeError(
+                "Kafka source requires the spark-sql-kafka package "
+                "(--packages org.apache.spark:spark-sql-kafka-0-10_2.13:"
+                "<spark-version>)"
+            ) from exc
+        raise
     if value_schema is None:
         return raw
     return raw.select(
