@@ -172,6 +172,37 @@ def main() -> None:
             cdf, "chunk_text", "cid", est_threshold=0.8))
 
     bench("chunk-level minhash pairs", chunk_minhash)
+
+    # --- round-3 session-2 additions ----------------------------------
+    from sparkprep.operators import temporal, transform
+    from sparkprep.functions import numeric
+
+    # RANGE-frame rolling window: per-key cost is O(rows), frame width
+    # notwithstanding (incremental WindowExec) — 1000 keys, dense events
+    events = rows.select(
+        "g",
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("k") * 1_000_000
+        ).alias("ts"),
+        "v",
+    )
+    bench("rolling 1h window (1000 keys)", lambda: materialize(
+        temporal.rolling_time_agg(events, "ts", "g", "v", window="1 hour")))
+    bench("IQR outlier fences (1000 keys)", lambda: materialize(
+        numeric.iqr_outlier_report(rows, "g", "v")))
+    # SCD2: only CURRENT rows join; 10% of keys arrive changed
+    target = rows.select(
+        F.col("k"), F.col("v"),
+        F.to_date(F.lit("2024-01-01")).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    upd = rows.filter(F.pmod("k", 10) == 0).select(
+        "k", (F.col("v") + 1.0).alias("v"),
+        F.to_date(F.lit("2024-06-01")).alias("effective_ts"),
+    )
+    bench("SCD2 merge (10% changed)", lambda: materialize(
+        transform.merge_scd2(target, upd, key_cols=["k"])))
     spark.stop()
 
 
