@@ -247,3 +247,68 @@ def merge_scd2(
     )
     exploded = j.select(F.explode(out_rows).alias("__v")).select("__v.*")
     return exploded.unionByName(hist.select(*exploded.columns))
+
+
+def cdc_extract(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+    op_col: str = "op",
+) -> DataFrame:
+    """Row-level change-data-capture between two snapshots: emits one
+    record per difference — ``I`` (insert, new-side values), ``U``
+    (update, new-side values), ``D`` (delete, old-side values) —
+    unchanged rows are dropped. The row-level companion to the
+    snapshot_diff rollup, and exactly the feed :func:`merge_upsert` /
+    :func:`merge_scd2` consume downstream.
+
+    One full-outer join on the key; presence detected via constant
+    markers, not key null-ness (a NULL key never joins and must still
+    classify by which side carried it). Change detection is null-safe
+    per compared column. At scale, both snapshots shuffle once on the
+    key — bucket both by the key to make the diff exchange-free.
+    """
+    compare_cols = compare_cols or [c for c in old.columns if c not in key_cols]
+    o = old.select(
+        *[F.col(c).alias(f"__k_{c}") for c in key_cols],
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(True).alias("__o_present"),
+    )
+    n = new.select(
+        *[F.col(c).alias(f"__n_{c}") for c in key_cols],
+        *[F.col(c).alias(f"__nv_{c}") for c in compare_cols],
+        F.lit(True).alias("__n_present"),
+    )
+    cond = None
+    for c in key_cols:
+        eq = o[f"__k_{c}"] == n[f"__n_{c}"]
+        cond = eq if cond is None else cond & eq
+    j = o.join(n, cond, "full_outer")
+    has_old = j["__o_present"].isNotNull()
+    has_new = j["__n_present"].isNotNull()
+    changed = None
+    for c in compare_cols:
+        diff = ~j[f"__o_{c}"].eqNullSafe(j[f"__nv_{c}"])
+        changed = diff if changed is None else changed | diff
+    op = (
+        F.when(has_old & has_new & changed, F.lit("U"))
+        .when(has_new & ~has_old, F.lit("I"))
+        .when(has_old & ~has_new, F.lit("D"))
+    )
+    out_val = {
+        c: F.when(has_new, j[f"__nv_{c}"]).otherwise(j[f"__o_{c}"])
+        for c in compare_cols
+    }
+    return (
+        j.withColumn(op_col, op)
+        .filter(F.col(op_col).isNotNull())
+        .select(
+            *[
+                F.coalesce(n[f"__n_{c}"], o[f"__k_{c}"]).alias(c)
+                for c in key_cols
+            ],
+            F.col(op_col),
+            *[expr.alias(c) for c, expr in out_val.items()],
+        )
+    )

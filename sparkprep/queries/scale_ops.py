@@ -360,6 +360,58 @@ SELECT status, count(*) AS n FROM j GROUP BY status ORDER BY status
 """
 
 
+def q_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC between the same two snapshots snapshot_diff rolls
+    up: one I/U/D record per difference, new-side payload for I/U,
+    old-side payload for D — the feed merge_upsert/merge_scd2 apply.
+    One full-outer key join, unchanged rows dropped pre-shuffle-out."""
+    from sparkprep.operators import transform
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    v2 = (
+        docs.filter(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 17 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") < 20).select(
+                (F.col("doc_id") + 90000).alias("doc_id"), "text"
+            )
+        )
+    )
+    feed = transform.cdc_extract(docs, v2, key_cols=["doc_id"], compare_cols=["text"])
+    return feed.select(
+        "doc_id", "op", F.md5("text").alias("digest")
+    ).orderBy("doc_id")
+
+
+_CDC_FEED_SQL = """
+WITH v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 != 0
+  UNION ALL
+  SELECT doc_id + 90000, text FROM documents WHERE doc_id < 20
+),
+j AS (
+  SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+         a.text AS t_old, b.text AS t_new,
+         a.doc_id IS NOT NULL AS has_old, b.doc_id IS NOT NULL AS has_new
+  FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+)
+SELECT doc_id,
+       CASE WHEN has_old AND has_new THEN 'U'
+            WHEN has_new THEN 'I' ELSE 'D' END AS op,
+       md5(CASE WHEN has_new THEN t_new ELSE t_old END) AS digest
+FROM j
+WHERE NOT (has_old AND has_new AND t_old IS NOT DISTINCT FROM t_new)
+ORDER BY doc_id
+"""
+
+
 def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted deterministic sampling: keep a document with
     probability proportional to its (length-based) weight, decided by
@@ -399,6 +451,7 @@ QUERIES = {
     "fuzzy_linkage": q_fuzzy_linkage,
     "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
     "snapshot_diff": q_snapshot_diff,
+    "cdc_feed": q_cdc_feed,
     "importance_sample": q_importance_sample,
 }
 
@@ -415,5 +468,6 @@ ORACLES = {
         "sparkprep.queries.llmprep", fromlist=["_COSINE_TOPK_SQL"]
     )._COSINE_TOPK_SQL,
     "snapshot_diff": _SNAPSHOT_DIFF_SQL,
+    "cdc_feed": _CDC_FEED_SQL,
     "importance_sample": _IMPORTANCE_SAMPLE_SQL,
 }

@@ -253,3 +253,42 @@ def test_rotation_safety_net_reads_driver_verdicts():
         assert [(r.k, r.v, r.is_current) for r in out] == [
             (7, "new", True), (None, "orphan", True),
         ]
+
+
+class TestCdcExtract:
+    def test_feed_classification(self, spark):
+        from sparkprep.operators import transform as tr
+
+        old = spark.createDataFrame(
+            [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c"), Row(k=4, v=None)]
+        )
+        new = spark.createDataFrame(
+            [Row(k=1, v="a"),          # unchanged -> dropped
+             Row(k=2, v="B"),          # updated
+             Row(k=4, v="now"),        # null -> value: null-safe change
+             Row(k=5, v="fresh")]      # inserted
+        )
+        feed = tr.cdc_extract(old, new, key_cols=["k"])
+        got = {r.k: (r.op, r.v) for r in feed.collect()}
+        assert got == {2: ("U", "B"), 3: ("D", "c"), 4: ("U", "now"), 5: ("I", "fresh")}
+
+    def test_apply_feed_reproduces_new_snapshot(self, spark):
+        # the closure property: old + cdc_extract(old, new) == new,
+        # applied with the same MERGE operators the feed is shaped for
+        from pyspark.sql import functions as SF
+
+        from sparkprep.operators import transform as tr
+
+        old = spark.createDataFrame(
+            [Row(k=i, v=f"v{i}") for i in range(30)]
+        )
+        new = spark.createDataFrame(
+            [Row(k=i, v=(f"v{i}" if i % 3 else f"V{i}")) for i in range(5, 35)]
+        )
+        feed = tr.cdc_extract(old, new, key_cols=["k"])
+        upserts = feed.filter(SF.col("op") != "D").drop("op")
+        deletes = feed.filter(SF.col("op") == "D").select("k")
+        rebuilt = tr.merge_upsert(old, upserts, key_cols=["k"]).join(
+            deletes, "k", "left_anti"
+        )
+        assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new.collect()))
