@@ -73,3 +73,28 @@ def test_kafka_reader_raises_deploy_hint(spark):
 
     with _pytest.raises(RuntimeError, match="spark-sql-kafka"):
         read_kafka_stream(spark, "localhost:9092", "events")
+
+
+def test_synthetic_docs_datasource(spark):
+    # custom Python DataSource: partition-parallel, layout-independent
+    # determinism (content depends only on (seed, doc_id))
+    from sparkprep.operators import text as tx
+    from sparkprep.sources.synthetic import register
+
+    register(spark)
+    df = (spark.read.format("synthetic_docs")
+          .option("rows", 500).option("partitions", 7).option("seed", 1).load())
+    assert df.rdd.getNumPartitions() == 7
+    rows = {r.doc_id: r.text for r in df.collect()}
+    assert len(rows) == 500
+    # different partitioning, same seed -> identical corpus
+    df2 = (spark.read.format("synthetic_docs")
+           .option("rows", 500).option("partitions", 3).option("seed", 1).load())
+    assert {r.doc_id: r.text for r in df2.collect()} == rows
+    # different seed -> different corpus
+    df3 = (spark.read.format("synthetic_docs")
+           .option("rows", 500).option("partitions", 7).option("seed", 2).load())
+    assert {r.doc_id: r.text for r in df3.collect()} != rows
+    # drop-in for corpus operators (documents schema)
+    out = df.select(tx.token_count("text").alias("n")).agg({"n": "avg"}).collect()
+    assert out[0][0] > 10
