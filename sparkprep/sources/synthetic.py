@@ -28,7 +28,12 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _LANGS = ["en", "en", "en", "de", "fr", "es"]  # en-heavy, like the testdata
 _VOCAB = (
@@ -84,3 +89,57 @@ class SyntheticDocsDataSource(DataSource):
 def register(spark) -> None:
     """Idempotently register the source on a session."""
     spark.dataSource.register(SyntheticDocsDataSource)
+
+
+def _event(event_id: int, seed: int) -> tuple:
+    import datetime
+
+    h = hashlib.md5(f"ev:{seed}:{event_id}".encode()).digest()
+    ts = datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=event_id * 7)
+    types = ["view", "click", "purchase", "signup", "error"]
+    return (
+        event_id,
+        ts,
+        h[0] % 150,
+        types[h[1] % len(types)],
+        round(int.from_bytes(h[2:4], "big") / 655.35, 2),
+    )
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Exactly-once synthetic event stream: the offset IS the next
+    event_id, so replays (``readBetweenOffsets`` after a restart)
+    regenerate byte-identical rows — determinism is what makes the
+    streaming reconcile tests meaningful."""
+
+    def __init__(self, options):
+        self.batch = int(options.get("events_per_batch", 100))
+        self.seed = int(options.get("seed", 42))
+
+    def initialOffset(self):
+        return {"next": 0}
+
+    def read(self, start):
+        i = start["next"]
+        rows = [_event(x, self.seed) for x in range(i, i + self.batch)]
+        return (iter(rows), {"next": i + self.batch})
+
+    def readBetweenOffsets(self, start, end):
+        return iter([_event(x, self.seed) for x in range(start["next"], end["next"])])
+
+
+class SyntheticEventsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return ("event_id bigint, ts timestamp, user_id bigint, "
+                "event_type string, value double")
+
+    def simpleStreamReader(self, schema):
+        return SyntheticEventsStreamReader(self.options)
+
+
+def register_stream(spark) -> None:
+    spark.dataSource.register(SyntheticEventsDataSource)
