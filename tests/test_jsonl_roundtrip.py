@@ -98,3 +98,35 @@ def test_synthetic_docs_datasource(spark):
     # drop-in for corpus operators (documents schema)
     out = df.select(tx.token_count("text").alias("n")).agg({"n": "avg"}).collect()
     assert out[0][0] > 10
+
+
+def test_manifest_jsonl_sink_commit_protocol(spark, tmp_path):
+    import json
+    import os
+
+    from sparkprep.sources.manifest_sink import (
+        MANIFEST, read_manifest_jsonl, register,
+    )
+
+    register(spark)
+    out = str(tmp_path / "sink")
+    df = spark.range(1000).selectExpr("id", "concat('doc ', id) AS text").repartition(6)
+    df.write.format("manifest_jsonl").option("path", out).mode("append").save()
+
+    man = json.load(open(os.path.join(out, MANIFEST)))
+    assert man["total_rows"] == 1000
+    assert len(man["files"]) == 6
+    assert all(f["md5"] and f["bytes"] > 0 for f in man["files"])
+    # no in-progress leftovers after a clean commit
+    assert not [f for f in os.listdir(out) if f.endswith(".inprogress")]
+
+    # plant an ORPHAN (simulated failed/speculative task output): the
+    # manifest-scoped read must not see it
+    orphan = os.path.join(out, "part-99999.jsonl")
+    with open(orphan, "w") as fh:
+        fh.write('{"id": 777777, "text": "ghost"}\n')
+    back = read_manifest_jsonl(spark, out)
+    assert back.count() == 1000
+    assert back.filter("id = 777777").count() == 0
+    # content round-trips (ids intact)
+    assert back.selectExpr("sum(cast(id AS bigint))").collect()[0][0] == 499500
