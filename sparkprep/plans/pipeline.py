@@ -64,6 +64,38 @@ class Pipeline:
         self.steps.append(Step(name, fn, count_rows))
         return self
 
+    def run_observed(self, df: DataFrame):
+        """One-pass funnel accounting via the Observation API: each
+        step's output carries an ``observe(count)`` node, so the SINGLE
+        terminal action the caller runs yields every step's row count —
+        no per-step count() jobs (``run`` with ``count_rows`` pays one
+        full materialization per audited step; this pays zero).
+
+        Returns ``(out, finish)``; call ``finish()`` AFTER running an
+        action on ``out`` (or a descendant) to collect the RunReport.
+        Caveat: observe nodes count rows per EXECUTION — keep the
+        downstream plan linear (a self-join above the observed subtree
+        re-executes it and double-counts unless the exchange is reused).
+        """
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        observations: list[tuple[str, Observation]] = []
+        out = df
+        for step in self.steps:
+            out = step.fn(out)
+            o = Observation()
+            out = out.observe(o, F.count(F.lit(1)).alias("rows"))
+            observations.append((step.name, o))
+
+        def finish() -> RunReport:
+            report = RunReport()
+            for name, o in observations:
+                report.steps.append(StepReport(name, 0.0, o.get["rows"]))
+            return report
+
+        return out, finish
+
     def run(self, df: DataFrame) -> tuple[DataFrame, RunReport]:
         report = RunReport()
         out = df

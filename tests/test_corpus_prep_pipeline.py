@@ -75,3 +75,22 @@ def test_corpus_prep_deterministic_replay(spark, sf_dir, tmp_path):
         for line in open(p)
     )
     assert la == lb and len(la) > 0
+
+
+def test_observed_funnel_matches_counted_funnel(spark, sf_dir):
+    # one-pass Observation accounting == the N-job count() accounting
+    from sparkprep.pipelines.corpus_prep import corpus_prep_pipeline
+    from sparkprep.queries import t as load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pipe_counted = corpus_prep_pipeline(count_rows=True)
+    _, counted = pipe_counted.run(docs)
+
+    pipe_obs = corpus_prep_pipeline(count_rows=False)
+    out, finish = pipe_obs.run_observed(docs)
+    out.write.format("noop").mode("overwrite").save()   # ONE action
+    observed = finish()
+
+    got = {s.name: s.rows_out for s in observed.steps}
+    want = {s.name: s.rows_out for s in counted.steps}
+    assert got == want and len(got) == 3
