@@ -265,3 +265,33 @@ def test_iqr_report_matches_numpy(spark, rows):
         assert got[k].n_outliers == n_out
         assert abs(got[k].q1 - round(float(q1), 4)) <= 1e-6
         assert abs(got[k].q3 - round(float(q3), 4)) <= 1e-6
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 15), st.integers(0, 5)), max_size=20),
+    st.lists(st.tuples(st.integers(0, 15), st.integers(0, 5)), max_size=20),
+)
+def test_cdc_closure_property(spark, old_rows, new_rows):
+    # old ⊕ cdc_extract(old, new) == new, for ARBITRARY snapshots
+    # (key-unique by construction; values include collisions + nulls)
+    from sparkprep.operators import transform as tr
+
+    def frame(rows):
+        uniq = {k: (f"v{v}" if v else None) for k, v in rows}
+        return spark.createDataFrame(
+            [(k, v) for k, v in uniq.items()], "k long, v string"
+        ), uniq
+
+    old, old_d = frame(old_rows)
+    new, new_d = frame(new_rows)
+    feed = tr.cdc_extract(old, new, key_cols=["k"])
+    upserts = feed.filter(F.col("op") != "D").drop("op")
+    deletes = feed.filter(F.col("op") == "D").select("k")
+    rebuilt = tr.merge_upsert(old, upserts, key_cols=["k"]).join(
+        deletes, "k", "left_anti"
+    )
+    assert {r.k: r.v for r in rebuilt.collect()} == new_d
+    # and the feed is minimal: no record for unchanged keys
+    unchanged = {k for k in old_d if k in new_d and old_d[k] == new_d[k]}
+    assert not [r for r in feed.collect() if r.k in unchanged]
