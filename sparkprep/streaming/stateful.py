@@ -65,3 +65,81 @@ def running_user_profile(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+PATTERN_OUT_SCHEMA = (
+    "user_id long, t_view timestamp, t_click timestamp, t_purchase timestamp, "
+    "duration_sec double"
+)
+_PATTERN_STATE_SCHEMA = "t_view long, t_click long, t_purchase long, emitted boolean"
+
+
+def _make_pattern_detector(within_sec: float):
+    def _detect_pattern(key, batches, state):
+        return _detect_pattern_impl(key, batches, state, within_sec)
+
+    return _detect_pattern
+
+
+def _detect_pattern_impl(key, batches, state, within_sec):
+    """First-completion CEP: per user, the FIRST view, the first click
+    AFTER that view, the first purchase AFTER that click — emitted once
+    when the chain completes within the duration cap. min-based chain =
+    deterministic and exactly reproducible in batch (the reconcile
+    test's contract)."""
+    import pandas as pd
+
+    (user_id,) = key
+    if state.exists:
+        t_view, t_click, t_purchase, emitted = state.get
+    else:
+        t_view, t_click, t_purchase, emitted = None, None, None, False
+    out = []
+    for pdf in batches:
+        pdf = pdf.sort_values("ts")
+        for _, row in pdf.iterrows():
+            # .value (epoch ns, exact int64) — NOT .timestamp(), which
+            # interprets a naive Timestamp in the SYSTEM timezone, and
+            # NOT float seconds, whose ns residue Arrow refuses to cast
+            ts = int(row["ts"].value)
+            et = row["event_type"]
+            if t_view is None:
+                if et == "view":
+                    t_view = ts
+            elif t_click is None:
+                if et == "click" and ts > t_view:
+                    t_click = ts
+            elif t_purchase is None:
+                if et == "purchase" and ts > t_click:
+                    t_purchase = ts
+    if (not emitted and t_purchase is not None
+            and t_purchase - t_view <= within_sec * 1e9):
+        emitted = True
+        out.append(
+            {
+                "user_id": user_id,
+                "t_view": pd.Timestamp(t_view),
+                "t_click": pd.Timestamp(t_click),
+                "t_purchase": pd.Timestamp(t_purchase),
+                "duration_sec": round((t_purchase - t_view) / 1e9, 1),
+            }
+        )
+    state.update((t_view, t_click, t_purchase, emitted))
+    if out:
+        yield pd.DataFrame(out)
+
+
+def funnel_pattern_stream(events: DataFrame, within_sec: float = 3600.0) -> DataFrame:
+    """Ordered-sequence (CEP) detection over a stream: per user, emit
+    ONE row when view → click → purchase completes within the duration
+    cap — state carries the partial match across micro-batches. The
+    pattern chain is min-based (first qualifying event per stage), so
+    the batch twin is three conditional aggregates and the reconcile is
+    exact."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _make_pattern_detector(within_sec),
+        outputStructType=PATTERN_OUT_SCHEMA,
+        stateStructType=_PATTERN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

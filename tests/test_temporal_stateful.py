@@ -146,3 +146,56 @@ def test_resample_ffill_gaps(spark):
     assert len(rows) == 4
     assert [r.value_ff for r in rows] == [1.0, 1.0, 1.0, 4.0]
     assert [r.is_gap for r in rows] == [False, True, True, False]
+
+
+def test_funnel_pattern_stream_matches_batch(spark, sf_dir, tmp_path):
+    # CEP first-completion chain == the batch min-based conditional-agg
+    # twin, exactly (same chain, same 24h duration cap — 1h has zero
+    # completions at sf0.001, which would make the reconcile vacuous)
+    from pyspark.sql import functions as F
+
+    from sparkprep.queries import t as load_table
+    from sparkprep.streaming import events as stv
+    from sparkprep.streaming.stateful import funnel_pattern_stream
+
+    stream = stv.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    out = funnel_pattern_stream(stream, within_sec=86400.0)
+    stv.run_available_now(
+        out, query_name="cep", output_mode="append",
+        checkpoint=str(tmp_path / "cep"),
+    )
+    got = {
+        (r.user_id, r.t_view, r.t_click, r.t_purchase, r.duration_sec)
+        for r in spark.sql("SELECT * FROM cep").collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", F.col("ts").alias("cts"))
+    c = (
+        per_user.join(clicks, "user_id")
+        .filter(F.col("cts") > F.col("t_view"))
+        .groupBy("user_id").agg(F.min("t_view").alias("t_view"), F.min("cts").alias("t_click"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id", F.col("ts").alias("pts"))
+    full = (
+        c.join(purch, "user_id")
+        .filter(F.col("pts") > F.col("t_click"))
+        .groupBy("user_id").agg(
+            F.min("t_view").alias("t_view"), F.min("t_click").alias("t_click"),
+            F.min("pts").alias("t_purchase"),
+        )
+        .withColumn(
+            "duration_sec",
+            F.round((F.unix_micros("t_purchase") - F.unix_micros("t_view")) / 1e6, 1),
+        )
+        .filter(F.col("duration_sec") <= 86400.0)
+    )
+    expected = {
+        (r.user_id, r.t_view, r.t_click, r.t_purchase, r.duration_sec)
+        for r in full.collect()
+    }
+    assert got == expected
+    assert got, "expected at least one completed pattern at this SF"
