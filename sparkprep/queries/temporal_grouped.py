@@ -348,9 +348,81 @@ FROM l
 """
 
 
+def q_pattern_completions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming CEP operator
+    (streaming/stateful.funnel_pattern_stream): per user the FIRST
+    view, first click after it, first purchase after that, kept when
+    the chain completes within 24h. Three keyed aggregates — the
+    min-based chain needs no per-step self-join over raw events beyond
+    the two stage filters, and the streaming reconcile test pins the
+    stateful path to THIS definition."""
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events")
+    views = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    ).filter(F.col("t_view").isNotNull())
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    c = (
+        views.join(clicks, "user_id")
+        .filter(F.col("cts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("t_view").alias("t_view"), F.min("cts").alias("t_click"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    return (
+        c.join(purch, "user_id")
+        .filter(F.col("pts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(
+            F.min("t_view").alias("t_view"),
+            F.min("t_click").alias("t_click"),
+            F.min("pts").alias("t_purchase"),
+        )
+        .withColumn(
+            "__dur_raw",
+            (F.unix_micros("t_purchase") - F.unix_micros("t_view")) / 1e6,
+        )
+        .filter(F.col("__dur_raw") <= 86400.0)  # filter UNROUNDED, like the oracle
+        .withColumn("duration_sec", F.round("__dur_raw", 1))
+        .drop("__dur_raw")
+        .orderBy("user_id")
+    )
+
+
+_PATTERN_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(v.t_view) AS t_view, min(e.ts) AS t_click
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(c.t_view) AS t_view, min(c.t_click) AS t_click,
+         min(e.ts) AS t_purchase
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY 1
+)
+SELECT user_id, t_view, t_click, t_purchase,
+       round((epoch_us(t_purchase) - epoch_us(t_view)) / 1000000.0, 1) AS duration_sec
+FROM p
+WHERE (epoch_us(t_purchase) - epoch_us(t_view)) / 1000000.0 <= 86400.0
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "asof_rate": q_asof_rate,
     "conversion_latency": q_conversion_latency,
+    "pattern_completions": q_pattern_completions,
     "range_count": q_range_count,
     "resample_ffill": q_resample_ffill,
     "grouped_zscore": q_grouped_zscore,
@@ -364,6 +436,7 @@ QUERIES = {
 ORACLES = {
     "asof_rate": _ASOF_SQL,
     "conversion_latency": _CONVERSION_LATENCY_SQL,
+    "pattern_completions": _PATTERN_SQL,
     "range_count": _RANGE_SQL,
     "resample_ffill": _RESAMPLE_SQL,
     "grouped_zscore": _ZSCORE_SQL,
