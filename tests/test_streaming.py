@@ -352,12 +352,19 @@ def test_synthetic_event_stream_windowed_agg(spark, ckpt):
         .outputMode("append").option("checkpointLocation", f"{ckpt}/synth_agg")
         .trigger(processingTime="250 milliseconds").start()
     )
+    # progress-aware: wait for finalized windows to land (python stream
+    # sources have ~10s startup latency; a fixed sleep flakes on slow
+    # machines), bounded by a generous deadline
     import time
-    time.sleep(7)
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if spark.sql("SELECT count(*) AS n FROM synth_agg").collect()[0].n > 0:
+            break
+        time.sleep(0.5)
     q.stop()
     q.awaitTermination()
     got = spark.sql("SELECT * FROM synth_agg").collect()
-    assert got, "no finalized windows emitted"
+    assert got, "no finalized windows emitted within the deadline"
     # validate per-row consistency instead of prefix length (the drain
     # point is timing-dependent): every emitted window must equal the
     # batch aggregate over ALL events in that window, recomputed from
