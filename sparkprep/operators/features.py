@@ -85,6 +85,45 @@ def build_mlpc(
     )
 
 
+def strip_training_summary(model):
+    """Drop the training summary from a fitted model (PipelineModel or
+    bare classifier). Two reasons, both about what a fitted model should
+    carry into serving:
+
+    - The summary pins the fitting ``SparkSession`` AND the predictions
+      DataFrame — dead weight on a model object that may live for the
+      whole serving job.
+    - Spark 4 landmine: ``model.transform`` serializes the model into a
+      ScalaUDF closure, summary included. The summary's SparkSession
+      reference drags in ``observationManager`` — a *lazily initialized*
+      non-serializable field that is null until the first
+      ``df.observe(...)`` on the session. So fits work in isolation,
+      then every later ``transform`` on the same session dies with
+      ``NotSerializableException: ObservationManager`` once anything
+      (e.g. :meth:`sparkprep.plans.Pipeline.run_observed`) has used the
+      Observation API. Clearing the summary removes the session
+      reference entirely.
+
+    Uses the JVM-side ``setSummary(None)`` (``private[ml]`` in Scala is
+    public bytecode, so py4j can call it); no-ops for models without a
+    summary. Returns the model for chaining.
+    """
+    from pyspark import SparkContext
+
+    stages = getattr(model, "stages", None) or [model]
+    jvm = SparkContext._active_spark_context._jvm
+    for st in stages:
+        jo = getattr(st, "_java_obj", None)
+        if jo is None:
+            continue
+        try:
+            if getattr(st, "hasSummary", False):
+                jo.setSummary(jvm.scala.Option.empty())
+        except Exception:  # noqa: BLE001 — hygiene, never fail a fit over it
+            pass
+    return model
+
+
 def confusion_metrics(
     scored: DataFrame,
     label_col: str = "indexedLabel",
@@ -143,7 +182,7 @@ def subset_search(
             prep = pipe.fit(train_df)
             train_t = prep.transform(train_df)
             est = build_estimator(train_t)
-            model = est.fit(train_t)
+            model = strip_training_summary(est.fit(train_t))
             scored = model.transform(prep.transform(test_df))
             yield subset, confusion_metrics(scored)
 
@@ -181,7 +220,7 @@ def fit_quality_classifier(
             ),
         ]
     )
-    return pipe.fit(labeled)
+    return strip_training_summary(pipe.fit(labeled))
 
 
 def lr_scoring_expr(model, signal_cols: list[str]):

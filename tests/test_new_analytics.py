@@ -6,6 +6,7 @@ and keep-best dedup tie-breaking/determinism on planted groups.
 
 import datetime
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -112,6 +113,23 @@ class TestKeepBestDedup:
 
 
 class TestQualityClassifier:
+    @pytest.fixture(autouse=True)
+    def _poison_observation_manager(self, spark):
+        """Deterministically initialize the session's lazy
+        ObservationManager before each test: a fitted model that still
+        carries its training summary then fails EVERY ``transform`` with
+        ``NotSerializableException: ObservationManager`` (the summary
+        pins the session; the manager field is non-serializable once
+        non-null). Without this the bug only reproduced when the
+        Observation-API tests happened to run first in the suite —
+        ``features.strip_training_summary`` is the fix under test."""
+        from pyspark.sql import Observation
+
+        o = Observation()
+        spark.createDataFrame([Row(x=1)]).observe(
+            o, F.count(F.lit(1)).alias("n")
+        ).collect()
+
     def test_fit_separates_planted_labels(self, spark):
         from sparkprep.operators import features as ft
 
