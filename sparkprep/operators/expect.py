@@ -1,0 +1,272 @@
+"""Declarative data-quality constraint suite (Deequ-style expectations)
+and PSI distribution-drift detection.
+
+The reference verified data quality by eyeballing ``describe()`` /
+``groupBy(label).count().show()`` between prep steps
+(dedup+invalid.ipynb:9588-9607, mssql.ipynb:575). This module turns the
+same checks into a declarative, machine-readable gate a pipeline can
+FAIL on — the standard pattern for production data-prep (AWS Deequ,
+Great Expectations), re-expressed as native Spark aggregates.
+
+Scale notes (100 TB):
+
+- The whole suite evaluates in ONE aggregate pass over the table: every
+  constraint contributes conditional-count expressions to a single
+  ``df.agg(...)``, so the data is scanned once, map-side combined, and
+  one tiny row crosses the shuffle per partition. Adding constraints
+  adds columns to that row, not passes over the data.
+- ``uniqueness`` is the exception: exact ``count_distinct`` inside a
+  shared agg makes Catalyst plan an Expand (one duplicated stream per
+  distinct-agg) — at scale that multiplies the shuffled bytes by the
+  number of uniqueness constraints. Default is therefore HLL++
+  (``approx_count_distinct``, one pass, mergeable sketch, no Expand);
+  ``exact=True`` opts into the Expand for oracle-grade parity on
+  small/medium data.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Check:
+    """One constraint: a metric expression over the table and a closed
+    predicate on its value. ``metric`` must be an aggregate Column
+    yielding DOUBLE (ratios) or BIGINT (counts)."""
+
+    name: str
+    metric: Column
+    lo: float | None = None  # inclusive lower bound on the metric
+    hi: float | None = None  # inclusive upper bound
+
+
+def completeness(col: str, min_ratio: float = 1.0) -> Check:
+    """Share of non-null values in ``col`` must be >= min_ratio."""
+    return Check(
+        name=f"completeness({col})",
+        metric=(F.count(col) / F.count(F.lit(1))).cast("double"),
+        lo=min_ratio,
+    )
+
+
+def non_negative(col: str) -> Check:
+    """Every non-null value in ``col`` must be >= 0."""
+    return Check(
+        name=f"non_negative({col})",
+        metric=F.count(F.when(F.col(col) < 0, True)).cast("double"),
+        hi=0.0,
+    )
+
+
+def in_range(col: str, lo: float, hi: float, min_ratio: float = 1.0) -> Check:
+    """Share of non-null values inside [lo, hi] must be >= min_ratio."""
+    inside = F.count(F.when(F.col(col).between(lo, hi), True))
+    return Check(
+        name=f"in_range({col})",
+        metric=(inside / F.greatest(F.count(col), F.lit(1))).cast("double"),
+        lo=min_ratio,
+    )
+
+
+def in_set(col: str, values: list, min_ratio: float = 1.0) -> Check:
+    """Share of non-null values that are members of ``values``."""
+    member = F.count(F.when(F.col(col).isin(list(values)), True))
+    return Check(
+        name=f"in_set({col})",
+        metric=(member / F.greatest(F.count(col), F.lit(1))).cast("double"),
+        lo=min_ratio,
+    )
+
+
+def matches(col: str, regex: str, min_ratio: float = 1.0) -> Check:
+    """Share of non-null values matching ``regex`` (Java/POSIX-shared
+    subset if DuckDB-oracle parity matters — SURVEY §7)."""
+    ok = F.count(F.when(F.col(col).rlike(regex), True))
+    return Check(
+        name=f"matches({col})",
+        metric=(ok / F.greatest(F.count(col), F.lit(1))).cast("double"),
+        lo=min_ratio,
+    )
+
+
+def size_between(lo: int, hi: int | None = None) -> Check:
+    """Table row count within [lo, hi]."""
+    return Check(
+        name="size",
+        metric=F.count(F.lit(1)).cast("double"),
+        lo=float(lo),
+        hi=float(hi) if hi is not None else None,
+    )
+
+
+def mean_between(col: str, lo: float, hi: float) -> Check:
+    return Check(
+        name=f"mean({col})", metric=F.avg(col).cast("double"), lo=lo, hi=hi
+    )
+
+
+def uniqueness(col: str, min_ratio: float = 1.0, exact: bool = False) -> Check:
+    """distinct(col)/count(col) — approximate by default (see module
+    docstring for why exact distinct in a shared agg is a scale trap)."""
+    distinct = (
+        F.count_distinct(F.col(col)) if exact else F.approx_count_distinct(col)
+    )
+    return Check(
+        name=f"uniqueness({col})",
+        metric=(distinct / F.greatest(F.count(col), F.lit(1))).cast("double"),
+        lo=min_ratio,
+    )
+
+
+@dataclass
+class Suite:
+    """A named set of checks evaluated in one aggregate pass.
+
+    ``report_df`` returns the long-form result table
+    (check, metric, lo, hi, passed) — the DataFrame stays declarative so
+    a pipeline can join/filter/sink it; ``run`` collects it into a
+    pass/fail dict for control flow.
+    """
+
+    checks: list[Check] = field(default_factory=list)
+
+    def report_df(self, df: DataFrame, round_to: int = 6) -> DataFrame:
+        aggs = [
+            F.round(c.metric, round_to).alias(f"__m_{i}")
+            for i, c in enumerate(self.checks)
+        ]
+        wide = df.agg(*aggs)
+        # one row per check via explode-over-struct-array (NOT a union of
+        # selects from `wide` — that re-executes the agg per check)
+        rows = F.array(
+            *[
+                F.struct(
+                    F.lit(c.name).alias("check"),
+                    F.col(f"__m_{i}").alias("metric"),
+                    F.lit(c.lo).cast("double").alias("lo"),
+                    F.lit(c.hi).cast("double").alias("hi"),
+                )
+                for i, c in enumerate(self.checks)
+            ]
+        )
+        out = wide.select(F.explode(rows).alias("r")).select("r.*")
+        passed = F.lit(True)
+        passed = passed & F.when(F.col("lo").isNotNull(), F.col("metric") >= F.col("lo")).otherwise(True)
+        passed = passed & F.when(F.col("hi").isNotNull(), F.col("metric") <= F.col("hi")).otherwise(True)
+        return out.withColumn("passed", passed)
+
+    def run(self, df: DataFrame) -> dict:
+        rows = self.report_df(df).collect()
+        return {
+            "passed": all(r["passed"] for r in rows),
+            "checks": {
+                r["check"]: {"metric": r["metric"], "passed": r["passed"]}
+                for r in rows
+            },
+        }
+
+
+def psi_drift(
+    before: DataFrame,
+    after: DataFrame,
+    col: str,
+    breakpoints: list[float],
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of ``col``.
+
+    PSI = Σ_bins (p_after − p_before) · ln(p_after / p_before), the
+    standard drift score for monitoring a feature between a training
+    snapshot and fresh data (rule of thumb: <0.1 stable, 0.1–0.25
+    moderate shift, >0.25 action needed).
+
+    Design for scale:
+
+    - ``breakpoints`` are EXPLICIT bin edges (caller derives them once —
+      e.g. from training-time quantiles). Deriving edges in here from
+      quantiles of `before` would make the report nondeterministic under
+      resampling and add a percentile pass per call.
+    - Each side is reduced map-side by a single groupBy on the bin id
+      (one tiny row per bin per partition crosses the shuffle); the two
+      K-row bin tables join and fold into one PSI row. Nothing about the
+      raw tables meets except through those K-row aggregates.
+    - Empty bins are smoothed with ``eps`` (standard practice) so a bin
+      present on one side only contributes a finite term instead of ±inf.
+
+    Returns one row: (column, psi, n_bins) with per-bin shares available
+    via :func:`psi_bins` when the detail matters.
+    """
+    bins = psi_bins(before, after, col, breakpoints, eps)
+    return bins.agg(
+        F.first(F.lit(col)).alias("column"),
+        F.round(F.sum("psi_term"), 6).alias("psi"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+
+
+def psi_bins(
+    before: DataFrame,
+    after: DataFrame,
+    col: str,
+    breakpoints: list[float],
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-bin PSI detail: (bin_id, share_before, share_after, psi_term).
+
+    Bin i covers [breakpoints[i], breakpoints[i+1]); values below the
+    first edge land in bin 0, values at/above the last edge in the top
+    bin (open-ended tails — drift usually shows up in the tails, so
+    clamping instead of dropping matters). Nulls are excluded (monitor
+    them with :func:`completeness`, which is the right tool)."""
+    edges = [float(b) for b in breakpoints]
+    if sorted(edges) != edges or len(set(edges)) != len(edges):
+        raise ValueError("breakpoints must be strictly increasing")
+
+    def binned(df: DataFrame, share_name: str) -> DataFrame:
+        c = F.col(col)
+        # interior edges only: below edges[1] -> 0, >= edges[-2] -> top
+        b = F.lit(0)
+        for i, edge in enumerate(edges[1:-1], start=1):
+            b = F.when(c >= edge, i).otherwise(b)
+        grouped = (
+            df.filter(c.isNotNull())
+            .groupBy(b.cast("bigint").alias("bin_id"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        # share denominator via a window over the K-row aggregate (fine:
+        # post-agg frame, not raw data)
+        from pyspark.sql import Window
+
+        return grouped.select(
+            "bin_id",
+            (F.col("__n") / F.sum("__n").over(Window.partitionBy())).alias(
+                share_name
+            ),
+        )
+
+    nb = len(edges) - 1
+    all_bins = range(nb)
+    spark = before.sparkSession
+    grid = spark.createDataFrame([(i,) for i in all_bins], "bin_id: bigint")
+    b_shares = binned(before, "share_before")
+    a_shares = binned(after, "share_after")
+    joined = (
+        grid.join(F.broadcast(b_shares), "bin_id", "left")
+        .join(F.broadcast(a_shares), "bin_id", "left")
+        .fillna({"share_before": 0.0, "share_after": 0.0})
+    )
+    p = F.greatest(F.col("share_after"), F.lit(eps))
+    q = F.greatest(F.col("share_before"), F.lit(eps))
+    return joined.select(
+        "bin_id",
+        F.round("share_before", 6).alias("share_before"),
+        F.round("share_after", 6).alias("share_after"),
+        # round 4, not 6: shares are exact int ratios (engine-identical),
+        # but ln() is libm-dependent — JVM vs DuckDB can differ in the
+        # last ulp, and 1e-4 granularity absorbs that for oracle parity
+        F.round((p - q) * F.log(p / q), 4).alias("psi_term"),
+    )

@@ -623,6 +623,111 @@ FROM staged
 """
 
 
+def q_expect_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative constraint suite over lineitem — all
+    metrics in ONE aggregate pass (operators/expect.py). Includes two
+    deliberately failing checks (tight discount range, high uniqueness
+    floor) so the ``passed=false`` path is under oracle too.
+    ``uniqueness(exact=True)`` is oracle-grade; the approx default is
+    the 100 TB path (see module docstring on the Expand trap)."""
+    from sparkprep.operators import expect as ex
+
+    li = t(spark, sf_dir, "lineitem")
+    suite = ex.Suite(
+        checks=[
+            ex.completeness("l_quantity", 1.0),
+            ex.in_range("l_quantity", 1, 50),
+            ex.in_range("l_discount", 0.0, 0.05, min_ratio=0.9),  # fails
+            ex.in_set("l_returnflag", ["A", "N", "R"]),
+            ex.matches("l_linestatus", "^[OF]$"),
+            ex.non_negative("l_extendedprice"),
+            ex.mean_between("l_quantity", 20.0, 30.0),
+            ex.size_between(1000),
+            ex.uniqueness("l_orderkey", 0.9, exact=True),  # fails (~0.25)
+        ]
+    )
+    rep = suite.report_df(li)
+    return rep.select(
+        F.col("check").alias("check_name"), "metric", "passed"
+    ).orderBy("check_name")
+
+
+_EXPECT_SUITE_SQL = """
+WITH m AS (
+  SELECT
+    round(count(l_quantity)*1.0/count(*), 6)                                   AS completeness_qty,
+    round(count(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 END)*1.0
+          / greatest(count(l_quantity), 1), 6)                                 AS range_qty,
+    round(count(CASE WHEN l_discount BETWEEN 0.0 AND 0.05 THEN 1 END)*1.0
+          / greatest(count(l_discount), 1), 6)                                 AS range_disc,
+    round(count(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 END)*1.0
+          / greatest(count(l_returnflag), 1), 6)                               AS set_flag,
+    round(count(CASE WHEN regexp_matches(l_linestatus, '^[OF]$') THEN 1 END)*1.0
+          / greatest(count(l_linestatus), 1), 6)                               AS match_status,
+    round(count(CASE WHEN l_extendedprice < 0 THEN 1 END)*1.0, 6)              AS neg_price,
+    round(avg(l_quantity), 6)                                                  AS mean_qty,
+    round(count(*)*1.0, 6)                                                     AS size_rows,
+    round(count(DISTINCT l_orderkey)*1.0 / greatest(count(l_orderkey), 1), 6)  AS uniq_orderkey
+  FROM lineitem
+)
+SELECT * FROM (
+  SELECT 'completeness(l_quantity)' AS check_name, completeness_qty AS metric, completeness_qty >= 1.0 AS passed FROM m
+  UNION ALL SELECT 'in_range(l_quantity)', range_qty, range_qty >= 1.0 FROM m
+  UNION ALL SELECT 'in_range(l_discount)', range_disc, range_disc >= 0.9 FROM m
+  UNION ALL SELECT 'in_set(l_returnflag)', set_flag, set_flag >= 1.0 FROM m
+  UNION ALL SELECT 'matches(l_linestatus)', match_status, match_status >= 1.0 FROM m
+  UNION ALL SELECT 'non_negative(l_extendedprice)', neg_price, neg_price <= 0.0 FROM m
+  UNION ALL SELECT 'mean(l_quantity)', mean_qty, mean_qty BETWEEN 20.0 AND 30.0 FROM m
+  UNION ALL SELECT 'size', size_rows, size_rows >= 1000.0 FROM m
+  UNION ALL SELECT 'uniqueness(l_orderkey)', uniq_orderkey, uniq_orderkey >= 0.9 FROM m
+) ORDER BY check_name
+"""
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI distribution drift of ``events.value`` between two user
+    cohorts (user_id parity — a deterministic stand-in for
+    training-snapshot vs fresh-data). Fixed bin edges, per-bin detail
+    rows (operators/expect.psi_bins); each cohort reduces map-side to
+    K=5 bin rows before anything joins."""
+    from sparkprep.operators import expect as ex
+
+    ev = t(spark, sf_dir, "events")
+    before = ev.filter(F.col("user_id") % 2 == 0)
+    after = ev.filter(F.col("user_id") % 2 == 1)
+    bins = ex.psi_bins(before, after, "value", [0.0, 10.0, 25.0, 50.0, 80.0, 350.0])
+    return bins.orderBy("bin_id")
+
+
+_PSI_DRIFT_SQL = """
+WITH src AS (
+  SELECT user_id % 2 AS grp,
+         CASE WHEN value >= 80 THEN 4
+              WHEN value >= 50 THEN 3
+              WHEN value >= 25 THEN 2
+              WHEN value >= 10 THEN 1
+              ELSE 0 END AS bin_id
+  FROM events WHERE value IS NOT NULL
+),
+b AS (
+  SELECT bin_id, count(*)*1.0 / (SELECT count(*) FROM src WHERE grp = 0) AS sb
+  FROM src WHERE grp = 0 GROUP BY bin_id
+),
+a AS (
+  SELECT bin_id, count(*)*1.0 / (SELECT count(*) FROM src WHERE grp = 1) AS sa
+  FROM src WHERE grp = 1 GROUP BY bin_id
+),
+g AS (SELECT unnest(range(5)) AS bin_id)
+SELECT g.bin_id::BIGINT AS bin_id,
+       round(coalesce(b.sb, 0), 6) AS share_before,
+       round(coalesce(a.sa, 0), 6) AS share_after,
+       round((greatest(coalesce(a.sa, 0), 1e-6) - greatest(coalesce(b.sb, 0), 1e-6))
+             * ln(greatest(coalesce(a.sa, 0), 1e-6) / greatest(coalesce(b.sb, 0), 1e-6)), 4) AS psi_term
+FROM g LEFT JOIN b ON g.bin_id = b.bin_id LEFT JOIN a ON g.bin_id = a.bin_id
+ORDER BY bin_id
+"""
+
+
 QUERIES = {
     # round-2 additions first: driver verdicts cover the first 50
     # registry entries per round; the rows below already have green
@@ -649,6 +754,10 @@ QUERIES = {
     "class_balance": q_class_balance,
     "ep1_prep": q_ep1_prep,
     "contamination": q_contamination,
+    # round-3 session-3 additions (auto-promoted into the driver window
+    # by the registry's never-verified safety net)
+    "expect_suite": q_expect_suite,
+    "psi_drift": q_psi_drift,
 }
 
 ORACLES = {
@@ -671,6 +780,8 @@ ORACLES = {
     "fillna_dict": _FILLNA_DICT_SQL,
     "replace_nullsafe": _REPLACE_NULLSAFE_SQL,
     "label_decode": _LABEL_DECODE_SQL,
+    "expect_suite": _EXPECT_SUITE_SQL,
+    "psi_drift": _PSI_DRIFT_SQL,
     # class_balance / stratified_sample: intentionally no oracle (seeded
     # sampler RNG is Spark-specific) -> rows-only checks
 }
