@@ -89,3 +89,50 @@ def training_order(
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select(id_col, "shard", "pos")
     )
+
+
+def grouped_split(
+    df: DataFrame,
+    group_col: str,
+    fractions: Mapping[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: every row of a GROUP
+    (domain, source, near-dup cluster id, ...) lands in the same split,
+    so evaluation never sees shards of a training document — the
+    standard guard against contamination-by-construction that a plain
+    row-level ``randomSplit`` violates.
+
+    Deterministic md5-threshold on the group key (the repo's
+    oracle-portable convention, no RNG): a group's md5/2^60 maps to
+    [0,1), and cumulative fraction thresholds carve the splits in the
+    caller-given order. Same corpus + salt => same assignment in any
+    engine; changing ``salt`` re-deals the groups. Map-only — the
+    assignment is a row-local expression on ``group_col``; nothing
+    shuffles. Expect split sizes to deviate from the fractions by the
+    group-size distribution (whole groups move together — that is the
+    point); assert on group-atomicity, not exact row counts.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    # 15 hex chars = 60 bits; exact int->double is safe below 2^53 after
+    # the division's rounding (uniformity is what matters here)
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.col(group_col).cast("string"), F.lit(salt))), 1, 15),
+        16,
+        10,
+    ).cast("double") / F.lit(float(1 << 60))
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        expr = (
+            F.when(u < acc, F.lit(name))
+            if expr is None
+            else expr.when(u < acc, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    assigned = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", assigned)

@@ -182,6 +182,83 @@ def fingerprint(c) -> Column:
     return F.md5(_col(c))
 
 
+# 28-class alphabet for char entropy: 26 case-folded letters + space;
+# digits collapse to one class, everything else to a remainder class.
+ENTROPY_CLASSES = [chr(o) for o in range(ord("a"), ord("z") + 1)] + [" "]
+
+
+def add_char_entropy(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "char_entropy",
+    prefix: int = 1000,
+    round_to: int = 4,
+) -> DataFrame:
+    """Shannon entropy (bits/char) of the character-class distribution —
+    the CCNet/Gopher-family gibberish signal: natural English sits
+    ~4.0-4.3 bits, base64/hex blobs and random noise push toward the
+    ~4.8-bit uniform ceiling, and boilerplate/repeated-char runs fall
+    well below 3.
+
+    Built for the scan-side of a 100 TB gate, so every choice keeps it
+    map-only whole-stage-codegen:
+
+    - classes, not code points: 26 case-folded letters + space counted
+      with the replace-length trick, digits as ONE class (one
+      regexp_replace), remainder as one class — 28 fixed counters, no
+      explode, no shuffle, and DuckDB can mirror every expression for
+      the oracle.
+    - counts over a ``prefix`` (default 1000 chars): entropy converges
+      within a few hundred chars; clamping bounds the per-row cost on
+      pathological documents.
+    - the counts ARRAY and total are materialized in their own
+      projection before the ``aggregate`` lambda (interpreted HOF
+      lambdas re-evaluate embedded expression trees per element — the
+      28 replaces would otherwise run 28x; see CLAUDE.md).
+    - zero counts contribute exactly 0 via the multiply-by-zero guard
+      ``(c/n)*log2(greatest(c,1)/n)`` — no per-element ``when``.
+
+    NULL/empty text yields NULL entropy (gate on completeness
+    separately). Round at 4: log2 is libm-dependent across engines.
+    """
+    lower = F.lower(F.substring(F.col(text_col), 1, prefix))
+    staged = df.withColumn("__ent_s", lower)
+    s = F.col("__ent_s")
+    counts = [
+        F.length(s) - F.length(F.replace(s, F.lit(ch), F.lit("")))
+        for ch in ENTROPY_CLASSES
+    ]
+    digit = F.length(s) - F.length(F.regexp_replace(s, "[0-9]", ""))
+    total = F.length(s)
+    known = sum(counts[1:], counts[0]) + digit
+    other = total - known
+    staged = staged.select(
+        "*",
+        F.array(*counts, digit, other).alias("__ent_counts"),
+        total.cast("double").alias("__ent_n"),
+    )
+    n = F.col("__ent_n")
+    term = lambda c: (c / n) * F.log2(F.greatest(c, F.lit(1.0)) / n)  # noqa: E731
+    # 0.0 - x, not -x: a pure-single-class doc sums to 0.0 and unary
+    # negation would emit -0.0, which str-hashes differently than the
+    # oracle's 0.0
+    entropy = F.when(
+        n > 0,
+        F.round(
+            F.lit(0.0)
+            - F.aggregate(
+                F.col("__ent_counts"),
+                F.lit(0.0),
+                lambda acc, c: acc + term(c.cast("double")),
+            ),
+            round_to,
+        ),
+    )
+    return staged.withColumn(out_col, entropy).drop(
+        "__ent_s", "__ent_counts", "__ent_n"
+    )
+
+
 def shingles(token_col, k: int = 3) -> Column:
     """k-token shingle array from a MATERIALIZED token array column.
 

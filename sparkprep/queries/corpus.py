@@ -318,6 +318,75 @@ FROM r WHERE rk = 1 ORDER BY doc_id
 """
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class Shannon entropy quality signal (map-only; see
+    operators/text.add_char_entropy for the 28-class design and the
+    HOF-materialization landmine it sidesteps)."""
+    docs = t(spark, sf_dir, "documents")
+    return tx.add_char_entropy(docs, "text").select("doc_id", "char_entropy")
+
+
+def _entropy_sql() -> str:
+    """Generate the DuckDB twin of add_char_entropy: 26 replace-length
+    letter counts + digit class + remainder, same multiply-by-zero
+    guard, same round(4)."""
+    letters = [chr(o) for o in range(ord("a"), ord("z") + 1)] + [" "]
+    count_cols = ",\n         ".join(
+        f"length(s) - length(replace(s, '{ch}', '')) AS c{i}"
+        for i, ch in enumerate(letters)
+    )
+    n_classes = len(letters)
+    digit = f"length(s) - length(regexp_replace(s, '[0-9]', '', 'g')) AS c{n_classes}"
+    known = " + ".join(f"c{i}" for i in range(n_classes + 1))
+    other = f"len - ({known}) AS c{n_classes + 1}"
+    terms = " + ".join(
+        f"(c{i}/n)*log2(greatest(c{i}, 1.0)/n)" for i in range(n_classes + 2)
+    )
+    return f"""
+WITH src AS (SELECT doc_id, lower(substring(text, 1, 1000)) AS s FROM documents),
+cnt AS (
+  SELECT doc_id, length(s) AS len,
+         {count_cols},
+         {digit}
+  FROM src
+),
+cnt2 AS (SELECT *, {other}, len::DOUBLE AS n FROM cnt)
+SELECT doc_id,
+       CASE WHEN len > 0 THEN round(0.0 - ({terms}), 4) END AS char_entropy
+FROM cnt2
+"""
+
+
+_CHAR_ENTROPY_SQL = _entropy_sql()
+
+
+def q_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 80/10/10 split keyed on ``source``: whole groups
+    move together (operators/mix.grouped_split), so eval can never see
+    shards of a training domain."""
+    from sparkprep.operators import mix
+
+    docs = t(spark, sf_dir, "documents")
+    out = mix.grouped_split(
+        docs, "source", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="r3"
+    )
+    return out.select("doc_id", "source", "split")
+
+
+_GROUPED_SPLIT_SQL = """
+WITH u AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(source || 'r3'), 1, 15))::BIGINT / 1152921504606846976.0 AS uv
+  FROM documents
+)
+SELECT doc_id, source,
+       CASE WHEN uv < 0.8 THEN 'train'
+            WHEN uv < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM u
+"""
+
+
 QUERIES = {
     "span_dedup": q_span_dedup,
     "keep_best": q_keep_best,
@@ -327,6 +396,8 @@ QUERIES = {
     "label_centroids": q_label_centroids,
     "boilerplate_scrub": q_boilerplate_scrub,
     "domain_stats": q_domain_stats,
+    "char_entropy": q_char_entropy,
+    "grouped_split": q_grouped_split,
 }
 
 ORACLES = {
@@ -338,4 +409,6 @@ ORACLES = {
     "label_centroids": _LABEL_CENTROIDS_SQL,
     "boilerplate_scrub": _BOILERPLATE_SCRUB_SQL,
     "domain_stats": _DOMAIN_STATS_SQL,
+    "char_entropy": _CHAR_ENTROPY_SQL,
+    "grouped_split": _GROUPED_SPLIT_SQL,
 }
