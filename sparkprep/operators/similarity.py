@@ -653,3 +653,76 @@ def semantic_dedup(
             F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def topk_ranked(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """(id, rank) for the top-k rows by ``score_col`` (desc, id-asc
+    tie-break). The limit runs as distributed TakeOrderedAndProject —
+    each task keeps its local top-k, the driver merges k·P candidates —
+    so no global sort of the corpus ever happens; the global
+    ``row_number`` window then runs on the ALREADY-BOUNDED k-row frame
+    (single-partitioning k rows is free — the fatal version of that
+    pattern is on raw data)."""
+    from pyspark.sql.window import Window
+
+    top = df.select(id_col, score_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    ).limit(k)
+    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    return top.select(
+        id_col, F.row_number().over(w).cast("long").alias(rank_col)
+    )
+
+
+def rrf_fuse(
+    legs: list[DataFrame],
+    id_col: str,
+    k: int = 60,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N bounded candidate lists — the
+    standard hybrid-retrieval merge (lexical BM25 + dense cosine, plus
+    any other retriever): rrf(d) = Σ_legs 1/(k + rank_leg(d)), with a
+    doc absent from a leg contributing 0.
+
+    Each leg must already carry (id_col, rank) — produce them with
+    :func:`topk_ranked` so every leg is top-k-bounded BEFORE fusion;
+    fusing full corpus rankings is both statistically pointless (RRF
+    weight at rank r decays as 1/r) and a scale bug (a global rank of
+    1e9 docs). The fusion itself joins K-row frames: outer-join chain,
+    all tiny.
+
+    k=60 is the canonical damping constant (Cormack et al.) — it keeps
+    a rank-1 hit from one retriever from drowning consensus mid-rank
+    hits from several.
+    """
+    if not legs:
+        raise ValueError("rrf_fuse needs at least one ranked leg")
+    renamed = [
+        leg.select(F.col(id_col), F.col("rank").alias(f"__r{i}"))
+        for i, leg in enumerate(legs)
+    ]
+    fused = renamed[0]
+    for nxt in renamed[1:]:
+        fused = fused.join(nxt, id_col, "full_outer")
+    score = None
+    for i in range(len(legs)):
+        term = F.coalesce(
+            1.0 / (F.lit(float(k)) + F.col(f"__r{i}")), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    from pyspark.sql.window import Window
+
+    out = fused.select(F.col(id_col), F.round(score, round_to).alias("rrf"))
+    w = Window.orderBy(F.desc("rrf"), F.asc(id_col))
+    return out.select(
+        id_col,
+        F.row_number().over(w).cast("long").alias("rrf_rank"),
+        "rrf",
+    )

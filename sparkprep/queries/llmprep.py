@@ -765,6 +765,56 @@ FROM sig
 """
 
 
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical leg + dense cosine leg fused with
+    reciprocal-rank fusion (similarity.rrf_fuse). Each leg is top-50
+    bounded BEFORE fusion (TakeOrdered, never a global corpus rank);
+    the query vector is doc 0's embedding, the lexical query the shared
+    _BM25_TERMS — the standard two-retriever RAG setup."""
+    from sparkprep.operators import text as tx
+    from sparkprep.queries.textops import _BM25_TERMS
+
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    bm = tx.bm25_scores(docs, "text", "doc_id", _BM25_TERMS)
+    lex = sim.topk_ranked(bm, "bm25", "doc_id", 50)
+    q0 = emb.filter(F.col("vec_id") == 0)
+    dense = sim.cosine_topk_native(emb, q0, k=50).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return sim.rrf_fuse([lex, dense], "doc_id", k=60)
+
+
+def _hybrid_rrf_sql() -> str:
+    from sparkprep.queries.textops import _BM25_SQL
+
+    return f"""
+WITH bm AS ({_BM25_SQL}),
+bmtop AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+  FROM bm QUALIFY r <= 50
+),
+qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cosd AS (
+  SELECT vec_id AS doc_id, {_cos_sql('qv', 'embedding')} AS cos
+  FROM embeddings, qv WHERE vec_id != 0
+),
+ctop AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r
+  FROM cosd QUALIFY r <= 50
+),
+fused AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         round(coalesce(1.0/(60 + a.r), 0) + coalesce(1.0/(60 + b.r), 0), 6) AS rrf
+  FROM bmtop a FULL OUTER JOIN ctop b ON a.doc_id = b.doc_id
+)
+SELECT doc_id,
+       row_number() OVER (ORDER BY rrf DESC, doc_id)::BIGINT AS rrf_rank,
+       rrf
+FROM fused ORDER BY rrf_rank
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "minhash_pairs": q_minhash_pairs,
@@ -780,6 +830,7 @@ QUERIES = {
     "chunk_overlap": q_chunk_overlap,
     "semantic_dedup": q_semantic_dedup,
     "llm_funnel": q_llm_funnel,
+    "hybrid_rrf": q_hybrid_rrf,
 }
 
 ORACLES = {
@@ -797,4 +848,5 @@ ORACLES = {
     "chunk_overlap": _chunk_overlap_sql(),
     "semantic_dedup": _sem_dedup_sql(),
     "llm_funnel": _LLM_FUNNEL_SQL,
+    "hybrid_rrf": _hybrid_rrf_sql(),
 }

@@ -46,6 +46,7 @@ _TINY_BROADCAST_CROSS = {
     "cosine_topk",       # 5 query vectors broadcast x corpus (by design)
     "minmax_normalize",  # 1-row fused min/max scalar frame attach
     "ep1_prep",          # same scalar-attach inside the EP1 chain
+    "hybrid_rrf",        # dense leg = 1 query vector broadcast x corpus
 }
 
 # the one deliberate Python-row-path showcase: a Python UDTF (SURVEY
