@@ -343,11 +343,17 @@ def ann_ivf_topk(
                 members = X[assign == j]
                 if len(members):  # empty cell keeps its old centroid
                     cmat[j] = members.mean(axis=0)
-    centroids = [(j, [float(x) for x in cmat[j]]) for j in range(num_centroids)]
+    # Pre-normalize centroids DRIVER-side: ranking cells by
+    # dot(v, c/|c|) orders identically to cosine(v, c) — the 1/|v|
+    # factor is constant across cells — so the per-row assignment costs
+    # num_centroids interpreted dot-folds instead of dot + 2 norms each
+    # (48 -> 16 folds/row measured as the ann_ivf hot spot).
+    cunit = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+    centroids = [(j, [float(x) for x in cunit[j]]) for j in range(num_centroids)]
 
     def cell_scores(vec):
         return [
-            (cid, cosine_native(vec, F.array(*[F.lit(x) for x in cvec])))
+            (cid, dot_native(vec, F.array(*[F.lit(x) for x in cvec])))
             for cid, cvec in centroids
         ]
 

@@ -236,3 +236,52 @@ def rolling_time_agg(
         F.round(F.avg(value_col).over(w), round_to).alias(f"{value_col}_roll_avg"),
         F.count(F.lit(1)).over(w).cast("long").alias("n_in_window"),
     )
+
+
+def event_sequences(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    payload_col: str,
+    max_len: int = 100,
+) -> DataFrame:
+    """Per-key ordered event sequences for sequence-model training
+    (user histories, session traces): (key, n_events, seq) with ``seq``
+    the first ``max_len`` payloads in ``order_cols`` order, joined with
+    ','.
+
+    Scale design — the trap here is ``collect_list`` state: aggregating
+    THEN truncating buffers every event of a hot key (a bot user with
+    10M events holds 10M structs in one aggregation buffer). Instead
+    the cap is applied BEFORE any array exists: ``row_number`` over
+    (key, order) keeps ranks <= max_len, and the aggregation only ever
+    sees <= max_len rows per key. The window and the groupBy hash on
+    the SAME key, so Catalyst plans ONE exchange — the filter and agg
+    ride the window's partitioning. ``n_events`` (the pre-truncation
+    total) comes from an unordered count window over the same exchange.
+
+    Determinism: ``order_cols`` must be a total order per key (pass a
+    unique id as the last column) or ties make ``seq`` layout-dependent.
+    """
+    from pyspark.sql.window import Window
+
+    w_ord = Window.partitionBy(key_col).orderBy(*[F.asc(c) for c in order_cols])
+    w_all = Window.partitionBy(key_col)
+    ranked = df.select(
+        key_col,
+        F.col(payload_col).cast("string").alias("__p"),
+        F.row_number().over(w_ord).alias("__rn"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+    ).filter(F.col("__rn") <= max_len)
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("__rn").alias("rn"), F.col("__p").alias("p"))
+            )
+        ),
+        lambda s: s["p"],
+    )
+    return ranked.groupBy(key_col).agg(
+        F.max("__n").cast("long").alias("n_events"),
+        F.array_join(ordered, ",").alias("seq"),
+    )

@@ -419,6 +419,32 @@ ORDER BY user_id
 """
 
 
+def q_sequence_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered event-type sequences capped at 20 — the
+    sequence-model training export (operators/temporal.event_sequences:
+    cap applied BEFORE any array state exists, one exchange for window
+    + agg). Sample: users 0..199 keep the compare payload bounded."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    out = temporal.event_sequences(
+        ev, "user_id", ["ts", "event_id"], "event_type", max_len=20
+    )
+    return out.orderBy("user_id")
+
+
+_SEQUENCE_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events WHERE user_id < 200
+)
+SELECT user_id,
+       max(n)::BIGINT AS n_events,
+       string_agg(event_type, ',' ORDER BY rn) FILTER (WHERE rn <= 20) AS seq
+FROM ranked GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
     "asof_rate": q_asof_rate,
     "conversion_latency": q_conversion_latency,
@@ -431,6 +457,7 @@ QUERIES = {
     "daily_trend": q_daily_trend,
     "outlier_fences": q_outlier_fences,
     "anomaly_flags": q_anomaly_flags,
+    "sequence_export": q_sequence_export,
 }
 
 ORACLES = {
@@ -445,4 +472,5 @@ ORACLES = {
     "daily_trend": _DAILY_TREND_SQL,
     "outlier_fences": _OUTLIER_SQL,
     "anomaly_flags": _ANOMALY_SQL,
+    "sequence_export": _SEQUENCE_SQL,
 }
