@@ -208,6 +208,78 @@ def psi_drift(
     )
 
 
+def _check_edges(breakpoints: list[float]) -> list[float]:
+    edges = [float(b) for b in breakpoints]
+    if sorted(edges) != edges or len(set(edges)) != len(edges):
+        raise ValueError("breakpoints must be strictly increasing")
+    return edges
+
+
+def _bin_expr(c: Column, edges: list[float]) -> Column:
+    """Bin id for value column ``c``: interior edges only — below
+    edges[1] -> 0, >= edges[-2] -> top bin (clamped open tails)."""
+    b = F.lit(0)
+    for i, edge in enumerate(edges[1:-1], start=1):
+        b = F.when(c >= edge, i).otherwise(b)
+    return b.cast("bigint")
+
+
+def reference_shares(
+    df: DataFrame, col: str, breakpoints: list[float]
+) -> dict[int, float]:
+    """Bin-share table of a reference snapshot as a plain dict — compute
+    ONCE at monitor setup, then score arbitrarily many batches against
+    it with :func:`psi_against_reference`. The collect is O(n_bins)."""
+    edges = _check_edges(breakpoints)
+    rows = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(_bin_expr(F.col(col), edges).alias("bin_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    total = sum(r["n"] for r in rows) or 1
+    shares = {i: 0.0 for i in range(len(edges) - 1)}
+    shares.update({int(r["bin_id"]): r["n"] / total for r in rows})
+    return shares
+
+
+def psi_against_reference(
+    df: DataFrame,
+    col: str,
+    breakpoints: list[float],
+    ref_shares: dict[int, float],
+    eps: float = 1e-6,
+) -> DataFrame:
+    """One-row PSI of ``df``'s ``col`` distribution against precomputed
+    :func:`reference_shares` — the monitoring shape: the reference is
+    never re-aggregated, each scored batch costs one map-combined
+    groupBy on the bin id plus K rows of literal arithmetic."""
+    edges = _check_edges(breakpoints)
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(_bin_expr(F.col(col), edges).alias("bin_id"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    from pyspark.sql import Window
+
+    share = F.col("__n") / F.sum("__n").over(Window.partitionBy())
+    nb = len(edges) - 1
+    grid = df.sparkSession.createDataFrame(
+        [(i, float(ref_shares.get(i, 0.0))) for i in range(nb)],
+        "bin_id: bigint, share_ref: double",
+    )
+    joined = (
+        grid.join(F.broadcast(counts.select("bin_id", share.alias("share_now"))), "bin_id", "left")
+        .fillna({"share_now": 0.0})
+    )
+    p = F.greatest(F.col("share_now"), F.lit(eps))
+    q = F.greatest(F.col("share_ref"), F.lit(eps))
+    return joined.agg(
+        F.round(F.sum((p - q) * F.log(p / q)), 4).alias("psi"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+
+
 def psi_bins(
     before: DataFrame,
     after: DataFrame,
@@ -222,19 +294,13 @@ def psi_bins(
     bin (open-ended tails — drift usually shows up in the tails, so
     clamping instead of dropping matters). Nulls are excluded (monitor
     them with :func:`completeness`, which is the right tool)."""
-    edges = [float(b) for b in breakpoints]
-    if sorted(edges) != edges or len(set(edges)) != len(edges):
-        raise ValueError("breakpoints must be strictly increasing")
+    edges = _check_edges(breakpoints)
 
     def binned(df: DataFrame, share_name: str) -> DataFrame:
         c = F.col(col)
-        # interior edges only: below edges[1] -> 0, >= edges[-2] -> top
-        b = F.lit(0)
-        for i, edge in enumerate(edges[1:-1], start=1):
-            b = F.when(c >= edge, i).otherwise(b)
         grouped = (
             df.filter(c.isNotNull())
-            .groupBy(b.cast("bigint").alias("bin_id"))
+            .groupBy(_bin_expr(c, edges).alias("bin_id"))
             .agg(F.count(F.lit(1)).alias("__n"))
         )
         # share denominator via a window over the K-row aggregate (fine:
