@@ -203,6 +203,38 @@ def main() -> None:
     )
     bench("SCD2 merge (10% changed)", lambda: materialize(
         transform.merge_scd2(target, upd, key_cols=["k"])))
+
+    # --- round-3 session-3 additions ----------------------------------
+    from sparkprep.operators import expect as ex
+
+    suite = ex.Suite(checks=[
+        ex.completeness("v"), ex.in_range("v", 0.0, 900.0, 0.9),
+        ex.mean_between("v", 400.0, 600.0), ex.non_negative("v"),
+        ex.uniqueness("g", 0.0),  # approx HLL path (the 100 TB default)
+    ])
+    bench("constraint suite (5 checks, 1 pass)", lambda: materialize(
+        suite.report_df(rows)))
+    edges_v = [0.0, 200.0, 400.0, 600.0, 800.0, 1000.0]
+    ref = ex.reference_shares(rows.filter(F.pmod("k", 2) == 0), "v", edges_v)
+    bench("PSI vs precomputed reference", lambda: materialize(
+        ex.psi_against_reference(rows.filter(F.pmod("k", 2) == 1), "v", edges_v, ref)))
+    bench("char entropy (28-class)", lambda: materialize(
+        text.add_char_entropy(docs, "text").select("doc_id", "char_entropy")))
+    bench("grouped split (map-only)", lambda: materialize(
+        mix.grouped_split(
+            docs.withColumn("src", F.pmod("doc_id", 1000).cast("string")),
+            "src", {"train": 0.8, "val": 0.1, "test": 0.1})))
+    # hot-key sequence export: 1000 keys x ~num_rows/1000 events each,
+    # capped at 100 — aggregation state must stay at cap, not key size
+    bench("event sequences (cap 100)", lambda: materialize(
+        temporal.event_sequences(events, "g", ["ts"], "v", max_len=100)))
+    # RRF over two bounded legs carved from the 10M-row frame
+    bench("RRF fusion (2x top-1000 legs)", lambda: materialize(
+        similarity.rrf_fuse([
+            similarity.topk_ranked(rows, "v", "k", 1000),
+            similarity.topk_ranked(
+                rows.select("k", (1000.0 - F.col("v")).alias("w")), "w", "k", 1000),
+        ], "k")))
     spark.stop()
 
 

@@ -524,6 +524,54 @@ SELECT doc_id, token, tf, df,
 FROM tf JOIN dfreq USING (token)
 """
 
+def q_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 TF-IDF terms as a
+    comma-joined string (doc metadata enrichment for search/tagging).
+    Ranks on the ROUNDED tfidf with a token tie-break so the cut is
+    engine-deterministic; the window is keyed by doc_id over the
+    already-aggregated (doc, token) frame — no raw-data windows."""
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    w = tx.tf_idf(docs, "text", "doc_id")
+    win = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    top = w.withColumn("rn", F.row_number().over(win)).filter(F.col("rn") <= 3)
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("rn").alias("rn"), F.col("token").alias("tk")))
+        ),
+        lambda s: s["tk"],
+    )
+    return (
+        top.groupBy("doc_id")
+        .agg(F.array_join(ordered, ",").alias("keywords"))
+        .orderBy("doc_id")
+    )
+
+
+_KEYWORDS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+w AS (
+  SELECT doc_id, token,
+         round(tf * ln((SELECT count(DISTINCT doc_id) FROM documents)::DOUBLE / df), 4) AS tfidf
+  FROM tf JOIN dfreq USING (token)
+),
+ranked AS (
+  SELECT doc_id, token,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+  FROM w
+)
+SELECT doc_id, string_agg(token, ',' ORDER BY rn) FILTER (WHERE rn <= 3) AS keywords
+FROM ranked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 _BM25_TERMS = ["spark", "join", "vector"]
 
 
@@ -826,6 +874,7 @@ QUERIES = {
     "lm_score": q_lm_score,
     "token_packing": q_token_packing,
     "tfidf": q_tfidf,
+    "keywords": q_keywords,
     "bm25": q_bm25,
     "inverted_index": q_inverted_index,
     "oov_rate": q_oov_rate,
@@ -852,6 +901,7 @@ ORACLES = {
     "lm_score": _LM_SCORE_SQL,
     "token_packing": _TOKEN_PACKING_SQL,
     "tfidf": _TFIDF_SQL,
+    "keywords": _KEYWORDS_SQL,
     "bm25": _BM25_SQL,
     "inverted_index": _INVERTED_INDEX_SQL,
     "oov_rate": _OOV_RATE_SQL,
