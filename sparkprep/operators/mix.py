@@ -136,3 +136,27 @@ def grouped_split(
     last = F.lit(names[-1])
     assigned = last if expr is None else expr.otherwise(last)
     return df.withColumn("split", assigned)
+
+
+def grouped_kfold(
+    df: DataFrame,
+    group_col: str,
+    k: int = 5,
+    salt: str = "",
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Group-aware k-fold assignment: fold = md5(group‖salt) mod k, so
+    every row of a group lands in the same fold — cross-validation
+    without cross-fold leakage of near-identical rows (the same
+    contamination guard as :func:`grouped_split`, dealt k ways).
+    Map-only, no RNG, engine-replayable; ``salt`` re-deals."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(group_col).cast("string"), F.lit(salt))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return df.withColumn(fold_col, (h % k).cast("bigint"))

@@ -387,6 +387,24 @@ FROM u
 """
 
 
+def q_grouped_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware 5-fold CV assignment keyed on source (mix.grouped_kfold
+    — whole domains share a fold; map-only md5 deal)."""
+    from sparkprep.operators import mix
+
+    docs = t(spark, sf_dir, "documents")
+    return mix.grouped_kfold(docs, "source", k=5, salt="cv").select(
+        "doc_id", "source", "fold"
+    )
+
+
+_GROUPED_KFOLD_SQL = """
+SELECT doc_id, source,
+       (('0x' || substr(md5(source || 'cv'), 1, 15))::BIGINT % 5) AS fold
+FROM documents
+"""
+
+
 QUERIES = {
     "span_dedup": q_span_dedup,
     "keep_best": q_keep_best,
@@ -398,6 +416,7 @@ QUERIES = {
     "domain_stats": q_domain_stats,
     "char_entropy": q_char_entropy,
     "grouped_split": q_grouped_split,
+    "grouped_kfold": q_grouped_kfold,
 }
 
 ORACLES = {
@@ -411,4 +430,5 @@ ORACLES = {
     "domain_stats": _DOMAIN_STATS_SQL,
     "char_entropy": _CHAR_ENTROPY_SQL,
     "grouped_split": _GROUPED_SPLIT_SQL,
+    "grouped_kfold": _GROUPED_KFOLD_SQL,
 }

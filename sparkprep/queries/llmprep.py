@@ -705,13 +705,18 @@ def q_llm_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("__sh") > 0,
         1 - F.size(F.array_distinct("__sh")) / F.size("__sh"),
     )
+    # dedup canonicals keyed on md5(text), not text: the window's
+    # exchange then carries a 32-char digest per row instead of the
+    # full document payload (the repo-wide exact-dup fingerprint
+    # convention — text.fingerprint)
     staged = staged.select(
-        "doc_id", "text",
+        "doc_id",
+        F.md5("text").alias("__fp"),
         F.round(dup_ratio, 4).alias("dup_shingle_ratio"),
         tx.quality_score("text").alias("__q"),
         tx.char_count("text").alias("__n"),
     ).withColumn(
-        "__min_id", F.min("doc_id").over(Window.partitionBy("text"))
+        "__min_id", F.min("doc_id").over(Window.partitionBy("__fp"))
     )
     c_len = (F.col("__n") >= 80) & (F.col("__n") <= 450)
     c_qual = c_len & (F.col("__q") >= 0.8)

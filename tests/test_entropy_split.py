@@ -143,3 +143,28 @@ class TestGroupedSplit:
         )
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestGroupedKfold:
+    def test_folds_atomic_and_covering(self, spark):
+        rows = [
+            Row(doc_id=g * 100 + i, src=f"d{g}") for g in range(100) for i in range(5)
+        ]
+        out = mix.grouped_kfold(spark.createDataFrame(rows), "src", k=5)
+        per_group = (
+            out.groupBy("src")
+            .agg(F.count_distinct("fold").alias("kk"))
+            .agg(F.max("kk"))
+            .collect()[0][0]
+        )
+        assert per_group == 1  # a group never straddles folds
+        folds = {r["fold"] for r in out.select("fold").distinct().collect()}
+        assert folds == set(range(5))  # 100 groups cover all 5 folds
+        assert all(0 <= f <= 4 for f in folds)
+
+    def test_k_validation(self, spark):
+        df = spark.createDataFrame([Row(doc_id=1, src="a")])
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            mix.grouped_kfold(df, "src", k=1)
