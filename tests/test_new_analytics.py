@@ -242,6 +242,8 @@ def test_rotation_safety_net_reads_driver_verdicts():
     q = list(registry()[0])
     assert [n for n in q[50:] if n not in seen] == []
 
+
+class TestScd2NullKey:
     def test_null_keyed_target_row_passes_through(self, spark):
         # a NULL business key never joins; MERGE's NOT-MATCHED-BY-SOURCE
         # contract says it must pass through UNTOUCHED (a key-null
