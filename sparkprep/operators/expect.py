@@ -135,6 +135,8 @@ class Suite:
     checks: list[Check] = field(default_factory=list)
 
     def report_df(self, df: DataFrame, round_to: int = 6) -> DataFrame:
+        if not self.checks:
+            raise ValueError("Suite has no checks — nothing to report")
         aggs = [
             F.round(c.metric, round_to).alias(f"__m_{i}")
             for i, c in enumerate(self.checks)

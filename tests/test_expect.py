@@ -58,6 +58,10 @@ class TestSuite:
         assert not res["checks"]["size"]["passed"]
         assert not res["passed"]
 
+    def test_empty_suite_raises(self, spark, frame):
+        with pytest.raises(ValueError):
+            ex.Suite(checks=[]).report_df(frame)
+
     def test_uniqueness_exact_and_approx(self, spark):
         df = spark.createDataFrame([Row(k=i % 10) for i in range(100)])
         exact = ex.Suite([ex.uniqueness("k", exact=True)]).report_df(df).collect()[0]
