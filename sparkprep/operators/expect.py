@@ -282,6 +282,61 @@ def psi_against_reference(
     )
 
 
+def psi_bins_cohorts(
+    df: DataFrame,
+    cohort_expr: Column,
+    col: str,
+    breakpoints: list[float],
+    eps: float = 1e-6,
+) -> DataFrame:
+    """:func:`psi_bins` for the common case where both populations live
+    in ONE table split by a boolean column expression (week-over-week
+    partitions, A/B arms, user cohorts): both sides bin in a single
+    scan and a SINGLE keyed exchange — groupBy(bin) with one
+    conditional count per cohort (map-side combined to 2 longs per bin
+    per task), cohort totals from an empty-frame window over the K-row
+    aggregate (post-agg frames are where that pattern is legal). Two
+    separate psi_bins passes read the whole table twice: a modulo/date
+    cohort predicate doesn't prune parquet row groups, so each pass
+    decodes everything — at 100 TB this variant halves the IO.
+    ``cohort_expr`` true = 'after', false = 'before'; null-cohort rows
+    are excluded. Output schema identical to psi_bins."""
+    edges = _check_edges(breakpoints)
+    counts = (
+        df.filter(F.col(col).isNotNull() & cohort_expr.isNotNull())
+        .groupBy(_bin_expr(F.col(col), edges).alias("bin_id"))
+        .agg(
+            F.count(F.when(~cohort_expr, True)).alias("__nb"),
+            F.count(F.when(cohort_expr, True)).alias("__na"),
+        )
+    )
+    from pyspark.sql import Window
+
+    tot = Window.partitionBy()
+    folded = counts.select(
+        "bin_id",
+        (F.col("__nb") / F.greatest(F.sum("__nb").over(tot), F.lit(1))).alias(
+            "share_before"
+        ),
+        (F.col("__na") / F.greatest(F.sum("__na").over(tot), F.lit(1))).alias(
+            "share_after"
+        ),
+    )
+    nb = len(edges) - 1
+    grid = df.sparkSession.createDataFrame([(i,) for i in range(nb)], "bin_id: bigint")
+    joined = grid.join(F.broadcast(folded), "bin_id", "left").fillna(
+        {"share_before": 0.0, "share_after": 0.0}
+    )
+    p = F.greatest(F.col("share_after"), F.lit(eps))
+    q = F.greatest(F.col("share_before"), F.lit(eps))
+    return joined.select(
+        "bin_id",
+        F.round("share_before", 6).alias("share_before"),
+        F.round("share_after", 6).alias("share_after"),
+        F.round((p - q) * F.log(p / q), 4).alias("psi_term"),
+    )
+
+
 def psi_bins(
     before: DataFrame,
     after: DataFrame,

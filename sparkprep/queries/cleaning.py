@@ -688,14 +688,16 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI distribution drift of ``events.value`` between two user
     cohorts (user_id parity — a deterministic stand-in for
     training-snapshot vs fresh-data). Fixed bin edges, per-bin detail
-    rows (operators/expect.psi_bins); each cohort reduces map-side to
-    K=5 bin rows before anything joins."""
+    rows; both cohorts bin in ONE scan of the table
+    (expect.psi_bins_cohorts — one groupBy(cohort, bin), conditional
+    sums over the 2xK-row aggregate), not a pass per side."""
     from sparkprep.operators import expect as ex
 
     ev = t(spark, sf_dir, "events")
-    before = ev.filter(F.col("user_id") % 2 == 0)
-    after = ev.filter(F.col("user_id") % 2 == 1)
-    bins = ex.psi_bins(before, after, "value", [0.0, 10.0, 25.0, 50.0, 80.0, 350.0])
+    bins = ex.psi_bins_cohorts(
+        ev, F.col("user_id") % 2 == 1, "value",
+        [0.0, 10.0, 25.0, 50.0, 80.0, 350.0],
+    )
     return bins.orderBy("bin_id")
 
 

@@ -114,6 +114,18 @@ class TestPsi:
         assert got["n_bins"] == 4
         assert got["psi"] > 0.1  # shifted distribution reads as drift
 
+    def test_cohort_variant_equals_two_frame_variant(self, spark):
+        """psi_bins_cohorts (one scan, one keyed exchange) must produce
+        bit-identical rows to psi_bins on the split frames."""
+        rows = [Row(v=float(i % 97), grp=i % 3 == 0) for i in range(300)]
+        df = spark.createDataFrame(rows)
+        edges = [0.0, 20.0, 40.0, 60.0, 100.0]
+        a = ex.psi_bins(
+            df.filter(~F.col("grp")), df.filter(F.col("grp")), "v", edges
+        ).collect()
+        b = ex.psi_bins_cohorts(df, F.col("grp"), "v", edges).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
     def test_zero_drift_on_identical(self, spark):
         df = spark.createDataFrame([Row(v=float(i % 50)) for i in range(200)])
         got = ex.psi_drift(df, df, "v", [0.0, 10.0, 20.0, 30.0, 50.0]).collect()[0]
