@@ -67,3 +67,22 @@ def label_decode(c, one_label: str = "Charged Off", zero_label: str = "Fully Pai
     non-1.0 value (including null) — we reproduce that."""
     col = _col(c)
     return F.when(col == 1.0, F.lit(one_label)).otherwise(F.lit(zero_label))
+
+
+def ordered_join(rank_col, payload_col, sep: str = ",") -> Column:
+    """Aggregate expression: ``string_agg(payload, sep ORDER BY rank)``
+    without a second sort pass — collect (rank, payload) structs, sort
+    the ARRAY row-locally (struct order = first-field order, so the
+    rank must be a total order), project the payloads, join. Use inside
+    ``groupBy(...).agg(...)`` wherever an ordered concatenation leaves
+    the engine (sequence exports, top-k keyword lists); keeps the
+    rank-sort semantics in one place."""
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(_col(rank_col).alias("r"), _col(payload_col).alias("p"))
+            )
+        ),
+        lambda s: s["p"],
+    )
+    return F.array_join(ordered, sep)

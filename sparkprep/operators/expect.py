@@ -44,79 +44,89 @@ class Check:
     hi: float | None = None  # inclusive upper bound
 
 
-def completeness(col: str, min_ratio: float = 1.0) -> Check:
-    """Share of non-null values in ``col`` must be >= min_ratio."""
+def completeness(col: str, min_ratio: float = 1.0, name: str | None = None) -> Check:
+    """Share of non-null values in ``col`` must be >= min_ratio.
+    An EMPTY frame scores 0.0 (the guard matters: ANSI mode makes an
+    unguarded 0/0 throw DIVIDE_BY_ZERO instead of failing the check)."""
     return Check(
-        name=f"completeness({col})",
-        metric=(F.count(col) / F.count(F.lit(1))).cast("double"),
+        name=name or f"completeness({col})",
+        metric=(F.count(col) / F.greatest(F.count(F.lit(1)), F.lit(1))).cast("double"),
         lo=min_ratio,
     )
 
 
-def non_negative(col: str) -> Check:
+def non_negative(col: str, name: str | None = None) -> Check:
     """Every non-null value in ``col`` must be >= 0."""
     return Check(
-        name=f"non_negative({col})",
+        name=name or f"non_negative({col})",
         metric=F.count(F.when(F.col(col) < 0, True)).cast("double"),
         hi=0.0,
     )
 
 
-def in_range(col: str, lo: float, hi: float, min_ratio: float = 1.0) -> Check:
+def in_range(
+    col: str, lo: float, hi: float, min_ratio: float = 1.0, name: str | None = None
+) -> Check:
     """Share of non-null values inside [lo, hi] must be >= min_ratio."""
     inside = F.count(F.when(F.col(col).between(lo, hi), True))
     return Check(
-        name=f"in_range({col})",
+        name=name or f"in_range({col})",
         metric=(inside / F.greatest(F.count(col), F.lit(1))).cast("double"),
         lo=min_ratio,
     )
 
 
-def in_set(col: str, values: list, min_ratio: float = 1.0) -> Check:
+def in_set(
+    col: str, values: list, min_ratio: float = 1.0, name: str | None = None
+) -> Check:
     """Share of non-null values that are members of ``values``."""
     member = F.count(F.when(F.col(col).isin(list(values)), True))
     return Check(
-        name=f"in_set({col})",
+        name=name or f"in_set({col})",
         metric=(member / F.greatest(F.count(col), F.lit(1))).cast("double"),
         lo=min_ratio,
     )
 
 
-def matches(col: str, regex: str, min_ratio: float = 1.0) -> Check:
+def matches(
+    col: str, regex: str, min_ratio: float = 1.0, name: str | None = None
+) -> Check:
     """Share of non-null values matching ``regex`` (Java/POSIX-shared
     subset if DuckDB-oracle parity matters — SURVEY §7)."""
     ok = F.count(F.when(F.col(col).rlike(regex), True))
     return Check(
-        name=f"matches({col})",
+        name=name or f"matches({col})",
         metric=(ok / F.greatest(F.count(col), F.lit(1))).cast("double"),
         lo=min_ratio,
     )
 
 
-def size_between(lo: int, hi: int | None = None) -> Check:
+def size_between(lo: int, hi: int | None = None, name: str | None = None) -> Check:
     """Table row count within [lo, hi]."""
     return Check(
-        name="size",
+        name=name or "size",
         metric=F.count(F.lit(1)).cast("double"),
         lo=float(lo),
         hi=float(hi) if hi is not None else None,
     )
 
 
-def mean_between(col: str, lo: float, hi: float) -> Check:
+def mean_between(col: str, lo: float, hi: float, name: str | None = None) -> Check:
     return Check(
-        name=f"mean({col})", metric=F.avg(col).cast("double"), lo=lo, hi=hi
+        name=name or f"mean({col})", metric=F.avg(col).cast("double"), lo=lo, hi=hi
     )
 
 
-def uniqueness(col: str, min_ratio: float = 1.0, exact: bool = False) -> Check:
+def uniqueness(
+    col: str, min_ratio: float = 1.0, exact: bool = False, name: str | None = None
+) -> Check:
     """distinct(col)/count(col) — approximate by default (see module
     docstring for why exact distinct in a shared agg is a scale trap)."""
     distinct = (
         F.count_distinct(F.col(col)) if exact else F.approx_count_distinct(col)
     )
     return Check(
-        name=f"uniqueness({col})",
+        name=name or f"uniqueness({col})",
         metric=(distinct / F.greatest(F.count(col), F.lit(1))).cast("double"),
         lo=min_ratio,
     )
@@ -137,6 +147,14 @@ class Suite:
     def report_df(self, df: DataFrame, round_to: int = 6) -> DataFrame:
         if not self.checks:
             raise ValueError("Suite has no checks — nothing to report")
+        names = [c.name for c in self.checks]
+        if len(set(names)) != len(names):
+            dups = sorted({n for n in names if names.count(n) > 1})
+            raise ValueError(
+                f"duplicate check names {dups} — two checks of the same kind "
+                "on one column need explicit name= overrides or run()'s "
+                "verdict dict silently drops one"
+            )
         aggs = [
             F.round(c.metric, round_to).alias(f"__m_{i}")
             for i, c in enumerate(self.checks)
@@ -159,6 +177,10 @@ class Suite:
         passed = F.lit(True)
         passed = passed & F.when(F.col("lo").isNotNull(), F.col("metric") >= F.col("lo")).otherwise(True)
         passed = passed & F.when(F.col("hi").isNotNull(), F.col("metric") <= F.col("hi")).otherwise(True)
+        # an unmeasurable metric (all-NULL column -> avg NULL) is a
+        # FAILED check, not a NULL one: passed==false filters must see
+        # it, and three-valued logic would leak NULL through the ANDs
+        passed = F.when(F.col("metric").isNull(), F.lit(False)).otherwise(passed)
         return out.withColumn("passed", passed)
 
     def run(self, df: DataFrame) -> dict:
@@ -212,6 +234,10 @@ def psi_drift(
 
 def _check_edges(breakpoints: list[float]) -> list[float]:
     edges = [float(b) for b in breakpoints]
+    if len(edges) < 2:
+        raise ValueError(
+            f"breakpoints must define at least one bin (>= 2 edges), got {edges}"
+        )
     if sorted(edges) != edges or len(set(edges)) != len(edges):
         raise ValueError("breakpoints must be strictly increasing")
     return edges
@@ -252,33 +278,57 @@ def psi_against_reference(
     ref_shares: dict[int, float],
     eps: float = 1e-6,
 ) -> DataFrame:
-    """One-row PSI of ``df``'s ``col`` distribution against precomputed
-    :func:`reference_shares` — the monitoring shape: the reference is
-    never re-aggregated, each scored batch costs one map-combined
-    groupBy on the bin id plus K rows of literal arithmetic."""
+    """One-row (psi, n_bins, rows) of ``df``'s ``col`` distribution
+    against precomputed :func:`reference_shares` — the monitoring
+    shape: the reference is never re-aggregated, and each scored batch
+    costs exactly ONE job (a map-combined groupBy on the bin id).
+    ``rows`` is the full frame count — NULL values land in a sentinel
+    bin that is excluded from the shares but counted, so callers never
+    need a second count() pass over the batch. An empty (or all-NULL)
+    frame reports rows accordingly with psi NULL."""
     edges = _check_edges(breakpoints)
-    counts = (
-        df.filter(F.col(col).isNotNull())
-        .groupBy(_bin_expr(F.col(col), edges).alias("bin_id"))
-        .agg(F.count(F.lit(1)).alias("__n"))
+    c = F.col(col)
+    binned = F.when(c.isNull(), F.lit(-1).cast("bigint")).otherwise(
+        _bin_expr(c, edges)
+    )
+    counts = df.groupBy(binned.alias("bin_id")).agg(
+        F.count(F.lit(1)).alias("__n")
     )
     from pyspark.sql import Window
 
-    share = F.col("__n") / F.sum("__n").over(Window.partitionBy())
+    scored_total = F.sum(F.when(F.col("bin_id") >= 0, F.col("__n"))).over(
+        Window.partitionBy()
+    )
+    all_total = F.sum("__n").over(Window.partitionBy())
+    shares = counts.select(
+        "bin_id",
+        (F.col("__n") / F.greatest(scored_total, F.lit(1))).alias("share_now"),
+        all_total.alias("__rows"),
+    )
     nb = len(edges) - 1
     grid = df.sparkSession.createDataFrame(
         [(i, float(ref_shares.get(i, 0.0))) for i in range(nb)],
         "bin_id: bigint, share_ref: double",
     )
-    joined = (
-        grid.join(F.broadcast(counts.select("bin_id", share.alias("share_now"))), "bin_id", "left")
-        .fillna({"share_now": 0.0})
-    )
+    joined = grid.join(
+        F.broadcast(shares.filter(F.col("bin_id") >= 0)), "bin_id", "left"
+    ).fillna({"share_now": 0.0})
     p = F.greatest(F.col("share_now"), F.lit(eps))
     q = F.greatest(F.col("share_ref"), F.lit(eps))
-    return joined.agg(
-        F.round(F.sum((p - q) * F.log(p / q)), 4).alias("psi"),
+    # totals ride along via max() (constant across joined bins; NULL
+    # where no data rows joined -> coalesce to 0). psi is only
+    # meaningful when something was scored: an empty/all-NULL batch
+    # would otherwise read as maximal drift vs the reference.
+    agg = joined.agg(
+        F.round(F.sum((p - q) * F.log(p / q)), 4).alias("__psi_raw"),
         F.count(F.lit(1)).alias("n_bins"),
+        F.coalesce(F.max("__rows"), F.lit(0)).cast("long").alias("rows"),
+        F.coalesce(F.max(F.col("share_now") > 0).cast("int"), F.lit(0)).alias("__any"),
+    )
+    return agg.select(
+        F.when(F.col("__any") == 1, F.col("__psi_raw")).alias("psi"),
+        "n_bins",
+        "rows",
     )
 
 

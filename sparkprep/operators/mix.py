@@ -18,6 +18,22 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _uniform60(group_col: str, salt: str) -> Column:
+    """The repo's salted md5 uniform in one place: 60-bit integer from
+    the first 15 md5 hex chars of ``str(group) || salt`` (exact as
+    int64; 16 chars would overflow). NULL group keys hash the literal
+    sentinel ``'\\x00null'`` — every assignment built on this therefore
+    gives NULL-keyed rows ONE deterministic destination instead of the
+    silent NULL-propagates-to-NULL drop (a NULL fold/split falls out of
+    both sides of every filter). Shared by :func:`grouped_split` and
+    :func:`grouped_kfold`; ``dedup.string_to_int_hash`` is the unsalted
+    MERSENNE-mod sibling for sketch math."""
+    key = F.coalesce(F.col(group_col).cast("string"), F.lit("\x00null"))
+    return F.conv(
+        F.substring(F.md5(F.concat(key, F.lit(salt))), 1, 15), 16, 10
+    ).cast("long")
+
+
 def resample_to_quotas(
     df: DataFrame,
     group_col: str,
@@ -116,18 +132,17 @@ def grouped_split(
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1.0, got {total}")
-    # 15 hex chars = 60 bits; exact int->double is safe below 2^53 after
-    # the division's rounding (uniformity is what matters here)
-    u = F.conv(
-        F.substring(F.md5(F.concat(F.col(group_col).cast("string"), F.lit(salt))), 1, 15),
-        16,
-        10,
-    ).cast("double") / F.lit(float(1 << 60))
+    u = _uniform60(group_col, salt).cast("double") / F.lit(float(1 << 60))
     expr = None
     acc = 0.0
     names = list(fractions)
     for name in names[:-1]:
-        acc += fractions[name]
+        # round the accumulated threshold to 12 places: 0.8 + 0.1
+        # accumulates to 0.9000000000000001 in binary, one ulp ABOVE
+        # the 0.9 literal an oracle/spec would write — a group whose
+        # uniform lands exactly on the literal would then split
+        # differently between engines
+        acc = round(acc + fractions[name], 12)
         expr = (
             F.when(u < acc, F.lit(name))
             if expr is None
@@ -149,14 +164,9 @@ def grouped_kfold(
     every row of a group lands in the same fold — cross-validation
     without cross-fold leakage of near-identical rows (the same
     contamination guard as :func:`grouped_split`, dealt k ways).
-    Map-only, no RNG, engine-replayable; ``salt`` re-deals."""
+    Map-only, no RNG, engine-replayable; ``salt`` re-deals. NULL group
+    keys get a deterministic fold via the shared sentinel (a NULL fold
+    would silently vanish from BOTH sides of every train/val filter)."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col(group_col).cast("string"), F.lit(salt))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
-    return df.withColumn(fold_col, (h % k).cast("bigint"))
+    return df.withColumn(fold_col, (_uniform60(group_col, salt) % k).cast("bigint"))

@@ -273,15 +273,9 @@ def event_sequences(
         F.row_number().over(w_ord).alias("__rn"),
         F.count(F.lit(1)).over(w_all).alias("__n"),
     ).filter(F.col("__rn") <= max_len)
-    ordered = F.transform(
-        F.array_sort(
-            F.collect_list(
-                F.struct(F.col("__rn").alias("rn"), F.col("__p").alias("p"))
-            )
-        ),
-        lambda s: s["p"],
-    )
+    from sparkprep.functions.strings import ordered_join
+
     return ranked.groupBy(key_col).agg(
         F.max("__n").cast("long").alias("n_events"),
-        F.array_join(ordered, ",").alias("seq"),
+        ordered_join("__rn", "__p").alias("seq"),
     )

@@ -536,15 +536,11 @@ def q_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = tx.tf_idf(docs, "text", "doc_id")
     win = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
     top = w.withColumn("rn", F.row_number().over(win)).filter(F.col("rn") <= 3)
-    ordered = F.transform(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("rn").alias("rn"), F.col("token").alias("tk")))
-        ),
-        lambda s: s["tk"],
-    )
+    from sparkprep.functions.strings import ordered_join
+
     return (
         top.groupBy("doc_id")
-        .agg(F.array_join(ordered, ",").alias("keywords"))
+        .agg(ordered_join("rn", "token").alias("keywords"))
         .orderBy("doc_id")
     )
 

@@ -26,20 +26,18 @@ def drift_monitor_sink(
     """foreachBatch hook: score each micro-batch's ``col`` distribution
     against the precomputed reference and hand
     ``(batch_id, rows, psi)`` to ``record`` (append to a metrics table,
-    page an alert channel, ...). Empty batches record rows=0 with PSI
-    against an all-empty distribution skipped (psi=None) — an empty
-    batch is a throughput signal, not a drift signal."""
+    page an alert channel, ...). ONE job per batch — the row count
+    rides inside the PSI aggregate (NULL values count via a sentinel
+    bin), so the monitor never scans a batch twice. Empty/all-NULL
+    batches record their row count with psi=None — a throughput
+    signal, not maximal drift."""
     from sparkprep.operators.expect import psi_against_reference
 
     def hook(batch_df: DataFrame, batch_id: int) -> None:
-        n = batch_df.count()
-        if n == 0:
-            record(batch_id, 0, None)
-            return
         row = psi_against_reference(
             batch_df, col, breakpoints, ref_shares
         ).collect()[0]
-        record(batch_id, n, row["psi"])
+        record(batch_id, row["rows"], row["psi"])
 
     return hook
 

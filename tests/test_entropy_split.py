@@ -168,3 +168,18 @@ class TestGroupedKfold:
 
         with _pt.raises(ValueError):
             mix.grouped_kfold(df, "src", k=1)
+
+    def test_null_group_gets_deterministic_fold_and_split(self, spark):
+        """NULL group keys must land SOMEWHERE deterministic — a NULL
+        fold/split silently drops those rows from both sides of every
+        train/val filter."""
+        df = spark.createDataFrame(
+            [Row(doc_id=1, src=None), Row(doc_id=2, src="a")]
+        )
+        folds = {r.doc_id: r.fold for r in mix.grouped_kfold(df, "src", k=5).collect()}
+        assert folds[1] is not None and 0 <= folds[1] <= 4
+        splits = {
+            r.doc_id: r.split
+            for r in mix.grouped_split(df, "src", {"a": 0.5, "b": 0.5}).collect()
+        }
+        assert splits[1] in {"a", "b"}

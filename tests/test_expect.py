@@ -62,6 +62,39 @@ class TestSuite:
         with pytest.raises(ValueError):
             ex.Suite(checks=[]).report_df(frame)
 
+    def test_empty_frame_fails_not_throws(self, spark):
+        """ANSI mode: the completeness denominator must be guarded or
+        an empty slice crashes the gate with DIVIDE_BY_ZERO instead of
+        failing the check."""
+        empty = spark.createDataFrame([], "x double")
+        res = ex.Suite(
+            [ex.completeness("x"), ex.in_range("x", 0, 1), ex.size_between(1)]
+        ).run(empty)
+        assert not res["passed"]
+        assert res["checks"]["completeness(x)"]["metric"] == 0.0
+
+    def test_null_metric_is_failed_not_null(self, spark):
+        """An unmeasurable metric (all-NULL column -> avg NULL) must
+        read passed=False — passed==false filters drive alerting."""
+        df = spark.createDataFrame([Row(x=None)], "x double")
+        rows = ex.Suite([ex.mean_between("x", 0, 1)]).report_df(df).collect()
+        assert rows[0]["metric"] is None
+        assert rows[0]["passed"] is False
+
+    def test_duplicate_check_names_raise_unless_overridden(self, spark, frame):
+        with pytest.raises(ValueError, match="duplicate check names"):
+            ex.Suite(
+                [ex.matches("cat", "^a$"), ex.matches("cat", "^b$")]
+            ).report_df(frame)
+        # explicit name= overrides disambiguate
+        res = ex.Suite(
+            [
+                ex.matches("cat", "^a$", name="matches(cat,a)"),
+                ex.matches("cat", "^b$", name="matches(cat,b)"),
+            ]
+        ).run(frame)
+        assert set(res["checks"]) == {"matches(cat,a)", "matches(cat,b)"}
+
     def test_uniqueness_exact_and_approx(self, spark):
         df = spark.createDataFrame([Row(k=i % 10) for i in range(100)])
         exact = ex.Suite([ex.uniqueness("k", exact=True)]).report_df(df).collect()[0]
@@ -157,3 +190,20 @@ class TestPsi:
             ex.psi_bins(df, df, "v", [0.0, 10.0, 5.0])
         with pytest.raises(ValueError):
             ex.psi_bins(df, df, "v", [0.0, 10.0, 10.0])
+        with pytest.raises(ValueError):  # degenerate: no bins at all
+            ex.psi_bins(df, df, "v", [5.0])
+
+    def test_reference_scoring_one_row_with_counts(self, spark):
+        ref_src = spark.createDataFrame([Row(v=float(i % 40)) for i in range(200)])
+        edges = [0.0, 10.0, 20.0, 30.0, 40.0]
+        ref = ex.reference_shares(ref_src, "v", edges)
+        batch = spark.createDataFrame(
+            [Row(v=float(i % 40)) for i in range(120)] + [Row(v=None)] * 7
+        )
+        row = ex.psi_against_reference(batch, "v", edges, ref).collect()[0]
+        assert row["rows"] == 127  # NULLs counted, one job
+        assert row["psi"] == 0.0  # identical distribution
+        # empty batch: rows=0 and psi None (NOT maximal drift)
+        empty = spark.createDataFrame([], "v double")
+        row = ex.psi_against_reference(empty, "v", edges, ref).collect()[0]
+        assert row["rows"] == 0 and row["psi"] is None
