@@ -51,7 +51,9 @@ def null_census_long(df: DataFrame, cols=None) -> DataFrame:
     return wide.select(stack, F.col("__total")).select(
         "column",
         F.col("null_count").cast("long").alias("null_count"),
-        (F.col("null_count") / F.col("__total")).alias("null_frac"),
+        # try_divide: an EMPTY table profiles as null_frac NULL instead
+        # of an ANSI DIVIDE_BY_ZERO crash
+        F.try_divide(F.col("null_count"), F.col("__total")).alias("null_frac"),
     )
 
 

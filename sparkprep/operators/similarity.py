@@ -37,7 +37,11 @@ def norm_native(a) -> Column:
 
 
 def cosine_native(a, b) -> Column:
-    return dot_native(a, b) / (norm_native(a) * norm_native(b))
+    """try_divide, not ``/``: ANSI mode (Spark 4 default) throws
+    DIVIDE_BY_ZERO on a zero-norm vector — one all-zeros embedding in a
+    100 TB corpus would kill the whole job. NULL cosine falls out of
+    every >= / top-k comparison naturally."""
+    return F.try_divide(dot_native(a, b), norm_native(a) * norm_native(b))
 
 
 def cosine_topk_native(
@@ -426,7 +430,12 @@ def embedding_near_dup_pairs(
         F.col(vec_col),
         norm_native(F.col(vec_col)).alias("__n"),
     )
-    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("__n"))
+    unit = F.transform(
+        F.col(vec_col),
+        # try_divide: a zero-norm vector must yield NULL units, not an
+        # ANSI DIVIDE_BY_ZERO that kills the corpus-wide job
+        lambda x: F.try_divide(x.cast("double"), F.col("__n")),
+    )
     sig = staged.select(
         F.col(id_col),
         unit.alias("__unit"),
@@ -499,7 +508,12 @@ def _semantic_assign_native(
         F.col(vec_col),
         norm_native(F.col(vec_col)).alias("__n"),
     )
-    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("__n"))
+    unit = F.transform(
+        F.col(vec_col),
+        # try_divide: a zero-norm vector must yield NULL units, not an
+        # ANSI DIVIDE_BY_ZERO that kills the corpus-wide job
+        lambda x: F.try_divide(x.cast("double"), F.col("__n")),
+    )
     scored = staged.select(
         F.col(id_col),
         unit.alias("__unit"),

@@ -50,26 +50,30 @@ def char_count(c) -> Column:
 
 def avg_word_len(c, round_to: int = 4) -> Column:
     """Mean token length, via aggregate over the token array (no explode,
-    no shuffle)."""
+    no shuffle). Empty/NULL text -> NULL (``try_divide``: ANSI mode
+    otherwise makes ONE empty document crash the whole corpus scan with
+    DIVIDE_BY_ZERO — DuckDB's x/0 is NULL, so this also keeps oracle
+    parity on degenerate rows)."""
     toks = tokens(c)
     total = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
-    return F.round(total / F.size(toks), round_to)
+    return F.round(F.try_divide(total, F.size(toks)), round_to)
 
 
 def stopword_ratio(c, stopwords: list[str], round_to: int = 4) -> Column:
     """Fraction of tokens in a stopword list — the classic 'is this
-    natural language' quality signal (Gopher/C4-style filters)."""
+    natural language' quality signal (Gopher/C4-style filters).
+    Empty/NULL text -> NULL (see avg_word_len on the ANSI guard)."""
     toks = tokens(c)
     hits = F.size(F.filter(toks, lambda x: x.isin(*stopwords)))
-    return F.round(hits / F.size(toks), round_to)
+    return F.round(F.try_divide(hits, F.size(toks)), round_to)
 
 
 def non_alpha_ratio(c, round_to: int = 4) -> Column:
     """Fraction of characters outside [a-zA-Z ] — punctuation/digit/
-    symbol density."""
+    symbol density. Empty/NULL text -> NULL (see avg_word_len)."""
     s = _col(c)
     stripped = F.regexp_replace(s, "[a-zA-Z ]", "")
-    return F.round(F.length(stripped) / F.length(s), round_to)
+    return F.round(F.try_divide(F.length(stripped), F.length(s)), round_to)
 
 
 EN_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
