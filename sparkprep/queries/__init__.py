@@ -118,6 +118,21 @@ _DRIVER_WINDOW_PRIORITY = [
     "score_calibration",
     "merge_scd2",
     "grouping_sets",
+    # round-3 session-3 additions — pinned EXPLICITLY because the
+    # 50-entry window is now exactly full: auto-promotion appends in
+    # module-merge order, so a future unpinned query could silently
+    # displace one of these past the cutoff
+    "keywords",
+    "hybrid_rrf",
+    "conversion_latency",
+    "pattern_completions",
+    "sequence_export",
+    "expect_suite",
+    "psi_drift",
+    "cdc_feed",
+    "char_entropy",
+    "grouped_split",
+    "grouped_kfold",
 ]
 
 
