@@ -102,6 +102,15 @@ def lsh_bands(
     times, re-running the whole shingle+groupBy computation per band
     (and again per join side downstream).
     """
+    if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
+        # bands > num_hashes makes r=0 -> every band key is md5('') ->
+        # the equi-join degenerates to all-pairs PER BAND (the exact
+        # quadratic blowup LSH exists to avoid); a non-dividing bands
+        # silently drops trailing hashes and shifts the S-curve
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes} "
+            "(rows-per-band = num_hashes/bands must be a positive integer)"
+        )
     r = num_hashes // bands
     band_structs = F.array(
         *[
@@ -441,6 +450,15 @@ def simhash(
     aggregates over the exploded tokens — one shuffle, map-side combine.
     32 bits keeps every intermediate in positive int64 territory (and
     the final value BIGINT-comparable in any engine).
+
+    Caveat baked into the oracle contract: token hashes come from
+    ``string_to_int_hash`` (mod 2^31-1), so bit 31 of every token hash
+    is 0 and sketch bit 31 is constantly 0 — the "32-bit" sketch
+    carries 31 informative bits, and simhash_pairs' top chunk is one
+    bit weaker than nominal (slightly more false candidates, never
+    missed pairs). Kept as-is because both engines compute the
+    identical sketch; a production xxhash64 swap restores the full
+    width.
 
     Deliberately NOT the row-local formulation (filter+size per bit on
     the token array): per-element lambdas run INTERPRETED (no codegen),

@@ -67,6 +67,15 @@ def asof_join(
         c for c in right.columns if c != on and c != by
     ]
     lcols = [c for c in left.columns]
+    clash = sorted(set(value_cols) & set(lcols))
+    if clash:
+        raise ValueError(
+            f"asof_join value columns {clash} collide with left columns — "
+            "the output would carry duplicate names and every downstream "
+            "reference would be AMBIGUOUS_REFERENCE. Rename on the right "
+            "or pass value_cols explicitly (pandas merge_asof suffixes; "
+            "this engine makes you choose)."
+        )
 
     tagged_left = left.select(
         *lcols,

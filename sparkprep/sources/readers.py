@@ -53,9 +53,26 @@ def malformed_drop_count(spark: SparkSession, path: str, df: DataFrame, header: 
     cardinality. This is an audit operator; the extra full parse is the
     point.
     """
-    raw = spark.read.text(path).count()
+    from pyspark.sql import functions as F
+
+    # one pass for BOTH totals: raw line count and the number of files —
+    # a directory/glob of N header CSVs carries N header lines (the
+    # parsed side drops every one), so subtracting a single header
+    # would overstate the malformed count by N-1
+    totals = (
+        spark.read.text(path)
+        # input_file_name() is non-deterministic — Spark rejects it
+        # INSIDE an aggregate; a projection first is fine
+        .select(F.input_file_name().alias("__f"))
+        .agg(
+            F.count(F.lit(1)).alias("lines"),
+            F.count_distinct("__f").alias("files"),
+        )
+        .collect()[0]
+    )
+    raw = totals["lines"]
     if header:
-        raw -= 1
+        raw -= totals["files"]
     return raw - df.rdd.count()
 
 

@@ -171,8 +171,12 @@ def bq_load_emulated(df: DataFrame, staging_dir: str, dataset: str, table: str) 
     out = os.path.join(staging_dir, dataset, table)
     write_csv(df, out, header=False)
     schema = bq_schema_string(df)
+    # NOT --autodetect alongside the schema: real `bq load` rejects the
+    # combination as mutually exclusive — the reference passed both and
+    # relied on the CLI's leniency of the day; an executable contract
+    # picks one (the explicit schema, since we derive it anyway)
     cmd = (
-        f"bq load --source_format=CSV --replace --autodetect "
+        f"bq load --source_format=CSV --replace "
         f"{dataset}.{table} {out}/part-* {schema}"
     )
     return {"staging_path": out, "schema_string": schema, "command": cmd}

@@ -34,13 +34,24 @@ def _update_user_profile(
         n, s, last_ts, max_gap = state.get
     else:
         n, s, last_ts, max_gap = 0, 0.0, None, 0.0
-    for pdf in batches:
-        pdf = pdf.sort_values("ts")
+    # Concatenate BEFORE sorting: a group bigger than one Arrow chunk
+    # (spark.sql.execution.arrow.maxRecordsPerBatch, default 10k)
+    # arrives as several DataFrames in arbitrary order — chunk-local
+    # sorts would process them out of event-time order and corrupt the
+    # gap chain. Memory is bounded by the group's per-batch volume,
+    # which the operator buffers either way.
+    chunks = [pdf for pdf in batches if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("ts")
         ts_sec = pdf["ts"].astype("int64") / 1e9
         for t in ts_sec:
-            if last_ts is not None:
+            # gaps only ever measure FORWARD progress: a late event
+            # older than last_ts (at-least-once replay, late file) must
+            # not drag last_ts backward and inflate the next gap
+            if last_ts is not None and t >= last_ts:
                 max_gap = max(max_gap, t - last_ts)
-            last_ts = t
+            if last_ts is None or t > last_ts:
+                last_ts = t
         n += len(pdf)
         s += float(pdf["value"].sum())
     state.update((n, s, last_ts, max_gap))
@@ -95,8 +106,10 @@ def _detect_pattern_impl(key, batches, state, within_sec):
     else:
         t_view, t_click, t_purchase, emitted = None, None, None, False
     out = []
-    for pdf in batches:
-        pdf = pdf.sort_values("ts")
+    chunks = [pdf for pdf in batches if len(pdf)]
+    # one concat + one sort: chunk-local sorts would replay a >10k-event
+    # group's chunks out of event-time order (see _update_user_profile)
+    for pdf in ([pd.concat(chunks, ignore_index=True).sort_values("ts")] if chunks else []):
         for _, row in pdf.iterrows():
             # .value (epoch ns, exact int64) — NOT .timestamp(), which
             # interprets a naive Timestamp in the SYSTEM timezone, and

@@ -130,3 +130,59 @@ def test_manifest_jsonl_sink_commit_protocol(spark, tmp_path):
     assert back.filter("id = 777777").count() == 0
     # content round-trips (ids intact)
     assert back.selectExpr("sum(cast(id AS bigint))").collect()[0][0] == 499500
+
+
+def test_manifest_jsonl_append_never_clobbers_and_overwrite_replaces(spark, tmp_path):
+    import json
+    import os
+
+    from sparkprep.sources.manifest_sink import (
+        MANIFEST, read_manifest_jsonl, register,
+    )
+
+    register(spark)
+    out = str(tmp_path / "sink2")
+    a = spark.range(100).selectExpr("id", "'a' AS src").repartition(2)
+    b = spark.range(100, 150).selectExpr("id", "'b' AS src").repartition(2)
+    a.write.format("manifest_jsonl").option("path", out).mode("append").save()
+    b.write.format("manifest_jsonl").option("path", out).mode("append").save()
+    # append MERGES: both jobs' rows visible, distinct file names
+    man = json.load(open(os.path.join(out, MANIFEST)))
+    assert man["total_rows"] == 150
+    assert len(man["files"]) == 4
+    assert len({f["path"] for f in man["files"]}) == 4
+    assert read_manifest_jsonl(spark, out).count() == 150
+
+    # overwrite REPLACES: only the new job's rows remain, superseded
+    # part files are gone from disk too
+    c = spark.range(7).selectExpr("id", "'c' AS src").repartition(1)
+    c.write.format("manifest_jsonl").option("path", out).mode("overwrite").save()
+    man2 = json.load(open(os.path.join(out, MANIFEST)))
+    assert man2["total_rows"] == 7 and len(man2["files"]) == 1
+    assert read_manifest_jsonl(spark, out).count() == 7
+    leftover = [f for f in os.listdir(out) if f.endswith(".jsonl")]
+    assert len(leftover) == 1
+
+
+def test_manifest_read_verification_catches_truncation(spark, tmp_path):
+    import pytest
+
+    from sparkprep.sources.manifest_sink import read_manifest_jsonl, register
+
+    register(spark)
+    out = str(tmp_path / "sink3")
+    spark.range(50).selectExpr("id").repartition(1).write.format(
+        "manifest_jsonl"
+    ).option("path", out).mode("append").save()
+    # truncate the committed file AFTER commit — the documented
+    # integrity case the manifest accounting exists to catch
+    import os
+
+    committed = [f for f in os.listdir(out) if f.endswith(".jsonl")][0]
+    p = os.path.join(out, committed)
+    lines = open(p).readlines()
+    open(p, "w").writelines(lines[:20])
+    with pytest.raises(ValueError, match="manifest verification failed"):
+        read_manifest_jsonl(spark, out).count()
+    # verify=False opts out for forensic reads
+    assert read_manifest_jsonl(spark, out, verify=False).count() == 20
