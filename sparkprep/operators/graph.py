@@ -1,0 +1,120 @@
+"""Markov-chain operators over keyed event sequences: transition-matrix
+extraction and k-step power iteration with broadcast state.
+
+This is the repo's second iterative-algorithm shape, complementing
+``dedup.connected_components`` (min-label propagation where the mutable
+state is node-sized): here the iterated state is a TINY per-state
+distribution vector (|states| rows), so each step is a broadcast join
+against a transition matrix that was aggregated ONCE from the raw
+sequence data. At 100 TB the expensive part — one keyed window to form
+consecutive pairs plus one map-combined count aggregate — runs exactly
+once; the k iterations afterwards touch only |states|^2 rows.
+
+For chains whose state space is itself huge (page-level PageRank), the
+distribution no longer broadcasts — that regime needs the CC-style
+keyed-shuffle iteration instead; this module is the user-journey /
+event-funnel regime where states are event types, funnel stages, or
+content categories (tens to thousands of values).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    order_cols: Sequence,
+) -> DataFrame:
+    """Per-key consecutive-state transition probabilities ``(src, dst,
+    n, p)`` with ``p = n / Σ_dst n`` row-normalized per ``src``.
+
+    One keyed window (``lag`` over each key's ordered sequence) and one
+    map-combined groupBy; the normalization window runs over the
+    AGGREGATED (src, dst) frame only — |states|^2 rows, so the per-src
+    partitions are trivially small (never a raw-data window). ``p`` is
+    a single IEEE division of two exact int64 counts: bit-identical
+    across engines, no rounding needed downstream.
+
+    Rows whose state or predecessor is the key's first event contribute
+    no edge (lag yields NULL → filtered); a key with one event
+    contributes nothing, matching the standard MLE fit of a first-order
+    chain.
+    """
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    edges = (
+        df.select(
+            F.lag(state_col).over(w).alias("src"),
+            F.col(state_col).alias("dst"),
+        )
+        .filter(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_src = Window.partitionBy("src")
+    return edges.select(
+        "src",
+        "dst",
+        "n",
+        (F.col("n") / F.sum("n").over(per_src)).alias("p"),
+    )
+
+
+def power_iteration(
+    trans: DataFrame,
+    states: DataFrame,
+    steps: int,
+    init: Optional[DataFrame] = None,
+    round_at: int = 12,
+) -> DataFrame:
+    """Evolve a state distribution ``steps`` times through ``trans``:
+    ``dist_{t+1}[dst] = Σ_src dist_t[src] · p(src, dst)``.
+
+    - ``trans`` (columns ``src, dst, p``) is materialized ONCE via a
+      lazy ``localCheckpoint`` — every iteration references it, and
+      without lineage truncation the upstream count aggregate would
+      re-execute per step (the re-execution trap: CLAUDE.md,
+      unions-of-selects).
+    - ``states`` (column ``state``) must list EVERY state, including
+      ones that never appear in an edge — the uniform ``init`` is built
+      over it with a window on the tiny post-distinct frame (one
+      partition of |states| rows, never raw data).
+    - The distribution stays |states| rows, so it broadcasts into each
+      step's join; nothing larger than |states|^2 ever shuffles here.
+    - Per-step ``round(round_at)`` pins engine-identical values: each
+      step sums ≤|states| double terms whose summation order differs
+      across engines (~1e-16 relative); rounding far above that but far
+      below signal stops the drift compounding across steps. The
+      rounding is part of the cross-engine contract — raise
+      ``round_at`` rather than removing it.
+
+    States with no outgoing edges leak mass (their row of the matrix is
+    empty, so the output may sum to < 1) — deliberate, mirrored by the
+    unrolled-SQL oracle; add explicit self-loop edges upstream for a
+    mass-conserving chain. States that nothing transitions INTO simply
+    drop out of the result frame after one step.
+    """
+    trans = trans.localCheckpoint(eager=False)
+    if init is None:
+        whole = Window.partitionBy()
+        init = states.select(
+            F.col("state"),
+            F.round(
+                F.lit(1.0) / F.count(F.lit(1)).over(whole), round_at
+            ).alias("p"),
+        )
+    dist = init
+    for _ in range(int(steps)):
+        d = dist.select(F.col("state").alias("__s"), F.col("p").alias("__dp"))
+        dist = (
+            trans.join(F.broadcast(d), F.col("src") == F.col("__s"))
+            .groupBy(F.col("dst").alias("state"))
+            .agg(F.round(F.sum(F.col("p") * F.col("__dp")), round_at).alias("p"))
+        )
+    return dist

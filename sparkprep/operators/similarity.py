@@ -746,3 +746,108 @@ def rrf_fuse(
         F.row_number().over(w).cast("long").alias("rrf_rank"),
         "rrf",
     )
+
+
+def negative_pairs(
+    emb_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+    buckets: int = 8,
+    salt: str = "",
+    round_to: int = 4,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    each anchor, the first ``k`` different-label rows from the anchor's
+    md5 bucket, ordered by md5(anchor‖neg‖salt) — an engine-replayable
+    stand-in for RNG negative sampling (same corpus + salt ⇒ same
+    pairs; a new salt re-deals, e.g. per epoch). Cosine similarity is
+    attached so downstream can grade hardness (high-cosine negatives
+    are the informative ones).
+
+    Scale shape, in order:
+    1. bucket assignment is map-only (md5 of the id);
+    2. the candidate join is (id, label)-only — vectors do NOT ride
+       through it — and equi-keyed on the bucket, so pairs ≈ n²/buckets,
+       never all-pairs: grow ``buckets`` ∝ n to hold the per-anchor
+       candidate pool (n/buckets) constant;
+    3. rank-and-keep cuts to ≤ k·n surviving pairs BEFORE the two
+       id-keyed joins that fetch vectors — the expensive payload only
+       ever moves for survivors.
+
+    NULL labels never pair (NULL ≠ x is NULL → filtered on both
+    engines): a row with unknown label can't be proven a negative.
+    Anchors whose bucket holds only same-label rows get no pairs —
+    detectable downstream via an anti-join; re-deal with another salt
+    or more probes rather than widening buckets globally.
+    """
+    from pyspark.sql.window import Window
+
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % buckets
+    )
+    ids = emb_df.select(F.col(id_col), F.col(label_col), bucket.alias("__b"))
+    a = ids.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        "__b",
+    )
+    c = ids.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(label_col).alias("neg_label"),
+        "__b",
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.md5(
+            F.concat(
+                F.col("anchor_id").cast("string"),
+                F.lit("|"),
+                F.col("neg_id").cast("string"),
+                F.lit(salt),
+            )
+        ),
+        F.col("neg_id"),
+    )
+    kept = (
+        a.join(c, "__b")
+        .filter(F.col("anchor_label") != F.col("neg_label"))
+        .withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "neg_id",
+            "neg_label",
+            F.col("neg_rank").cast("long").alias("neg_rank"),
+        )
+    )
+    va = emb_df.select(
+        F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("__av")
+    )
+    vc = emb_df.select(
+        F.col(id_col).alias("neg_id"), F.col(vec_col).alias("__cv")
+    )
+    return (
+        kept.join(va, "anchor_id")
+        .join(vc, "neg_id")
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "neg_id",
+            "neg_label",
+            "neg_rank",
+            F.round(
+                cosine_native(F.col("__av"), F.col("__cv")), round_to
+            ).alias("cosine"),
+        )
+    )

@@ -820,6 +820,51 @@ FROM fused ORDER BY rrf_rank
 """
 
 
+_NEG_K = 3
+_NEG_BUCKETS = 8
+_NEG_SALT = "neg"
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative mining over the embeddings
+    table: each anchor takes the first 3 different-label rows of its
+    md5 bucket in md5(anchor‖neg‖salt) order, with cosine attached for
+    hardness grading (similarity.negative_pairs — id-only bucket join,
+    vectors fetched for survivors only)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return sim.negative_pairs(
+        emb, k=_NEG_K, buckets=_NEG_BUCKETS, salt=_NEG_SALT
+    )
+
+
+_HARD_NEGATIVES_SQL = f"""
+WITH ids AS (
+  SELECT vec_id, label,
+         ('0x' || substr(md5(vec_id::VARCHAR || '{_NEG_SALT}'), 1, 15))::BIGINT
+           % {_NEG_BUCKETS} AS b
+  FROM embeddings
+),
+kept AS (
+  SELECT * FROM (
+    SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+           c.vec_id AS neg_id, c.label AS neg_label,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY md5(a.vec_id::VARCHAR || '|' || c.vec_id::VARCHAR || '{_NEG_SALT}'),
+                      c.vec_id
+           ) AS rn
+    FROM ids a JOIN ids c ON a.b = c.b AND a.label <> c.label
+  ) WHERE rn <= {_NEG_K}
+)
+SELECT k.anchor_id, k.anchor_label, k.neg_id, k.neg_label,
+       k.rn::BIGINT AS neg_rank,
+       round({_cos_sql('qa.embedding', 'qc.embedding')}, 4) AS cosine
+FROM kept k
+JOIN embeddings qa ON qa.vec_id = k.anchor_id
+JOIN embeddings qc ON qc.vec_id = k.neg_id
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "minhash_pairs": q_minhash_pairs,
@@ -836,6 +881,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "llm_funnel": q_llm_funnel,
     "hybrid_rrf": q_hybrid_rrf,
+    "hard_negatives": q_hard_negatives,
 }
 
 ORACLES = {
@@ -854,4 +900,5 @@ ORACLES = {
     "semantic_dedup": _sem_dedup_sql(),
     "llm_funnel": _LLM_FUNNEL_SQL,
     "hybrid_rrf": _hybrid_rrf_sql(),
+    "hard_negatives": _HARD_NEGATIVES_SQL,
 }

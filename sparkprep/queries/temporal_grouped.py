@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sparkprep.functions import numeric
-from sparkprep.operators import grouped, temporal
+from sparkprep.operators import graph, grouped, temporal
 from sparkprep.queries import t
 from sparkprep.session import tune_for_engine
 
@@ -444,6 +444,64 @@ SELECT user_id,
 FROM ranked GROUP BY user_id ORDER BY user_id
 """
 
+_MARKOV_STEPS = 3
+
+
+def q_markov_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey Markov model: event_type transition probabilities
+    fit from each user's (ts, event_id)-ordered sequence, then a 3-step
+    power iteration from the uniform start — "where does a typical
+    session sit after three clicks". The heavy work (keyed lag window +
+    transition count aggregate) runs once; the three iterations are
+    broadcast joins over the |states|^2 matrix (operators/graph)."""
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events")
+    trans = graph.transition_matrix(
+        ev, "user_id", "event_type", [F.col("ts"), F.col("event_id")]
+    )
+    states = ev.select(F.col("event_type").alias("state")).distinct()
+    dist = graph.power_iteration(trans, states, steps=_MARKOV_STEPS)
+    return dist.select(
+        F.col("state").alias("event_type"),
+        F.round("p", 6).alias("p3"),
+    )
+
+
+def _markov_sql(steps: int) -> str:
+    """Unrolled k-step oracle: one CTE per iteration, per-step round(12)
+    matching graph.power_iteration's cross-engine drift pin."""
+    iters = []
+    for i in range(1, steps + 1):
+        iters.append(
+            f"d{i} AS (\n"
+            f"  SELECT t.dst AS state, round(sum(t.p * d.p), 12) AS p\n"
+            f"  FROM trans t JOIN d{i - 1} d ON t.src = d.state GROUP BY 1\n"
+            f")"
+        )
+    return (
+        "WITH seq AS (\n"
+        "  SELECT event_type AS dst,\n"
+        "         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src\n"
+        "  FROM events\n"
+        "),\n"
+        "edges AS (\n"
+        "  SELECT src, dst, count(*) AS n FROM seq WHERE src IS NOT NULL GROUP BY 1, 2\n"
+        "),\n"
+        "trans AS (\n"
+        "  SELECT src, dst, n::DOUBLE / sum(n) OVER (PARTITION BY src) AS p FROM edges\n"
+        "),\n"
+        "states AS (SELECT DISTINCT event_type AS state FROM events),\n"
+        "d0 AS (\n"
+        "  SELECT state, round(1.0::DOUBLE / (SELECT count(*) FROM states), 12) AS p\n"
+        "  FROM states\n"
+        "),\n"
+        + ",\n".join(iters)
+        + f"\nSELECT state AS event_type, round(p, 6) AS p3 FROM d{steps}"
+    )
+
+
+_MARKOV_SQL = _markov_sql(_MARKOV_STEPS)
+
 
 QUERIES = {
     "asof_rate": q_asof_rate,
@@ -458,6 +516,7 @@ QUERIES = {
     "outlier_fences": q_outlier_fences,
     "anomaly_flags": q_anomaly_flags,
     "sequence_export": q_sequence_export,
+    "markov_3step": q_markov_3step,
 }
 
 ORACLES = {
@@ -473,4 +532,5 @@ ORACLES = {
     "outlier_fences": _OUTLIER_SQL,
     "anomaly_flags": _ANOMALY_SQL,
     "sequence_export": _SEQUENCE_SQL,
+    "markov_3step": _MARKOV_SQL,
 }

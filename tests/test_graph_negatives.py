@@ -1,0 +1,163 @@
+"""Semantics the oracles can't see for the round-3 additions:
+Markov transition fit + power iteration (vs a numpy matrix power) and
+deterministic negative mining (bucket scoping, label exclusion,
+determinism, cosine parity with numpy)."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sparkprep.operators import graph, similarity
+
+
+def _chain_df(spark):
+    # two users: A->B->A->C and B->B->A; transitions:
+    #   A->B x1, B->A x2, A->C x1, B->B x1
+    rows = []
+    for u, seq in ((1, "ABAC"), (2, "BBA")):
+        for i, s in enumerate(seq):
+            rows.append(Row(u=u, i=i, s=s))
+    return spark.createDataFrame(rows).repartition(4)
+
+
+class TestTransitionMatrix:
+    def test_counts_and_row_normalization(self, spark):
+        trans = graph.transition_matrix(_chain_df(spark), "u", "s", ["i"])
+        got = {(r["src"], r["dst"]): (r["n"], r["p"]) for r in trans.collect()}
+        assert got[("A", "B")] == (1, 0.5)
+        assert got[("A", "C")] == (1, 0.5)
+        assert got[("B", "A")] == (2, 2 / 3)
+        assert got[("B", "B")] == (1, 1 / 3)
+        assert ("C", "A") not in got  # C is terminal: no outgoing edge
+        # rows sum to 1 exactly per src
+        sums = (
+            trans.groupBy("src").agg(F.sum("p").alias("sp")).collect()
+        )
+        for r in sums:
+            assert math.isclose(r["sp"], 1.0, abs_tol=1e-12)
+
+    def test_single_event_keys_contribute_nothing(self, spark):
+        df = spark.createDataFrame([Row(u=9, i=0, s="Z")])
+        assert graph.transition_matrix(df, "u", "s", ["i"]).count() == 0
+
+
+class TestPowerIteration:
+    def test_matches_numpy_matrix_power(self, spark):
+        df = _chain_df(spark)
+        trans = graph.transition_matrix(df, "u", "s", ["i"])
+        states = df.select(F.col("s").alias("state")).distinct()
+        dist = {
+            r["state"]: r["p"]
+            for r in graph.power_iteration(trans, states, steps=3).collect()
+        }
+        # numpy reference: states A,B,C; row-stochastic P (C leaks mass)
+        idx = {"A": 0, "B": 1, "C": 2}
+        P = np.zeros((3, 3))
+        P[idx["A"], idx["B"]] = 0.5
+        P[idx["A"], idx["C"]] = 0.5
+        P[idx["B"], idx["A"]] = 2 / 3
+        P[idx["B"], idx["B"]] = 1 / 3
+        d = np.full(3, 1 / 3) @ np.linalg.matrix_power(P, 3)
+        for s, j in idx.items():
+            assert math.isclose(dist.get(s, 0.0), d[j], abs_tol=1e-9), s
+        # mass leaked through terminal C: total < 1
+        assert sum(dist.values()) < 1.0
+
+    def test_custom_init_single_mass(self, spark):
+        df = _chain_df(spark)
+        trans = graph.transition_matrix(df, "u", "s", ["i"])
+        states = df.select(F.col("s").alias("state")).distinct()
+        init = spark.createDataFrame(
+            [Row(state="A", p=1.0), Row(state="B", p=0.0), Row(state="C", p=0.0)]
+        )
+        dist = {
+            r["state"]: r["p"]
+            for r in graph.power_iteration(
+                trans, states, steps=1, init=init
+            ).collect()
+        }
+        assert math.isclose(dist["B"], 0.5, abs_tol=1e-12)
+        assert math.isclose(dist["C"], 0.5, abs_tol=1e-12)
+        assert dist.get("A", 0.0) == 0.0 or "A" not in dist
+
+
+def _emb_df(spark, n=40, dim=8, labels=4):
+    rng = np.random.RandomState(7)
+    rows = [
+        Row(
+            vec_id=i,
+            embedding=[float(x) for x in rng.normal(size=dim)],
+            label=i % labels,
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows).repartition(4)
+
+
+class TestNegativePairs:
+    def test_labels_differ_and_k_capped(self, spark):
+        out = similarity.negative_pairs(
+            _emb_df(spark), k=3, buckets=4, salt="t"
+        ).collect()
+        assert out, "expected some pairs"
+        per_anchor = {}
+        for r in out:
+            assert r["anchor_label"] != r["neg_label"]
+            per_anchor.setdefault(r["anchor_id"], []).append(r["neg_rank"])
+        for ranks in per_anchor.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+            assert len(ranks) <= 3
+
+    def test_pairs_stay_within_bucket(self, spark):
+        df = _emb_df(spark)
+        out = similarity.negative_pairs(df, k=50, buckets=4, salt="t")
+        import hashlib
+
+        def bucket(i):
+            h = hashlib.md5(f"{i}t".encode()).hexdigest()[:15]
+            return int(h, 16) % 4
+
+        for r in out.collect():
+            assert bucket(r["anchor_id"]) == bucket(r["neg_id"])
+
+    def test_deterministic_and_salt_sensitive(self, spark):
+        df = _emb_df(spark)
+        a = sorted(
+            (r["anchor_id"], r["neg_id"])
+            for r in similarity.negative_pairs(df, k=2, salt="s1").collect()
+        )
+        b = sorted(
+            (r["anchor_id"], r["neg_id"])
+            for r in similarity.negative_pairs(
+                df.repartition(7), k=2, salt="s1"
+            ).collect()
+        )
+        c = sorted(
+            (r["anchor_id"], r["neg_id"])
+            for r in similarity.negative_pairs(df, k=2, salt="s2").collect()
+        )
+        assert a == b  # layout-independent
+        assert a != c  # a new salt re-deals
+
+    def test_cosine_matches_numpy(self, spark):
+        df = _emb_df(spark, n=20)
+        vecs = {r["vec_id"]: np.array(r["embedding"]) for r in df.collect()}
+        for r in similarity.negative_pairs(df, k=2, buckets=2).collect():
+            va, vb = vecs[r["anchor_id"]], vecs[r["neg_id"]]
+            want = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+            assert math.isclose(r["cosine"], round(want, 4), abs_tol=1e-9)
+
+    def test_null_labels_never_pair(self, spark):
+        rows = [
+            Row(vec_id=i, embedding=[1.0, float(i)], label=(None if i < 5 else i % 2))
+            for i in range(10)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id: long, embedding: array<double>, label: int"
+        )
+        out = similarity.negative_pairs(df, k=10, buckets=1).collect()
+        ids = {r["anchor_id"] for r in out} | {r["neg_id"] for r in out}
+        assert all(i >= 5 for i in ids)
