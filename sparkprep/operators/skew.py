@@ -87,3 +87,42 @@ def salted_join(
     )
     out = l_salted.join(r_replicated, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    top: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Heavy-key diagnosis BEFORE a join/agg melts an executor: the
+    ``top`` hottest keys with their row count, share of the table, and
+    skew factor (count ÷ the mean per-key load — a factor of 40 says
+    that key's shuffle partition does 40 keys' worth of work). Feed the
+    offenders to :func:`salted_agg`/:func:`salted_join` or AQE skew
+    handling.
+
+    Shape: one map-combined count aggregate; the top-k runs as
+    TakeOrderedAndProject over the per-key frame (count desc, key asc —
+    deterministic under ties); totals reduce the SAME aggregated frame
+    to one row, so AQE reuses the count exchange rather than rescanning
+    the table, and the 1-row frame broadcast-attaches to the k survivors
+    (the sanctioned tiny-broadcast cross pattern).
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.agg(
+        F.sum("n").alias("__total"), F.count(F.lit(1)).alias("__nkeys")
+    )
+    topk = counts.orderBy(F.desc("n"), F.asc("key")).limit(top)
+    return topk.join(F.broadcast(totals)).select(
+        "key",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.try_divide(F.col("n"), F.col("__total")), round_to).alias(
+            "share"
+        ),
+        F.round(
+            F.try_divide(F.col("n") * F.col("__nkeys"), F.col("__total")), 4
+        ).alias("skew_factor"),
+    )

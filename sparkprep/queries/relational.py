@@ -404,6 +404,32 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-key diagnosis on orders.o_custkey: the 10 hottest keys
+    with share-of-table and skew factor (count ÷ mean per-key load) —
+    the report that decides whether a join needs salting or AQE skew
+    handling BEFORE it runs (operators/skew.key_skew_report: one count
+    aggregate, TakeOrdered top-k, 1-row totals attach with the count
+    exchange reused)."""
+    orders = t(spark, sf_dir, "orders")
+    from sparkprep.operators.skew import key_skew_report
+
+    return key_skew_report(orders, "o_custkey", top=10)
+
+
+_KEY_SKEW_SQL = """
+WITH counts AS (
+  SELECT o_custkey AS key, count(*) AS n FROM orders GROUP BY 1
+),
+tot AS (SELECT sum(n) AS total, count(*) AS nkeys FROM counts)
+SELECT key, n::BIGINT AS n,
+       round(n / total, 6) AS share,
+       round(n * nkeys / total, 4) AS skew_factor
+FROM counts, tot
+ORDER BY n DESC, key LIMIT 10
+"""
+
+
 def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (1 h width, 30 min slide): every event lands in
     two overlapping windows. Oracle mirrors via a union of the two
@@ -1511,6 +1537,7 @@ QUERIES = {
     "stats_extended": q_stats_extended,
     "confusion_metrics": q_confusion_metrics,
     "salted_agg": q_salted_agg,
+    "key_skew": q_key_skew,
     "sql_view": q_sql_view,
     "rollup": q_rollup,
     "grouping_sets": q_grouping_sets,
@@ -1556,6 +1583,7 @@ ORACLES = {
     "stats_extended": _STATS_EXTENDED_SQL,
     "confusion_metrics": _CONFUSION_SQL,
     "salted_agg": _SALTED_AGG_SQL,
+    "key_skew": _KEY_SKEW_SQL,
     "sql_view": _SQL_VIEW_SQL,
     "rollup": _ROLLUP_SQL,
     "grouping_sets": _GROUPING_SETS_SQL,

@@ -834,6 +834,53 @@ FROM scored
 """
 
 
+def q_auc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the distilled logistic quality score against the
+    gopher rule gate — the one-number answer to "does the cheap model
+    rank documents the way the expensive rule stack labels them"
+    (complements score_calibration's per-bucket view). Computed at
+    1000-bin granularity (features.binned_auc): one map-combined
+    groupBy, cumulative rank structure over the ≤1000-row aggregated
+    frame, mid-rank tie convention. The score is rounded at 6 before
+    binning, matching the calibration query's contract."""
+    from sparkprep.operators.features import binned_auc
+
+    docs = t(spark, sf_dir, "documents")
+    sig = tx.gopher_quality_flags(docs, "text", required_stopwords=_EN)
+    z = _logit_z()
+    scored = sig.select(
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+        F.col("pass"),
+    )
+    return binned_auc(scored, "score", "pass", bins=1000)
+
+
+_AUC_QUALITY_SQL = rf"""
+WITH {_GOPHER_SIG_CTES},
+scored AS (
+  SELECT round(1.0 / (1.0 + exp(-{_LOGIT_Z_SQL})), 6) AS score,
+         {_GOPHER_GATE_SQL} AS pass
+  FROM sig
+),
+binned AS (
+  SELECT least(greatest(floor(score * 1000), 0), 999)::BIGINT AS b,
+         sum(CASE WHEN pass THEN 1 ELSE 0 END) AS pos,
+         sum(CASE WHEN pass THEN 0 ELSE 1 END) AS neg
+  FROM scored WHERE score IS NOT NULL GROUP BY 1
+),
+cum AS (
+  SELECT pos, neg,
+         coalesce(sum(neg) OVER (ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+  FROM binned
+)
+SELECT round((sum(pos * neg_below) + 0.5 * sum(pos * neg))
+             / (sum(pos) * sum(neg)), 6) AS auc,
+       sum(pos)::BIGINT AS n_pos, sum(neg)::BIGINT AS n_neg
+FROM cum
+"""
+
+
 _SCORE_CALIBRATION_SQL = rf"""
 WITH {_GOPHER_SIG_CTES},
 scored AS (
@@ -855,6 +902,7 @@ QUERIES = {
     "quality_logit": q_quality_logit,
     "pii_census": q_pii_census,
     "score_calibration": q_score_calibration,
+    "auc_quality": q_auc_quality,
     "length_histogram": q_length_histogram,
     "lang_id_ngram": q_lang_id_ngram,
     "token_modes": q_token_modes,
@@ -882,6 +930,7 @@ ORACLES = {
     "quality_logit": _QUALITY_LOGIT_SQL,
     "pii_census": _PII_CENSUS_SQL,
     "score_calibration": _SCORE_CALIBRATION_SQL,
+    "auc_quality": _AUC_QUALITY_SQL,
     "length_histogram": _LENGTH_HISTOGRAM_SQL,
     "lang_id_ngram": _lang_ngram_sql(),
     "token_modes": _TOKEN_MODES_SQL,

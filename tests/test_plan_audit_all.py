@@ -47,6 +47,7 @@ _TINY_BROADCAST_CROSS = {
     "minmax_normalize",  # 1-row fused min/max scalar frame attach
     "ep1_prep",          # same scalar-attach inside the EP1 chain
     "hybrid_rrf",        # dense leg = 1 query vector broadcast x corpus
+    "key_skew",          # 1-row totals frame attach to the top-k keys
 }
 
 # the one deliberate Python-row-path showcase: a Python UDTF (SURVEY
