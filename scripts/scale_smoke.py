@@ -235,6 +235,32 @@ def main() -> None:
             similarity.topk_ranked(
                 rows.select("k", (1000.0 - F.col("v")).alias("w")), "w", "k", 1000),
         ], "k")))
+
+    # --- round-3 session-4 additions ----------------------------------
+    from sparkprep.operators import graph
+    from sparkprep.operators.features import binned_auc
+    from sparkprep.operators.skew import key_skew_report
+
+    # 1000 keys x ~num_rows/1000 steps; 16 states — one lag window + one
+    # count agg dominates; the 3 iterations touch 16^2 rows
+    chain = rows.select("g", "k", F.pmod("k", 16).cast("string").alias("st"))
+    bench("markov fit + 3-step iterate", lambda: materialize(
+        graph.power_iteration(
+            graph.transition_matrix(chain, "g", "st", ["k"]),
+            chain.select(F.col("st").alias("state")).distinct(),
+            steps=3)))
+    # negatives: BUCKETS MUST SCALE WITH N (pairs ~ n^2/buckets); hold
+    # the per-anchor candidate pool at ~25 rows
+    neg_buckets = max(8, num_docs // 25)
+    labeled = vecs.withColumn("label", F.pmod("vec_id", 16))
+    bench(f"negative mining ({neg_buckets} buckets)", lambda: materialize(
+        similarity.negative_pairs(labeled, k=3, buckets=neg_buckets)))
+    scored = rows.select(
+        (F.col("v") / 1000.0).alias("score"), (F.pmod("k", 3) == 0).alias("y"))
+    bench("binned AUC (10M rows)", lambda: materialize(
+        binned_auc(scored, "score", "y")))
+    bench("key-skew report (1000 keys)", lambda: materialize(
+        key_skew_report(rows, "g", top=20)))
     spark.stop()
 
 

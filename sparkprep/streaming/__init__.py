@@ -10,3 +10,8 @@ from sparkprep.streaming.events import (  # noqa: F401
     sessionize_stream,
     windowed_agg_stream,
 )
+from sparkprep.streaming.scd import (  # noqa: F401
+    foreach_batch_scd2,
+    init_dimension,
+    read_dimension,
+)
