@@ -312,3 +312,60 @@ def cdc_extract(
             *[expr.alias(c) for c, expr in out_val.items()],
         )
     )
+
+
+def merge_aggregates(
+    base: DataFrame,
+    delta: DataFrame,
+    key_cols: list[str],
+    measures: "dict[str, str]",
+) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: fold a delta's
+    per-key partial aggregates into an existing aggregate table without
+    rescanning the base fact data — the mergeable-measure property
+    (count/sum/min/max; derive avg as merged sum ÷ merged count
+    downstream) that keeps a 100 TB rollup maintainable at the cost of
+    one day's delta. Both inputs are ALREADY-AGGREGATED frames with the
+    same schema (aggregate the raw delta with the identical measure
+    definitions first); the merge is one full-outer join on the key —
+    the only shuffle is over the two aggregate tables, which are
+    orders of magnitude smaller than the facts. Exactness: counts and
+    DECIMAL sums merge exactly (addition is associative); double sums
+    merge to within summation-order noise — use decimal measures when
+    the maintained view must equal a full recompute bit-for-bit.
+
+    ``measures`` maps column → kind: 'sum'/'count' add (NULL on a side
+    means the key is absent there → identity 0; both NULL stays NULL,
+    matching what a full recompute of an all-NULL group returns);
+    'min'/'max' merge via least/greatest, whose NULL-skipping is
+    exactly absent-side identity here.
+    """
+    kinds = {"sum", "count", "min", "max"}
+    bad = {c: k for c, k in measures.items() if k not in kinds}
+    if bad:
+        raise ValueError(f"unknown measure kinds: {bad} (want {kinds})")
+    d = delta.select(
+        *[F.col(k).alias(f"__d_{k}") for k in key_cols],
+        *[F.col(c).alias(f"__d_{c}") for c in measures],
+    )
+    cond = None
+    for k in key_cols:
+        eq = base[k].eqNullSafe(d[f"__d_{k}"])
+        cond = eq if cond is None else cond & eq
+    j = base.join(d, cond, "full_outer")
+    out = [
+        F.coalesce(base[k], d[f"__d_{k}"]).alias(k) for k in key_cols
+    ]
+    for c, kind in measures.items():
+        a, b = base[c], d[f"__d_{c}"]
+        if kind in ("sum", "count"):
+            zero = F.lit(0).cast(base.schema[c].dataType)
+            merged = F.when(a.isNull() & b.isNull(), F.lit(None)).otherwise(
+                F.coalesce(a, zero) + F.coalesce(b, zero)
+            )
+        elif kind == "min":
+            merged = F.least(a, b)
+        else:
+            merged = F.greatest(a, b)
+        out.append(merged.alias(c))
+    return j.select(*out)

@@ -441,8 +441,69 @@ ORDER BY doc_id
 """
 
 
+def q_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the events rollup
+    per (event_type, day), maintained by merging an 80% "base" partial
+    aggregate with a 20% "delta" partial aggregate instead of
+    rescanning everything (transform.merge_aggregates). The oracle is
+    the full recompute over ALL events — the merge must be
+    indistinguishable from it: counts/min/max merge exactly, and the
+    money sum goes through DECIMAL(18,4) so addition is associative
+    (a double sum would differ by grouping order). The 80/20 split is
+    md5-deterministic on event_id, so both engines can draw it."""
+    from sparkprep.operators import transform
+    from sparkprep.operators.dedup import string_to_int_hash
+    from sparkprep.session import tune_for_engine
+
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.col("value").cast("decimal(18,4)").alias("__vd"),
+        F.col("value").alias("__v"),
+        (string_to_int_hash(F.col("event_id").cast("string")) % 10).alias(
+            "__bucket"
+        ),
+    )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", "day").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__vd").alias("total"),
+            F.min("__v").alias("vmin"),
+            F.max("__v").alias("vmax"),
+        )
+
+    merged = transform.merge_aggregates(
+        rollup(ev.filter(F.col("__bucket") < 8)),
+        rollup(ev.filter(F.col("__bucket") >= 8)),
+        ["event_type", "day"],
+        {"n": "sum", "total": "sum", "vmin": "min", "vmax": "max"},
+    )
+    return merged.select(
+        "event_type",
+        "day",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("total").cast("double"), 4).alias("total"),
+        F.round("vmin", 4).alias("vmin"),
+        F.round("vmax", 4).alias("vmax"),
+    )
+
+
+_INCR_AGG_SQL = """
+SELECT event_type,
+       strftime(ts::TIMESTAMP, '%Y-%m-%d') AS day,
+       count(*)::BIGINT AS n,
+       round(sum(value::DECIMAL(18,4))::DOUBLE, 4) AS total,
+       round(min(value), 4) AS vmin,
+       round(max(value), 4) AS vmax
+FROM events GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "embedding_quantize": q_embedding_quantize,
+    "incr_agg": q_incr_agg,
     "approx_distinct": q_approx_distinct,
     "approx_quantiles": q_approx_quantiles,
     "train_mix": q_train_mix,
@@ -456,6 +517,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "incr_agg": _INCR_AGG_SQL,
     "embedding_quantize": _EMBEDDING_QUANTIZE_SQL,
     # approx_distinct / approx_quantiles: rows-only by design (sketch
     # values are engine-specific; bounds verified in tests/test_sketches.py)
