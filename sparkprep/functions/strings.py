@@ -86,3 +86,43 @@ def ordered_join(rank_col, payload_col, sep: str = ",") -> Column:
         lambda s: s["p"],
     )
     return F.array_join(ordered, sep)
+
+
+def canonical_url(c) -> Column:
+    """Crawl-prep URL canonicalization, pure column expressions: strip
+    fragment and scheme; lowercase the host, drop ``www.`` and default
+    ports (:80/:443); drop a trailing ``/index.html`` and trailing
+    slash; drop tracking params (utm_*, fbclid, gclid, ref) and SORT
+    the survivors so param order can't split a dup group. The result is
+    a JOIN/GROUP KEY for dedup and per-site rollups — not a fetchable
+    URL (scheme is gone by design).
+
+    Every regex is anchored/single-match, so Spark's replace-all and
+    DuckDB's replace-first semantics agree; the param array is tiny, so
+    the interpreted HOF filter/sort is immaterial.
+    """
+    u = F.regexp_replace(F.trim(_col(c)), r"#.*$", "")
+    u = F.regexp_replace(u, r"(?i)^[a-z][a-z0-9+.-]*://", "")
+    host = F.lower(F.regexp_extract(u, r"^([^/?]+)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    rest = F.regexp_replace(u, r"^[^/?]+", "")
+    path = F.regexp_replace(rest, r"\?.*$", "")
+    query = F.when(
+        rest.rlike(r"\?"), F.regexp_replace(rest, r"^[^?]*\?", "")
+    ).otherwise(F.lit(""))
+    path = F.regexp_replace(path, r"/index\.html?$", "/")
+    path = F.when(path == "/", F.lit("")).otherwise(
+        F.regexp_replace(path, r"/$", "")
+    )
+    params = F.filter(
+        F.split(query, "&"),
+        lambda x: (x != "")
+        & ~x.rlike(r"^(utm_[^=]*|fbclid|gclid|ref)="),
+    )
+    q2 = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        host,
+        path,
+        F.when(q2 != "", F.concat(F.lit("?"), q2)).otherwise(F.lit("")),
+    )

@@ -405,8 +405,106 @@ FROM documents
 """
 
 
+def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over deterministically synthesized crawl
+    variants: per group of 4 docs, three spellings of the same page
+    (plain https / uppercase-scheme+www+trailing-slash / default-port+
+    utm tracking param) must collapse to ONE canonical key, while the
+    fourth (real query params, reordered) stays distinct with its
+    params sorted. n_variants counts the dup group via a canonical-
+    keyed window (functions/strings.canonical_url)."""
+    from pyspark.sql.window import Window
+
+    from sparkprep.functions.strings import canonical_url
+
+    docs = t(spark, sf_dir, "documents")
+    n = F.expr("doc_id div 4").cast("string")
+    m = F.col("doc_id") % 4
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://example.com/articles/"), n))
+        .when(
+            m == 1,
+            F.concat(F.lit("HTTP://WWW.Example.com/articles/"), n, F.lit("/")),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("https://example.com:443/articles/"),
+                n,
+                F.lit("?utm_source=feed"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://example.com/articles/"), n, F.lit("?b=2&a=1#frag")
+            )
+        )
+    )
+    canon = docs.select(
+        "doc_id", canonical_url(url).alias("canonical")
+    )
+    w = Window.partitionBy("canonical")
+    return canon.select(
+        "doc_id",
+        "canonical",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_variants"),
+    )
+
+
+_URL_CANON_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         CASE (doc_id % 4)
+           WHEN 0 THEN 'https://example.com/articles/' || (doc_id // 4)::VARCHAR
+           WHEN 1 THEN 'HTTP://WWW.Example.com/articles/' || (doc_id // 4)::VARCHAR || '/'
+           WHEN 2 THEN 'https://example.com:443/articles/' || (doc_id // 4)::VARCHAR || '?utm_source=feed'
+           ELSE 'http://example.com/articles/' || (doc_id // 4)::VARCHAR || '?b=2&a=1#frag'
+         END AS url
+  FROM documents
+),
+s2 AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(trim(url), '#.*$', ''),
+                        '(?i)^[a-z][a-z0-9+.-]*://', '') AS u
+  FROM base
+),
+parts AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(
+           lower(regexp_extract(u, '^([^/?]+)', 1)), '^www\.', ''),
+           ':(80|443)$', '') AS host,
+         regexp_replace(u, '^[^/?]+', '') AS rest
+  FROM s2
+),
+pq AS (
+  SELECT doc_id, host,
+         regexp_replace(regexp_replace(rest, '\?.*$', ''),
+                        '/index\.html?$', '/') AS p1,
+         CASE WHEN regexp_matches(rest, '\?')
+              THEN regexp_replace(rest, '^[^?]*\?', '') ELSE '' END AS query
+  FROM parts
+),
+norm AS (
+  SELECT doc_id, host,
+         CASE WHEN p1 = '/' THEN '' ELSE regexp_replace(p1, '/$', '') END AS path,
+         array_to_string(list_sort(list_filter(string_split(query, '&'),
+           x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS q2
+  FROM pq
+),
+canon AS (
+  SELECT doc_id,
+         host || path || CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END AS canonical
+  FROM norm
+)
+SELECT doc_id, canonical,
+       count(*) OVER (PARTITION BY canonical)::BIGINT AS n_variants
+FROM canon
+"""
+
+
 QUERIES = {
     "span_dedup": q_span_dedup,
+    "url_canon": q_url_canon,
     "keep_best": q_keep_best,
     "mix_weights": q_mix_weights,
     "bigram_lm": q_bigram_lm,
@@ -420,6 +518,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "url_canon": _URL_CANON_SQL,
     "span_dedup": _SPAN_DEDUP_SQL,
     "keep_best": _KEEP_BEST_SQL,
     "mix_weights": _MIX_WEIGHTS_SQL,

@@ -198,3 +198,30 @@ def test_cli_list_and_oracle(capsys):
     assert "GROUP BY token" in capsys.readouterr().out
     assert main(["run", "nope_not_a_query"]) == 2
     assert main(["oracle", "approx_distinct"]) == 1  # rows-only
+
+
+def test_canonical_url_edges(spark):
+    from pyspark.sql import Row
+
+    from sparkprep.functions.strings import canonical_url
+
+    cases = [
+        # (raw, canonical)
+        ("https://example.com", "example.com"),
+        ("http://WWW.EXAMPLE.com/", "example.com"),
+        ("https://example.com:443/a/index.html", "example.com/a"),
+        ("http://example.com:80/a/", "example.com/a"),
+        ("https://example.com:8080/a", "example.com:8080/a"),  # non-default port kept
+        ("https://example.com/A/B", "example.com/A/B"),  # path case preserved
+        ("https://example.com/p?utm_source=x&b=2&a=1#frag", "example.com/p?a=1&b=2"),
+        ("https://example.com/p?utm_campaign=x&gclid=1&ref=rss", "example.com/p"),
+        ("ftp://files.example.com/pub", "files.example.com/pub"),
+        ("example.com/no-scheme?z=1&y=2", "example.com/no-scheme?y=2&z=1"),
+    ]
+    df = spark.createDataFrame([Row(i=i, url=u) for i, (u, _) in enumerate(cases)])
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonical_url("url").alias("c")).collect()
+    }
+    for i, (raw, want) in enumerate(cases):
+        assert got[i] == want, (raw, got[i], want)
