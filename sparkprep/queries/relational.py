@@ -894,6 +894,40 @@ GROUP BY o.o_orderstatus, bucket
 """
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type percentile clipping of events.value at [p05, p95]
+    (numeric.winsorize): robust-scaling prep with the same broadcast-
+    back shape as quantile_buckets — cutoffs are one tiny aggregate,
+    the clip is a codegen'd expression, no global sort. The oracle
+    re-derives the cutoffs with quantile_cont (same linear
+    interpolation as Spark's percentile) and re-applies the clip."""
+    ev = t(spark, sf_dir, "events")
+    out = numeric.winsorize(
+        ev, "value", group_col="event_type", lower=0.05, upper=0.95
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        F.round("value_wins", 4).alias("value_wins"),
+    )
+
+
+_WINSORIZE_SQL = """
+WITH cuts AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type,
+       round(value, 4) AS value,
+       round(CASE WHEN value IS NULL THEN NULL
+                  ELSE least(greatest(value, lo), hi) END, 4) AS value_wins
+FROM events e JOIN cuts USING (event_type)
+"""
+
+
 def q_pivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide pivot (reference-absent): order revenue by status ×
     priority, compiled as conditional aggregation — ONE hash aggregate
@@ -1544,6 +1578,7 @@ QUERIES = {
     "pivot_priority": q_pivot_priority,
     "local_supplier_volume": q_local_supplier_volume,
     "quantile_buckets": q_quantile_buckets,
+    "winsorize": q_winsorize,
     "json_props": q_json_props,
     "promo_share": q_promo_share,
     "big_orders": q_big_orders,
@@ -1590,6 +1625,7 @@ ORACLES = {
     "pivot_priority": _PIVOT_SQL,
     "local_supplier_volume": _LOCAL_SUPPLIER_SQL,
     "quantile_buckets": _QUANTILE_BUCKETS_SQL,
+    "winsorize": _WINSORIZE_SQL,
     "json_props": _JSON_PROPS_SQL,
     "promo_share": _PROMO_SHARE_SQL,
     "big_orders": _BIG_ORDERS_SQL,

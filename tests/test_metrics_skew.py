@@ -94,3 +94,32 @@ class TestKeySkewReport:
         df = spark.createDataFrame(rows)
         got = [r["key"] for r in key_skew_report(df, "k", top=4).collect()]
         assert got == ["k0", "k1", "k2", "k3"]  # equal counts -> key asc
+
+
+class TestWinsorize:
+    def test_clip_bounds_and_nulls(self, spark):
+        from pyspark.sql import Row
+
+        from sparkprep.functions.numeric import winsorize
+
+        rows = [Row(g="a", v=float(i)) for i in range(101)] + [
+            Row(g="a", v=None)
+        ]
+        df = spark.createDataFrame(rows, "g: string, v: double")
+        out = winsorize(df, "v", group_col="g", lower=0.1, upper=0.9)
+        vals = [(r["v"], r["v_wins"]) for r in out.collect()]
+        # exact percentiles of 0..100 at 0.1/0.9 are 10 and 90
+        for v, w in vals:
+            if v is None:
+                assert w is None  # NULL never clips to the lower bound
+            else:
+                assert w == min(max(v, 10.0), 90.0)
+
+    def test_global_no_group(self, spark):
+        from pyspark.sql import Row
+
+        from sparkprep.functions.numeric import winsorize
+
+        df = spark.createDataFrame([Row(v=float(i)) for i in range(11)])
+        out = winsorize(df, "v", lower=0.0, upper=0.5)
+        assert max(r["v_wins"] for r in out.collect()) == 5.0

@@ -240,7 +240,16 @@ def test_rotation_safety_net_reads_driver_verdicts():
     if any(f.startswith("CORRECTNESS_r") for f in os.listdir(root)):
         assert seen, "driver verdict files exist but none were read"
     q = list(registry()[0])
-    assert [n for n in q[50:] if n not in seen] == []
+    overflow = [n for n in q[50:] if n not in seen]
+    if overflow:
+        # more never-verified queries than window slots is legal ONLY
+        # when every slot is itself spent on a never-verified query —
+        # a verified query occupying a slot while one waits outside
+        # means the rotation is broken
+        wasted = [n for n in q[:50] if n in seen]
+        assert not wasted, (
+            f"verified {wasted} hold window slots while {overflow} wait"
+        )
 
 
 class TestScd2NullKey:
