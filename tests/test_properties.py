@@ -295,3 +295,58 @@ def test_cdc_closure_property(spark, old_rows, new_rows):
     # and the feed is minimal: no record for unchanged keys
     unchanged = {k for k in old_d if k in new_d and old_d[k] == new_d[k]}
     assert not [r for r in feed.collect() if r.k in unchanged]
+
+
+_seg = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789-", min_size=1, max_size=8)
+_pkey = _seg.filter(lambda k: k not in ("fbclid", "gclid", "ref"))
+
+
+@st.composite
+def _url_variants(draw):
+    """A canonical page plus two randomly-decorated spellings of it:
+    scheme case, www., default port, trailing slash, /index.html,
+    tracking params, param order, fragment — all things canonical_url
+    must erase."""
+    host = draw(_seg) + ".example.com"
+    segs = draw(st.lists(_seg, max_size=3))
+    params = draw(
+        st.dictionaries(_pkey, _seg, max_size=3)
+    )
+
+    def variant():
+        scheme = draw(st.sampled_from(["http://", "https://", "HTTP://", "HTTPS://", ""]))
+        www = draw(st.sampled_from(["", "www."]))
+        port = draw(st.sampled_from(["", ":80", ":443"]))
+        path = "".join(f"/{s}" for s in segs)
+        tail = draw(st.sampled_from(["", "/", "/index.html"]))
+        track = draw(
+            st.lists(
+                st.sampled_from(["utm_source=x", "utm_c=y", "fbclid=1", "gclid=2", "ref=rss"]),
+                max_size=2,
+            )
+        )
+        plist = [f"{k}={v}" for k, v in params.items()] + track
+        order = draw(st.permutations(plist)) if plist else []
+        query = "?" + "&".join(order) if order else ""
+        frag = draw(st.sampled_from(["", "#top", "#a=b"]))
+        return f"{scheme}{www}{host}{port}{path}{tail}{query}{frag}"
+
+    return variant(), variant()
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_url_variants(), min_size=1, max_size=8))
+def test_canonical_url_variant_invariance_and_fixpoint(spark, pairs):
+    rows = [(i, a, b) for i, (a, b) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, ["i", "a", "b"])
+    out = df.select(
+        "i",
+        strings.canonical_url("a").alias("ca"),
+        strings.canonical_url("b").alias("cb"),
+        strings.canonical_url(strings.canonical_url("a")).alias("caa"),
+    ).collect()
+    for r in out:
+        # every decoration of the same page collapses to one key
+        assert r["ca"] == r["cb"], (pairs[r["i"]], r["ca"], r["cb"])
+        # and the key is a fixpoint of the canonicalizer
+        assert r["caa"] == r["ca"]
