@@ -14,7 +14,6 @@ Demonstrates the two halves of "don't rescan the warehouse":
   mergeable; DECIMAL sums keep the merge bit-exact).
 """
 
-import glob
 import os
 import shutil
 import sys
@@ -33,13 +32,7 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
 
 def land(df, in_dir, name):
-    """CDC files must land FLAT (the file stream source lists the input
-    directory non-recursively)."""
-    stage = os.path.join(os.path.dirname(in_dir), f"stage-{name}")
-    df.coalesce(1).write.parquet(stage)
-    for i, p in enumerate(sorted(glob.glob(os.path.join(stage, "part-*.parquet")))):
-        shutil.copy(p, os.path.join(in_dir, f"{name}-{i}.parquet"))
-    shutil.rmtree(stage)
+    scd.land_cdc_files(df, in_dir, name)
 
 
 if __name__ == "__main__":

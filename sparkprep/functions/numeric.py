@@ -113,9 +113,19 @@ def quantile_bucket(
         cutoffs = df.agg(*cuts)
         joined = df.join(F.broadcast(cutoffs))
     else:
-        cutoffs = df.groupBy(group_col).agg(*cuts)
-        joined = df.join(F.broadcast(cutoffs), group_col)
+        joined = _attach_group_scalars(df, df.groupBy(group_col).agg(*cuts), group_col)
     return joined.withColumn(out_col, cases).drop(*drop)
+
+
+def _attach_group_scalars(df: DataFrame, cuts: DataFrame, group_col: str) -> DataFrame:
+    """Broadcast-join per-group scalar cutoffs back NULL-SAFELY: a plain
+    name join is an EqualTo where NULL never matches, so NULL-group
+    rows would silently VANISH from the output (not pass through, not
+    clip) — groupBy made them a cutoffs row, the join must reach it."""
+    renamed = cuts.withColumnRenamed(group_col, "__g")
+    return df.join(
+        F.broadcast(renamed), F.col(group_col).eqNullSafe(F.col("__g")), "left"
+    ).drop("__g")
 
 
 def iqr_outlier_report(
@@ -184,7 +194,9 @@ def winsorize(
     ``percentile_approx`` (the exact form is a per-group sort; kept
     here because the oracle checks the cutoffs exactly).
 
-    NULL values stay NULL — the naive ``least(greatest(x, lo), hi)``
+    NULL values stay NULL and NULL-GROUP rows clip against their own
+    group's cutoffs (null-safe join-back — a plain equi-join would
+    silently drop them). The naive ``least(greatest(x, lo), hi)``
     would CLIP NULL to the lower bound, because least/greatest skip
     NULLs in both engines (the documented landmine).
     """
@@ -200,5 +212,7 @@ def winsorize(
     if group_col is None:
         joined = df.join(F.broadcast(df.agg(*cuts)))
     else:
-        joined = df.join(F.broadcast(df.groupBy(group_col).agg(*cuts)), group_col)
+        joined = _attach_group_scalars(
+            df, df.groupBy(group_col).agg(*cuts), group_col
+        )
     return joined.withColumn(out_col, clipped).drop("__lo", "__hi")

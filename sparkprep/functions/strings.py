@@ -112,9 +112,10 @@ def canonical_url(c) -> Column:
         rest.rlike(r"\?"), F.regexp_replace(rest, r"^[^?]*\?", "")
     ).otherwise(F.lit(""))
     path = F.regexp_replace(path, r"/index\.html?$", "/")
-    path = F.when(path == "/", F.lit("")).otherwise(
-        F.regexp_replace(path, r"/$", "")
-    )
+    # /+ not /: a doubled trailing slash must land in the same group as
+    # the single-slash spelling, and the canonical form must be a
+    # FIXPOINT ('a//' -> 'a/' -> 'a' would change on re-application)
+    path = F.regexp_replace(path, r"/+$", "")
     params = F.filter(
         F.split(query, "&"),
         lambda x: (x != "")

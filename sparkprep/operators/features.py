@@ -255,8 +255,11 @@ def binned_auc(
     the bin's label mix, shrink by raising ``bins``).
 
     Scores are assumed in [0, 1] (probability-like); values outside are
-    clamped to the edge bins, NULL scores are excluded (can't be
-    ranked). Returns one row: (auc, n_pos, n_neg); auc is NULL when
+    clamped to the edge bins. NULL scores are excluded (can't be
+    ranked), and so are NULL LABELS (an unknown class is neither pos
+    nor neg — an SQL twin written as CASE WHEN label THEN 1 ELSE 0
+    would count them negative; mirror the filter, n_pos + n_neg may be
+    < the row count). Returns one row: (auc, n_pos, n_neg); auc is NULL when
     either class is empty (try_divide — matching SQL's x/0). The bin
     products stay exact in int64/double up to ~10^15 rows; past that,
     cast the sums to DECIMAL before the final division.
@@ -269,7 +272,7 @@ def binned_auc(
     )
     y = F.col(label_col).cast("int")
     binned = (
-        df.filter(F.col(score_col).isNotNull())
+        df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
         .select(b.alias("__b"), y.alias("__y"))
         .groupBy("__b")
         .agg(

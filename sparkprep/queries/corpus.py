@@ -486,7 +486,7 @@ pq AS (
 ),
 norm AS (
   SELECT doc_id, host,
-         CASE WHEN p1 = '/' THEN '' ELSE regexp_replace(p1, '/$', '') END AS path,
+         regexp_replace(p1, '/+$', '') AS path,
          array_to_string(list_sort(list_filter(string_split(query, '&'),
            x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS q2
   FROM pq

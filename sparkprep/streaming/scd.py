@@ -107,5 +107,44 @@ def foreach_batch_scd2(
             os.path.join(store_dir, new_snap)
         )
         _write_pointer(store_dir, new_snap)
+        _prune_snapshots(store_dir, keep_from=committed_id)
 
     return sink
+
+
+def land_cdc_files(df: DataFrame, in_dir: str, name: str) -> None:
+    """Land a CDC batch as FLAT parquet part-files in the stream's
+    input dir. The file streaming source lists its directory
+    NON-recursively, so the obvious ``df.write.parquet(in_dir/x)``
+    creates a nested directory the stream silently never sees (zero
+    batches fired) — stage the write elsewhere and copy the part-files
+    up. One helper so every caller shares the workaround (and its
+    removal, if the source ever gains recursive lookup)."""
+    import glob
+    import shutil
+
+    stage = os.path.join(os.path.dirname(in_dir.rstrip("/")), f"__stage-{name}")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    for i, part in enumerate(
+        sorted(glob.glob(os.path.join(stage, "part-*.parquet")))
+    ):
+        shutil.copy(part, os.path.join(in_dir, f"{name}-{i}.parquet"))
+    shutil.rmtree(stage)
+
+
+def _prune_snapshots(store_dir: str, keep_from: int) -> None:
+    """Delete snapshots older than the PREVIOUS commit (current +
+    previous stay, for crash safety around the pointer swap) — without
+    retention, a long-running stream holds one full dimension copy per
+    micro-batch and the store grows without bound."""
+    import shutil
+
+    for name in os.listdir(store_dir):
+        if not name.startswith("snap-"):
+            continue
+        try:
+            sid = int(name[len("snap-"):])
+        except ValueError:
+            continue
+        if sid < keep_from:
+            shutil.rmtree(os.path.join(store_dir, name), ignore_errors=True)

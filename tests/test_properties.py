@@ -318,7 +318,7 @@ def _url_variants(draw):
         www = draw(st.sampled_from(["", "www."]))
         port = draw(st.sampled_from(["", ":80", ":443"]))
         path = "".join(f"/{s}" for s in segs)
-        tail = draw(st.sampled_from(["", "/", "/index.html"]))
+        tail = draw(st.sampled_from(["", "/", "//", "/index.html"]))
         track = draw(
             st.lists(
                 st.sampled_from(["utm_source=x", "utm_c=y", "fbclid=1", "gclid=2", "ref=rss"]),

@@ -44,16 +44,7 @@ def _updates(spark, rows):
 
 
 def _land(spark, rows, in_dir, name):
-    """Land a CDC batch as FLAT parquet part-files (the file stream
-    source lists the directory non-recursively; a nested
-    df.write.parquet dir would be invisible)."""
-    import glob
-
-    stage = os.path.join(os.path.dirname(in_dir), f"stage-{name}")
-    _updates(spark, rows).coalesce(1).write.parquet(stage)
-    for i, part in enumerate(sorted(glob.glob(os.path.join(stage, "part-*.parquet")))):
-        shutil.copy(part, os.path.join(in_dir, f"{name}-{i}.parquet"))
-    shutil.rmtree(stage)
+    scd.land_cdc_files(_updates(spark, rows), in_dir, name)
 
 
 def _drain(spark, dirs):
@@ -103,6 +94,12 @@ class TestStreamingScd2:
         k1 = got.filter(F.col("k") == 1)
         assert k1.count() == 3
         assert k1.filter("is_current").collect()[0]["city"] == "x2"
+        # retention: only current + previous snapshots survive — without
+        # pruning the store holds one full dimension copy per batch
+        snaps = sorted(
+            n for n in os.listdir(dirs["store"]) if n.startswith("snap-")
+        )
+        assert len(snaps) == 2, snaps
 
     def test_intra_batch_versions_collapse_to_latest(self, spark, dirs):
         os.makedirs(dirs["in"])
