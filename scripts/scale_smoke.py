@@ -261,6 +261,10 @@ def main() -> None:
         binned_auc(scored, "score", "y")))
     bench("key-skew report (1000 keys)", lambda: materialize(
         key_skew_report(rows, "g", top=20)))
+    bench("debounce (1000 keys)", lambda: materialize(
+        temporal.debounce(events, ["g"], "ts", gap="5 seconds")))
+    bench("decayed agg (1000 keys)", lambda: materialize(
+        temporal.decayed_agg(events, "g", "ts", "v", half_life="1 day")))
     spark.stop()
 
 

@@ -288,3 +288,86 @@ def event_sequences(
         F.max("__n").cast("long").alias("n_events"),
         ordered_join("__rn", "__p").alias("seq"),
     )
+
+
+def debounce(
+    df: DataFrame,
+    key_cols: list,
+    ts_col: str,
+    gap: str = "5 seconds",
+    order_cols: list | None = None,
+) -> DataFrame:
+    """Collapse per-key event BURSTS (double-clicks, sensor chatter,
+    retry storms): consecutive events closer than ``gap`` belong to one
+    burst; the output is one row per burst with its first event's
+    timestamp and the burst size. Differs from a session window only in
+    intent — here the payload is "how many raw events collapsed", the
+    dedup-style accounting a pipeline needs BEFORE rate features.
+
+    One keyed exchange total: burst boundaries come from ``lag`` over
+    (key, order), the burst id is the running count of boundaries over
+    the SAME window spec, and the per-burst groupBy hashes on the same
+    key prefix — Catalyst plans a single shuffle. Gap math is exact
+    int64 microseconds (``unix_micros``; a double cast of a timestamp
+    is both lossy and illegal on NTZ in Spark 4).
+    """
+    from pyspark.sql.window import Window
+
+    order_cols = [str(c) for c in (order_cols or [ts_col])]
+    gap_us = _duration_seconds(gap) * 1_000_000
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    us = F.unix_micros(F.col(ts_col))
+    boundary = F.when(
+        F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > gap_us),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    # two projections, not one: the running sum OF the boundary is a
+    # window over a window — and its spec needs the order columns, so
+    # they must survive the first select
+    keep = list(dict.fromkeys([*key_cols, ts_col, *order_cols]))
+    marked = df.select(*keep, boundary.alias("__new")).withColumn(
+        "burst_id",
+        F.sum("__new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return marked.groupBy(*key_cols, "burst_id").agg(
+        F.min(ts_col).alias("burst_start"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+def decayed_agg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    half_life: str = "1 day",
+    round_to: int = 2,
+) -> DataFrame:
+    """Recency-weighted per-key value: Σ value · 0.5^(age / half_life),
+    age measured from the KEY's newest event — the classic
+    recency-decay feature (user activity score, item popularity) that a
+    plain lifetime sum overstates for stale keys.
+
+    One keyed exchange: the per-key max timestamp is a window aggregate
+    over the key partition, and the groupBy reuses that partitioning.
+    Cross-engine determinism: age is exact int64 µs → whole seconds by
+    integer division; the weight is ROUNDED at 6 (libm pow can differ
+    in the last ulp across engines) and each term is cast to
+    DECIMAL(18,6) before summing, so the sum is order-independent —
+    the same double-sums-differ-by-order trap as money aggregates.
+    """
+    from pyspark.sql.window import Window
+
+    hl_s = _duration_seconds(half_life)
+    w = Window.partitionBy(key_col)
+    us = F.unix_micros(F.col(ts_col))
+    age_s = ((F.max(us).over(w) - us) / F.lit(1_000_000)).cast("long")
+    weight = F.round(F.pow(F.lit(0.5), age_s / F.lit(float(hl_s))), 6)
+    term = (F.col(value_col) * weight).cast("decimal(18,6)")
+    staged = df.select(key_col, term.alias("__t"))
+    return staged.groupBy(key_col).agg(
+        F.round(F.sum("__t").cast("double"), round_to).alias("decayed_value"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )

@@ -503,6 +503,79 @@ def _markov_sql(steps: int) -> str:
 _MARKOV_SQL = _markov_sql(_MARKOV_STEPS)
 
 
+def q_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst collapse (operators/temporal.debounce): consecutive
+    events of the same (user, type) within 1 hour form one burst — one
+    row per burst with its start and size, all in ONE keyed exchange
+    (lag boundary + running burst id + per-burst agg share the
+    partitioning). The accounting that separates '40 retry spasms' from
+    '40 independent actions' before rate features are built."""
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events")
+    out = temporal.debounce(
+        ev, ["user_id", "event_type"], "ts",
+        gap="1 hour", order_cols=["ts", "event_id"],
+    )
+    return out.select(
+        "user_id", "event_type", "burst_id", "burst_start", "n_events"
+    )
+
+
+_DEBOUNCE_SQL = """
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+              THEN 1 ELSE 0 END AS newb
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+),
+bursts AS (
+  SELECT user_id, event_type, ts,
+         sum(newb) OVER (PARTITION BY user_id, event_type
+                         ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)::BIGINT AS burst_id
+  FROM marked
+)
+SELECT user_id, event_type, burst_id,
+       min(ts)::TIMESTAMP AS burst_start,
+       count(*)::BIGINT AS n_events
+FROM bursts GROUP BY user_id, event_type, burst_id
+"""
+
+
+def q_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed per-user value (operators/temporal.decayed_agg):
+    Σ value · 0.5^(age_days / 7), age from the user's newest event.
+    Weight rounded at 6 (libm pow ulp drift) and each term summed as
+    DECIMAL(18,6) so the total is order-independent across engines."""
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events")
+    return temporal.decayed_agg(
+        ev, "user_id", "ts", "value", half_life="7 days"
+    ).orderBy("user_id")
+
+
+_DECAYED_SQL = """
+WITH aged AS (
+  SELECT user_id, value,
+         ((max(epoch_us(ts)) OVER (PARTITION BY user_id) - epoch_us(ts))
+          // 1000000) AS age_s
+  FROM events
+),
+terms AS (
+  SELECT user_id,
+         CAST(value * round(pow(0.5, age_s / 604800.0), 6)
+              AS DECIMAL(18,6)) AS t
+  FROM aged
+)
+SELECT user_id,
+       round(sum(t)::DOUBLE, 2) AS decayed_value,
+       count(*)::BIGINT AS n_events
+FROM terms GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
     "asof_rate": q_asof_rate,
     "conversion_latency": q_conversion_latency,
@@ -517,6 +590,8 @@ QUERIES = {
     "anomaly_flags": q_anomaly_flags,
     "sequence_export": q_sequence_export,
     "markov_3step": q_markov_3step,
+    "debounce": q_debounce,
+    "decayed_value": q_decayed_value,
 }
 
 ORACLES = {
@@ -533,4 +608,6 @@ ORACLES = {
     "anomaly_flags": _ANOMALY_SQL,
     "sequence_export": _SEQUENCE_SQL,
     "markov_3step": _MARKOV_SQL,
+    "debounce": _DEBOUNCE_SQL,
+    "decayed_value": _DECAYED_SQL,
 }

@@ -51,3 +51,64 @@ class TestEventSequences:
         # exactly one keyed shuffle (the fixture's own round-robin
         # repartition is not the operator's doing)
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestDebounce:
+    def _events(self, spark, times):
+        from pyspark.sql import Row
+
+        rows = [
+            Row(u=u, ts=__import__("datetime").datetime(2024, 1, 1)
+                + __import__("datetime").timedelta(seconds=s), eid=i)
+            for i, (u, s) in enumerate(times)
+        ]
+        return spark.createDataFrame(rows).repartition(4)
+
+    def test_bursts_split_on_gap(self, spark):
+        # user 1: events at 0,3,6s (one burst, gap=5s), then 60s (new)
+        df = self._events(spark, [(1, 0), (1, 3), (1, 6), (1, 60), (2, 0)])
+        out = temporal.debounce(
+            df, ["u"], "ts", gap="5 seconds", order_cols=["ts", "eid"]
+        )
+        got = {(r["u"], r["burst_id"]): r["n_events"] for r in out.collect()}
+        assert got == {(1, 1): 3, (1, 2): 1, (2, 1): 1}
+
+    def test_exact_gap_stays_in_burst(self, spark):
+        # boundary is STRICTLY greater-than: a gap of exactly 5s chains
+        df = self._events(spark, [(1, 0), (1, 5), (1, 11)])
+        out = temporal.debounce(
+            df, ["u"], "ts", gap="5 seconds", order_cols=["ts", "eid"]
+        ).collect()
+        sizes = sorted(r["n_events"] for r in out)
+        assert sizes == [1, 2]
+
+    def test_single_exchange(self, spark):
+        df = self._events(spark, [(1, 0), (1, 3)])
+        plan = temporal.debounce(
+            df, ["u"], "ts", gap="5 seconds", order_cols=["ts", "eid"]
+        )._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") <= 1
+
+
+class TestDecayedAgg:
+    def test_hand_computed(self, spark):
+        import datetime as dt
+
+        from pyspark.sql import Row
+
+        base = dt.datetime(2024, 1, 8)
+        rows = [
+            Row(u=1, ts=base, v=10.0),                      # age 0 -> w=1
+            Row(u=1, ts=base - dt.timedelta(days=7), v=10.0),  # w=0.5
+            Row(u=2, ts=base, v=4.0),
+        ]
+        df = spark.createDataFrame(rows).repartition(3)
+        out = {
+            r["u"]: r
+            for r in temporal.decayed_agg(
+                df, "u", "ts", "v", half_life="7 days"
+            ).collect()
+        }
+        assert out[1]["decayed_value"] == 15.0  # 10*1 + 10*0.5
+        assert out[1]["n_events"] == 2
+        assert out[2]["decayed_value"] == 4.0  # newest event never decays
