@@ -79,3 +79,51 @@ def grouped_geometric_mean(df: DataFrame, key_cols: list[str], value_col: str) -
     return df.groupBy(*key_cols).agg(
         geometric_mean(F.col(value_col)).alias("gmean")
     )
+
+
+def grouped_ewma(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.3,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key EWMA sequence — y_t = α·x_t + (1-α)·y_{t-1}, y_1 = x_1 —
+    the canonical LINEAR RECURRENCE that no window function expresses
+    (the closed form needs (1-α)^{-i} factors that overflow on long
+    series). This is the genuinely-non-native case the pandas path
+    exists for: one shuffle on the key, each group streams through
+    Arrow, the recurrence runs in an explicit per-group loop whose
+    float operation order (α·x + β·prev) is written IDENTICALLY in the
+    DuckDB recursive-CTE oracle, so results are bit-reproducible.
+
+    Bit-parity trap worth naming: β must be computed as ``1 - alpha``
+    in Python and interpolated into the oracle via ``repr(beta)`` —
+    the SQL literal ``0.7`` is a DIFFERENT double than ``1 - 0.3``.
+
+    NULL values poison the tail of their key's sequence (NaN
+    propagates through the recurrence) — filter or impute first.
+    Memory bound = largest single group, like every grouped map.
+    """
+    import numpy as np
+
+    beta = 1.0 - alpha
+    schema_fields = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in df.columns
+    )
+    out_schema = f"{schema_fields}, {out_col} double"
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        x = pdf[value_col].to_numpy(dtype=float)
+        y = np.empty_like(x)
+        prev = None
+        for i, v in enumerate(x):
+            prev = v if prev is None else alpha * v + beta * prev
+            y[i] = prev
+        pdf = pdf.copy()
+        pdf[out_col] = y
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(ewma, out_schema)

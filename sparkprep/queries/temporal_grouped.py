@@ -556,6 +556,48 @@ def q_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+_EWMA_ALPHA = 0.3
+
+
+def q_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (users < 50 bound the compare
+    payload) — the linear-recurrence showcase for the Arrow grouped-map
+    path (operators/grouped.grouped_ewma). The oracle replays the SAME
+    recurrence with a recursive CTE, same float op order, same
+    constants — bit parity, not approximate agreement."""
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 50).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = grouped.grouped_ewma(
+        ev, ["user_id"], ["ts", "event_id"], "value", alpha=_EWMA_ALPHA
+    )
+    return out.select(
+        "event_id", "user_id", F.round("ewma", 6).alias("ewma")
+    )
+
+
+def _ewma_sql() -> str:
+    a, b = _EWMA_ALPHA, 1.0 - _EWMA_ALPHA
+    # repr(), not a hand-written literal: SQL 0.7 is a DIFFERENT double
+    # than Python's 1 - 0.3; the recurrence amplifies the difference
+    return f"""
+WITH RECURSIVE ordered AS (
+  SELECT event_id, user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id < 50
+),
+ew(user_id, rn, event_id, y) AS (
+  SELECT user_id, rn, event_id, value FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.rn, o.event_id,
+         {a!r} * o.value + {b!r} * e.y
+  FROM ew e JOIN ordered o ON o.user_id = e.user_id AND o.rn = e.rn + 1
+)
+SELECT event_id, user_id, round(y, 6) AS ewma FROM ew
+"""
+
+
 _DECAYED_SQL = """
 WITH aged AS (
   SELECT user_id, value,
@@ -592,6 +634,7 @@ QUERIES = {
     "markov_3step": q_markov_3step,
     "debounce": q_debounce,
     "decayed_value": q_decayed_value,
+    "user_ewma": q_user_ewma,
 }
 
 ORACLES = {
@@ -610,4 +653,5 @@ ORACLES = {
     "markov_3step": _MARKOV_SQL,
     "debounce": _DEBOUNCE_SQL,
     "decayed_value": _DECAYED_SQL,
+    "user_ewma": _ewma_sql(),
 }

@@ -112,3 +112,30 @@ class TestDecayedAgg:
         assert out[1]["decayed_value"] == 15.0  # 10*1 + 10*0.5
         assert out[1]["n_events"] == 2
         assert out[2]["decayed_value"] == 4.0  # newest event never decays
+
+
+class TestGroupedEwma:
+    def test_recurrence_and_layout_independence(self, spark):
+        import datetime as dt
+
+        from pyspark.sql import Row
+
+        from sparkprep.operators import grouped
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            Row(k=1, i=j, ts=base + dt.timedelta(seconds=j), v=float(x))
+            for j, x in enumerate([10.0, 20.0, 0.0, 40.0])
+        ]
+        df = spark.createDataFrame(rows)
+        out = grouped.grouped_ewma(df, ["k"], ["ts", "i"], "v", alpha=0.5)
+        got = {r["i"]: r["ewma"] for r in out.collect()}
+        # y: 10, 15, 7.5, 23.75
+        assert got == {0: 10.0, 1: 15.0, 2: 7.5, 3: 23.75}
+        got2 = {
+            r["i"]: r["ewma"]
+            for r in grouped.grouped_ewma(
+                df.repartition(7), ["k"], ["ts", "i"], "v", alpha=0.5
+            ).collect()
+        }
+        assert got2 == got
