@@ -180,6 +180,31 @@ def quality_score(c, stopwords: list[str] | None = None, round_to: int = 4) -> C
     return F.round((len_comp + sw_comp + alpha_comp) / 3, round_to)
 
 
+def readability(c, round_to: int = 4) -> Column:
+    """Flesch reading-ease approximation, pure native expressions (the
+    classic prose-difficulty quality signal): sentences = runs of
+    [.!?] (floored at 1), syllables ~ vowel-group runs [aeiouy]+ with
+    at least one per word — the standard cheap proxy; no dictionary,
+    no Python. 206.835 - 1.015·(words/sentences) - 84.6·(syl/words);
+    empty/NULL text -> NULL (0/0 via try_divide). Every regex count is
+    one map-side pass; constants and op order are mirrored verbatim in
+    the oracle so doubles agree bit-for-bit."""
+    txt = _col(c)
+    words = F.size(tokens(c))
+    sentences = F.greatest(
+        F.regexp_count(txt, F.lit(r"[.!?]+")), F.lit(1)
+    )
+    syllables = F.greatest(
+        F.regexp_count(F.lower(txt), F.lit("[aeiouy]+")), words
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * F.try_divide(words, sentences)
+        - F.lit(84.6) * F.try_divide(syllables, words)
+    )
+    return F.round(score, round_to)
+
+
 def fingerprint(c) -> Column:
     """Exact-dup fingerprint: md5 of the text (hex string — identical in
     any engine)."""

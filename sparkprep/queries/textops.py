@@ -834,6 +834,42 @@ FROM scored
 """
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (text.readability): vowel-group
+    syllable proxy, sentence runs floored at 1 — a map-only quality
+    feature whose constants and op order the oracle mirrors verbatim."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count("text").alias("n_words"),
+        F.greatest(
+            F.regexp_count("text", F.lit(r"[.!?]+")), F.lit(1)
+        ).cast("long").alias("n_sentences"),
+        tx.readability("text").alias("flesch"),
+    )
+
+
+_READABILITY_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '')) AS w,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS snt,
+         sv AS syl
+  FROM (
+    SELECT *, greatest(
+        len(regexp_extract_all(lower(text), '[aeiouy]+')),
+        len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                        x -> x <> ''))) AS sv
+    FROM documents
+  )
+)
+SELECT doc_id, w::BIGINT AS n_words, snt::BIGINT AS n_sentences,
+       round(206.835 - 1.015 * (w / snt) - 84.6 * (syl / w), 4) AS flesch
+FROM s
+"""
+
+
 def q_auc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROC-AUC of the distilled logistic quality score against the
     gopher rule gate — the one-number answer to "does the cheap model
@@ -903,6 +939,7 @@ QUERIES = {
     "pii_census": q_pii_census,
     "score_calibration": q_score_calibration,
     "auc_quality": q_auc_quality,
+    "readability": q_readability,
     "length_histogram": q_length_histogram,
     "lang_id_ngram": q_lang_id_ngram,
     "token_modes": q_token_modes,
@@ -931,6 +968,7 @@ ORACLES = {
     "pii_census": _PII_CENSUS_SQL,
     "score_calibration": _SCORE_CALIBRATION_SQL,
     "auc_quality": _AUC_QUALITY_SQL,
+    "readability": _READABILITY_SQL,
     "length_histogram": _LENGTH_HISTOGRAM_SQL,
     "lang_id_ngram": _lang_ngram_sql(),
     "token_modes": _TOKEN_MODES_SQL,

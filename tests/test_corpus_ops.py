@@ -199,3 +199,24 @@ def test_chunk_overlap_planted_full_and_zero(spark):
     assert out[1][0] == out[1][1] > 0, "copy must share every chunk"
     assert out[2][0] == out[2][1] > 0
     assert out[3][1] == 0, "disjoint vocabulary must share nothing"
+
+
+def test_readability_flesch(spark):
+    from pyspark.sql import Row
+
+    from sparkprep.operators import text as tx
+
+    df = spark.createDataFrame(
+        [
+            Row(i=1, t="The cat sat. The dog ran!"),   # 6 words, 2 sents, 6 syl
+            Row(i=2, t=""),                             # degenerate -> NULL
+            Row(i=3, t="no terminal punctuation here"), # sentences floored at 1
+        ]
+    )
+    got = {r["i"]: r["f"] for r in df.select(
+        "i", tx.readability("t").alias("f")).collect()}
+    # 206.835 - 1.015*(6/2) - 84.6*(6/6) = 119.19
+    assert abs(got[1] - 119.19) < 1e-9
+    assert got[2] is None
+    # 4 words / 1 sentence / >=1 syllable per word -> finite score
+    assert got[3] is not None
