@@ -127,3 +127,49 @@ def grouped_ewma(
         return pdf
 
     return df.groupBy(*key_cols).applyInPandas(ewma, out_schema)
+
+
+def grouped_cusum(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    target: float,
+    slack: float = 0.0,
+    threshold: float | None = None,
+    out_col: str = "cusum",
+) -> DataFrame:
+    """Per-key one-sided CUSUM drift statistic — s_t = max(0, s_{t-1} +
+    (x_t - target - slack)), the sequential change-point detector that
+    flags a sustained upward shift long before a mean-over-window
+    does. Same linear-recurrence regime as :func:`grouped_ewma` (no
+    window function expresses it; closed forms don't exist), so same
+    machinery: Arrow grouped map, explicit recurrence, float op order
+    and constants mirrored into a recursive-CTE oracle via ``repr``
+    for bit parity. Adds ``alarm`` (s_t > threshold) when a threshold
+    is given. NULL values poison their key's tail — filter first.
+    """
+    import numpy as np
+
+    schema_fields = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in df.columns
+    )
+    out_schema = f"{schema_fields}, {out_col} double"
+    if threshold is not None:
+        out_schema += ", alarm boolean"
+
+    def cusum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        x = pdf[value_col].to_numpy(dtype=float)
+        y = np.empty_like(x)
+        prev = 0.0
+        for i, v in enumerate(x):
+            prev = max(0.0, prev + (v - target - slack))
+            y[i] = prev
+        pdf = pdf.copy()
+        pdf[out_col] = y
+        if threshold is not None:
+            pdf["alarm"] = y > threshold
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(cusum, out_schema)

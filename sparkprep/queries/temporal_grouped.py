@@ -598,6 +598,49 @@ SELECT event_id, user_id, round(y, 6) AS ewma FROM ew
 """
 
 
+_CUSUM_TARGET = 50.0
+_CUSUM_SLACK = 5.0
+_CUSUM_H = 200.0
+
+
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user one-sided CUSUM over event values (users < 50): the
+    sequential drift detector (operators/grouped.grouped_cusum), alarm
+    at s > 200. Second recurrence on the Arrow path, pinned bit-exact
+    by the same recursive-CTE oracle technique as user_ewma."""
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 50).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = grouped.grouped_cusum(
+        ev, ["user_id"], ["ts", "event_id"], "value",
+        target=_CUSUM_TARGET, slack=_CUSUM_SLACK, threshold=_CUSUM_H,
+    )
+    return out.select(
+        "event_id", "user_id", F.round("cusum", 6).alias("cusum"), "alarm"
+    )
+
+
+def _cusum_sql() -> str:
+    t_, k, h = _CUSUM_TARGET, _CUSUM_SLACK, _CUSUM_H
+    return f"""
+WITH RECURSIVE ordered AS (
+  SELECT event_id, user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id < 50
+),
+cs(user_id, rn, event_id, y) AS (
+  SELECT user_id, rn, event_id,
+         greatest(0.0::DOUBLE, value - {t_!r} - {k!r}) FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.rn, o.event_id,
+         greatest(0.0::DOUBLE, c.y + (o.value - {t_!r} - {k!r}))
+  FROM cs c JOIN ordered o ON o.user_id = c.user_id AND o.rn = c.rn + 1
+)
+SELECT event_id, user_id, round(y, 6) AS cusum, y > {h!r} AS alarm FROM cs
+"""
+
+
 _DECAYED_SQL = """
 WITH aged AS (
   SELECT user_id, value,
@@ -635,6 +678,7 @@ QUERIES = {
     "debounce": q_debounce,
     "decayed_value": q_decayed_value,
     "user_ewma": q_user_ewma,
+    "cusum_drift": q_cusum_drift,
 }
 
 ORACLES = {
@@ -654,4 +698,5 @@ ORACLES = {
     "debounce": _DEBOUNCE_SQL,
     "decayed_value": _DECAYED_SQL,
     "user_ewma": _ewma_sql(),
+    "cusum_drift": _cusum_sql(),
 }

@@ -139,3 +139,30 @@ class TestGroupedEwma:
             ).collect()
         }
         assert got2 == got
+
+
+class TestGroupedCusum:
+    def test_recurrence_resets_at_zero_and_alarms(self, spark):
+        import datetime as dt
+
+        from pyspark.sql import Row
+
+        from sparkprep.operators import grouped
+
+        base = dt.datetime(2024, 1, 1)
+        # target 10, slack 0: deviations +5, +5, -20 (clamps to 0), +12
+        vals = [15.0, 15.0, -10.0, 22.0]
+        rows = [
+            Row(k=1, i=j, ts=base + dt.timedelta(seconds=j), v=v)
+            for j, v in enumerate(vals)
+        ]
+        df = spark.createDataFrame(rows).repartition(3)
+        out = {
+            r["i"]: r
+            for r in grouped.grouped_cusum(
+                df, ["k"], ["ts", "i"], "v",
+                target=10.0, threshold=11.0,
+            ).collect()
+        }
+        assert [out[i]["cusum"] for i in range(4)] == [5.0, 10.0, 0.0, 12.0]
+        assert [out[i]["alarm"] for i in range(4)] == [False, False, False, True]
