@@ -435,6 +435,54 @@ def dedup_clusters(
     )
 
 
+def cluster_representatives(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    quality_col: str,
+    num_hashes: int = 16,
+    k: int = 3,
+    bands: int = 4,
+    seed: int = 42,
+    est_threshold: float = 0.8,
+) -> DataFrame:
+    """The dedup DECISION table: transitive near-dup clusters
+    (``dedup_clusters``) resolved to one kept representative per cluster
+    — the highest-``quality_col`` member, ``id_col`` ascending as the
+    deterministic tiebreak (keep-BEST, not keep-first: corpus
+    canonicalization wants the best surviving copy, and "first" isn't
+    even well-defined across a distributed scan).
+
+    Returns one row per input row: (id, cluster_rep, quality, keep,
+    cluster_size). Filter ``keep`` for the deduped corpus; the full
+    table is the audit trail (what was dropped, and for whom).
+
+    Scale notes: the ranking windows share ONE exchange on cluster_rep
+    (identical partition keys — the second WindowExec reuses the first's
+    partitioning). Hot clusters (site-wide boilerplate with millions of
+    members) are the skew risk; they bound per-partition sort size, not
+    correctness — at 100 TB either pre-gate boilerplate
+    (text.boilerplate_scrub) or let AQE split the straggler partition.
+    """
+    from pyspark.sql.window import Window
+
+    clusters = dedup_clusters(
+        df, text_col, id_col, num_hashes, k, bands, seed, est_threshold
+    )
+    lab = df.select(F.col(id_col), F.col(quality_col)).join(clusters, id_col)
+    w_rank = Window.partitionBy("cluster_rep").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    w_all = Window.partitionBy("cluster_rep")
+    return lab.select(
+        F.col(id_col),
+        "cluster_rep",
+        F.col(quality_col),
+        (F.row_number().over(w_rank) == F.lit(1)).alias("keep"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("cluster_size"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

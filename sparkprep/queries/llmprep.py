@@ -470,6 +470,58 @@ FROM corpus c LEFT JOIN comp ON comp.node = c.doc_id
 """
 
 
+def q_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative selection: the end-to-end near-dedup
+    DECISION — MinHash-LSH pairs, transitive closure, then keep the
+    longest member per cluster (doc_id tiebreak). One row per doc with
+    its keep/drop verdict and cluster size; this is the table a corpus
+    pipeline actually acts on, where dedup_clusters only labels."""
+    corpus = _corpus_near(spark, sf_dir).withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
+    return dd.cluster_representatives(
+        corpus, "text", "doc_id", "n_chars",
+        num_hashes=_NUM_HASHES, k=_K, bands=_BANDS, seed=_SEED,
+        est_threshold=0.8,
+    ).orderBy("doc_id")
+
+
+def _cluster_reps_sql() -> str:
+    # same recursive min-label CC as the dedup_clusters oracle, then the
+    # keep-best window over each component
+    pair_sql = _minhash_sql(est_threshold=0.8)
+    return f"""
+WITH RECURSIVE base AS ({pair_sql}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM base
+  UNION
+  SELECT id_b AS u, id_a AS v FROM base
+),
+cc(node, label) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, cc.label FROM cc JOIN edges e ON cc.node = e.u
+),
+comp AS (SELECT node, min(label) AS component FROM cc GROUP BY node),
+{_CORPUS_NEAR_SQL},
+lab AS (
+  SELECT c.doc_id, coalesce(comp.component, c.doc_id) AS cluster_rep,
+         length(c.text)::BIGINT AS n_chars
+  FROM corpus c LEFT JOIN comp ON comp.node = c.doc_id
+),
+r AS (
+  SELECT doc_id, cluster_rep, n_chars,
+         row_number() OVER (PARTITION BY cluster_rep
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk,
+         count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+  FROM lab
+)
+SELECT doc_id, cluster_rep, n_chars, (rk = 1) AS keep,
+       cluster_size::BIGINT AS cluster_size
+FROM r ORDER BY doc_id
+"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end under the ORACLE: synthetic binary
     payloads (md5-derived) → mapInPandas fake-decode → per-media feature
@@ -877,6 +929,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "media_features": q_media_features,
     "dedup_clusters": q_dedup_clusters,
+    "cluster_reps": q_cluster_reps,
     "chunk_overlap": q_chunk_overlap,
     "semantic_dedup": q_semantic_dedup,
     "llm_funnel": q_llm_funnel,
@@ -896,6 +949,7 @@ ORACLES = {
     "embedding_near_dup": _NEAR_DUP_SQL,
     "media_features": _MEDIA_SQL,
     "dedup_clusters": _dedup_clusters_sql(),
+    "cluster_reps": _cluster_reps_sql(),
     "chunk_overlap": _chunk_overlap_sql(),
     "semantic_dedup": _sem_dedup_sql(),
     "llm_funnel": _LLM_FUNNEL_SQL,

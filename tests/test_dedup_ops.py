@@ -97,6 +97,39 @@ def test_dedup_clusters_keep_reps(docs):
     assert got == {1: 1, 2: 1, 3: 3, 4: 4}
 
 
+def test_cluster_representatives_keep_best(docs):
+    # doc 1 is LONGER than its near-dup 2 ("the " prefix), so keep-best
+    # picks 1; singletons 3 and 4 keep themselves with cluster_size 1
+    sized = docs.withColumn("n_chars", F.length("text").cast("long"))
+    out = dd.cluster_representatives(
+        sized, "text", "doc_id", "n_chars", est_threshold=0.5
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert len(out) == 4
+    assert by_id[1].keep and not by_id[2].keep
+    assert by_id[1].cluster_size == 2 and by_id[2].cluster_size == 2
+    assert by_id[3].keep and by_id[3].cluster_size == 1
+    assert by_id[4].keep and by_id[4].cluster_size == 1
+    # exactly one keep per cluster, and it's the max-quality member
+    kept = [r for r in out if r.keep]
+    assert sorted(r.doc_id for r in kept) == [1, 3, 4]
+
+
+def test_cluster_representatives_quality_tiebreak(spark):
+    # equal quality -> lowest id wins, deterministically
+    rows = [
+        (10, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (11, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
+    out = {r.doc_id: r.keep for r in dd.cluster_representatives(
+        df, "text", "doc_id", "n_chars", est_threshold=0.5
+    ).collect()}
+    assert out == {10: True, 11: False}
+
+
 def test_connected_components_nonconvergence_raises(spark):
     # a 10-node path cannot reach its fixpoint in one round even with
     # pointer doubling — the loop must refuse to return partial labels
