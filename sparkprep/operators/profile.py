@@ -222,3 +222,28 @@ def profile_report(df: DataFrame, cols=None) -> dict:
             for r in stats
         },
     }
+
+
+def k_anonymity_report(df: DataFrame, quasi_cols: list[str], k: int = 5) -> DataFrame:
+    """Privacy-risk audit for training/release data: group by the
+    quasi-identifier combination and report each equivalence class with
+    its size, an ``at_risk`` flag (size < k — those rows are
+    re-identifiable), and the dataset-wide ``k_level`` (the min class
+    size: the k for which the dataset IS k-anonymous).
+
+    One map-combined groupBy; the k_level window runs over the already-
+    aggregated class frame (|classes| rows, not data), so the
+    empty-frame window is safe here and never touches raw rows. NULL QI
+    values form their own class (groupBy null-keys semantics), which is
+    what a release audit wants — an all-null combo is still a cohort.
+    """
+    from pyspark.sql.window import Window
+
+    classes = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("class_size"))
+    w = Window.partitionBy()
+    return classes.select(
+        *quasi_cols,
+        F.col("class_size").cast("long").alias("class_size"),
+        (F.col("class_size") < F.lit(k)).alias("at_risk"),
+        F.min("class_size").over(w).cast("long").alias("k_level"),
+    )

@@ -502,6 +502,63 @@ FROM canon
 """
 
 
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus diversity: distinct-n over word trigrams — the
+    share of trigram OCCURRENCES that are unique types. Low ratio =
+    templated/repetitive source (a known generation-quality and
+    memorization risk); the per-source number is what a training-mix
+    decision consumes.
+
+    Two map-combined keyed shuffles ((source, shingle) count, then a
+    per-source rollup) — never count_distinct over the exploded stream
+    (an Expand-based distinct agg would double the shuffle volume; the
+    two-level groupBy carries one row per distinct type instead)."""
+    from sparkprep.operators import dedup as dd
+
+    docs = t(spark, sf_dir, "documents").select("source", "text")
+    occ = dd.explode_shingles(docs, "text", "source", k=3, distinct=False)
+    by_type = occ.groupBy("source", "shingle").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    return (
+        by_type.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("distinct_ngrams"),
+            F.sum("occ").alias("total_ngrams"),
+        )
+        .select(
+            "source",
+            F.col("distinct_ngrams").cast("long").alias("distinct_ngrams"),
+            F.col("total_ngrams").cast("long").alias("total_ngrams"),
+            F.round(
+                F.try_divide("distinct_ngrams", "total_ngrams"), 6
+            ).alias("distinct_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+# same trigram construction as the minhash oracles (llmprep), minus the
+# per-doc DISTINCT: diversity wants every occurrence counted
+_NGRAM_DIVERSITY_SQL = r"""
+WITH toks AS (
+  SELECT source, string_split(text, ' ') AS tk FROM documents
+),
+occ AS (
+  SELECT source, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)
+),
+by_type AS (
+  SELECT source, shingle, count(*) AS occ FROM occ GROUP BY source, shingle
+)
+SELECT source,
+       count(*)::BIGINT AS distinct_ngrams,
+       sum(occ)::BIGINT AS total_ngrams,
+       round(count(*) / sum(occ)::DOUBLE, 6) AS distinct_ratio
+FROM by_type GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "span_dedup": q_span_dedup,
     "url_canon": q_url_canon,
@@ -515,9 +572,11 @@ QUERIES = {
     "char_entropy": q_char_entropy,
     "grouped_split": q_grouped_split,
     "grouped_kfold": q_grouped_kfold,
+    "ngram_diversity": q_ngram_diversity,
 }
 
 ORACLES = {
+    "ngram_diversity": _NGRAM_DIVERSITY_SQL,
     "url_canon": _URL_CANON_SQL,
     "span_dedup": _SPAN_DEDUP_SQL,
     "keep_best": _KEEP_BEST_SQL,

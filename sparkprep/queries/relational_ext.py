@@ -590,6 +590,35 @@ FROM flags WHERE uk IS NOT NULL AND (tk IS NULL OR chg)
 """
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit on a quasi-identifier combination (nation x
+    market segment): every equivalence class with its size, an at-risk
+    flag (size < k), and the dataset-wide k_level — the release-gate
+    number for training data carrying personal attributes. The global
+    min window runs over the aggregated |classes|-row frame only."""
+    from sparkprep.operators import profile
+
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("c_nationkey"), "c_mktsegment"
+    )
+    return profile.k_anonymity_report(
+        cust, ["c_nationkey", "c_mktsegment"], k=10
+    ).orderBy("c_nationkey", "c_mktsegment")
+
+
+_K_ANONYMITY_SQL = """
+WITH cls AS (
+  SELECT c_nationkey::BIGINT AS c_nationkey, c_mktsegment,
+         count(*) AS class_size
+  FROM customer GROUP BY 1, 2
+)
+SELECT c_nationkey, c_mktsegment, class_size::BIGINT AS class_size,
+       (class_size < 10) AS at_risk,
+       (min(class_size) OVER ())::BIGINT AS k_level
+FROM cls ORDER BY c_nationkey, c_mktsegment
+"""
+
+
 QUERIES = {
     "merge_upsert": q_merge_upsert,
     "merge_scd2": q_merge_scd2,
@@ -603,9 +632,11 @@ QUERIES = {
     "product_profit": q_product_profit,
     "nation_trade_flow": q_nation_trade_flow,
     "important_parts": q_important_parts,
+    "k_anonymity": q_k_anonymity,
 }
 
 ORACLES = {
+    "k_anonymity": _K_ANONYMITY_SQL,
     "merge_upsert": _MERGE_UPSERT_SQL,
     "merge_scd2": _MERGE_SCD2_SQL,
     "correlations": _CORRELATIONS_SQL,

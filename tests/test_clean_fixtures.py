@@ -234,3 +234,23 @@ def test_pivot_table_explicit_values(spark):
     # missing (g,p) combinations and never-observed pivot values -> null
     assert (rows[0].x, rows[0].y, rows[0].never_seen) == (3.0, 10.0, None)
     assert (rows[1].x, rows[1].y, rows[1].never_seen) == (None, 5.0, None)
+
+
+def test_k_anonymity_report_classes_and_level(spark):
+    from sparkprep.operators import profile
+
+    rows = (
+        [("US", "A")] * 3
+        + [("US", "B")] * 7
+        + [("DE", "A")] * 1
+        + [(None, "B")] * 2  # null QI combo is its own cohort
+    )
+    df = spark.createDataFrame(rows, ["nation", "segment"])
+    out = profile.k_anonymity_report(df, ["nation", "segment"], k=5)
+    got = {(r.nation, r.segment): r for r in out.collect()}
+    assert got[("US", "A")].class_size == 3 and got[("US", "A")].at_risk
+    assert got[("US", "B")].class_size == 7 and not got[("US", "B")].at_risk
+    assert got[("DE", "A")].class_size == 1 and got[("DE", "A")].at_risk
+    assert got[(None, "B")].class_size == 2 and got[(None, "B")].at_risk
+    # dataset-wide k_level = min class size, same on every row
+    assert {r.k_level for r in got.values()} == {1}
