@@ -170,3 +170,36 @@ def grouped_kfold(
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     return df.withColumn(fold_col, (_uniform60(group_col, salt) % k).cast("bigint"))
+
+
+def time_split(
+    df: DataFrame,
+    ts_col: str,
+    train_until: str,
+    test_from: str,
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe TEMPORAL train/test split with an embargo gap:
+    train strictly before ``train_until``, test at/after ``test_from``,
+    and everything between labeled ``embargo`` (dropped by the caller).
+    The gap is the defense against look-ahead leakage when features are
+    windowed aggregates — a trailing 7-day feature computed at the first
+    test timestamp must not overlap training rows, so the embargo must
+    be at least the longest feature window.
+
+    Map-only (three literal comparisons, whole-stage codegen); the
+    cutoffs are plan literals, so partition pruning applies when the
+    table is date-partitioned. NULL timestamps label ``embargo`` — never
+    silently train — via the otherwise() branch."""
+    if not train_until <= test_from:
+        raise ValueError(
+            f"embargo gap is negative: train_until={train_until!r} "
+            f"must be <= test_from={test_from!r}"
+        )
+    ts = F.col(ts_col)
+    return df.withColumn(
+        split_col,
+        F.when(ts < F.to_timestamp(F.lit(train_until)), "train")
+        .when(ts >= F.to_timestamp(F.lit(test_from)), "test")
+        .otherwise("embargo"),
+    )

@@ -661,6 +661,29 @@ FROM terms GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe temporal split over events: train before Jan 20,
+    test from Jan 22, a 2-day embargo between (sized for the trailing
+    windows the feature queries use). Map-only labeling; see
+    mix.time_split for the look-ahead-leakage rationale."""
+    from sparkprep.operators import mix
+
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events").select("event_id", "ts")
+    return mix.time_split(
+        ev, "ts", "2024-01-20 00:00:00", "2024-01-22 00:00:00"
+    ).select("event_id", "split")
+
+
+_TIME_SPLIT_SQL = """
+SELECT event_id,
+       CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+            WHEN ts >= TIMESTAMP '2024-01-22 00:00:00' THEN 'test'
+            ELSE 'embargo' END AS split
+FROM events
+"""
+
+
 QUERIES = {
     "asof_rate": q_asof_rate,
     "conversion_latency": q_conversion_latency,
@@ -679,6 +702,7 @@ QUERIES = {
     "decayed_value": q_decayed_value,
     "user_ewma": q_user_ewma,
     "cusum_drift": q_cusum_drift,
+    "time_split": q_time_split,
 }
 
 ORACLES = {
@@ -699,4 +723,5 @@ ORACLES = {
     "decayed_value": _DECAYED_SQL,
     "user_ewma": _ewma_sql(),
     "cusum_drift": _cusum_sql(),
+    "time_split": _TIME_SPLIT_SQL,
 }

@@ -94,3 +94,24 @@ def test_training_order_deterministic_and_salted(spark):
     # a different salt reshuffles: some doc changes shard or pos
     c = training_order(df, "doc_id", num_shards=8, salt="epoch1").collect()
     assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def test_time_split_embargo_and_nulls(spark):
+    import datetime
+    from sparkprep.operators import mix
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 10)),
+        (2, datetime.datetime(2024, 1, 20)),   # inside the gap (>= train_until)
+        (3, datetime.datetime(2024, 1, 22)),   # first test instant
+        (4, None),                              # NULL ts must never train
+    ]
+    df = spark.createDataFrame(rows, ["id", "ts"])
+    out = {r.id: r.split for r in mix.time_split(
+        df, "ts", "2024-01-20 00:00:00", "2024-01-22 00:00:00"
+    ).collect()}
+    assert out == {1: "train", 2: "embargo", 3: "test", 4: "embargo"}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="embargo gap is negative"):
+        mix.time_split(df, "ts", "2024-01-22 00:00:00", "2024-01-20 00:00:00")
