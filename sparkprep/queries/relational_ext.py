@@ -590,6 +590,52 @@ FROM flags WHERE uk IS NOT NULL AND (tk IS NULL OR chg)
 """
 
 
+def q_filtered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective big-big join through the exact runtime key filter
+    (transform.runtime_filter_join): one month of urgent orders prunes
+    the lineitem shuffle via a broadcast keys-only semi-join before the
+    join proper. Result is identical to the plain join (the oracle IS
+    the plain join); the plan shape is the point — asserted in
+    tests/test_plans_quality.py with auto-broadcast disabled."""
+    tune_for_engine(spark)
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-02-01").cast("timestamp"))
+        )
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    joined = transform.runtime_filter_join(li, orders, "l_orderkey")
+    money = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        joined.groupBy("l_orderkey")
+        .agg(
+            F.round(F.sum(money), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+_FILTERED_JOIN_SQL = """
+SELECT l_orderkey,
+       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-02-01'
+GROUP BY l_orderkey ORDER BY l_orderkey
+"""
+
+
 def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit on a quasi-identifier combination (nation x
     market segment): every equivalence class with its size, an at-risk
@@ -633,10 +679,12 @@ QUERIES = {
     "nation_trade_flow": q_nation_trade_flow,
     "important_parts": q_important_parts,
     "k_anonymity": q_k_anonymity,
+    "filtered_join": q_filtered_join,
 }
 
 ORACLES = {
     "k_anonymity": _K_ANONYMITY_SQL,
+    "filtered_join": _FILTERED_JOIN_SQL,
     "merge_upsert": _MERGE_UPSERT_SQL,
     "merge_scd2": _MERGE_SCD2_SQL,
     "correlations": _CORRELATIONS_SQL,

@@ -270,3 +270,36 @@ def test_minhash_pairs_shuffle_volume_bounded(spark, sf_dir):
     assert m["spill_bytes"] == 0
     assert 0 < m["shuffle_records_written"] < 80 * n_docs  # ~hashes+bands per doc, x partitions
     assert m["shuffle_records_written"] < n_docs * n_docs / 4
+
+
+def test_runtime_filter_join_prunes_fact_before_shuffle(spark, sf_dir):
+    # With auto-broadcast OFF (the 100 TB regime where neither side
+    # broadcasts), the exact runtime key filter must still appear as a
+    # broadcast LeftSemi BELOW the shuffle join, so the fact exchange
+    # carries only matchable rows.
+    from pyspark.sql import functions as F
+
+    from sparkprep.operators import transform
+    from sparkprep.queries import t as load_t
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = (
+            load_t(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select(F.col("o_orderkey").alias("l_orderkey"))
+        )
+        li = load_t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        out = transform.runtime_filter_join(li, orders, "l_orderkey")
+        plan = _simple(out)
+        semi_pos = plan.find("BroadcastHashJoin [l_orderkey")
+        assert semi_pos != -1 and "LeftSemi" in plan
+        # the final join shuffles (SMJ) because nothing auto-broadcasts;
+        # the semi filter sits on the fact leg underneath it
+        assert "SortMergeJoin" in plan
+        assert plan.find("SortMergeJoin") < plan.find("LeftSemi")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
