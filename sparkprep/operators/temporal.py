@@ -337,6 +337,47 @@ def debounce(
     )
 
 
+def sessionize_ids(
+    df: DataFrame,
+    key_cols: list,
+    ts_col: str,
+    gap: str = "30 minutes",
+    order_cols: list | None = None,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based session assignment that KEEPS every input column: adds
+    ``session_col`` (1-based per-key counter) where a new session starts
+    at each event whose gap from the previous one exceeds ``gap``. The
+    labeling twin of ``debounce`` — same lag-boundary + running-sum
+    skeleton on ONE keyed exchange, but rows survive for downstream
+    per-session analysis (paths, durations, funnels) instead of being
+    collapsed. ``F.session_window`` covers windowed AGGREGATION; this
+    covers per-ROW session membership, which the built-in doesn't emit.
+
+    Exact int64-µs gap math; ``order_cols`` must totally order each key
+    (append a unique id) or boundaries are layout-dependent."""
+    from pyspark.sql.window import Window
+
+    order_cols = [str(c) for c in (order_cols or [ts_col])]
+    gap_us = _duration_seconds(gap) * 1_000_000
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    us = F.unix_micros(F.col(ts_col))
+    boundary = F.when(
+        F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > gap_us),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        df.withColumn("__new", boundary)
+        .withColumn(
+            session_col,
+            F.sum("__new")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
+        )
+        .drop("__new")
+    )
+
+
 def decayed_agg(
     df: DataFrame,
     key_col: str,

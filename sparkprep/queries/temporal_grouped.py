@@ -661,6 +661,61 @@ FROM terms GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path analysis: top-20 session-opening event paths
+    (first 5 event types per 30-minute-gap session). Composition of
+    sessionize_ids (per-row session membership, one user-keyed
+    exchange) and event_sequences (cap-before-collect, one session-
+    keyed exchange); the final path rollup aggregates a frame with one
+    row per SESSION, not per event."""
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    sess = temporal.sessionize_ids(
+        ev, ["user_id"], "ts", gap="30 minutes", order_cols=["ts", "event_id"]
+    ).withColumn("skey", F.concat_ws("#", "user_id", "session_id"))
+    seqs = temporal.event_sequences(
+        sess, "skey", ["ts", "event_id"], "event_type", max_len=5
+    )
+    return (
+        seqs.groupBy(F.col("seq").alias("path"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
+
+
+_SESSION_PATHS_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events
+),
+s AS (
+  SELECT *,
+         sum(CASE WHEN pts IS NULL
+                    OR epoch_us(ts) - epoch_us(pts) > 1800000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+),
+r AS (
+  SELECT user_id, sess, event_type,
+         row_number() OVER (PARTITION BY user_id, sess
+                            ORDER BY ts, event_id) AS rk
+  FROM s
+),
+p AS (
+  SELECT user_id, sess, string_agg(event_type, ',' ORDER BY rk) AS path
+  FROM r WHERE rk <= 5 GROUP BY 1, 2
+)
+SELECT path, count(*)::BIGINT AS n_sessions
+FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20
+"""
+
+
 def q_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe temporal split over events: train before Jan 20,
     test from Jan 22, a 2-day embargo between (sized for the trailing
@@ -703,6 +758,7 @@ QUERIES = {
     "user_ewma": q_user_ewma,
     "cusum_drift": q_cusum_drift,
     "time_split": q_time_split,
+    "session_paths": q_session_paths,
 }
 
 ORACLES = {
@@ -724,4 +780,5 @@ ORACLES = {
     "user_ewma": _ewma_sql(),
     "cusum_drift": _cusum_sql(),
     "time_split": _TIME_SPLIT_SQL,
+    "session_paths": _SESSION_PATHS_SQL,
 }

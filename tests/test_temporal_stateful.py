@@ -199,3 +199,29 @@ def test_funnel_pattern_stream_matches_batch(spark, sf_dir, tmp_path):
     }
     assert got == expected
     assert got, "expected at least one completed pattern at this SF"
+
+
+def test_sessionize_ids_gap_boundaries(spark):
+    import datetime
+
+    from sparkprep.operators import temporal
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(minutes, uid, eid):
+        return (uid, eid, base + datetime.timedelta(minutes=minutes), "x")
+
+    rows = [
+        at(0, 1, 1), at(29, 1, 2),   # 29-min gap: same session (<= 30)
+        at(59, 1, 3),                 # 30-min gap exactly: still same
+        at(90, 1, 4),                 # 31-min gap: NEW session
+        at(0, 2, 5),                  # other key: its own counter
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "event_type"])
+    out = temporal.sessionize_ids(
+        df, ["user_id"], "ts", gap="30 minutes", order_cols=["ts", "event_id"]
+    )
+    got = {r.event_id: r.session_id for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1}
+    # every input column survives
+    assert set(out.columns) == {"user_id", "event_id", "ts", "event_type", "session_id"}
