@@ -118,3 +118,56 @@ def power_iteration(
             .agg(F.round(F.sum(F.col("p") * F.col("__dp")), round_at).alias("p"))
         )
     return dist
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    key_col: str,
+    item_col: str,
+    max_items_per_key: int = 100,
+) -> DataFrame:
+    """Item-item co-occurrence counts from (key, item) interactions —
+    the related-items / recommender building block (items sharing many
+    keys are related) and the bipartite-graph projection.
+
+    The scale hazard is the quadratic blowup on hot keys: a key with
+    10k distinct items would emit 50M pairs. ``max_items_per_key``
+    bounds that to the top-N items per key (by interaction count,
+    item-order tiebreak), capped BEFORE any array exists — the same
+    rank-then-aggregate discipline as event_sequences, so aggregation
+    buffers hold <= N items. Pair generation is row-local (sorted
+    array + index-sliced nested transform, array materialized in its
+    own projection before the lambdas); pairs are emitted once in
+    (item_a < item_b) order so the final map-combined groupBy sees
+    each unordered pair as ONE key. Three keyed exchanges total:
+    (key,item) count, the per-key cap window (whose partitioning the
+    array rollup reuses), and the pair count.
+    """
+    per = df.groupBy(key_col, item_col).agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.partitionBy(key_col).orderBy(F.desc("__n"), F.asc(item_col))
+    capped = (
+        per.select(key_col, item_col, F.row_number().over(w).alias("__rk"))
+        .filter(F.col("__rk") <= max_items_per_key)
+    )
+    arrays = capped.groupBy(key_col).agg(
+        F.array_sort(F.collect_list(item_col)).alias("__items")
+    )
+    pairs = arrays.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "__items",
+                    lambda x, i: F.transform(
+                        F.slice("__items", i + F.lit(2), F.size("__items")),
+                        lambda y: F.struct(
+                            x.alias("item_a"), y.alias("item_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("__p")
+    )
+    return pairs.groupBy(
+        F.col("__p.item_a").alias("item_a"),
+        F.col("__p.item_b").alias("item_b"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_keys"))

@@ -716,6 +716,38 @@ FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20
 """
 
 
+def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence across users (which behaviors share an
+    audience): graph.cooccurrence_pairs over (user_id, event_type) with
+    the hot-key cap exercised at 10. Pair emitted once in sorted order;
+    see the operator for the cap-before-collect rationale."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type")
+    return (
+        graph.cooccurrence_pairs(ev, "user_id", "event_type", max_items_per_key=10)
+        .orderBy("item_a", "item_b")
+    )
+
+
+_COOCCURRENCE_SQL = """
+WITH per AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+cap AS (
+  SELECT user_id, event_type FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY n DESC, event_type) AS rk
+    FROM per
+  ) WHERE rk <= 10
+)
+SELECT a.event_type AS item_a, b.event_type AS item_b,
+       count(*)::BIGINT AS n_keys
+FROM cap a JOIN cap b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe temporal split over events: train before Jan 20,
     test from Jan 22, a 2-day embargo between (sized for the trailing
@@ -759,6 +791,7 @@ QUERIES = {
     "cusum_drift": q_cusum_drift,
     "time_split": q_time_split,
     "session_paths": q_session_paths,
+    "cooccurrence": q_cooccurrence,
 }
 
 ORACLES = {
@@ -781,4 +814,5 @@ ORACLES = {
     "cusum_drift": _cusum_sql(),
     "time_split": _TIME_SPLIT_SQL,
     "session_paths": _SESSION_PATHS_SQL,
+    "cooccurrence": _COOCCURRENCE_SQL,
 }

@@ -161,3 +161,30 @@ class TestNegativePairs:
         out = similarity.negative_pairs(df, k=10, buckets=1).collect()
         ids = {r["anchor_id"] for r in out} | {r["neg_id"] for r in out}
         assert all(i >= 5 for i in ids)
+
+
+def test_cooccurrence_cap_and_singletons(spark):
+    from sparkprep.operators import graph
+
+    rows = (
+        # key 1 interacts with a(3x), b(2x), c(1x) -> cap 2 keeps a, b
+        [(1, "a")] * 3 + [(1, "b")] * 2 + [(1, "c")]
+        # key 2: b and c once each (both kept)
+        + [(2, "b"), (2, "c")]
+        # key 3: single item -> contributes no pairs
+        + [(3, "a")]
+    )
+    df = spark.createDataFrame(rows, ["k", "item"])
+    got = {
+        (r.item_a, r.item_b): r.n_keys
+        for r in graph.cooccurrence_pairs(df, "k", "item", max_items_per_key=2).collect()
+    }
+    # key 1 pairs only (a,b); key 2 pairs (b,c); c was capped out of key 1
+    assert got == {("a", "b"): 1, ("b", "c"): 1}
+
+    # uncapped: key 1 adds (a,c) and (b,c)
+    got_all = {
+        (r.item_a, r.item_b): r.n_keys
+        for r in graph.cooccurrence_pairs(df, "k", "item").collect()
+    }
+    assert got_all == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 2}
