@@ -296,3 +296,48 @@ def binned_auc(
         F.sum("pos").cast("long").alias("n_pos"),
         F.sum("neg").cast("long").alias("n_neg"),
     )
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    smoothing: float = 20.0,
+    out_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Smoothed mean target encoding for high-cardinality categoricals:
+    ``enc(c) = (sum_y(c) + m·prior) / (n(c) + m)`` with ``prior`` the
+    global target mean — the shrinkage form that keeps rare categories
+    near the prior instead of memorizing their (noisy) empirical mean.
+
+    One map-combined groupBy to |categories| rows; the prior comes from
+    empty-frame windows over that AGGREGATED frame (never
+    ``crossJoin(broadcast(df.agg(...)))`` — that re-executes the whole
+    upstream subtree). Sums are DECIMAL(18,4)-exact so the category
+    stats are order-independent across engines; the encoding itself is
+    then one fixed-shape double expression, rounded. Join-back is a
+    NULL-SAFE broadcast (a plain name join silently drops NULL-category
+    rows; NULL is a real level here and gets its own encoding). NULL
+    targets don't contribute (sum/count both skip them)."""
+    from pyspark.sql.window import Window
+
+    from sparkprep.functions.numeric import _attach_group_scalars
+
+    out_col = out_col or f"{cat_col}_enc"
+    m = float(smoothing)
+    stats = df.groupBy(cat_col).agg(
+        F.sum(F.col(target_col).cast("decimal(18,4)")).alias("__s"),
+        F.count(target_col).alias("__n"),
+    )
+    w = Window.partitionBy()
+    prior = F.sum("__s").over(w).cast("double") / F.sum("__n").over(w).cast(
+        "double"
+    )
+    enc = F.round(
+        (F.col("__s").cast("double") + F.lit(m) * prior)
+        / (F.col("__n").cast("double") + F.lit(m)),
+        round_to,
+    )
+    encoded = stats.select(cat_col, enc.alias(out_col))
+    return _attach_group_scalars(df, encoded, cat_col)

@@ -397,3 +397,33 @@ def runtime_filter_join(
     keys = dim.select(*cols).distinct()
     pruned = fact.join(F.broadcast(keys), cols, "left_semi")
     return pruned.join(dim, cols, how)
+
+
+def collapse_rare(
+    df: DataFrame,
+    cat_col: str,
+    min_count: int,
+    other_label: str = "OTHER",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Collapse categories observed fewer than ``min_count`` times into
+    one ``other_label`` bucket — the standard long-tail guard before
+    one-hot/target encoding (every tail level otherwise becomes its own
+    near-empty feature, and at 100 TB the tail of a web-scale
+    categorical is millions of levels).
+
+    One map-combined groupBy to |categories| rows, NULL-safe broadcast
+    join-back. NULL stays NULL — a missing value is not a rare
+    category, and folding it into OTHER would silently change
+    missing-data semantics downstream."""
+    from sparkprep.functions.numeric import _attach_group_scalars
+
+    out_col = out_col or f"{cat_col}_collapsed"
+    counts = df.groupBy(cat_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    joined = _attach_group_scalars(df, counts, cat_col)
+    return joined.withColumn(
+        out_col,
+        F.when(F.col(cat_col).isNull(), F.lit(None).cast("string"))
+        .when(F.col("__cnt") >= min_count, F.col(cat_col))
+        .otherwise(F.lit(other_label)),
+    ).drop("__cnt")

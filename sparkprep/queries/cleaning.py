@@ -730,6 +730,66 @@ ORDER BY bin_id
 """
 
 
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding of nation by account balance — the
+    shrinkage feature-prep op (features.target_encode): decimal-exact
+    per-category sums, prior from windows over the aggregated frame,
+    null-safe broadcast join-back."""
+    from sparkprep.operators import features
+
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        "c_acctbal",
+    )
+    out = features.target_encode(
+        cust, "c_nationkey", "c_acctbal", smoothing=20.0
+    )
+    return out.select("c_custkey", "c_nationkey", "c_nationkey_enc").orderBy(
+        "c_custkey"
+    )
+
+
+_TARGET_ENCODE_SQL = """
+WITH s AS (
+  SELECT c_nationkey::BIGINT AS c_nationkey,
+         sum(CAST(c_acctbal AS DECIMAL(18,4))) AS s, count(c_acctbal) AS n
+  FROM customer GROUP BY 1
+),
+enc AS (
+  SELECT c_nationkey,
+         round((s::DOUBLE + 20.0 * (sum(s) OVER ()::DOUBLE / sum(n) OVER ()::DOUBLE))
+               / (n::DOUBLE + 20.0), 6) AS c_nationkey_enc
+  FROM s
+)
+SELECT c.c_custkey, c.c_nationkey::BIGINT AS c_nationkey, e.c_nationkey_enc
+FROM customer c JOIN enc e ON c.c_nationkey = e.c_nationkey
+ORDER BY c.c_custkey
+"""
+
+
+def q_collapse_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-tail category collapse (transform.collapse_rare) on part
+    brands: levels under 70 observations fold into OTHER before any
+    encoding would fan them into near-empty features."""
+    parts = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    out = transform.collapse_rare(parts, "p_brand", min_count=70)
+    return out.select("p_partkey", "p_brand", "p_brand_collapsed").orderBy(
+        "p_partkey"
+    )
+
+
+_COLLAPSE_RARE_SQL = """
+WITH c AS (SELECT p_brand, count(*) AS n FROM part GROUP BY 1)
+SELECT p.p_partkey, p.p_brand,
+       CASE WHEN p.p_brand IS NULL THEN NULL
+            WHEN c.n >= 70 THEN p.p_brand
+            ELSE 'OTHER' END AS p_brand_collapsed
+FROM part p JOIN c ON p.p_brand = c.p_brand
+ORDER BY p.p_partkey
+"""
+
+
 QUERIES = {
     # round-2 additions first: driver verdicts cover the first 50
     # registry entries per round; the rows below already have green
@@ -758,6 +818,8 @@ QUERIES = {
     "contamination": q_contamination,
     # round-3 session-3 additions (auto-promoted into the driver window
     # by the registry's never-verified safety net)
+    "target_encode": q_target_encode,
+    "collapse_rare": q_collapse_rare,
     "expect_suite": q_expect_suite,
     "psi_drift": q_psi_drift,
 }
@@ -782,6 +844,8 @@ ORACLES = {
     "fillna_dict": _FILLNA_DICT_SQL,
     "replace_nullsafe": _REPLACE_NULLSAFE_SQL,
     "label_decode": _LABEL_DECODE_SQL,
+    "target_encode": _TARGET_ENCODE_SQL,
+    "collapse_rare": _COLLAPSE_RARE_SQL,
     "expect_suite": _EXPECT_SUITE_SQL,
     "psi_drift": _PSI_DRIFT_SQL,
     # class_balance / stratified_sample: intentionally no oracle (seeded

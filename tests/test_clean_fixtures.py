@@ -254,3 +254,32 @@ def test_k_anonymity_report_classes_and_level(spark):
     assert got[(None, "B")].class_size == 2 and got[(None, "B")].at_risk
     # dataset-wide k_level = min class size, same on every row
     assert {r.k_level for r in got.values()} == {1}
+
+
+def test_target_encode_shrinks_rare_toward_prior(spark):
+    from sparkprep.operators import features
+
+    rows = [("a", 10.0)] * 50 + [("b", 0.0)] * 2 + [(None, 5.0)] * 3
+    df = spark.createDataFrame(rows, ["cat", "y"])
+    out = features.target_encode(df, "cat", "y", smoothing=20.0)
+    got = {r.cat: r.cat_enc for r in out.dropDuplicates(["cat"]).collect()}
+    prior = (50 * 10.0 + 0.0 + 3 * 5.0) / 55  # 9.3636...
+    # frequent category stays near its empirical mean
+    assert abs(got["a"] - (500 + 20 * prior) / 70) < 1e-6
+    # rare category shrinks hard toward the prior (empirical mean is 0)
+    assert abs(got["b"] - (0 + 20 * prior) / 22) < 1e-6
+    assert got["b"] > 8.0
+    # NULL level survives the join-back with its own encoding
+    assert None in got and got[None] is not None
+    assert out.count() == 55
+
+
+def test_collapse_rare_threshold_and_null(spark):
+    from sparkprep.operators import transform
+
+    rows = [("x",)] * 5 + [("y",)] * 2 + [(None,)] * 2
+    df = spark.createDataFrame(rows, ["cat"])
+    out = transform.collapse_rare(df, "cat", min_count=3, other_label="OTHER")
+    got = {(r.cat, r.cat_collapsed) for r in out.collect()}
+    assert got == {("x", "x"), ("y", "OTHER"), (None, None)}
+    assert out.count() == 9
