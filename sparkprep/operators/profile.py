@@ -247,3 +247,54 @@ def k_anonymity_report(df: DataFrame, quasi_cols: list[str], k: int = 5) -> Data
         (F.col("class_size") < F.lit(k)).alias("at_risk"),
         F.min("class_size").over(w).cast("long").alias("k_level"),
     )
+
+
+def mutual_information(
+    df: DataFrame, col_a: str, col_b: str, round_to: int = 4
+) -> DataFrame:
+    """Mutual information between two categorical columns (the EDA
+    dependence measure chi-square dashboards want): ONE data-sized
+    exchange (the joint groupBy); margins, the grand total, and both
+    entropies all come from windows over the AGGREGATED |a|·|b| frame
+    (H(a) = -Σ_xy p_xy·ln p_x since Σ_y p_xy = p_x — no second scan).
+    Returns one row: (mi, h_a, h_b, nmi) with nmi = MI/√(H(a)·H(b)).
+
+    Cross-engine determinism: each ln term is rounded at 6 then summed
+    as DECIMAL(18,6) (order-independent, the PSI/decayed-agg
+    convention: libm ln differs in the last ulp between engines and
+    double summation is order-dependent); outputs rounded at
+    ``round_to``. ``try_divide`` guards the constant-column case
+    (entropy 0 → NMI null, not DIVIDE_BY_ZERO)."""
+    from pyspark.sql.window import Window
+
+    joint = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("__c"))
+    w_all = Window.partitionBy()
+    w_a = Window.partitionBy(col_a)
+    w_b = Window.partitionBy(col_b)
+    tot = F.sum("__c").over(w_all).cast("double")
+    pxy = F.col("__c").cast("double") / tot
+    px = F.sum("__c").over(w_a).cast("double") / tot
+    py = F.sum("__c").over(w_b).cast("double") / tot
+
+    def term(x):
+        return F.round(x, 6).cast("decimal(18,6)")
+
+    terms = joint.select(
+        term(pxy * F.log(pxy / (px * py))).alias("__mi"),
+        term(pxy * F.log(px)).alias("__ha"),
+        term(pxy * F.log(py)).alias("__hb"),
+    )
+    agg = terms.agg(
+        F.sum("__mi").cast("double").alias("__smi"),
+        (-F.sum("__ha")).cast("double").alias("__sha"),
+        (-F.sum("__hb")).cast("double").alias("__shb"),
+    )
+    return agg.select(
+        F.round("__smi", round_to).alias("mi"),
+        F.round("__sha", round_to).alias("h_a"),
+        F.round("__shb", round_to).alias("h_b"),
+        F.round(
+            F.try_divide(F.col("__smi"), F.sqrt(F.col("__sha") * F.col("__shb"))),
+            round_to,
+        ).alias("nmi"),
+    )

@@ -716,6 +716,47 @@ FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20
 """
 
 
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is behavior day-of-week dependent? MI between event_type and
+    weekday (profile.mutual_information): one joint groupBy, everything
+    else windows over the aggregated contingency frame."""
+    from sparkprep.operators import profile
+
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.expr("weekday(ts)").cast("long").alias("dow")
+    )
+    return profile.mutual_information(ev, "event_type", "dow")
+
+
+_MUTUAL_INFO_SQL = """
+WITH joint AS (
+  SELECT event_type, (isodow(ts) - 1)::BIGINT AS dow, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+p AS (
+  SELECT c::DOUBLE / (sum(c) OVER ())::DOUBLE AS pxy,
+         (sum(c) OVER (PARTITION BY event_type))::DOUBLE / (sum(c) OVER ())::DOUBLE AS px,
+         (sum(c) OVER (PARTITION BY dow))::DOUBLE / (sum(c) OVER ())::DOUBLE AS py
+  FROM joint
+),
+terms AS (
+  SELECT round(pxy * ln(pxy / (px * py)), 6)::DECIMAL(18,6) AS tmi,
+         round(pxy * ln(px), 6)::DECIMAL(18,6) AS tha,
+         round(pxy * ln(py), 6)::DECIMAL(18,6) AS thb
+  FROM p
+),
+s AS (
+  SELECT sum(tmi)::DOUBLE AS smi, (-sum(tha))::DOUBLE AS sha,
+         (-sum(thb))::DOUBLE AS shb
+  FROM terms
+)
+SELECT round(smi, 4) AS mi, round(sha, 4) AS h_a, round(shb, 4) AS h_b,
+       round(smi / sqrt(sha * shb), 4) AS nmi
+FROM s
+"""
+
+
 def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-type co-occurrence across users (which behaviors share an
     audience): graph.cooccurrence_pairs over (user_id, event_type) with
@@ -792,6 +833,7 @@ QUERIES = {
     "time_split": q_time_split,
     "session_paths": q_session_paths,
     "cooccurrence": q_cooccurrence,
+    "mutual_info": q_mutual_info,
 }
 
 ORACLES = {
@@ -815,4 +857,5 @@ ORACLES = {
     "time_split": _TIME_SPLIT_SQL,
     "session_paths": _SESSION_PATHS_SQL,
     "cooccurrence": _COOCCURRENCE_SQL,
+    "mutual_info": _MUTUAL_INFO_SQL,
 }

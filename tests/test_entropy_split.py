@@ -183,3 +183,32 @@ class TestGroupedKfold:
             for r in mix.grouped_split(df, "src", {"a": 0.5, "b": 0.5}).collect()
         }
         assert splits[1] in {"a", "b"}
+
+
+def test_mutual_information_identical_and_independent(spark):
+    import math
+
+    from sparkprep.operators import profile
+
+    # identical columns: MI == H(a) == H(b), NMI == 1
+    rows = [("a", "a")] * 2 + [("b", "b")] * 2
+    df = spark.createDataFrame(rows, ["x", "y"])
+    r = profile.mutual_information(df, "x", "y").collect()[0]
+    assert abs(r.mi - round(math.log(2), 4)) <= 1e-4
+    assert r.h_a == r.h_b == r.mi
+    assert abs(r.nmi - 1.0) <= 1e-4
+
+    # independent columns (uniform 2x2): MI == 0, entropies ln 2
+    rows = [("a", "u"), ("a", "v"), ("b", "u"), ("b", "v")]
+    df2 = spark.createDataFrame(rows, ["x", "y"])
+    r2 = profile.mutual_information(df2, "x", "y").collect()[0]
+    assert abs(r2.mi) <= 1e-4
+    assert abs(r2.nmi) <= 1e-4
+    assert abs(r2.h_a - round(math.log(2), 4)) <= 1e-4
+
+    # constant column: zero entropy -> NMI NULL, not a divide error
+    rows = [("a", "u"), ("a", "v")]
+    r3 = profile.mutual_information(
+        spark.createDataFrame(rows, ["x", "y"]), "x", "y"
+    ).collect()[0]
+    assert r3.mi == 0.0 and r3.nmi is None
