@@ -203,3 +203,41 @@ def time_split(
         .when(ts >= F.to_timestamp(F.lit(test_from)), "test")
         .otherwise("embargo"),
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    k: int,
+    id_col: str,
+    salt: str = "aes",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): per group keep the k rows maximizing ``u^(1/w)``
+    with ``u`` the salted-md5 uniform of the row id — selection
+    probability proportional to weight, zero RNG, bit-replayable across
+    engines and re-runs (the repo's sampling discipline: engine RNG is
+    unverifiable, md5 math is oracle-checkable).
+
+    Map-only key computation + ONE per-group top-k window. The sort key
+    is rounded at 12 with the id as tiebreak, so a last-ulp libm ``pow``
+    disagreement between engines can't flip a rank. Rows with NULL or
+    non-positive weight are excluded — A-ES is undefined there, and a
+    silent 0-weight keep would be a sampling bug."""
+    u = (_uniform60(id_col, salt) + 1).cast("double") / F.lit(
+        float(1 << 60)
+    )
+    key = F.round(
+        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 12
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("__aes_key"), F.asc(id_col)
+    )
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__aes_key", key)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__aes_key", "__rk")
+    )

@@ -559,6 +559,38 @@ FROM by_type GROUP BY source ORDER BY source
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic document sample, 5 per source
+    (mix.weighted_sample_topk): A-ES keys from salted md5 — the
+    no-RNG sampling discipline, so DuckDB replays the exact draw."""
+    from sparkprep.operators import mix
+
+    docs = t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    out = mix.weighted_sample_topk(docs, "source", "n_chars", k=5, id_col="doc_id")
+    return out.select(
+        "source", "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    ).orderBy("source", "doc_id")
+
+
+_WEIGHTED_SAMPLE_SQL = """
+WITH w AS (
+  SELECT source, doc_id, n_chars,
+         round(pow((('0x' || substr(md5(doc_id::VARCHAR || 'aes'), 1, 15))::BIGINT + 1)
+                     / 1152921504606846976.0,
+                   1.0 / n_chars), 12) AS key
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+),
+r AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY key DESC, doc_id ASC) AS rk
+  FROM w
+)
+SELECT source, doc_id, n_chars::BIGINT AS n_chars
+FROM r WHERE rk <= 5 ORDER BY source, doc_id
+"""
+
+
 QUERIES = {
     "span_dedup": q_span_dedup,
     "url_canon": q_url_canon,
@@ -573,10 +605,12 @@ QUERIES = {
     "grouped_split": q_grouped_split,
     "grouped_kfold": q_grouped_kfold,
     "ngram_diversity": q_ngram_diversity,
+    "weighted_sample": q_weighted_sample,
 }
 
 ORACLES = {
     "ngram_diversity": _NGRAM_DIVERSITY_SQL,
+    "weighted_sample": _WEIGHTED_SAMPLE_SQL,
     "url_canon": _URL_CANON_SQL,
     "span_dedup": _SPAN_DEDUP_SQL,
     "keep_best": _KEEP_BEST_SQL,

@@ -115,3 +115,27 @@ def test_time_split_embargo_and_nulls(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="embargo gap is negative"):
         mix.time_split(df, "ts", "2024-01-22 00:00:00", "2024-01-20 00:00:00")
+
+
+def test_weighted_sample_topk_determinism_and_weights(spark):
+    from sparkprep.operators import mix
+
+    rows = [(i, "g", 0.001 if i != 7 else 1e9) for i in range(10)]
+    rows += [(100, "g", None), (101, "g", -5.0), (102, "g", 0.0)]
+    df = spark.createDataFrame(rows, ["id", "grp", "w"])
+    out = mix.weighted_sample_topk(df, "grp", "w", k=3, id_col="id")
+    ids = sorted(r.id for r in out.collect())
+    assert len(ids) == 3
+    # the overwhelming weight is always drawn; invalid weights never are
+    assert 7 in ids and not {100, 101, 102} & set(ids)
+    # bit-identical replay
+    ids2 = sorted(r.id for r in mix.weighted_sample_topk(df, "grp", "w", 3, "id").collect())
+    assert ids == ids2
+    # different salt -> (very likely) different draw among the light rows
+    ids3 = sorted(
+        r.id for r in mix.weighted_sample_topk(df, "grp", "w", 3, "id", salt="x").collect()
+    )
+    assert 7 in ids3
+    # k larger than the valid group -> all valid rows, no padding
+    all_ids = sorted(r.id for r in mix.weighted_sample_topk(df, "grp", "w", 50, "id").collect())
+    assert all_ids == list(range(10))
