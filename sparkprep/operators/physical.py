@@ -162,3 +162,61 @@ def plan_metrics(df: DataFrame) -> dict:
 
     walk(node, is_root=True)
     return totals
+
+
+def file_skipping_report(df: DataFrame, col: str) -> DataFrame:
+    """Layout-pruning effectiveness: per-file (n_rows, min, max,
+    span_frac) of ``col``, where span_frac is the file's value span as a
+    fraction of the global range — exactly the min/max zone-map stats a
+    reader's file/row-group skipping uses. ``avg(span_frac)`` is the
+    expected fraction of files a uniformly random point predicate must
+    scan: ~1.0 means the layout is unclustered on ``col`` and a
+    sort/z-order rewrite (zorder_layout, write_partitioned) would pay
+    for itself; ~1/n_files means near-perfect clustering.
+
+    ``df`` must be a direct file-source read — ``input_file_name()`` is
+    empty after exchanges. One column-pruned scan, map-combined groupBy
+    on file; the global range comes from windows over the per-FILE
+    frame (|files| rows). A zero global range (constant column) yields
+    NULL span_frac via try_divide, not a divide error. The
+    footer-only variant (pyarrow metadata, no data scan) is the 100 TB
+    upgrade; this form needs no listing round-trip and prunes to one
+    column."""
+    from pyspark.sql.window import Window
+
+    per = (
+        df.select(F.input_file_name().alias("file"), F.col(col).alias("__v"))
+        .groupBy("file")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("__v").alias("col_min"),
+            F.max("__v").alias("col_max"),
+        )
+    )
+    w = Window.partitionBy()
+    gmin = F.min("col_min").over(w)
+    gmax = F.max("col_max").over(w)
+    return per.select(
+        "file",
+        "n_rows",
+        "col_min",
+        "col_max",
+        F.round(
+            F.try_divide(
+                F.col("col_max").cast("double") - F.col("col_min").cast("double"),
+                gmax.cast("double") - gmin.cast("double"),
+            ),
+            4,
+        ).alias("span_frac"),
+    )
+
+
+def clustering_summary(report: DataFrame) -> DataFrame:
+    """One-row rollup of ``file_skipping_report``: n_files, avg/max
+    span fraction. avg_span_frac IS the expected point-predicate scan
+    fraction; compare before/after a layout rewrite."""
+    return report.agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.round(F.avg("span_frac"), 4).alias("avg_span_frac"),
+        F.round(F.max("span_frac"), 4).alias("max_span_frac"),
+    )

@@ -102,3 +102,32 @@ def test_merge_schema_reads_evolved_table(spark, tmp_path):
     assert set(merged.columns) == {"a", "b"}
     assert merged.count() == 20
     assert merged.filter(F.col("b").isNull()).count() == 10
+
+
+def test_file_skipping_report_detects_clustered_layout(spark, sf_dir, tmp_path):
+    from sparkprep.operators import physical
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "value")
+
+    rand_dir = str(tmp_path / "random")
+    sort_dir = str(tmp_path / "sorted")
+    # unclustered: hash-repartitioned on an unrelated key
+    ev.repartition(8, "event_id").write.parquet(rand_dir)
+    # clustered: range-partitioned and sorted by the probe column
+    ev.repartitionByRange(8, "value").sortWithinPartitions("value").write.parquet(sort_dir)
+
+    rep_rand = physical.file_skipping_report(spark.read.parquet(rand_dir), "value")
+    rep_sort = physical.file_skipping_report(spark.read.parquet(sort_dir), "value")
+    s_rand = physical.clustering_summary(rep_rand).collect()[0]
+    s_sort = physical.clustering_summary(rep_sort).collect()[0]
+
+    assert s_rand.n_files >= 8 and s_sort.n_files >= 2
+    # random layout: every file spans most of the range (the heavy-tail
+    # max compresses fractions below 1.0); sorted layout: narrow slices
+    assert s_rand.avg_span_frac > 0.6
+    assert s_sort.avg_span_frac < 0.5
+    assert s_sort.avg_span_frac < s_rand.avg_span_frac / 2
+    # per-file rows carry usable zone-map bounds
+    r = rep_sort.collect()
+    assert all(row.col_min <= row.col_max for row in r)
+    assert sum(row.n_rows for row in r) == ev.count()
