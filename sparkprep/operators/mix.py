@@ -241,3 +241,84 @@ def weighted_sample_topk(
         .filter(F.col("__rk") <= k)
         .drop("__aes_key", "__rk")
     )
+
+
+def budget_allocation(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    cap_col: str,
+    budget: float,
+    round_to: int = 4,
+) -> DataFrame:
+    """Water-filling budget allocation: split a total ``budget`` (token
+    count, sample count) across groups proportionally to ``weight_col``
+    but never above each group's availability ``cap_col`` —
+    ``alloc_i = min(cap_i, λ·w_i)`` with λ chosen so the allocations sum
+    to the budget (every group saturates when budget ≥ Σcap). The mix-
+    planning step after temperature weighting: naive proportional quotas
+    overshoot small sources and waste budget; water-filling reallocates
+    their overflow exactly.
+
+    Closed form, no iteration: sort groups by saturation point
+    ``r = cap/w``; saturation is prefix-closed in that order, so the
+    crossing prefix falls out of cumulative-sum windows and
+    λ = (budget − Σ_sat cap) / (Σw − Σ_sat w). ``df`` must already be
+    ONE ROW PER GROUP (an aggregated frame) — every window here runs
+    over |groups| rows, never data. Rows with NULL/non-positive weight
+    allocate 0 (they can't absorb budget). Double math is fixed-shape
+    and rounded at ``round_to`` for cross-engine parity."""
+    from pyspark.sql.window import Window
+
+    B = float(budget)
+    valid = df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+    invalid = df.filter(
+        F.col(weight_col).isNull() | (F.col(weight_col) <= 0)
+    ).select(
+        group_col,
+        F.col(weight_col).cast("double").alias("weight"),
+        F.col(cap_col).cast("double").alias("cap"),
+        F.lit(0.0).alias("alloc"),
+    )
+    w_all = Window.partitionBy()
+    w_ord = Window.orderBy("__r", group_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    staged = valid.select(
+        group_col,
+        F.col(weight_col).cast("double").alias("__w"),
+        F.col(cap_col).cast("double").alias("__cap"),
+    ).withColumn("__r", F.try_divide("__cap", "__w"))
+    cum = staged.select(
+        group_col,
+        "__w",
+        "__cap",
+        "__r",
+        F.row_number().over(Window.orderBy("__r", group_col)).alias("__rn"),
+        F.try_divide(
+            F.lit(B) - F.sum("__cap").over(w_ord),
+            F.sum("__w").over(w_all) - F.sum("__w").over(w_ord),
+        ).alias("__lam_i"),
+        (F.sum("__w").over(w_all)).alias("__tw"),
+    ).withColumn(
+        "__sat",
+        F.col("__lam_i").isNotNull() & (F.col("__r") <= F.col("__lam_i")),
+    )
+    resolved = cum.withColumn(
+        "__p", F.max(F.when(F.col("__sat"), F.col("__rn"))).over(w_all)
+    ).withColumn(
+        "__lam_sat",
+        F.max(
+            F.when(F.col("__rn") == F.col("__p"), F.col("__lam_i"))
+        ).over(w_all),
+    )
+    lam = F.coalesce(F.col("__lam_sat"), F.lit(B) / F.col("__tw"))
+    out = resolved.select(
+        group_col,
+        F.col("__w").alias("weight"),
+        F.col("__cap").alias("cap"),
+        F.round(F.least(F.col("__cap"), lam * F.col("__w")), round_to).alias(
+            "alloc"
+        ),
+    )
+    return out.unionByName(invalid)

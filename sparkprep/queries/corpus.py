@@ -591,6 +591,48 @@ FROM r WHERE rk <= 5 ORDER BY source, doc_id
 """
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix planning under availability: water-fill a 140k-char budget
+    across sources (weight = √docs, cap = chars available). Small
+    sources saturate at their cap; the freed budget reflows to the rest
+    exactly (mix.budget_allocation — closed form, windows over the
+    20-row source frame only)."""
+    from sparkprep.operators import mix
+
+    docs = t(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.round(F.pow(F.count(F.lit(1)), 0.5), 6).alias("w"),
+        F.sum("n_chars").cast("double").alias("cap"),
+    )
+    out = mix.budget_allocation(src, "source", "w", "cap", budget=140000.0)
+    return out.orderBy("source")
+
+
+_TOKEN_BUDGET_SQL = """
+WITH src AS (
+  SELECT source, round(pow(count(*), 0.5), 6) AS w, sum(n_chars)::DOUBLE AS cap
+  FROM documents GROUP BY 1
+),
+st AS (SELECT source, w, cap, cap / w AS r FROM src),
+c AS (
+  SELECT source, w, cap, r,
+         row_number() OVER (ORDER BY r, source) AS rn,
+         (140000.0 - sum(cap) OVER (ORDER BY r, source ROWS UNBOUNDED PRECEDING))
+           / nullif(sum(w) OVER ()
+                    - sum(w) OVER (ORDER BY r, source ROWS UNBOUNDED PRECEDING), 0)
+           AS lam_i,
+         sum(w) OVER () AS tw
+  FROM st
+),
+s AS (SELECT *, (lam_i IS NOT NULL AND r <= lam_i) AS sat FROM c),
+p AS (SELECT *, max(CASE WHEN sat THEN rn END) OVER () AS pp FROM s),
+l AS (SELECT *, max(CASE WHEN rn = pp THEN lam_i END) OVER () AS lam_sat FROM p)
+SELECT source, w AS weight, cap,
+       round(least(cap, coalesce(lam_sat, 140000.0 / tw) * w), 4) AS alloc
+FROM l ORDER BY source
+"""
+
+
 QUERIES = {
     "span_dedup": q_span_dedup,
     "url_canon": q_url_canon,
@@ -606,11 +648,13 @@ QUERIES = {
     "grouped_kfold": q_grouped_kfold,
     "ngram_diversity": q_ngram_diversity,
     "weighted_sample": q_weighted_sample,
+    "token_budget": q_token_budget,
 }
 
 ORACLES = {
     "ngram_diversity": _NGRAM_DIVERSITY_SQL,
     "weighted_sample": _WEIGHTED_SAMPLE_SQL,
+    "token_budget": _TOKEN_BUDGET_SQL,
     "url_canon": _URL_CANON_SQL,
     "span_dedup": _SPAN_DEDUP_SQL,
     "keep_best": _KEEP_BEST_SQL,

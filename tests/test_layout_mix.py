@@ -139,3 +139,32 @@ def test_weighted_sample_topk_determinism_and_weights(spark):
     # k larger than the valid group -> all valid rows, no padding
     all_ids = sorted(r.id for r in mix.weighted_sample_topk(df, "grp", "w", 50, "id").collect())
     assert all_ids == list(range(10))
+
+
+def test_budget_allocation_water_filling(spark):
+    from sparkprep.operators import mix
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 10.0), ("b", 1.0, 1000.0), ("c", 2.0, 30.0)],
+        ["src", "w", "cap"],
+    )
+    # partial saturation: a and c hit their caps, b absorbs the rest
+    got = {r.src: r.alloc for r in mix.budget_allocation(df, "src", "w", "cap", 100).collect()}
+    assert got == {"a": 10.0, "c": 30.0, "b": 60.0}
+    assert abs(sum(got.values()) - 100) < 1e-9
+
+    # no saturation: plain proportional split
+    got2 = {r.src: r.alloc for r in mix.budget_allocation(df, "src", "w", "cap", 10).collect()}
+    assert got2 == {"a": 2.5, "b": 2.5, "c": 5.0}
+
+    # budget exceeds total capacity: everything saturates
+    got3 = {r.src: r.alloc for r in mix.budget_allocation(df, "src", "w", "cap", 2000).collect()}
+    assert got3 == {"a": 10.0, "b": 1000.0, "c": 30.0}
+
+    # invalid weights allocate zero, never absorb budget
+    df2 = spark.createDataFrame(
+        [("a", 1.0, 10.0), ("z", 0.0, 50.0), ("n", None, 50.0)],
+        ["src", "w", "cap"],
+    )
+    got4 = {r.src: r.alloc for r in mix.budget_allocation(df2, "src", "w", "cap", 4).collect()}
+    assert got4 == {"a": 4.0, "z": 0.0, "n": 0.0}
