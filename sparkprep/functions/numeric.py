@@ -216,3 +216,51 @@ def winsorize(
             df, df.groupBy(group_col).agg(*cuts), group_col
         )
     return joined.withColumn(out_col, clipped).drop("__lo", "__hi")
+
+
+def benford_report(
+    df: DataFrame, value_col: str, round_to: int = 4
+) -> DataFrame:
+    """Benford first-digit fraud/quality screen: for each leading
+    significant digit 1-9 of the positive values, the observed share vs
+    Benford's expected ``log10(1 + 1/d)`` and the signed deviation.
+    Fabricated or unit-mixed numeric columns jump off this table long
+    before a model notices.
+
+    The digit comes from the DECIMAL(18,2)-cast string (both engines
+    format a decimal identically — a raw double's string form does
+    not); the first ``[1-9]`` match IS the first significant digit
+    (sub-1 values like 0.05 lead with zeros, so the match must not be
+    anchored). One
+    map-combined 9-group aggregate; the total for shares is a window
+    over the 9-row aggregated frame, never the data. Deviation is
+    computed from the ALREADY-ROUNDED share and expectation so both
+    engines subtract identical doubles.
+    """
+    from pyspark.sql.window import Window
+
+    dec = df.filter(F.col(value_col) > 0).select(
+        F.col(value_col).cast("decimal(18,2)").alias("__d")
+    )
+    # values in (0, 0.005) round to DECIMAL 0.00 — drop them BEFORE the
+    # regex so the match can never come back empty (ANSI '' -> int
+    # cast throws); anything left is >= 0.01 and must contain a [1-9]
+    digit = F.regexp_extract(
+        F.col("__d").cast("string"), r"([1-9])", 1
+    ).cast("int")
+    counts = (
+        dec.filter(F.col("__d") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy()
+    share = F.round(F.try_divide(F.col("n"), F.sum("n").over(w)), round_to)
+    expected = F.round(F.log10(1 + 1 / F.col("digit")), round_to)
+    return counts.select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        share.alias("share"),
+        expected.alias("expected"),
+        F.round(share - expected, round_to).alias("deviation"),
+    )

@@ -1,0 +1,140 @@
+"""Data-governance operators: right-to-be-forgotten purge cascades and
+l-diversity release audits.
+
+A training corpus built from user data needs two governance primitives
+the cleaning/dedup stack doesn't cover: (1) deleting every row a
+deletion-request key touches — across ALL the tables the key cascades
+into — with an auditable accounting of what was removed, and (2) the
+l-diversity refinement of k-anonymity (``profile.k_anonymity_report``):
+an equivalence class can be large (k-safe) yet still leak its sensitive
+attribute when every member shares the same value.
+
+Scale shape: deletion-request key sets are tiny relative to the facts
+(regulatory request volumes, not data volumes), so every purge is a
+broadcast anti/semi-join — the fact tables never shuffle. The audit
+counts ride a broadcast LEFT join + one map-combined aggregate per
+table, one pass each. Derived key sets (e.g. the order keys owned by
+purged customers) can outgrow a broadcast at extreme scale; the
+cascade helpers take plain DataFrames so the caller can drop the
+broadcast hint and let AQE pick a shuffle join for those hops.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def purge_keys(
+    df: DataFrame, key_col: str, keys: DataFrame, keys_col: str | None = None
+) -> DataFrame:
+    """Rows of ``df`` that survive the purge: anti-join against the
+    deletion-request key set (broadcast — the request set is small).
+
+    NULL ``key_col`` rows survive: a NULL key cannot match any request,
+    and anti-join's NULL semantics already guarantee that — no guard
+    needed on either engine.
+    """
+    keys_col = keys_col or key_col
+    req = keys.select(F.col(keys_col).alias(key_col)).dropDuplicates()
+    return df.join(F.broadcast(req), on=key_col, how="left_anti")
+
+
+def derive_keys(
+    df: DataFrame,
+    key_col: str,
+    out_col: str,
+    keys: DataFrame,
+    keys_col: str | None = None,
+) -> DataFrame:
+    """The next hop of a cascade: the distinct ``out_col`` values owned
+    by rows matching the current key set (semi-join, then project).
+    E.g. purged customers -> the order keys of their orders, which then
+    purge lineitem."""
+    keys_col = keys_col or key_col
+    req = keys.select(F.col(keys_col).alias(key_col)).dropDuplicates()
+    return (
+        df.join(F.broadcast(req), on=key_col, how="left_semi")
+        .select(out_col)
+        .dropDuplicates()
+    )
+
+
+def purge_audit(
+    tables: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Per-table purge accounting in ONE pass per table: for each
+    ``(table_name, df, key_col, keys_df, keys_col)`` report
+    ``rows_before / rows_removed / rows_after``.
+
+    Each table's counts come from a broadcast LEFT join against its key
+    set plus a single map-combined aggregate — never a separate
+    before-count and after-count job (two scans), and the removed rows
+    are counted, not materialized. The per-table 1-row aggregates
+    union; each branch reads a DIFFERENT table, so this is not the
+    unions-of-selects-from-one-source re-execution trap.
+    """
+    rows = []
+    for name, df, key_col, keys_df, keys_col in tables:
+        req = (
+            keys_df.select(F.col(keys_col).alias(key_col))
+            .dropDuplicates()
+            .withColumn("__purge", F.lit(1))
+        )
+        marked = df.select(key_col).join(
+            F.broadcast(req), on=key_col, how="left"
+        )
+        agg = marked.agg(
+            F.count(F.lit(1)).alias("rows_before"),
+            F.coalesce(F.sum("__purge"), F.lit(0)).alias("rows_removed"),
+        )
+        rows.append(
+            agg.select(
+                F.lit(name).alias("table_name"),
+                F.col("rows_before").cast("long").alias("rows_before"),
+                F.col("rows_removed").cast("long").alias("rows_removed"),
+                (F.col("rows_before") - F.col("rows_removed"))
+                .cast("long")
+                .alias("rows_after"),
+            )
+        )
+    return reduce(DataFrame.unionByName, rows)
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """l-diversity audit: each quasi-identifier equivalence class with
+    its size, the number of DISTINCT sensitive values it contains, an
+    ``at_risk`` flag (fewer than ``l`` distinct values — everyone in
+    the class is outed), and the dataset-wide ``l_level`` (the min:
+    the l for which the dataset IS l-diverse).
+
+    One exchange keyed on the quasi-identifier (count_distinct of one
+    column inside a single groupBy is the two-phase distinct aggregate,
+    not the Expand trap of multiple distinct aggs); the l_level window
+    runs over the already-aggregated |classes|-row frame only. NULL
+    sensitive values are not counted as a diversity value (both
+    engines' count_distinct skips NULLs) — a class of all-NULL
+    sensitive rows reports 0 distinct values and flags at_risk, which
+    is the conservative reading a release gate wants.
+    """
+    from pyspark.sql.window import Window
+
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.count_distinct(F.col(sensitive_col)).alias("l_count"),
+    )
+    w = Window.partitionBy()
+    return classes.select(
+        *quasi_cols,
+        F.col("class_size").cast("long").alias("class_size"),
+        F.col("l_count").cast("long").alias("l_count"),
+        (F.col("l_count") < F.lit(l)).alias("at_risk"),
+        F.min("l_count").over(w).cast("long").alias("l_level"),
+    )

@@ -126,3 +126,54 @@ def key_skew_report(
             F.try_divide(F.col("n") * F.col("__nkeys"), F.col("__total")), 4
         ).alias("skew_factor"),
     )
+
+
+def concentration_report(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    top: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Market/ownership concentration of a value column over its keys,
+    in one row: key count, exact total, Herfindahl-Hirschman index
+    (sum of squared shares — 1/n_keys = uniform, 1.0 = monopoly), and
+    the share held by the ``top`` largest keys. The skew twin of
+    :func:`key_skew_report` for WEIGHTED load (revenue per customer,
+    tokens per source) rather than row counts.
+
+    Shape mirrors key_skew_report: one map-combined per-key sum (values
+    cast DECIMAL(18,4) per row, so the sum is exact and
+    order-independent), squares re-narrowed to DECIMAL(18,4) before
+    multiplying (the widened sum type would overflow the 38-digit cap
+    and silently lose scale), totals and the TakeOrdered top-k both
+    reduce the SAME aggregated frame (AQE reuses the exchange), and the
+    two 1-row frames broadcast-join. Ratios divide as doubles and round
+    at ``round_to`` — cross-engine double division is exact, summation
+    never happens in double.
+    """
+    v = F.sum(F.col(value_col).cast("decimal(18,4)")).alias("v")
+    per_key = df.groupBy(F.col(key_col).alias("key")).agg(v)
+    v44 = F.col("v").cast("decimal(18,4)")
+    totals = per_key.agg(
+        F.count(F.lit(1)).alias("__nkeys"),
+        F.sum("v").alias("__total"),
+        F.sum(v44 * v44).alias("__sumsq"),
+    )
+    topv = (
+        per_key.orderBy(F.desc("v"), F.asc("key"))
+        .limit(top)
+        .agg(F.sum("v").alias("__topv"))
+    )
+    tot_d = F.col("__total").cast("double")
+    return topv.join(F.broadcast(totals)).select(
+        F.col("__nkeys").cast("long").alias("n_keys"),
+        F.round(tot_d, 2).alias("total_value"),
+        F.round(
+            F.try_divide(F.col("__sumsq").cast("double"), tot_d * tot_d),
+            round_to,
+        ).alias("hhi"),
+        F.round(
+            F.try_divide(F.col("__topv").cast("double"), tot_d), round_to
+        ).alias("top_share"),
+    )

@@ -140,6 +140,7 @@ def registry():
     from sparkprep.queries import (
         cleaning,
         corpus,
+        governance,
         llmprep,
         relational,
         relational_ext,
@@ -150,7 +151,7 @@ def registry():
 
     merged_q: dict = {}
     oracles: dict = {}
-    for mod in (textops, llmprep, temporal_grouped, relational_ext, cleaning, relational, scale_ops, corpus):
+    for mod in (textops, llmprep, temporal_grouped, relational_ext, cleaning, relational, scale_ops, corpus, governance):
         merged_q.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     # The correctness driver adjudicates the FIRST 50 registry entries

@@ -1,0 +1,195 @@
+"""Governance & distribution-forensics queries: right-to-be-forgotten
+purge accounting, l-diversity release audit, Benford first-digit
+screen, and value-concentration (HHI) reporting — the compliance layer
+a training-data pipeline needs around the cleaning/dedup stack.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkprep.functions import numeric
+from sparkprep.operators import privacy, skew
+from sparkprep.queries import t
+
+# ~1% of customers file deletion requests: salted md5 uniform on the
+# key (deterministic, engine-independent — same idiom as
+# mix.grouped_split). Shared verbatim with every oracle below.
+_REQ_PRED_SQL = (
+    "('0x' || substr(md5(c_custkey::VARCHAR || 'purge'), 1, 15))::BIGINT "
+    "% 100 = 0"
+)
+
+
+def _request_keys(cust: DataFrame) -> DataFrame:
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit("purge"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return cust.filter(u % 100 == 0).select("c_custkey")
+
+
+def q_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR deletion-request cascade accounting: ~1% of customers ask
+    to be forgotten; the purge cascades customer -> their orders ->
+    those orders' lineitems. One broadcast-join + map-combined
+    aggregate per table (privacy.purge_audit) — the fact tables never
+    shuffle, removed rows are counted rather than materialized."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    req = _request_keys(cust)
+    okeys = privacy.derive_keys(
+        orders, "o_custkey", "o_orderkey", req, "c_custkey"
+    )
+    return privacy.purge_audit(
+        [
+            ("customer", cust, "c_custkey", req, "c_custkey"),
+            ("lineitem", li, "l_orderkey", okeys, "o_orderkey"),
+            ("orders", orders, "o_custkey", req, "c_custkey"),
+        ]
+    ).orderBy("table_name")
+
+
+_PURGE_AUDIT_SQL = f"""
+WITH req AS (
+  SELECT c_custkey FROM customer WHERE {_REQ_PRED_SQL}
+),
+ok AS (
+  SELECT DISTINCT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM req)
+),
+a AS (
+  SELECT 'customer' AS table_name, count(*) AS rows_before,
+         count(*) FILTER (WHERE c_custkey IN (SELECT c_custkey FROM req)) AS rows_removed
+  FROM customer
+  UNION ALL
+  SELECT 'lineitem', count(*),
+         count(*) FILTER (WHERE l_orderkey IN (SELECT o_orderkey FROM ok))
+  FROM lineitem
+  UNION ALL
+  SELECT 'orders', count(*),
+         count(*) FILTER (WHERE o_custkey IN (SELECT c_custkey FROM req))
+  FROM orders
+)
+SELECT table_name, rows_before::BIGINT AS rows_before,
+       rows_removed::BIGINT AS rows_removed,
+       (rows_before - rows_removed)::BIGINT AS rows_after
+FROM a ORDER BY table_name
+"""
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity release audit over (nation x market segment) quasi-
+    identifiers with the account-balance thousand-bucket as the
+    sensitive attribute: class size, distinct sensitive values,
+    at-risk flag (< 5 distinct) and the dataset-wide l_level."""
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0))
+        .cast("long")
+        .alias("bal_bucket"),
+    )
+    return privacy.l_diversity_report(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_bucket", l=5
+    ).orderBy("c_nationkey", "c_mktsegment")
+
+
+_L_DIVERSITY_SQL = """
+WITH cls AS (
+  SELECT c_nationkey::BIGINT AS c_nationkey, c_mktsegment,
+         count(*) AS class_size,
+         count(DISTINCT floor(c_acctbal / 1000.0)::BIGINT) AS l_count
+  FROM customer GROUP BY 1, 2
+)
+SELECT c_nationkey, c_mktsegment, class_size::BIGINT AS class_size,
+       l_count::BIGINT AS l_count, (l_count < 5) AS at_risk,
+       (min(l_count) OVER ())::BIGINT AS l_level
+FROM cls ORDER BY c_nationkey, c_mktsegment
+"""
+
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen on order totals: observed digit
+    share vs log10(1+1/d) expectation with signed deviation — the
+    classic fabricated-numbers detector, one 9-group aggregate."""
+    orders = t(spark, sf_dir, "orders")
+    return numeric.benford_report(orders, "o_totalprice").orderBy("digit")
+
+
+_BENFORD_SQL = """
+WITH pos AS (
+  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS d
+  FROM orders WHERE o_totalprice > 0
+),
+dig AS (
+  SELECT regexp_extract(d::VARCHAR, '([1-9])', 1)::INT AS digit
+  FROM pos WHERE d > 0
+),
+cnt AS (SELECT digit, count(*) AS n FROM dig GROUP BY digit),
+sh AS (
+  SELECT digit, n,
+         round(n / (sum(n) OVER ())::DOUBLE, 4) AS share,
+         round(log10(1 + 1.0 / digit), 4) AS expected
+  FROM cnt
+)
+SELECT digit, n::BIGINT AS n, share, expected,
+       round(share - expected, 4) AS deviation
+FROM sh ORDER BY digit
+"""
+
+
+def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer revenue concentration in one row: key count, exact
+    decimal total, HHI, and the top-10 customers' share. Weighted-skew
+    twin of key_skew — tells you whether one customer (or corpus
+    source) dominates the spend before a mix plan trusts the shares."""
+    orders = t(spark, sf_dir, "orders")
+    return skew.concentration_report(
+        orders, "o_custkey", "o_totalprice", top=10
+    )
+
+
+_CONCENTRATION_SQL = """
+WITH per_key AS (
+  SELECT o_custkey AS key,
+         sum(CAST(o_totalprice AS DECIMAL(18,4))) AS v
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT count(*) AS n_keys, sum(v) AS total,
+         sum(v::DECIMAL(19,4) * v::DECIMAL(19,4)) AS sumsq
+  FROM per_key
+),
+topk AS (
+  SELECT sum(v) AS topv
+  FROM (SELECT v FROM per_key ORDER BY v DESC, key ASC LIMIT 10)
+)
+SELECT n_keys::BIGINT AS n_keys,
+       round(total::DOUBLE, 2) AS total_value,
+       round(sumsq::DOUBLE / (total::DOUBLE * total::DOUBLE), 6) AS hhi,
+       round(topv::DOUBLE / total::DOUBLE, 6) AS top_share
+FROM tot, topk
+"""
+
+
+QUERIES = {
+    "purge_audit": q_purge_audit,
+    "l_diversity": q_l_diversity,
+    "benford": q_benford,
+    "revenue_concentration": q_revenue_concentration,
+}
+
+ORACLES = {
+    "purge_audit": _PURGE_AUDIT_SQL,
+    "l_diversity": _L_DIVERSITY_SQL,
+    "benford": _BENFORD_SQL,
+    "revenue_concentration": _CONCENTRATION_SQL,
+}
