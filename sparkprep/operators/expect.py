@@ -443,3 +443,64 @@ def psi_bins(
         # last ulp, and 1e-4 granularity absorbs that for oracle parity
         F.round((p - q) * F.log(p / q), 4).alias("psi_term"),
     )
+
+
+def fk_checks(
+    edges: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity audit across foreign-key edges: for each
+    ``(edge_name, child_df, child_key, parent_df, parent_key)`` report
+    child row count, NULL-key rows, orphan rows (non-NULL key with no
+    parent), and an ``ok`` flag. The cross-TABLE complement of
+    :class:`Suite`'s per-column checks — the thing that catches a
+    truncated dimension load before a training join silently drops or
+    null-pads facts.
+
+    Shape per edge: the parent reduces to its deduplicated key column
+    only (the cheapest possible projection of the big side), the child
+    projects its key, and ONE left join + map-combined aggregate
+    produces the row — orphans are counted, never materialized. Parent
+    keys are NOT assumed broadcastable (a fact-to-fact edge like
+    lineitem->orders has billions of parent keys at scale); the plain
+    join lets AQE pick broadcast vs shuffle per edge. The per-edge
+    1-row aggregates union — each branch reads different tables, so
+    this is not the single-source re-execution trap.
+
+    A NULL child key is reported separately, not as an orphan: SQL FK
+    semantics admit NULL references, and conflating them with broken
+    ones makes the count useless for triage.
+    """
+    if not edges:
+        raise ValueError("fk_checks needs at least one edge")
+    from functools import reduce
+
+    rows = []
+    for name, child, child_key, parent, parent_key in edges:
+        pkeys = (
+            parent.select(F.col(parent_key).alias(child_key))
+            .dropDuplicates()
+            .withColumn("__parent", F.lit(1))
+        )
+        marked = child.select(child_key).join(pkeys, on=child_key, how="left")
+        agg = marked.agg(
+            F.count(F.lit(1)).alias("child_rows"),
+            F.sum(
+                F.when(F.col(child_key).isNull(), 1).otherwise(0)
+            ).alias("null_keys"),
+            F.sum(
+                F.when(
+                    F.col(child_key).isNotNull() & F.col("__parent").isNull(),
+                    1,
+                ).otherwise(0)
+            ).alias("orphans"),
+        )
+        rows.append(
+            agg.select(
+                F.lit(name).alias("edge"),
+                F.col("child_rows").cast("long").alias("child_rows"),
+                F.col("null_keys").cast("long").alias("null_keys"),
+                F.col("orphans").cast("long").alias("orphans"),
+                (F.col("orphans") == 0).alias("ok"),
+            )
+        )
+    return reduce(DataFrame.unionByName, rows)

@@ -412,3 +412,47 @@ def decayed_agg(
         F.round(F.sum("__t").cast("double"), round_to).alias("decayed_value"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
+
+
+def last_touch_attribution(
+    conversions: DataFrame,
+    touches: DataFrame,
+    user_col: str,
+    ts_col: str,
+    channel_col: str,
+    lookback: str = "7 days",
+    none_label: str = "(none)",
+) -> DataFrame:
+    """Marketing-style last-touch attribution: each conversion row gets
+    an ``attributed_channel`` — the channel of the most recent touch by
+    the same user at or before the conversion, provided it falls within
+    ``lookback``; otherwise ``none_label``. Built on :func:`asof_join`
+    (union + one keyed window — never an inequality join), so the cost
+    is one exchange on the user key regardless of touch volume.
+
+    The lookback gap is exact int64 µs math (``unix_micros``), never a
+    float cast on a timestamp. Ties at the exact conversion timestamp
+    attribute (asof_join's right-wins-at-equal rule); equal-timestamp
+    ties BETWEEN touches follow the window order and are only
+    deterministic if (user, ts) is unique among touches — pre-dedup
+    touches if the feed can collide.
+    """
+    tch = touches.select(
+        F.col(user_col),
+        F.col(ts_col),
+        F.col(channel_col).alias("__ch"),
+        F.col(ts_col).alias("__tts"),
+    )
+    joined = asof_join(
+        conversions, tch, on=ts_col, by=user_col, value_cols=["__ch", "__tts"]
+    )
+    lookback_us = _duration_seconds(lookback) * 1_000_000
+    in_window = (
+        F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("__tts"))
+    ) <= F.lit(lookback_us)
+    return joined.withColumn(
+        "attributed_channel",
+        F.when(F.col("__tts").isNotNull() & in_window, F.col("__ch")).otherwise(
+            F.lit(none_label)
+        ),
+    ).drop("__ch", "__tts")

@@ -180,7 +180,63 @@ FROM tot, topk
 """
 
 
+
+
+def q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over three FK edges, one with a
+    PLANTED violation (the customer dimension truncated to nations
+    < 20 — exactly what a partial dim load looks like): per edge,
+    child rows, NULL keys, orphans, ok flag. One keys-only left join +
+    map-combined aggregate per edge (expect.fk_checks)."""
+    from sparkprep.operators import expect
+
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    cust_truncated = t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey") < 20
+    )
+    return expect.fk_checks(
+        [
+            ("lineitem.orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
+            ("nation.regionkey->region", nation, "n_regionkey", region, "r_regionkey"),
+            ("orders.custkey->customer(truncated)", orders, "o_custkey", cust_truncated, "c_custkey"),
+        ]
+    ).orderBy("edge")
+
+
+_FK_AUDIT_SQL = """
+WITH e1 AS (
+  SELECT 'lineitem.orderkey->orders' AS edge, count(*) AS child_rows,
+         count(*) FILTER (WHERE l_orderkey IS NULL) AS null_keys,
+         count(*) FILTER (WHERE l_orderkey IS NOT NULL
+           AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS orphans
+  FROM lineitem
+),
+e2 AS (
+  SELECT 'nation.regionkey->region', count(*),
+         count(*) FILTER (WHERE n_regionkey IS NULL),
+         count(*) FILTER (WHERE n_regionkey IS NOT NULL
+           AND n_regionkey NOT IN (SELECT r_regionkey FROM region))
+  FROM nation
+),
+e3 AS (
+  SELECT 'orders.custkey->customer(truncated)', count(*),
+         count(*) FILTER (WHERE o_custkey IS NULL),
+         count(*) FILTER (WHERE o_custkey IS NOT NULL
+           AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_nationkey < 20))
+  FROM orders
+),
+a AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3)
+SELECT edge, child_rows::BIGINT AS child_rows, null_keys::BIGINT AS null_keys,
+       orphans::BIGINT AS orphans, (orphans = 0) AS ok
+FROM a ORDER BY edge
+"""
+
+
 QUERIES = {
+    "fk_audit": q_fk_audit,
     "purge_audit": q_purge_audit,
     "l_diversity": q_l_diversity,
     "benford": q_benford,
@@ -188,6 +244,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fk_audit": _FK_AUDIT_SQL,
     "purge_audit": _PURGE_AUDIT_SQL,
     "l_diversity": _L_DIVERSITY_SQL,
     "benford": _BENFORD_SQL,

@@ -812,8 +812,63 @@ FROM events
 """
 
 
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: every purchase credits the
+    user's most recent view/click/signup within a 7-day lookback (or
+    '(none)'), rolled up per channel with attributed revenue. Rides
+    temporal.asof_join — one keyed exchange, no inequality join."""
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    touches = ev.filter(
+        F.col("event_type").isin("view", "click", "signup")
+    ).select("user_id", "ts", "event_type")
+    attributed = temporal.last_touch_attribution(
+        purchases, touches, "user_id", "ts", "event_type", lookback="7 days"
+    )
+    return (
+        attributed.groupBy(F.col("attributed_channel").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+_ATTRIBUTION_SQL = """
+WITH p AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+tch AS (
+  SELECT user_id, ts AS tts, event_type AS ch FROM events
+  WHERE event_type IN ('view', 'click', 'signup')
+),
+j AS (
+  SELECT p.user_id, p.ts, p.value, t.tts, t.ch
+  FROM p ASOF LEFT JOIN tch t
+    ON p.user_id = t.user_id AND p.ts >= t.tts
+),
+lab AS (
+  SELECT CASE WHEN tts IS NOT NULL
+              AND epoch_us(ts) - epoch_us(tts) <= 604800000000
+         THEN ch ELSE '(none)' END AS channel, value
+  FROM j
+)
+SELECT channel, count(*)::BIGINT AS n_conversions,
+       round(sum(CAST(value AS DECIMAL(18,4))), 2)::DOUBLE AS attributed_value
+FROM lab GROUP BY channel ORDER BY channel
+"""
+
+
 QUERIES = {
     "asof_rate": q_asof_rate,
+    "attribution": q_attribution,
     "conversion_latency": q_conversion_latency,
     "pattern_completions": q_pattern_completions,
     "range_count": q_range_count,
@@ -838,6 +893,7 @@ QUERIES = {
 
 ORACLES = {
     "asof_rate": _ASOF_SQL,
+    "attribution": _ATTRIBUTION_SQL,
     "conversion_latency": _CONVERSION_LATENCY_SQL,
     "pattern_completions": _PATTERN_SQL,
     "range_count": _RANGE_SQL,

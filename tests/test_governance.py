@@ -126,3 +126,81 @@ def test_concentration_reuses_per_key_exchange(spark):
     except Exception:
         pass
     assert "ReusedExchange" in node.toString()
+
+
+def test_fk_checks_orphans_and_nulls(spark):
+    from sparkprep.operators import expect
+
+    child = spark.createDataFrame(
+        [Row(fk=1), Row(fk=2), Row(fk=None), Row(fk=9)], "fk long"
+    )
+    parent = spark.createDataFrame([Row(pk=1), Row(pk=2)], "pk long")
+    rep = expect.fk_checks([("c->p", child, "fk", parent, "pk")]).collect()[0]
+    assert rep.child_rows == 4
+    assert rep.null_keys == 1  # NULL is not an orphan
+    assert rep.orphans == 1 and not rep.ok
+
+
+def test_fk_checks_intact_edge_and_empty_raises(spark):
+    from sparkprep.operators import expect
+
+    child = spark.createDataFrame([Row(fk=1)], "fk long")
+    parent = spark.createDataFrame([Row(pk=1), Row(pk=1)], "pk long")
+    rep = expect.fk_checks([("c->p", child, "fk", parent, "pk")]).collect()[0]
+    assert rep.orphans == 0 and rep.ok
+    with pytest.raises(ValueError):
+        expect.fk_checks([])
+
+
+def _ts(s):
+    import datetime
+
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_attribution_window_and_ties(spark):
+    from sparkprep.operators import temporal
+
+    conv = spark.createDataFrame(
+        [
+            Row(u=1, ts=_ts("2024-01-10 12:00:00"), v=10.0),  # click 1h before
+            Row(u=1, ts=_ts("2024-01-20 12:00:00"), v=20.0),  # touch 9d old -> none
+            Row(u=2, ts=_ts("2024-01-10 12:00:00"), v=30.0),  # no touches -> none
+            Row(u=3, ts=_ts("2024-01-10 12:00:00"), v=40.0),  # tie at exact ts
+        ],
+        "u long, ts timestamp, v double",
+    )
+    tch = spark.createDataFrame(
+        [
+            Row(u=1, ts=_ts("2024-01-10 11:00:00"), ch="click"),
+            Row(u=3, ts=_ts("2024-01-10 12:00:00"), ch="view"),
+        ],
+        "u long, ts timestamp, ch string",
+    )
+    out = {
+        (r.u, r.ts): r.attributed_channel
+        for r in temporal.last_touch_attribution(
+            conv, tch, "u", "ts", "ch", lookback="7 days"
+        ).collect()
+    }
+    assert out[(1, _ts("2024-01-10 12:00:00"))] == "click"
+    assert out[(1, _ts("2024-01-20 12:00:00"))] == "(none)"  # 10d gap
+    assert out[(2, _ts("2024-01-10 12:00:00"))] == "(none)"
+    assert out[(3, _ts("2024-01-10 12:00:00"))] == "view"  # equal-ts tie
+
+
+def test_attribution_exact_lookback_boundary_inclusive(spark):
+    from sparkprep.operators import temporal
+
+    conv = spark.createDataFrame(
+        [Row(u=1, ts=_ts("2024-01-08 00:00:00"), v=1.0)],
+        "u long, ts timestamp, v double",
+    )
+    tch = spark.createDataFrame(
+        [Row(u=1, ts=_ts("2024-01-01 00:00:00"), ch="view")],
+        "u long, ts timestamp, ch string",
+    )
+    row = temporal.last_touch_attribution(
+        conv, tch, "u", "ts", "ch", lookback="7 days"
+    ).collect()[0]
+    assert row.attributed_channel == "view"  # gap == lookback attributes
