@@ -264,3 +264,49 @@ def benford_report(
         expected.alias("expected"),
         F.round(share - expected, round_to).alias("deviation"),
     )
+
+
+def mad_scores(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    c: float = 0.6745,
+    out_col: str = "mad_z",
+    round_to: int = 4,
+) -> DataFrame:
+    """Robust per-group outlier scores via the median absolute
+    deviation: ``c * (x - median) / MAD`` (c=0.6745 makes the score
+    read like a z-score under normality). Mean/stddev z-scores
+    (``grouped.grouped_zscore``) move with the outliers they hunt;
+    median/MAD don't — this is the screen for corrupt extremes in a
+    column whose tails are the interesting part.
+
+    ONE exchange on the group key: both the group median and the MAD
+    (median of |x - median|) are ``percentile`` window aggregates over
+    the same partition — WindowExec computes each once per partition,
+    and the second window reuses the first's partitioning (no second
+    shuffle; same shape as ``iqr_outlier_report``). A constant column
+    (all-identical group) has MAD 0 -> NULL score (``try_divide``),
+    never a division error. At 100 TB swap ``percentile`` for
+    ``percentile_approx`` (documented exactness trade, as in
+    ``profile.describe_long``).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col)
+    with_med = df.withColumn(
+        "__med", F.expr(f"percentile({value_col}, 0.5)").over(w)
+    )
+    with_mad = with_med.withColumn(
+        "__mad",
+        F.expr(f"percentile(abs({value_col} - __med), 0.5)").over(w),
+    )
+    score = F.round(
+        F.lit(c)
+        * F.try_divide(
+            F.col(value_col) - F.col("__med"),
+            F.nullif(F.col("__mad"), F.lit(0.0)),
+        ),
+        round_to,
+    )
+    return with_mad.withColumn(out_col, score).drop("__med", "__mad")

@@ -322,3 +322,52 @@ def budget_allocation(
         ),
     )
     return out.unionByName(invalid)
+
+
+def top_p_by_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    p: float,
+    id_col: str,
+) -> DataFrame:
+    """Nucleus (top-p) selection per group: rank rows by ``score_col``
+    descending (``id_col`` ascending as the deterministic tiebreak) and
+    keep the smallest prefix whose score mass reaches fraction ``p`` of
+    the group total — the row that crosses the threshold is KEPT. The
+    budget-trimming primitive for "keep the best 80% of chars/tokens
+    per source" corpus curation.
+
+    Scores must be non-negative (a negative score makes "mass"
+    meaningless and the running sum non-monotone) — violations raise at
+    plan-build time cost only if caught by the caller; this function
+    documents the contract rather than paying a full validation scan.
+
+    Shape: one exchange on the group key; the ordered running sum and
+    the group total are windows over the SAME partitioning (the second
+    WindowExec reuses the first's shuffle). Scores accumulate as
+    DECIMAL(18,6) and the threshold multiplies DECIMAL-exactly, so the
+    keep boundary is bit-identical across engines and layouts — a
+    double running sum could flip the crossing row at ~1e-12.
+    """
+    if not 0 < p <= 1:
+        raise ValueError(f"p must be in (0, 1], got {p}")
+    from decimal import Decimal
+
+    from pyspark.sql.window import Window
+
+    s = F.col(score_col).cast("decimal(18,6)")
+    w_ord = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(group_col)
+    cum = F.sum(s).over(w_ord)
+    total = F.sum(s).over(w_all)
+    # keep while the mass BEFORE this row is still short of p*total —
+    # includes the crossing row; any group with positive mass keeps at
+    # least its top row, an all-zero group keeps nothing (no mass to
+    # cover)
+    thresh = total * F.lit(Decimal(str(p)).quantize(Decimal("0.000001")))
+    return df.withColumn("keep", (cum - s) < thresh)

@@ -633,11 +633,39 @@ FROM l ORDER BY source
 """
 
 
+
+def q_top_p_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus (top-p) corpus trimming: per source, keep the
+    highest-n_chars docs until 80% of the source's character mass is
+    covered (crossing row kept, doc_id tiebreak). DECIMAL-exact
+    running sums make the keep boundary engine- and layout-stable."""
+    from sparkprep.operators import mix
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return mix.top_p_by_group(docs, "source", "n_chars", 0.8, "doc_id")
+
+
+_TOP_P_SQL = """
+WITH w AS (
+  SELECT doc_id, source, n_chars,
+         sum(CAST(n_chars AS DECIMAL(18,6))) OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(CAST(n_chars AS DECIMAL(18,6))) OVER (PARTITION BY source) AS total
+  FROM documents
+)
+SELECT doc_id, source, n_chars,
+       (cum - n_chars::DECIMAL(18,6)) < total * 0.800000::DECIMAL(7,6) AS keep
+FROM w
+"""
+
+
 QUERIES = {
     "span_dedup": q_span_dedup,
     "url_canon": q_url_canon,
     "keep_best": q_keep_best,
     "mix_weights": q_mix_weights,
+    "top_p_sources": q_top_p_sources,
     "bigram_lm": q_bigram_lm,
     "train_order": q_train_order,
     "label_centroids": q_label_centroids,
@@ -652,6 +680,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "top_p_sources": _TOP_P_SQL,
     "ngram_diversity": _NGRAM_DIVERSITY_SQL,
     "weighted_sample": _WEIGHTED_SAMPLE_SQL,
     "token_budget": _TOKEN_BUDGET_SQL,

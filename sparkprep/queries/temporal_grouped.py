@@ -866,9 +866,38 @@ FROM lab GROUP BY channel ORDER BY channel
 """
 
 
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type robust outlier scores: c*(x-median)/MAD — the screen
+    whose fences DON'T move with the outliers (unlike z-scores). One
+    keyed exchange; both medians are window aggregates over it."""
+    from sparkprep.functions import numeric as fnumeric
+
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = fnumeric.mad_scores(ev, "value", "event_type")
+    return out.select("event_id", "event_type", "mad_z")
+
+
+_MAD_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1
+),
+mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type) GROUP BY 1
+)
+SELECT e.event_id, e.event_type,
+       round(0.6745 * ((e.value - m.med) / NULLIF(d.mad, 0)), 4) AS mad_z
+FROM events e
+JOIN med m USING (event_type)
+JOIN mad d USING (event_type)
+"""
+
+
 QUERIES = {
     "asof_rate": q_asof_rate,
     "attribution": q_attribution,
+    "mad_outliers": q_mad_outliers,
     "conversion_latency": q_conversion_latency,
     "pattern_completions": q_pattern_completions,
     "range_count": q_range_count,
@@ -894,6 +923,7 @@ QUERIES = {
 ORACLES = {
     "asof_rate": _ASOF_SQL,
     "attribution": _ATTRIBUTION_SQL,
+    "mad_outliers": _MAD_SQL,
     "conversion_latency": _CONVERSION_LATENCY_SQL,
     "pattern_completions": _PATTERN_SQL,
     "range_count": _RANGE_SQL,
