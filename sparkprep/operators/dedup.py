@@ -603,3 +603,96 @@ def simhash_pairs(
         .filter(first_match)
         .select("id_a", "id_b", ham.cast("long").alias("hamming"))
     )
+
+
+def minhash_estimator_eval(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    k: int = 3,
+    bands: int = 4,
+    seed: int = 42,
+    est_threshold: float = 0.5,
+    sim_threshold: float = 0.5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Calibration report for the MinHash-LSH estimator, in one row:
+    candidate count, MAE and signed bias of ``est_jaccard`` vs the
+    EXACT n-gram Jaccard, and precision (share of candidates whose
+    exact similarity clears ``sim_threshold``). The measurement that
+    turns band/hash parameter choices from folklore into numbers —
+    run it on a sample before committing a 100 TB dedup pass.
+
+    Cost discipline: the exact Jaccard — quadratic in general — is
+    computed ONLY over docs that appear in some candidate pair (semi-
+    join first), so the evaluation costs LSH + a shingle join bounded
+    by the candidate set, never corpus x corpus. A candidate pair with
+    zero shared shingles (possible only via band-hash collision) scores
+    exact 0 through the left join's coalesce rather than vanishing.
+    Per-pair errors round at 6 and sum as DECIMAL(18,6), so the
+    aggregate is order-independent and engine-exact before the final
+    presentation rounding.
+    """
+    cand = minhash_candidate_pairs(
+        df, text_col, id_col, num_hashes, k, bands, seed, est_threshold
+    )
+    ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .dropDuplicates()
+    )
+    sub = df.join(ids, id_col, "left_semi")
+    sh = explode_shingles(sub, text_col, id_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    exact = (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("__exact"),
+        )
+    )
+    j = cand.join(exact, ["id_a", "id_b"], "left").select(
+        "est_jaccard",
+        F.coalesce(F.col("__exact"), F.lit(0.0)).alias("__exact"),
+    )
+    abs6 = F.round(F.abs(F.col("est_jaccard") - F.col("__exact")), 6).cast(
+        "decimal(18,6)"
+    )
+    err6 = F.round(F.col("est_jaccard") - F.col("__exact"), 6).cast(
+        "decimal(18,6)"
+    )
+    n = F.count(F.lit(1))
+    return j.agg(
+        n.cast("long").alias("n_candidates"),
+        F.round(F.try_divide(F.sum(abs6).cast("double"), n), round_to).alias(
+            "mae"
+        ),
+        F.round(F.try_divide(F.sum(err6).cast("double"), n), round_to).alias(
+            "bias"
+        ),
+        F.round(
+            F.try_divide(
+                F.sum(
+                    F.when(F.col("__exact") >= sim_threshold, 1).otherwise(0)
+                ),
+                n,
+            ),
+            round_to,
+        ).alias("precision"),
+    )

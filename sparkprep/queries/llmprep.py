@@ -917,9 +917,51 @@ JOIN embeddings qc ON qc.vec_id = k.neg_id
 """
 
 
+
+def q_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: candidate count, MAE/bias of the
+    signature-agreement estimate vs exact 3-gram Jaccard, precision at
+    0.5 — exact side computed over candidate-involved docs ONLY."""
+    corpus = _corpus_near(spark, sf_dir)
+    return dd.minhash_estimator_eval(
+        corpus, "text", "doc_id",
+        num_hashes=_NUM_HASHES, k=_K, bands=_BANDS, seed=_SEED,
+        est_threshold=_EST_THRESHOLD, sim_threshold=0.5,
+    )
+
+
+def _minhash_eval_sql() -> str:
+    return f"""
+WITH {_CORPUS_NEAR_SQL},
+{_minhash_core_ctes(_EST_THRESHOLD)},
+cids AS (SELECT id_a AS id FROM mh UNION SELECT id_b FROM mh),
+shc AS (SELECT * FROM sh WHERE doc_id IN (SELECT id FROM cids)),
+sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+ex AS (SELECT id_a, id_b,
+              n_inter::DOUBLE / (na.n + nb.n - n_inter) AS exact
+       FROM inter
+       JOIN sizes na ON na.doc_id = id_a
+       JOIN sizes nb ON nb.doc_id = id_b),
+j AS (SELECT mh.est_jaccard, coalesce(ex.exact, 0.0) AS exact
+      FROM mh LEFT JOIN ex USING (id_a, id_b))
+SELECT count(*)::BIGINT AS n_candidates,
+       round(sum(CAST(round(abs(est_jaccard - exact), 6) AS DECIMAL(18,6)))::DOUBLE
+             / count(*), 4) AS mae,
+       round(sum(CAST(round(est_jaccard - exact, 6) AS DECIMAL(18,6)))::DOUBLE
+             / count(*), 4) AS bias,
+       round(sum(CASE WHEN exact >= 0.5 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 4) AS precision
+FROM j
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "minhash_pairs": q_minhash_pairs,
+    "minhash_eval": q_minhash_eval,
     "jaccard_pairs": q_jaccard_pairs,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
@@ -940,6 +982,7 @@ QUERIES = {
 ORACLES = {
     "exact_dedup": _EXACT_DEDUP_SQL,
     "minhash_pairs": _minhash_sql(),
+    "minhash_eval": _minhash_eval_sql(),
     "jaccard_pairs": _JACCARD_SQL,
     "simhash": _SIMHASH_SQL,
     "simhash_pairs": _SIMHASH_PAIRS_SQL,

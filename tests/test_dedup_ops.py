@@ -260,3 +260,37 @@ def test_semantic_dedup_arrow_agrees_with_native(spark, sf_dir):
         for r in semantic_dedup(emb, engine="arrow").collect()
     }
     assert nat == arr
+
+
+def test_minhash_eval_calibration_on_planted_pair(docs, spark):
+    """(1,2) is the only candidate; exact jaccard is computable by hand
+    from the shingle sets, so MAE/bias/precision pin to it exactly."""
+    rep = dd.minhash_estimator_eval(
+        docs, "text", "doc_id", est_threshold=0.5, sim_threshold=0.5
+    ).collect()[0]
+    assert rep.n_candidates == 1
+    # exact jaccard of (1,2): doc2's shingles are a subset chain of doc1's
+    exact = [
+        r.jaccard
+        for r in dd.jaccard_pairs(docs, "text", "doc_id", threshold=0.0).collect()
+        if (r.id_a, r.id_b) == (1, 2)
+    ][0]
+    est = dd.minhash_candidate_pairs(
+        docs, "text", "doc_id", est_threshold=0.5
+    ).collect()[0].est_jaccard
+    assert rep.mae == pytest.approx(abs(est - exact), abs=1e-3)
+    assert rep.bias == pytest.approx(est - exact, abs=1e-3)
+    assert rep.precision == (1.0 if exact >= 0.5 else 0.0)
+
+
+def test_minhash_eval_empty_candidates(spark):
+    """No candidate pairs -> zero counts and NULL (not error) metrics."""
+    lonely = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        ["doc_id", "text"],
+    )
+    rep = dd.minhash_estimator_eval(
+        lonely, "text", "doc_id", est_threshold=0.5
+    ).collect()[0]
+    assert rep.n_candidates == 0
+    assert rep.mae is None and rep.bias is None and rep.precision is None
