@@ -177,3 +177,81 @@ def concentration_report(
             F.try_divide(F.col("__topv").cast("double"), tot_d), round_to
         ).alias("top_share"),
     )
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pre-flight cardinality forecast for an equi-join, in one row:
+    per-side distinct keys, matching keys, the EXACT output row count
+    the join would produce (sum over matching keys of count_l *
+    count_r — exact for inner equi-joins, no sampling), and the
+    hottest key with its share. Run this BEFORE a big join: "those two
+    1 TB tables will emit 40 B rows, and one key contributes 38 B" is
+    the fact that changes the plan (pre-aggregate, salt, or rethink)
+    — after the OOM it's a post-mortem.
+
+    Cost: one map-combined count per side (tiny per-key frames), one
+    equi-join of those key-count frames — never the data join itself.
+    Per-key products and their sum ride wide DECIMALs: two billion-row
+    hot sides overflow int64, and ANSI mode makes that a job-killer
+    rather than a wrong answer. Totals and the TakeOrdered top-1
+    reduce the SAME joined frame (AQE reuses the exchange); the two
+    1-row frames broadcast-attach.
+    """
+    cl = left.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("nl")
+    )
+    cr = right.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("nr")
+    )
+    # FULL OUTER on the per-key count frames: every side/match/product
+    # stat reduces this ONE frame, so neither input is scanned twice
+    # (a separate per-side distinct-count branch would re-run the scan)
+    m = cl.join(cr, "key", "full_outer")
+    contrib = F.when(
+        F.col("nl").isNotNull() & F.col("nr").isNotNull(),
+        F.col("nl").cast("decimal(19,0)") * F.col("nr").cast("decimal(19,0)"),
+    )
+    marked = m.select("key", "nl", "nr", contrib.alias("rows_out"))
+    totals = marked.agg(
+        F.sum(F.when(F.col("nl").isNotNull(), 1).otherwise(0)).alias(
+            "n_keys_left"
+        ),
+        F.sum(F.when(F.col("nr").isNotNull(), 1).otherwise(0)).alias(
+            "n_keys_right"
+        ),
+        F.sum(F.when(F.col("rows_out").isNotNull(), 1).otherwise(0)).alias(
+            "__nkeys"
+        ),
+        F.sum("rows_out").alias("__rows"),
+    )
+    top = (
+        marked.filter(F.col("rows_out").isNotNull())
+        .orderBy(F.desc("rows_out"), F.asc("key"))
+        .limit(1)
+        .select(
+            F.col("key").alias("top_key"),
+            F.col("rows_out").alias("__top_rows"),
+        )
+    )
+    # totals LEFT-joins the (possibly EMPTY, when zero keys match)
+    # top-1 frame so the report always returns exactly one row
+    return totals.join(F.broadcast(top), F.lit(True), "left").select(
+        F.col("n_keys_left").cast("long").alias("n_keys_left"),
+        F.col("n_keys_right").cast("long").alias("n_keys_right"),
+        F.col("__nkeys").cast("long").alias("n_matching_keys"),
+        F.col("__rows").cast("long").alias("predicted_rows"),
+        F.col("top_key"),
+        F.col("__top_rows").cast("long").alias("top_key_rows"),
+        F.round(
+            F.try_divide(
+                F.col("__top_rows").cast("double"),
+                F.col("__rows").cast("double"),
+            ),
+            round_to,
+        ).alias("top_share"),
+    )

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sparkprep.functions import numeric
-from sparkprep.operators import graph, grouped, temporal
+from sparkprep.operators import graph, grouped, skew, temporal
 from sparkprep.queries import t
 from sparkprep.session import tune_for_engine
 
@@ -894,10 +894,93 @@ JOIN mad d USING (event_type)
 """
 
 
+
+def q_join_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight equi-join cardinality forecast (events x purchase
+    events on user_id): per-side key counts, exact predicted output
+    rows, and the hottest key's share — the diagnostic you run BEFORE
+    the join that would melt an executor. Count frames only; the data
+    join itself never runs."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return skew.join_size_estimate(ev, purchases, "user_id")
+
+
+_JOIN_FORECAST_SQL = """
+WITH cl AS (SELECT user_id AS key, count(*) AS nl FROM events GROUP BY 1),
+cr AS (SELECT user_id AS key, count(*) AS nr FROM events
+       WHERE event_type = 'purchase' GROUP BY 1),
+m AS (
+  SELECT coalesce(cl.key, cr.key) AS key, nl, nr,
+         CASE WHEN nl IS NOT NULL AND nr IS NOT NULL THEN nl * nr END AS rows_out
+  FROM cl FULL JOIN cr ON cl.key = cr.key
+),
+tot AS (
+  SELECT sum(CASE WHEN nl IS NOT NULL THEN 1 ELSE 0 END) AS n_keys_left,
+         sum(CASE WHEN nr IS NOT NULL THEN 1 ELSE 0 END) AS n_keys_right,
+         sum(CASE WHEN rows_out IS NOT NULL THEN 1 ELSE 0 END) AS n_matching_keys,
+         sum(rows_out) AS predicted_rows
+  FROM m
+),
+top AS (
+  SELECT key AS top_key, rows_out AS top_key_rows FROM m
+  WHERE rows_out IS NOT NULL ORDER BY rows_out DESC, key ASC LIMIT 1
+)
+SELECT n_keys_left::BIGINT AS n_keys_left,
+       n_keys_right::BIGINT AS n_keys_right,
+       n_matching_keys::BIGINT AS n_matching_keys,
+       predicted_rows::BIGINT AS predicted_rows,
+       top_key, top_key_rows::BIGINT AS top_key_rows,
+       round(top_key_rows::DOUBLE / predicted_rows::DOUBLE, 6) AS top_share
+FROM tot LEFT JOIN top ON TRUE
+"""
+
+
+def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue: exact decimal monthly sums, then lag
+    pct-change over the AGGREGATED ~7-year month frame (the sanctioned
+    post-agg empty-frame window — never over raw rows)."""
+    from pyspark.sql.window import Window
+
+    tune_for_engine(spark)
+    orders = t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("__rev"))
+    w = Window.orderBy("month")
+    prev = F.lag("__rev").over(w)
+    return monthly.select(
+        "month",
+        F.round(F.col("__rev"), 2).cast("double").alias("revenue"),
+        F.round(
+            F.try_divide(
+                (F.col("__rev") - prev).cast("double"), prev.cast("double")
+            )
+            * 100,
+            4,
+        ).alias("mom_pct"),
+    ).orderBy("month")
+
+
+_MOM_SQL = """
+WITH monthly AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT month, round(rev, 2)::DOUBLE AS revenue,
+       round(((rev - lag(rev) OVER (ORDER BY month))::DOUBLE
+              / (lag(rev) OVER (ORDER BY month))::DOUBLE) * 100, 4) AS mom_pct
+FROM monthly ORDER BY month
+"""
+
+
 QUERIES = {
     "asof_rate": q_asof_rate,
     "attribution": q_attribution,
     "mad_outliers": q_mad_outliers,
+    "join_forecast": q_join_forecast,
+    "mom_growth": q_mom_growth,
     "conversion_latency": q_conversion_latency,
     "pattern_completions": q_pattern_completions,
     "range_count": q_range_count,
@@ -924,6 +1007,8 @@ ORACLES = {
     "asof_rate": _ASOF_SQL,
     "attribution": _ATTRIBUTION_SQL,
     "mad_outliers": _MAD_SQL,
+    "join_forecast": _JOIN_FORECAST_SQL,
+    "mom_growth": _MOM_SQL,
     "conversion_latency": _CONVERSION_LATENCY_SQL,
     "pattern_completions": _PATTERN_SQL,
     "range_count": _RANGE_SQL,

@@ -49,6 +49,7 @@ _TINY_BROADCAST_CROSS = {
     "hybrid_rrf",        # dense leg = 1 query vector broadcast x corpus
     "key_skew",          # 1-row totals frame attach to the top-k keys
     "revenue_concentration",  # 1-row totals x 1-row top-k sum attach
+    "join_forecast",     # 1-row totals x (<=1)-row hottest-key attach
 }
 
 # the one deliberate Python-row-path showcase: a Python UDTF (SURVEY

@@ -57,3 +57,34 @@ def test_salted_join_equals_plain(spark, skewed):
 def test_salted_agg_rejects_unknown_fn(skewed):
     with pytest.raises(ValueError):
         skew.salted_agg(skewed, ["k"], {"x": "median(v)"})
+
+def test_join_size_estimate_hand_computed(spark):
+    from pyspark.sql import Row
+    from sparkprep.operators import skew
+
+    left = spark.createDataFrame(
+        [Row(k=1)] * 3 + [Row(k=2)] * 2 + [Row(k=9)], "k long"
+    )
+    right = spark.createDataFrame(
+        [Row(k=1)] * 4 + [Row(k=2)] * 1 + [Row(k=7)], "k long"
+    )
+    r = skew.join_size_estimate(left, right, "k").collect()[0]
+    assert (r.n_keys_left, r.n_keys_right, r.n_matching_keys) == (3, 3, 2)
+    assert r.predicted_rows == 3 * 4 + 2 * 1  # exact inner-join cardinality
+    assert r.top_key == 1 and r.top_key_rows == 12
+    assert r.top_share == round(12 / 14, 6)
+    # forecast equals reality
+    assert left.join(right, "k").count() == r.predicted_rows
+
+
+def test_join_size_estimate_no_overlap_single_row(spark):
+    from pyspark.sql import Row
+    from sparkprep.operators import skew
+
+    left = spark.createDataFrame([Row(k=1)], "k long")
+    right = spark.createDataFrame([Row(k=2)], "k long")
+    out = skew.join_size_estimate(left, right, "k").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_matching_keys == 0 and r.predicted_rows is None
+    assert r.top_key is None and r.top_share is None
