@@ -790,6 +790,70 @@ ORDER BY p.p_partkey
 """
 
 
+
+_PANEL_SPECS = {
+    "l_quantity": [1.0, 10.0, 20.0, 30.0, 40.0, 51.0],
+    "l_extendedprice": [900.0, 10000.0, 25000.0, 45000.0, 70000.0, 110000.0],
+    "l_discount": [0.0, 0.02, 0.04, 0.06, 0.08, 0.11],
+}
+_PANEL_CUTOFF = "1995-07-01"
+
+
+def q_drift_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-feature PSI drift panel: three lineitem features scored
+    between the pre/post-1995-07 shipment cohorts in ONE report — two
+    scans total (one per side), not one per feature (expect.psi_multi
+    explode-over-struct binning)."""
+    from sparkprep.operators import expect as ex
+
+    tune_for_engine(spark)
+    li = t(spark, sf_dir, "lineitem")
+    cutoff = F.lit(_PANEL_CUTOFF).cast("timestamp")
+    before = li.filter(F.col("l_shipdate") < cutoff)
+    after = li.filter(F.col("l_shipdate") >= cutoff)
+    return ex.psi_multi(before, after, _PANEL_SPECS).orderBy("feature")
+
+
+def _panel_case(colname: str, edges: list) -> str:
+    whens = " ".join(
+        f"WHEN {colname} >= {edges[i]} THEN {i}"
+        for i in range(len(edges) - 2, 0, -1)
+    )
+    return f"CASE {whens} ELSE 0 END"
+
+
+def _drift_panel_sql() -> str:
+    blocks = []
+    for c, edges in _PANEL_SPECS.items():
+        nb = len(edges) - 1
+        case = _panel_case(c, edges)
+        blocks.append(f"""
+SELECT '{c}' AS feature,
+       round(CAST(sum(term) AS DOUBLE), 6) AS psi,
+       count(*)::BIGINT AS n_bins
+FROM (
+  SELECT CAST(round((greatest(coalesce(a.sa, 0), 1e-6) - greatest(coalesce(b.sb, 0), 1e-6))
+         * ln(greatest(coalesce(a.sa, 0), 1e-6) / greatest(coalesce(b.sb, 0), 1e-6)), 4)
+         AS DECIMAL(18,4)) AS term
+  FROM (SELECT unnest(range({nb})) AS bin_id) g
+  LEFT JOIN (
+    SELECT {case} AS bin_id, count(*)*1.0 / (SELECT count(*) FROM bef WHERE {c} IS NOT NULL) AS sb
+    FROM bef WHERE {c} IS NOT NULL GROUP BY 1
+  ) b ON g.bin_id = b.bin_id
+  LEFT JOIN (
+    SELECT {case} AS bin_id, count(*)*1.0 / (SELECT count(*) FROM aft WHERE {c} IS NOT NULL) AS sa
+    FROM aft WHERE {c} IS NOT NULL GROUP BY 1
+  ) a ON g.bin_id = a.bin_id
+)""")
+        u = " UNION ALL ".join(blocks)
+    return f"""
+WITH bef AS (SELECT * FROM lineitem WHERE l_shipdate < TIMESTAMP '{_PANEL_CUTOFF}'),
+aft AS (SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '{_PANEL_CUTOFF}')
+{u}
+ORDER BY feature
+"""
+
+
 QUERIES = {
     # round-2 additions first: driver verdicts cover the first 50
     # registry entries per round; the rows below already have green
@@ -822,6 +886,7 @@ QUERIES = {
     "collapse_rare": q_collapse_rare,
     "expect_suite": q_expect_suite,
     "psi_drift": q_psi_drift,
+    "drift_panel": q_drift_panel,
 }
 
 ORACLES = {
@@ -848,6 +913,7 @@ ORACLES = {
     "collapse_rare": _COLLAPSE_RARE_SQL,
     "expect_suite": _EXPECT_SUITE_SQL,
     "psi_drift": _PSI_DRIFT_SQL,
+    "drift_panel": _drift_panel_sql(),
     # class_balance / stratified_sample: intentionally no oracle (seeded
     # sampler RNG is Spark-specific) -> rows-only checks
 }

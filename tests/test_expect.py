@@ -207,3 +207,46 @@ class TestPsi:
         empty = spark.createDataFrame([], "v double")
         row = ex.psi_against_reference(empty, "v", edges, ref).collect()[0]
         assert row["rows"] == 0 and row["psi"] is None
+
+
+def test_psi_multi_matches_single_feature_psi(spark):
+    """The panel must agree feature-for-feature with psi_drift (whose
+    math is numpy-pinned elsewhere in this file)."""
+    from pyspark.sql import Row
+
+    from sparkprep.operators import expect as ex
+
+    before = spark.createDataFrame(
+        [Row(x=float(i % 10), y=float(i % 7)) for i in range(200)],
+        "x double, y double",
+    )
+    after = spark.createDataFrame(
+        [Row(x=float((i % 10) + (i % 3)), y=float(i % 5)) for i in range(150)],
+        "x double, y double",
+    )
+    specs = {"x": [0.0, 3.0, 6.0, 12.0], "y": [0.0, 2.0, 4.0, 8.0]}
+    panel = {
+        r.feature: (r.psi, r.n_bins)
+        for r in ex.psi_multi(before, after, specs).collect()
+    }
+    for c, edges in specs.items():
+        single = ex.psi_drift(before, after, c, edges).collect()[0]
+        assert panel[c][1] == single.n_bins
+        assert panel[c][0] == pytest.approx(single.psi, abs=2e-4)
+
+
+def test_psi_multi_nulls_excluded_per_feature(spark):
+    from pyspark.sql import Row
+
+    from sparkprep.operators import expect as ex
+
+    before = spark.createDataFrame(
+        [Row(x=1.0), Row(x=5.0), Row(x=None)], "x double"
+    )
+    after = spark.createDataFrame(
+        [Row(x=1.0), Row(x=5.0), Row(x=None), Row(x=None)], "x double"
+    )
+    r = ex.psi_multi(before, after, {"x": [0.0, 3.0, 9.0]}).collect()[0]
+    # identical non-null distributions -> zero drift despite differing
+    # NULL volumes
+    assert r.psi == 0.0 and r.n_bins == 2
