@@ -341,3 +341,60 @@ def target_encode(
     )
     encoded = stats.select(cat_col, enc.alias(out_col))
     return _attach_group_scalars(df, encoded, cat_col)
+
+
+def ab_test_report(
+    df: DataFrame,
+    arm_col: str,
+    converted_col: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """Two-proportion experiment readout in ONE map-only aggregate over
+    per-UNIT rows (one row per user/session — aggregate to units first
+    or the z-test's independence assumption is fiction): per-arm sizes
+    and conversions, rates, absolute lift (B - A), and the pooled
+    two-proportion z statistic. The analytics staple that closes the
+    loop on the leakage-safe split operators (mix.grouped_split).
+
+    ``arm_col`` boolean (False = control/A, True = treatment/B);
+    ``converted_col`` boolean. All eight aggregates ride one
+    conditional-sum pass — no per-arm jobs, no shuffle beyond the
+    1-row reduce. Degenerate pools (0% or 100% conversion -> zero
+    standard error) yield NULL z via try_divide, never a crash. Exact
+    integer counts make every derived double engine-identical; sqrt is
+    IEEE-correctly-rounded so only the final round matters.
+    """
+    a = F.when(~F.col(arm_col), 1).otherwise(0)
+    b = F.when(F.col(arm_col), 1).otherwise(0)
+    conv = F.when(F.col(converted_col), 1).otherwise(0)
+    agg = df.agg(
+        F.sum(a).cast("long").alias("n_a"),
+        F.sum(b).cast("long").alias("n_b"),
+        F.sum(a * conv).cast("long").alias("conv_a"),
+        F.sum(b * conv).cast("long").alias("conv_b"),
+    )
+    # try_divide throughout: an empty arm (n 0) must yield NULL rates,
+    # not an ANSI DIVIDE_BY_ZERO (double division throws too)
+    p_a = F.try_divide(F.col("conv_a"), F.col("n_a"))
+    p_b = F.try_divide(F.col("conv_b"), F.col("n_b"))
+    pooled = F.try_divide(
+        F.col("conv_a") + F.col("conv_b"), F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        pooled
+        * (1 - pooled)
+        * (F.try_divide(F.lit(1.0), F.col("n_a"))
+           + F.try_divide(F.lit(1.0), F.col("n_b")))
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.round(p_b - p_a, 6).alias("lift"),
+        F.round(F.try_divide(p_b - p_a, F.nullif(se, F.lit(0.0))), round_to).alias(
+            "z_score"
+        ),
+    )

@@ -956,3 +956,32 @@ def pii_census(
         )
         .orderBy(group_col)
     )
+
+
+def zipf_slope(df: DataFrame, text_col: str, top_n: int = 1000) -> DataFrame:
+    """Corpus-health check via Zipf's law: regress ln(frequency) on
+    ln(rank) over the ``top_n`` most frequent whitespace tokens. A
+    natural corpus fits a slope near -1 with high r²; boilerplate
+    floods, dedup failures, and synthetic/templated text bend or
+    flatten the line long before a human reads a sample.
+
+    One token-count groupBy (map-side combined), a TakeOrdered top-n
+    cut (count desc, token asc — deterministic under ties), ranks from
+    a window over the BOUNDED top-n frame only (never a global rank
+    over the raw token stream), and one regr_slope/regr_r2 aggregate.
+    """
+    tokens = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = tokens.orderBy(F.desc("n"), F.asc("token")).limit(top_n)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    ranked = top.select("n", F.row_number().over(w).alias("r"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.expr("regr_slope(ln(n), ln(r))"), 4).alias("zipf_slope"),
+        F.round(F.expr("regr_r2(ln(n), ln(r))"), 4).alias("r2"),
+    )

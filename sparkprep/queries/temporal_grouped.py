@@ -975,12 +975,58 @@ FROM monthly ORDER BY month
 """
 
 
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B conversion readout: users split by id parity, conversion =
+    any purchase event. One keyed exchange to the per-user frame, then
+    a single map-only 1-row aggregate (features.ab_test_report)."""
+    from sparkprep.operators import features
+
+    ev = t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("__c")
+    ).select(
+        (F.col("user_id") % 2 == 1).alias("arm"),
+        (F.col("__c") == 1).alias("converted"),
+    )
+    return features.ab_test_report(users, "arm", "converted")
+
+
+_AB_TEST_SQL = """
+WITH users AS (
+  SELECT user_id % 2 = 1 AS arm,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1 AS conv
+  FROM events GROUP BY user_id
+),
+agg AS (
+  SELECT sum(CASE WHEN NOT arm THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN arm THEN 1 ELSE 0 END) AS n_b,
+         sum(CASE WHEN NOT arm AND conv THEN 1 ELSE 0 END) AS conv_a,
+         sum(CASE WHEN arm AND conv THEN 1 ELSE 0 END) AS conv_b
+  FROM users
+)
+SELECT n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+       conv_a::BIGINT AS conv_a, conv_b::BIGINT AS conv_b,
+       round(conv_a / n_a, 6) AS rate_a,
+       round(conv_b / n_b, 6) AS rate_b,
+       round(conv_b / n_b - conv_a / n_a, 6) AS lift,
+       round((conv_b / n_b - conv_a / n_a)
+             / nullif(sqrt(((conv_a + conv_b) / (n_a + n_b))
+                           * (1 - (conv_a + conv_b) / (n_a + n_b))
+                           * (1.0 / n_a + 1.0 / n_b)), 0), 4) AS z_score
+FROM agg
+"""
+
+
 QUERIES = {
     "asof_rate": q_asof_rate,
     "attribution": q_attribution,
     "mad_outliers": q_mad_outliers,
     "join_forecast": q_join_forecast,
     "mom_growth": q_mom_growth,
+    "ab_test": q_ab_test,
     "conversion_latency": q_conversion_latency,
     "pattern_completions": q_pattern_completions,
     "range_count": q_range_count,
@@ -1009,6 +1055,7 @@ ORACLES = {
     "mad_outliers": _MAD_SQL,
     "join_forecast": _JOIN_FORECAST_SQL,
     "mom_growth": _MOM_SQL,
+    "ab_test": _AB_TEST_SQL,
     "conversion_latency": _CONVERSION_LATENCY_SQL,
     "pattern_completions": _PATTERN_SQL,
     "range_count": _RANGE_SQL,

@@ -933,6 +933,32 @@ FROM scored GROUP BY 1 ORDER BY 1
 """
 
 
+
+def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the top-500 tokens: ln(freq) ~ ln(rank) slope
+    and r2 — the corpus-health number that catches boilerplate floods
+    and failed dedup without reading a sample."""
+    docs = t(spark, sf_dir, "documents")
+    return tx.zipf_slope(docs, "text", top_n=500)
+
+
+_ZIPF_SQL = """
+WITH tc AS (
+  SELECT token, count(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY 1
+),
+top AS (SELECT token, n FROM tc ORDER BY n DESC, token ASC LIMIT 500),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, token ASC) AS r FROM top
+)
+SELECT count(*)::BIGINT AS n_tokens,
+       round(regr_slope(ln(n), ln(r)), 4) AS zipf_slope,
+       round(regr_r2(ln(n), ln(r)), 4) AS r2
+FROM ranked
+"""
+
+
 QUERIES = {
     "gopher_rules": q_gopher_rules,
     "quality_logit": q_quality_logit,
@@ -951,6 +977,7 @@ QUERIES = {
     "repetition_signals": q_repetition_signals,
     "doc_chunks": q_doc_chunks,
     "word_count": q_word_count,
+    "zipf": q_zipf,
     "udtf_bigrams": q_udtf_bigrams,
     "lm_score": q_lm_score,
     "token_packing": q_token_packing,
@@ -980,6 +1007,7 @@ ORACLES = {
     "repetition_signals": _REPETITION_SQL,
     "doc_chunks": _DOC_CHUNKS_SQL,
     "word_count": _WORD_COUNT_SQL,
+    "zipf": _ZIPF_SQL,
     "udtf_bigrams": _UDTF_BIGRAMS_SQL,
     "lm_score": _LM_SCORE_SQL,
     "token_packing": _TOKEN_PACKING_SQL,

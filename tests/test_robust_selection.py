@@ -91,3 +91,56 @@ def test_top_p_validates_p(spark):
         mix.top_p_by_group(df, "g", "v", 0.0, "i")
     with pytest.raises(ValueError):
         mix.top_p_by_group(df, "g", "v", 1.5, "i")
+
+
+def test_ab_test_hand_computed(spark):
+    import math
+
+    from pyspark.sql import Row
+    from sparkprep.operators import features
+
+    rows = [Row(arm=False, converted=i < 3) for i in range(10)] + [
+        Row(arm=True, converted=i < 4) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "arm boolean, converted boolean")
+    r = features.ab_test_report(df, "arm", "converted").collect()[0]
+    assert (r.n_a, r.n_b, r.conv_a, r.conv_b) == (10, 8, 3, 4)
+    assert r.rate_a == 0.3 and r.rate_b == 0.5
+    assert r.lift == 0.2
+    pooled = 7 / 18
+    se = math.sqrt(pooled * (1 - pooled) * (1 / 10 + 1 / 8))
+    assert r.z_score == pytest.approx((0.5 - 0.3) / se, abs=1e-3)
+
+
+def test_ab_test_degenerate_null_z(spark):
+    from pyspark.sql import Row
+    from sparkprep.operators import features
+
+    # everyone converts -> pooled 1 -> se 0 -> NULL z, no crash
+    df = spark.createDataFrame(
+        [Row(arm=False, converted=True), Row(arm=True, converted=True)],
+        "arm boolean, converted boolean",
+    )
+    r = features.ab_test_report(df, "arm", "converted").collect()[0]
+    assert r.z_score is None and r.rate_a == 1.0
+    # empty treatment arm -> NULL treatment rate, no ANSI error
+    solo = spark.createDataFrame(
+        [Row(arm=False, converted=False)], "arm boolean, converted boolean"
+    )
+    r2 = features.ab_test_report(solo, "arm", "converted").collect()[0]
+    assert r2.n_b == 0 and r2.rate_b is None and r2.z_score is None
+
+
+def test_zipf_slope_on_power_law(spark):
+    from pyspark.sql import Row
+    from sparkprep.operators import text as tx
+
+    # exact power law: token r appears ceil(1200 / r) times -> slope -1
+    words = []
+    for r in range(1, 40):
+        words += [f"tok{r:02d}"] * (1200 // r)
+    df = spark.createDataFrame([Row(text=" ".join(words))], "text string")
+    rep = tx.zipf_slope(df, "text", top_n=40).collect()[0]
+    assert rep.n_tokens == 39
+    assert rep.zipf_slope == pytest.approx(-1.0, abs=0.05)
+    assert rep.r2 > 0.99
