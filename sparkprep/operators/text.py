@@ -985,3 +985,69 @@ def zipf_slope(df: DataFrame, text_col: str, top_n: int = 1000) -> DataFrame:
         F.round(F.expr("regr_slope(ln(n), ln(r))"), 4).alias("zipf_slope"),
         F.round(F.expr("regr_r2(ln(n), ln(r))"), 4).alias("r2"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame, text_col: str, ks: list[int] = (100, 500, 1000, 5000)
+) -> DataFrame:
+    """Vocabulary-sizing curve: for each candidate vocab size k, the
+    fraction of ALL corpus token occurrences covered by the k most
+    frequent tokens — the number that decides a tokenizer's vocab size
+    and predicts the OOV rate before training one. One row per k:
+    (k, vocab_tokens, coverage).
+
+    One token-count groupBy (map-combined); the grand total reduces
+    the SAME aggregated frame (AQE reuses the exchange) and broadcast-
+    attaches; the top-max(k) cut is TakeOrdered (count desc, token asc
+    — deterministic under ties); ranks and every k's covered mass come
+    from the BOUNDED top frame, folded in ONE conditional-sum
+    aggregate and exploded to rows. The raw token stream is never
+    globally ranked.
+    """
+    ks = sorted(set(int(k) for k in ks))
+    if not ks or ks[0] < 1:
+        raise ValueError(f"ks must be positive ints, got {ks}")
+    from pyspark.sql.window import Window
+
+    counts = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = counts.agg(F.sum("n").alias("__total"))
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(ks[-1])
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    ranked = top.select("n", F.row_number().over(w).alias("__r"))
+    folded = ranked.agg(
+        *[
+            F.sum(F.when(F.col("__r") <= k, F.col("n"))).alias(f"__cov_{k}")
+            for k in ks
+        ],
+        *[
+            F.sum(F.when(F.col("__r") <= k, 1).otherwise(0)).alias(
+                f"__vt_{k}"
+            )
+            for k in ks
+        ],
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("long").alias("k"),
+                F.col(f"__vt_{k}").cast("long").alias("vocab_tokens"),
+                F.col(f"__cov_{k}").alias("__covered"),
+            )
+            for k in ks
+        ]
+    )
+    return (
+        folded.join(F.broadcast(totals))
+        .select(F.explode(entries).alias("e"), "__total")
+        .select(
+            "e.k",
+            "e.vocab_tokens",
+            F.round(
+                F.try_divide(F.col("e.__covered"), F.col("__total")), 6
+            ).alias("coverage"),
+        )
+    )

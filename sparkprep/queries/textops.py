@@ -959,6 +959,38 @@ FROM ranked
 """
 
 
+
+_VOCAB_KS = (100, 500, 1000)
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocab-sizing curve: corpus token mass covered by the
+    top-k tokens for k in (100, 500, 1000) — the OOV forecast."""
+    docs = t(spark, sf_dir, "documents")
+    return tx.vocab_coverage(docs, "text", ks=_VOCAB_KS).orderBy("k")
+
+
+def _vocab_sql() -> str:
+    blocks = []
+    for k in _VOCAB_KS:
+        blocks.append(f"""
+SELECT {k}::BIGINT AS k,
+       count(*)::BIGINT AS vocab_tokens,
+       round(sum(n)::DOUBLE / (SELECT sum(n) FROM tc)::DOUBLE, 6) AS coverage
+FROM (SELECT n, row_number() OVER (ORDER BY n DESC, token ASC) AS r FROM tc)
+WHERE r <= {k}""")
+    u = " UNION ALL ".join(blocks)
+    return f"""
+WITH tc AS (
+  SELECT token, count(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY 1
+)
+{u}
+ORDER BY k
+"""
+
+
 QUERIES = {
     "gopher_rules": q_gopher_rules,
     "quality_logit": q_quality_logit,
@@ -978,6 +1010,7 @@ QUERIES = {
     "doc_chunks": q_doc_chunks,
     "word_count": q_word_count,
     "zipf": q_zipf,
+    "vocab_coverage": q_vocab_coverage,
     "udtf_bigrams": q_udtf_bigrams,
     "lm_score": q_lm_score,
     "token_packing": q_token_packing,
@@ -1008,6 +1041,7 @@ ORACLES = {
     "doc_chunks": _DOC_CHUNKS_SQL,
     "word_count": _WORD_COUNT_SQL,
     "zipf": _ZIPF_SQL,
+    "vocab_coverage": _vocab_sql(),
     "udtf_bigrams": _UDTF_BIGRAMS_SQL,
     "lm_score": _LM_SCORE_SQL,
     "token_packing": _TOKEN_PACKING_SQL,

@@ -144,3 +144,19 @@ def test_zipf_slope_on_power_law(spark):
     assert rep.n_tokens == 39
     assert rep.zipf_slope == pytest.approx(-1.0, abs=0.05)
     assert rep.r2 > 0.99
+
+
+def test_vocab_coverage_hand_math(spark):
+    from pyspark.sql import Row
+    from sparkprep.operators import text as tx
+
+    # a a a b b c  -> top1 covers 3/6, top2 5/6, top99 (all) 6/6
+    df = spark.createDataFrame([Row(text="a a a b b c")], "text string")
+    out = {r.k: r for r in
+           tx.vocab_coverage(df, "text", ks=[1, 2, 99]).collect()}
+    assert out[1].coverage == 0.5 and out[1].vocab_tokens == 1
+    assert out[2].coverage == round(5 / 6, 6)
+    assert out[99].coverage == 1.0 and out[99].vocab_tokens == 3
+
+    with pytest.raises(ValueError):
+        tx.vocab_coverage(df, "text", ks=[0, 5])
