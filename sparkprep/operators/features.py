@@ -398,3 +398,73 @@ def ab_test_report(
             "z_score"
         ),
     )
+
+
+def hashing_trick(
+    df: DataFrame,
+    id_col: str,
+    cols: list[str],
+    n_buckets: int = 256,
+    salt: str = "",
+) -> DataFrame:
+    """Feature hashing for high-cardinality categoricals: each
+    (column, value) pair maps to a signed bucket —
+    ``md5(col '=' value salt)`` taken as a 60-bit int, bucket = h mod
+    n_buckets, sign = ±1 from the next bit. One output row per
+    non-NULL feature: (id, feature, bucket, sign). Unlike
+    StringIndexer/OneHot (M1-M5), no fitted vocabulary exists to
+    store, ship, or go stale — the standard trick when the category
+    space is unbounded (URLs, user agents, n-grams).
+
+    Map-only: values fold through explode-over-struct (each hash
+    computed once), NULL values emit NO feature (the sparse-vector
+    convention) via an array_compact on the struct array — never a
+    filter that would push below the projection and re-expand it. md5
+    keeps buckets reproducible outside Spark (dedup.string_to_int_hash
+    note); swap xxhash64 for production-only runs.
+    """
+    if not 1 <= n_buckets <= 2**29:
+        raise ValueError(f"n_buckets out of range: {n_buckets}")
+    def _h60(prefix: str, c: str):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(prefix),
+                        F.lit(c),
+                        F.lit("="),
+                        F.col(c).cast("string"),
+                        F.lit(salt),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    entries = []
+    for c in cols:
+        # independent hashes for bucket and sign: deriving the sign
+        # from high bits of the SAME hash needs an integer divide, and
+        # Column `/` is double division — inexact past 2^53
+        bucket = _h60("b:", c) % n_buckets
+        sign = (2 * (_h60("s:", c) % 2) - 1).cast("int")
+        entries.append(
+            F.when(
+                F.col(c).isNotNull(),
+                F.struct(
+                    F.lit(c).alias("feature"),
+                    bucket.alias("bucket"),
+                    sign.alias("sign"),
+                ),
+            )
+        )
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_compact(F.array(*entries))).alias("e"),
+        )
+        .select(id_col, "e.feature", "e.bucket", "e.sign")
+    )

@@ -456,3 +456,57 @@ def last_touch_attribution(
             F.lit(none_label)
         ),
     ).drop("__ch", "__tts")
+
+
+def active_users(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    window_days: int = 7,
+    round_to: int = 4,
+) -> DataFrame:
+    """Daily/rolling active users and stickiness: per day, DAU, the
+    trailing-``window_days`` distinct-user count (WAU for 7), and the
+    DAU/WAU stickiness ratio. The product-analytics daily that looks
+    trivial until the rolling DISTINCT: a sum of daily distincts
+    double-counts returning users, and COUNT(DISTINCT) over a sliding
+    range frame doesn't exist in either engine.
+
+    Shape: dedup to the (day, user) grain FIRST (one exchange of the
+    deduped stream — the raw event volume only ever map-side combines),
+    then each (day, user) row EXPLODES into the ``window_days`` window
+    ends it contributes to, is deduped again at the (window_end, user)
+    grain, and counts. Cost is window_days x the DAILY-grain stream —
+    independent of raw event volume, the factor that matters at 100 TB.
+    Early days carry partial windows (standard convention); day emits
+    as a yyyy-MM-dd STRING (DATE columns hash differently via pandas
+    between engines).
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    daily = df.select(
+        day.alias("__d"), F.col(user_col).alias("__u")
+    ).dropDuplicates()
+    dau = daily.groupBy("__d").agg(F.count(F.lit(1)).alias("dau"))
+    exploded = daily.select(
+        F.explode(
+            F.expr(f"sequence(0, {int(window_days) - 1})")
+        ).alias("__i"),
+        "__d",
+        "__u",
+    ).select(
+        F.col("__d") + F.make_interval(days=F.col("__i")), F.col("__u")
+    ).toDF("__w", "__u").dropDuplicates()
+    wau = exploded.groupBy(F.col("__w").alias("__d")).agg(
+        F.count(F.lit(1)).alias("wau")
+    )
+    return (
+        dau.join(wau, "__d")
+        .select(
+            F.date_format("__d", "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.round(F.try_divide(F.col("dau"), F.col("wau")), round_to).alias(
+                "stickiness"
+            ),
+        )
+    )

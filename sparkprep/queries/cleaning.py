@@ -854,6 +854,44 @@ ORDER BY feature
 """
 
 
+
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick encoding of two customer categoricals into 64
+    signed buckets — vocabulary-free one-hot for unbounded category
+    spaces, md5-reproducible outside Spark (features.hashing_trick)."""
+    from sparkprep.operators import features
+
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+    )
+    return features.hashing_trick(
+        cust, "c_custkey", ["c_mktsegment", "c_nationkey"], n_buckets=64
+    ).orderBy("c_custkey", "feature")
+
+
+def _feature_hash_block(colname: str) -> str:
+    b = f"('0x' || substr(md5('b:{colname}=' || {colname}::VARCHAR), 1, 15))::BIGINT % 64"
+    s = f"('0x' || substr(md5('s:{colname}=' || {colname}::VARCHAR), 1, 15))::BIGINT % 2"
+    return f"""
+SELECT c_custkey, '{colname}' AS feature,
+       ({b})::BIGINT AS bucket, (2 * ({s}) - 1)::INT AS sign
+FROM cust WHERE {colname} IS NOT NULL"""
+
+
+_FEATURE_HASH_SQL = f"""
+WITH cust AS (
+  SELECT c_custkey, c_mktsegment, c_nationkey::BIGINT AS c_nationkey
+  FROM customer
+)
+{_feature_hash_block("c_mktsegment")}
+UNION ALL
+{_feature_hash_block("c_nationkey")}
+ORDER BY c_custkey, feature
+"""
+
+
 QUERIES = {
     # round-2 additions first: driver verdicts cover the first 50
     # registry entries per round; the rows below already have green
@@ -887,6 +925,7 @@ QUERIES = {
     "expect_suite": q_expect_suite,
     "psi_drift": q_psi_drift,
     "drift_panel": q_drift_panel,
+    "feature_hash": q_feature_hash,
 }
 
 ORACLES = {
@@ -914,6 +953,7 @@ ORACLES = {
     "expect_suite": _EXPECT_SUITE_SQL,
     "psi_drift": _PSI_DRIFT_SQL,
     "drift_panel": _drift_panel_sql(),
+    "feature_hash": _FEATURE_HASH_SQL,
     # class_balance / stratified_sample: intentionally no oracle (seeded
     # sampler RNG is Spark-specific) -> rows-only checks
 }

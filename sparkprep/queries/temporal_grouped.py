@@ -1020,6 +1020,37 @@ FROM agg
 """
 
 
+
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the rolling
+    DISTINCT no range frame can express: dedup to the daily grain,
+    explode each (day,user) into the 7 window ends it serves, dedup,
+    count (cost ∝ daily grain x 7, independent of raw event volume)."""
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events")
+    return temporal.active_users(ev, "ts", "user_id", window_days=7).orderBy(
+        "day"
+    )
+
+
+_ACTIVE_USERS_SQL = """
+WITH daily AS (
+  SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+),
+dau AS (SELECT d, count(*) AS dau FROM daily GROUP BY 1),
+expl AS (
+  SELECT DISTINCT d + x * INTERVAL 1 DAY AS w, user_id
+  FROM daily, UNNEST(range(7)) t(x)
+),
+wau AS (SELECT w, count(*) AS wau FROM expl GROUP BY 1)
+SELECT strftime(dau.d, '%Y-%m-%d') AS day,
+       dau::BIGINT AS dau, wau::BIGINT AS wau,
+       round(dau::DOUBLE / wau::DOUBLE, 4) AS stickiness
+FROM dau JOIN wau ON wau.w = dau.d
+ORDER BY day
+"""
+
+
 QUERIES = {
     "asof_rate": q_asof_rate,
     "attribution": q_attribution,
@@ -1027,6 +1058,7 @@ QUERIES = {
     "join_forecast": q_join_forecast,
     "mom_growth": q_mom_growth,
     "ab_test": q_ab_test,
+    "active_users": q_active_users,
     "conversion_latency": q_conversion_latency,
     "pattern_completions": q_pattern_completions,
     "range_count": q_range_count,
@@ -1056,6 +1088,7 @@ ORACLES = {
     "join_forecast": _JOIN_FORECAST_SQL,
     "mom_growth": _MOM_SQL,
     "ab_test": _AB_TEST_SQL,
+    "active_users": _ACTIVE_USERS_SQL,
     "conversion_latency": _CONVERSION_LATENCY_SQL,
     "pattern_completions": _PATTERN_SQL,
     "range_count": _RANGE_SQL,

@@ -160,3 +160,52 @@ def test_vocab_coverage_hand_math(spark):
 
     with pytest.raises(ValueError):
         tx.vocab_coverage(df, "text", ks=[0, 5])
+
+
+def test_active_users_rolling_distinct(spark):
+    import datetime
+
+    from pyspark.sql import Row
+    from sparkprep.operators import temporal
+
+    def ts(d, h=0):
+        return datetime.datetime(2024, 1, d, h)
+
+    # user 1 active day 1 AND day 3; user 2 active day 3 only
+    rows = [Row(ts=ts(1), u=1), Row(ts=ts(1, 5), u=1), Row(ts=ts(3), u=1),
+            Row(ts=ts(3), u=2)]
+    df = spark.createDataFrame(rows, "ts timestamp, u long")
+    out = {r.day: r for r in
+           temporal.active_users(df, "ts", "u", window_days=7).collect()}
+    assert out["2024-01-01"].dau == 1 and out["2024-01-01"].wau == 1
+    # day 3: DAU 2; WAU 2 (user 1 counted ONCE despite two active days)
+    assert out["2024-01-03"].dau == 2 and out["2024-01-03"].wau == 2
+    assert out["2024-01-03"].stickiness == 1.0
+    # only days with activity report (inner join with the dau frame)
+    assert "2024-01-02" not in out
+
+
+def test_hashing_trick_semantics(spark):
+    from pyspark.sql import Row
+    from sparkprep.operators import features
+
+    df = spark.createDataFrame(
+        [Row(id=1, a="x", b=7), Row(id=2, a=None, b=7), Row(id=3, a="x", b=None)],
+        "id long, a string, b long",
+    )
+    out = features.hashing_trick(df, "id", ["a", "b"], n_buckets=8)
+    rows = out.collect()
+    # NULLs emit no feature row
+    assert sorted((r.id, r.feature) for r in rows) == [
+        (1, "a"), (1, "b"), (2, "b"), (3, "a")]
+    for r in rows:
+        assert 0 <= r.bucket < 8 and r.sign in (-1, 1)
+    # same value -> same bucket/sign regardless of row
+    by = {(r.id, r.feature): (r.bucket, r.sign) for r in rows}
+    assert by[(1, "a")] == by[(3, "a")]
+    assert by[(1, "b")] == by[(2, "b")]
+    # salt re-deals at least one assignment across features
+    salted = features.hashing_trick(df, "id", ["a", "b"], n_buckets=8,
+                                    salt="v2")
+    sby = {(r.id, r.feature): (r.bucket, r.sign) for r in salted.collect()}
+    assert sby != by
