@@ -50,6 +50,7 @@ _TINY_BROADCAST_CROSS = {
     "key_skew",          # 1-row totals frame attach to the top-k keys
     "revenue_concentration",  # 1-row totals x 1-row top-k sum attach
     "join_forecast",     # 1-row totals x (<=1)-row hottest-key attach
+    "vocab_coverage",    # 1-row folded coverage x 1-row token total
 }
 
 # the one deliberate Python-row-path showcase: a Python UDTF (SURVEY
