@@ -295,3 +295,56 @@ def dedup_keep_best(
         .filter(F.col("__rk") == 1)
         .drop("__rk")
     )
+
+
+def impute_mode(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Categorical imputation by the (per-group) MODE — the
+    string-column sibling of :func:`impute`'s mean/median: NULLs fill
+    with the most frequent non-NULL value of their group. The mode is
+    DETERMINISTIC (count desc, value asc tiebreak) — never the
+    engine's arbitrary ``mode()`` pick, which is layout-dependent on
+    ties and would flake every oracle and rerun.
+
+    One map-combined (group, value) count; the per-group argmax is a
+    row_number over the AGGREGATED count frame (|groups x values|
+    rows, never data); fills join back broadcast and NULL-SAFELY on
+    the group key (a plain equi-join silently drops NULL-group rows —
+    the numeric._attach_group_scalars lesson). A group whose values
+    are ALL NULL has no mode and keeps its NULLs — imputation invents
+    no categories.
+    """
+    out_col = out_col or col
+    groups = list(group_cols or [])
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(*groups, F.col(col).alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    w = Window.partitionBy(*[F.col(g) for g in groups]).orderBy(
+        F.desc("__n"), F.asc("__v")
+    )
+    modes = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*groups, F.col("__v").alias("__mode"))
+    )
+    if groups:
+        cond = None
+        renamed = modes
+        for g in groups:
+            renamed = renamed.withColumnRenamed(g, f"__g_{g}")
+            c = F.col(g).eqNullSafe(F.col(f"__g_{g}"))
+            cond = c if cond is None else cond & c
+        joined = df.join(F.broadcast(renamed), cond, "left").drop(
+            *[f"__g_{g}" for g in groups]
+        )
+    else:
+        joined = df.join(F.broadcast(modes))
+    return joined.withColumn(
+        out_col, F.coalesce(F.col(col), F.col("__mode"))
+    ).drop("__mode")

@@ -892,6 +892,47 @@ ORDER BY c_custkey, feature
 """
 
 
+
+def q_impute_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-nation MODE imputation of a planted-NULL
+    market segment (count desc, value asc tiebreak — never the
+    engine's layout-dependent mode() pick)."""
+    from sparkprep.operators import clean
+
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        F.when(F.col("c_custkey") % 37 == 0, F.lit(None)).otherwise(
+            F.col("c_mktsegment")
+        ).alias("seg"),
+    )
+    out = clean.impute_mode(cust, "seg", group_cols=["c_nationkey"])
+    return out.select("c_custkey", "c_nationkey", "seg").orderBy("c_custkey")
+
+
+_IMPUTE_MODE_SQL = """
+WITH base AS (
+  SELECT c_custkey, c_nationkey::BIGINT AS c_nationkey,
+         CASE WHEN c_custkey % 37 = 0 THEN NULL ELSE c_mktsegment END AS seg
+  FROM customer
+),
+counts AS (
+  SELECT c_nationkey, seg, count(*) AS n FROM base
+  WHERE seg IS NOT NULL GROUP BY 1, 2
+),
+modes AS (
+  SELECT c_nationkey, seg AS mode_seg FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY c_nationkey ORDER BY n DESC, seg ASC) AS rn
+    FROM counts
+  ) WHERE rn = 1
+)
+SELECT b.c_custkey, b.c_nationkey, coalesce(b.seg, m.mode_seg) AS seg
+FROM base b LEFT JOIN modes m ON b.c_nationkey = m.c_nationkey
+ORDER BY b.c_custkey
+"""
+
+
 QUERIES = {
     # round-2 additions first: driver verdicts cover the first 50
     # registry entries per round; the rows below already have green
@@ -926,6 +967,7 @@ QUERIES = {
     "psi_drift": q_psi_drift,
     "drift_panel": q_drift_panel,
     "feature_hash": q_feature_hash,
+    "impute_mode": q_impute_mode,
 }
 
 ORACLES = {
@@ -954,6 +996,7 @@ ORACLES = {
     "psi_drift": _PSI_DRIFT_SQL,
     "drift_panel": _drift_panel_sql(),
     "feature_hash": _FEATURE_HASH_SQL,
+    "impute_mode": _IMPUTE_MODE_SQL,
     # class_balance / stratified_sample: intentionally no oracle (seeded
     # sampler RNG is Spark-specific) -> rows-only checks
 }

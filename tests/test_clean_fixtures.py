@@ -283,3 +283,30 @@ def test_collapse_rare_threshold_and_null(spark):
     got = {(r.cat, r.cat_collapsed) for r in out.collect()}
     assert got == {("x", "x"), ("y", "OTHER"), (None, None)}
     assert out.count() == 9
+
+
+def test_impute_mode_grouped_nullsafe_and_allnull_group(spark):
+    # Group "a": mode is "x" (2 vs 1). Group NULL must keep its own
+    # mode (null-safe join), tie in group "b" breaks by value asc,
+    # and an all-NULL group invents no category.
+    rows = [
+        ("a", "x"), ("a", "x"), ("a", "y"), ("a", None),
+        (None, "z"), (None, None),
+        ("b", "q"), ("b", "p"), ("b", None),
+        ("c", None), ("c", None),
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = clean.impute_mode(df, "v", group_cols=["g"])
+    got = [(r.g, r.v) for r in out.collect()]
+    assert got.count(("a", "x")) == 3  # NULL filled with mode x
+    assert got.count((None, "z")) == 2  # null-group filled null-safely
+    assert got.count(("b", "p")) == 2  # tie p/q -> value asc picks p
+    assert got.count(("c", None)) == 2  # all-NULL group stays NULL
+
+
+def test_impute_mode_global(spark):
+    df = spark.createDataFrame(
+        [("x",), ("x",), ("y",), (None,)], ["v"]
+    )
+    out = clean.impute_mode(df, "v")
+    assert sorted(r.v for r in out.collect()) == ["x", "x", "x", "y"]
