@@ -148,6 +148,14 @@ def minhash_candidate_pairs(
     (band, band_key); no quadratic pair enumeration ever materializes.
     """
     sig = minhash_signatures(df, text_col, id_col, num_hashes, k, seed)
+    # sig feeds THREE scans (banding + both sides of the signature
+    # join-back) whose exchanges hash on different keys, so AQE's
+    # ReusedExchange cannot cover them — without truncation the whole
+    # shingle-explode + N-min groupBy re-executes per scan (3x
+    # measured at sf0.1). One lazy localCheckpoint materializes the
+    # O(docs x hashes) signature frame once; at 100 TB that is the
+    # compact artifact you'd persist anyway before pair generation.
+    sig = sig.localCheckpoint(eager=False)
     banded = lsh_bands(sig, id_col, num_hashes, bands)
     left = banded.select(
         F.col(id_col).alias("id_a"), "band", "band_key"
@@ -637,6 +645,11 @@ def minhash_estimator_eval(
     cand = minhash_candidate_pairs(
         df, text_col, id_col, num_hashes, k, bands, seed, est_threshold
     )
+    # cand anchors three consumers (id roll-up via union, and the
+    # final left join) — lazily checkpoint so the LSH pipeline runs
+    # once, not once per consumer; the candidate list is tiny relative
+    # to the corpus by construction.
+    cand = cand.localCheckpoint(eager=False)
     ids = (
         cand.select(F.col("id_a").alias(id_col))
         .unionByName(cand.select(F.col("id_b").alias(id_col)))
@@ -644,6 +657,10 @@ def minhash_estimator_eval(
     )
     sub = df.join(ids, id_col, "left_semi")
     sh = explode_shingles(sub, text_col, id_col, k)
+    # sh feeds sizes + both sides of the intersection self-join; keep
+    # the candidate-doc shingle explode (and the semi-join above it)
+    # single-execution.
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
