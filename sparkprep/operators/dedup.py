@@ -299,6 +299,52 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs: |A∩B| / min(|A|, |B|).
+
+    Jaccard misses quote/sub-document duplication — a 50-shingle doc
+    fully embedded in a 5,000-shingle doc scores J ≈ 0.01 but
+    containment 1.0. Containment (Broder's resemblance companion
+    measure) is the right filter for "this doc is mostly a copy of
+    part of another" in crawl dedup. Same shingle equi-join shape as
+    :func:`jaccard_pairs` (quadratic only within identical-shingle
+    groups); jaccard is emitted alongside so the asymmetry is visible.
+    At 100 TB, run it on LSH candidates, not the raw corpus.
+    """
+    sh = explode_shingles(df, text_col, id_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    cont = F.col("n_inter") / F.least("n_a", "n_b")
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cont, round_to).alias("containment"),
+            F.round(jac, round_to).alias("jaccard"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",

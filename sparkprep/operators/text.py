@@ -1051,3 +1051,56 @@ def vocab_coverage(
             ).alias("coverage"),
         )
     )
+
+
+def blocklist_hits(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    terms: list[str],
+    rate_threshold: float = 0.08,
+    round_to: int = 4,
+) -> DataFrame:
+    """Safety/blocklist tagging via a BROADCAST term join — the
+    filter-against-a-banned-word-list stage of a training-data pipeline.
+
+    The term list is DATA (a broadcast hash join on the token), not a
+    regex alternation: a 100k-term blocklist joins at scan speed and
+    ships once per executor, where the equivalent ``(?:t1|t2|...)``
+    pattern is quadratic to compile and re-evaluates per character.
+    Exact lowercase-token match semantics; phrase/stemming policy
+    belongs in the term generator, not the join.
+
+    Per doc: total blocked-token occurrences, distinct blocked terms,
+    hit rate over the doc's token count, and a flag at
+    ``rate_threshold`` (rounded-then-compared so both engines cut at
+    the same value). Zero-hit docs SURVIVE the join-back (left join +
+    coalesce 0); an empty doc reports NULL hit_rate, flag false.
+    """
+    spark = df.sparkSession
+    terms_df = spark.createDataFrame(
+        [(x.lower(),) for x in sorted(set(terms))], "token string"
+    )
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__tok")
+    ).select(F.col(id_col), F.lower("__tok").alias("token"))
+    hits = (
+        toks.join(F.broadcast(terms_df), "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.count_distinct("token").alias("n_terms"),
+        )
+    )
+    base = df.select(F.col(id_col), token_count(text_col).alias("n_tokens"))
+    rate = F.round(
+        F.try_divide(F.coalesce("n_hits", F.lit(0)), F.col("n_tokens")), round_to
+    )
+    return base.join(hits, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        F.coalesce("n_terms", F.lit(0)).cast("long").alias("n_terms"),
+        rate.alias("hit_rate"),
+        F.coalesce(rate >= F.lit(rate_threshold), F.lit(False)).alias("flagged"),
+    )

@@ -187,6 +187,65 @@ WHERE round(n_inter::DOUBLE / (na.n + nb.n - n_inter), 4) >= 0.3
 
 
 # ---------------------------------------------------------------------------
+# asymmetric containment (sub-document duplication)
+# ---------------------------------------------------------------------------
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle containment |A∩B| / min(|A|,|B|) on a bounded sub-corpus
+    planted with first-half prefix truncations: every (doc, half) pair
+    scores containment 1.0 while its Jaccard (~0.48) sits BELOW the 0.5
+    near-dup bar — the quote/sub-document case Jaccard-based dedup
+    misses. Mirrors the reference's dedup-audit habit (loanStat.py
+    count-before/count-after) of making the planted structure the
+    expected answer."""
+    from sparkprep.operators import text as tx
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter((F.col("doc_id") % 10000) < 60)
+    )
+    tk = tx.tokens("text")
+    halves = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.array_join(
+            F.slice(tk, 1, F.ceil(F.size(tk) / 2).cast("int")), " "
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(halves)
+    return dd.containment_pairs(corpus, "text", "doc_id", k=_K, threshold=0.5)
+
+
+_CONTAINMENT_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10000 < 60
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id,
+         array_to_string(
+           (list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))[
+             1:ceil(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) / 2.0)::INT],
+           ' ') AS text
+  FROM documents WHERE doc_id % 10000 < 60
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+       FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(n_inter::DOUBLE / least(na.n, nb.n), 4) AS containment,
+       round(n_inter::DOUBLE / (na.n + nb.n - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE round(n_inter::DOUBLE / least(na.n, nb.n), 4) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
@@ -963,6 +1022,7 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "minhash_eval": q_minhash_eval,
     "jaccard_pairs": q_jaccard_pairs,
+    "containment_pairs": q_containment_pairs,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "cosine_topk": q_cosine_topk,
@@ -984,6 +1044,7 @@ ORACLES = {
     "minhash_pairs": _minhash_sql(),
     "minhash_eval": _minhash_eval_sql(),
     "jaccard_pairs": _JACCARD_SQL,
+    "containment_pairs": _CONTAINMENT_SQL,
     "simhash": _SIMHASH_SQL,
     "simhash_pairs": _SIMHASH_PAIRS_SQL,
     "cosine_topk": _COSINE_TOPK_SQL,

@@ -991,6 +991,42 @@ ORDER BY k
 """
 
 
+_BLOCK_TERMS = ["slow", "hash", "merge"]
+
+
+def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist tagging via broadcast term join (term list is DATA,
+    not a regex alternation — the form that survives a 100k-term list):
+    per-doc blocked-token occurrences, distinct blocked terms, hit rate
+    and a 10% flag. Zero-hit docs survive the null-safe join-back."""
+    docs = t(spark, sf_dir, "documents")
+    return tx.blocklist_hits(
+        docs, "text", "doc_id", _BLOCK_TERMS, rate_threshold=0.1
+    )
+
+
+_BLOCKLIST_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         lower(unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))) AS token
+  FROM documents
+),
+terms(token) AS (VALUES ('hash'), ('merge'), ('slow')),
+hits AS (SELECT doc_id, count(*) AS n_hits, count(DISTINCT token) AS n_terms
+         FROM toks JOIN terms USING (token) GROUP BY doc_id),
+base AS (SELECT doc_id,
+                len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))::BIGINT AS n_tokens
+         FROM documents)
+SELECT b.doc_id, b.n_tokens,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       coalesce(h.n_terms, 0)::BIGINT AS n_terms,
+       round(coalesce(h.n_hits, 0)::DOUBLE / nullif(b.n_tokens, 0), 4) AS hit_rate,
+       coalesce(round(coalesce(h.n_hits, 0)::DOUBLE / nullif(b.n_tokens, 0), 4) >= 0.1,
+                false) AS flagged
+FROM base b LEFT JOIN hits h USING (doc_id)
+"""
+
+
 QUERIES = {
     "gopher_rules": q_gopher_rules,
     "quality_logit": q_quality_logit,
@@ -1019,6 +1055,7 @@ QUERIES = {
     "bm25": q_bm25,
     "inverted_index": q_inverted_index,
     "oov_rate": q_oov_rate,
+    "blocklist": q_blocklist,
     "per_group_sample": q_per_group_sample,
 }
 
@@ -1050,5 +1087,6 @@ ORACLES = {
     "bm25": _BM25_SQL,
     "inverted_index": _INVERTED_INDEX_SQL,
     "oov_rate": _OOV_RATE_SQL,
+    "blocklist": _BLOCKLIST_SQL,
     "per_group_sample": _PER_GROUP_SAMPLE_SQL,
 }

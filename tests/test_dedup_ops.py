@@ -294,3 +294,26 @@ def test_minhash_eval_empty_candidates(spark):
     ).collect()[0]
     assert rep.n_candidates == 0
     assert rep.mae is None and rep.bias is None and rep.precision is None
+
+
+def test_containment_catches_subdocument_jaccard_misses(spark):
+    """A short doc fully embedded in a long one: containment 1.0 while
+    Jaccard sits far below any near-dup bar — the case the operator
+    exists for."""
+    long_text = " ".join(f"w{i}" for i in range(40))
+    short_text = " ".join(f"w{i}" for i in range(8))  # prefix quote
+    df = spark.createDataFrame(
+        [(1, long_text), (2, short_text)], ["doc_id", "text"]
+    )
+    rows = dd.containment_pairs(df, "text", "doc_id", k=3, threshold=0.5).collect()
+    assert [(r.id_a, r.id_b) for r in rows] == [(1, 2)]
+    assert rows[0].containment == 1.0
+    # 6 shared shingles, union 38: J ~ 0.158 — invisible to jaccard_pairs@0.5
+    assert rows[0].jaccard < 0.2
+    assert dd.jaccard_pairs(df, "text", "doc_id", k=3, threshold=0.5).count() == 0
+
+
+def test_containment_disjoint_docs_absent(docs):
+    rows = dd.containment_pairs(docs, "text", "doc_id", k=3, threshold=0.1).collect()
+    ids = {(r.id_a, r.id_b) for r in rows}
+    assert all(4 not in pair for pair in ids)  # no overlap with the German doc
