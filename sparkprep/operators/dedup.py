@@ -703,16 +703,27 @@ def minhash_estimator_eval(
     )
     sub = df.join(ids, id_col, "left_semi")
     sh = explode_shingles(sub, text_col, id_col, k)
-    # sh feeds sizes + both sides of the intersection self-join; keep
-    # the candidate-doc shingle explode (and the semi-join above it)
+    # sh feeds sizes + both sides of the intersection join; keep the
+    # candidate-doc shingle explode (and the semi-join above it)
     # single-execution.
     sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    # Intersections routed THROUGH the candidate list, not a global
+    # shingle self-join: joining all candidate-doc shingles on the
+    # shingle value fans out to every doc pair that shares ANY shingle
+    # — on a low-entropy corpus that is ~all pairs (9M+ intermediate
+    # rows at sf0.1, discarded after the fact). Fanning the pair list
+    # out by id_a's shingles (pairs x |A|) and hash-joining on
+    # (id_b, shingle) costs candidates x doc-length instead (7.6s ->
+    # 3.4s at sf0.1); at 100 TB it's the difference between "bounded
+    # by the candidate set" and "bounded by shingle collision
+    # structure you don't control".
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
