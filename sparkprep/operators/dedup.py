@@ -345,6 +345,51 @@ def containment_pairs(
     )
 
 
+def duplicate_window_coverage(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact substring-duplication coverage: the share of each doc's
+    DISTINCT k-token windows that also occur in another doc — the
+    per-document signal behind exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better").
+    Doc-level and even near-dup dedup miss partially-copied spans;
+    high coverage marks docs to cut or down-weight.
+
+    Shape: the window explode is row-local (array_distinct before
+    explode); ONE groupBy(shingle) counts carrying docs (map-side
+    combined); join-back + per-doc rollup. No pair join ever forms —
+    a boilerplate window carried by d docs costs d rows here, not the
+    d² a pair formulation would fan out to. Docs shorter than k tokens
+    have no windows and are absent from the output (no 0/0 row).
+    """
+    sh = explode_shingles(df, text_col, id_col, k)
+    # sh feeds the count groupBy AND the join-back; the two exchanges
+    # differ below the shuffle (partial aggs vs raw rows) so
+    # ReusedExchange can't cover them — truncate once.
+    sh = sh.localCheckpoint(eager=False)
+    counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__docs"))
+    return (
+        sh.join(counts, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum((F.col("__docs") > 1).cast("long")).alias("n_shared"),
+        )
+        .select(
+            id_col,
+            "n_windows",
+            "n_shared",
+            F.round(F.try_divide("n_shared", "n_windows"), round_to).alias(
+                "dup_coverage"
+            ),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",

@@ -245,6 +245,30 @@ WHERE round(n_inter::DOUBLE / least(na.n, nb.n), 4) >= 0.5
 """
 
 
+def q_substr_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication coverage at k=8 token windows over
+    the near-dup corpus: each first-token-dropped mutant is fully
+    covered (1.0) while its original covers (n-8)/(n-7) — only the one
+    window containing the dropped token is unique. Partial-copy signal
+    doc-level dedup can't see."""
+    corpus = _corpus_near(spark, sf_dir)
+    return dd.duplicate_window_coverage(corpus, "text", "doc_id", k=8)
+
+
+_SUBSTR_COVERAGE_SQL = f"""
+WITH {_CORPUS_NEAR_SQL},
+toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7] AS s
+       FROM toks, UNNEST(range(1, len(tk) - 6)) AS u(i)),
+counts AS (SELECT s, count(*) AS docs FROM sh GROUP BY s)
+SELECT doc_id, count(*)::BIGINT AS n_windows,
+       sum(CASE WHEN docs > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+       round(sum(CASE WHEN docs > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS dup_coverage
+FROM sh JOIN counts USING (s)
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -1023,6 +1047,7 @@ QUERIES = {
     "minhash_eval": q_minhash_eval,
     "jaccard_pairs": q_jaccard_pairs,
     "containment_pairs": q_containment_pairs,
+    "substr_coverage": q_substr_coverage,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "cosine_topk": q_cosine_topk,
@@ -1045,6 +1070,7 @@ ORACLES = {
     "minhash_eval": _minhash_eval_sql(),
     "jaccard_pairs": _JACCARD_SQL,
     "containment_pairs": _CONTAINMENT_SQL,
+    "substr_coverage": _SUBSTR_COVERAGE_SQL,
     "simhash": _SIMHASH_SQL,
     "simhash_pairs": _SIMHASH_PAIRS_SQL,
     "cosine_topk": _COSINE_TOPK_SQL,

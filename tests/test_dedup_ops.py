@@ -317,3 +317,26 @@ def test_containment_disjoint_docs_absent(docs):
     rows = dd.containment_pairs(docs, "text", "doc_id", k=3, threshold=0.1).collect()
     ids = {(r.id_a, r.id_b) for r in rows}
     assert all(4 not in pair for pair in ids)  # no overlap with the German doc
+
+
+def test_duplicate_window_coverage_partial_copy(spark):
+    """Doc B copies the tail half of doc A: B's copied windows are
+    shared, A's lead-in windows are not; doc C is unrelated; a doc
+    shorter than k emits no row."""
+    a = " ".join(f"w{i}" for i in range(20))          # w0..w19
+    b = " ".join(f"w{i}" for i in range(10, 20))      # tail half of a
+    c = " ".join(f"x{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, "too short")], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r
+        for r in dd.duplicate_window_coverage(df, "text", "doc_id", k=8).collect()
+    }
+    # b: 10 tokens -> 3 windows, all inside a -> coverage 1.0
+    assert (out[2].n_windows, out[2].n_shared, out[2].dup_coverage) == (3, 3, 1.0)
+    # a: 13 windows, shared ones start at w10..w12 -> 3 of 13
+    assert (out[1].n_windows, out[1].n_shared) == (13, 3)
+    assert out[1].dup_coverage == round(3 / 13, 4)
+    assert (out[3].n_shared, out[3].dup_coverage) == (0, 0.0)
+    assert 4 not in out  # shorter than k: no windows, no 0/0 row
