@@ -310,3 +310,98 @@ def mad_scores(
         round_to,
     )
     return with_mad.withColumn(out_col, score).drop("__med", "__mad")
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    ref_group: str,
+    out_col: str = "qnorm",
+    round_to: int = 4,
+) -> DataFrame:
+    """Quantile normalization: map every group's values onto the
+    REFERENCE group's empirical distribution (the batch-effect
+    correction used when feature scales drift across sources/sites —
+    after it, every group has the reference's exact distribution
+    shape, preserving only within-group order).
+
+    Rank-based and interpolation-exact: value at within-group rank i
+    of n maps to reference position i*(n_ref-1)/(n-1), linearly
+    interpolated between the two bracketing reference order statistics.
+    ``id_col`` breaks ties so the rank — and therefore the output — is
+    layout-independent.
+
+    Cross-engine exactness: the position splits into an INTEGER
+    quotient/remainder (i*(n_ref-1) div/mod (n-1) — all int64-exact;
+    the product overflows only past ~1e9-row groups, where you'd
+    sample anyway) so the only float ops are one correctly-rounded
+    IEEE division for the fraction and one multiply-add for the
+    interpolation — bit-identical on both engines where the naive
+    p*(n_ref-1) double chain drifts a ulp and flips round() at the
+    boundary (observed 3/10k rows).
+
+    Shape: ranks and group sizes come from ONE window exchange on
+    ``group_col``; the ranked frame is lazily localCheckpointed because
+    it feeds both the target rows and the reference lookup (different
+    downstream keys — ReusedExchange can't cover them). The two
+    bracketing lookups are equi-joins on the integer rank index; n_ref
+    attaches as a tiny broadcast off the checkpointed frame. NULL
+    values are EXCLUDED up front (Spark sorts NULL first, DuckDB last —
+    ranking them would silently diverge) rather than passed through.
+
+    Single-member groups map to the reference minimum (p pinned to 0
+    — the p = i/(n-1) form would divide by zero, an ANSI job-kill).
+    """
+    from pyspark.sql.window import Window
+
+    nn = df.filter(F.col(value_col).isNotNull()).select(
+        id_col, group_col, value_col
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    wn = Window.partitionBy(group_col)
+    ranked = nn.select(
+        id_col,
+        group_col,
+        value_col,
+        (F.row_number().over(w) - 1).cast("long").alias("__i"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("__n"),
+    ).localCheckpoint(eager=False)
+    ref = ranked.filter(F.col(group_col) == ref_group).select(
+        F.col("__i").alias("__ridx"), F.col(value_col).alias("__rval")
+    )
+    n_ref = ref.agg(F.count(F.lit(1)).cast("long").alias("__n_ref"))
+    num = F.col("__i") * (F.col("__n_ref") - 1)
+    den = F.when(F.col("__n") > 1, F.col("__n") - 1).otherwise(F.lit(1))
+    staged = (
+        ranked.join(F.broadcast(n_ref))
+        .withColumn("__num", num)
+        .withColumn("__den", den)
+        .withColumn("__lo", F.expr("__num div __den"))
+        .withColumn("__rem", F.col("__num") % F.col("__den"))
+        .withColumn(
+            "__hi",
+            F.col("__lo") + (F.col("__rem") > 0).cast("long"),
+        )
+        .withColumn("__frac", F.col("__rem") / F.col("__den"))
+    )
+    rl = ref.select(F.col("__ridx").alias("__lo"), F.col("__rval").alias("__vlo"))
+    rh = ref.select(F.col("__ridx").alias("__hi"), F.col("__rval").alias("__vhi"))
+    # DECIMAL(18,8) before the round: interpolations land on EXACT
+    # decimal halves (2-decimal data x small-int fracs — 135.38875),
+    # where Spark HALF_UPs the double's shortest decimal repr but
+    # DuckDB rounds the binary product down (flips 4/10k rows). The
+    # per-row double->decimal cast is engine-identical; decimal
+    # rounding is exact. 0.0 + x then normalizes any -0.0.
+    raw = F.col("__vlo") + F.col("__frac") * (F.col("__vhi") - F.col("__vlo"))
+    mapped = F.lit(0.0) + F.round(
+        raw.cast("decimal(18,8)"), round_to
+    ).cast("double")
+    return (
+        staged.join(rl, "__lo")
+        .join(rh, "__hi")
+        .select(id_col, group_col, value_col, mapped.alias(out_col))
+    )

@@ -851,3 +851,81 @@ def negative_pairs(
             ).alias("cosine"),
         )
     )
+
+
+def embedding_covariance(
+    df: DataFrame, vec_col: str, dim: int, round_to: int = 6
+) -> DataFrame:
+    """One-pass sample covariance of an embedding column — the
+    sufficient statistic for PCA / whitening / Mahalanobis outlier
+    gates over a vector corpus (fit the rotation driver-side from this
+    d x d table; the projection is then a native per-row expression).
+
+    Shape: each row explodes to its d(d+1)/2 upper-triangle product
+    terms and ONE map-combined groupBy(i, j) reduces them: the shuffle
+    carries d(d+1)/2 partial rows per partition, never the data. The
+    pair array is GENERATED by nested sequence/transform lambdas over
+    the once-materialized double-cast vector — a literal array of
+    d(d+1)/2 structs (2,080 at d=64) makes the projection's expression
+    tree so large that codegen/Janino OOMs a 1g driver (measured);
+    the lambda form is O(1) expressions regardless of d. Per-term
+    products are cast to DECIMAL(28,12) BEFORE summing, so sums are
+    order-independent and engine-exact; the covariance combine
+    arithmetic runs in double on both engines in the same op order.
+    try_divide: a single-vector corpus reports NULL (n-1 = 0), not a
+    job kill. ``dim`` must not exceed the true vector length (ANSI
+    element_at throws out-of-bounds).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    staged = df.filter(F.col(vec_col).isNotNull()).select(v.alias("__v"))
+
+    def _term(i, j):
+        xi = F.element_at(F.col("__v"), (i + 1).cast("int"))
+        xj = F.element_at(F.col("__v"), (j + 1).cast("int"))
+        return F.struct(
+            i.cast("long").alias("i"),
+            j.cast("long").alias("j"),
+            (xi * xj).cast("decimal(28,12)").alias("xy"),
+            xi.cast("decimal(28,12)").alias("xi"),
+        )
+
+    entries = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.transform(
+                F.sequence(i, F.lit(dim - 1)), lambda j: _term(i, j)
+            ),
+        )
+    )
+    terms = staged.select(F.explode(entries).alias("e")).select(
+        "e.i", "e.j", "e.xy", "e.xi"
+    )
+    agg = terms.groupBy("i", "j").agg(
+        F.sum("xy").alias("__sxy"),
+        F.sum("xi").alias("__sxi"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    # the diagonal re-reads the 2080-row AGGREGATED frame, not the data
+    agg = agg.localCheckpoint(eager=False)
+    diag = agg.filter(F.col("j") == F.col("i")).select(
+        F.col("i").alias("__d"), F.col("__sxi").alias("__s")
+    )
+    di = diag.select(F.col("__d").alias("i"), F.col("__s").alias("__si"))
+    dj = diag.select(F.col("__d").alias("j"), F.col("__s").alias("__sj"))
+    # 0.0 + x: a vanishing covariance can round to -0.0 on one engine
+    # and +0.0 on the other (observed); IEEE x + 0.0 normalizes both.
+    cov = F.lit(0.0) + F.round(
+        F.try_divide(
+            F.col("__sxy").cast("double")
+            - F.col("__si").cast("double")
+            * F.col("__sj").cast("double")
+            / F.col("__n"),
+            F.col("__n") - 1,
+        ),
+        round_to,
+    )
+    return (
+        agg.join(F.broadcast(di), "i")
+        .join(F.broadcast(dj), "j")
+        .select("i", "j", cov.alias("cov"))
+    )

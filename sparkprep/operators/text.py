@@ -1104,3 +1104,36 @@ def blocklist_hits(
         rate.alias("hit_rate"),
         F.coalesce(rate >= F.lit(rate_threshold), F.lit(False)).alias("flagged"),
     )
+
+
+def token_fertility(
+    df: DataFrame, text_col: str, group_col: str, round_to: int = 4
+) -> DataFrame:
+    """Tokenizer-efficiency report per group (usually language):
+    fertility = BPE-ish tokens per whitespace word, and characters per
+    BPE-ish token. The numbers that decide whether a tokenizer (or a
+    vocab size) taxes one language more than another — high fertility
+    means more sequence positions per word, i.e. a more expensive
+    language to train on at the same text volume.
+
+    ONE map-combined aggregate over integer counts; the ratios divide
+    two exact int64 sums, so both engines produce the identical double
+    before rounding. try_divide: an all-empty group reports NULL, not
+    a DIVIDE_BY_ZERO job kill.
+    """
+    staged = df.select(
+        F.col(group_col),
+        F.length(text_col).cast("long").alias("__chars"),
+        regex_token_count(text_col).alias("__bpe"),
+        token_count(text_col).alias("__words"),
+    )
+    return staged.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__bpe").alias("n_tokens"),
+        F.round(F.try_divide(F.sum("__bpe"), F.sum("__words")), round_to).alias(
+            "fertility"
+        ),
+        F.round(F.try_divide(F.sum("__chars"), F.sum("__bpe")), round_to).alias(
+            "chars_per_token"
+        ),
+    )

@@ -1041,6 +1041,40 @@ FROM j
 """
 
 
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle sample covariance of the 64-dim embedding corpus
+    (2,080 (i,j) cells in ONE pass) — the PCA/whitening sufficient
+    statistic; DECIMAL term sums make both engines bit-agree before
+    the final double combine."""
+    emb = t(spark, sf_dir, "embeddings")
+    return sim.embedding_covariance(emb, "embedding", dim=_DIM)
+
+
+_EMB_COV_SQL = """
+WITH v AS (
+  SELECT list_transform(embedding, x -> x::DOUBLE) AS e
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+pairs AS (
+  SELECT p.i, p.j,
+         sum((e[p.i + 1] * e[p.j + 1])::DECIMAL(28,12)) AS sxy,
+         sum((e[p.i + 1])::DECIMAL(28,12)) AS sxi,
+         count(*) AS n
+  FROM v, (SELECT a.range AS i, b.range AS j
+           FROM range(0, 64) a, range(0, 64) b
+           WHERE b.range >= a.range) p
+  GROUP BY p.i, p.j
+),
+diag AS (SELECT i AS d, sxi AS s FROM pairs WHERE j = i)
+SELECT p.i::BIGINT AS i, p.j::BIGINT AS j,
+       0.0 + round((p.sxy::DOUBLE - di.s::DOUBLE * dj.s::DOUBLE / p.n)
+             / nullif(p.n - 1, 0), 6) AS cov
+FROM pairs p
+JOIN diag di ON di.d = p.i
+JOIN diag dj ON dj.d = p.j
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "minhash_pairs": q_minhash_pairs,
@@ -1048,6 +1082,7 @@ QUERIES = {
     "jaccard_pairs": q_jaccard_pairs,
     "containment_pairs": q_containment_pairs,
     "substr_coverage": q_substr_coverage,
+    "embedding_covariance": q_embedding_covariance,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "cosine_topk": q_cosine_topk,
@@ -1071,6 +1106,7 @@ ORACLES = {
     "jaccard_pairs": _JACCARD_SQL,
     "containment_pairs": _CONTAINMENT_SQL,
     "substr_coverage": _SUBSTR_COVERAGE_SQL,
+    "embedding_covariance": _EMB_COV_SQL,
     "simhash": _SIMHASH_SQL,
     "simhash_pairs": _SIMHASH_PAIRS_SQL,
     "cosine_topk": _COSINE_TOPK_SQL,

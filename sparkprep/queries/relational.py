@@ -928,6 +928,54 @@ FROM events e JOIN cuts USING (event_type)
 """
 
 
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of every event type's value distribution
+    onto the 'view' type's (numeric.quantile_normalize): rank-exact,
+    interpolated between bracketing reference order statistics —
+    batch-effect correction for cross-source feature drift. The oracle
+    replays the identical rank/interpolation arithmetic."""
+    ev = t(spark, sf_dir, "events")
+    out = numeric.quantile_normalize(
+        ev, "value", "event_type", "event_id", ref_group="view"
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        "qnorm",
+    )
+
+
+_QUANTILE_NORMALIZE_SQL = """
+WITH nn AS (
+  SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL
+),
+ranked AS (
+  SELECT event_id, event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) - 1 AS i,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM nn
+),
+ref AS (SELECT i AS ridx, value AS rval FROM ranked WHERE event_type = 'view'),
+staged AS (
+  SELECT event_id, event_type, value,
+         i * ((SELECT count(*) FROM ref) - 1) AS num,
+         CASE WHEN n > 1 THEN n - 1 ELSE 1 END AS den
+  FROM ranked
+),
+m AS (
+  SELECT event_id, event_type, value, den,
+         num // den AS lo, num % den AS rem
+  FROM staged
+)
+SELECT event_id, event_type, round(value, 4) AS value,
+       0.0 + round((rl.rval + (rem::DOUBLE / den) * (rh.rval - rl.rval))::DECIMAL(18,8), 4)::DOUBLE AS qnorm
+FROM m
+JOIN ref rl ON rl.ridx = lo
+JOIN ref rh ON rh.ridx = lo + CASE WHEN rem > 0 THEN 1 ELSE 0 END
+"""
+
+
 def q_pivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide pivot (reference-absent): order revenue by status ×
     priority, compiled as conditional aggregation — ONE hash aggregate
@@ -1579,6 +1627,7 @@ QUERIES = {
     "local_supplier_volume": q_local_supplier_volume,
     "quantile_buckets": q_quantile_buckets,
     "winsorize": q_winsorize,
+    "quantile_normalize": q_quantile_normalize,
     "json_props": q_json_props,
     "promo_share": q_promo_share,
     "big_orders": q_big_orders,
@@ -1626,6 +1675,7 @@ ORACLES = {
     "local_supplier_volume": _LOCAL_SUPPLIER_SQL,
     "quantile_buckets": _QUANTILE_BUCKETS_SQL,
     "winsorize": _WINSORIZE_SQL,
+    "quantile_normalize": _QUANTILE_NORMALIZE_SQL,
     "json_props": _JSON_PROPS_SQL,
     "promo_share": _PROMO_SHARE_SQL,
     "big_orders": _BIG_ORDERS_SQL,

@@ -1027,6 +1027,27 @@ FROM base b LEFT JOIN hits h USING (doc_id)
 """
 
 
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (BPE-ish tokens per word) and
+    chars-per-token — the 'which language is expensive to train on'
+    numbers. One map-combined aggregate over exact integer counts."""
+    docs = t(spark, sf_dir, "documents")
+    return tx.token_fertility(docs, "text", "lang")
+
+
+_TOKEN_FERTILITY_SQL = r"""
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))::BIGINT AS n_tokens,
+       round(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))::DOUBLE
+             / nullif(sum(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))), 0), 4) AS fertility,
+       round(sum(length(text))::DOUBLE
+             / nullif(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))), 0), 4) AS chars_per_token
+FROM documents
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "gopher_rules": q_gopher_rules,
     "quality_logit": q_quality_logit,
@@ -1056,6 +1077,7 @@ QUERIES = {
     "inverted_index": q_inverted_index,
     "oov_rate": q_oov_rate,
     "blocklist": q_blocklist,
+    "token_fertility": q_token_fertility,
     "per_group_sample": q_per_group_sample,
 }
 
@@ -1088,5 +1110,6 @@ ORACLES = {
     "inverted_index": _INVERTED_INDEX_SQL,
     "oov_rate": _OOV_RATE_SQL,
     "blocklist": _BLOCKLIST_SQL,
+    "token_fertility": _TOKEN_FERTILITY_SQL,
     "per_group_sample": _PER_GROUP_SAMPLE_SQL,
 }

@@ -42,3 +42,46 @@ def test_blocklist_term_list_broadcasts(spark):
         _df(spark), "text", "doc_id", ["bad"]
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_token_fertility_hand_math(spark):
+    df = spark.createDataFrame(
+        [
+            ("en", "hello world"),            # 2 words, 2 bpe tokens, 11 chars
+            ("en", "it's x2!"),               # 2 words, 6 bpe tokens (it ' s x 2 !), 8 chars
+            ("zz", ""),                       # empty group -> NULL ratios
+        ],
+        ["lang", "text"],
+    )
+    out = {r.lang: r for r in tx.token_fertility(df, "text", "lang").collect()}
+    assert out["en"].n_docs == 2 and out["en"].n_tokens == 8
+    assert out["en"].fertility == round(8 / 4, 4)
+    assert out["en"].chars_per_token == round(19 / 8, 4)
+    assert out["zz"].fertility is None and out["zz"].chars_per_token is None
+
+
+def test_quantile_normalize_hand_math(spark):
+    from sparkprep.functions import numeric
+
+    rows = (
+        [(i, "ref", float(v)) for i, v in enumerate([0, 10, 20, 30])]
+        + [(10, "b", 100.0), (11, "b", 500.0), (12, "b", 200.0)]
+        + [(20, "solo", 77.0), (21, "nul", None)]
+    )
+    df = spark.createDataFrame(rows, ["event_id", "grp", "value"])
+    out = {
+        r.event_id: r.qnorm
+        for r in numeric.quantile_normalize(
+            df, "value", "grp", "event_id", ref_group="ref"
+        ).collect()
+    }
+    # b ranks [100, 200, 500] -> p in {0, .5, 1} -> pos {0, 1.5, 3}
+    assert out[10] == 0.0
+    assert out[12] == 15.0  # interpolated between ref[1]=10 and ref[2]=20
+    assert out[11] == 30.0
+    # the reference group maps onto itself exactly
+    assert [out[i] for i in range(4)] == [0.0, 10.0, 20.0, 30.0]
+    # a single-member group pins to the reference minimum, no /0
+    assert out[20] == 0.0
+    # NULL values are excluded, not ranked (engines order NULLs differently)
+    assert 21 not in out

@@ -51,6 +51,7 @@ _TINY_BROADCAST_CROSS = {
     "revenue_concentration",  # 1-row totals x 1-row top-k sum attach
     "join_forecast",     # 1-row totals x (<=1)-row hottest-key attach
     "vocab_coverage",    # 1-row folded coverage x 1-row token total
+    "quantile_normalize",  # 1-row reference-size scalar attach
 }
 
 # the one deliberate Python-row-path showcase: a Python UDTF (SURVEY
