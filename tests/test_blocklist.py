@@ -85,3 +85,28 @@ def test_quantile_normalize_hand_math(spark):
     assert out[20] == 0.0
     # NULL values are excluded, not ranked (engines order NULLs differently)
     assert 21 not in out
+
+
+def test_embedding_covariance_numpy_parity(spark):
+    import numpy as np
+    from sparkprep.operators import similarity as sim
+
+    rng = np.random.RandomState(7)
+    X = rng.randn(40, 5).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        ["vec_id", "embedding"],
+    )
+    out = sim.embedding_covariance(df, "embedding", dim=5).collect()
+    assert len(out) == 5 * 6 // 2
+    C = np.cov(X, rowvar=False)  # sample covariance, ddof=1
+    for r in out:
+        assert abs(r.cov - C[r.i][r.j]) < 1e-6, (r.i, r.j, r.cov, C[r.i][r.j])
+
+
+def test_embedding_covariance_single_vector_null(spark):
+    from sparkprep.operators import similarity as sim
+
+    df = spark.createDataFrame([(0, [1.0, 2.0])], ["vec_id", "embedding"])
+    rows = sim.embedding_covariance(df, "embedding", dim=2).collect()
+    assert all(r.cov is None for r in rows)  # n-1 = 0 -> NULL, not a crash
