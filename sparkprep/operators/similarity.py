@@ -929,3 +929,98 @@ def embedding_covariance(
         .join(F.broadcast(dj), "j")
         .select("i", "j", cov.alias("cov"))
     )
+
+
+def embedding_covariance_arrow(
+    df: DataFrame, vec_col: str, dim: int, round_to: int = 6
+) -> DataFrame:
+    """Full-width covariance, the production path: per Arrow batch,
+    numpy computes X^T X + column sums (BLAS matmul — three orders of
+    magnitude over per-element expression evaluation), emitting ONE
+    partial-sums row per batch; a single reduce over those few rows
+    finishes. Sanctioned Arrow use: 64 dims is 2,080 per-row product
+    terms, where the exact-decimal expression form
+    (:func:`embedding_covariance`) pays ~10M interpreted lambda evals
+    per 5k rows (14s at sf0.1, measured) — built-ins genuinely can't
+    express a matmul.
+
+    Trade: float64 batch sums are order-dependent at ~1e-12 (batch
+    boundaries follow the layout), so this path is NOT oracle-exact —
+    it is reconciled against the decimal-exact operator in tests at
+    1e-9 and intended for fitting PCA/whitening, which is insensitive
+    at that scale. Emits the same (i, j, cov) table.
+    """
+    import pandas as pd  # noqa: PLC0415 — Arrow path only
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    partial_schema = StructType(
+        [
+            StructField("xtx", ArrayType(DoubleType())),
+            StructField("sums", ArrayType(DoubleType())),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def partials(batches):
+        import numpy as np
+
+        for pdf in batches:
+            vecs = pdf[vec_col].dropna()
+            if not len(vecs):
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64)[:dim] for v in vecs]
+            )
+            yield pd.DataFrame(
+                {
+                    "xtx": [(X.T @ X).ravel().tolist()],
+                    "sums": [X.sum(axis=0).tolist()],
+                    "n": [len(X)],
+                }
+            )
+
+    staged = df.select(vec_col).mapInPandas(partials, schema=partial_schema)
+    # one partial row per Arrow batch; three consumers below would
+    # re-run the Python stage without the checkpoint
+    staged = staged.localCheckpoint(eager=False)
+    # merge by POSITION via posexplode + groupBy — never a d² -wide
+    # aggregate expression list (4,096 element_at sums is the same
+    # codegen OOM the exact operator's literal-struct form hit)
+    xtx = (
+        staged.select(F.posexplode("xtx").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("sxy"))
+        .select(
+            (F.col("pos") / dim).cast("long").alias("i"),
+            (F.col("pos") % dim).cast("long").alias("j"),
+            "sxy",
+        )
+        .filter(F.col("j") >= F.col("i"))
+    )
+    csums = (
+        staged.select(F.posexplode("sums").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("s"))
+    )
+    n_total = staged.agg(F.sum("n").cast("long").alias("n"))
+    si = csums.select(F.col("pos").alias("i"), F.col("s").alias("__si"))
+    sj = csums.select(F.col("pos").alias("j"), F.col("s").alias("__sj"))
+    cov = F.lit(0.0) + F.round(
+        F.try_divide(
+            F.col("sxy") - F.col("__si") * F.col("__sj") / F.col("n"),
+            F.col("n") - 1,
+        ),
+        round_to,
+    )
+    return (
+        xtx.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .join(F.broadcast(n_total))
+        .select("i", "j", cov.alias("cov"))
+    )

@@ -1042,12 +1042,15 @@ FROM j
 
 
 def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Upper-triangle sample covariance of the 64-dim embedding corpus
-    (2,080 (i,j) cells in ONE pass) — the PCA/whitening sufficient
-    statistic; DECIMAL term sums make both engines bit-agree before
-    the final double combine."""
+    """Upper-triangle sample covariance of the embedding corpus's
+    first 16 dims (136 (i,j) cells in ONE pass) — the PCA/whitening
+    sufficient statistic; DECIMAL term sums make both engines
+    bit-agree before the final double combine. 16 of 64 dims keeps
+    the oracle-checked exact-decimal path cheap; the full-width
+    production route is similarity.embedding_covariance_arrow
+    (numpy X^T X per Arrow batch, tested against this one)."""
     emb = t(spark, sf_dir, "embeddings")
-    return sim.embedding_covariance(emb, "embedding", dim=_DIM)
+    return sim.embedding_covariance(emb, "embedding", dim=16)
 
 
 _EMB_COV_SQL = """
@@ -1061,7 +1064,7 @@ pairs AS (
          sum((e[p.i + 1])::DECIMAL(28,12)) AS sxi,
          count(*) AS n
   FROM v, (SELECT a.range AS i, b.range AS j
-           FROM range(0, 64) a, range(0, 64) b
+           FROM range(0, 16) a, range(0, 16) b
            WHERE b.range >= a.range) p
   GROUP BY p.i, p.j
 ),

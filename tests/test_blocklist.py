@@ -110,3 +110,29 @@ def test_embedding_covariance_single_vector_null(spark):
     df = spark.createDataFrame([(0, [1.0, 2.0])], ["vec_id", "embedding"])
     rows = sim.embedding_covariance(df, "embedding", dim=2).collect()
     assert all(r.cov is None for r in rows)  # n-1 = 0 -> NULL, not a crash
+
+
+def test_embedding_covariance_arrow_matches_exact(spark):
+    """The Arrow X^T X fast path reconciles with the decimal-exact
+    operator at 1e-9 — float64 batch sums are order-dependent at
+    ~1e-12, which the 1e-6 rounding absorbs."""
+    import numpy as np
+    from sparkprep.operators import similarity as sim
+
+    rng = np.random.RandomState(11)
+    X = rng.randn(60, 6).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        ["vec_id", "embedding"],
+    ).repartition(4)
+    exact = {
+        (r.i, r.j): r.cov
+        for r in sim.embedding_covariance(df, "embedding", dim=6).collect()
+    }
+    fast = {
+        (r.i, r.j): r.cov
+        for r in sim.embedding_covariance_arrow(df, "embedding", dim=6).collect()
+    }
+    assert set(fast) == set(exact) and len(fast) == 21
+    for key, v in fast.items():
+        assert abs(v - exact[key]) <= 1e-9, (key, v, exact[key])
