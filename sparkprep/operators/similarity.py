@@ -1024,3 +1024,85 @@ def embedding_covariance_arrow(
         .join(F.broadcast(n_total))
         .select("i", "j", cov.alias("cov"))
     )
+
+
+def fit_pca(
+    df: DataFrame, vec_col: str, dim: int, n_components: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-side PCA fit from ONE distributed pass: the covariance
+    (numpy X^T X per Arrow batch via
+    :func:`embedding_covariance_arrow`) and the column means. Only
+    O(d²) scalars ever reach the driver — data-independent, the same
+    bounded-collect contract as the IVF centroid fit. Eigenvectors are
+    sign-normalized (largest-|component| coordinate positive) so the
+    rotation is deterministic across LAPACK builds up to eigenvalue
+    ties. Returns (mean[d], components[k x d], variance-descending).
+    """
+    cov_rows = embedding_covariance_arrow(
+        df, vec_col, dim, round_to=12
+    ).collect()
+    C = np.zeros((dim, dim))
+    for r in cov_rows:
+        C[r.i][r.j] = C[r.j][r.i] = r.cov if r.cov is not None else 0.0
+    mean_rows = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.posexplode(
+                F.slice(
+                    F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                    1,
+                    dim,
+                )
+            ).alias("pos", "v")
+        )
+        .groupBy("pos")
+        .agg(F.avg("v").alias("m"))
+        .collect()
+    )
+    mean = np.zeros(dim)
+    for r in mean_rows:
+        mean[r.pos] = r.m
+    vals, vecs = np.linalg.eigh(C)  # ascending eigenvalues
+    order = np.argsort(vals)[::-1][:n_components]
+    comps = vecs[:, order].T  # k x d
+    for k in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[k])))
+        if comps[k, j] < 0:
+            comps[k] = -comps[k]
+    return mean, comps
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    mean: np.ndarray,
+    components: np.ndarray,
+    round_to: int = 4,
+) -> DataFrame:
+    """Project vectors onto fitted principal components, NATIVELY: the
+    centered vector is materialized once (interpreted lambdas
+    re-evaluate embedded trees per element — the measured landmine),
+    then each component is a left-fold dot with a literal array.
+    Map-only; the rotation ships as plan literals, no model object or
+    UDF at serve time (same distilled-serving shape as
+    lr_scoring_expr).
+    """
+    dim = int(components.shape[1])
+    mean_arr = F.array(*[F.lit(float(m)) for m in mean])
+    centered = F.zip_with(
+        F.slice(F.transform(F.col(vec_col), lambda x: x.cast("double")), 1, dim),
+        mean_arr,
+        lambda x, m: x - m,
+    )
+    staged = df.select(F.col(id_col), centered.alias("__c"))
+    outs = []
+    for k in range(components.shape[0]):
+        comp = F.array(*[F.lit(float(x)) for x in components[k]])
+        dot = F.aggregate(
+            F.zip_with(F.col("__c"), comp, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        outs.append(F.round(dot, round_to).alias(f"c{k}"))
+    return staged.select(id_col, *outs)

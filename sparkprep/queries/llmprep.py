@@ -1078,6 +1078,19 @@ JOIN diag dj ON dj.d = p.j
 """
 
 
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the 64-dim embedding corpus onto its top-4
+    principal components: covariance + means fitted in one distributed
+    pass (O(d^2) scalars to the driver — the bounded-collect contract),
+    rotation applied NATIVELY as literal-array dots, no UDF at serve
+    time. No oracle: eigendecomposition is not SQL-expressible — the
+    driver records the rows-only check; numpy parity is pinned in
+    tests/test_blocklist.py."""
+    emb = t(spark, sf_dir, "embeddings")
+    mean, comps = sim.fit_pca(emb, "embedding", dim=_DIM, n_components=4)
+    return sim.pca_project(emb, "embedding", "vec_id", mean, comps)
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "minhash_pairs": q_minhash_pairs,
@@ -1086,6 +1099,7 @@ QUERIES = {
     "containment_pairs": q_containment_pairs,
     "substr_coverage": q_substr_coverage,
     "embedding_covariance": q_embedding_covariance,
+    "pca_project": q_pca_project,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "cosine_topk": q_cosine_topk,

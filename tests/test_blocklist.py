@@ -136,3 +136,35 @@ def test_embedding_covariance_arrow_matches_exact(spark):
     assert set(fast) == set(exact) and len(fast) == 21
     for key, v in fast.items():
         assert abs(v - exact[key]) <= 1e-9, (key, v, exact[key])
+
+
+def test_pca_fit_project_numpy_parity(spark):
+    import numpy as np
+    from sparkprep.operators import similarity as sim
+
+    rng = np.random.RandomState(3)
+    # anisotropic cloud so components are well-separated (no eigenvalue ties)
+    X = (rng.randn(80, 4) * np.array([5.0, 2.0, 0.5, 0.1])).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        ["vec_id", "embedding"],
+    )
+    mean, comps = sim.fit_pca(df, "embedding", dim=4, n_components=2)
+    assert np.allclose(mean, X.mean(axis=0), atol=1e-9)
+    # components orthonormal and matching numpy's eigh up to the pinned sign
+    assert np.allclose(comps @ comps.T, np.eye(2), atol=1e-9)
+    C = np.cov(X, rowvar=False)
+    vals, vecs = np.linalg.eigh(C)
+    for k, idx in enumerate(np.argsort(vals)[::-1][:2]):
+        v = vecs[:, idx]
+        if v[np.argmax(np.abs(v))] < 0:
+            v = -v
+        assert np.allclose(comps[k], v, atol=1e-6), k
+    out = {
+        r.vec_id: (r.c0, r.c1)
+        for r in sim.pca_project(df, "embedding", "vec_id", mean, comps).collect()
+    }
+    expected = (X - X.mean(axis=0)) @ comps.T
+    for i in range(len(X)):
+        assert abs(out[i][0] - round(expected[i, 0], 4)) <= 1e-3
+        assert abs(out[i][1] - round(expected[i, 1], 4)) <= 1e-3
