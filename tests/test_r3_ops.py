@@ -1,5 +1,7 @@
-"""blocklist_hits semantics the oracle can't see: case folding,
-zero-hit survival, empty-doc NULL rate, broadcast plan shape."""
+"""Round-3 operator semantics the oracles can't see: blocklist edge
+cases and plan shape, tokenizer fertility hand math, quantile
+normalization interpolation, covariance numpy parity (exact + Arrow),
+PCA fit/projection parity."""
 
 from pyspark.sql import functions as F
 
