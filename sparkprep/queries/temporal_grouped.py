@@ -1051,6 +1051,43 @@ ORDER BY day
 """
 
 
+def q_rolling_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour EXACT p50/p90 per event type (RANGE frame) — the
+    robust twin of anomaly_flags' mean/sigma: rolling medians don't
+    chase a single spike. Both quantiles and the support count share
+    ONE window spec -> one WindowExec, one keyed shuffle. Exact
+    ``percentile`` == DuckDB ``quantile_cont`` (same linear
+    interpolation); at 100 TB swap in percentile_approx over the same
+    frame (documented exactness-for-oracle trade, as stats_extended)."""
+    from pyspark.sql.window import Window
+
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 4).alias("roll_p50"),
+        F.round(F.expr("percentile(value, 0.9)").over(w), 4).alias("roll_p90"),
+        F.count("value").over(w).cast("long").alias("n_in_window"),
+    )
+
+
+_ROLLING_QUANTILES_SQL = """
+SELECT event_id, event_type,
+       round(quantile_cont(value, 0.5) OVER w, 4) AS roll_p50,
+       round(quantile_cont(value, 0.9) OVER w, 4) AS roll_p90,
+       (count(value) OVER w)::BIGINT AS n_in_window
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "asof_rate": q_asof_rate,
     "attribution": q_attribution,
@@ -1069,6 +1106,7 @@ QUERIES = {
     "daily_trend": q_daily_trend,
     "outlier_fences": q_outlier_fences,
     "anomaly_flags": q_anomaly_flags,
+    "rolling_quantiles": q_rolling_quantiles,
     "sequence_export": q_sequence_export,
     "markov_3step": q_markov_3step,
     "debounce": q_debounce,
@@ -1099,6 +1137,7 @@ ORACLES = {
     "daily_trend": _DAILY_TREND_SQL,
     "outlier_fences": _OUTLIER_SQL,
     "anomaly_flags": _ANOMALY_SQL,
+    "rolling_quantiles": _ROLLING_QUANTILES_SQL,
     "sequence_export": _SEQUENCE_SQL,
     "markov_3step": _MARKOV_SQL,
     "debounce": _DEBOUNCE_SQL,
