@@ -298,3 +298,57 @@ def mutual_information(
             round_to,
         ).alias("nmi"),
     )
+
+
+def fd_audit(
+    df: DataFrame, dependencies: list[tuple[str, str]]
+) -> DataFrame:
+    """Functional-dependency audit (schema discovery / key inference):
+    for each candidate ``a -> b``, how many determinant values map to
+    more than one dependent value. ``holds`` = zero violations —
+    candidate keys, denormalization safety, and "is this column
+    derivable" all read off this table.
+
+    One scan for ALL candidates: each row explodes to one
+    (dependency, a, b) term per candidate (explode-over-struct — a
+    per-pair groupBy would rescan the table k times), then two keyed
+    exchanges: distinct dependents per (dep, a) via the two-phase
+    count_distinct, and the violation rollup per dep. Values compare
+    as strings so heterogeneous column types share one schema; NULL
+    determinants are excluded (SQL FD semantics — NULL keys determine
+    nothing), NULL dependents count as a distinct value.
+    """
+    terms = F.array(
+        *[
+            F.struct(
+                F.lit(f"{a}->{b}").alias("dep"),
+                F.col(a).cast("string").alias("a"),
+                F.col(b).cast("string").alias("b"),
+            )
+            for a, b in dependencies
+        ]
+    )
+    exploded = (
+        df.select(F.explode(terms).alias("t"))
+        .select("t.dep", "t.a", "t.b")
+        .filter(F.col("a").isNotNull())
+    )
+    per_det = exploded.groupBy("dep", "a").agg(
+        F.count_distinct("b").alias("__nb"),
+        F.sum(F.col("b").isNull().cast("long")).alias("__null_b"),
+    )
+    nb = F.col("__nb") + (F.col("__null_b") > 0).cast("long")
+    return (
+        per_det.select("dep", "a", nb.alias("__vals"))
+        .groupBy("dep")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum((F.col("__vals") > 1).cast("long")).alias("n_violating"),
+        )
+        .select(
+            F.col("dep").alias("dependency"),
+            "n_groups",
+            "n_violating",
+            (F.col("n_violating") == 0).alias("holds"),
+        )
+    )

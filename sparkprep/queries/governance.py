@@ -235,8 +235,45 @@ FROM a ORDER BY edge
 """
 
 
+_FD_PAIRS = [
+    ("o_orderkey", "o_custkey"),       # key determines everything: holds
+    ("o_custkey", "o_orderstatus"),    # customers reorder: violated
+    ("o_orderstatus", "o_orderpriority"),  # two tiny domains: violated
+]
+
+
+def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit over orders (profile.fd_audit): all
+    candidates in ONE scan via explode-over-struct, violations from the
+    two-phase count_distinct. NULL determinants excluded; a NULL
+    dependent counts as a distinct value (mirrored in the oracle)."""
+    from sparkprep.operators import profile
+
+    orders = t(spark, sf_dir, "orders")
+    return profile.fd_audit(orders, _FD_PAIRS)
+
+
+def _fd_sql() -> str:
+    blocks = []
+    for a, b in _FD_PAIRS:
+        blocks.append(f"""
+SELECT '{a}->{b}' AS dependency,
+       count(*)::BIGINT AS n_groups,
+       sum(CASE WHEN vals > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating,
+       sum(CASE WHEN vals > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM (
+  SELECT {a},
+         count(DISTINCT {b}::VARCHAR)
+         + CASE WHEN sum(CASE WHEN {b} IS NULL THEN 1 ELSE 0 END) > 0
+                THEN 1 ELSE 0 END AS vals
+  FROM orders WHERE {a} IS NOT NULL GROUP BY {a}
+)""")
+    return " UNION ALL ".join(blocks)
+
+
 QUERIES = {
     "fk_audit": q_fk_audit,
+    "fd_audit": q_fd_audit,
     "purge_audit": q_purge_audit,
     "l_diversity": q_l_diversity,
     "benford": q_benford,
@@ -245,6 +282,7 @@ QUERIES = {
 
 ORACLES = {
     "fk_audit": _FK_AUDIT_SQL,
+    "fd_audit": _fd_sql(),
     "purge_audit": _PURGE_AUDIT_SQL,
     "l_diversity": _L_DIVERSITY_SQL,
     "benford": _BENFORD_SQL,

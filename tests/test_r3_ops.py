@@ -170,3 +170,25 @@ def test_pca_fit_project_numpy_parity(spark):
     for i in range(len(X)):
         assert abs(out[i][0] - round(expected[i, 0], 4)) <= 1e-3
         assert abs(out[i][1] - round(expected[i, 1], 4)) <= 1e-3
+
+
+def test_fd_audit_null_semantics(spark):
+    from sparkprep.operators import profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "x", 10),
+            (1, "x", 10),      # same determinant, same dependent: fine
+            (2, "y", 20),
+            (2, "z", 20),      # a=2 maps to y AND z: violation
+            (None, "q", 30),   # NULL determinant: excluded entirely
+            (3, None, 40),     # NULL dependent counts as a value
+            (3, "w", 40),      # ...so a=3 maps to {NULL, w}: violation
+        ],
+        ["a", "b", "c"],
+    )
+    out = {r.dependency: r for r in profile.fd_audit(df, [("a", "b"), ("a", "c")]).collect()}
+    ab = out["a->b"]
+    assert (ab.n_groups, ab.n_violating, ab.holds) == (3, 2, False)
+    ac = out["a->c"]
+    assert (ac.n_groups, ac.n_violating, ac.holds) == (3, 0, True)
