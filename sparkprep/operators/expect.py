@@ -572,3 +572,56 @@ def psi_multi(
         F.round(F.sum(term).cast("double"), 6).alias("psi"),
         F.count(F.lit(1)).cast("long").alias("n_bins"),
     )
+
+
+def ks_cohorts(
+    df: DataFrame,
+    cohort_expr: Column,
+    col: str,
+    breakpoints: list[float],
+    round_to: int = 6,
+) -> DataFrame:
+    """Binned two-sample Kolmogorov–Smirnov statistic between two
+    cohorts of ONE table — the sampling-QC companion of
+    :func:`psi_bins_cohorts` (did the 10% sample keep the
+    distribution? is the holdout exchangeable with training?). Same
+    single-scan, single-keyed-exchange shape: one groupBy(bin) with a
+    conditional count per cohort; cumulative counts stay EXACT int64
+    over the ordered window on the K-row aggregate, so each bin's CDF
+    gap is one IEEE division per side — engine-identical before the
+    per-bin rounding that feeds max(). Binned KS lower-bounds the true
+    statistic (resolution = bin width); pick edges from reference
+    quantiles when that matters. Returns ONE row:
+    (n_before, n_after, ks_stat). ``cohort_expr`` true = 'after'.
+    """
+    edges = _check_edges(breakpoints)
+    counts = (
+        df.filter(F.col(col).isNotNull() & cohort_expr.isNotNull())
+        .groupBy(_bin_expr(F.col(col), edges).alias("bin_id"))
+        .agg(
+            F.count(F.when(~cohort_expr, True)).alias("__nb"),
+            F.count(F.when(cohort_expr, True)).alias("__na"),
+        )
+    )
+    from pyspark.sql import Window
+
+    cum = Window.orderBy("bin_id").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    staged = counts.select(
+        F.sum("__nb").over(cum).alias("__cb"),
+        F.sum("__na").over(cum).alias("__ca"),
+        F.sum("__nb").over(tot).alias("__tb"),
+        F.sum("__na").over(tot).alias("__ta"),
+    )
+    gap = F.round(
+        F.abs(
+            F.try_divide(F.col("__cb"), F.col("__tb"))
+            - F.try_divide(F.col("__ca"), F.col("__ta"))
+        ),
+        round_to,
+    )
+    return staged.select(gap.alias("__gap"), "__tb", "__ta").agg(
+        F.max("__tb").cast("long").alias("n_before"),
+        F.max("__ta").cast("long").alias("n_after"),
+        F.max("__gap").alias("ks_stat"),
+    )

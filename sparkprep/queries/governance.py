@@ -271,9 +271,55 @@ FROM (
     return " UNION ALL ".join(blocks)
 
 
+_KS_EDGES = [0.0] + [50000.0 * i for i in range(1, 10)] + [500000.0]
+
+
+def q_sample_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling QC: binned two-sample KS between the deterministic 10%
+    md5 sample of orders and the remaining 90% on o_totalprice
+    (expect.ks_cohorts). A healthy sampler reads ~0 here; a biased one
+    (e.g. sampling by a key correlated with price) jumps out. One scan,
+    one keyed exchange; cumulative CDFs from exact int64 counts."""
+    from sparkprep.operators import expect
+    from sparkprep.operators.dedup import string_to_int_hash
+
+    orders = t(spark, sf_dir, "orders")
+    in_sample = (
+        string_to_int_hash(F.col("o_orderkey").cast("string")) % 10 == 0
+    )
+    return expect.ks_cohorts(orders, in_sample, "o_totalprice", _KS_EDGES)
+
+
+_SAMPLE_KS_SQL = """
+WITH src AS (
+  SELECT CASE WHEN (('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT
+                    % 2147483647) % 10 = 0 THEN 1 ELSE 0 END AS grp,
+         CASE WHEN o_totalprice >= 450000.0 THEN 9 WHEN o_totalprice >= 400000.0 THEN 8 WHEN o_totalprice >= 350000.0 THEN 7 WHEN o_totalprice >= 300000.0 THEN 6 WHEN o_totalprice >= 250000.0 THEN 5 WHEN o_totalprice >= 200000.0 THEN 4 WHEN o_totalprice >= 150000.0 THEN 3 WHEN o_totalprice >= 100000.0 THEN 2 WHEN o_totalprice >= 50000.0 THEN 1 ELSE 0 END AS bin_id
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+c AS (
+  SELECT bin_id,
+         sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS nb,
+         sum(grp) AS na
+  FROM src GROUP BY bin_id
+),
+k AS (
+  SELECT sum(nb) OVER (ORDER BY bin_id) AS cb,
+         sum(na) OVER (ORDER BY bin_id) AS ca,
+         sum(nb) OVER () AS tb,
+         sum(na) OVER () AS ta
+  FROM c
+)
+SELECT max(tb)::BIGINT AS n_before, max(ta)::BIGINT AS n_after,
+       max(round(abs(cb::DOUBLE / tb - ca::DOUBLE / ta), 6)) AS ks_stat
+FROM k
+"""
+
+
 QUERIES = {
     "fk_audit": q_fk_audit,
     "fd_audit": q_fd_audit,
+    "sample_ks": q_sample_ks,
     "purge_audit": q_purge_audit,
     "l_diversity": q_l_diversity,
     "benford": q_benford,
@@ -283,6 +329,7 @@ QUERIES = {
 ORACLES = {
     "fk_audit": _FK_AUDIT_SQL,
     "fd_audit": _fd_sql(),
+    "sample_ks": _SAMPLE_KS_SQL,
     "purge_audit": _PURGE_AUDIT_SQL,
     "l_diversity": _L_DIVERSITY_SQL,
     "benford": _BENFORD_SQL,

@@ -1088,6 +1088,58 @@ WINDOW w AS (PARTITION BY event_type ORDER BY ts
 """
 
 
+def q_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark sizing from batch history: how late would each event
+    have been, measured against the RUNNING MAX event time of its
+    user's stream (event_id = arrival order)? The lateness quantiles
+    ARE the watermark decision — `withWatermark("ts", p99_lateness)`
+    keeps 99% of events out of the late bin. Per-user running max is a
+    keyed window (parallel — a global running max would single-
+    partition the stream); the rollup is one exact-percentile
+    aggregate over int64-µs lateness."""
+    from pyspark.sql.window import Window
+
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    late = ev.select(
+        (
+            F.max(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
+        ).alias("__late_us")
+    )
+    sec = F.col("__late_us") / 1_000_000.0
+    staged = late.select(sec.alias("__late_s"))
+    return staged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum((F.col("__late_s") > 0).cast("long")).alias("n_disordered"),
+        F.round(F.expr("percentile(__late_s, 0.5)"), 4).alias("late_p50"),
+        F.round(F.expr("percentile(__late_s, 0.95)"), 4).alias("late_p95"),
+        F.round(F.expr("percentile(__late_s, 0.99)"), 4).alias("late_p99"),
+        F.round(F.max("__late_s"), 4).alias("late_max"),
+    )
+
+
+_WATERMARK_SQL = """
+WITH late AS (
+  SELECT (max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - epoch_us(ts)) / 1000000.0 AS late_s
+  FROM events
+)
+SELECT count(*)::BIGINT AS n_events,
+       sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END)::BIGINT AS n_disordered,
+       round(quantile_cont(late_s, 0.5), 4) AS late_p50,
+       round(quantile_cont(late_s, 0.95), 4) AS late_p95,
+       round(quantile_cont(late_s, 0.99), 4) AS late_p99,
+       round(max(late_s), 4) AS late_max
+FROM late
+"""
+
+
 QUERIES = {
     "asof_rate": q_asof_rate,
     "attribution": q_attribution,
@@ -1107,6 +1159,7 @@ QUERIES = {
     "outlier_fences": q_outlier_fences,
     "anomaly_flags": q_anomaly_flags,
     "rolling_quantiles": q_rolling_quantiles,
+    "watermark_audit": q_watermark_audit,
     "sequence_export": q_sequence_export,
     "markov_3step": q_markov_3step,
     "debounce": q_debounce,
@@ -1138,6 +1191,7 @@ ORACLES = {
     "outlier_fences": _OUTLIER_SQL,
     "anomaly_flags": _ANOMALY_SQL,
     "rolling_quantiles": _ROLLING_QUANTILES_SQL,
+    "watermark_audit": _WATERMARK_SQL,
     "sequence_export": _SEQUENCE_SQL,
     "markov_3step": _MARKOV_SQL,
     "debounce": _DEBOUNCE_SQL,

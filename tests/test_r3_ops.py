@@ -192,3 +192,24 @@ def test_fd_audit_null_semantics(spark):
     assert (ab.n_groups, ab.n_violating, ab.holds) == (3, 2, False)
     ac = out["a->c"]
     assert (ac.n_groups, ac.n_violating, ac.holds) == (3, 0, True)
+
+
+def test_ks_cohorts_hand_math(spark):
+    from pyspark.sql import functions as F
+    from sparkprep.operators import expect
+
+    # before: 4 rows in bin0, 4 in bin1; after: 8 rows all in bin1
+    rows = [(0, float(v)) for v in [1, 2, 3, 4, 11, 12, 13, 14]] + [
+        (1, float(v)) for v in [11, 12, 13, 14, 15, 16, 17, 18]
+    ]
+    df = spark.createDataFrame(rows, ["grp", "x"])
+    out = expect.ks_cohorts(
+        df, F.col("grp") == 1, "x", [0.0, 10.0, 20.0]
+    ).collect()[0]
+    # CDF gap at bin0: |4/8 - 0/8| = 0.5; at bin1: |1 - 1| = 0
+    assert (out.n_before, out.n_after, out.ks_stat) == (8, 8, 0.5)
+    same = expect.ks_cohorts(
+        df.withColumn("grp", F.col("x") % 2), F.col("grp") == 1, "x",
+        [0.0, 10.0, 20.0],
+    ).collect()[0]
+    assert same.ks_stat <= 0.25  # near-exchangeable split stays small
