@@ -468,3 +468,51 @@ def hashing_trick(
         )
         .select(id_col, "e.feature", "e.bucket", "e.sign")
     )
+
+
+def did_report(
+    df: DataFrame,
+    arm_col: str,
+    period_col: str,
+    value_col: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """Difference-in-differences readout in ONE map-only aggregate:
+    the four (arm x period) cell means and the DiD effect
+    (treated after-before) - (control after-before) — the standard
+    launch-impact estimate when randomization wasn't available and
+    both groups share a trend. Cell sums ride DECIMAL(18,4) (order-
+    independent, engine-exact); each mean is ONE IEEE division of
+    exact numbers, so the effect arithmetic is bit-identical before
+    rounding. try_divide: an empty cell yields NULL means and a NULL
+    effect, never a job kill. ``arm_col``/``period_col`` are boolean
+    (true = treated / after); NULL rows are excluded.
+    """
+    arm = F.col(arm_col)
+    period = F.col(period_col)
+    staged = df.filter(
+        arm.isNotNull() & period.isNotNull() & F.col(value_col).isNotNull()
+    ).select(arm.alias("__a"), period.alias("__p"),
+             F.col(value_col).cast("decimal(18,4)").alias("__v"))
+
+    def cell(a: bool, p: bool, what):
+        cond = (F.col("__a") == a) & (F.col("__p") == p)
+        return F.sum(F.when(cond, what))
+
+    n_tb = cell(True, False, F.lit(1))
+    n_ta = cell(True, True, F.lit(1))
+    n_cb = cell(False, False, F.lit(1))
+    n_ca = cell(False, True, F.lit(1))
+    m_tb = F.try_divide(cell(True, False, F.col("__v")).cast("double"), n_tb)
+    m_ta = F.try_divide(cell(True, True, F.col("__v")).cast("double"), n_ta)
+    m_cb = F.try_divide(cell(False, False, F.col("__v")).cast("double"), n_cb)
+    m_ca = F.try_divide(cell(False, True, F.col("__v")).cast("double"), n_ca)
+    return staged.agg(
+        F.coalesce(n_tb + n_ta, F.lit(0)).cast("long").alias("n_treated"),
+        F.coalesce(n_cb + n_ca, F.lit(0)).cast("long").alias("n_control"),
+        F.round(m_tb, round_to).alias("treated_before"),
+        F.round(m_ta, round_to).alias("treated_after"),
+        F.round(m_cb, round_to).alias("control_before"),
+        F.round(m_ca, round_to).alias("control_after"),
+        F.round((m_ta - m_tb) - (m_ca - m_cb), round_to).alias("did_effect"),
+    )

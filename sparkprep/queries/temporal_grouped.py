@@ -1140,6 +1140,122 @@ FROM late
 """
 
 
+def q_did_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences launch readout (features.did_report):
+    treated = odd user ids, launch = Jan 16; effect on event value.
+    One conditional map-only aggregate; DECIMAL cell sums make the
+    four means and the effect engine-exact."""
+    from sparkprep.operators import features
+
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2 == 1).alias("treated"),
+        (F.col("ts") >= F.lit("2024-01-16").cast("timestamp")).alias("after"),
+        "value",
+    )
+    return features.did_report(ev, "treated", "after", "value")
+
+
+_DID_SQL = """
+WITH src AS (
+  SELECT user_id % 2 = 1 AS a,
+         ts >= TIMESTAMP '2024-01-16' AS p,
+         value::DECIMAL(18,4) AS v
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+c AS (
+  SELECT
+    sum(CASE WHEN a AND NOT p THEN 1 END) AS n_tb,
+    sum(CASE WHEN a AND p THEN 1 END) AS n_ta,
+    sum(CASE WHEN NOT a AND NOT p THEN 1 END) AS n_cb,
+    sum(CASE WHEN NOT a AND p THEN 1 END) AS n_ca,
+    sum(CASE WHEN a AND NOT p THEN v END)::DOUBLE / n_tb AS m_tb,
+    sum(CASE WHEN a AND p THEN v END)::DOUBLE / n_ta AS m_ta,
+    sum(CASE WHEN NOT a AND NOT p THEN v END)::DOUBLE / n_cb AS m_cb,
+    sum(CASE WHEN NOT a AND p THEN v END)::DOUBLE / n_ca AS m_ca
+  FROM src
+)
+SELECT coalesce(n_tb + n_ta, 0)::BIGINT AS n_treated,
+       coalesce(n_cb + n_ca, 0)::BIGINT AS n_control,
+       round(m_tb, 4) AS treated_before,
+       round(m_ta, 4) AS treated_after,
+       round(m_cb, 4) AS control_before,
+       round(m_ca, 4) AS control_after,
+       round((m_ta - m_tb) - (m_ca - m_cb), 4) AS did_effect
+FROM c
+"""
+
+
+def q_freshness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-completeness monitor: each day's event count vs the
+    MEDIAN of its own weekday's prior 4 occurrences (weekly
+    seasonality baked into the baseline — Mondays compare to Mondays).
+    completeness < 0.9 with >= 2 priors flags a short partition before
+    a downstream job trains on it. One day-grain groupBy (30 rows at
+    any SF), windows over the aggregated frame only; day emitted as a
+    string (DATE hash-drift landmine), Spark dayofweek == DuckDB
+    dayofweek + 1."""
+    from pyspark.sql.window import Window
+
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.dayofweek("ts")).cast("long").alias("weekday"),
+    )
+    w = (
+        Window.partitionBy("weekday")
+        .orderBy("day")
+        .rowsBetween(-4, -1)
+    )
+    baseline = F.round(F.expr("percentile(n_events, 0.5)").over(w), 4)
+    n_prior = F.count("n_events").over(w)
+    staged = daily.select(
+        "day",
+        "weekday",
+        "n_events",
+        n_prior.cast("long").alias("n_prior"),
+        baseline.alias("baseline"),
+    )
+    completeness = F.round(F.try_divide(F.col("n_events"), F.col("baseline")), 4)
+    return staged.select(
+        "day",
+        "weekday",
+        "n_events",
+        "n_prior",
+        "baseline",
+        completeness.alias("completeness"),
+        F.coalesce(
+            (completeness < 0.9) & (F.col("n_prior") >= 2), F.lit(False)
+        ).alias("short_partition"),
+    )
+
+
+_FRESHNESS_SQL = """
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         count(*) AS n_events,
+         (min(dayofweek(ts)) + 1)::BIGINT AS weekday
+  FROM events GROUP BY 1
+),
+w0 AS (
+  SELECT day, weekday, n_events::BIGINT AS n_events,
+         (count(n_events) OVER w)::BIGINT AS n_prior,
+         round(quantile_cont(n_events, 0.5) OVER w, 4) AS baseline
+  FROM daily
+  WINDOW w AS (PARTITION BY weekday ORDER BY day
+               ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+)
+SELECT day, weekday, n_events, n_prior, baseline,
+       round(n_events::DOUBLE / baseline, 4) AS completeness,
+       coalesce(round(n_events::DOUBLE / baseline, 4) < 0.9 AND n_prior >= 2,
+                false) AS short_partition
+FROM w0
+"""
+
+
 QUERIES = {
     "asof_rate": q_asof_rate,
     "attribution": q_attribution,
@@ -1160,6 +1276,8 @@ QUERIES = {
     "anomaly_flags": q_anomaly_flags,
     "rolling_quantiles": q_rolling_quantiles,
     "watermark_audit": q_watermark_audit,
+    "did_readout": q_did_readout,
+    "freshness_check": q_freshness_check,
     "sequence_export": q_sequence_export,
     "markov_3step": q_markov_3step,
     "debounce": q_debounce,
@@ -1192,6 +1310,8 @@ ORACLES = {
     "anomaly_flags": _ANOMALY_SQL,
     "rolling_quantiles": _ROLLING_QUANTILES_SQL,
     "watermark_audit": _WATERMARK_SQL,
+    "did_readout": _DID_SQL,
+    "freshness_check": _FRESHNESS_SQL,
     "sequence_export": _SEQUENCE_SQL,
     "markov_3step": _MARKOV_SQL,
     "debounce": _DEBOUNCE_SQL,

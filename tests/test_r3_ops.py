@@ -213,3 +213,31 @@ def test_ks_cohorts_hand_math(spark):
         [0.0, 10.0, 20.0],
     ).collect()[0]
     assert same.ks_stat <= 0.25  # near-exchangeable split stays small
+
+
+def test_did_report_hand_math(spark):
+    from sparkprep.operators import features
+
+    rows = (
+        [(True, False, 10.0), (True, False, 12.0)]    # treated before: 11
+        + [(True, True, 20.0), (True, True, 24.0)]    # treated after: 22
+        + [(False, False, 5.0), (False, False, 7.0)]  # control before: 6
+        + [(False, True, 8.0), (False, True, 10.0)]   # control after: 9
+        + [(None, True, 99.0), (True, None, 99.0)]    # excluded
+    )
+    df = spark.createDataFrame(rows, ["arm", "period", "v"])
+    out = features.did_report(df, "arm", "period", "v").collect()[0]
+    assert (out.n_treated, out.n_control) == (4, 4)
+    assert (out.treated_before, out.treated_after) == (11.0, 22.0)
+    assert (out.control_before, out.control_after) == (6.0, 9.0)
+    assert out.did_effect == (22.0 - 11.0) - (9.0 - 6.0)  # 8.0
+
+
+def test_did_report_empty_cell_null(spark):
+    from sparkprep.operators import features
+
+    df = spark.createDataFrame(
+        [(True, True, 1.0), (False, False, 2.0)], ["arm", "period", "v"]
+    )
+    out = features.did_report(df, "arm", "period", "v").collect()[0]
+    assert out.treated_before is None and out.did_effect is None
