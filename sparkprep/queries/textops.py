@@ -1048,6 +1048,52 @@ GROUP BY lang
 """
 
 
+def q_lang_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID CONFIDENCE: the top1 - top2 trigram-score gap per
+    document (margin 0 = the guess is a coin flip — route to a heavier
+    model or drop). Scores materialize once into an array; the margin
+    is two elements of its descending sort — row-local, map-only."""
+    docs = t(spark, sf_dir, "documents")
+    scores = tx.lang_ngram_scores("text")
+    arr = F.sort_array(
+        F.array(*[scores[k] for k in sorted(scores)]), asc=False
+    )
+    staged = docs.select("doc_id", tx.lang_id_ngram("text").alias("lang_guess"), arr.alias("__s"))
+    return staged.select(
+        "doc_id",
+        "lang_guess",
+        (F.element_at("__s", 1) - F.element_at("__s", 2)).cast("long").alias("margin"),
+    )
+
+
+def _lang_margin_sql() -> str:
+    score = {
+        lang: " + ".join(
+            f"(length(lower(text)) - length(replace(lower(text), '{g}', ''))) // 3"
+            for g in grams
+        )
+        for lang, grams in tx._LANG_TRIGRAMS.items()
+    }
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         {score['de']} AS s_de,
+         {score['en']} AS s_en,
+         {score['es']} AS s_es,
+         {score['fr']} AS s_fr
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+            WHEN s_es >= s_fr THEN 'es'
+            ELSE 'fr' END AS lang_guess,
+       (list_sort([s_de, s_en, s_es, s_fr], 'DESC')[1]
+        - list_sort([s_de, s_en, s_es, s_fr], 'DESC')[2])::BIGINT AS margin
+FROM s
+"""
+
+
 QUERIES = {
     "gopher_rules": q_gopher_rules,
     "quality_logit": q_quality_logit,
@@ -1078,6 +1124,7 @@ QUERIES = {
     "oov_rate": q_oov_rate,
     "blocklist": q_blocklist,
     "token_fertility": q_token_fertility,
+    "lang_margin": q_lang_margin,
     "per_group_sample": q_per_group_sample,
 }
 
@@ -1111,5 +1158,6 @@ ORACLES = {
     "oov_rate": _OOV_RATE_SQL,
     "blocklist": _BLOCKLIST_SQL,
     "token_fertility": _TOKEN_FERTILITY_SQL,
+    "lang_margin": _lang_margin_sql(),
     "per_group_sample": _PER_GROUP_SAMPLE_SQL,
 }
