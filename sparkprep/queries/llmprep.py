@@ -1091,6 +1091,63 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pca_project(emb, "embedding", "vec_id", mean, comps)
 
 
+def q_retrieval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retriever agreement: overlap@10 between the lexical (BM25) and
+    dense (cosine) top-10 lists for the same query — the diversity
+    number that justifies (or kills) running a second retriever: high
+    overlap means the legs are redundant; low overlap is where RRF
+    fusion earns its cost. Both legs are TakeOrdered-bounded before
+    the tiny set intersection."""
+    from sparkprep.operators import text as tx
+    from sparkprep.queries.textops import _BM25_TERMS
+
+    k = 10
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    bm = tx.bm25_scores(docs, "text", "doc_id", _BM25_TERMS)
+    lex = sim.topk_ranked(bm, "bm25", "doc_id", k).select("doc_id")
+    q0 = emb.filter(F.col("vec_id") == 0)
+    dense = sim.cosine_topk_native(emb, q0, k=k).select(
+        F.col("neighbor_id").alias("doc_id")
+    )
+    common = lex.join(dense, "doc_id")
+    return common.agg(
+        F.lit(k).cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.round(F.count(F.lit(1)) / k, 4).alias("overlap_at_k"),
+        F.round(
+            F.count(F.lit(1)) / (2 * k - F.count(F.lit(1))), 4
+        ).alias("set_jaccard"),
+    )
+
+
+def _retrieval_overlap_sql() -> str:
+    from sparkprep.queries.textops import _BM25_SQL
+
+    return f"""
+WITH bm AS ({_BM25_SQL}),
+bmtop AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+  FROM bm QUALIFY r <= 10
+),
+qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cosd AS (
+  SELECT vec_id AS doc_id, {_cos_sql('qv', 'embedding')} AS cos
+  FROM embeddings, qv WHERE vec_id != 0
+),
+ctop AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r
+  FROM cosd QUALIFY r <= 10
+),
+common AS (SELECT a.doc_id FROM bmtop a JOIN ctop b ON a.doc_id = b.doc_id)
+SELECT 10::BIGINT AS k,
+       count(*)::BIGINT AS n_common,
+       round(count(*)::DOUBLE / 10, 4) AS overlap_at_k,
+       round(count(*)::DOUBLE / (20 - count(*)), 4) AS set_jaccard
+FROM common
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "minhash_pairs": q_minhash_pairs,
@@ -1113,6 +1170,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "llm_funnel": q_llm_funnel,
     "hybrid_rrf": q_hybrid_rrf,
+    "retrieval_overlap": q_retrieval_overlap,
     "hard_negatives": q_hard_negatives,
 }
 
@@ -1137,5 +1195,6 @@ ORACLES = {
     "semantic_dedup": _sem_dedup_sql(),
     "llm_funnel": _LLM_FUNNEL_SQL,
     "hybrid_rrf": _hybrid_rrf_sql(),
+    "retrieval_overlap": _retrieval_overlap_sql(),
     "hard_negatives": _HARD_NEGATIVES_SQL,
 }
