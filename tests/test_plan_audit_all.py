@@ -52,6 +52,7 @@ _TINY_BROADCAST_CROSS = {
     "join_forecast",     # 1-row totals x (<=1)-row hottest-key attach
     "vocab_coverage",    # 1-row folded coverage x 1-row token total
     "quantile_normalize",  # 1-row reference-size scalar attach
+    "retrieval_overlap",   # dense leg = 1 query vector broadcast x corpus
 }
 
 # the one deliberate Python-row-path showcase: a Python UDTF (SURVEY
