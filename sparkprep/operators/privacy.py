@@ -138,3 +138,39 @@ def l_diversity_report(
         (F.col("l_count") < F.lit(l)).alias("at_risk"),
         F.min("l_count").over(w).cast("long").alias("l_level"),
     )
+
+
+def pseudonym(c, salt: str = "") -> Column:
+    """Deterministic salted pseudonym for a key column: md5 of
+    salt‖value, hex-truncated to 16 chars. Same key + salt → same
+    token in any engine (joinability across pseudonymized tables is
+    preserved); rotating the salt re-keys the whole corpus — the
+    GDPR-pseudonymization primitive that keeps analytics joins
+    working after direct identifiers are dropped. 64 bits of md5
+    keeps collisions ~n²/2⁶⁵; audit with :func:`pseudonym_audit`
+    before trusting a release."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 16)
+
+
+def pseudonym_audit(
+    df: DataFrame, key_col: str, salt: str = ""
+) -> DataFrame:
+    """Release gate for :func:`pseudonym`: distinct keys vs distinct
+    tokens and the collision count (keys sharing a token). Two
+    count_distincts in one aggregate over the deduped (key, token)
+    frame — the dedup is ONE keyed exchange; NULL keys are excluded
+    (they pseudonymize to NULL, not a token)."""
+    pairs = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.col(key_col).alias("__k"))
+        .dropDuplicates()
+        .select("__k", pseudonym(F.col("__k"), salt).alias("__t"))
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.count_distinct("__t").cast("long").alias("n_tokens"),
+        (F.count(F.lit(1)) - F.count_distinct("__t"))
+        .cast("long")
+        .alias("collisions"),
+    )

@@ -316,10 +316,33 @@ FROM k
 """
 
 
+def q_pseudonym_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudonymization release gate (privacy.pseudonym_audit): every
+    distinct events.user_id mapped to its salted md5 token — distinct
+    keys vs distinct tokens and the collision count must reconcile
+    before the pseudonymized table ships."""
+    ev = t(spark, sf_dir, "events")
+    return privacy.pseudonym_audit(ev, "user_id", salt="r3")
+
+
+_PSEUDONYM_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT user_id,
+         substr(md5('r3' || user_id::VARCHAR), 1, 16) AS tok
+  FROM events WHERE user_id IS NOT NULL
+)
+SELECT count(*)::BIGINT AS n_keys,
+       count(DISTINCT tok)::BIGINT AS n_tokens,
+       (count(*) - count(DISTINCT tok))::BIGINT AS collisions
+FROM pairs
+"""
+
+
 QUERIES = {
     "fk_audit": q_fk_audit,
     "fd_audit": q_fd_audit,
     "sample_ks": q_sample_ks,
+    "pseudonym_audit": q_pseudonym_audit,
     "purge_audit": q_purge_audit,
     "l_diversity": q_l_diversity,
     "benford": q_benford,
@@ -330,6 +353,7 @@ ORACLES = {
     "fk_audit": _FK_AUDIT_SQL,
     "fd_audit": _fd_sql(),
     "sample_ks": _SAMPLE_KS_SQL,
+    "pseudonym_audit": _PSEUDONYM_SQL,
     "purge_audit": _PURGE_AUDIT_SQL,
     "l_diversity": _L_DIVERSITY_SQL,
     "benford": _BENFORD_SQL,

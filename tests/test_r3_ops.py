@@ -241,3 +241,20 @@ def test_did_report_empty_cell_null(spark):
     )
     out = features.did_report(df, "arm", "period", "v").collect()[0]
     assert out.treated_before is None and out.did_effect is None
+
+
+def test_pseudonym_joinability_and_rotation(spark):
+    from sparkprep.operators import privacy
+
+    df = spark.createDataFrame([(1,), (2,), (None,)], ["user_id"])
+    a = {r.user_id: r.t for r in df.select(
+        "user_id", privacy.pseudonym("user_id", "s1").alias("t")).collect()}
+    b = {r.user_id: r.t for r in df.select(
+        "user_id", privacy.pseudonym("user_id", "s1").alias("t")).collect()}
+    assert a[1] == b[1] and a[2] == b[2]          # deterministic: joins survive
+    assert a[None] is None                         # NULL key -> NULL token
+    rot = {r.user_id: r.t for r in df.select(
+        "user_id", privacy.pseudonym("user_id", "s2").alias("t")).collect()}
+    assert rot[1] != a[1]                          # salt rotation re-keys
+    audit = privacy.pseudonym_audit(df, "user_id", "s1").collect()[0]
+    assert (audit.n_keys, audit.n_tokens, audit.collisions) == (2, 2, 0)
