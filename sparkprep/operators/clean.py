@@ -344,7 +344,10 @@ def impute_mode(
             *[f"__g_{g}" for g in groups]
         )
     else:
-        joined = df.join(F.broadcast(modes))
+        # left join on TRUE, not a cross join: an all-NULL column yields an
+        # EMPTY modes frame, and a cross join with an empty frame would drop
+        # every input row — the contract says all-NULL keeps its NULLs
+        joined = df.join(F.broadcast(modes), F.lit(True), "left")
     return joined.withColumn(
         out_col, F.coalesce(F.col(col), F.col("__mode"))
     ).drop("__mode")

@@ -508,8 +508,11 @@ def did_report(
     m_cb = F.try_divide(cell(False, False, F.col("__v")).cast("double"), n_cb)
     m_ca = F.try_divide(cell(False, True, F.col("__v")).cast("double"), n_ca)
     return staged.agg(
-        F.coalesce(n_tb + n_ta, F.lit(0)).cast("long").alias("n_treated"),
-        F.coalesce(n_cb + n_ca, F.lit(0)).cast("long").alias("n_control"),
+        # coalesce each CELL before summing: with one empty cell the NULL
+        # count would propagate through the addition and report 0 units
+        # even though the other cell has rows
+        (F.coalesce(n_tb, F.lit(0)) + F.coalesce(n_ta, F.lit(0))).cast("long").alias("n_treated"),
+        (F.coalesce(n_cb, F.lit(0)) + F.coalesce(n_ca, F.lit(0))).cast("long").alias("n_control"),
         F.round(m_tb, round_to).alias("treated_before"),
         F.round(m_ta, round_to).alias("treated_after"),
         F.round(m_cb, round_to).alias("control_before"),

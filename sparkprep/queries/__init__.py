@@ -66,73 +66,87 @@ def _read(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
-# Round-3 rotation (VERDICT r2 "What's missing" #1): the 21 queries that
-# have never been inside the driver's 50-entry adjudication window go
-# FIRST, by name — explicit so module sizes can't silently push one out.
-# r1 verified the relational/cleaning head, r2 the textops/llmprep/
-# temporal/dedup block; after this round every query has a driver verdict.
+# Round-4 rotation (VERDICT r3 "What's wrong" #1): pin the 50 of the 58
+# never-driver-verified queries chosen to run THIS round — the whole
+# round-3 governance module, the Arrow-recurrence pair (user_ewma,
+# cusum_drift), embedding_covariance/retrieval_overlap, and the temporal/
+# cleaning extension block. The 8 deferred to round 5 (listed in
+# _ROUND5_OVERFLOW below, go first next round) are simple map-only text
+# metrics with strong sf0.001 local oracle replays — least risk to wait.
+# The list is SELF-CLEANING: registry() drops any name the driver has
+# already verified, so a stale pin can never again strand new queries
+# outside the window (the round-3 failure mode).
 _DRIVER_WINDOW_PRIORITY = [
-    # market_share first: the run's first timed query absorbs ~0.3s of
-    # residual scheduler spin-up that no warm-up removes; on a ~2s query
-    # that's noise, on the 0.4s sampler it read as a phantom 1.5x
-    "market_share",
-    "stratified_sample",
-    "supplier_part_counts",
-    "promo_suppliers",
-    "waiting_suppliers",
-    "window_medley",
-    "calendar_features",
-    "embedding_quantize",
-    "approx_distinct",
-    "approx_quantiles",
-    "train_mix",
-    "zorder_key",
-    "incremental_dedup",
-    "fuzzy_linkage",
-    "ann_ivf_exhaustive",
-    "snapshot_diff",
-    "importance_sample",
-    "span_dedup",
-    "bigram_lm",
-    "train_order",
-    "label_centroids",
-    # round-3 additions: new this round, so also never driver-verified
-    "semantic_dedup",
-    "gopher_rules",
-    "length_histogram",
-    "mix_weights",
-    "chunk_overlap",
-    "lang_id_ngram",
-    # added between the r2 window and this session (corpus module sorts
-    # last in merge order — without priority they would never be seen)
-    "boilerplate_scrub",
-    "domain_stats",
-    # round-3 session-2 additions (never driver-verified)
-    "rolling_hourly",
-    "daily_trend",
-    "outlier_fences",
-    "keep_best",
-    "anomaly_flags",
-    "quality_logit",
-    "pii_census",
-    "score_calibration",
-    "merge_scd2",
-    "grouping_sets",
-    # round-3 session-3 additions — pinned EXPLICITLY because the
-    # 50-entry window is now exactly full: auto-promotion appends in
-    # module-merge order, so a future unpinned query could silently
-    # displace one of these past the cutoff
-    "keywords",
-    "hybrid_rrf",
-    "conversion_latency",
-    "pattern_completions",
-    "sequence_export",
-    "expect_suite",
-    "psi_drift",
-    "cdc_feed",
-    "char_entropy",
-    "grouped_split",
-    "grouped_kfold",
+    # governance module (entirely round-3-new, never adjudicated)
+    "fk_audit",
+    "fd_audit",
+    "sample_ks",
+    "pseudonym_audit",
+    "purge_audit",
+    "k_anonymity",
+    "l_diversity",
+    "benford",
+    "revenue_concentration",
+    # Arrow-recurrence + heavy-math pair ops the verdict called out
+    "user_ewma",
+    "cusum_drift",
+    "embedding_covariance",
+    "retrieval_overlap",
+    # similarity / dedup extensions
+    "minhash_eval",
+    "containment_pairs",
+    "substr_coverage",
+    "cluster_reps",
+    "hard_negatives",
+    # temporal / windowed extensions
+    "mad_outliers",
+    "join_forecast",
+    "mom_growth",
+    "ab_test",
+    "active_users",
+    "rolling_quantiles",
+    "watermark_audit",
+    "did_readout",
+    "freshness_check",
+    "markov_3step",
+    "debounce",
+    "decayed_value",
+    "time_split",
+    "session_paths",
+    "cooccurrence",
+    "mutual_info",
+    "attribution",
+    # cleaning / feature-prep extensions
+    "filtered_join",
+    "target_encode",
+    "collapse_rare",
+    "drift_panel",
+    "feature_hash",
+    "impute_mode",
+    "key_skew",
+    "winsorize",
+    "quantile_normalize",
+    "incr_agg",
+    # corpus / token ops
+    "top_p_sources",
+    "ngram_diversity",
+    "weighted_sample",
+    "token_budget",
+    "vocab_coverage",
+]
+
+# Deferred to round 5 (window is 50 slots, 58 candidates): map-only text
+# metrics + rows-only pca_project, all green in local sf0.001 oracle
+# replay. Promote these FIRST next round.
+_ROUND5_OVERFLOW = [
+    "auc_quality",
+    "readability",
+    "zipf",
+    "blocklist",
+    "token_fertility",
+    "lang_margin",
+    "url_canon",
+    "pca_project",
 ]
 
 
@@ -163,8 +177,12 @@ def registry():
     # CORRECTNESS_r*.json is auto-promoted behind the explicit list, so
     # forgetting to extend the rotation can't strand a new query
     # outside the adjudication window.
-    priority = list(_DRIVER_WINDOW_PRIORITY)
     seen = _driver_verified_names()
+    # self-cleaning: names the driver has already adjudicated fall out of
+    # the pinned list automatically, so a stale pin can't hold a window
+    # slot that a never-verified query needs (round-3 failure mode)
+    priority = [n for n in _DRIVER_WINDOW_PRIORITY if n not in seen]
+    priority += [n for n in _ROUND5_OVERFLOW if n not in seen and n not in priority]
     priority += [n for n in merged_q if n not in seen and n not in priority]
     queries: dict = {name: merged_q[name] for name in priority}
     for name, fn in merged_q.items():

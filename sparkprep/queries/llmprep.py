@@ -1085,7 +1085,7 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     rotation applied NATIVELY as literal-array dots, no UDF at serve
     time. No oracle: eigendecomposition is not SQL-expressible — the
     driver records the rows-only check; numpy parity is pinned in
-    tests/test_blocklist.py."""
+    tests/test_r3_ops.py."""
     emb = t(spark, sf_dir, "embeddings")
     mean, comps = sim.fit_pca(emb, "embedding", dim=_DIM, n_components=4)
     return sim.pca_project(emb, "embedding", "vec_id", mean, comps)

@@ -1175,8 +1175,8 @@ c AS (
     sum(CASE WHEN NOT a AND p THEN v END)::DOUBLE / n_ca AS m_ca
   FROM src
 )
-SELECT coalesce(n_tb + n_ta, 0)::BIGINT AS n_treated,
-       coalesce(n_cb + n_ca, 0)::BIGINT AS n_control,
+SELECT (coalesce(n_tb, 0) + coalesce(n_ta, 0))::BIGINT AS n_treated,
+       (coalesce(n_cb, 0) + coalesce(n_ca, 0))::BIGINT AS n_control,
        round(m_tb, 4) AS treated_before,
        round(m_ta, 4) AS treated_after,
        round(m_cb, 4) AS control_before,

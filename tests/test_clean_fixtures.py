@@ -310,3 +310,15 @@ def test_impute_mode_global(spark):
     )
     out = clean.impute_mode(df, "v")
     assert sorted(r.v for r in out.collect()) == ["x", "x", "x", "y"]
+
+
+def test_impute_mode_global_all_null_keeps_rows(spark):
+    # an all-NULL column yields an EMPTY modes frame; the ungrouped path
+    # must NOT cross-join it away — rows survive with their NULLs
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    df = spark.createDataFrame(
+        [(None,), (None,)], StructType([StructField("v", StringType())])
+    )
+    out = clean.impute_mode(df, "v")
+    assert [r.v for r in out.collect()] == [None, None]

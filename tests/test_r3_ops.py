@@ -241,6 +241,9 @@ def test_did_report_empty_cell_null(spark):
     )
     out = features.did_report(df, "arm", "period", "v").collect()[0]
     assert out.treated_before is None and out.did_effect is None
+    # counts must NOT null out when only one cell of an arm is empty:
+    # each cell coalesces to 0 before the sum
+    assert (out.n_treated, out.n_control) == (1, 1)
 
 
 def test_pseudonym_joinability_and_rotation(spark):
