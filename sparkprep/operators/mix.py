@@ -371,3 +371,61 @@ def top_p_by_group(
     # cover)
     thresh = total * F.lit(Decimal(str(p)).quantize(Decimal("0.000001")))
     return df.withColumn("keep", (cum - s) < thresh)
+
+
+def preference_pairs(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Best-vs-worst preference-pair construction (DPO/RLHF-style):
+    within each group, rank rows by (score desc, id) and pair the i-th
+    best with the i-th worst for i = 1..floor(n/2), so every pair has
+    chosen_score >= rejected_score and no row appears twice (the odd
+    middle row sits out). Deterministic — id tiebreaks, no RNG.
+
+    Scale: one window per group plus ONE equi-join on
+    (group, pair index) between the best half and the worst half —
+    both sides are already co-partitioned by the window's hash
+    exchange, so AQE collapses the join shuffle to a reuse. No
+    collect, no cross join; pair count is bounded by n/2 per group.
+
+    Returns group cols + ``chosen_id``, ``rejected_id``, ``margin``
+    (chosen score - rejected score, input type).
+    """
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc("_score"), F.asc("_id")
+    )
+    ranked = df.select(
+        *group_cols,
+        F.col(id_col).alias("_id"),
+        F.col(score_col).alias("_score"),
+    ).withColumn("_rb", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
+    )
+    best = ranked.filter(F.col("_rb") <= F.col("_n") / 2).select(
+        *group_cols,
+        F.col("_rb").alias("_i"),
+        F.col("_id").alias("chosen_id"),
+        F.col("_score").alias("_cs"),
+    )
+    worst = ranked.filter(
+        F.col("_rb") > F.col("_n") - F.floor(F.col("_n") / 2)
+    ).select(
+        *[F.col(g).alias(f"_w_{g}") for g in group_cols],
+        (F.col("_n") + 1 - F.col("_rb")).alias("_wi"),
+        F.col("_id").alias("rejected_id"),
+        F.col("_score").alias("_rs"),
+    )
+    # null-safe group equality: a NULL-keyed group still pairs with
+    # itself (name-list joins drop NULL keys silently)
+    cond = F.col("_i") == F.col("_wi")
+    for g in group_cols:
+        cond = cond & F.col(g).eqNullSafe(F.col(f"_w_{g}"))
+    return best.join(worst, cond).select(
+        *group_cols,
+        "chosen_id",
+        "rejected_id",
+        (F.col("_cs") - F.col("_rs")).alias("margin"),
+    )

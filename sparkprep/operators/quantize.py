@@ -103,3 +103,38 @@ def reconstruction_stats(
         (abs_err_sum / dim).alias("mean_abs_err"),
         F.when(denom != 0, dot / denom).alias("cos_fidelity"),
     ).drop("_vd", "_dq")
+
+
+def matryoshka_stats(
+    df: DataFrame, vec_col: str, k: int
+) -> DataFrame:
+    """Matryoshka-style truncation fidelity: keep the first ``k``
+    dimensions of each vector and report how much of the vector's
+    energy (squared L2 mass) they retain, plus the truncated norm and
+    the cosine between the full vector and its zero-padded truncation
+    (which equals ``norm_k / norm_full`` analytically — emitted from
+    that identity, ONE extra division, no second pass).
+
+    Serving at 100 TB often stores a short prefix (k of d dims) and
+    re-ranks with the full vector only for finalists; this operator is
+    the audit that says whether a chosen k is safe. Adds ``energy_k``,
+    ``norm_k``, ``cos_trunc``; all math native (double `aggregate`
+    over arrays materialized in their own projection — interpreted
+    HOF landmine). Zero vectors yield NULL ratios (ANSI-safe
+    try_divide), matching DuckDB's x/0.
+    """
+    vecd = df.withColumn(
+        "_vd", F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    ).withColumn("_vk", F.slice("_vd", 1, k))
+    ss = lambda c: F.aggregate(F.col(c), F.lit(0.0), lambda a, x: a + x * x)  # noqa: E731
+    staged = vecd.select(
+        "*", ss("_vd").alias("_ss_full"), ss("_vk").alias("_ss_k")
+    )
+    norm_full = F.sqrt("_ss_full")
+    norm_k = F.sqrt("_ss_k")
+    return staged.select(
+        "*",
+        F.try_divide(F.col("_ss_k"), F.col("_ss_full")).alias("energy_k"),
+        norm_k.alias("norm_k"),
+        F.try_divide(norm_k, norm_full).alias("cos_trunc"),
+    ).drop("_vd", "_vk", "_ss_full", "_ss_k")

@@ -1137,3 +1137,49 @@ def token_fertility(
             "chars_per_token"
         ),
     )
+
+
+def chat_assemble(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    msg_col: str,
+    roles: tuple[str, str] = ("user", "assistant"),
+    sep: str = "\n",
+) -> DataFrame:
+    """SFT conversation assembly: per key, order messages by
+    ``order_cols`` and render one chat-template string with roles
+    alternating from ``roles[0]`` (`<|role|>msg` turns joined by
+    ``sep``). The grouped-map step every instruction-tuning pipeline
+    needs between an event log and a trainable text column.
+
+    Distributed shape: ONE groupBy collecting (order-key, msg) structs,
+    then row-local sort_array + indexed transform — per-key cost is
+    bounded by that key's message count (conversations, not corpora;
+    the natural partitioning survives any scale-up because nothing
+    crosses keys). NULL messages render as '' rather than being
+    silently dropped by array_join's null-skip.
+
+    Returns ``key_col``, ``n_turns`` (int), ``conversation`` (string).
+    """
+    packed = df.groupBy(key_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    *[F.col(c) for c in order_cols],
+                    F.coalesce(F.col(msg_col).cast("string"), F.lit("")).alias("_m"),
+                )
+            )
+        ).alias("_msgs")
+    )
+    turn = lambda x, i: F.concat(  # noqa: E731
+        F.lit("<|"),
+        F.when(i % 2 == 0, F.lit(roles[0])).otherwise(F.lit(roles[1])),
+        F.lit("|>"),
+        x["_m"],
+    )
+    return packed.select(
+        F.col(key_col),
+        F.size("_msgs").alias("n_turns"),
+        F.array_join(F.transform("_msgs", turn), sep).alias("conversation"),
+    )

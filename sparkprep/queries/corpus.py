@@ -660,6 +660,57 @@ FROM w
 """
 
 
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF-style preference-pair construction: within each
+    (lang, source) cell, pair the i-th longest document (chosen) with
+    the i-th shortest (rejected) — n_chars as the stand-in quality
+    signal — so every pair is (better, worse) with a non-negative
+    margin and no document appears twice. One window + one
+    co-partitioned equi-join (operators/mix.preference_pairs)."""
+    from sparkprep.operators import mix
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    pairs = mix.preference_pairs(
+        docs, ["lang", "source"], "n_chars", "doc_id"
+    )
+    return pairs.select(
+        "lang",
+        "source",
+        "chosen_id",
+        "rejected_id",
+        F.col("margin").cast("bigint").alias("margin"),
+    )
+
+
+_PREFERENCE_PAIRS_SQL = """
+WITH ranked AS (
+  SELECT lang, source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang, source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rb,
+         count(*) OVER (PARTITION BY lang, source) AS n
+  FROM documents
+),
+best AS (
+  SELECT lang, source, rb AS i, doc_id AS chosen_id, n_chars AS cs
+  FROM ranked WHERE rb <= n / 2.0
+),
+worst AS (
+  SELECT lang, source, n + 1 - rb AS i, doc_id AS rejected_id,
+         n_chars AS rs
+  FROM ranked WHERE rb > n - floor(n / 2.0)
+)
+SELECT b.lang, b.source, b.chosen_id, w.rejected_id,
+       (b.cs - w.rs)::BIGINT AS margin
+FROM best b
+JOIN worst w
+  ON b.lang IS NOT DISTINCT FROM w.lang
+ AND b.source IS NOT DISTINCT FROM w.source
+ AND b.i = w.i
+"""
+
+
 QUERIES = {
     "span_dedup": q_span_dedup,
     "url_canon": q_url_canon,
@@ -677,6 +728,7 @@ QUERIES = {
     "ngram_diversity": q_ngram_diversity,
     "weighted_sample": q_weighted_sample,
     "token_budget": q_token_budget,
+    "preference_pairs": q_preference_pairs,
 }
 
 ORACLES = {
@@ -685,6 +737,7 @@ ORACLES = {
     "weighted_sample": _WEIGHTED_SAMPLE_SQL,
     "token_budget": _TOKEN_BUDGET_SQL,
     "url_canon": _URL_CANON_SQL,
+    "preference_pairs": _PREFERENCE_PAIRS_SQL,
     "span_dedup": _SPAN_DEDUP_SQL,
     "keep_best": _KEEP_BEST_SQL,
     "mix_weights": _MIX_WEIGHTS_SQL,

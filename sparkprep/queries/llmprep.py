@@ -1148,6 +1148,66 @@ FROM common
 """
 
 
+def q_sft_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-tuning conversation assembly: each user's event
+    stream becomes one chat-template string (turns ordered by
+    (ts, event_id), roles alternating user/assistant, message =
+    event_type|props). The event-log -> trainable-text grouped map at
+    the head of every SFT pipeline; per-key cost bounded by that
+    user's events (operators/text.chat_assemble). Digest-compared:
+    DuckDB renders the identical template via ordered string_agg."""
+    from sparkprep.operators import text as tx
+    from sparkprep.session import tune_for_engine
+
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    msgs = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.concat(
+            F.col("event_type"), F.lit("|"), F.coalesce("props", F.lit(""))
+        ).alias("msg"),
+    )
+    convo = tx.chat_assemble(msgs, "user_id", ["ts", "event_id"], "msg")
+    return convo.select(
+        "user_id",
+        F.col("n_turns").cast("bigint").alias("n_turns"),
+        F.length("conversation").cast("bigint").alias("convo_chars"),
+        F.md5("conversation").alias("convo_digest"),
+    )
+
+
+_SFT_ASSEMBLY_SQL = r"""
+WITH m AS (
+  SELECT user_id, ts, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) - 1 AS pos,
+         event_type || '|' || coalesce(props, '') AS msg
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+turns AS (
+  SELECT user_id, pos,
+         '<|' || CASE WHEN pos % 2 = 0 THEN 'user' ELSE 'assistant' END
+              || '|>' || msg AS turn
+  FROM m
+),
+convo AS (
+  SELECT user_id,
+         count(*)::BIGINT AS n_turns,
+         string_agg(turn, chr(10) ORDER BY pos) AS conversation
+  FROM turns GROUP BY user_id
+)
+SELECT user_id, n_turns,
+       length(conversation)::BIGINT AS convo_chars,
+       md5(conversation) AS convo_digest
+FROM convo
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "minhash_pairs": q_minhash_pairs,
@@ -1172,6 +1232,7 @@ QUERIES = {
     "hybrid_rrf": q_hybrid_rrf,
     "retrieval_overlap": q_retrieval_overlap,
     "hard_negatives": q_hard_negatives,
+    "sft_assembly": q_sft_assembly,
 }
 
 ORACLES = {
@@ -1196,5 +1257,5 @@ ORACLES = {
     "llm_funnel": _LLM_FUNNEL_SQL,
     "hybrid_rrf": _hybrid_rrf_sql(),
     "retrieval_overlap": _retrieval_overlap_sql(),
-    "hard_negatives": _HARD_NEGATIVES_SQL,
+    "hard_negatives": _HARD_NEGATIVES_SQL,    "sft_assembly": _SFT_ASSEMBLY_SQL,
 }

@@ -501,6 +501,50 @@ FROM events GROUP BY 1, 2
 """
 
 
+
+
+_MATRYOSHKA_K = 16
+
+
+def q_embedding_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: energy retained, truncated norm,
+    and cosine(full, zero-padded truncation) when only the first 16 of
+    64 dims are stored. The go/no-go check before a prefix-serving
+    rollout (store k dims, re-rank finalists at full d). Native double
+    HOF aggregates; DuckDB mirrors the identical slice/sum pipeline."""
+    emb = t(spark, sf_dir, "embeddings")
+    stats = quantize.matryoshka_stats(emb, "embedding", k=_MATRYOSHKA_K)
+    return stats.select(
+        "vec_id",
+        F.round("energy_k", 6).alias("energy_k"),
+        F.round("norm_k", 6).alias("norm_k"),
+        F.round("cos_trunc", 6).alias("cos_trunc"),
+    )
+
+
+_EMBEDDING_TRUNCATE_SQL = f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+sliced AS (
+  SELECT vec_id, v, v[1:{_MATRYOSHKA_K}] AS vk FROM base
+),
+ss AS (
+  SELECT vec_id,
+         list_sum(list_transform(v, x -> x * x)) AS ss_full,
+         list_sum(list_transform(vk, x -> x * x)) AS ss_k
+  FROM sliced
+)
+SELECT vec_id,
+       round(ss_k / nullif(ss_full, 0), 6) AS energy_k,
+       round(sqrt(ss_k), 6) AS norm_k,
+       round(sqrt(ss_k) / nullif(sqrt(ss_full), 0), 6) AS cos_trunc
+FROM ss
+"""
+
+
 QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "incr_agg": q_incr_agg,
@@ -514,6 +558,7 @@ QUERIES = {
     "snapshot_diff": q_snapshot_diff,
     "cdc_feed": q_cdc_feed,
     "importance_sample": q_importance_sample,
+    "embedding_truncate": q_embedding_truncate,
 }
 
 ORACLES = {
@@ -532,4 +577,5 @@ ORACLES = {
     "snapshot_diff": _SNAPSHOT_DIFF_SQL,
     "cdc_feed": _CDC_FEED_SQL,
     "importance_sample": _IMPORTANCE_SAMPLE_SQL,
+    "embedding_truncate": _EMBEDDING_TRUNCATE_SQL,
 }
