@@ -1183,3 +1183,70 @@ def chat_assemble(
         F.size("_msgs").alias("n_turns"),
         F.array_join(F.transform("_msgs", turn), sep).alias("conversation"),
     )
+
+
+def token_js_divergence(
+    df: DataFrame,
+    text_col: str,
+    cohort: Column,
+    round_to: int = 4,
+) -> DataFrame:
+    """Jensen-Shannon divergence between the token distributions of two
+    corpus slices (``cohort`` true vs false) — the vocabulary-level
+    drift monitor between training snapshots / data sources that
+    numeric-feature PSI (operators/expect) can't see. JS is symmetric
+    and bounded by ln 2, so a single threshold works corpus-wide.
+
+    Shape: ONE explode + ONE groupBy(token) with conditional per-side
+    sums (map-side combined — the exchange carries one row per token
+    per partition, not the token stream); totals come from windows over
+    the AGGREGATED vocab-sized frame (the mutual_information
+    convention). Cross-engine determinism: each p·ln(p/m) term is
+    rounded at 6 and summed as DECIMAL(18,6) — libm ln differs in the
+    last ulp between engines and double summation is order-dependent.
+
+    Returns one row: js (0..ln2), vocab_a, vocab_b, vocab_shared.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        cohort.alias("_side"), F.explode(tokens(text_col)).alias("_tok")
+    )
+    counts = toks.groupBy("_tok").agg(
+        F.sum(F.when(F.col("_side"), 1).otherwise(0)).alias("na"),
+        F.sum(F.when(~F.col("_side"), 1).otherwise(0)).alias("nb"),
+    )
+    w_all = Window.partitionBy()
+    ta = F.sum("na").over(w_all).cast("double")
+    tb = F.sum("nb").over(w_all).cast("double")
+    # try_divide: an entirely-empty cohort (total 0) must yield NULL
+    # terms, not an ANSI DIVIDE_BY_ZERO error (double / throws too)
+    p = F.try_divide(F.col("na").cast("double"), ta)
+    q = F.try_divide(F.col("nb").cast("double"), tb)
+    m = (p + q) / 2
+
+    def term(px):
+        return F.round(
+            F.when(px > 0, px * F.log(px / m)).otherwise(F.lit(0.0)), 6
+        ).cast("decimal(18,6)")
+
+    terms = counts.select(
+        term(p).alias("__tp"),
+        term(q).alias("__tq"),
+        (F.col("na") > 0).cast("int").alias("__va"),
+        (F.col("nb") > 0).cast("int").alias("__vb"),
+        ((F.col("na") > 0) & (F.col("nb") > 0)).cast("int").alias("__vs"),
+    )
+    agg = terms.agg(
+        F.sum("__tp").cast("double").alias("__sp"),
+        F.sum("__tq").cast("double").alias("__sq"),
+        F.sum("__va").cast("long").alias("vocab_a"),
+        F.sum("__vb").cast("long").alias("vocab_b"),
+        F.sum("__vs").cast("long").alias("vocab_shared"),
+    )
+    return agg.select(
+        F.round((F.col("__sp") + F.col("__sq")) / 2, round_to).alias("js"),
+        "vocab_a",
+        "vocab_b",
+        "vocab_shared",
+    )

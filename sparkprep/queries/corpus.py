@@ -711,6 +711,50 @@ JOIN worst w
 """
 
 
+def q_token_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-level Jensen-Shannon divergence between the en slice
+    and the rest of the corpus — the token-distribution drift monitor
+    numeric PSI can't see (operators/text.token_js_divergence: one
+    explode + one map-combined groupBy(token); rounded-ln
+    DECIMAL(18,6) terms for engine parity)."""
+    docs = t(spark, sf_dir, "documents")
+    return tx.token_js_divergence(docs, "text", F.col("lang") == "en")
+
+
+_TOKEN_JS_SQL = r"""
+WITH tk AS (
+  SELECT lang = 'en' AS side,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT tok,
+         sum(CASE WHEN side THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN NOT side THEN 1 ELSE 0 END) AS nb
+  FROM tk GROUP BY tok
+),
+tot AS (SELECT sum(na)::DOUBLE AS ta, sum(nb)::DOUBLE AS tb FROM counts),
+terms AS (
+  SELECT round(CASE WHEN na > 0
+               THEN (na/ta) * ln((na/ta) / (((na/ta)+(nb/tb))/2))
+               ELSE 0 END, 6)::DECIMAL(18,6) AS tp,
+         round(CASE WHEN nb > 0
+               THEN (nb/tb) * ln((nb/tb) / (((na/ta)+(nb/tb))/2))
+               ELSE 0 END, 6)::DECIMAL(18,6) AS tq,
+         (na > 0)::INT AS va,
+         (nb > 0)::INT AS vb,
+         (na > 0 AND nb > 0)::INT AS vs
+  FROM counts, tot
+)
+SELECT round((sum(tp)::DOUBLE + sum(tq)::DOUBLE) / 2, 4) AS js,
+       sum(va)::BIGINT AS vocab_a,
+       sum(vb)::BIGINT AS vocab_b,
+       sum(vs)::BIGINT AS vocab_shared
+FROM terms
+"""
+
+
 QUERIES = {
     "span_dedup": q_span_dedup,
     "url_canon": q_url_canon,
@@ -729,6 +773,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "token_budget": q_token_budget,
     "preference_pairs": q_preference_pairs,
+    "token_js": q_token_js,
 }
 
 ORACLES = {
@@ -738,6 +783,7 @@ ORACLES = {
     "token_budget": _TOKEN_BUDGET_SQL,
     "url_canon": _URL_CANON_SQL,
     "preference_pairs": _PREFERENCE_PAIRS_SQL,
+    "token_js": _TOKEN_JS_SQL,
     "span_dedup": _SPAN_DEDUP_SQL,
     "keep_best": _KEEP_BEST_SQL,
     "mix_weights": _MIX_WEIGHTS_SQL,

@@ -143,3 +143,35 @@ class TestMatryoshka:
             > 1e-9
         ).count()
         assert bad == 0
+
+
+class TestTokenJs:
+    def test_identical_slices_zero_disjoint_ln2(self, spark):
+        import math
+
+        from sparkprep.operators import text as tx
+
+        # identical distributions -> JS 0
+        same = spark.createDataFrame(
+            [(True, "a b c"), (False, "a b c")], ["side", "text"]
+        )
+        r = tx.token_js_divergence(same, "text", F.col("side")).collect()[0]
+        assert r.js == 0.0
+        assert (r.vocab_a, r.vocab_b, r.vocab_shared) == (3, 3, 3)
+        # disjoint vocabularies -> JS = ln 2
+        disj = spark.createDataFrame(
+            [(True, "a b"), (False, "x y")], ["side", "text"]
+        )
+        r = tx.token_js_divergence(disj, "text", F.col("side")).collect()[0]
+        assert r.js == pytest.approx(math.log(2), abs=1e-3)
+        assert r.vocab_shared == 0
+
+    def test_empty_cohort_yields_null_not_error(self, spark):
+        from sparkprep.operators import text as tx
+
+        df = spark.createDataFrame([(True, "a b")], ["side", "text"])
+        r = tx.token_js_divergence(df, "text", F.col("side")).collect()[0]
+        # the other side has no mass: terms are NULL, not a
+        # DIVIDE_BY_ZERO crash (ANSI mode)
+        assert r.js is None
+        assert (r.vocab_a, r.vocab_b) == (2, 0)
