@@ -26,7 +26,23 @@ def load_queries(path: str) -> dict:
         tail = doc["tail"].strip()
         if not tail.startswith("{"):
             tail = "{" + tail
-        return json.loads(tail)["queries"]
+        try:
+            return json.loads(tail)["queries"]
+        except (json.JSONDecodeError, KeyError):
+            # the driver clips the FRONT of the line, so the fragment may
+            # start mid-queries-object and carry trailing wrapper keys —
+            # fall back to scraping the "name": float pairs, which is all
+            # the comparison needs (sf/metric keys don't match the regex
+            # because their values aren't bare numbers... except sf; drop
+            # known wrapper keys explicitly)
+            import re
+
+            pairs = re.findall(r'"([^"]+)":\s*(-?\d+(?:\.\d+)?)', tail)
+            return {
+                k: float(v)
+                for k, v in pairs
+                if k not in {"sf", "value", "n", "rc", "cpus"}
+            }
     raise SystemExit(f"{path}: no 'queries' or 'tail' field")
 
 
