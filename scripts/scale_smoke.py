@@ -265,6 +265,26 @@ def main() -> None:
         temporal.debounce(events, ["g"], "ts", gap="5 seconds")))
     bench("decayed agg (1000 keys)", lambda: materialize(
         temporal.decayed_agg(events, "g", "ts", "v", half_life="1 day")))
+
+    # --- round-4 additions: pairs, chat assembly, truncation, JS drift -
+    # preference pairs: 1000-ish groups -> windows stay balanced; the
+    # cliff to watch is one giant group single-partitioning the rank
+    pref_in = docs.select(
+        "doc_id", F.pmod("doc_id", 1000).alias("grp"),
+        F.length("text").alias("score"))
+    bench("preference pairs (1000 grps)", lambda: materialize(
+        mix.preference_pairs(pref_in, ["grp"], "score", "doc_id")))
+    # chat assembly: per-key collect_list — num_rows/1000 msgs per key;
+    # the cliff is per-key array width, not row count
+    bench("chat assembly (1000 convs)", lambda: materialize(
+        text.chat_assemble(
+            rows.select(F.col("g").alias("conv"), F.col("k").alias("pos"),
+                        F.col("v").cast("string").alias("msg")),
+            "conv", ["pos"], "msg")))
+    bench("matryoshka stats", lambda: materialize(
+        quantize.matryoshka_stats(vecs, "embedding", k=16)))
+    bench("token JS divergence", lambda: materialize(
+        text.token_js_divergence(docs, "text", F.pmod("doc_id", 2) == 0)))
     spark.stop()
 
 
