@@ -518,6 +518,49 @@ WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 4) >= 0.95
 """
 
 
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-cluster-aware leakage-safe split: transitive MinHash
+    clusters (dedup_clusters) dealt 80/10/10 by md5 of the CLUSTER rep
+    (mix.grouped_split), so a document and its near-duplicates can
+    never straddle train and eval — the contamination-by-construction
+    guard a source- or row-level split misses. The split itself is
+    map-only on the cluster label; the cost is the cluster computation
+    the dedup pass already owes."""
+    from sparkprep.operators import mix
+
+    corpus = _corpus_near(spark, sf_dir)
+    clusters = dd.dedup_clusters(
+        corpus, "text", "doc_id",
+        num_hashes=_NUM_HASHES, k=_K, bands=_BANDS, seed=_SEED,
+        est_threshold=0.8,
+    )
+    out = mix.grouped_split(
+        clusters, "cluster_rep",
+        {"train": 0.8, "val": 0.1, "test": 0.1}, salt="r4",
+    )
+    return out.select(
+        "doc_id", F.col("cluster_rep").cast("bigint").alias("cluster_rep"),
+        "split",
+    )
+
+
+def _cluster_split_sql() -> str:
+    return f"""
+WITH RECURSIVE {_cc_reps_ctes()},
+u AS (
+  SELECT doc_id, cluster_rep,
+         ('0x' || substr(md5(cluster_rep::VARCHAR || 'r4'), 1, 15))::BIGINT
+           / 1152921504606846976.0 AS uv
+  FROM reps
+)
+SELECT doc_id, cluster_rep::BIGINT AS cluster_rep,
+       CASE WHEN uv < 0.8 THEN 'train'
+            WHEN uv < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM u
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters: MinHash-LSH pairs closed under
     connected components (iterative min-label propagation). Oracle is a
@@ -531,11 +574,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dedup_clusters_sql() -> str:
-    # the pair query at threshold 0.8, then recursive min-label CC
+def _cc_reps_ctes() -> str:
+    """Recursive min-label CC over the threshold-0.8 pair graph,
+    resolved to per-doc cluster reps: CTE chain ending in
+    ``reps(doc_id, cluster_rep)``. Shared by the dedup_clusters and
+    cluster_split oracles so the closure semantics can never drift."""
     pair_sql = _minhash_sql(est_threshold=0.8)
-    return f"""
-WITH RECURSIVE base AS ({pair_sql}),
+    return f"""base AS ({pair_sql}),
 edges AS (
   SELECT id_a AS u, id_b AS v FROM base
   UNION
@@ -547,9 +592,17 @@ cc(node, label) AS (
   SELECT e.v, cc.label FROM cc JOIN edges e ON cc.node = e.u
 ),
 comp AS (SELECT node, min(label) AS component FROM cc GROUP BY node),
-{_CORPUS_NEAR_SQL}
-SELECT c.doc_id, coalesce(comp.component, c.doc_id) AS cluster_rep
-FROM corpus c LEFT JOIN comp ON comp.node = c.doc_id
+{_CORPUS_NEAR_SQL},
+reps AS (
+  SELECT c.doc_id, coalesce(comp.component, c.doc_id) AS cluster_rep
+  FROM corpus c LEFT JOIN comp ON comp.node = c.doc_id
+)"""
+
+
+def _dedup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE {_cc_reps_ctes()}
+SELECT doc_id, cluster_rep FROM reps
 """
 
 
@@ -1233,6 +1286,7 @@ QUERIES = {
     "retrieval_overlap": q_retrieval_overlap,
     "hard_negatives": q_hard_negatives,
     "sft_assembly": q_sft_assembly,
+    "cluster_split": q_cluster_split,
 }
 
 ORACLES = {
@@ -1258,4 +1312,5 @@ ORACLES = {
     "hybrid_rrf": _hybrid_rrf_sql(),
     "retrieval_overlap": _retrieval_overlap_sql(),
     "hard_negatives": _HARD_NEGATIVES_SQL,    "sft_assembly": _SFT_ASSEMBLY_SQL,
+    "cluster_split": _cluster_split_sql(),
 }

@@ -175,3 +175,29 @@ class TestTokenJs:
         # DIVIDE_BY_ZERO crash (ANSI mode)
         assert r.js is None
         assert (r.vocab_a, r.vocab_b) == (2, 0)
+
+
+class TestClusterSplit:
+    def test_near_dups_never_straddle_splits(self, spark, sf_dir):
+        from sparkprep.queries.llmprep import q_cluster_split
+
+        out = q_cluster_split(spark, sf_dir).collect()
+        by_cluster = {}
+        for r in out:
+            by_cluster.setdefault(r.cluster_rep, set()).add(r.split)
+        # group atomicity: every cluster lands in exactly one split
+        assert all(len(s) == 1 for s in by_cluster.values())
+        # every pair the LSH pass actually clustered shares a split BY
+        # CONSTRUCTION (atomicity above); end-to-end, the planted
+        # (doc, mutant) near-dups should mostly be caught and co-split
+        # (threshold 0.8 legitimately misses some short docs — the
+        # recall trade-off minhash_eval quantifies)
+        cluster_of = {r.doc_id: r.cluster_rep for r in out}
+        split_of = {r.doc_id: r.split for r in out}
+        planted = [d for d in split_of if d + 10000 in split_of]
+        assert planted
+        caught = [d for d in planted if cluster_of[d] == cluster_of[d + 10000]]
+        assert len(caught) > len(planted) / 2
+        assert all(split_of[d] == split_of[d + 10000] for d in caught)
+        # all three splits are populated at this corpus size
+        assert {r.split for r in out} == {"train", "val", "test"}
