@@ -385,11 +385,16 @@ def preference_pairs(
     chosen_score >= rejected_score and no row appears twice (the odd
     middle row sits out). Deterministic — id tiebreaks, no RNG.
 
-    Scale: one window per group plus ONE equi-join on
-    (group, pair index) between the best half and the worst half —
-    both sides are already co-partitioned by the window's hash
-    exchange, so AQE collapses the join shuffle to a reuse. No
-    collect, no cross join; pair count is bounded by n/2 per group.
+    Scale: ONE ranking window, then each row computes its own pair
+    index (i = rb for the best half, n+1-rb for the worst half) and a
+    groupBy(group, i) folds the two halves into pair rows — no
+    self-join, so the window subtree executes ONCE (a best/worst
+    branch join re-runs the whole scan+window per side: the
+    branches-re-execute-upstream landmine). The groupBy keys extend
+    the window's partition keys, so the exchange is a cheap
+    repartition of already-grouped data; pair count is bounded by
+    n/2 per group. NULL group keys form their own group (groupBy is
+    null-safe, unlike a name-list join).
 
     Returns group cols + ``chosen_id``, ``rejected_id``, ``margin``
     (chosen score - rejected score, input type).
@@ -404,28 +409,26 @@ def preference_pairs(
     ).withColumn("_rb", F.row_number().over(w)).withColumn(
         "_n", F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
     )
-    best = ranked.filter(F.col("_rb") <= F.col("_n") / 2).select(
+    rb, n = F.col("_rb"), F.col("_n")
+    # best half: rb <= n/2; worst half: rb > ceil(n/2) == n - floor(n/2);
+    # the odd middle row matches neither and drops out
+    role = F.when(rb <= n / 2, F.lit("c")).when(
+        rb > n - F.floor(n / 2), F.lit("r")
+    )
+    halves = ranked.select(
         *group_cols,
-        F.col("_rb").alias("_i"),
-        F.col("_id").alias("chosen_id"),
-        F.col("_score").alias("_cs"),
-    )
-    worst = ranked.filter(
-        F.col("_rb") > F.col("_n") - F.floor(F.col("_n") / 2)
-    ).select(
-        *[F.col(g).alias(f"_w_{g}") for g in group_cols],
-        (F.col("_n") + 1 - F.col("_rb")).alias("_wi"),
-        F.col("_id").alias("rejected_id"),
-        F.col("_score").alias("_rs"),
-    )
-    # null-safe group equality: a NULL-keyed group still pairs with
-    # itself (name-list joins drop NULL keys silently)
-    cond = F.col("_i") == F.col("_wi")
-    for g in group_cols:
-        cond = cond & F.col(g).eqNullSafe(F.col(f"_w_{g}"))
-    return best.join(worst, cond).select(
-        *group_cols,
-        "chosen_id",
-        "rejected_id",
-        (F.col("_cs") - F.col("_rs")).alias("margin"),
-    )
+        role.alias("_role"),
+        F.when(role == "c", rb).otherwise(n + 1 - rb).alias("_i"),
+        "_id",
+        "_score",
+    ).filter(F.col("_role").isNotNull())
+    is_c = F.col("_role") == "c"
+    # exactly one row per role per (group, i): max() just extracts it
+    return halves.groupBy(*group_cols, "_i").agg(
+        F.max(F.when(is_c, F.col("_id"))).alias("chosen_id"),
+        F.max(F.when(~is_c, F.col("_id"))).alias("rejected_id"),
+        (
+            F.max(F.when(is_c, F.col("_score")))
+            - F.max(F.when(~is_c, F.col("_score")))
+        ).alias("margin"),
+    ).drop("_i")
