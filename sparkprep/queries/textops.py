@@ -1094,6 +1094,26 @@ FROM s
 """
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training: the first 10 learned merges
+    over the documents word vocabulary, with pair counts (operators/
+    bpe.bpe_train — vocab-sized working set, one argmax row per round
+    crossing the driver). NO ORACLE: the iterative argmax-and-rewrite
+    is not SQL-expressible; the driver records the rows-only check and
+    tests/test_bpe.py pins EXACT merge-sequence and encode parity
+    against a pure-Python classic-BPE reference."""
+    from sparkprep.operators import bpe
+
+    docs = t(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(bpe.word_vocab(docs, "text"), num_merges=10)
+    rows = [
+        (i + 1, a, b, a + b, cnt) for i, (a, b, cnt) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank BIGINT, left STRING, right STRING, merged STRING, pair_count BIGINT"
+    )
+
+
 QUERIES = {
     "gopher_rules": q_gopher_rules,
     "quality_logit": q_quality_logit,
@@ -1125,7 +1145,7 @@ QUERIES = {
     "blocklist": q_blocklist,
     "token_fertility": q_token_fertility,
     "lang_margin": q_lang_margin,
-    "per_group_sample": q_per_group_sample,
+    "per_group_sample": q_per_group_sample,    "bpe_merges": q_bpe_merges,
 }
 
 ORACLES = {
