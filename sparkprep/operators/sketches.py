@@ -61,3 +61,75 @@ def frequent_items(
     pass, fixed state). May contain false positives (by contract),
     never false negatives above `support`."""
     return df.stat.freqItems(list(cols), support)
+
+
+def cms_estimate(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    seed: int = 42,
+) -> DataFrame:
+    """Count-Min sketch estimates for every distinct key: (key, n_exact,
+    n_cms) with the one-sided CMS guarantee n_cms >= n_exact (estimates
+    only ever over-count, by at most eps*N with probability 1-delta for
+    width = e/eps, depth = ln(1/delta)).
+
+    Unlike the HLL/GK sketches (engine-internal state, rows-only under
+    the driver), every ingredient here is md5-derived and replayable:
+    bucket_d(key) = (a_d * H(key) + b_d) mod p mod width with the
+    dedup module's seeded coefficients — so another engine can rebuild
+    the identical counter matrix and the estimates compare EXACTLY.
+
+    Shape: one explode of ``depth`` (row, bucket) structs per input row
+    -> one map-combined groupBy((row, bucket)) builds the depth x width
+    counter matrix (bounded size, broadcastable); distinct keys join
+    their ``depth`` counters and take the min. The matrix, not the
+    data, is what a monitoring pipeline ships between hosts — this
+    operator is the fidelity audit for a chosen (depth, width).
+    """
+    from sparkprep.operators.dedup import (
+        MERSENNE_P, hash_coeffs, string_to_int_hash,
+    )
+
+    coeffs = hash_coeffs(depth, seed)
+    h = string_to_int_hash(F.col(key_col))
+    rows = df.select(
+        F.col(key_col).alias("key"), h.alias("__h")
+    )
+    bucket_structs = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("row"),
+                (
+                    (F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MERSENNE_P)
+                    % F.lit(width)
+                ).alias("bucket"),
+            )
+            for d, (a, b) in enumerate(coeffs)
+        ]
+    )
+    counters = (
+        rows.select(F.explode(bucket_structs).alias("rb"))
+        .groupBy("rb.row", "rb.bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    keys = rows.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_exact"), F.first("__h").alias("__h")
+    )
+    keyed = keys.select(
+        "key",
+        "n_exact",
+        F.explode(bucket_structs).alias("rb"),
+    ).select("key", "n_exact", F.col("rb.row").alias("row"),
+             F.col("rb.bucket").alias("bucket"))
+    est = keyed.join(F.broadcast(counters), ["row", "bucket"])
+    return (
+        est.groupBy("key", "n_exact")
+        .agg(F.min("cnt").alias("n_cms"))
+        .select(
+            "key",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.col("n_cms").cast("long").alias("n_cms"),
+        )
+    )

@@ -545,6 +545,53 @@ FROM ss
 """
 
 
+_CMS_DEPTH, _CMS_WIDTH = 4, 64
+
+
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch fidelity audit over events.user_id: exact count
+    vs CMS estimate per key at depth 4 x width 64 (width chosen BELOW
+    the key cardinality so real collisions exercise the one-sided
+    over-count). Every hash is md5-derived (sketches.cms_estimate), so
+    DuckDB rebuilds the identical counter matrix and the estimates
+    compare exactly — unlike the engine-internal HLL/GK sketches."""
+    ev = t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("uid")
+    )
+    return sketches.cms_estimate(
+        ev, "uid", depth=_CMS_DEPTH, width=_CMS_WIDTH
+    ).select(F.col("key").alias("uid"), "n_exact", "n_cms")
+
+
+def _cms_sql() -> str:
+    from sparkprep.operators.dedup import MERSENNE_P, hash_coeffs
+
+    coeffs = hash_coeffs(_CMS_DEPTH, 42)
+    P, W = MERSENNE_P, _CMS_WIDTH
+    rows_b = " UNION ALL ".join(
+        f"SELECT key, {d} AS row, ({a}::BIGINT * h + {b}) % {P} % {W} AS bucket FROM rows"
+        for d, (a, b) in enumerate(coeffs)
+    )
+    keys_b = " UNION ALL ".join(
+        f"SELECT key, n_exact, {d} AS row, ({a}::BIGINT * h + {b}) % {P} % {W} AS bucket FROM keys"
+        for d, (a, b) in enumerate(coeffs)
+    )
+    return f"""
+WITH rows AS (
+  SELECT user_id::VARCHAR AS key,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % {P} AS h
+  FROM events
+),
+b AS ({rows_b}),
+counters AS (SELECT row, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+keys AS (SELECT key, h, count(*) AS n_exact FROM rows GROUP BY 1, 2),
+kb AS ({keys_b})
+SELECT kb.key AS uid, n_exact::BIGINT AS n_exact, min(cnt)::BIGINT AS n_cms
+FROM kb JOIN counters USING (row, bucket)
+GROUP BY kb.key, n_exact
+"""
+
+
 QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "incr_agg": q_incr_agg,
@@ -559,6 +606,7 @@ QUERIES = {
     "cdc_feed": q_cdc_feed,
     "importance_sample": q_importance_sample,
     "embedding_truncate": q_embedding_truncate,
+    "cms_counts": q_cms_counts,
 }
 
 ORACLES = {
@@ -578,4 +626,5 @@ ORACLES = {
     "cdc_feed": _CDC_FEED_SQL,
     "importance_sample": _IMPORTANCE_SAMPLE_SQL,
     "embedding_truncate": _EMBEDDING_TRUNCATE_SQL,
+    "cms_counts": _cms_sql(),
 }

@@ -86,3 +86,32 @@ def test_quantize_codes_in_range(spark, sf_dir):
         F.exists(F.col("codes"), lambda c: (c < 0) | (c > 255))
     ).count()
     assert bad == 0
+
+
+def test_cms_one_sided_bound_and_collisions(spark, sf_dir):
+    from sparkprep.operators.sketches import cms_estimate
+
+    ev = t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("uid")
+    )
+    out = cms_estimate(ev, "uid", depth=4, width=16).collect()
+    # CMS never under-counts
+    assert all(r.n_cms >= r.n_exact for r in out)
+    # width 16 << key cardinality: collisions must actually occur
+    assert any(r.n_cms > r.n_exact for r in out)
+    # total mass conservation on the exact side
+    assert sum(r.n_exact for r in out) == ev.count()
+
+
+def test_cms_exact_when_width_dominates(spark):
+    from sparkprep.operators.sketches import cms_estimate
+
+    df = spark.createDataFrame(
+        [(str(i % 7),) for i in range(70)], ["k"]
+    )
+    out = cms_estimate(df, "k", depth=4, width=4096).collect()
+    # 7 keys in 4096 buckets across 4 independent rows: the min over
+    # rows is collision-free with near-certainty for this fixed seed
+    assert sorted((r.key, r.n_exact, r.n_cms) for r in out) == [
+        (str(i), 10, 10) for i in range(7)
+    ]
