@@ -135,9 +135,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "vocab_coverage",
 ]
 
-# Deferred to round 5 (window is 50 slots, 58 candidates): map-only text
-# metrics + rows-only pca_project, all green in local sf0.001 oracle
-# replay. Promote these FIRST next round.
+# Round-5 head: the 8 deferred from round 4 (window was 50 slots, 58
+# candidates — map-only text metrics + rows-only pca_project, all green
+# in local sf0.001 oracle replay) plus the round-4 session additions,
+# pinned explicitly so module-merge order can't reshuffle them. All
+# fall out automatically once a CORRECTNESS file records them.
 _ROUND5_OVERFLOW = [
     "auc_quality",
     "readability",
@@ -147,6 +149,14 @@ _ROUND5_OVERFLOW = [
     "lang_margin",
     "url_canon",
     "pca_project",
+    # round-4 session additions (never driver-verified)
+    "embedding_truncate",
+    "preference_pairs",
+    "sft_assembly",
+    "token_js",
+    "cluster_split",
+    "bpe_merges",
+    "cms_counts",
 ]
 
 
