@@ -565,10 +565,23 @@ def cluster_representatives(
     """
     from pyspark.sql.window import Window
 
-    clusters = dedup_clusters(
+    # inline dedup_clusters' label join so quality rides along in the
+    # SAME left join: going through dedup_clusters() would join the
+    # corpus twice (once for labels, once for quality) — one full-frame
+    # equi-join saved, identical result
+    prs = minhash_candidate_pairs(
         df, text_col, id_col, num_hashes, k, bands, seed, est_threshold
     )
-    lab = df.select(F.col(id_col), F.col(quality_col)).join(clusters, id_col)
+    cc = connected_components(prs)
+    lab = (
+        df.select(F.col(id_col), F.col(quality_col))
+        .join(cc, df[id_col] == cc.node, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("cluster_rep"),
+            F.col(quality_col),
+        )
+    )
     w_rank = Window.partitionBy("cluster_rep").orderBy(
         F.col(quality_col).desc(), F.col(id_col).asc()
     )
