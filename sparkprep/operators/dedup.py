@@ -828,3 +828,110 @@ def minhash_estimator_eval(
             round_to,
         ).alias("precision"),
     )
+
+
+def prefix_jaccard_join(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """EXACT shingle-set Jaccard join (``id_a, id_b, jaccard >=
+    threshold``) via PREFIX FILTERING (PPJoin-family) — the scalable
+    *exact* complement to the MinHash path: no false negatives, no
+    estimator error, and unlike :func:`jaccard_pairs` no join on raw
+    shingle values over the whole corpus. ``k`` is the shingle width
+    (``k=1`` degrades to word sets — beware: on a low-entropy corpus
+    word-set Jaccard matches almost everything; 500 synthetic docs
+    measured 74% of ALL pairs ≥ 0.5, vs exactly the 25 planted
+    near-dups with 3-gram shingles).
+
+    The filter: order each doc's shingle set by global rarity (document
+    frequency, value tie-break — a TOTAL order, no global rank needed:
+    the (df, token) struct sorts row-locally), and keep only the first
+    ``|s| - ceil(t·|s|) + 1`` tokens as its *prefix*. Any pair with
+    J ≥ t must overlap in ≥ ceil(t·max(|a|,|b|)) tokens, so skipping a
+    full prefix of either side leaves too few tokens to reach that
+    overlap — two docs with J ≥ t MUST share a prefix token. Candidates
+    therefore come from an equi-join on prefix tokens only — rare
+    tokens by construction, so the join groups are small where
+    ``jaccard_pairs``'s are corpus-shaped. A ``- 1e-9`` guard inside
+    the ceil keeps float roundoff from ever SHORTENING a prefix
+    (ceil(0.6·5) = 4 in IEEE arithmetic; a longer prefix only adds
+    candidates, never loses one). The |a| ≥ t·|b| size-compat filter
+    (same epsilon guard) prunes inside the join.
+
+    Verification is routed THROUGH the candidate pairs (fan the pair
+    list out by id_a's tokens, hash-join on (id_b, token) — the
+    CLAUDE.md candidate-routed-intersection discipline), so the exact
+    phase costs candidates × doc length, never corpus × corpus. The
+    final Jaccard is ONE IEEE division of exact int64 counts —
+    bit-identical on any engine — and the threshold compares that
+    exact value, so the survivor set is engine-exact; ``round_to``
+    only shapes the reported column.
+    """
+    tok_rows = explode_shingles(
+        df, text_col, id_col, k
+    ) if k > 1 else df.select(
+        id_col, F.explode(F.array_distinct(tokens(text_col))).alias("shingle")
+    )
+    tok_rows = tok_rows.withColumnRenamed("shingle", "token").localCheckpoint(
+        eager=False
+    )  # anchors vocab, prefixes, and both intersection legs —
+    # 4 consumers, one execution
+    vocab = tok_rows.groupBy("token").agg(F.count(F.lit(1)).alias("__df"))
+    per_doc = (
+        tok_rows.join(vocab, "token")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__df"), F.col("token")))
+            ).alias("__st")
+        )
+        .select(
+            id_col,
+            F.transform("__st", lambda s: s["token"]).alias("__sorted"),
+            F.size("__st").alias("__n"),
+        )
+    )
+    prefix_len = (
+        F.col("__n")
+        - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-9))
+        + F.lit(1)
+    ).cast("int")
+    pre = per_doc.select(
+        id_col,
+        "__n",
+        F.explode(F.slice("__sorted", F.lit(1), prefix_len)).alias("token"),
+    )
+    a = pre.select(
+        F.col(id_col).alias("id_a"), F.col("__n").alias("n_a"), "token"
+    )
+    b = pre.select(
+        F.col(id_col).alias("id_b"), F.col("__n").alias("n_b"), "token"
+    )
+    cand = (
+        a.join(b, "token")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("n_a") >= F.lit(threshold) * F.col("n_b") - F.lit(1e-9))
+            & (F.col("n_b") >= F.lit(threshold) * F.col("n_a") - F.lit(1e-9))
+        )
+        .select("id_a", "id_b", "n_a", "n_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ta = tok_rows.select(F.col(id_col).alias("id_a"), "token")
+    tb = tok_rows.select(F.col(id_col).alias("id_b"), "token")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("__ni"))
+    )
+    jac = F.col("__ni") / (F.col("n_a") + F.col("n_b") - F.col("__ni"))
+    return (
+        inter.filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, round_to).alias("jaccard"))
+    )

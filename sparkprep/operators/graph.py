@@ -11,10 +11,10 @@ consecutive pairs plus one map-combined count aggregate — runs exactly
 once; the k iterations afterwards touch only |states|^2 rows.
 
 For chains whose state space is itself huge (page-level PageRank), the
-distribution no longer broadcasts — that regime needs the CC-style
-keyed-shuffle iteration instead; this module is the user-journey /
-event-funnel regime where states are event types, funnel stages, or
-content categories (tens to thousands of values).
+distribution no longer broadcasts — that regime is :func:`pagerank`
+(keyed-shuffle iteration, integer fixed-point); ``power_iteration`` is
+the user-journey / event-funnel regime where states are event types,
+funnel stages, or content categories (tens to thousands of values).
 """
 
 from __future__ import annotations
@@ -118,6 +118,74 @@ def power_iteration(
             .agg(F.round(F.sum(F.col("p") * F.col("__dp")), round_at).alias("p"))
         )
     return dist
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Keyed-shuffle PageRank over an arbitrarily large node set —
+    the huge-state-space regime :func:`power_iteration`'s docstring
+    defers here (there the distribution broadcasts; at page scale it
+    cannot, so every step is a rank ⋈ edges shuffle join keyed on the
+    source node, the classic distributed-PageRank shape).
+
+    All arithmetic is INTEGER fixed-point so the result is bit-exact
+    and engine-portable (a cross-engine float PageRank drifts a ulp
+    per step and never hashes equal):
+
+    - every node starts at ``scale div n`` rank units;
+    - a node with out-degree d sends ``rank div d`` units down each
+      edge (integer division — exact, deliberately leaks ≤ d-1 units
+      per node per step, same on every engine);
+    - new rank = ``(base · (100-damping_pct)) div 100 +
+      (Σ incoming · damping_pct) div 100``.
+
+    Overflow headroom: total mass ≤ ``scale``; the damping multiply
+    peaks at ``scale · damping_pct`` ≈ 8.5e13 for the default scale —
+    five orders below int64. Dangling nodes (no out-edges) leak their
+    damped mass entirely, as in the uniform-teleport formulation
+    without dangling redistribution; mirror that choice in any oracle.
+
+    ``edges(src, dst)`` with its degree column and ``nodes(node)`` are
+    lazily localCheckpoint-ed: both anchor every iteration, and
+    without lineage truncation the degree aggregate (and the node
+    scan) would re-execute per step (CLAUDE.md re-execution trap).
+    ``n = nodes.count()`` is the operator's one bounded driver scalar
+    (same contract as numeric.py's one-job min/max). For hundreds of
+    iterations, checkpoint the rank frame every ~10 steps too; at the
+    default 3 the linear lineage is fine.
+    """
+    nodes = nodes.localCheckpoint(eager=False)
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank needs a non-empty node frame")
+    base = scale // n
+    teleport = (base * (100 - damping_pct)) // 100
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    ed = edges.join(deg, "src").localCheckpoint(eager=False)
+    ranks = nodes.select("node", F.lit(base).cast("long").alias("rank"))
+    for _ in range(int(iterations)):
+        contrib = ed.join(
+            ranks.select(F.col("node").alias("src"), "rank"), "src"
+        ).select("dst", F.expr("rank div __deg").alias("__c"))
+        incoming = contrib.groupBy("dst").agg(F.sum("__c").alias("__s"))
+        ranks = (
+            nodes.join(incoming, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"(coalesce(__s, 0L) * {int(damping_pct)}) div 100"
+                    )
+                ).cast("long").alias("rank"),
+            )
+        )
+    return ranks
 
 
 def cooccurrence_pairs(

@@ -510,3 +510,69 @@ def active_users(
             ),
         )
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    lags: tuple[int, ...] = (1, 2, 3),
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-key autocorrelation function of DAILY event counts at the
+    given row lags — the seasonality probe (a strong acf at lag 7 on
+    daily data is weekly cycle; a slow decay is trend; ~0 everywhere is
+    noise) that decides whether a forecast/trend model is worth
+    fitting.
+
+    Shape discipline: aggregate to the daily frame FIRST (one
+    map-combined groupBy), so the lag windows partition by key over
+    |days| rows per key, never raw events; then one grouped aggregate
+    computes every requested lag in a single pass. Row lags on the
+    observed day sequence — gap days are absent rows, not zeros;
+    resample upstream (``resample_ffill``) if calendar lags are wanted.
+
+    NOT ``F.corr``: under Spark 4 ANSI a zero-variance series makes
+    corr's internal division THROW (measured), where DuckDB's corr
+    returns NULL. Instead the Pearson coefficient is assembled from
+    EXACT int64 moments over the pairwise-complete rows (counts are
+    integers, so c, Σx, Σy, Σx², Σy², Σxy are exact), and the only
+    float ops are IEEE-deterministic on identical inputs: two
+    correctly-rounded sqrts of exact ints, one multiply, one
+    ``try_divide`` (NULL on zero variance and on no-complete-pairs,
+    matching DuckDB) — bit-identical cross-engine, per the CLAUDE.md
+    ulp-exact restructuring discipline. ``den1·den2`` would overflow
+    2^53 as one product, so each factor takes its own sqrt first.
+    The DECIMAL(18,8) cast before the final round is the exact-half
+    round-divergence guard. Int64 headroom: safe through ~1e6 events
+    per key-day over ~10k days (c·Σxy peaks ≈ 1e19 beyond that).
+    """
+    daily = df.groupBy(
+        key_col, F.to_date(ts_col).alias("__day")
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.partitionBy(key_col).orderBy("__day")
+    lagged = daily.select(
+        key_col,
+        "__n",
+        *[F.lag("__n", int(k)).over(w).alias(f"__l{k}") for k in lags],
+    )
+    aggs = []
+    for k in lags:
+        x, y = F.col("__n"), F.col(f"__l{k}")
+        m = y.isNotNull()
+        c = F.count(y)
+        sx = F.sum(F.when(m, x))
+        sy = F.sum(y)
+        sxx = F.sum(F.when(m, x * x))
+        syy = F.sum(y * y)
+        sxy = F.sum(F.when(m, x) * y)
+        num = (c * sxy - sx * sy).cast("double")
+        den = F.sqrt((c * sxx - sx * sx).cast("double")) * F.sqrt(
+            (c * syy - sy * sy).cast("double")
+        )
+        aggs.append(
+            F.round(
+                F.try_divide(num, den).cast("decimal(18,8)"), round_to
+            ).cast("double").alias(f"acf_{k}")
+        )
+    return lagged.groupBy(key_col).agg(*aggs)

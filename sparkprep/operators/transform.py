@@ -427,3 +427,53 @@ def collapse_rare(
         .when(F.col("__cnt") >= min_count, F.col(cat_col))
         .otherwise(F.lit(other_label)),
     ).drop("__cnt")
+
+
+def pareto_frontier(
+    df: DataFrame, minimize_col: str, maximize_col: str
+) -> DataFrame:
+    """Skyline / Pareto-frontier filter: rows not DOMINATED by any
+    other row, where q dominates p iff q is ≤ on ``minimize_col`` and
+    ≥ on ``maximize_col`` with at least one strict inequality (the
+    multi-objective "best trade-offs" query — cheapest-for-its-size
+    parts, fastest-for-its-cost configs).
+
+    Not the naive O(n²) dominance join: aggregate to one row per
+    ``minimize_col`` level (max of ``maximize_col``), run a running
+    max + lag over that POST-AGG frame (|distinct minimize values|
+    rows — the empty-partitionBy window is safe there, never on raw
+    data per CLAUDE.md), and broadcast the level frame back. p is
+    dominated iff the best maximize-value at strictly-lower levels
+    already reaches p's (``__best_below >= p``), or p's own level holds
+    a strictly better value (``__lvl_max > p``). Ties on BOTH
+    dimensions survive — neither copy strictly dominates the other —
+    matching the textbook NOT EXISTS formulation.
+
+    Cost: one map-combined groupBy + a window over the tiny level
+    frame + one broadcast join — no self-join anywhere. If the
+    minimize column is continuous enough that its distinct count
+    rivals the row count, pre-prune with a coarse bucketized pass of
+    the same operator first (frontier-of-frontiers is a superset of
+    the frontier), then run this on the survivors. Null measures are
+    the caller's problem: filter them first (NULL comparisons would
+    silently un-dominate rows).
+    """
+    from pyspark.sql.window import Window
+
+    levels = df.groupBy(minimize_col).agg(
+        F.max(maximize_col).alias("__lvl_max")
+    )
+    w = Window.orderBy(minimize_col)
+    run = F.max("__lvl_max").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lv = levels.withColumn("__run", run).withColumn(
+        "__best_below", F.lag("__run").over(w)
+    )
+    joined = df.join(F.broadcast(lv), minimize_col)
+    dominated = (F.col("__best_below") >= F.col(maximize_col)) | (
+        F.col("__lvl_max") > F.col(maximize_col)
+    )
+    return joined.filter(~F.coalesce(dominated, F.lit(False))).drop(
+        "__lvl_max", "__run", "__best_below"
+    )

@@ -157,6 +157,10 @@ _ROUND5_OVERFLOW = [
     "cluster_split",
     "bpe_merges",
     "cms_counts",
+    "pagerank",
+    "skyline",
+    "setsim_join",
+    "autocorr",
 ]
 
 

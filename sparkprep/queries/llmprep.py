@@ -1261,7 +1261,51 @@ FROM convo
 """
 
 
+def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard ≥ 0.5 pairs over the FULL document
+    table via PREFIX FILTERING (``dd.prefix_jaccard_join``) —
+    candidates only from rare-shingle prefixes with size-compat
+    pruning, exact intersections routed through the candidate list.
+    The oracle is the brute-force all-pairs shingle join DuckDB can
+    afford at 500 docs; identical survivor sets prove the prefix
+    filter loses NOTHING (it is an exact algorithm, unlike the MinHash
+    estimate next door — and unlike q_jaccard_pairs it runs the whole
+    corpus, not a bounded sub-corpus, because candidate generation is
+    prefix-bounded rather than shingle-collision-bounded)."""
+    docs = t(spark, sf_dir, "documents")
+    return dd.prefix_jaccard_join(
+        docs, "text", "doc_id", k=3, threshold=0.5
+    )
+
+
+_SETSIM_JOIN_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+  FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(ni / (sa.n + sb.n - ni), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE ni / (sa.n + sb.n - ni) >= 0.5
+"""
+
+
 QUERIES = {
+    "setsim_join": q_setsim_join,
     "exact_dedup": q_exact_dedup,
     "minhash_pairs": q_minhash_pairs,
     "minhash_eval": q_minhash_eval,
@@ -1290,6 +1334,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "setsim_join": _SETSIM_JOIN_SQL,
     "exact_dedup": _EXACT_DEDUP_SQL,
     "minhash_pairs": _minhash_sql(),
     "minhash_eval": _minhash_eval_sql(),

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sparkprep.operators import transform
+from sparkprep.operators import graph, transform
 from sparkprep.queries import t
 from sparkprep.session import tune_for_engine
 
@@ -665,7 +665,106 @@ FROM cls ORDER BY c_nationkey, c_mktsegment
 """
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part↔supplier bipartite graph induced by
+    lineitem (who supplies what): 3 keyed-shuffle iterations of
+    ``graph.pagerank`` in integer fixed-point, so the ranks are
+    bit-exact against the oracle's unrolled-CTE replay of the SAME
+    integer recurrence — no float drift, no rounding contract needed.
+    Node ids interleave the two key spaces (part → 2k, supplier →
+    2k+1) to keep one BIGINT node column. The doubled edge list comes
+    from ONE explode over a two-struct array, not a union of selects
+    (the union would re-execute the distinct-pairs shuffle per side —
+    CLAUDE.md re-execution trap)."""
+    li = t(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).dropDuplicates()
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("src"), F.col("dst").alias("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    nodes = t(spark, sf_dir, "part").select(
+        (F.col("p_partkey") * 2).alias("node")
+    ).unionByName(
+        t(spark, sf_dir, "supplier").select(
+            (F.col("s_suppkey") * 2 + 1).alias("node")
+        )
+    )
+    ranks = graph.pagerank(edges, nodes, iterations=3)
+    return ranks.select("node", F.col("rank").cast("long").alias("pr"))
+
+
+def _pagerank_sql(iterations: int = 3, scale: int = 10**12, damping: int = 85) -> str:
+    """Unrolled-CTE mirror of graph.pagerank's integer recurrence:
+    r0 = scale//n everywhere; each step sums pr//deg over in-edges and
+    applies teleport + damped mass in the identical integer ops
+    (DuckDB ``//`` truncates like Spark ``div`` on these positive
+    values; the sum widens to HUGEINT and is cast back at the end)."""
+    lines = [
+        "WITH pairs AS (SELECT DISTINCT l_partkey * 2 AS src,"
+        " l_suppkey * 2 + 1 AS dst FROM lineitem),",
+        "edges AS (SELECT src, dst FROM pairs"
+        " UNION ALL SELECT dst AS src, src AS dst FROM pairs),",
+        "nodes AS (SELECT p_partkey * 2 AS node FROM part"
+        " UNION ALL SELECT s_suppkey * 2 + 1 AS node FROM supplier),",
+        "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),",
+        "params AS (SELECT count(*) AS n FROM nodes),",
+        f"r0 AS (SELECT node, ({scale} // n) AS pr FROM nodes CROSS JOIN params),",
+    ]
+    for i in range(iterations):
+        lines.append(
+            f"c{i + 1} AS (SELECT e.dst AS node, sum(r.pr // deg.d) AS s"
+            f" FROM edges e JOIN deg ON e.src = deg.src"
+            f" JOIN r{i} r ON r.node = e.src GROUP BY e.dst),"
+        )
+        lines.append(
+            f"r{i + 1} AS (SELECT nodes.node,"
+            f" (({scale} // params.n) * {100 - damping}) // 100"
+            f" + (coalesce(c.s, 0) * {damping}) // 100 AS pr"
+            f" FROM nodes CROSS JOIN params"
+            f" LEFT JOIN c{i + 1} c ON nodes.node = c.node),"
+        )
+    lines[-1] = lines[-1].rstrip(",")
+    lines.append(f"SELECT node, pr::BIGINT AS pr FROM r{iterations}")
+    return "\n".join(lines)
+
+
+_PAGERANK_SQL = _pagerank_sql()
+
+
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of the part catalog — cheapest-for-its-size
+    trade-offs (minimize retail price, maximize size): the windowed
+    O(n log n) ``transform.pareto_frontier`` vs the oracle's textbook
+    O(n²) NOT EXISTS dominance scan. Identical survivor sets prove the
+    level-frame running-max formulation handles ties and strictness
+    exactly."""
+    part = t(spark, sf_dir, "part")
+    return transform.pareto_frontier(part, "p_retailprice", "p_size").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+
+
+_SKYLINE_SQL = """
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+"""
+
+
 QUERIES = {
+    "pagerank": q_pagerank,
+    "skyline": q_skyline,
     "merge_upsert": q_merge_upsert,
     "merge_scd2": q_merge_scd2,
     "correlations": q_correlations,
@@ -683,6 +782,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pagerank": _PAGERANK_SQL,
+    "skyline": _SKYLINE_SQL,
     "k_anonymity": _K_ANONYMITY_SQL,
     "filtered_join": _FILTERED_JOIN_SQL,
     "merge_upsert": _MERGE_UPSERT_SQL,

@@ -1256,7 +1256,74 @@ FROM w0
 """
 
 
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type autocorrelation of daily volume at lags 1-3
+    (``temporal.autocorrelation``) — the seasonality/trend probe that
+    decides whether daily_trend's linear fit is even the right model.
+    One daily groupBy, keyed lag window over the |days|-per-key frame,
+    one grouped corr pass; round(4) pins summation-order drift exactly
+    as q_correlations does."""
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events")
+    return temporal.autocorrelation(
+        ev, "event_type", "ts", lags=(1, 2, 3)
+    ).orderBy("event_type")
+
+
+def _autocorr_lag_sql(k: int) -> str:
+    """Exact-int64-moment Pearson for lag k, mirroring
+    temporal.autocorrelation: integer moments (exact), two sqrts of
+    exact ints, one division — bit-identical to Spark. NOT DuckDB's
+    corr(): the Spark side can't use F.corr (ANSI throws on zero
+    variance), so the oracle replays the identical moment formula."""
+    return (
+        f"count(l{k}) AS c{k},"
+        f" sum(CASE WHEN l{k} IS NOT NULL THEN n END) AS sx{k},"
+        f" sum(l{k}) AS sy{k},"
+        f" sum(CASE WHEN l{k} IS NOT NULL THEN n * n END) AS sxx{k},"
+        f" sum(l{k} * l{k}) AS syy{k},"
+        f" sum(n * l{k}) AS sxy{k}"
+    )
+
+
+def _autocorr_out_sql(k: int) -> str:
+    num = f"(c{k} * sxy{k} - sx{k} * sy{k})::DOUBLE"
+    den = (
+        f"sqrt((c{k} * sxx{k} - sx{k} * sx{k})::DOUBLE)"
+        f" * sqrt((c{k} * syy{k} - sy{k} * sy{k})::DOUBLE)"
+    )
+    return f"round(({num} / ({den}))::DECIMAL(18,8), 4)::DOUBLE AS acf_{k}"
+
+
+_AUTOCORR_SQL = f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts)::DATE AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, n,
+         lag(n, 1) OVER w AS l1,
+         lag(n, 2) OVER w AS l2,
+         lag(n, 3) OVER w AS l3
+  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+mom AS (
+  SELECT event_type,
+         {_autocorr_lag_sql(1)},
+         {_autocorr_lag_sql(2)},
+         {_autocorr_lag_sql(3)}
+  FROM lagged GROUP BY event_type
+)
+SELECT event_type,
+       {_autocorr_out_sql(1)},
+       {_autocorr_out_sql(2)},
+       {_autocorr_out_sql(3)}
+FROM mom ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "autocorr": q_autocorr,
     "asof_rate": q_asof_rate,
     "attribution": q_attribution,
     "mad_outliers": q_mad_outliers,
@@ -1291,6 +1358,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "autocorr": _AUTOCORR_SQL,
     "asof_rate": _ASOF_SQL,
     "attribution": _ATTRIBUTION_SQL,
     "mad_outliers": _MAD_SQL,
