@@ -239,3 +239,95 @@ def cooccurrence_pairs(
         F.col("__p.item_a").alias("item_a"),
         F.col("__p.item_b").alias("item_b"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+
+
+def triangle_stats(
+    edges: DataFrame,
+    a_col: str = "item_a",
+    b_col: str = "item_b",
+    round_to: int = 6,
+) -> DataFrame:
+    """Global triangle census of an undirected graph: one row with
+    node / edge / wedge / triangle counts and the global clustering
+    coefficient ``3·T / wedges``.
+
+    ``edges`` must hold each undirected edge ONCE (any per-edge
+    endpoint order, no self-loops, no duplicates — e.g. the
+    ``item_a < item_b`` output of :func:`cooccurrence_pairs`).
+
+    Scale shape — the standard degree-oriented enumeration, which is
+    what keeps triangle counting feasible when a few hub nodes have
+    millions of neighbors:
+
+    - each edge is ORIENTED from its (degree, id)-smaller endpoint to
+      the larger (struct comparison — no composite key arithmetic, no
+      global rank window), so every node's out-neighborhood is bounded
+      by O(√m) regardless of its raw degree;
+    - wedges are enumerated from the oriented list only: the self-join
+      on ``src`` fans out Σ out-deg², the quantity the orientation
+      just bounded — an unoriented self-join fans out Σ deg², which a
+      single celebrity node turns into a full cross product;
+    - each candidate wedge (b, c), ordered by the SAME (degree, id)
+      key, closes into a triangle iff oriented edge (b, c) exists —
+      one hash semi-join probe; every triangle is counted exactly
+      once (its minimum-key vertex is the unique wedge center).
+
+    The oriented list anchors both the wedge join and the probe, so it
+    is lazily localCheckpoint-ed (multi-consumer re-execution trap).
+    Wedge COUNT (open+closed 2-paths) is Σ deg·(deg-1)/2 over the tiny
+    aggregated degree frame — never enumerated. The final result is a
+    5-column single row: any oracle can replay the unoriented 3-way
+    self-join at test scale while this plan survives hub skew.
+    """
+    # und feeds the degree build, the edge count, AND the orientation
+    # join; deg feeds two orientation joins plus the wedge-count
+    # aggregate — both multi-consumer over a potentially expensive
+    # edge-construction subtree, so truncate lineage once here
+    und = edges.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).localCheckpoint(eager=False)
+    # one explode, not a union of selects (re-execution trap)
+    ends = und.select(F.explode(F.array("a", "b")).alias("node"))
+    deg = ends.groupBy("node").agg(
+        F.count(F.lit(1)).alias("d")
+    ).localCheckpoint(eager=False)
+    e = (
+        und.join(deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
+    )
+    ka = F.struct(F.col("da").alias("d"), F.col("a").alias("n"))
+    kb = F.struct(F.col("db").alias("d"), F.col("b").alias("n"))
+    a_first = ka < kb
+    oriented = e.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, kb).otherwise(ka).alias("kd"),
+    ).localCheckpoint(eager=False)
+    e1 = oriented.select(F.col("src"), F.col("dst").alias("b"), F.col("kd").alias("k1"))
+    e2 = oriented.select(F.col("src"), F.col("dst").alias("c"), F.col("kd").alias("k2"))
+    wedges = e1.join(e2, "src").filter(F.col("k1") < F.col("k2")).select("b", "c")
+    closed = wedges.join(
+        oriented.select(F.col("src").alias("b"), F.col("dst").alias("c")),
+        ["b", "c"],
+        "left_semi",
+    )
+    tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    summary = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    degsum = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.expr("(d * (d - 1)) div 2")).cast("long").alias("n_wedges"),
+    )
+    # three single-row frames -> one row: chained 1x1 broadcast cross
+    # joins are constant-size (allow-listed scalar-attach shape, not a
+    # data join); broadcast hints pin BNLJ over CartesianProduct in the
+    # static plan, and the upstream subtrees are checkpoint-truncated
+    out = degsum.crossJoin(F.broadcast(summary)).crossJoin(F.broadcast(tri))
+    return out.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.round(
+            F.try_divide(F.lit(3.0) * F.col("n_triangles"), F.col("n_wedges")), round_to
+        ).alias("clustering"),
+    )

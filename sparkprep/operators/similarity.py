@@ -675,6 +675,73 @@ def semantic_dedup(
     )
 
 
+def mutual_nn_pairs(
+    emb_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    round_to: int = 4,
+) -> DataFrame:
+    """Reciprocal (mutual) nearest-neighbor pairs within hyperplane
+    LSH buckets — the canonical-pair picker for dedup merge queues: a
+    pair survives only if each side is the OTHER's best in-bucket
+    neighbor, which suppresses the hub vectors that one-directional
+    top-1 lists glue to half the corpus.
+
+    Candidate generation reuses :func:`embedding_near_dup_pairs` with
+    the threshold open (≥ −1), so pair cost stays bucket-bounded (the
+    all-pairs exact variant this replaces is O(n²·d)). Each undirected
+    candidate explodes to its two directions in one row-local
+    struct-array explode (never a union of selects — re-execution
+    trap); per-source top-1 is a keyed window (desc cosine, asc
+    neighbor id — deterministic under rounded-cosine ties); mutuality
+    is one self-equi-join on the reversed pair. Vectors alone in
+    their bucket (or zero-norm → NULL cosine) simply drop out.
+    """
+    from pyspark.sql.window import Window
+
+    pairs = embedding_near_dup_pairs(
+        emb_df, id_col, vec_col, threshold=-1.0,
+        num_planes=num_planes, dim=dim, seed=seed, round_to=round_to,
+    )
+    directed = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src"),
+                    F.col("id_b").alias("dst"),
+                    F.col("cosine"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("src"),
+                    F.col("id_a").alias("dst"),
+                    F.col("cosine"),
+                ),
+            )
+        ).alias("__e")
+    ).select("__e.src", "__e.dst", "__e.cosine")
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    top1 = (
+        directed.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("src", "dst", "cosine")
+    ).localCheckpoint(eager=False)  # consumed as BOTH join sides
+    reverse = top1.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return (
+        top1.join(reverse, ["src", "dst"])
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("id_a"),
+            F.col("dst").alias("id_b"),
+            "cosine",
+        )
+    )
+
+
 def topk_ranked(
     df: DataFrame,
     score_col: str,

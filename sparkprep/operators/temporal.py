@@ -576,3 +576,143 @@ def autocorrelation(
             ).cast("double").alias(f"acf_{k}")
         )
     return lagged.groupBy(key_col).agg(*aggs)
+
+
+def window_funnel(
+    df: DataFrame,
+    key_col: str,
+    type_col: str,
+    ts_col: str,
+    stages: list,
+    window: str = "7 days",
+    round_to: int = 4,
+) -> DataFrame:
+    """Ordered conversion funnel with a completion deadline (the
+    product-analytics ``windowFunnel``): per key, stage k counts only
+    if it happens STRICTLY AFTER the key's stage k-1 time and within
+    ``window`` of its stage-1 time; each stage binds to its earliest
+    qualifying event (the canonical earliest-start greedy semantics).
+    Returns one row per stage: ``(stage_idx, stage, users,
+    pct_of_start)``.
+
+    Dataflow — one keyed join chain, not a per-key sequence scan:
+    every step filters the raw stream to ONE stage type (predicate
+    pushed to the scan), equi-joins the previous per-key frame on the
+    key, and min-aggregates — so each stage is a filtered scan plus a
+    keyed shuffle that AQE plans independently, and per-key event
+    counts never need to fit in an array (the collect-and-scan
+    alternative dies on power users at stream scale). The per-stage
+    frames are lazily localCheckpoint-ed: each is consumed by BOTH the
+    next stage and the final counts union, and the union of dependent
+    selects would otherwise re-execute stage 1's subtree once per
+    stage (CLAUDE.md re-execution trap). The final pct window runs
+    over the |stages|-row counts frame only.
+    """
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(type_col).alias("__t"),
+        F.col(ts_col).alias("__ts"),
+    )
+    deadline = F.col("__t1") + F.expr(f"INTERVAL {window}")
+    cur = (
+        base.filter(F.col("__t") == stages[0])
+        .groupBy("__k")
+        .agg(F.min("__ts").alias("__tk"))
+        .withColumn("__t1", F.col("__tk"))
+        .localCheckpoint(eager=False)
+    )
+    per_stage = [cur]
+    for stage in stages[1:]:
+        ev = base.filter(F.col("__t") == stage)
+        cur = (
+            ev.join(cur, "__k")
+            .filter((F.col("__ts") > F.col("__tk")) & (F.col("__ts") <= deadline))
+            .groupBy("__k")
+            .agg(F.min("__ts").alias("__tk"), F.min("__t1").alias("__t1"))
+            .localCheckpoint(eager=False)
+        )
+        per_stage.append(cur)
+    counts = None
+    for idx, (stage, frame) in enumerate(zip(stages, per_stage), start=1):
+        c = frame.agg(
+            F.lit(idx).cast("long").alias("stage_idx"),
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("users"),
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    whole = Window.partitionBy()  # |stages| rows — post-agg, safe
+    return counts.select(
+        "stage_idx",
+        "stage",
+        "users",
+        F.round(
+            F.try_divide(F.col("users"), F.max("users").over(whole)), round_to
+        ).alias("pct_of_start"),
+    )
+
+
+def peak_concurrency(
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    day_col: str = "day",
+) -> DataFrame:
+    """Exact peak concurrent-interval count per calendar day — the
+    sweep-line (+1 at start, −1 past end) over closed intervals
+    ``[start, end]``.
+
+    Scale shape: intervals spanning midnight are first SPLIT at day
+    boundaries (row-local ``sequence``-of-days explode, fan-out =
+    nights spanned), so the running-sum window partitions by DAY —
+    never a global single-partition sweep. Each day's sweep runs over
+    2 deltas per clipped interval; at volumes where one day outgrows a
+    partition, sub-day splitting (same explode, hour grain) is the
+    documented extension. Boundary deltas live at exact int64 epoch
+    microseconds: the −1 lands at ``end + 1µs`` (closed interval) and
+    equal-instant deltas order (−1 before +1), so a session ending
+    exactly when another starts never inflates the peak.
+
+    Returns one row per day: ``(day, n_intervals, peak)`` with ``day``
+    a yyyy-MM-dd STRING (cross-engine date-hash contract) and
+    ``n_intervals`` counting intervals ACTIVE that day (spanners count
+    on each day they touch).
+    """
+    iv = intervals.select(
+        F.col(start_col).alias("__s"), F.col(end_col).alias("__e")
+    )
+    days = iv.select(
+        "__s",
+        "__e",
+        F.explode(
+            F.sequence(F.to_date("__s"), F.to_date("__e"))
+        ).alias("__d"),
+    )
+    day_start = F.unix_micros(F.col("__d").cast("timestamp"))
+    day_end = day_start + F.lit(86_400_000_000 - 1)
+    cs = F.greatest(F.unix_micros("__s"), day_start)
+    ce = F.least(F.unix_micros("__e"), day_end)
+    clipped = days.select(
+        F.col("__d"), cs.alias("__cs"), (ce + F.lit(1)).alias("__ce")
+    )
+    deltas = clipped.select(
+        "__d",
+        F.explode(
+            F.array(
+                F.struct(F.col("__cs").alias("at"), F.lit(1).alias("delta")),
+                F.struct(F.col("__ce").alias("at"), F.lit(-1).alias("delta")),
+            )
+        ).alias("__x"),
+    ).select("__d", F.col("__x.at").alias("__at"), F.col("__x.delta").alias("__delta"))
+    w = (
+        Window.partitionBy("__d")
+        .orderBy("__at", "__delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = deltas.withColumn("__run", F.sum("__delta").over(w))
+    return (
+        swept.groupBy(F.date_format("__d", "yyyy-MM-dd").alias(day_col))
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+            F.max("__run").cast("long").alias("peak"),
+        )
+    )

@@ -161,6 +161,14 @@ _ROUND5_OVERFLOW = [
     "skyline",
     "setsim_join",
     "autocorr",
+    # round-5 session additions (never driver-verified)
+    "triangle_count",
+    "salted_join",
+    "window_funnel",
+    "cohort_retention",
+    "peak_concurrency",
+    "mutual_nn",
+    "chi_square",
 ]
 
 

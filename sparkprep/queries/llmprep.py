@@ -518,6 +518,63 @@ WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 4) >= 0.95
 """
 
 
+def q_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal nearest-neighbor pairs over the planted-dup corpus
+    (each vector + its 1.2-scaled twin): every (v, 1.2v) pair is
+    mutually closest at cosine exactly 1.0, so the expected output is
+    the twin pairing — the dedup merge queue a one-directional top-1
+    would pollute with hub vectors. Candidates stay LSH-bucket-bounded
+    (``sim.mutual_nn_pairs``); the oracle replays bucket signatures,
+    per-source top-1 windows, and the reversed-pair join in SQL."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    scaled = emb.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 1.2).alias(
+            "embedding"
+        ),
+    )
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    corpus = base.unionByName(scaled)
+    return sim.mutual_nn_pairs(
+        corpus, num_planes=_PLANES, dim=_DIM, seed=42
+    )
+
+
+_MUTUAL_NN_SQL = f"""
+WITH corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id, list_transform(embedding, x -> x::DOUBLE * 1.2) AS embedding
+  FROM embeddings
+),
+sigs AS (SELECT vec_id, embedding, ({_sig_sql('embedding')}) AS sig FROM corpus),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({_cos_sql('a.embedding', 'b.embedding')}, 4) AS cosine
+  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+  WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 4) >= -1.0
+),
+directed AS (
+  SELECT id_a AS src, id_b AS dst, cosine FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst, cosine FROM pairs
+),
+top1 AS (
+  SELECT src, dst, cosine FROM (
+    SELECT src, dst, cosine,
+           row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rk
+    FROM directed
+  ) WHERE rk = 1
+)
+SELECT t1.src AS id_a, t1.dst AS id_b, t1.cosine AS cosine
+FROM top1 t1 JOIN top1 t2 ON t1.dst = t2.src AND t1.src = t2.dst
+WHERE t1.src < t1.dst
+"""
+
+
 def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup-cluster-aware leakage-safe split: transitive MinHash
     clusters (dedup_clusters) dealt 80/10/10 by md5 of the CLUSTER rep
@@ -1306,6 +1363,7 @@ WHERE ni / (sa.n + sb.n - ni) >= 0.5
 
 QUERIES = {
     "setsim_join": q_setsim_join,
+    "mutual_nn": q_mutual_nn,
     "exact_dedup": q_exact_dedup,
     "minhash_pairs": q_minhash_pairs,
     "minhash_eval": q_minhash_eval,
@@ -1335,6 +1393,7 @@ QUERIES = {
 
 ORACLES = {
     "setsim_join": _SETSIM_JOIN_SQL,
+    "mutual_nn": _MUTUAL_NN_SQL,
     "exact_dedup": _EXACT_DEDUP_SQL,
     "minhash_pairs": _minhash_sql(),
     "minhash_eval": _minhash_eval_sql(),

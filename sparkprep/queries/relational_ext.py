@@ -762,8 +762,104 @@ WHERE NOT EXISTS (
 """
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted equi-join, adjudicated by EQUIVALENCE: revenue
+    by supplier nation computed through ``skew.salted_join`` (left
+    salted with rand(seed), right replicated across all salt buckets)
+    must hash-equal the oracle's plain join — salt only ROUTES rows,
+    the (key, salt) equi-join preserves the multiset exactly, and the
+    decimal revenue sum is order-independent, so the check is
+    salt-value-agnostic. At this dim size a broadcast would win; the
+    operator targets the regime where the right side exceeds the
+    broadcast threshold but a few left keys are hot enough to stall
+    AQE's skew splitting. Nation (25 rows) broadcasts on top."""
+    from sparkprep.operators.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,4)")
+        .alias("__rev"),
+    )
+    sup = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    nat = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = salted_join(li, sup, on="suppkey", salt_buckets=8)
+    return (
+        joined.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(F.sum("__rev"), 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+_SALTED_JOIN_SQL = """
+SELECT n_name, count(*)::BIGINT AS n_items,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)), 2)::DOUBLE AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the co-purchase affinity graph: parts are
+    linked when they appear together in ≥2 orders (the support
+    threshold that turns a random co-occurrence hairball — 1.2M pairs
+    at sf0.1 — into a ~3.5k-edge affinity graph, the standard
+    market-basket construction). Edge building reuses
+    ``graph.cooccurrence_pairs`` (one groupBy + row-local pair
+    explode, fan-out capped per order); the census itself is
+    ``graph.triangle_stats``' degree-oriented enumeration, which
+    bounds the wedge join by Σ out-deg² = O(m^1.5) even when a hub
+    part dominates. The oracle replays the textbook unoriented 3-way
+    self-join — feasible at sf0.01, exactly the plan the oriented
+    version exists to avoid at scale."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = graph.cooccurrence_pairs(
+        li, "l_orderkey", "l_partkey", max_items_per_key=64
+    ).filter(F.col("n_keys") >= 2)
+    return graph.triangle_stats(edges)
+
+
+_TRIANGLE_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT pa AS node FROM e UNION ALL SELECT pb AS node FROM e
+  ) GROUP BY 1
+),
+w AS (SELECT count(*) AS n_nodes, sum((d * (d - 1)) // 2) AS n_wedges FROM deg),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e1.pb = e2.pa
+  JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+)
+SELECT w.n_nodes::BIGINT AS n_nodes,
+       (SELECT count(*) FROM e)::BIGINT AS n_edges,
+       w.n_wedges::BIGINT AS n_wedges,
+       tri.n_triangles::BIGINT AS n_triangles,
+       CASE WHEN w.n_wedges = 0 THEN NULL
+            ELSE round(3.0 * tri.n_triangles / w.n_wedges, 6) END AS clustering
+FROM w, tri
+"""
+
+
 QUERIES = {
     "pagerank": q_pagerank,
+    "triangle_count": q_triangle_count,
+    "salted_join": q_salted_join,
     "skyline": q_skyline,
     "merge_upsert": q_merge_upsert,
     "merge_scd2": q_merge_scd2,
@@ -783,6 +879,8 @@ QUERIES = {
 
 ORACLES = {
     "pagerank": _PAGERANK_SQL,
+    "triangle_count": _TRIANGLE_SQL,
+    "salted_join": _SALTED_JOIN_SQL,
     "skyline": _SKYLINE_SQL,
     "k_anonymity": _K_ANONYMITY_SQL,
     "filtered_join": _FILTERED_JOIN_SQL,

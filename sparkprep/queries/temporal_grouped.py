@@ -1322,8 +1322,264 @@ FROM mom ORDER BY event_type
 """
 
 
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deadline-bounded ordered funnel signup → view → click →
+    purchase: a user advances a stage only with an event strictly
+    after their previous stage and within 7 days of their first
+    signup (``temporal.window_funnel``'s earliest-start greedy
+    chain). The step-count companion of conversion_latency — how MANY
+    reach each stage in order, not just how fast the converters are.
+    The oracle replays the identical sequential-min CTE chain."""
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events")
+    return temporal.window_funnel(
+        ev, "user_id", "event_type", "ts",
+        ["signup", "view", "click", "purchase"], window="7 days",
+    )
+
+
+_WINDOW_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS tk, min(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS tk, min(s1.t1) AS t1
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > s1.tk
+    AND e.ts <= s1.t1 + INTERVAL 7 DAY
+  GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS tk, min(s2.t1) AS t1
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s2.tk
+    AND e.ts <= s2.t1 + INTERVAL 7 DAY
+  GROUP BY 1
+),
+s4 AS (
+  SELECT e.user_id, min(e.ts) AS tk
+  FROM events e JOIN s3 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s3.tk
+    AND e.ts <= s3.t1 + INTERVAL 7 DAY
+  GROUP BY 1
+),
+c AS (
+  SELECT 1::BIGINT AS stage_idx, 'signup' AS stage, count(*)::BIGINT AS users FROM s1
+  UNION ALL SELECT 2, 'view', count(*) FROM s2
+  UNION ALL SELECT 3, 'click', count(*) FROM s3
+  UNION ALL SELECT 4, 'purchase', count(*) FROM s4
+)
+SELECT stage_idx, stage, users,
+       round(users / (max(users) OVER ()), 4) AS pct_of_start
+FROM c
+"""
+
+
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of event_type × day-of-week (is
+    traffic mix stable across the week?) with Cramér's V effect size —
+    the categorical-drift companion of mutual_info. One map-combined
+    groupBy builds the contingency grid; the three marginal windows run
+    over the AGGREGATED ≤|types|·7-row frame. Day-of-week is exact
+    int64 epoch-day arithmetic ((epoch_us div 86400000000) % 7 — no
+    locale/day-name dependence); each χ² term is 3 IEEE ops on exact
+    ints cast to DECIMAL(18,8) per-row so the cross-engine sum is
+    order-independent (CLAUDE.md decimal-sum contract)."""
+    tune_for_engine(spark)
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type",
+        F.expr("(unix_micros(ts) div 86400000000) % 7").alias("__dow"),
+    ).agg(F.count(F.lit(1)).alias("__o"))
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("__dow")
+    wall = Window.partitionBy()
+    staged = obs.select(
+        "event_type",
+        "__dow",
+        F.col("__o"),
+        F.sum("__o").over(wr).alias("__rt"),
+        F.sum("__o").over(wc).alias("__ct"),
+        F.sum("__o").over(wall).alias("__n"),
+    )
+    e = (F.col("__rt").cast("double") * F.col("__ct").cast("double")) / F.col(
+        "__n"
+    )
+    term = (
+        ((F.col("__o") - e) * (F.col("__o") - e)) / e
+    ).cast("decimal(18,8)")
+    dof = (
+        (F.count_distinct("event_type") - 1) * (F.count_distinct("__dow") - 1)
+    ).cast("long")
+    k = F.least(
+        F.count_distinct("event_type") - 1, F.count_distinct("__dow") - 1
+    )
+    return staged.select("event_type", "__dow", "__n", term.alias("__term")).agg(
+        F.round(F.sum("__term"), 4).cast("double").alias("chi2"),
+        dof.alias("dof"),
+        F.max("__n").cast("long").alias("n"),
+        F.round(
+            F.sqrt(
+                F.sum("__term").cast("double") / (F.max("__n") * k)
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+_CHI_SQUARE_SQL = """
+WITH obs AS (
+  SELECT event_type, (epoch_us(ts) // 86400000000) % 7 AS dow, count(*) AS o
+  FROM events GROUP BY 1, 2
+),
+staged AS (
+  SELECT event_type, dow, o,
+         sum(o) OVER (PARTITION BY event_type) AS rt,
+         sum(o) OVER (PARTITION BY dow) AS ct,
+         sum(o) OVER () AS n
+  FROM obs
+),
+terms AS (
+  SELECT event_type, dow, n,
+         (((o - (rt::DOUBLE * ct::DOUBLE) / n)
+           * (o - (rt::DOUBLE * ct::DOUBLE) / n))
+          / ((rt::DOUBLE * ct::DOUBLE) / n))::DECIMAL(18,8) AS term
+  FROM staged
+)
+SELECT round(sum(term), 4)::DOUBLE AS chi2,
+       ((count(DISTINCT event_type) - 1) * (count(DISTINCT dow) - 1))::BIGINT AS dof,
+       max(n)::BIGINT AS n,
+       round(sqrt(sum(term)::DOUBLE /
+                  (max(n) * least(count(DISTINCT event_type) - 1,
+                                  count(DISTINCT dow) - 1))), 6) AS cramers_v
+FROM terms
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention triangle: users grouped by first-active
+    day, counted on each later active day, as a share of the cohort's
+    day-0 size. One dropDuplicates exchange on (user, day) feeds BOTH
+    the first-day aggregate and the join back (same user_id hash
+    partitioning — AQE reuses the exchange); the retention divisor is
+    a window over the AGGREGATED (cohort, offset) frame (≤ days² rows).
+    Day emitted as a yyyy-MM-dd string (cross-engine date-hash
+    contract, CLAUDE.md)."""
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("__d")
+    )
+    ud = ev.dropDuplicates(["user_id", "__d"])
+    first = ud.groupBy("user_id").agg(F.min("__d").alias("__c"))
+    agg = (
+        ud.join(first, "user_id")
+        .groupBy(
+            F.date_format("__c", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("__d", "__c").cast("long").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("users"))
+    )
+    from pyspark.sql.window import Window
+
+    per_cohort = Window.partitionBy("cohort_day")
+    base = F.max(
+        F.when(F.col("day_offset") == 0, F.col("users"))
+    ).over(per_cohort)
+    return agg.select(
+        "cohort_day",
+        "day_offset",
+        "users",
+        F.round(F.try_divide(F.col("users"), base), 4).alias("retention"),
+    )
+
+
+_COHORT_RETENTION_SQL = """
+WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events),
+f AS (SELECT user_id, min(d) AS c FROM ud GROUP BY 1),
+a AS (
+  SELECT strftime(f.c, '%Y-%m-%d') AS cohort_day,
+         (ud.d - f.c)::BIGINT AS day_offset,
+         count(*)::BIGINT AS users
+  FROM ud JOIN f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT cohort_day, day_offset, users,
+       round(users / (max(CASE WHEN day_offset = 0 THEN users END)
+                      OVER (PARTITION BY cohort_day)), 4) AS retention
+FROM a
+"""
+
+
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent user sessions per calendar day: 30-minute-gap
+    sessions (``temporal.sessionize_ids``, exact int64-µs gap math)
+    collapsed to [first, last] intervals, then the exact sweep-line of
+    ``temporal.peak_concurrency`` — midnight-spanning sessions split
+    at day boundaries so the running-sum window partitions by day,
+    never a global sweep. The oracle replays the identical
+    sessionize → clip → sweep chain in SQL windows."""
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    sess = temporal.sessionize_ids(
+        ev, ["user_id"], "ts", gap="30 minutes",
+        order_cols=["ts", "event_id"],
+    )
+    iv = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    return temporal.peak_concurrency(iv, "s", "e")
+
+
+_PEAK_CONCURRENCY_SQL = """
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+),
+iv AS (
+  SELECT user_id, session_id, min(ts) AS s, max(ts) AS e
+  FROM sess GROUP BY 1, 2
+),
+clipped AS (
+  SELECT d::DATE AS d,
+         greatest(epoch_us(s), epoch_us(d::DATE::TIMESTAMP)) AS cs,
+         least(epoch_us(e), epoch_us(d::DATE::TIMESTAMP) + 86399999999) + 1 AS ce
+  FROM iv, UNNEST(generate_series(s::DATE, e::DATE, INTERVAL 1 DAY)) AS u(d)
+),
+deltas AS (
+  SELECT d, cs AS at, 1 AS delta FROM clipped
+  UNION ALL
+  SELECT d, ce AS at, -1 AS delta FROM clipped
+),
+swept AS (
+  SELECT d, sum(delta) OVER (PARTITION BY d ORDER BY at, delta
+                             ROWS UNBOUNDED PRECEDING) AS run
+  FROM deltas
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       (count(*) // 2)::BIGINT AS n_intervals,
+       max(run)::BIGINT AS peak
+FROM swept GROUP BY d
+"""
+
+
 QUERIES = {
     "autocorr": q_autocorr,
+    "window_funnel": q_window_funnel,
+    "chi_square": q_chi_square,
+    "cohort_retention": q_cohort_retention,
+    "peak_concurrency": q_peak_concurrency,
     "asof_rate": q_asof_rate,
     "attribution": q_attribution,
     "mad_outliers": q_mad_outliers,
@@ -1359,6 +1615,10 @@ QUERIES = {
 
 ORACLES = {
     "autocorr": _AUTOCORR_SQL,
+    "window_funnel": _WINDOW_FUNNEL_SQL,
+    "chi_square": _CHI_SQUARE_SQL,
+    "cohort_retention": _COHORT_RETENTION_SQL,
+    "peak_concurrency": _PEAK_CONCURRENCY_SQL,
     "asof_rate": _ASOF_SQL,
     "attribution": _ATTRIBUTION_SQL,
     "mad_outliers": _MAD_SQL,

@@ -53,6 +53,7 @@ _TINY_BROADCAST_CROSS = {
     "vocab_coverage",    # 1-row folded coverage x 1-row token total
     "quantile_normalize",  # 1-row reference-size scalar attach
     "retrieval_overlap",   # dense leg = 1 query vector broadcast x corpus
+    "triangle_count",    # 1-row node/edge/triangle census frames attach
 }
 
 # the one deliberate Python-row-path showcase: a Python UDTF (SURVEY
