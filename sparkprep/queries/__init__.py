@@ -169,6 +169,8 @@ _ROUND5_OVERFLOW = [
     "peak_concurrency",
     "mutual_nn",
     "chi_square",
+    "anova_f",
+    "spearman",
 ]
 
 

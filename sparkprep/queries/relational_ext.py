@@ -762,6 +762,50 @@ WHERE NOT EXISTS (
 """
 
 
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of quantity vs discount WITHOUT a
+    global sort: mid-rank average ranks come from the value-frequency
+    tables (50 and 11 distinct values — the ranking window runs over
+    those aggregated frames, never the corpus), join back as broadcast
+    dimensions, and ρ is Pearson over exact-integer doubled ranks
+    (``stats.spearman``). The outlier-immune companion of the Pearson
+    ``correlations`` panel."""
+    from sparkprep.operators.stats import spearman
+
+    li = t(spark, sf_dir, "lineitem")
+    return spearman(li, "l_quantity", "l_discount")
+
+
+_SPEARMAN_SQL = """
+WITH staged AS (
+  SELECT l_quantity AS x, l_discount AS y FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+),
+cx AS (SELECT x AS v, count(*) AS c FROM staged GROUP BY 1),
+rx AS (SELECT v, 2 * sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c + 1 AS r2 FROM cx),
+cy AS (SELECT y AS v, count(*) AS c FROM staged GROUP BY 1),
+ry AS (SELECT v, 2 * sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c + 1 AS r2 FROM cy),
+ranked AS (
+  SELECT rx.r2 AS rxv, ry.r2 AS ryv
+  FROM staged JOIN rx ON staged.x = rx.v JOIN ry ON staged.y = ry.v
+),
+sums AS (
+  SELECT count(*) AS n,
+         sum(rxv::DECIMAL(38,0)) AS sx, sum(ryv::DECIMAL(38,0)) AS sy,
+         sum((rxv * ryv)::DECIMAL(38,0)) AS sxy,
+         sum((rxv * rxv)::DECIMAL(38,0)) AS sxx,
+         sum((ryv * ryv)::DECIMAL(38,0)) AS syy
+  FROM ranked
+)
+SELECT round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 4)
+         AS spearman_rho,
+       n::BIGINT AS n_rows
+FROM sums
+"""
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted equi-join, adjudicated by EQUIVALENCE: revenue
     by supplier nation computed through ``skew.salted_join`` (left
@@ -860,6 +904,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "triangle_count": q_triangle_count,
     "salted_join": q_salted_join,
+    "spearman": q_spearman,
     "skyline": q_skyline,
     "merge_upsert": q_merge_upsert,
     "merge_scd2": q_merge_scd2,
@@ -881,6 +926,7 @@ ORACLES = {
     "pagerank": _PAGERANK_SQL,
     "triangle_count": _TRIANGLE_SQL,
     "salted_join": _SALTED_JOIN_SQL,
+    "spearman": _SPEARMAN_SQL,
     "skyline": _SKYLINE_SQL,
     "k_anonymity": _K_ANONYMITY_SQL,
     "filtered_join": _FILTERED_JOIN_SQL,

@@ -1459,6 +1459,43 @@ FROM terms
 """
 
 
+def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA: does mean event value differ across event types?
+    (The k-group generalization of ab_test's two-sample compare.) One
+    map-combined groupBy builds the k per-group sufficient statistics;
+    the F fold runs on the k-row frame. All accumulation decimal-exact
+    (``stats.anova_f``); the oracle replays the identical
+    sums-of-squares identities."""
+    from sparkprep.operators.stats import anova_f
+
+    ev = t(spark, sf_dir, "events")
+    return anova_f(ev, "value", "event_type")
+
+
+_ANOVA_F_SQL = """
+WITH per AS (
+  SELECT event_type, count(*) AS n,
+         sum(value::DECIMAL(18,6)) AS s,
+         sum(value::DECIMAL(18,6) * value::DECIMAL(18,6)) AS q
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+folded AS (
+  SELECT count(*) AS k, sum(n) AS nn, sum(s) AS ss, sum(q) AS qq,
+         sum(((s::DOUBLE * s::DOUBLE) / n)::DECIMAL(30,8)) AS g
+  FROM per
+)
+SELECT round(((g::DOUBLE - (ss::DOUBLE * ss::DOUBLE) / nn) / (k - 1))
+             / ((qq::DOUBLE - g::DOUBLE) / (nn - k)), 6) AS f_stat,
+       (k - 1)::BIGINT AS df_between,
+       (nn - k)::BIGINT AS df_within,
+       nn::BIGINT AS n_rows,
+       round((g::DOUBLE - (ss::DOUBLE * ss::DOUBLE) / nn)
+             / ((g::DOUBLE - (ss::DOUBLE * ss::DOUBLE) / nn)
+                + (qq::DOUBLE - g::DOUBLE)), 6) AS eta_sq
+FROM folded
+"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic cohort-retention triangle: users grouped by first-active
     day, counted on each later active day, as a share of the cohort's
@@ -1578,6 +1615,7 @@ QUERIES = {
     "autocorr": q_autocorr,
     "window_funnel": q_window_funnel,
     "chi_square": q_chi_square,
+    "anova_f": q_anova_f,
     "cohort_retention": q_cohort_retention,
     "peak_concurrency": q_peak_concurrency,
     "asof_rate": q_asof_rate,
@@ -1617,6 +1655,7 @@ ORACLES = {
     "autocorr": _AUTOCORR_SQL,
     "window_funnel": _WINDOW_FUNNEL_SQL,
     "chi_square": _CHI_SQUARE_SQL,
+    "anova_f": _ANOVA_F_SQL,
     "cohort_retention": _COHORT_RETENTION_SQL,
     "peak_concurrency": _PEAK_CONCURRENCY_SQL,
     "asof_rate": _ASOF_SQL,

@@ -228,3 +228,54 @@ def test_chi_square_uniform_grid_is_zero(spark):
         (((F.col("__o") - e) * (F.col("__o") - e)) / e).alias("t")
     ).agg(F.sum("t").alias("chi2")).collect()[0].chi2
     assert chi2 == 0.0
+
+
+def test_anova_f_hand_math(spark):
+    from sparkprep.operators.stats import anova_f
+
+    # g1=[1,2,3] (mean 2), g2=[4,5,6] (mean 5), grand mean 3.5
+    # SSB = 3*(1.5)^2 * 2 = 13.5; SSW = 2 + 2 = 4
+    # F = (13.5/1) / (4/4) = 13.5; eta^2 = 13.5/17.5
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 4.0), ("b", 5.0), ("b", 6.0)],
+        ["g", "v"],
+    )
+    row = anova_f(df, "v", "g").collect()[0]
+    assert row.f_stat == 13.5
+    assert (row.df_between, row.df_within, row.n_rows) == (1, 4, 6)
+    assert row.eta_sq == round(13.5 / 17.5, 6)
+
+
+def test_anova_f_null_values_drop(spark):
+    from sparkprep.operators.stats import anova_f
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("b", 2.0), ("b", 3.0)], ["g", "v"]
+    )
+    row = anova_f(df, "v", "g").collect()[0]
+    assert row.n_rows == 3
+
+
+def test_spearman_monotone_with_ties(spark):
+    from sparkprep.operators.stats import spearman
+
+    # strictly increasing with tied middle values: rho == 1.0 exactly
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (3.0, 40.0)], ["x", "y"]
+    )
+    assert spearman(df, "x", "y").collect()[0].spearman_rho == 1.0
+    # anti-monotone: -1.0
+    df2 = spark.createDataFrame(
+        [(1.0, 40.0), (2.0, 20.0), (3.0, 10.0)], ["x", "y"]
+    )
+    assert spearman(df2, "x", "y").collect()[0].spearman_rho == -1.0
+
+
+def test_spearman_outlier_immune(spark):
+    from sparkprep.operators.stats import spearman
+
+    # a wild outlier doesn't move rank correlation off 1.0
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (4.0, 1e9)], ["x", "y"]
+    )
+    assert spearman(df, "x", "y").collect()[0].spearman_rho == 1.0
