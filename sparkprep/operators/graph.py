@@ -331,3 +331,135 @@ def triangle_stats(
             F.try_divide(F.lit(3.0) * F.col("n_triangles"), F.col("n_wedges")), round_to
         ).alias("clustering"),
     )
+
+
+def assortativity(
+    edges: DataFrame,
+    a_col: str = "item_a",
+    b_col: str = "item_b",
+    round_to: int = 4,
+) -> DataFrame:
+    """Degree assortativity of an undirected graph: the Pearson
+    correlation of (deg(u), deg(v)) over the DIRECTED edge ends — the
+    one-number answer to "do hubs link to hubs (r>0) or to leaves
+    (r<0)", the standard Newman formulation.
+
+    ``edges`` holds each undirected edge once (any endpoint order).
+    Degrees come from one explode + map-combined groupBy (the triangle
+    census' shape); each edge then explodes to both directions
+    row-locally and joins the degree map twice. All Pearson sums run
+    on exact int64 degrees cast per-row to DECIMAL(38,0) — the finish
+    is 5 IEEE ops on deterministic inputs (the stats.spearman
+    contract). Returns one row ``(assortativity, n_nodes, n_edges)``.
+    Constant-degree graphs (zero variance) yield NULL via try_divide.
+    """
+    und = edges.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).localCheckpoint(eager=False)  # feeds degrees AND the direction explode
+    ends = und.select(F.explode(F.array("a", "b")).alias("node"))
+    deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    directed = und.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    joined = (
+        directed.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    d38 = "decimal(38,0)"
+    sums = joined.agg(
+        F.count(F.lit(1)).alias("__m"),
+        F.sum(F.col("du").cast(d38)).alias("__sx"),
+        F.sum(F.col("dv").cast(d38)).alias("__sy"),
+        F.sum((F.col("du") * F.col("dv")).cast(d38)).alias("__sxy"),
+        F.sum((F.col("du") * F.col("du")).cast(d38)).alias("__sxx"),
+        F.sum((F.col("dv") * F.col("dv")).cast(d38)).alias("__syy"),
+    )
+    m = F.col("__m").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    num = m * F.col("__sxy").cast("double") - sx * sy
+    dx = m * F.col("__sxx").cast("double") - sx * sx
+    dy = m * F.col("__syy").cast("double") - sy * sy
+    r = F.try_divide(num, F.sqrt(dx) * F.sqrt(dy))
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    return (
+        sums.select(
+            F.round(r, round_to).alias("assortativity"),
+            F.expr("__m div 2").cast("long").alias("n_edges"),
+        )
+        .crossJoin(F.broadcast(n_nodes))
+        .select("assortativity", "n_nodes", "n_edges")
+    )
+
+
+def association_rules(
+    pairs: DataFrame,
+    item_counts: DataFrame,
+    n_baskets: int,
+    top: int = 20,
+    min_support: int = 2,
+    round_to: int = 4,
+) -> DataFrame:
+    """Market-basket association rules from a co-occurrence pair table:
+    for every directed rule a→b with pair support ≥ ``min_support``,
+    confidence = sup(ab)/n(a) and lift = N·sup(ab)/(n(a)·n(b)), top-k
+    by lift (desc; antecedent, consequent id tie-break — deterministic
+    for the oracle).
+
+    ``pairs`` is :func:`cooccurrence_pairs` output (item_a < item_b,
+    n_keys); ``item_counts`` maps item → basket count; ``n_baskets``
+    is the one bounded driver scalar (numeric.py A6 contract). Both
+    rule directions come from one row-local struct-array explode;
+    confidence/lift are single IEEE divisions of exact int64 counts
+    (bit-identical cross-engine, no rounding contract needed beyond
+    display rounding). The top-k compiles to TakeOrderedAndProject —
+    no global sort of the rule stream.
+    """
+    sup = pairs.filter(F.col("n_keys") >= min_support)
+    directed = sup.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("antecedent"),
+                    F.col("item_b").alias("consequent"),
+                    F.col("n_keys").alias("support"),
+                ),
+                F.struct(
+                    F.col("item_b").alias("antecedent"),
+                    F.col("item_a").alias("consequent"),
+                    F.col("n_keys").alias("support"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.antecedent", "r.consequent", "r.support")
+    ca = item_counts.select(
+        F.col("item").alias("antecedent"), F.col("n").alias("__na")
+    )
+    cb = item_counts.select(
+        F.col("item").alias("consequent"), F.col("n").alias("__nb")
+    )
+    scored = (
+        directed.join(ca, "antecedent")
+        .join(cb, "consequent")
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("support").cast("long").alias("support"),
+            F.round(
+                F.col("support") / F.col("__na"), round_to
+            ).alias("confidence"),
+            F.round(
+                (F.lit(int(n_baskets)) * F.col("support"))
+                / (F.col("__na") * F.col("__nb")),
+                round_to,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift"), "antecedent", "consequent"
+    ).limit(top)

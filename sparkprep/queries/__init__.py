@@ -171,6 +171,8 @@ _ROUND5_OVERFLOW = [
     "chi_square",
     "anova_f",
     "spearman",
+    "assortativity",
+    "assoc_rules",
 ]
 
 

@@ -900,9 +900,110 @@ FROM w, tri
 """
 
 
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the support-≥2 co-purchase graph (the
+    triangle_count graph): do frequently-bundled parts attach to other
+    hubs or to one-off partners? ``graph.assortativity`` — exact
+    int64 degree Pearson with decimal sums; the oracle replays the
+    directed-ends join."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = graph.cooccurrence_pairs(
+        li, "l_orderkey", "l_partkey", max_items_per_key=64
+    ).filter(F.col("n_keys") >= 2)
+    return graph.assortativity(edges)
+
+
+_ASSORTATIVITY_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT pa AS node FROM e UNION ALL SELECT pb AS node FROM e
+  ) GROUP BY 1
+),
+dirs AS (
+  SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb AS u, pa AS v FROM e
+),
+j AS (
+  SELECT d1.d AS du, d2.d AS dv
+  FROM dirs JOIN deg d1 ON dirs.u = d1.node JOIN deg d2 ON dirs.v = d2.node
+),
+sums AS (
+  SELECT count(*) AS m,
+         sum(du::DECIMAL(38,0)) AS sx, sum(dv::DECIMAL(38,0)) AS sy,
+         sum((du * dv)::DECIMAL(38,0)) AS sxy,
+         sum((du * du)::DECIMAL(38,0)) AS sxx,
+         sum((dv * dv)::DECIMAL(38,0)) AS syy
+  FROM j
+)
+SELECT round((m::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / (sqrt(m::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                * sqrt(m::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 4)
+         AS assortativity,
+       (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+       (m // 2)::BIGINT AS n_edges
+FROM sums
+"""
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 association rules by lift over the order→part baskets
+    (support ≥ 2): the actionable read of the co-purchase graph —
+    confidence = sup/n(antecedent), lift = N·sup/(n(a)·n(b)), every
+    metric a single IEEE division of exact int64 counts. Pair stream
+    reuses ``graph.cooccurrence_pairs``; both rule directions explode
+    row-locally; the top-k compiles to TakeOrderedAndProject."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op = li.dropDuplicates()
+    pairs = graph.cooccurrence_pairs(
+        li, "l_orderkey", "l_partkey", max_items_per_key=64
+    )
+    item_counts = op.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    n_baskets = op.select("l_orderkey").distinct().count()
+    return graph.association_rules(
+        pairs, item_counts, n_baskets, top=20, min_support=2
+    )
+
+
+_ASSOC_RULES_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS sup
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+ic AS (SELECT l_partkey AS item, count(*) AS n FROM op GROUP BY 1),
+nb AS (SELECT count(DISTINCT l_orderkey) AS n FROM op),
+dirs AS (
+  SELECT pa AS antecedent, pb AS consequent, sup FROM e
+  UNION ALL
+  SELECT pb AS antecedent, pa AS consequent, sup FROM e
+)
+SELECT antecedent, consequent, sup::BIGINT AS support,
+       round(sup / ca.n, 4) AS confidence,
+       round((nb.n * sup) / (ca.n * cb.n), 4) AS lift
+FROM dirs
+JOIN ic ca ON dirs.antecedent = ca.item
+JOIN ic cb ON dirs.consequent = cb.item
+CROSS JOIN nb
+ORDER BY lift DESC, antecedent, consequent
+LIMIT 20
+"""
+
+
 QUERIES = {
     "pagerank": q_pagerank,
     "triangle_count": q_triangle_count,
+    "assortativity": q_assortativity,
+    "assoc_rules": q_assoc_rules,
     "salted_join": q_salted_join,
     "spearman": q_spearman,
     "skyline": q_skyline,
@@ -925,6 +1026,8 @@ QUERIES = {
 ORACLES = {
     "pagerank": _PAGERANK_SQL,
     "triangle_count": _TRIANGLE_SQL,
+    "assortativity": _ASSORTATIVITY_SQL,
+    "assoc_rules": _ASSOC_RULES_SQL,
     "salted_join": _SALTED_JOIN_SQL,
     "spearman": _SPEARMAN_SQL,
     "skyline": _SKYLINE_SQL,

@@ -54,6 +54,7 @@ _TINY_BROADCAST_CROSS = {
     "quantile_normalize",  # 1-row reference-size scalar attach
     "retrieval_overlap",   # dense leg = 1 query vector broadcast x corpus
     "triangle_count",    # 1-row node/edge/triangle census frames attach
+    "assortativity",     # 1-row Pearson sums x 1-row node count attach
 }
 
 # the one deliberate Python-row-path showcase: a Python UDTF (SURVEY

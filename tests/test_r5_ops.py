@@ -279,3 +279,47 @@ def test_spearman_outlier_immune(spark):
         [(1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (4.0, 1e9)], ["x", "y"]
     )
     assert spearman(df, "x", "y").collect()[0].spearman_rho == 1.0
+
+
+def test_assortativity_star_is_negative_one(spark):
+    from sparkprep.operators.graph import assortativity
+
+    # star K1,3: every edge links deg-3 hub to deg-1 leaf -> r = -1
+    df = _edges(spark, [(0, 1), (0, 2), (0, 3)])
+    row = assortativity(df, "item_a", "item_b").collect()[0]
+    assert row.assortativity == -1.0
+    assert (row.n_nodes, row.n_edges) == (4, 3)
+
+
+def test_assortativity_regular_graph_null(spark):
+    from sparkprep.operators.graph import assortativity
+
+    # cycle C4: all degrees equal -> zero variance -> NULL (try_divide)
+    df = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+    row = assortativity(df, "item_a", "item_b").collect()[0]
+    assert row.assortativity is None
+
+
+def test_association_rules_hand_math(spark):
+    from sparkprep.operators.graph import association_rules
+
+    # baskets: {A,B} x3, {A} x1, {B,C} x1  (N=5)
+    # n(A)=4, n(B)=4, n(C)=1; sup(AB)=3
+    # conf(A->B)=3/4, lift = 5*3/(4*4)=0.9375
+    pairs = spark.createDataFrame(
+        [("A", "B", 3), ("B", "C", 1)], ["item_a", "item_b", "n_keys"]
+    )
+    counts = spark.createDataFrame(
+        [("A", 4), ("B", 4), ("C", 1)], ["item", "n"]
+    )
+    out = {
+        (r.antecedent, r.consequent): r
+        for r in association_rules(
+            pairs, counts, n_baskets=5, top=10, min_support=2
+        ).collect()
+    }
+    assert set(out) == {("A", "B"), ("B", "A")}  # BC below min_support
+    assert out[("A", "B")].support == 3
+    assert out[("A", "B")].confidence == 0.75
+    assert out[("A", "B")].lift == 0.9375
+    assert out[("B", "A")].confidence == 0.75
