@@ -173,6 +173,7 @@ _ROUND5_OVERFLOW = [
     "spearman",
     "assortativity",
     "assoc_rules",
+    "gini_revenue",
 ]
 
 

@@ -900,6 +900,73 @@ FROM w, tri
 """
 
 
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue — the classic inequality
+    number beside revenue_concentration's HHI/top-10 share. Identity
+    G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over revenues sorted ascending:
+    per-customer revenue is an exact DECIMAL sum off one keyed join;
+    the rank window runs on the AGGREGATED per-customer frame (|cust|
+    rows — the sanctioned post-agg global window, same shape as
+    revenue_concentration), with (revenue, custkey) ordering so ties
+    are deterministic (equal values make Σ i·xᵢ order-invariant
+    anyway). Σ i·xᵢ is decimal-exact (bigint × decimal); the finish is
+    4 IEEE ops."""
+    tune_for_engine(spark)
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    money = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(money).alias("__rev"))
+    )
+    w = Window.orderBy("__rev", "o_custkey")
+    ranked = per_cust.select(
+        "__rev", F.row_number().over(w).cast("long").alias("__i")
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__rev").alias("__sx"),
+        F.sum(F.col("__i") * F.col("__rev")).alias("__six"),
+    )
+    n = F.col("__n").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("__six").cast("double")
+        / (n * F.col("__sx").cast("double"))
+        - (n + F.lit(1.0)) / n
+    )
+    return sums.select(
+        F.round(gini, 6).alias("gini"),
+        F.col("__n").cast("long").alias("n_customers"),
+        F.round(F.col("__sx"), 2).cast("double").alias("total_revenue"),
+    )
+
+
+_GINI_REVENUE_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)) AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1
+),
+ranked AS (
+  SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS i FROM per_cust
+),
+sums AS (
+  SELECT count(*) AS n, sum(rev) AS sx, sum(i * rev) AS six FROM ranked
+)
+SELECT round(2.0 * six::DOUBLE / (n::DOUBLE * sx::DOUBLE)
+             - (n::DOUBLE + 1.0) / n::DOUBLE, 6) AS gini,
+       n::BIGINT AS n_customers,
+       round(sx, 2)::DOUBLE AS total_revenue
+FROM sums
+"""
+
+
 def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity of the support-≥2 co-purchase graph (the
     triangle_count graph): do frequently-bundled parts attach to other
@@ -1004,6 +1071,7 @@ QUERIES = {
     "triangle_count": q_triangle_count,
     "assortativity": q_assortativity,
     "assoc_rules": q_assoc_rules,
+    "gini_revenue": q_gini_revenue,
     "salted_join": q_salted_join,
     "spearman": q_spearman,
     "skyline": q_skyline,
@@ -1028,6 +1096,7 @@ ORACLES = {
     "triangle_count": _TRIANGLE_SQL,
     "assortativity": _ASSORTATIVITY_SQL,
     "assoc_rules": _ASSOC_RULES_SQL,
+    "gini_revenue": _GINI_REVENUE_SQL,
     "salted_join": _SALTED_JOIN_SQL,
     "spearman": _SPEARMAN_SQL,
     "skyline": _SKYLINE_SQL,
