@@ -174,6 +174,7 @@ _ROUND5_OVERFLOW = [
     "assortativity",
     "assoc_rules",
     "gini_revenue",
+    "source_overlap",
 ]
 
 

@@ -755,7 +755,78 @@ FROM terms
 """
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between corpus sources — the
+    diversity matrix that says which feeds are near-clones of each
+    other before any document-level dedup runs. Per-doc tokens are
+    ``array_distinct``-ed BEFORE the explode (row-local, CLAUDE.md);
+    one groupBy collapses to the distinct (source, token) stream; the
+    intersection self-join keys on the token with fan-out bounded by
+    (#sources containing it)² ≤ 400 — safe where the same join keyed
+    by DOCUMENTS would be the all-pairs trap (the landmine this
+    deliberately is not: sources are a bounded dimension). Jaccard is
+    one IEEE division of exact int64 counts."""
+    docs = t(spark, sf_dir, "documents")
+    st = (
+        docs.select(
+            "source",
+            F.explode(F.array_distinct(tx.tokens("text"))).alias("__tok"),
+        )
+        .groupBy("source", "__tok")
+        .agg(F.count(F.lit(1)).alias("__dummy"))
+        .select("source", "__tok")
+    )
+    st = st.localCheckpoint(eager=False)  # vocab sizes AND both join sides
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = st.select(F.col("source").alias("source_a"), "__tok")
+    b = st.select(F.col("source").alias("source_b"), "__tok")
+    inter = (
+        a.join(b, "__tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("__na"))
+    nb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("__nb"))
+    return (
+        inter.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(
+                F.col("n_common")
+                / (F.col("__na") + F.col("__nb") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+_SOURCE_OVERLAP_SQL = r"""
+WITH st AS (
+  SELECT DISTINCT source, tok
+  FROM documents,
+       UNNEST(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                          x -> x <> '')) AS u(tok)
+),
+sizes AS (SELECT source, count(*) AS n FROM st GROUP BY 1),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_common::BIGINT AS n_common,
+       round(n_common / (na.n + nb.n - n_common), 4) AS jaccard
+FROM inter
+JOIN sizes na ON inter.source_a = na.source
+JOIN sizes nb ON inter.source_b = nb.source
+"""
+
+
 QUERIES = {
+    "source_overlap": q_source_overlap,
     "span_dedup": q_span_dedup,
     "url_canon": q_url_canon,
     "keep_best": q_keep_best,
@@ -777,6 +848,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "source_overlap": _SOURCE_OVERLAP_SQL,
     "top_p_sources": _TOP_P_SQL,
     "ngram_diversity": _NGRAM_DIVERSITY_SQL,
     "weighted_sample": _WEIGHTED_SAMPLE_SQL,
