@@ -175,6 +175,8 @@ _ROUND5_OVERFLOW = [
     "assoc_rules",
     "gini_revenue",
     "source_overlap",
+    "session_stats",
+    "survival_table",
 ]
 
 

@@ -1496,6 +1496,146 @@ FROM folded
 """
 
 
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-quality panel over 30-minute-gap sessions: volume,
+    bounce rate (single-event sessions), events-per-session, and the
+    exact p50/p90/max duration — the summary screen peak_concurrency's
+    sweep and session_paths' journeys both hang off. Durations are
+    exact int64 µs differences with ONE division; the percentile runs
+    over the AGGREGATED per-session frame (|sessions| rows)."""
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    sess = temporal.sessionize_ids(
+        ev, ["user_id"], "ts", gap="30 minutes",
+        order_cols=["ts", "event_id"],
+    )
+    iv = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            / F.lit(1_000_000.0)
+        ).alias("__dur"),
+    )
+    return iv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.round(F.avg(F.when(F.col("__n") == 1, 1.0).otherwise(0.0)), 4).alias(
+            "bounce_rate"
+        ),
+        F.round(F.sum("__n") / F.count(F.lit(1)), 4).alias("events_per_session"),
+        F.round(F.expr("percentile(__dur, 0.5)"), 4).alias("p50_dur_s"),
+        F.round(F.expr("percentile(__dur, 0.9)"), 4).alias("p90_dur_s"),
+        F.round(F.max("__dur"), 4).alias("max_dur_s"),
+    )
+
+
+_SESSION_STATS_SQL = """
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+),
+iv AS (
+  SELECT user_id, session_id, count(*) AS n,
+         (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS dur
+  FROM sess GROUP BY 1, 2
+)
+SELECT count(*)::BIGINT AS n_sessions,
+       round(avg(CASE WHEN n = 1 THEN 1.0 ELSE 0.0 END), 4) AS bounce_rate,
+       round(sum(n) / count(*), 4) AS events_per_session,
+       round(quantile_cont(dur, 0.5), 4) AS p50_dur_s,
+       round(quantile_cont(dur, 0.9), 4) AS p90_dur_s,
+       round(max(dur), 4) AS max_dur_s
+FROM iv
+"""
+
+
+def q_survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier LIFE TABLE for user engagement lifetime (first
+    event → last event, integer seconds): per distinct event time,
+    the at-risk count, deaths, censored exits, and the exact hazard
+    d/n. Users whose last event falls in the observation window's
+    final 12 hours are right-censored (still active). Everything is
+    exact int64 arithmetic plus ONE division per row; the survival
+    curve itself is the client-side cumulative product of (1 − hazard)
+    over this (|distinct lifetimes|)-row table — kept OUT of the
+    distributed result deliberately: a cross-engine exp/ln cumulative
+    product drifts a ulp per factor and cannot hash-match (CLAUDE.md
+    float-chain landmine), while the life table is the part that
+    actually needs the cluster. All windows run over aggregated
+    per-user / per-lifetime frames."""
+    tune_for_engine(spark)
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("__first"), F.max("ts").alias("__last")
+    )
+    horizon = F.max(F.unix_micros("__last")).over(Window.partitionBy())
+    staged = per_user.select(
+        F.expr(
+            "(unix_micros(__last) - unix_micros(__first)) div 1000000"
+        ).alias("t_sec"),
+        (
+            F.unix_micros("__last")
+            <= horizon - F.lit(43_200_000_000)
+        ).alias("__obs"),
+    )
+    grid = staged.groupBy("t_sec").agg(
+        F.sum(F.when(F.col("__obs"), 1).otherwise(0)).alias("n_events"),
+        F.sum(F.when(F.col("__obs"), 0).otherwise(1)).alias("n_censored"),
+    )
+    w = Window.orderBy(F.desc("t_sec")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risked = grid.withColumn(
+        "n_at_risk", F.sum(F.col("n_events") + F.col("n_censored")).over(w)
+    )
+    return risked.filter(F.col("n_events") > 0).select(
+        F.col("t_sec").cast("long").alias("t_sec"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_censored").cast("long").alias("n_censored"),
+        F.round(F.col("n_events") / F.col("n_at_risk"), 6).alias("hazard"),
+    )
+
+
+_SURVIVAL_TABLE_SQL = """
+WITH per_user AS (
+  SELECT user_id, min(ts) AS f, max(ts) AS l FROM events GROUP BY 1
+),
+staged AS (
+  SELECT (epoch_us(l) - epoch_us(f)) // 1000000 AS t_sec,
+         epoch_us(l) <= (SELECT max(epoch_us(l)) FROM per_user)
+                        - 43200000000 AS obs
+  FROM per_user
+),
+grid AS (
+  SELECT t_sec,
+         sum(CASE WHEN obs THEN 1 ELSE 0 END) AS n_events,
+         sum(CASE WHEN obs THEN 0 ELSE 1 END) AS n_censored
+  FROM staged GROUP BY 1
+),
+risked AS (
+  SELECT t_sec, n_events, n_censored,
+         sum(n_events + n_censored)
+           OVER (ORDER BY t_sec DESC ROWS UNBOUNDED PRECEDING) AS n_at_risk
+  FROM grid
+)
+SELECT t_sec::BIGINT AS t_sec, n_at_risk::BIGINT AS n_at_risk,
+       n_events::BIGINT AS n_events, n_censored::BIGINT AS n_censored,
+       round(n_events / n_at_risk, 6) AS hazard
+FROM risked WHERE n_events > 0
+"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic cohort-retention triangle: users grouped by first-active
     day, counted on each later active day, as a share of the cohort's
@@ -1616,6 +1756,8 @@ QUERIES = {
     "window_funnel": q_window_funnel,
     "chi_square": q_chi_square,
     "anova_f": q_anova_f,
+    "session_stats": q_session_stats,
+    "survival_table": q_survival_table,
     "cohort_retention": q_cohort_retention,
     "peak_concurrency": q_peak_concurrency,
     "asof_rate": q_asof_rate,
@@ -1656,6 +1798,8 @@ ORACLES = {
     "window_funnel": _WINDOW_FUNNEL_SQL,
     "chi_square": _CHI_SQUARE_SQL,
     "anova_f": _ANOVA_F_SQL,
+    "session_stats": _SESSION_STATS_SQL,
+    "survival_table": _SURVIVAL_TABLE_SQL,
     "cohort_retention": _COHORT_RETENTION_SQL,
     "peak_concurrency": _PEAK_CONCURRENCY_SQL,
     "asof_rate": _ASOF_SQL,
