@@ -177,6 +177,7 @@ _ROUND5_OVERFLOW = [
     "source_overlap",
     "session_stats",
     "survival_table",
+    "reorder_gaps",
 ]
 
 

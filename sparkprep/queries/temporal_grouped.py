@@ -1496,6 +1496,59 @@ FROM folded
 """
 
 
+def q_reorder_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: the distribution of day gaps between a
+    customer's consecutive orders — ONE keyed lag window (partitioned
+    by customer, (date, orderkey)-ordered for tie determinism) feeding
+    a global exact-percentile aggregate. Gap days are exact int64
+    epoch-day differences; the mean is one division of an exact sum.
+    The inter-purchase twin of user_event_gaps' intra-session view."""
+    tune_for_engine(spark)
+    from pyspark.sql.window import Window
+
+    # o_orderdate arrives TIMESTAMP_NTZ (the loader only normalizes
+    # `ts`); Spark 4 forbids NTZ epoch math — cast to session-TZ
+    # TIMESTAMP first (identity under the pinned-UTC session)
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    day = F.expr("unix_micros(o_orderdate) div 86400000000")
+    gaps = (
+        orders.select(day.alias("__d"), F.lag(day).over(w).alias("__prev"))
+        .filter(F.col("__prev").isNotNull())
+        .select((F.col("__d") - F.col("__prev")).alias("__gap"))
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.round(F.sum("__gap") / F.count(F.lit(1)), 4).alias("mean_days"),
+        F.round(F.expr("percentile(__gap, 0.25)"), 4).alias("p25_days"),
+        F.round(F.expr("percentile(__gap, 0.5)"), 4).alias("p50_days"),
+        F.round(F.expr("percentile(__gap, 0.75)"), 4).alias("p75_days"),
+        F.round(F.expr("percentile(__gap, 0.9)"), 4).alias("p90_days"),
+    )
+
+
+_REORDER_GAPS_SQL = """
+WITH g AS (
+  SELECT (epoch_us(o_orderdate) // 86400000000)
+         - lag(epoch_us(o_orderdate) // 86400000000)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           AS gap
+  FROM orders
+)
+SELECT count(*)::BIGINT AS n_gaps,
+       round(sum(gap) / count(*), 4) AS mean_days,
+       round(quantile_cont(gap, 0.25), 4) AS p25_days,
+       round(quantile_cont(gap, 0.5), 4) AS p50_days,
+       round(quantile_cont(gap, 0.75), 4) AS p75_days,
+       round(quantile_cont(gap, 0.9), 4) AS p90_days
+FROM g WHERE gap IS NOT NULL
+"""
+
+
 def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-quality panel over 30-minute-gap sessions: volume,
     bounce rate (single-event sessions), events-per-session, and the
@@ -1757,6 +1810,7 @@ QUERIES = {
     "chi_square": q_chi_square,
     "anova_f": q_anova_f,
     "session_stats": q_session_stats,
+    "reorder_gaps": q_reorder_gaps,
     "survival_table": q_survival_table,
     "cohort_retention": q_cohort_retention,
     "peak_concurrency": q_peak_concurrency,
@@ -1799,6 +1853,7 @@ ORACLES = {
     "chi_square": _CHI_SQUARE_SQL,
     "anova_f": _ANOVA_F_SQL,
     "session_stats": _SESSION_STATS_SQL,
+    "reorder_gaps": _REORDER_GAPS_SQL,
     "survival_table": _SURVIVAL_TABLE_SQL,
     "cohort_retention": _COHORT_RETENTION_SQL,
     "peak_concurrency": _PEAK_CONCURRENCY_SQL,
