@@ -178,6 +178,7 @@ _ROUND5_OVERFLOW = [
     "session_stats",
     "survival_table",
     "reorder_gaps",
+    "embedding_drift",
 ]
 
 

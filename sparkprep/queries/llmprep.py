@@ -518,6 +518,62 @@ WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 4) >= 0.95
 """
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-centroid drift between two corpus snapshots
+    (vec_id parity stands in for old/new): the cosine between each
+    label's old and new prototype — the encoder/data-shift monitor
+    that catches a retrained embedding model or a poisoned feed before
+    similarity joins silently rot. Centroids come from
+    ``sim.grouped_centroids`` (map-combined per-dim averages, rounded
+    at 6 so both engines dot IDENTICAL arrays in identical index
+    order); the drift cosine is then deterministic IEEE."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    co = sim.grouped_centroids(old, "embedding", "label").select(
+        "label",
+        F.col("n_vecs").alias("n_old"),
+        F.col("centroid").alias("__co"),
+    )
+    cn = sim.grouped_centroids(new, "embedding", "label").select(
+        "label",
+        F.col("n_vecs").alias("n_new"),
+        F.col("centroid").alias("__cn"),
+    )
+    return co.join(cn, "label").select(
+        "label",
+        "n_old",
+        "n_new",
+        F.round(sim.cosine_native(F.col("__co"), F.col("__cn")), 4).alias(
+            "drift_cos"
+        ),
+    )
+
+
+_EMBEDDING_DRIFT_SQL = f"""
+WITH halves AS (
+  SELECT vec_id % 2 AS half, label, embedding FROM embeddings
+),
+d AS (
+  SELECT half, label, i - 1 AS dim, embedding[i] AS v
+  FROM halves, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+),
+pd AS (
+  SELECT half, label, dim, round(avg(v), 6) AS m, count(*) AS c
+  FROM d GROUP BY 1, 2, 3
+),
+cent AS (
+  SELECT half, label, max(c) AS n_vecs,
+         list(m ORDER BY dim) AS centroid
+  FROM pd GROUP BY 1, 2
+)
+SELECT o.label AS label, o.n_vecs::BIGINT AS n_old, n.n_vecs::BIGINT AS n_new,
+       round({_cos_sql('o.centroid', 'n.centroid')}, 4) AS drift_cos
+FROM cent o JOIN cent n ON o.label = n.label
+WHERE o.half = 0 AND n.half = 1
+"""
+
+
 def q_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal nearest-neighbor pairs over the planted-dup corpus
     (each vector + its 1.2-scaled twin): every (v, 1.2v) pair is
@@ -1364,6 +1420,7 @@ WHERE ni / (sa.n + sb.n - ni) >= 0.5
 QUERIES = {
     "setsim_join": q_setsim_join,
     "mutual_nn": q_mutual_nn,
+    "embedding_drift": q_embedding_drift,
     "exact_dedup": q_exact_dedup,
     "minhash_pairs": q_minhash_pairs,
     "minhash_eval": q_minhash_eval,
@@ -1394,6 +1451,7 @@ QUERIES = {
 ORACLES = {
     "setsim_join": _SETSIM_JOIN_SQL,
     "mutual_nn": _MUTUAL_NN_SQL,
+    "embedding_drift": _EMBEDDING_DRIFT_SQL,
     "exact_dedup": _EXACT_DEDUP_SQL,
     "minhash_pairs": _minhash_sql(),
     "minhash_eval": _minhash_eval_sql(),
