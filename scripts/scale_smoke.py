@@ -285,6 +285,64 @@ def main() -> None:
         quantize.matryoshka_stats(vecs, "embedding", k=16)))
     bench("token JS divergence", lambda: materialize(
         text.token_js_divergence(docs, "text", F.pmod("doc_id", 2) == 0)))
+
+    # --- round-5 additions: graph census, funnels, sweeps, ranks ------
+    from sparkprep.operators import graph, stats
+
+    # co-occurrence graph from 8-item baskets over a 50k-item catalog:
+    # pair fan-out is C(8,2)=28 per basket (row-local explode); the
+    # cliff to watch is the wedge join -- degree orientation must keep
+    # it near-linear even with hub items
+    baskets = rows.select(
+        (F.col("k") // 8).alias("basket"),
+        F.pmod(F.xxhash64("k"), 50_000).alias("item"),
+    )
+    co_edges = graph.cooccurrence_pairs(
+        baskets, "basket", "item", max_items_per_key=16
+    ).filter(F.col("n_keys") >= 2)
+    bench("triangle census (support>=2)", lambda: materialize(
+        graph.triangle_stats(co_edges)))
+    bench("degree assortativity", lambda: materialize(
+        graph.assortativity(co_edges)))
+
+    # ordered funnel over num_rows events / 1000 users: each stage is a
+    # type-filtered scan + keyed join; per-user volume (10k events) must
+    # never need to fit an array
+    fev = rows.select(
+        F.col("g").alias("user_id"),
+        F.element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c"), F.lit("d")),
+            (F.pmod("k", 4) + 1).cast("int"),
+        ).alias("event_type"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("k") * 1_000_000
+        ).alias("ts"),
+    )
+    bench("window funnel (4 stages)", lambda: materialize(
+        temporal.window_funnel(
+            fev, "user_id", "event_type", "ts", ["a", "b", "c", "d"],
+            window="30 days")))
+
+    # sweep-line peak concurrency: ~num_rows/1000 intervals split at
+    # day boundaries; the running-sum window partitions by day
+    iv = fev.groupBy("user_id", (F.col("ts").cast("long") / 3600).cast("long").alias("h")).agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e"))
+    bench("peak concurrency (hourly iv)", lambda: materialize(
+        temporal.peak_concurrency(iv, "s", "e")))
+
+    # sort-free Spearman: rank maps come from 1000- and 100-row
+    # frequency tables, never a global sort of the 10M rows
+    sp_in = rows.select(
+        F.col("g").cast("double").alias("x"),
+        F.pmod("k", 100).cast("double").alias("y"),
+    )
+    bench("spearman (freq-table ranks)", lambda: materialize(
+        stats.spearman(sp_in, "x", "y")))
+
+    # mutual NN inside scaled LSH buckets: same plane sizing as the
+    # semantic-dedup leg keeps per-bucket pair cost ~constant
+    bench(f"mutual NN (2^{planes} buckets)", lambda: materialize(
+        similarity.mutual_nn_pairs(vecs, num_planes=planes)))
     spark.stop()
 
 

@@ -179,6 +179,7 @@ _ROUND5_OVERFLOW = [
     "survival_table",
     "reorder_gaps",
     "embedding_drift",
+    "lorenz_curve",
 ]
 
 

@@ -967,6 +967,77 @@ FROM sums
 """
 
 
+def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile-level Lorenz table behind gini_revenue: customers sorted
+    by revenue into ntile(10) buckets, each decile's exact-decimal
+    revenue, share of total, and the running (Lorenz) cumulative
+    share. Both windows — the ntile and the cumulative sum — run over
+    the AGGREGATED per-customer / 10-row frames; shares are single
+    double divisions of exact decimal sums. (rev, custkey) ordering
+    pins ntile boundaries under ties for the oracle."""
+    tune_for_engine(spark)
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    money = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(money).alias("__rev"))
+    )
+    w = Window.orderBy("__rev", "o_custkey")
+    deciles = per_cust.select(
+        "__rev", F.ntile(10).over(w).cast("long").alias("decile")
+    )
+    agg = deciles.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("__rev").alias("__drev"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    total = F.sum("__drev").over(w_all)
+    return agg.select(
+        "decile",
+        "n_customers",
+        F.round("__drev", 2).cast("double").alias("revenue"),
+        F.round(
+            F.col("__drev").cast("double") / total.cast("double"), 6
+        ).alias("rev_share"),
+        F.round(
+            F.sum("__drev").over(w_cum).cast("double") / total.cast("double"),
+            6,
+        ).alias("cum_share"),
+    )
+
+
+_LORENZ_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)) AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1
+),
+deciles AS (
+  SELECT rev, ntile(10) OVER (ORDER BY rev, o_custkey) AS decile FROM per_cust
+),
+agg AS (
+  SELECT decile, count(*) AS n_customers, sum(rev) AS drev
+  FROM deciles GROUP BY 1
+)
+SELECT decile::BIGINT AS decile, n_customers::BIGINT AS n_customers,
+       round(drev, 2)::DOUBLE AS revenue,
+       round(drev::DOUBLE / (sum(drev) OVER ())::DOUBLE, 6) AS rev_share,
+       round((sum(drev) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING))::DOUBLE
+             / (sum(drev) OVER ())::DOUBLE, 6) AS cum_share
+FROM agg
+"""
+
+
 def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity of the support-≥2 co-purchase graph (the
     triangle_count graph): do frequently-bundled parts attach to other
@@ -1072,6 +1143,7 @@ QUERIES = {
     "assortativity": q_assortativity,
     "assoc_rules": q_assoc_rules,
     "gini_revenue": q_gini_revenue,
+    "lorenz_curve": q_lorenz_curve,
     "salted_join": q_salted_join,
     "spearman": q_spearman,
     "skyline": q_skyline,
@@ -1097,6 +1169,7 @@ ORACLES = {
     "assortativity": _ASSORTATIVITY_SQL,
     "assoc_rules": _ASSOC_RULES_SQL,
     "gini_revenue": _GINI_REVENUE_SQL,
+    "lorenz_curve": _LORENZ_SQL,
     "salted_join": _SALTED_JOIN_SQL,
     "spearman": _SPEARMAN_SQL,
     "skyline": _SKYLINE_SQL,

@@ -7,7 +7,6 @@ Spark job)."""
 import itertools
 
 from hypothesis import given, settings, strategies as st
-from pyspark.sql import functions as F
 
 from sparkprep.operators.graph import assortativity, triangle_stats
 from sparkprep.operators.stats import anova_f, spearman
