@@ -294,7 +294,7 @@ def main() -> None:
     # cliff to watch is the wedge join -- degree orientation must keep
     # it near-linear even with hub items
     baskets = rows.select(
-        (F.col("k") // 8).alias("basket"),
+        F.expr("k div 8").alias("basket"),
         F.pmod(F.xxhash64("k"), 50_000).alias("item"),
     )
     co_edges = graph.cooccurrence_pairs(
