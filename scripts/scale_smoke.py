@@ -339,10 +339,14 @@ def main() -> None:
     bench("spearman (freq-table ranks)", lambda: materialize(
         stats.spearman(sp_in, "x", "y")))
 
-    # mutual NN inside scaled LSH buckets: same plane sizing as the
-    # semantic-dedup leg keeps per-bucket pair cost ~constant
-    bench(f"mutual NN (2^{planes} buckets)", lambda: materialize(
-        similarity.mutual_nn_pairs(vecs, num_planes=planes)))
+    # mutual NN inside scaled LSH buckets: unlike semantic dedup's
+    # 8 x 2^p scheme this op has ONLY the hyperplane buckets, so the
+    # plane count must absorb the full n/25 target itself (2^9 buckets
+    # at 100k vecs = 195/bucket = 19k pairs/bucket -> 21.7s measured;
+    # 2^12 brings per-bucket pairs back to ~300)
+    nn_planes = max(8, math.ceil(math.log2(max(num_docs, 1) / 25)))
+    bench(f"mutual NN (2^{nn_planes} buckets)", lambda: materialize(
+        similarity.mutual_nn_pairs(vecs, num_planes=nn_planes)))
     spark.stop()
 
 

@@ -441,6 +441,12 @@ def embedding_near_dup_pairs(
         unit.alias("__unit"),
         hyperplane_signature(F.col(vec_col), planes).alias("__sig"),
     )
+    # the self-join consumes sig as BOTH sides under different aliases,
+    # so the exchanges never canonicalize equal and the whole
+    # normalize+signature subtree (num_planes interpreted plane dots
+    # per vector) would execute twice — truncate lineage once here
+    # (same family as the unions-of-selects re-execution landmine)
+    sig = sig.localCheckpoint(eager=False)
     a = sig.select(F.col(id_col).alias("id_a"), F.col("__unit").alias("__va"), "__sig")
     b = sig.select(F.col(id_col).alias("id_b"), F.col("__unit").alias("__vb"), "__sig")
     return (
