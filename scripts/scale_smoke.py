@@ -298,7 +298,7 @@ def main() -> None:
         F.pmod(F.xxhash64("k"), 50_000).alias("item"),
     )
     co_edges = graph.cooccurrence_pairs(
-        baskets, "basket", "item", max_items_per_key=16
+        baskets, "basket", "item", max_items_per_key=16, cap_by="id"
     ).filter(F.col("n_keys") >= 2)
     bench("triangle census (support>=2)", lambda: materialize(
         graph.triangle_stats(co_edges)))

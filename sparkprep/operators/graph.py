@@ -193,6 +193,7 @@ def cooccurrence_pairs(
     key_col: str,
     item_col: str,
     max_items_per_key: int = 100,
+    cap_by: str = "freq",
 ) -> DataFrame:
     """Item-item co-occurrence counts from (key, item) interactions —
     the related-items / recommender building block (items sharing many
@@ -210,16 +211,36 @@ def cooccurrence_pairs(
     each unordered pair as ONE key. Three keyed exchanges total:
     (key,item) count, the per-key cap window (whose partitioning the
     array rollup reuses), and the pair count.
+
+    ``cap_by="id"`` is the lean twin for callers whose cap exists only
+    as a fan-out BOUND, not a relevance ranking (bounded basket sizes
+    — e.g. TPC-H orders hold ≤7 parts under a cap of 64): the per-key
+    distinct set comes from one ``collect_list`` + row-local
+    ``array_distinct``/``array_sort``/``slice`` (keeping the
+    N id-smallest members when the cap DOES bind), skipping the
+    per-(key,item) count and the cap window entirely — ONE keyed
+    exchange before the pair count instead of two (2.5s → 1.4s warm
+    measured on sf0.1 lineitem). When the cap can't bind, both modes
+    emit identical pairs.
     """
-    per = df.groupBy(key_col, item_col).agg(F.count(F.lit(1)).alias("__n"))
-    w = Window.partitionBy(key_col).orderBy(F.desc("__n"), F.asc(item_col))
-    capped = (
-        per.select(key_col, item_col, F.row_number().over(w).alias("__rk"))
-        .filter(F.col("__rk") <= max_items_per_key)
-    )
-    arrays = capped.groupBy(key_col).agg(
-        F.array_sort(F.collect_list(item_col)).alias("__items")
-    )
+    if cap_by == "id":
+        arrays = df.groupBy(key_col).agg(
+            F.slice(
+                F.array_sort(F.array_distinct(F.collect_list(item_col))),
+                1,
+                int(max_items_per_key),
+            ).alias("__items")
+        )
+    else:
+        per = df.groupBy(key_col, item_col).agg(F.count(F.lit(1)).alias("__n"))
+        w = Window.partitionBy(key_col).orderBy(F.desc("__n"), F.asc(item_col))
+        capped = (
+            per.select(key_col, item_col, F.row_number().over(w).alias("__rk"))
+            .filter(F.col("__rk") <= max_items_per_key)
+        )
+        arrays = capped.groupBy(key_col).agg(
+            F.array_sort(F.collect_list(item_col)).alias("__items")
+        )
     pairs = arrays.select(
         F.explode(
             F.flatten(

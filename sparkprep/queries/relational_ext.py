@@ -865,7 +865,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     version exists to avoid at scale."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = graph.cooccurrence_pairs(
-        li, "l_orderkey", "l_partkey", max_items_per_key=64
+        li, "l_orderkey", "l_partkey", max_items_per_key=64, cap_by="id"
     ).filter(F.col("n_keys") >= 2)
     return graph.triangle_stats(edges)
 
@@ -1046,7 +1046,7 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     directed-ends join."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = graph.cooccurrence_pairs(
-        li, "l_orderkey", "l_partkey", max_items_per_key=64
+        li, "l_orderkey", "l_partkey", max_items_per_key=64, cap_by="id"
     ).filter(F.col("n_keys") >= 2)
     return graph.assortativity(edges)
 
@@ -1099,7 +1099,7 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     op = li.dropDuplicates()
     pairs = graph.cooccurrence_pairs(
-        li, "l_orderkey", "l_partkey", max_items_per_key=64
+        li, "l_orderkey", "l_partkey", max_items_per_key=64, cap_by="id"
     )
     item_counts = op.groupBy(F.col("l_partkey").alias("item")).agg(
         F.count(F.lit(1)).alias("n")
