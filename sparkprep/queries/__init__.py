@@ -180,6 +180,7 @@ _ROUND5_OVERFLOW = [
     "reorder_gaps",
     "embedding_drift",
     "lorenz_curve",
+    "two_hop_reach",
 ]
 
 

@@ -900,6 +900,76 @@ FROM w, tri
 """
 
 
+def q_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by 2-hop neighborhood size in the support-≥2
+    co-purchase graph — the 'influence radius' readout beside
+    pagerank's stationary view. One directed-ends explode off the
+    CHECKPOINTED edge list (multi-consumer: the 1-hop leg and both
+    sides of the 2-hop self-join), a single self-join bounded by
+    Σ deg² of the support-thresholded graph, and one distinct-count
+    aggregate with a conditional distinct for the direct-degree
+    column. TakeOrdered top-k."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = graph.cooccurrence_pairs(
+        li, "l_orderkey", "l_partkey", max_items_per_key=64, cap_by="id"
+    ).filter(F.col("n_keys") >= 2)
+    dirs = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("item_a").alias("u"), F.col("item_b").alias("v")),
+                F.struct(F.col("item_b").alias("u"), F.col("item_a").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v").localCheckpoint(eager=False)
+    one = dirs.select("u", "v", F.lit(1).alias("hop"))
+    two = (
+        dirs.alias("d1")
+        .join(dirs.alias("d2"), F.col("d1.v") == F.col("d2.u"))
+        .filter(F.col("d2.v") != F.col("d1.u"))
+        .select(F.col("d1.u").alias("u"), F.col("d2.v").alias("v"),
+                F.lit(2).alias("hop"))
+    )
+    reach = one.unionByName(two).groupBy("u").agg(
+        F.count_distinct(
+            F.when(F.col("hop") == 1, F.col("v"))
+        ).cast("long").alias("n_direct"),
+        F.count_distinct("v").cast("long").alias("n_reach2"),
+    )
+    return (
+        reach.select(F.col("u").alias("node"), "n_direct", "n_reach2")
+        .orderBy(F.desc("n_reach2"), "node")
+        .limit(20)
+    )
+
+
+_TWO_HOP_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+dirs AS (
+  SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb AS u, pa AS v FROM e
+),
+hops AS (
+  SELECT u, v, 1 AS hop FROM dirs
+  UNION ALL
+  SELECT d1.u, d2.v, 2 AS hop
+  FROM dirs d1 JOIN dirs d2 ON d1.v = d2.u
+  WHERE d2.v != d1.u
+)
+SELECT u AS node,
+       count(DISTINCT CASE WHEN hop = 1 THEN v END)::BIGINT AS n_direct,
+       count(DISTINCT v)::BIGINT AS n_reach2
+FROM hops
+GROUP BY u
+ORDER BY n_reach2 DESC, node
+LIMIT 20
+"""
+
+
 def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of customer revenue — the classic inequality
     number beside revenue_concentration's HHI/top-10 share. Identity
@@ -1143,6 +1213,7 @@ QUERIES = {
     "assortativity": q_assortativity,
     "assoc_rules": q_assoc_rules,
     "gini_revenue": q_gini_revenue,
+    "two_hop_reach": q_two_hop_reach,
     "lorenz_curve": q_lorenz_curve,
     "salted_join": q_salted_join,
     "spearman": q_spearman,
@@ -1169,6 +1240,7 @@ ORACLES = {
     "assortativity": _ASSORTATIVITY_SQL,
     "assoc_rules": _ASSOC_RULES_SQL,
     "gini_revenue": _GINI_REVENUE_SQL,
+    "two_hop_reach": _TWO_HOP_SQL,
     "lorenz_curve": _LORENZ_SQL,
     "salted_join": _SALTED_JOIN_SQL,
     "spearman": _SPEARMAN_SQL,
