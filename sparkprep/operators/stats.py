@@ -67,9 +67,18 @@ def anova_f(
         F.sum("__q").alias("__Q"),
         F.sum(g_term).alias("__G"),
     )
+    # SSB and SSW are mathematically non-negative; the DECIMAL(30,8)
+    # quantization of the per-group terms can push a near-zero value a
+    # hair below 0 (hypothesis-found: constant-ish groups → F = -0.5).
+    # Clamp at 0 — identical on both engines since the quantized
+    # inputs are identical (the oracle mirrors the greatest()).
     S = F.col("__S").cast("double")
-    ssb = F.col("__G").cast("double") - (S * S) / F.col("__N")
-    ssw = F.col("__Q").cast("double") - F.col("__G").cast("double")
+    ssb = F.greatest(
+        F.col("__G").cast("double") - (S * S) / F.col("__N"), F.lit(0.0)
+    )
+    ssw = F.greatest(
+        F.col("__Q").cast("double") - F.col("__G").cast("double"), F.lit(0.0)
+    )
     df1 = (F.col("__k") - 1).cast("long")
     df2 = (F.col("__N") - F.col("__k")).cast("long")
     f_stat = F.try_divide(

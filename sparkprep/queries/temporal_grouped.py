@@ -1484,14 +1484,14 @@ folded AS (
          sum(((s::DOUBLE * s::DOUBLE) / n)::DECIMAL(30,8)) AS g
   FROM per
 )
-SELECT round(((g::DOUBLE - (ss::DOUBLE * ss::DOUBLE) / nn) / (k - 1))
-             / ((qq::DOUBLE - g::DOUBLE) / (nn - k)), 6) AS f_stat,
+SELECT round((greatest(g::DOUBLE - (ss::DOUBLE * ss::DOUBLE) / nn, 0) / (k - 1))
+             / (greatest(qq::DOUBLE - g::DOUBLE, 0) / (nn - k)), 6) AS f_stat,
        (k - 1)::BIGINT AS df_between,
        (nn - k)::BIGINT AS df_within,
        nn::BIGINT AS n_rows,
-       round((g::DOUBLE - (ss::DOUBLE * ss::DOUBLE) / nn)
-             / ((g::DOUBLE - (ss::DOUBLE * ss::DOUBLE) / nn)
-                + (qq::DOUBLE - g::DOUBLE)), 6) AS eta_sq
+       round(greatest(g::DOUBLE - (ss::DOUBLE * ss::DOUBLE) / nn, 0)
+             / (greatest(g::DOUBLE - (ss::DOUBLE * ss::DOUBLE) / nn, 0)
+                + greatest(qq::DOUBLE - g::DOUBLE, 0)), 6) AS eta_sq
 FROM folded
 """
 
