@@ -135,11 +135,16 @@ _DRIVER_WINDOW_PRIORITY = [
     "vocab_coverage",
 ]
 
-# Round-5 head: the 8 deferred from round 4 (window was 50 slots, 58
-# candidates — map-only text metrics + rows-only pca_project, all green
-# in local sf0.001 oracle replay) plus the round-4 session additions,
+# Verification queue behind the pinned window: the 8 deferred from
+# round 4 (window was 50 slots, 58 candidates — map-only text metrics
+# + rows-only pca_project, all green in local sf0.001 oracle replay),
+# then the round-4 and round-5 session additions in landing order,
 # pinned explicitly so module-merge order can't reshuffle them. All
-# fall out automatically once a CORRECTNESS file records them.
+# fall out automatically once a CORRECTNESS file records them. NOTE:
+# no CORRECTNESS_r04 was ever recorded (the round-4 driver run did not
+# land), so the round-4 pins above still hold the 50-slot window and
+# this queue drains over the following rounds; every name in it stays
+# covered by the local sf0.001 oracle replay in the meantime.
 _ROUND5_OVERFLOW = [
     "auc_quality",
     "readability",
