@@ -186,6 +186,7 @@ _ROUND5_OVERFLOW = [
     "embedding_drift",
     "lorenz_curve",
     "two_hop_reach",
+    "price_spread",
 ]
 
 

@@ -900,6 +900,67 @@ FROM w, tri
 """
 
 
+def q_price_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-part price dispersion across suppliers: top-20 parts by
+    relative unit-price spread (max−min)/mean among parts sold by ≥3
+    suppliers — the catalog-integrity screen for inconsistent pricing.
+    Unit price is ONE division of two exact doubles per row, re-cast to
+    DECIMAL(18,6) so the per-part mean is an order-independent exact
+    sum; min/max are exact selections; the spread is 3 IEEE ops. One
+    map-combined groupBy + TakeOrdered."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    unit = (
+        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity"))
+    ).cast("decimal(18,6)")
+    per_part = (
+        li.select("l_partkey", unit.alias("__u"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min("__u").alias("__lo"),
+            F.max("__u").alias("__hi"),
+            F.sum("__u").alias("__s"),
+        )
+        .filter(F.col("__n") >= 3)
+    )
+    mean = F.col("__s").cast("double") / F.col("__n")
+    spread = F.try_divide(
+        F.col("__hi").cast("double") - F.col("__lo").cast("double"), mean
+    )
+    return (
+        per_part.select(
+            "l_partkey",
+            F.col("__n").cast("long").alias("n_sales"),
+            F.round(F.col("__lo"), 2).cast("double").alias("min_unit"),
+            F.round(F.col("__hi"), 2).cast("double").alias("max_unit"),
+            F.round(spread, 4).alias("rel_spread"),
+        )
+        .orderBy(F.desc("rel_spread"), "l_partkey")
+        .limit(20)
+    )
+
+
+_PRICE_SPREAD_SQL = """
+WITH u AS (
+  SELECT l_partkey,
+         (l_extendedprice / l_quantity)::DECIMAL(18,6) AS unit
+  FROM lineitem WHERE l_quantity > 0
+),
+per_part AS (
+  SELECT l_partkey, count(*) AS n, min(unit) AS lo, max(unit) AS hi,
+         sum(unit) AS s
+  FROM u GROUP BY 1 HAVING count(*) >= 3
+)
+SELECT l_partkey, n::BIGINT AS n_sales,
+       round(lo, 2)::DOUBLE AS min_unit,
+       round(hi, 2)::DOUBLE AS max_unit,
+       round((hi::DOUBLE - lo::DOUBLE) / (s::DOUBLE / n), 4) AS rel_spread
+FROM per_part
+ORDER BY rel_spread DESC, l_partkey
+LIMIT 20
+"""
+
+
 def q_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 parts by 2-hop neighborhood size in the support-≥2
     co-purchase graph — the 'influence radius' readout beside
@@ -1214,6 +1275,7 @@ QUERIES = {
     "assoc_rules": q_assoc_rules,
     "gini_revenue": q_gini_revenue,
     "two_hop_reach": q_two_hop_reach,
+    "price_spread": q_price_spread,
     "lorenz_curve": q_lorenz_curve,
     "salted_join": q_salted_join,
     "spearman": q_spearman,
@@ -1241,6 +1303,7 @@ ORACLES = {
     "assoc_rules": _ASSOC_RULES_SQL,
     "gini_revenue": _GINI_REVENUE_SQL,
     "two_hop_reach": _TWO_HOP_SQL,
+    "price_spread": _PRICE_SPREAD_SQL,
     "lorenz_curve": _LORENZ_SQL,
     "salted_join": _SALTED_JOIN_SQL,
     "spearman": _SPEARMAN_SQL,

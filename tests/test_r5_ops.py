@@ -323,3 +323,27 @@ def test_association_rules_hand_math(spark):
     assert out[("A", "B")].confidence == 0.75
     assert out[("A", "B")].lift == 0.9375
     assert out[("B", "A")].confidence == 0.75
+
+
+def test_cooccurrence_id_cap_binds_and_matches_freq_mode(spark):
+    from sparkprep.operators.graph import cooccurrence_pairs
+
+    # one key with 4 distinct items, cap 3: id-cap keeps the 3 smallest
+    # ids {1,2,3} -> pairs (1,2),(1,3),(2,3)
+    rows = [(1, i) for i in (4, 2, 1, 3)]
+    df = spark.createDataFrame(rows, ["k", "item"])
+    got = sorted(
+        (r.item_a, r.item_b)
+        for r in cooccurrence_pairs(
+            df, "k", "item", max_items_per_key=3, cap_by="id"
+        ).collect()
+    )
+    assert got == [(1, 2), (1, 3), (2, 3)]
+    # when the cap can't bind, both modes emit identical pair counts
+    rows2 = [(k, i) for k in range(5) for i in (10, 20, 30)] + [(0, 20)]
+    df2 = spark.createDataFrame(rows2, ["k", "item"])
+    a = sorted(map(tuple, cooccurrence_pairs(
+        df2, "k", "item", max_items_per_key=16).collect()))
+    b = sorted(map(tuple, cooccurrence_pairs(
+        df2, "k", "item", max_items_per_key=16, cap_by="id").collect()))
+    assert a == b
