@@ -187,6 +187,7 @@ _ROUND5_OVERFLOW = [
     "lorenz_curve",
     "two_hop_reach",
     "price_spread",
+    "bigram_pmi",
 ]
 
 

@@ -755,6 +755,84 @@ FROM terms
 """
 
 
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by PMI LIFT — N·c(w1,w2)/(c(w1)·c(w2)), the
+    exponentiated pointwise mutual information — among bigrams seen ≥5
+    times. Emitting the lift RATIO instead of its log keeps the whole
+    statistic ONE IEEE division of exact int64 counts (a cross-engine
+    ln() differs by a ulp and flips round() ties; log is monotone, so
+    the ranking is identical anyway). Token totals broadcast into the
+    bigram stream; ordering is (lift desc, w1, w2) for a deterministic
+    top-k."""
+    docs = t(spark, sf_dir, "documents")
+    staged = docs.select(tx.tokens("text").alias("__tk")).filter(
+        F.size("__tk") >= 2
+    )
+    n = F.size("__tk")
+    bigrams = F.zip_with(
+        F.slice(F.col("__tk"), 1, n - 1),
+        F.slice(F.col("__tk"), 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = staged.select(F.explode(bigrams).alias("__b")).select(
+        F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2")
+    ).localCheckpoint(eager=False)  # feeds pair counts AND token totals
+    pair = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    # unigram totals over the SAME position stream (first-token-of-
+    # bigram / second-token-of-bigram marginals), so N is shared and
+    # the lift is a true contingency ratio
+    totals = bg.select(F.explode(F.array("w1", "w2")).alias("side_tok"))
+    nw = totals.groupBy("side_tok").agg(F.count(F.lit(1)).alias("c_w"))
+    n_total = bg.count() * 2  # bounded driver scalar (A6 contract)
+    c1 = nw.select(F.col("side_tok").alias("w1"), F.col("c_w").alias("__c1"))
+    c2 = nw.select(F.col("side_tok").alias("w2"), F.col("c_w").alias("__c2"))
+    scored = (
+        pair.filter(F.col("c_xy") >= 5)
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .select(
+            "w1",
+            "w2",
+            F.col("c_xy").cast("long").alias("c_xy"),
+            F.round(
+                (F.lit(int(n_total)) * F.col("c_xy"))
+                / (F.col("__c1") * F.col("__c2")),
+                6,
+            ).alias("pmi_lift"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_lift"), "w1", "w2").limit(20)
+
+
+_BIGRAM_PMI_SQL = r"""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+bg AS (
+  SELECT tk[i] AS w1, tk[i + 1] AS w2
+  FROM toks, UNNEST(range(1, len(tk))) AS u(i)
+  WHERE len(tk) >= 2
+),
+pair AS (SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY 1, 2),
+totals AS (
+  SELECT tok, count(*) AS c_w FROM (
+    SELECT w1 AS tok FROM bg UNION ALL SELECT w2 AS tok FROM bg
+  ) GROUP BY 1
+),
+n AS (SELECT count(*) * 2 AS n_total FROM bg)
+SELECT w1, w2, c_xy::BIGINT AS c_xy,
+       round((n.n_total * c_xy) / (c1.c_w * c2.c_w), 6) AS pmi_lift
+FROM pair
+JOIN totals c1 ON pair.w1 = c1.tok
+JOIN totals c2 ON pair.w2 = c2.tok
+CROSS JOIN n
+WHERE c_xy >= 5
+ORDER BY pmi_lift DESC, w1, w2
+LIMIT 20
+"""
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise vocabulary Jaccard between corpus sources — the
     diversity matrix that says which feeds are near-clones of each
@@ -827,6 +905,7 @@ JOIN sizes nb ON inter.source_b = nb.source
 
 QUERIES = {
     "source_overlap": q_source_overlap,
+    "bigram_pmi": q_bigram_pmi,
     "span_dedup": q_span_dedup,
     "url_canon": q_url_canon,
     "keep_best": q_keep_best,
@@ -849,6 +928,7 @@ QUERIES = {
 
 ORACLES = {
     "source_overlap": _SOURCE_OVERLAP_SQL,
+    "bigram_pmi": _BIGRAM_PMI_SQL,
     "top_p_sources": _TOP_P_SQL,
     "ngram_diversity": _NGRAM_DIVERSITY_SQL,
     "weighted_sample": _WEIGHTED_SAMPLE_SQL,
