@@ -347,3 +347,42 @@ def test_cooccurrence_id_cap_binds_and_matches_freq_mode(spark):
     b = sorted(map(tuple, cooccurrence_pairs(
         df2, "k", "item", max_items_per_key=16, cap_by="id").collect()))
     assert a == b
+
+
+def test_funnel_no_stage1_events(spark):
+    # nobody enters the funnel: every stage reports 0 users, pct NULL
+    got = _funnel(spark, [(1, "b", _ts(1)), (2, "c", _ts(2))])
+    assert {r for r in ((s, g.users) for s, g in got.items())} == {
+        ("a", 0), ("b", 0), ("c", 0),
+    }
+    assert all(g.pct_of_start is None for g in got.values())
+
+
+def test_spearman_constant_column_null(spark):
+    from sparkprep.operators.stats import spearman
+
+    df = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)], ["x", "y"]
+    )
+    row = spearman(df, "x", "y").collect()[0]
+    assert row.spearman_rho is None  # zero rank variance -> try_divide NULL
+    assert row.n_rows == 3
+
+
+def test_peak_concurrency_single_interval(spark):
+    from sparkprep.operators.temporal import peak_concurrency
+
+    out = peak_concurrency(
+        _iv(spark, [(_ts(1), _ts(1))]), "s", "e"
+    ).collect()
+    assert len(out) == 1
+    assert (out[0].n_intervals, out[0].peak) == (1, 1)
+
+
+def test_triangle_single_edge(spark):
+    # no wedges at all: clustering NULL (0-wedge try_divide), not 0/0
+    row = triangle_stats(_edges(spark, [(0, 1)])).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (
+        2, 1, 0, 0,
+    )
+    assert row.clustering is None
