@@ -188,6 +188,7 @@ _ROUND5_OVERFLOW = [
     "two_hop_reach",
     "price_spread",
     "bigram_pmi",
+    "supplier_hhi",
 ]
 
 

@@ -900,6 +900,55 @@ FROM w, tri
 """
 
 
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration risk per part: top-20 parts (≥3 suppliers)
+    by the Herfindahl index of supplier quantity shares — which SKUs
+    depend on one vendor. HHI is computed as Σq_i² / Q² (ONE division
+    of exact int64 sums — never a float share per row, so the sum is
+    order-independent by construction); two map-combined groupBys
+    sharing the l_partkey shuffle key, then TakeOrdered."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("__q")
+    )
+    per_supp = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("__q").alias("__sq")
+    )
+    per_part = per_supp.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("__ns"),
+        F.sum("__sq").alias("__tot"),
+        F.sum(F.col("__sq") * F.col("__sq")).alias("__sq2"),
+    )
+    hhi = F.col("__sq2") / (F.col("__tot") * F.col("__tot"))
+    return (
+        per_part.filter(F.col("__ns") >= 3)
+        .select(
+            "l_partkey",
+            F.col("__ns").cast("long").alias("n_suppliers"),
+            F.col("__tot").cast("long").alias("total_qty"),
+            F.round(hhi, 6).alias("hhi"),
+        )
+        .orderBy(F.desc("hhi"), "l_partkey")
+        .limit(20)
+    )
+
+
+_SUPPLIER_HHI_SQL = """
+WITH per_supp AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity::BIGINT) AS sq
+  FROM lineitem GROUP BY 1, 2
+),
+per_part AS (
+  SELECT l_partkey, count(*) AS ns, sum(sq) AS tot, sum(sq * sq) AS sq2
+  FROM per_supp GROUP BY 1
+)
+SELECT l_partkey, ns::BIGINT AS n_suppliers, tot::BIGINT AS total_qty,
+       round(sq2 / (tot * tot), 6) AS hhi
+FROM per_part WHERE ns >= 3
+ORDER BY hhi DESC, l_partkey
+LIMIT 20
+"""
+
+
 def q_price_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same-part price dispersion across suppliers: top-20 parts by
     relative unit-price spread (max−min)/mean among parts sold by ≥3
@@ -1276,6 +1325,7 @@ QUERIES = {
     "gini_revenue": q_gini_revenue,
     "two_hop_reach": q_two_hop_reach,
     "price_spread": q_price_spread,
+    "supplier_hhi": q_supplier_hhi,
     "lorenz_curve": q_lorenz_curve,
     "salted_join": q_salted_join,
     "spearman": q_spearman,
@@ -1304,6 +1354,7 @@ ORACLES = {
     "gini_revenue": _GINI_REVENUE_SQL,
     "two_hop_reach": _TWO_HOP_SQL,
     "price_spread": _PRICE_SPREAD_SQL,
+    "supplier_hhi": _SUPPLIER_HHI_SQL,
     "lorenz_curve": _LORENZ_SQL,
     "salted_join": _SALTED_JOIN_SQL,
     "spearman": _SPEARMAN_SQL,
