@@ -1549,6 +1549,93 @@ FROM g WHERE gap IS NOT NULL
 """
 
 
+def q_user_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-segment migration matrix: each user's DOMINANT event
+    type in the stream's first week vs its last week (count-desc,
+    type-asc argmax — deterministic under ties), counted as a
+    from→to transition for users active in both windows. The cohort
+    question retention can't answer: not WHETHER users stay, but what
+    they turn into. Period bounds are relative to the stream's own
+    min/max ts (no hard-coded dates — testdata regenerates between
+    rounds); the argmax windows run over the aggregated (user, period,
+    type) frame."""
+    tune_for_engine(spark)
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    week_us = 7 * 86_400_000_000
+    # 1-row min/max frame broadcast-attached (the sanctioned scalar
+    # pattern — a Window.partitionBy() here would single-partition the
+    # RAW stream, the fatal version of the empty-frame window)
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("__lo"),
+        F.max(F.unix_micros("ts")).alias("__hi"),
+    )
+    staged = (
+        ev.select("user_id", "event_type", F.unix_micros("ts").alias("__us"))
+        .crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "__period",
+            F.when(
+                F.col("__us") < F.col("__lo") + F.lit(week_us), "first"
+            ).when(
+                F.col("__us") >= F.col("__hi") - F.lit(week_us), "last"
+            ),
+        )
+        .filter(F.col("__period").isNotNull())
+    )
+    counts = staged.groupBy("user_id", "__period", "event_type").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w = Window.partitionBy("user_id", "__period").orderBy(
+        F.desc("__n"), F.asc("event_type")
+    )
+    dom = counts.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") == 1
+    )
+    a = dom.filter(F.col("__period") == "first").select(
+        "user_id", F.col("event_type").alias("from_type")
+    )
+    b = dom.filter(F.col("__period") == "last").select(
+        "user_id", F.col("event_type").alias("to_type")
+    )
+    return (
+        a.join(b, "user_id")
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+_USER_MIGRATION_SQL = """
+WITH bounds AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events),
+staged AS (
+  SELECT user_id, event_type,
+         CASE WHEN epoch_us(ts) < bounds.lo + 604800000000 THEN 'first'
+              WHEN epoch_us(ts) >= bounds.hi - 604800000000 THEN 'last'
+         END AS period
+  FROM events CROSS JOIN bounds
+),
+counts AS (
+  SELECT user_id, period, event_type, count(*) AS n
+  FROM staged WHERE period IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+dom AS (
+  SELECT user_id, period, event_type FROM (
+    SELECT user_id, period, event_type,
+           row_number() OVER (PARTITION BY user_id, period
+                              ORDER BY n DESC, event_type) AS rk
+    FROM counts
+  ) WHERE rk = 1
+)
+SELECT a.event_type AS from_type, b.event_type AS to_type,
+       count(*)::BIGINT AS n_users
+FROM dom a JOIN dom b ON a.user_id = b.user_id
+WHERE a.period = 'first' AND b.period = 'last'
+GROUP BY 1, 2
+"""
+
+
 def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-quality panel over 30-minute-gap sessions: volume,
     bounce rate (single-event sessions), events-per-session, and the
@@ -1811,6 +1898,7 @@ QUERIES = {
     "anova_f": q_anova_f,
     "session_stats": q_session_stats,
     "reorder_gaps": q_reorder_gaps,
+    "user_migration": q_user_migration,
     "survival_table": q_survival_table,
     "cohort_retention": q_cohort_retention,
     "peak_concurrency": q_peak_concurrency,
@@ -1854,6 +1942,7 @@ ORACLES = {
     "anova_f": _ANOVA_F_SQL,
     "session_stats": _SESSION_STATS_SQL,
     "reorder_gaps": _REORDER_GAPS_SQL,
+    "user_migration": _USER_MIGRATION_SQL,
     "survival_table": _SURVIVAL_TABLE_SQL,
     "cohort_retention": _COHORT_RETENTION_SQL,
     "peak_concurrency": _PEAK_CONCURRENCY_SQL,

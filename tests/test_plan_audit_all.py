@@ -55,6 +55,7 @@ _TINY_BROADCAST_CROSS = {
     "retrieval_overlap",   # dense leg = 1 query vector broadcast x corpus
     "triangle_count",    # 1-row node/edge/triangle census frames attach
     "assortativity",     # 1-row Pearson sums x 1-row node count attach
+    "user_migration",    # 1-row stream min/max bounds attach
 }
 
 # the one deliberate Python-row-path showcase: a Python UDTF (SURVEY
