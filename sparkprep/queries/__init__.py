@@ -189,6 +189,8 @@ _ROUND5_OVERFLOW = [
     "price_spread",
     "bigram_pmi",
     "supplier_hhi",
+    "user_migration",
+    "basket_size_dist",
 ]
 
 

@@ -900,6 +900,44 @@ FROM w, tri
 """
 
 
+def q_basket_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size histogram: how many distinct parts each order holds
+    — the profile that VALIDATES the bounded-fan-out assumption every
+    co-purchase graph query builds on (pair explode is k² per order;
+    the cooccurrence cap of 64 only stays a no-op while this table's
+    max — 13 at sf0.01 — stays far below it). Two map-combined groupBys sharing
+    nothing heavier than the order key; share = one division of exact
+    counts over a broadcast 1-row total."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    per_order = li.dropDuplicates().groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("basket_size")
+    )
+    dist = per_order.groupBy("basket_size").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    total = dist.agg(F.sum("n_orders").alias("__t"))
+    return (
+        dist.crossJoin(F.broadcast(total))
+        .select(
+            F.col("basket_size").cast("long").alias("basket_size"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.round(F.col("n_orders") / F.col("__t"), 4).alias("share"),
+        )
+    )
+
+
+_BASKET_SIZE_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey, count(DISTINCT l_partkey) AS basket_size
+  FROM lineitem GROUP BY 1
+),
+dist AS (SELECT basket_size, count(*) AS n_orders FROM per_order GROUP BY 1)
+SELECT basket_size::BIGINT AS basket_size, n_orders::BIGINT AS n_orders,
+       round(n_orders / (SELECT sum(n_orders) FROM dist), 4) AS share
+FROM dist
+"""
+
+
 def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supply-concentration risk per part: top-20 parts (≥3 suppliers)
     by the Herfindahl index of supplier quantity shares — which SKUs
@@ -1326,6 +1364,7 @@ QUERIES = {
     "two_hop_reach": q_two_hop_reach,
     "price_spread": q_price_spread,
     "supplier_hhi": q_supplier_hhi,
+    "basket_size_dist": q_basket_size_dist,
     "lorenz_curve": q_lorenz_curve,
     "salted_join": q_salted_join,
     "spearman": q_spearman,
@@ -1355,6 +1394,7 @@ ORACLES = {
     "two_hop_reach": _TWO_HOP_SQL,
     "price_spread": _PRICE_SPREAD_SQL,
     "supplier_hhi": _SUPPLIER_HHI_SQL,
+    "basket_size_dist": _BASKET_SIZE_SQL,
     "lorenz_curve": _LORENZ_SQL,
     "salted_join": _SALTED_JOIN_SQL,
     "spearman": _SPEARMAN_SQL,
