@@ -191,6 +191,7 @@ _ROUND5_OVERFLOW = [
     "supplier_hhi",
     "user_migration",
     "basket_size_dist",
+    "rfm_segments",
 ]
 
 

@@ -900,6 +900,91 @@ FROM w, tri
 """
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the canonical customer-value grid: per
+    customer, Recency (days since last order, vs the stream's own max
+    day via a broadcast 1-row attach), Frequency (order count) and
+    Monetary (exact-decimal total spend) are quintile-scored with
+    ntile(5) windows over the AGGREGATED per-customer frame
+    (custkey tie-breaks pin bucket boundaries for the oracle; score 5
+    = most recent / most frequent / biggest spender), then rolled up
+    to segment counts + average spend per (r, f, m) cell."""
+    tune_for_engine(spark)
+    from pyspark.sql.window import Window
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").alias(
+            "__day"
+        ),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("__m"),
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("__day").alias("__last"),
+        F.count(F.lit(1)).alias("__f"),
+        F.sum("__m").alias("__mon"),
+    )
+    horizon = per_cust.agg(F.max("__last").alias("__h"))
+    staged = per_cust.crossJoin(F.broadcast(horizon)).select(
+        "o_custkey",
+        (F.col("__h") - F.col("__last")).alias("__rec"),
+        "__f",
+        "__mon",
+    )
+    # most recent = highest r_score: order recency DESC so ntile 5 is
+    # the freshest quintile; same polarity for f and m
+    wr = Window.orderBy(F.desc("__rec"), F.asc("o_custkey"))
+    wf = Window.orderBy(F.asc("__f"), F.asc("o_custkey"))
+    wm = Window.orderBy(F.asc("__mon"), F.asc("o_custkey"))
+    scored = staged.select(
+        F.ntile(5).over(wr).cast("long").alias("r_score"),
+        F.ntile(5).over(wf).cast("long").alias("f_score"),
+        F.ntile(5).over(wm).cast("long").alias("m_score"),
+        "__mon",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        # exact decimal sum -> ONE double conversion -> one IEEE
+        # division (decimal/decimal division rounds at engine-specific
+        # result scales and cannot hash-match)
+        F.round(F.sum("__mon").cast("double") / F.count(F.lit(1)), 2).alias(
+            "avg_spend"
+        ),
+    )
+
+
+_RFM_SQL = """
+WITH o AS (
+  SELECT o_custkey,
+         epoch_us(o_orderdate) // 86400000000 AS day,
+         o_totalprice::DECIMAL(18,4) AS m
+  FROM orders
+),
+per_cust AS (
+  SELECT o_custkey, max(day) AS last_day, count(*) AS f, sum(m) AS mon
+  FROM o GROUP BY 1
+),
+staged AS (
+  SELECT o_custkey,
+         (SELECT max(last_day) FROM per_cust) - last_day AS rec,
+         f, mon
+  FROM per_cust
+),
+scored AS (
+  SELECT ntile(5) OVER (ORDER BY rec DESC, o_custkey) AS r_score,
+         ntile(5) OVER (ORDER BY f ASC, o_custkey) AS f_score,
+         ntile(5) OVER (ORDER BY mon ASC, o_custkey) AS m_score,
+         mon
+  FROM staged
+)
+SELECT r_score::BIGINT AS r_score, f_score::BIGINT AS f_score,
+       m_score::BIGINT AS m_score,
+       count(*)::BIGINT AS n_customers,
+       round(sum(mon)::DOUBLE / count(*), 2) AS avg_spend
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
 def q_basket_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Basket-size histogram: how many distinct parts each order holds
     — the profile that VALIDATES the bounded-fan-out assumption every
@@ -1365,6 +1450,7 @@ QUERIES = {
     "price_spread": q_price_spread,
     "supplier_hhi": q_supplier_hhi,
     "basket_size_dist": q_basket_size_dist,
+    "rfm_segments": q_rfm_segments,
     "lorenz_curve": q_lorenz_curve,
     "salted_join": q_salted_join,
     "spearman": q_spearman,
@@ -1395,6 +1481,7 @@ ORACLES = {
     "price_spread": _PRICE_SPREAD_SQL,
     "supplier_hhi": _SUPPLIER_HHI_SQL,
     "basket_size_dist": _BASKET_SIZE_SQL,
+    "rfm_segments": _RFM_SQL,
     "lorenz_curve": _LORENZ_SQL,
     "salted_join": _SALTED_JOIN_SQL,
     "spearman": _SPEARMAN_SQL,
