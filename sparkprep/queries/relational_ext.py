@@ -946,10 +946,16 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         # exact decimal sum -> ONE double conversion -> one IEEE
         # division (decimal/decimal division rounds at engine-specific
-        # result scales and cannot hash-match)
-        F.round(F.sum("__mon").cast("double") / F.count(F.lit(1)), 2).alias(
-            "avg_spend"
-        ),
+        # result scales and cannot hash-match); the quotient re-casts
+        # to DECIMAL(18,8) BEFORE the display round — a double sitting
+        # on an exact decimal half rounds differently per engine
+        # (CLAUDE.md round-divergence landmine, hit at sf0.001)
+        F.round(
+            (F.sum("__mon").cast("double") / F.count(F.lit(1))).cast(
+                "decimal(18,8)"
+            ),
+            2,
+        ).cast("double").alias("avg_spend"),
     )
 
 
@@ -980,7 +986,7 @@ scored AS (
 SELECT r_score::BIGINT AS r_score, f_score::BIGINT AS f_score,
        m_score::BIGINT AS m_score,
        count(*)::BIGINT AS n_customers,
-       round(sum(mon)::DOUBLE / count(*), 2) AS avg_spend
+       round((sum(mon)::DOUBLE / count(*))::DECIMAL(18,8), 2)::DOUBLE AS avg_spend
 FROM scored GROUP BY 1, 2, 3
 """
 
