@@ -56,6 +56,8 @@ _TINY_BROADCAST_CROSS = {
     "triangle_count",    # 1-row node/edge/triangle census frames attach
     "assortativity",     # 1-row Pearson sums x 1-row node count attach
     "user_migration",    # 1-row stream min/max bounds attach
+    "basket_size_dist",  # 1-row order-total attach for the share column
+    "rfm_segments",      # 1-row max-order-day attach for recency
 }
 
 # the one deliberate Python-row-path showcase: a Python UDTF (SURVEY
