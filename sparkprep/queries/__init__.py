@@ -192,6 +192,7 @@ _ROUND5_OVERFLOW = [
     "user_migration",
     "basket_size_dist",
     "rfm_segments",
+    "ship_delay",
 ]
 
 

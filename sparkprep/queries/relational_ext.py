@@ -900,6 +900,59 @@ FROM w, tri
 """
 
 
+def q_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency SLA panel per order priority: exact p50 /
+    p90 / max day delays plus the share breaching a 30-day SLA — the
+    operational fulfilment readout. One keyed join (lineitem ⋈ orders
+    on the order key) feeding one map-combined groupBy; delays are
+    exact int64 epoch-day differences (both date columns cast NTZ →
+    session-TZ TIMESTAMP first — the loader only normalizes `ts`);
+    the breach share is an exact 0/1 average."""
+    tune_for_engine(spark)
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr(
+            "unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000"
+        ).alias("__ship"),
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr(
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"
+        ).alias("__ord"),
+    )
+    delays = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority", (F.col("__ship") - F.col("__ord")).alias("__d")
+    )
+    return delays.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.round(F.expr("percentile(__d, 0.5)"), 4).alias("p50_days"),
+        F.round(F.expr("percentile(__d, 0.9)"), 4).alias("p90_days"),
+        F.max("__d").cast("long").alias("max_days"),
+        F.round(
+            F.avg(F.when(F.col("__d") > 30, 1.0).otherwise(0.0)), 4
+        ).alias("sla_breach_rate"),
+    )
+
+
+_SHIP_DELAY_SQL = """
+WITH delays AS (
+  SELECT o_orderpriority,
+         (epoch_us(l_shipdate) // 86400000000)
+           - (epoch_us(o_orderdate) // 86400000000) AS d
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT o_orderpriority,
+       count(*)::BIGINT AS n_lines,
+       round(quantile_cont(d, 0.5), 4) AS p50_days,
+       round(quantile_cont(d, 0.9), 4) AS p90_days,
+       max(d)::BIGINT AS max_days,
+       round(avg(CASE WHEN d > 30 THEN 1.0 ELSE 0.0 END), 4) AS sla_breach_rate
+FROM delays GROUP BY 1
+"""
+
+
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation — the canonical customer-value grid: per
     customer, Recency (days since last order, vs the stream's own max
@@ -1457,6 +1510,7 @@ QUERIES = {
     "supplier_hhi": q_supplier_hhi,
     "basket_size_dist": q_basket_size_dist,
     "rfm_segments": q_rfm_segments,
+    "ship_delay": q_ship_delay,
     "lorenz_curve": q_lorenz_curve,
     "salted_join": q_salted_join,
     "spearman": q_spearman,
@@ -1488,6 +1542,7 @@ ORACLES = {
     "supplier_hhi": _SUPPLIER_HHI_SQL,
     "basket_size_dist": _BASKET_SIZE_SQL,
     "rfm_segments": _RFM_SQL,
+    "ship_delay": _SHIP_DELAY_SQL,
     "lorenz_curve": _LORENZ_SQL,
     "salted_join": _SALTED_JOIN_SQL,
     "spearman": _SPEARMAN_SQL,
