@@ -193,6 +193,7 @@ _ROUND5_OVERFLOW = [
     "basket_size_dist",
     "rfm_segments",
     "ship_delay",
+    "weekday_effect",
 ]
 
 

@@ -1549,6 +1549,62 @@ FROM g WHERE gap IS NOT NULL
 """
 
 
+def q_weekday_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend-vs-weekday value lift per event type — the calendar
+    segmentation chi_square's count grid can't see (it tests MIX, this
+    tests MAGNITUDE). Weekend = epoch-day-of-week ∈ {2,3} (epoch day 0
+    = Thursday, so Sat=2/Sun=3 — pure int math, no locale). Per-row
+    DECIMAL(18,6) casts make both conditional sums exact; each mean is
+    ONE double division, the lift one more, re-cast DECIMAL(18,8)
+    before the display round (half-round landmine)."""
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    is_we = F.expr("(unix_micros(ts) div 86400000000) % 7").isin(2, 3)
+    x = F.col("value").cast("decimal(18,6)")
+    agg = ev.groupBy("event_type").agg(
+        F.sum(F.when(is_we, 1).otherwise(0)).cast("long").alias("n_weekend"),
+        F.sum(F.when(~is_we, 1).otherwise(0)).cast("long").alias("n_weekday"),
+        F.sum(F.when(is_we, x)).alias("__swe"),
+        F.sum(F.when(~is_we, x)).alias("__swd"),
+    )
+    m_we = F.try_divide(F.col("__swe").cast("double"), F.col("n_weekend"))
+    m_wd = F.try_divide(F.col("__swd").cast("double"), F.col("n_weekday"))
+    return agg.select(
+        "event_type",
+        "n_weekend",
+        "n_weekday",
+        F.round(m_we.cast("decimal(18,8)"), 4).cast("double").alias("mean_weekend"),
+        F.round(m_wd.cast("decimal(18,8)"), 4).cast("double").alias("mean_weekday"),
+        F.round(F.try_divide(m_we, m_wd).cast("decimal(18,8)"), 4)
+        .cast("double")
+        .alias("weekend_lift"),
+    )
+
+
+_WEEKDAY_EFFECT_SQL = """
+WITH staged AS (
+  SELECT event_type,
+         ((epoch_us(ts) // 86400000000) % 7) IN (2, 3) AS is_we,
+         value::DECIMAL(18,6) AS x
+  FROM events WHERE value IS NOT NULL
+),
+agg AS (
+  SELECT event_type,
+         sum(CASE WHEN is_we THEN 1 ELSE 0 END)::BIGINT AS n_weekend,
+         sum(CASE WHEN NOT is_we THEN 1 ELSE 0 END)::BIGINT AS n_weekday,
+         sum(CASE WHEN is_we THEN x END) AS swe,
+         sum(CASE WHEN NOT is_we THEN x END) AS swd
+  FROM staged GROUP BY 1
+)
+SELECT event_type, n_weekend, n_weekday,
+       round((swe::DOUBLE / n_weekend)::DECIMAL(18,8), 4)::DOUBLE AS mean_weekend,
+       round((swd::DOUBLE / n_weekday)::DECIMAL(18,8), 4)::DOUBLE AS mean_weekday,
+       round(((swe::DOUBLE / n_weekend) / (swd::DOUBLE / n_weekday))::DECIMAL(18,8), 4)::DOUBLE
+         AS weekend_lift
+FROM agg
+"""
+
+
 def q_user_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral-segment migration matrix: each user's DOMINANT event
     type in the stream's first week vs its last week (count-desc,
@@ -1899,6 +1955,7 @@ QUERIES = {
     "session_stats": q_session_stats,
     "reorder_gaps": q_reorder_gaps,
     "user_migration": q_user_migration,
+    "weekday_effect": q_weekday_effect,
     "survival_table": q_survival_table,
     "cohort_retention": q_cohort_retention,
     "peak_concurrency": q_peak_concurrency,
@@ -1943,6 +2000,7 @@ ORACLES = {
     "session_stats": _SESSION_STATS_SQL,
     "reorder_gaps": _REORDER_GAPS_SQL,
     "user_migration": _USER_MIGRATION_SQL,
+    "weekday_effect": _WEEKDAY_EFFECT_SQL,
     "survival_table": _SURVIVAL_TABLE_SQL,
     "cohort_retention": _COHORT_RETENTION_SQL,
     "peak_concurrency": _PEAK_CONCURRENCY_SQL,
