@@ -262,6 +262,47 @@ def cooccurrence_pairs(
     ).agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
 
 
+def directed_ends_capped(
+    edges: DataFrame,
+    max_degree: int | None = None,
+    a_col: str = "item_a",
+    b_col: str = "item_b",
+) -> DataFrame:
+    """Directed (u, v) ends of an undirected edge list, with an optional
+    per-node HUB GUARD: each u keeps at most ``max_degree`` out-neighbors
+    (id-smallest first — deterministic, engine-portable, no RNG).
+
+    This is the bound that keeps neighborhood expansions alive at 100x:
+    any ``dirs ⋈ dirs`` 2-hop self-join fans out Σ deg², which one
+    celebrity node turns into a near cross product; capping out-degree
+    first bounds the fan-out at ``max_degree²`` rows PER NODE. With the
+    cap unset (or never binding — e.g. driver-scale graphs whose max
+    degree sits far below it), output is exactly the uncapped directed
+    ends, so capped queries stay oracle-identical while headroom holds
+    (VERDICT r5 two_hop watch-item; same family as cooccurrence_pairs'
+    ``max_items_per_key``).
+
+    One row-local explode + (when capping) one keyed window — the rank
+    runs per-NODE, never a global sort.
+    """
+    dirs = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(a_col).alias("u"), F.col(b_col).alias("v")),
+                F.struct(F.col(b_col).alias("u"), F.col(a_col).alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    if max_degree is None:
+        return dirs
+    w = Window.partitionBy("u").orderBy("v")
+    return (
+        dirs.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= int(max_degree))
+        .drop("__rk")
+    )
+
+
 def triangle_stats(
     edges: DataFrame,
     a_col: str = "item_a",

@@ -481,8 +481,19 @@ def grouped_centroids(
     dims = df.select(
         F.col(group_col), F.posexplode(F.col(vec_col)).alias("__d", "__v")
     )
+    # Mean accumulates as an exact DECIMAL sum (per-row double→decimal
+    # cast is engine-identical; decimal addition is order-independent)
+    # with ONE IEEE division at the end — a plain double avg drifts
+    # ~1e-12 by summation order and can flip round(m, 6) at a half
+    # boundary between Spark and the DuckDB oracles (ADVICE r5 #4).
     per_dim = dims.groupBy(group_col, "__d").agg(
-        F.avg("__v").alias("__m"), F.count(F.lit(1)).alias("__n")
+        (
+            F.sum(F.col("__v").cast("double").cast("decimal(30,12)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("__m"),
+        F.count(F.lit(1)).alias("__n"),
     )
     return (
         per_dim.groupBy(group_col)

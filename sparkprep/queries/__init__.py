@@ -194,6 +194,13 @@ _ROUND5_OVERFLOW = [
     "rfm_segments",
     "ship_delay",
     "weekday_effect",
+    # round-6 session additions (never driver-verified): the three
+    # entity-grain scale twins + the join fan-out profile — exactly
+    # fills the 50-slot round-6 window (46 + 4)
+    "gini_scale",
+    "lorenz_scale",
+    "rfm_scale",
+    "join_fanout",
 ]
 
 

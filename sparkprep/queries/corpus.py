@@ -135,7 +135,9 @@ WITH d AS (
 SELECT label,
        count(*)::BIGINT AS n_vecs,
        dim::BIGINT AS dim,
-       round(avg(v), 6) AS c_val
+       -- exact decimal accumulation + ONE IEEE division, mirroring
+       -- grouped_centroids (order-independent cross-engine mean)
+       round(sum((v::DOUBLE)::DECIMAL(30,12))::DOUBLE / count(*), 6) AS c_val
 FROM d
 GROUP BY label, dim
 """

@@ -30,7 +30,13 @@ from sparkprep.queries import t
 
 
 def _corpus_near(spark, sf_dir) -> DataFrame:
-    """documents ∪ near-dup mutants (first token dropped, id+10000)."""
+    """documents ∪ near-dup mutants (first token dropped, id+10000).
+
+    The +10000 offset (and every ``% 10000`` sub-corpus selector below)
+    assumes ids stay < 10000; tests/test_headroom_canaries.py pins that
+    against every testdata generation with 2x headroom, so an id-range
+    drift fails pytest instead of silently colliding twin ids.
+    """
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     mutants = docs.select(
         (F.col("doc_id") + 10000).alias("doc_id"),
@@ -559,7 +565,11 @@ d AS (
   FROM halves, UNNEST(range(1, len(embedding) + 1)) AS u(i)
 ),
 pd AS (
-  SELECT half, label, dim, round(avg(v), 6) AS m, count(*) AS c
+  -- exact decimal accumulation + ONE IEEE division, mirroring
+  -- grouped_centroids (order-independent cross-engine mean)
+  SELECT half, label, dim,
+         round(sum((v::DOUBLE)::DECIMAL(30,12))::DOUBLE / count(*), 6) AS m,
+         count(*) AS c
   FROM d GROUP BY 1, 2, 3
 ),
 cent AS (
@@ -581,7 +591,9 @@ def q_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     the twin pairing — the dedup merge queue a one-directional top-1
     would pollute with hub vectors. Candidates stay LSH-bucket-bounded
     (``sim.mutual_nn_pairs``); the oracle replays bucket signatures,
-    per-source top-1 windows, and the reversed-pair join in SQL."""
+    per-source top-1 windows, and the reversed-pair join in SQL. The
+    +10000 twin-id offset is canary-pinned (test_headroom_canaries.py:
+    max vec_id < 5000 today, fails loudly before twins can collide)."""
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     scaled = emb.select(
         (F.col("vec_id") + 10000).alias("vec_id"),

@@ -862,7 +862,10 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds the wedge join by Σ out-deg² = O(m^1.5) even when a hub
     part dominates. The oracle replays the textbook unoriented 3-way
     self-join — feasible at sf0.01, exactly the plan the oriented
-    version exists to avoid at scale."""
+    version exists to avoid at scale. The 64-part fan-out cap never
+    binds on driver data (max basket 17; canary-pinned with 2x headroom
+    in tests/test_headroom_canaries.py so the all-pairs oracle can't
+    silently diverge)."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = graph.cooccurrence_pairs(
         li, "l_orderkey", "l_partkey", max_items_per_key=64, cap_by="id"
@@ -961,7 +964,12 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile(5) windows over the AGGREGATED per-customer frame
     (custkey tie-breaks pin bucket boundaries for the oracle; score 5
     = most recent / most frequent / biggest spender), then rolled up
-    to segment counts + average spend per (r, f, m) cell."""
+    to segment counts + average spend per (r, f, m) cell.
+
+    100x toggle: the per-customer frame is ENTITY-grain, so these
+    global ntile windows single-task-sort everything at scale — use
+    ``rfm_scale`` (scale_ops.q_rfm_scale: chained ranks.global_ntile
+    passes, bit-identical output, same oracle) beyond driver SFs."""
     tune_for_engine(spark)
     from pyspark.sql.window import Window
 
@@ -1195,24 +1203,25 @@ LIMIT 20
 def q_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 parts by 2-hop neighborhood size in the support-≥2
     co-purchase graph — the 'influence radius' readout beside
-    pagerank's stationary view. One directed-ends explode off the
-    CHECKPOINTED edge list (multi-consumer: the 1-hop leg and both
-    sides of the 2-hop self-join), a single self-join bounded by
-    Σ deg² of the support-thresholded graph, and one distinct-count
-    aggregate with a conditional distinct for the direct-degree
-    column. TakeOrdered top-k."""
+    pagerank's stationary view. Directed ends come from
+    ``graph.directed_ends_capped`` with a 256-neighbor HUB GUARD
+    (VERDICT r5 watch-item): the 2-hop self-join fans out Σ deg², so
+    one celebrity part at 100x would dominate without the cap. Max
+    degree is 51 on driver data (sf0.001, the densest generation;
+    canary-pinned with >=2x headroom in tests/test_headroom_canaries.py),
+    so the cap never binds and the all-pairs oracle stays exact (at a
+    true 100x deployment, tighten the cap to taste — results then
+    become top-k-neighbor approximations). The capped ends are CHECKPOINTED
+    (multi-consumer: the 1-hop leg and both sides of the 2-hop
+    self-join); one distinct-count aggregate with a conditional
+    distinct for the direct-degree column. TakeOrdered top-k."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = graph.cooccurrence_pairs(
         li, "l_orderkey", "l_partkey", max_items_per_key=64, cap_by="id"
     ).filter(F.col("n_keys") >= 2)
-    dirs = edges.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("item_a").alias("u"), F.col("item_b").alias("v")),
-                F.struct(F.col("item_b").alias("u"), F.col("item_a").alias("v")),
-            )
-        ).alias("e")
-    ).select("e.u", "e.v").localCheckpoint(eager=False)
+    dirs = graph.directed_ends_capped(
+        edges, max_degree=256
+    ).localCheckpoint(eager=False)
     one = dirs.select("u", "v", F.lit(1).alias("hop"))
     two = (
         dirs.alias("d1")
@@ -1272,7 +1281,12 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue_concentration), with (revenue, custkey) ordering so ties
     are deterministic (equal values make Σ i·xᵢ order-invariant
     anyway). Σ i·xᵢ is decimal-exact (bigint × decimal); the finish is
-    4 IEEE ops."""
+    4 IEEE ops.
+
+    100x toggle: the rank window is over the ENTITY-grain per-customer
+    frame (one task sorts every customer at scale) — use ``gini_scale``
+    (scale_ops.q_gini_scale: ranks.global_rank distributed row_number,
+    bit-identical output, same oracle) beyond driver SFs."""
     tune_for_engine(spark)
     from pyspark.sql.window import Window
 
@@ -1336,7 +1350,12 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     share. Both windows — the ntile and the cumulative sum — run over
     the AGGREGATED per-customer / 10-row frames; shares are single
     double divisions of exact decimal sums. (rev, custkey) ordering
-    pins ntile boundaries under ties for the oracle."""
+    pins ntile boundaries under ties for the oracle.
+
+    100x toggle: the decile ntile is over the ENTITY-grain per-customer
+    frame — use ``lorenz_scale`` (scale_ops.q_lorenz_scale:
+    ranks.global_ntile, bit-identical output, same oracle) beyond
+    driver SFs; only the 10-row cumulative windows remain global."""
     tune_for_engine(spark)
     from pyspark.sql.window import Window
 
@@ -1499,8 +1518,59 @@ LIMIT 20
 """
 
 
+def q_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join fan-out profile on l_partkey — the cost model behind
+    every self-join family in this engine (co-purchase pairs, 2-hop,
+    shingle/LSH buckets): an A⋈A equi-join emits cnt(k)² rows per key,
+    so Σ cnt² is the join's true size and the top keys are the skew
+    that salting/capping exists for. One map-combined groupBy; the
+    join-share denominator is an empty-frame window over the per-PART
+    aggregate (dimension-grain, the top_supplier-sanctioned placement);
+    share = ONE IEEE division of exact int64s; TakeOrdered top-20 with
+    partkey tie-break. Pairs with key_skew (group-key imbalance) as the
+    join-side lens of the skew toolkit."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey")
+    per = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("__n"))
+    fan = per.select(
+        "l_partkey",
+        F.col("__n").cast("long").alias("n_rows"),
+        (F.col("__n") * F.col("__n")).cast("long").alias("fanout"),
+    )
+    from pyspark.sql.window import Window
+
+    tot = F.sum("fanout").over(Window.partitionBy())
+    return (
+        fan.select(
+            "l_partkey",
+            "n_rows",
+            "fanout",
+            F.round(
+                F.col("fanout").cast("double") / tot.cast("double"), 6
+            ).alias("join_share"),
+        )
+        .orderBy(F.desc("fanout"), "l_partkey")
+        .limit(20)
+    )
+
+
+_JOIN_FANOUT_SQL = """
+WITH per AS (
+  SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY 1
+),
+f AS (SELECT l_partkey, n, n * n AS fanout FROM per)
+SELECT l_partkey,
+       n::BIGINT AS n_rows,
+       fanout::BIGINT AS fanout,
+       round(fanout::DOUBLE / (sum(fanout) OVER ())::DOUBLE, 6) AS join_share
+FROM f
+ORDER BY fanout DESC, l_partkey
+LIMIT 20
+"""
+
+
 QUERIES = {
     "pagerank": q_pagerank,
+    "join_fanout": q_join_fanout,
     "triangle_count": q_triangle_count,
     "assortativity": q_assortativity,
     "assoc_rules": q_assoc_rules,
@@ -1533,6 +1603,7 @@ QUERIES = {
 
 ORACLES = {
     "pagerank": _PAGERANK_SQL,
+    "join_fanout": _JOIN_FANOUT_SQL,
     "triangle_count": _TRIANGLE_SQL,
     "assortativity": _ASSORTATIVITY_SQL,
     "assoc_rules": _ASSOC_RULES_SQL,

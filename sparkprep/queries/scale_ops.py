@@ -11,8 +11,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sparkprep.operators import quantize, sketches
-from sparkprep.queries import t
+from sparkprep.operators import quantize, ranks, sketches
+from sparkprep.queries import relational_ext, t
+from sparkprep.session import tune_for_engine
 
 _DIM = 64
 _LEVELS = 255
@@ -592,6 +593,144 @@ GROUP BY kb.key, n_exact
 """
 
 
+# ---------------------------------------------------------------------------
+# Entity-grain quantile trio, 100x form (VERDICT r5 "What's wrong" #2):
+# the exact rfm_segments / lorenz_curve / gini_revenue queries score with
+# global ntile/row_number windows over the per-CUSTOMER aggregate — a
+# frame that grows with the data, so one task sorts everything at 100x.
+# These twins compute the SAME answer (bit-identical: ranks.global_rank
+# is an exact distributed row_number; ntile_from_rank replays SQL ntile
+# semantics in integer math) through range-partitioned parallel sorts,
+# and therefore share the exact queries' oracles.
+# ---------------------------------------------------------------------------
+
+
+def _per_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    money = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(money).alias("__rev"))
+    )
+
+
+def q_gini_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gini_revenue's 100x twin: the global revenue rank comes from
+    ``ranks.global_rank`` (range-partition + per-partition window +
+    broadcast offsets — every stage parallel) instead of a
+    single-partition ``row_number`` window. Identical output, same
+    oracle (relational_ext._GINI_REVENUE_SQL)."""
+    tune_for_engine(spark)
+    per_cust = _per_customer_revenue(spark, sf_dir)
+    ranked = ranks.global_rank(
+        per_cust,
+        [F.asc("__rev"), F.asc("o_custkey")],
+        rank_name="__i",
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__rev").alias("__sx"),
+        F.sum(F.col("__i") * F.col("__rev")).alias("__six"),
+    )
+    n = F.col("__n").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("__six").cast("double")
+        / (n * F.col("__sx").cast("double"))
+        - (n + F.lit(1.0)) / n
+    )
+    return sums.select(
+        F.round(gini, 6).alias("gini"),
+        F.col("__n").cast("long").alias("n_customers"),
+        F.round(F.col("__sx"), 2).cast("double").alias("total_revenue"),
+    )
+
+
+def q_lorenz_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lorenz_curve's 100x twin: deciles via ``ranks.global_ntile``
+    (distributed exact ntile) instead of a single-partition ntile
+    window; the cumulative/total windows that remain run over the
+    10-row decile frame. Identical output, same oracle."""
+    tune_for_engine(spark)
+    from pyspark.sql.window import Window
+
+    per_cust = _per_customer_revenue(spark, sf_dir)
+    deciles = ranks.global_ntile(
+        per_cust,
+        10,
+        [F.asc("__rev"), F.asc("o_custkey")],
+        bucket_name="decile",
+    )
+    agg = deciles.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("__rev").alias("__drev"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = F.sum("__drev").over(Window.partitionBy())
+    return agg.select(
+        "decile",
+        "n_customers",
+        F.round("__drev", 2).cast("double").alias("revenue"),
+        F.round(
+            F.col("__drev").cast("double") / total.cast("double"), 6
+        ).alias("rev_share"),
+        F.round(
+            F.sum("__drev").over(w_cum).cast("double") / total.cast("double"),
+            6,
+        ).alias("cum_share"),
+    )
+
+
+def q_rfm_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rfm_segments' 100x twin: the three quintile scores come from
+    chained ``ranks.global_ntile`` passes (one range exchange + one
+    pid-hash exchange each, all parallel) instead of three
+    single-partition ntile windows. Identical output, same oracle."""
+    tune_for_engine(spark)
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").alias(
+            "__day"
+        ),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("__m"),
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("__day").alias("__last"),
+        F.count(F.lit(1)).alias("__f"),
+        F.sum("__m").alias("__mon"),
+    )
+    horizon = per_cust.agg(F.max("__last").alias("__h"))
+    staged = per_cust.crossJoin(F.broadcast(horizon)).select(
+        "o_custkey",
+        (F.col("__h") - F.col("__last")).alias("__rec"),
+        "__f",
+        "__mon",
+    )
+    scored = ranks.global_ntile(
+        staged, 5, [F.desc("__rec"), F.asc("o_custkey")], bucket_name="r_score"
+    )
+    scored = ranks.global_ntile(
+        scored, 5, [F.asc("__f"), F.asc("o_custkey")], bucket_name="f_score"
+    )
+    scored = ranks.global_ntile(
+        scored, 5, [F.asc("__mon"), F.asc("o_custkey")], bucket_name="m_score"
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.round(
+            (F.sum("__mon").cast("double") / F.count(F.lit(1))).cast(
+                "decimal(18,8)"
+            ),
+            2,
+        ).cast("double").alias("avg_spend"),
+    )
+
+
 QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "incr_agg": q_incr_agg,
@@ -607,6 +746,9 @@ QUERIES = {
     "importance_sample": q_importance_sample,
     "embedding_truncate": q_embedding_truncate,
     "cms_counts": q_cms_counts,
+    "gini_scale": q_gini_scale,
+    "lorenz_scale": q_lorenz_scale,
+    "rfm_scale": q_rfm_scale,
 }
 
 ORACLES = {
@@ -627,4 +769,9 @@ ORACLES = {
     "importance_sample": _IMPORTANCE_SAMPLE_SQL,
     "embedding_truncate": _EMBEDDING_TRUNCATE_SQL,
     "cms_counts": _cms_sql(),
+    # the 100x twins are bit-identical to the exact entity-grain
+    # quantile queries, so they share those queries' oracles
+    "gini_scale": relational_ext._GINI_REVENUE_SQL,
+    "lorenz_scale": relational_ext._LORENZ_SQL,
+    "rfm_scale": relational_ext._RFM_SQL,
 }

@@ -1423,7 +1423,13 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("__n").cast("long").alias("n"),
         F.round(
             F.sqrt(
-                F.sum("__term").cast("double") / (F.max("__n") * k)
+                # try_divide: degenerate data (single event type OR single
+                # day-of-week) makes k = 0; DuckDB's x/0 yields NULL while
+                # ANSI `/` would throw DIVIDE_BY_ZERO — NULL matches.
+                F.try_divide(
+                    F.sum("__term").cast("double"),
+                    (F.max("__n") * k).cast("double"),
+                )
             ),
             6,
         ).alias("cramers_v"),

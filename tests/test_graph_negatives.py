@@ -188,3 +188,47 @@ def test_cooccurrence_cap_and_singletons(spark):
         for r in graph.cooccurrence_pairs(df, "k", "item").collect()
     }
     assert got_all == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 2}
+
+
+def test_directed_ends_capped_bounds_hub_fanout(spark):
+    """VERDICT r5 watch-item: plant one hub node (degree 100) and assert
+    the guard bounds the 2-hop self-join's fan-out at cap^2 per node
+    instead of deg^2, while a never-binding cap is a pure no-op."""
+    from pyspark.sql import functions as F
+
+    from sparkprep.operators import graph
+
+    hub_edges = [(0, i) for i in range(1, 101)]  # star: hub 0, degree 100
+    df = spark.createDataFrame(hub_edges, ["item_a", "item_b"])
+
+    capped = graph.directed_ends_capped(df, max_degree=10)
+    out_deg = {
+        r["u"]: r["n"]
+        for r in capped.groupBy("u").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # hub keeps exactly its 10 id-smallest neighbors; leaves keep the hub
+    assert out_deg[0] == 10
+    assert all(out_deg[u] == 1 for u in out_deg if u != 0)
+    kept = {r["v"] for r in capped.filter(F.col("u") == 0).collect()}
+    assert kept == set(range(1, 11))  # deterministic id-smallest, no RNG
+
+    # the 2-hop fan-out the guard exists to bound: deg^2 = 10k rows
+    # uncapped, <= cap^2 + leaves with the guard
+    two_hop = (
+        capped.alias("d1")
+        .join(capped.alias("d2"), F.col("d1.v") == F.col("d2.u"))
+        .count()
+    )
+    # each directed edge (u,v) fans out <= out_deg(v) <= cap, so the
+    # join is bounded by |capped edges| * cap = 110 * 10; unguarded the
+    # 100 leaf edges each meet all 100 hub out-edges (10,100 rows)
+    assert two_hop <= 110 * 10
+    assert two_hop < 10_100 / 5
+
+    # no-op contract: a cap above the max degree returns the exact
+    # directed ends (what keeps the registered query oracle-identical)
+    uncapped = graph.directed_ends_capped(df)
+    loose = graph.directed_ends_capped(df, max_degree=1000)
+    assert sorted(map(tuple, loose.collect())) == sorted(
+        map(tuple, uncapped.collect())
+    )

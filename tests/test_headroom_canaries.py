@@ -1,0 +1,120 @@
+"""Headroom canaries for testdata-dependent constants (ADVICE r5 #2, #3).
+
+Two families of queries bake in constants that are only correct while
+the driver's synthetic testdata stays inside known bounds. The repo's
+documented guard pattern for such assumptions is a drift canary
+(tests/test_testdata_drift.py): assert the bound against EVERY testdata
+generation on disk so a regeneration that breaks it fails loudly at
+pytest time, never as a silent semantic change inside the driver run.
+
+1. The dup-synthesis id offset (+10000): llmprep builds planted
+   duplicates as ``doc_id + 10000`` / ``vec_id + 10000`` and selects
+   sub-corpora via ``id % 10000``. If a regeneration ever emits ids
+   >= 10000, twin ids collide with base ids — both engines compute
+   identically (hash still matches) but the dedup semantics silently
+   mix distinct rows under one id. Requires max(id) < 10000 with 2x
+   headroom enforced here at the ERROR threshold, WARN at half.
+
+2. The co-purchase pair cap (max_items_per_key=64, cap_by="id"):
+   the four graph queries cap per-order fan-out at 64 parts while
+   their DuckDB oracles build pairs from ALL distinct parts per
+   order. The cap must never BIND on driver data (max basket 17 at
+   sf0.1) or Spark silently drops pairs the oracle keeps.
+
+Pure pyarrow/duckdb — no Spark session, runs in milliseconds.
+"""
+
+import glob
+import os
+
+import duckdb
+import pytest
+
+# llmprep's synthetic-dup id offset; see _corpus_near/_corpus_exact and
+# the embedding twin builders in sparkprep/queries/llmprep.py.
+DUP_ID_OFFSET = 10000
+# graph queries' per-order fan-out cap; see q_triangle_count /
+# q_two_hop_reach / q_assortativity / q_assoc_rules in relational_ext.py.
+BASKET_CAP = 64
+# q_two_hop_reach's hub guard (graph.directed_ends_capped max_degree):
+# must never bind on driver data or the all-pairs oracle diverges.
+# 256, not 64: the sf0.001 support->=2 graph is DENSER than sf0.01's
+# (max degree 51 vs 13 — fewer orders over the same small part pool).
+DEGREE_CAP = 256
+
+
+def _all_sf_dirs():
+    dirs = sorted(glob.glob("/root/testdata/sf*"))
+    return [d for d in dirs if os.path.isdir(d)] or [
+        os.environ.get("SPARKPREP_TEST_SF_DIR", "/root/testdata/sf0.001")
+    ]
+
+
+@pytest.mark.parametrize("sfd", _all_sf_dirs())
+def test_dup_offset_headroom(sfd):
+    con = duckdb.connect()
+    max_doc = con.execute(
+        f"SELECT max(doc_id) FROM '{sfd}/documents.parquet'"
+    ).fetchone()[0]
+    max_vec = con.execute(
+        f"SELECT max(vec_id) FROM '{sfd}/embeddings.parquet'"
+    ).fetchone()[0]
+    for name, mx in (("doc_id", max_doc), ("vec_id", max_vec)):
+        assert mx < DUP_ID_OFFSET, (
+            f"{sfd}: max({name}) = {mx} >= {DUP_ID_OFFSET} — the llmprep "
+            "planted-dup twins now COLLIDE with base ids (silent semantic "
+            "mix, hash still matches). Raise the offset in llmprep.py "
+            "(Spark AND oracle SQL, including the `% 10000` sub-corpus "
+            "selectors) before trusting any dedup/similarity query."
+        )
+
+
+@pytest.mark.parametrize("sfd", _all_sf_dirs())
+def test_basket_cap_headroom(sfd):
+    con = duckdb.connect()
+    max_basket = con.execute(
+        "SELECT max(c) FROM (SELECT count(DISTINCT l_partkey) AS c "
+        f"FROM '{sfd}/lineitem.parquet' GROUP BY l_orderkey)"
+    ).fetchone()[0]
+    # error only when the cap would actually bind and diverge from the
+    # oracle; warn (via assert message choice) well before that.
+    assert max_basket < BASKET_CAP, (
+        f"{sfd}: max basket size = {max_basket} >= cap {BASKET_CAP} — "
+        "cooccurrence_pairs now silently drops pairs its oracles keep. "
+        "Raise max_items_per_key in the relational_ext graph queries."
+    )
+    assert max_basket <= BASKET_CAP // 2, (
+        f"{sfd}: max basket size {max_basket} is within 2x of the "
+        f"fan-out cap {BASKET_CAP} — raise the cap before it binds."
+    )
+
+
+@pytest.mark.parametrize("sfd", _all_sf_dirs())
+def test_two_hop_degree_cap_headroom(sfd):
+    """q_two_hop_reach's hub guard (directed_ends_capped, 64) must stay
+    a no-op on driver data: max degree of the support->=2 co-purchase
+    graph is 13 today. If a regeneration pushes it past the cap, Spark
+    silently drops neighbors the all-pairs oracle keeps."""
+    con = duckdb.connect()
+    max_deg = con.execute(
+        f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey
+            FROM '{sfd}/lineitem.parquet'),
+e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT coalesce(max(d), 0) FROM (
+  SELECT count(*) AS d FROM (
+    SELECT pa AS node FROM e UNION ALL SELECT pb AS node FROM e
+  ) GROUP BY node
+)
+"""
+    ).fetchone()[0]
+    assert max_deg <= DEGREE_CAP // 2, (
+        f"{sfd}: co-purchase max degree {max_deg} is within 2x of "
+        f"q_two_hop_reach's hub cap {DEGREE_CAP} — raise the cap (Spark "
+        "AND re-audit the oracle) before it binds."
+    )

@@ -58,6 +58,7 @@ _TINY_BROADCAST_CROSS = {
     "user_migration",    # 1-row stream min/max bounds attach
     "basket_size_dist",  # 1-row order-total attach for the share column
     "rfm_segments",      # 1-row max-order-day attach for recency
+    "rfm_scale",         # same 1-row horizon attach as rfm_segments
 }
 
 # the one deliberate Python-row-path showcase: a Python UDTF (SURVEY
@@ -98,3 +99,99 @@ def test_single_partition_windows_only_post_agg(all_plans):
                 offenders.append(name)
                 break
     assert not offenders, f"single-partition window over raw data in: {offenders}"
+
+
+def _single_partition_window_queries(all_plans):
+    hits = set()
+    for name, plan in all_plans.items():
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" in line and "Window" in "\n".join(
+                lines[:i]
+            ):
+                hits.add(name)
+                break
+    return hits
+
+
+# "Post-agg" alone is NOT scale-safe (VERDICT r5 #2): an aggregate at
+# ENTITY grain (per-customer, per-document) still grows with the data,
+# so its global window single-task-sorts everything at 100x. Every
+# query whose plan contains ANY single-partition window must therefore
+# be registered here with a boundedness justification — either the
+# exchanged frame has data-independent (or sublinear, cardinality-
+# bounded) size, or the query is entity-grain and must name a
+# registered scale twin in _ENTITY_GRAIN_TOGGLED. Adding a new global
+# window without an entry fails this audit — that is the commit gate.
+_BOUNDED_GLOBAL_WINDOW = {
+    "auc_quality": "<=1000-row score-bin ROC frame",
+    "benford": "9-row leading-digit frame",
+    "chi_square": "|event_types| x 7 contingency frame",
+    "freq_orderpriority": "5-row priority frame",
+    "gini_scale": "O(32) ranks.global_rank offsets frame only",
+    "hybrid_rrf": "bounded top-k retrieval legs",
+    "important_parts": "per-part dim frame; ranks.global_rank is the out if parts reach entity scale",
+    "join_fanout": "per-part dim frame (top_supplier's sanctioned share-denominator placement)",
+    "k_anonymity": "quasi-identifier cross-product frame (125 classes), bounded by QI domains not rows",
+    "l_diversity": "same QI-class frame as k_anonymity",
+    "length_histogram": "fixed length-bin frame",
+    "lm_score": "score-bin frame",
+    "lorenz_scale": "O(32) offsets + 10-row decile frames only",
+    "markov_3step": "|event_types|^2 transition frame",
+    "mix_weights": "per-source frame (~5 langs)",
+    "mom_growth": "~84-row month frame",
+    "mutual_info": "|types| x 7 contingency frame",
+    "psi_drift": "2 x K-bin cohort frame",
+    "rfm_scale": "O(32) offsets frames only (3 chained global_ntile passes)",
+    "sample_ks": "ECDF over bounded value-frequency frame",
+    "skyline": "per-level frame of the skyline lattice (bounded)",
+    "spearman": "50/11 distinct-value frequency frames",
+    "survival_table": "|distinct lifetime days| frame, bounded by horizon",
+    "target_encode": "per-category prior frame, bounded by category domain",
+    "token_budget": "20-row source frame",
+    "token_js": "two-scan vocab panel (vocab-grain, sublinear)",
+    "top_supplier": "per-supplier dim frame; ranks.global_rank is the out at entity scale",
+    "user_migration": "per-period argmax frames + 1-row bounds attach",
+    "vocab_coverage": "1-row folded coverage frames",
+    "window_funnel": "per-step funnel frame (4 steps)",
+}
+
+# Entity-grain global windows: exact form kept for the oracle, with a
+# bit-identical distributed twin registered for 100x (ranks.global_rank
+# / global_ntile — range-partitioned parallel sort). The docstring of
+# each exact query must NAME its twin.
+_ENTITY_GRAIN_TOGGLED = {
+    "rfm_segments": "rfm_scale",
+    "lorenz_curve": "lorenz_scale",
+    "gini_revenue": "gini_scale",
+}
+
+
+def test_global_windows_bounded_or_toggled(all_plans):
+    hits = _single_partition_window_queries(all_plans)
+    allowed = set(_BOUNDED_GLOBAL_WINDOW) | set(_ENTITY_GRAIN_TOGGLED)
+    unregistered = sorted(hits - allowed)
+    assert not unregistered, (
+        "queries with a single-partition window but no boundedness "
+        f"justification: {unregistered} — add to _BOUNDED_GLOBAL_WINDOW "
+        "(with a real bound) or register a scale twin in "
+        "_ENTITY_GRAIN_TOGGLED"
+    )
+    stale = sorted(
+        (set(_BOUNDED_GLOBAL_WINDOW) | set(_ENTITY_GRAIN_TOGGLED))
+        - hits
+        - set(_ENTITY_GRAIN_TOGGLED)  # exact trio may lose the window someday
+    )
+    # keep the registry honest: entries for queries that no longer have
+    # a global window are stale documentation
+    assert not stale, f"stale _BOUNDED_GLOBAL_WINDOW entries: {stale}"
+
+
+def test_entity_grain_toggles_exist_and_are_named():
+    for exact, twin in _ENTITY_GRAIN_TOGGLED.items():
+        assert twin in QUERIES, f"scale twin {twin} not registered"
+        doc = QUERIES[exact].__doc__ or ""
+        assert twin in doc, (
+            f"{exact}'s docstring must name its 100x twin {twin} "
+            "(the documented-toggle convention, like stats_extended)"
+        )

@@ -1,0 +1,117 @@
+"""ranks.global_rank / global_ntile — the distributed exact twins of
+the single-partition ``Window.orderBy`` rank/ntile (VERDICT r5 #2).
+
+The scale queries (gini_scale / lorenz_scale / rfm_scale) are asserted
+bit-identical to their exact window forms in test_entry_oracle's sf0.001
+replay (they share oracles); these tests pin the operator itself:
+exact equality with Spark's own window functions across ties, n < k,
+skewed values, and multi-key orderings — plus the plan contract that no
+single-partition sort of the INPUT frame appears.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sparkprep.operators import ranks
+
+
+def _df(spark, vals):
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], ["id", "v"]
+    )
+
+
+CASES = {
+    "unique": [5.0, 1.0, 9.0, 3.0, 7.0, 2.0, 8.0, 4.0, 6.0, 0.0],
+    "ties": [1.0, 1.0, 1.0, 2.0, 2.0, 3.0, 3.0, 3.0, 3.0, 4.0],
+    "constant": [7.0] * 13,
+    "skewed": [0.0] * 50 + [1.0, 2.0, 3.0],
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_global_rank_matches_window_row_number(spark, name):
+    df = _df(spark, CASES[name])
+    order = [F.asc("v"), F.asc("id")]
+    got = {
+        r["id"]: r["rk"]
+        for r in ranks.global_rank(df, order, rank_name="rk").collect()
+    }
+    want = {
+        r["id"]: r["rk"]
+        for r in df.select(
+            "id", F.row_number().over(Window.orderBy(*order)).alias("rk")
+        ).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("k", [1, 2, 3, 5, 7])
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_global_ntile_matches_window_ntile(spark, name, k):
+    df = _df(spark, CASES[name])
+    order = [F.asc("v"), F.asc("id")]
+    got = {
+        r["id"]: r["b"]
+        for r in ranks.global_ntile(df, k, order, bucket_name="b").collect()
+    }
+    want = {
+        r["id"]: r["b"]
+        for r in df.select(
+            "id", F.ntile(k).over(Window.orderBy(*order)).alias("b")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_ntile_fewer_rows_than_buckets(spark):
+    # n < k: SQL ntile gives row i bucket i; the q=0 branch of
+    # ntile_from_rank must not be reached (ANSI % 0 would throw)
+    df = _df(spark, [3.0, 1.0, 2.0])
+    order = [F.asc("v"), F.asc("id")]
+    got = {
+        r["id"]: r["b"]
+        for r in ranks.global_ntile(df, 10, order, bucket_name="b").collect()
+    }
+    want = {
+        r["id"]: r["b"]
+        for r in df.select(
+            "id", F.ntile(10).over(Window.orderBy(*order)).alias("b")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_rank_desc_and_total(spark):
+    df = _df(spark, [5.0, 1.0, 9.0, 1.0])
+    order = [F.desc("v"), F.asc("id")]
+    rows = {
+        r["id"]: (r["rk"], r["n"])
+        for r in ranks.global_rank(
+            df, order, rank_name="rk", total_name="n"
+        ).collect()
+    }
+    # 9.0 first, then 5.0, then the two 1.0s in id order
+    assert rows == {2: (1, 4), 0: (2, 4), 1: (3, 4), 3: (4, 4)}
+
+
+def test_global_rank_plan_has_no_single_partition_sort_of_input(spark):
+    """The operator's whole point: the input-frame sort must be range-
+    partitioned (parallel), with the only SinglePartition exchange the
+    O(num_partitions) offsets frame (post-aggregate)."""
+    df = _df(spark, [float(i % 17) for i in range(200)])
+    out = ranks.global_rank(
+        df, [F.asc("v"), F.asc("id")], rank_name="rk", checkpoint=False
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert "rangepartitioning" in plan.lower()
+    # every SinglePartition exchange sits above an Aggregate (the
+    # bounded counts frame), mirroring the registry-wide audit rule
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            below = "\n".join(lines[i:])
+            assert "Aggregate" in below, plan
