@@ -96,6 +96,43 @@ def test_global_rank_desc_and_total(spark):
     assert rows == {2: (1, 4), 0: (2, 4), 1: (3, 4), 3: (4, 4)}
 
 
+def test_ntile_from_rank_matches_sql_semantics_exhaustively(spark):
+    """Pure integer-math check of the bucket formula against the SQL
+    definition (first n mod k buckets get one extra row) for every
+    (n, k) in a grid — driver-side arithmetic via a literal frame, so
+    one Spark job covers the whole grid."""
+    rows = []
+    for n in range(1, 41):
+        for k in (1, 2, 3, 4, 5, 7, 10, 16):
+            q, r = divmod(n, k)
+            for rank in range(1, n + 1):
+                # reference ntile: walk the bucket sizes
+                if q == 0:
+                    want = rank
+                elif rank <= r * (q + 1):
+                    want = (rank - 1) // (q + 1) + 1
+                else:
+                    want = r + (rank - r * (q + 1) - 1) // q + 1
+                rows.append((n, k, rank, want))
+    df = spark.createDataFrame(rows, ["n", "k", "rank", "want"])
+    got = df.select(
+        "want",
+        *[
+            F.when(
+                F.col("k") == k,
+                ranks.ntile_from_rank(F.col("rank"), F.col("n"), k),
+            ).alias(f"b{k}")
+            for k in (1, 2, 3, 4, 5, 7, 10, 16)
+        ],
+    )
+    bad = got.filter(
+        ~F.coalesce(*[F.col(f"b{k}") for k in (1, 2, 3, 4, 5, 7, 10, 16)]).eqNullSafe(
+            F.col("want")
+        )
+    ).count()
+    assert bad == 0
+
+
 def test_global_rank_plan_has_no_single_partition_sort_of_input(spark):
     """The operator's whole point: the input-frame sort must be range-
     partitioned (parallel), with the only SinglePartition exchange the
