@@ -201,6 +201,13 @@ _ROUND5_OVERFLOW = [
     "lorenz_scale",
     "rfm_scale",
     "join_fanout",
+    # round-6 OLAP batch — lands in the ROUND-7 window (the round-6
+    # window is exactly full); all four are sf0.001/sf0.01
+    # driver-sim-green already
+    "rollup_revenue",
+    "cube_mix",
+    "region_share",
+    "seasonal_adjust",
 ]
 
 

@@ -1518,6 +1518,148 @@ LIMIT 20
 """
 
 
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity revenue totals in ONE pass — ``ROLLUP(year,
+    priority)`` gives (year, priority), per-year, and grand-total rows
+    together, the classic OLAP drill-down surface Spark compiles to an
+    Expand (3 duplicate streams) feeding one map-combined hash
+    aggregate — one shuffle for all three granularities, vs three
+    separate scans. Group labels are pre-cast to STRING and the rolled-
+    up NULLs coalesced to an 'ALL' sentinel on BOTH engines (a NULL
+    int column comes back NaN via fetchdf and hashes differently);
+    revenue is the standard exact-decimal money sum."""
+    tune_for_engine(spark)
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.year("o_orderdate").cast("string").alias("__y"),
+        F.col("o_orderpriority").alias("__p"),
+        rev.alias("__r"),
+    )
+    return (
+        j.rollup("__y", "__p")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.round(F.sum("__r"), 2).cast("double").alias("revenue"),
+        )
+        .select(
+            F.coalesce("__y", F.lit("ALL")).alias("o_year"),
+            F.coalesce("__p", F.lit("ALL")).alias("priority"),
+            "n_lines",
+            "revenue",
+        )
+    )
+
+
+_ROLLUP_REVENUE_SQL = """
+WITH j AS (
+  SELECT year(o_orderdate)::VARCHAR AS y, o_orderpriority AS p,
+         (l_extendedprice * (1 - l_discount))::DECIMAL(18,4) AS r
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT coalesce(y, 'ALL') AS o_year, coalesce(p, 'ALL') AS priority,
+       count(*)::BIGINT AS n_lines,
+       round(sum(r), 2)::DOUBLE AS revenue
+FROM j GROUP BY ROLLUP (y, p)
+"""
+
+
+def q_cube_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ``CUBE(returnflag, linestatus)`` quantity/line panel — all
+    four granularities (both, each-alone, grand total) in one Expand +
+    map-combined aggregate, the cross-tab companion of rollup_revenue's
+    hierarchy. Same 'ALL'-sentinel convention; quantity sums are exact
+    decimal."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("__f"),
+        F.col("l_linestatus").alias("__s"),
+        F.col("l_quantity").cast("decimal(18,4)").alias("__q"),
+    )
+    return (
+        li.cube("__f", "__s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.round(F.sum("__q"), 2).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("__f", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("__s", F.lit("ALL")).alias("linestatus"),
+            "n_lines",
+            "sum_qty",
+        )
+    )
+
+
+_CUBE_MIX_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*)::BIGINT AS n_lines,
+       round(sum(l_quantity::DECIMAL(18,4)), 2)::DOUBLE AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_region_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent hierarchy readout: each nation's share of its
+    REGION's order revenue — the drill-path companion of the rollup
+    (share-of-parent is what dashboards overlay on drill-down levels).
+    One keyed join chain (customer/nation/region dims broadcast), one
+    map-combined groupBy to the 25-nation frame; the region total is a
+    keyed window over that bounded frame (5 regions); share = ONE
+    IEEE division of exact decimal sums, DECIMAL-recast before the
+    display round (half-round landmine)."""
+    from pyspark.sql.window import Window
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_totalprice").cast("decimal(18,4)").alias("__m")
+    )
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    per_nation = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("__m").alias("__rev"))
+    )
+    w = Window.partitionBy("r_name")
+    total = F.sum("__rev").over(w)
+    return per_nation.select(
+        F.col("r_name").alias("region"),
+        F.col("n_name").alias("nation"),
+        F.round("__rev", 2).cast("double").alias("revenue"),
+        F.round(
+            (F.col("__rev").cast("double") / total.cast("double")).cast(
+                "decimal(18,8)"
+            ),
+            6,
+        ).cast("double").alias("region_share"),
+    )
+
+
+_REGION_SHARE_SQL = """
+WITH per_nation AS (
+  SELECT r_name, n_name,
+         sum(o_totalprice::DECIMAL(18,4)) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+SELECT r_name AS region, n_name AS nation,
+       round(rev, 2)::DOUBLE AS revenue,
+       round((rev::DOUBLE / (sum(rev) OVER (PARTITION BY r_name))::DOUBLE)::DECIMAL(18,8), 6)::DOUBLE AS region_share
+FROM per_nation
+"""
+
+
 def q_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-join fan-out profile on l_partkey — the cost model behind
     every self-join family in this engine (co-purchase pairs, 2-hop,
@@ -1571,6 +1713,9 @@ LIMIT 20
 QUERIES = {
     "pagerank": q_pagerank,
     "join_fanout": q_join_fanout,
+    "rollup_revenue": q_rollup_revenue,
+    "cube_mix": q_cube_mix,
+    "region_share": q_region_share,
     "triangle_count": q_triangle_count,
     "assortativity": q_assortativity,
     "assoc_rules": q_assoc_rules,
@@ -1604,6 +1749,9 @@ QUERIES = {
 ORACLES = {
     "pagerank": _PAGERANK_SQL,
     "join_fanout": _JOIN_FANOUT_SQL,
+    "rollup_revenue": _ROLLUP_REVENUE_SQL,
+    "cube_mix": _CUBE_MIX_SQL,
+    "region_share": _REGION_SHARE_SQL,
     "triangle_count": _TRIANGLE_SQL,
     "assortativity": _ASSORTATIVITY_SQL,
     "assoc_rules": _ASSOC_RULES_SQL,

@@ -1953,8 +1953,66 @@ FROM swept GROUP BY d
 """
 
 
+def q_seasonal_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal adjustment of the daily value stream — the
+    detrending step every traffic/revenue monitor needs before its
+    anomaly thresholds (a Sunday dip is seasonality, not an incident).
+    One map-combined groupBy to the ~30-row daily frame; the per-dow
+    expected value is a keyed window over that bounded frame (7
+    partitions), computed as exact-decimal sum / count with ONE IEEE
+    division; residual = actual − expected, DECIMAL-recast before the
+    display round (half-round landmine). Day-of-week is exact int64
+    epoch-day arithmetic, no locale dependence (chi_square's idiom)."""
+    tune_for_engine(spark)
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("__v"))
+    st = daily.select(
+        "day", (F.col("day") % 7).alias("dow"), "__v"
+    )
+    w = Window.partitionBy("dow")
+    sv = F.sum("__v").over(w)
+    cv = F.count(F.lit(1)).over(w)
+    expected = sv.cast("double") / cv
+    return st.select(
+        F.col("day").cast("long").alias("day"),
+        F.col("dow").cast("long").alias("dow"),
+        F.round("__v", 2).cast("double").alias("total"),
+        F.round(expected.cast("decimal(18,8)"), 4).cast("double").alias(
+            "expected"
+        ),
+        F.round(
+            (F.col("__v").cast("double") - expected).cast("decimal(18,8)"), 4
+        ).cast("double").alias("resid"),
+    )
+
+
+_SEASONAL_ADJUST_SQL = """
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         sum(value::DECIMAL(18,6)) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+st AS (
+  SELECT day, day % 7 AS dow, v,
+         sum(v) OVER (PARTITION BY day % 7) AS sv,
+         count(*) OVER (PARTITION BY day % 7) AS cv
+  FROM daily
+)
+SELECT day::BIGINT AS day, dow::BIGINT AS dow,
+       round(v, 2)::DOUBLE AS total,
+       round((sv::DOUBLE / cv)::DECIMAL(18,8), 4)::DOUBLE AS expected,
+       round((v::DOUBLE - sv::DOUBLE / cv)::DECIMAL(18,8), 4)::DOUBLE AS resid
+FROM st
+"""
+
+
 QUERIES = {
     "autocorr": q_autocorr,
+    "seasonal_adjust": q_seasonal_adjust,
     "window_funnel": q_window_funnel,
     "chi_square": q_chi_square,
     "anova_f": q_anova_f,
@@ -2000,6 +2058,7 @@ QUERIES = {
 
 ORACLES = {
     "autocorr": _AUTOCORR_SQL,
+    "seasonal_adjust": _SEASONAL_ADJUST_SQL,
     "window_funnel": _WINDOW_FUNNEL_SQL,
     "chi_square": _CHI_SQUARE_SQL,
     "anova_f": _ANOVA_F_SQL,
