@@ -208,6 +208,7 @@ _ROUND5_OVERFLOW = [
     "cube_mix",
     "region_share",
     "seasonal_adjust",
+    "equidepth_bins",
 ]
 
 

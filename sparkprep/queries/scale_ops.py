@@ -731,8 +731,46 @@ def q_rfm_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth deciles of order value over the RAW fact table
+    — the bin-boundary readout partition planning and skew analysis
+    need (equal ROW counts per bin, unlike equal-width histograms that
+    collapse under a long tail). A plain ``ntile`` window here would
+    single-task-sort the whole fact table — this is
+    ``ranks.global_ntile`` on raw fact grain: range-partitioned
+    parallel sort, exact SQL ntile semantics, any scale. Emits per-bin
+    count and exact value bounds; (price, orderkey) ordering pins tie
+    placement for the oracle."""
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    binned = ranks.global_ntile(
+        orders,
+        10,
+        [F.asc("o_totalprice"), F.asc("o_orderkey")],
+        bucket_name="bin",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+_EQUIDEPTH_BINS_SQL = """
+WITH b AS (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+  FROM orders
+)
+SELECT bin::BIGINT AS bin, count(*)::BIGINT AS n_orders,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM b GROUP BY 1
+"""
+
+
 QUERIES = {
     "embedding_quantize": q_embedding_quantize,
+    "equidepth_bins": q_equidepth_bins,
     "incr_agg": q_incr_agg,
     "approx_distinct": q_approx_distinct,
     "approx_quantiles": q_approx_quantiles,
@@ -774,4 +812,5 @@ ORACLES = {
     "gini_scale": relational_ext._GINI_REVENUE_SQL,
     "lorenz_scale": relational_ext._LORENZ_SQL,
     "rfm_scale": relational_ext._RFM_SQL,
+    "equidepth_bins": _EQUIDEPTH_BINS_SQL,
 }

@@ -128,6 +128,7 @@ _BOUNDED_GLOBAL_WINDOW = {
     "benford": "9-row leading-digit frame",
     "chi_square": "|event_types| x 7 contingency frame",
     "freq_orderpriority": "5-row priority frame",
+    "equidepth_bins": "O(32) ranks.global_ntile offsets frame only (raw-fact ntile distributed)",
     "gini_scale": "O(32) ranks.global_rank offsets frame only",
     "hybrid_rrf": "bounded top-k retrieval legs",
     "important_parts": "per-part dim frame; ranks.global_rank is the out if parts reach entity scale",
