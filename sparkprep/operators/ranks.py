@@ -84,7 +84,10 @@ def global_rank(
     )
     if total_name is not None:
         out = out.withColumn(total_name, F.col("__tot").cast("long"))
-    return out.drop("__pid", "__off", "__tot")
+    # a caller-requested name may coincide with an internal one
+    # (total_name="__tot") — drop only the internals that remain internal
+    keep = {rank_name, total_name}
+    return out.drop(*[c for c in ("__pid", "__off", "__tot") if c not in keep])
 
 
 def _idiv(a: Column, b: Column) -> Column:
@@ -135,3 +138,55 @@ def global_ntile(
     return ranked.withColumn(
         bucket_name, ntile_from_rank(F.col("__grk"), F.col("__gtot"), k)
     ).drop("__grk", "__gtot")
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_exprs: list[Column],
+    value_col: str,
+    cum_name: str = "cum",
+    total_name: str | None = None,
+    num_partitions: int = 32,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Exact running total of ``value_col`` over a global TOTAL ordering
+    with no single-partition sort — the distributed prefix-sum that
+    unlocks weighted quantiles, exact Lorenz/ECDF curves, and
+    cumulative-share bucketing at entity/fact grain.
+
+    Same two-phase scaffold as :func:`global_rank`: range partition on
+    the sort expressions, per-partition PARTIAL sums → broadcast prefix
+    offsets (sum of every earlier partition's partial), per-partition
+    running-sum window + offset. The value's type is preserved — feed
+    an exact DECIMAL (or integer units) so the cumsum is
+    order-independent and engine-exact; a double value would reorder
+    summation between engines (the CLAUDE.md money-sum landmine).
+    ``total_name`` attaches the grand total to every row for share /
+    bucket math (free — the offsets frame already folds it).
+    """
+    parted = df.repartitionByRange(num_partitions, *order_exprs).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    if checkpoint:
+        parted = parted.localCheckpoint(eager=False)
+    partials = parted.groupBy("__pid").agg(F.sum(value_col).alias("__c"))
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = partials.select(
+        "__pid",
+        F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__c").over(Window.partitionBy()).alias("__tot"),
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = parted.join(F.broadcast(offsets), "__pid").withColumn(
+        cum_name, F.sum(value_col).over(w_local) + F.col("__off")
+    )
+    if total_name is not None:
+        out = out.withColumn(total_name, F.col("__tot"))
+    keep = {cum_name, total_name}
+    return out.drop(*[c for c in ("__pid", "__off", "__tot") if c not in keep])

@@ -209,6 +209,7 @@ _ROUND5_OVERFLOW = [
     "region_share",
     "seasonal_adjust",
     "equidepth_bins",
+    "value_deciles",
 ]
 
 

@@ -768,9 +768,78 @@ FROM b GROUP BY 1
 """
 
 
+def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-WEIGHTED customer deciles — equal-revenue bins instead of
+    equal-count (lorenz_curve's transpose): bucket k holds the customers
+    whose cumulative revenue (ascending, custkey tie-break) lands in the
+    k-th tenth of total revenue, so bucket 10's n_customers IS the whale
+    count. The running total is ``ranks.global_cumsum`` (range-partition
+    + partial sums + broadcast prefix offsets — exact distributed
+    prefix-sum, no single-partition sort) over exact integer revenue
+    units (DECIMAL(18,4) x 10^4 → int64: order-independent, engine-
+    identical; int64 holds to ~9e14 in total revenue — far past driver
+    SFs, swap to the decimal cumsum at warehouse scale). Bucket = pure
+    integer ((10·cum − 1) div total) + 1; a whale spanning several
+    tenths leaves the skipped deciles EMPTY (both engines, by
+    construction). One keyed join + one groupBy around the cumsum."""
+    per_cust = _per_customer_revenue(spark, sf_dir)
+    units = per_cust.select(
+        "o_custkey",
+        "__rev",
+        (F.col("__rev") * 10000).cast("long").alias("__u"),
+    )
+    cum = ranks.global_cumsum(
+        units,
+        [F.asc("__rev"), F.asc("o_custkey")],
+        "__u",
+        cum_name="__cum",
+        total_name="__tot",
+    )
+    a = F.lit(10) * F.col("__cum") - 1
+    decile = (((a - a % F.col("__tot")) / F.col("__tot")).cast("long") + 1)
+    return (
+        cum.withColumn("value_decile", decile)
+        .groupBy("value_decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(F.sum("__rev"), 2).cast("double").alias("revenue"),
+            F.round(
+                (F.sum("__u").cast("double") / F.max("__tot")).cast(
+                    "decimal(18,8)"
+                ),
+                6,
+            ).cast("double").alias("rev_share"),
+        )
+    )
+
+
+_VALUE_DECILES_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)) AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1
+),
+u AS (SELECT o_custkey, rev, (rev * 10000)::BIGINT AS units FROM per_cust),
+c AS (
+  SELECT o_custkey, rev, units,
+         sum(units) OVER (ORDER BY rev, o_custkey ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(units) OVER () AS tot
+  FROM u
+),
+b AS (SELECT (10 * cum - 1) // tot + 1 AS value_decile, rev, units, tot FROM c)
+SELECT value_decile::BIGINT AS value_decile,
+       count(*)::BIGINT AS n_customers,
+       round(sum(rev), 2)::DOUBLE AS revenue,
+       round((sum(units)::DOUBLE / max(tot))::DECIMAL(18,8), 6)::DOUBLE AS rev_share
+FROM b GROUP BY 1
+"""
+
+
 QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "equidepth_bins": q_equidepth_bins,
+    "value_deciles": q_value_deciles,
     "incr_agg": q_incr_agg,
     "approx_distinct": q_approx_distinct,
     "approx_quantiles": q_approx_quantiles,
@@ -813,4 +882,5 @@ ORACLES = {
     "lorenz_scale": relational_ext._LORENZ_SQL,
     "rfm_scale": relational_ext._RFM_SQL,
     "equidepth_bins": _EQUIDEPTH_BINS_SQL,
+    "value_deciles": _VALUE_DECILES_SQL,
 }

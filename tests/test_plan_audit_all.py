@@ -153,6 +153,7 @@ _BOUNDED_GLOBAL_WINDOW = {
     "token_js": "two-scan vocab panel (vocab-grain, sublinear)",
     "top_supplier": "per-supplier dim frame; ranks.global_rank is the out at entity scale",
     "user_migration": "per-period argmax frames + 1-row bounds attach",
+    "value_deciles": "O(32) ranks.global_cumsum offsets frame only",
     "vocab_coverage": "1-row folded coverage frames",
     "window_funnel": "per-step funnel frame (4 steps)",
 }

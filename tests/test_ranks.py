@@ -96,6 +96,45 @@ def test_global_rank_desc_and_total(spark):
     assert rows == {2: (1, 4), 0: (2, 4), 1: (3, 4), 3: (4, 4)}
 
 
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_global_cumsum_matches_window_running_sum(spark, name):
+    df = _df(spark, CASES[name]).withColumn(
+        "w", (F.col("id") % 5 + 1).cast("long")
+    )
+    order = [F.asc("v"), F.asc("id")]
+    got = {
+        r["id"]: (r["c"], r["t"])
+        for r in ranks.global_cumsum(
+            df, order, "w", cum_name="c", total_name="t"
+        ).collect()
+    }
+    w = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r["id"]: (r["c"], r["t"])
+        for r in df.select(
+            "id",
+            F.sum("w").over(w).alias("c"),
+            F.sum("w").over(Window.partitionBy()).alias("t"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_cumsum_preserves_decimal_exactness(spark):
+    from decimal import Decimal
+
+    rows = [(i, Decimal(f"{i}.{i:02d}")) for i in range(1, 30)]
+    df = spark.createDataFrame(rows, "id: long, m: decimal(18,4)")
+    out = ranks.global_cumsum(
+        df, [F.desc("m"), F.asc("id")], "m", cum_name="c", total_name="t"
+    )
+    assert dict(out.dtypes)["c"].startswith("decimal"), out.dtypes
+    last = out.orderBy(F.desc("c")).limit(1).collect()[0]
+    assert last["c"] == sum(m for _, m in rows) == last["t"]
+
+
 def test_ntile_from_rank_matches_sql_semantics_exhaustively(spark):
     """Pure integer-math check of the bucket formula against the SQL
     definition (first n mod k buckets get one extra row) for every
