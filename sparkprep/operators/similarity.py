@@ -501,7 +501,14 @@ def grouped_centroids(
             F.max("__n").alias("n_vecs"),
             F.transform(
                 F.array_sort(F.collect_list(F.struct("__d", "__m"))),
-                lambda s: F.round(s["__m"], round_to),
+                # DECIMAL(18,8) re-cast BEFORE the display round: the
+                # quotient is bit-identical cross-engine, but round(double)
+                # itself diverges when it sits on an exact decimal half
+                # (Spark HALF_UPs the shortest repr, DuckDB doesn't) —
+                # the CLAUDE.md half-round landmine
+                lambda s: F.round(
+                    s["__m"].cast("decimal(18,8)"), round_to
+                ).cast("double"),
             ).alias("centroid"),
         )
         .select(group_col, F.col("n_vecs").cast("long").alias("n_vecs"), "centroid")

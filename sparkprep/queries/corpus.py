@@ -135,9 +135,10 @@ WITH d AS (
 SELECT label,
        count(*)::BIGINT AS n_vecs,
        dim::BIGINT AS dim,
-       -- exact decimal accumulation + ONE IEEE division, mirroring
-       -- grouped_centroids (order-independent cross-engine mean)
-       round(sum((v::DOUBLE)::DECIMAL(30,12))::DOUBLE / count(*), 6) AS c_val
+       -- exact decimal accumulation + ONE IEEE division + DECIMAL(18,8)
+       -- re-cast before the display round, mirroring grouped_centroids
+       -- (order-independent mean; half-round landmine on the round)
+       round((sum((v::DOUBLE)::DECIMAL(30,12))::DOUBLE / count(*))::DECIMAL(18,8), 6)::DOUBLE AS c_val
 FROM d
 GROUP BY label, dim
 """

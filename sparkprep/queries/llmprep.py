@@ -565,10 +565,10 @@ d AS (
   FROM halves, UNNEST(range(1, len(embedding) + 1)) AS u(i)
 ),
 pd AS (
-  -- exact decimal accumulation + ONE IEEE division, mirroring
-  -- grouped_centroids (order-independent cross-engine mean)
+  -- exact decimal accumulation + ONE IEEE division + DECIMAL(18,8)
+  -- re-cast before the display round, mirroring grouped_centroids
   SELECT half, label, dim,
-         round(sum((v::DOUBLE)::DECIMAL(30,12))::DOUBLE / count(*), 6) AS m,
+         round((sum((v::DOUBLE)::DECIMAL(30,12))::DOUBLE / count(*))::DECIMAL(18,8), 6)::DOUBLE AS m,
          count(*) AS c
   FROM d GROUP BY 1, 2, 3
 ),

@@ -956,6 +956,50 @@ FROM delays GROUP BY 1
 """
 
 
+def per_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared staging for gini_revenue / lorenz_curve AND their scale
+    twins (scale_ops.q_gini_scale / q_lorenz_scale, which share these
+    queries' oracles): per-customer exact-decimal revenue off one keyed
+    join. ONE code path — the twins' bit-identity contract must not
+    depend on two hand-synced copies of the money formula."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    money = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(money).alias("__rev"))
+    )
+
+
+def rfm_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared RFM staging for rfm_segments and scale_ops.q_rfm_scale
+    (same oracle): per-customer (recency, frequency, monetary) with the
+    recency horizon attached via the broadcast 1-row max-day frame.
+    Caller must have pinned the session TZ (tune_for_engine)."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").alias(
+            "__day"
+        ),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("__m"),
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("__day").alias("__last"),
+        F.count(F.lit(1)).alias("__f"),
+        F.sum("__m").alias("__mon"),
+    )
+    horizon = per_cust.agg(F.max("__last").alias("__h"))
+    return per_cust.crossJoin(F.broadcast(horizon)).select(
+        "o_custkey",
+        (F.col("__h") - F.col("__last")).alias("__rec"),
+        "__f",
+        "__mon",
+    )
+
+
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation — the canonical customer-value grid: per
     customer, Recency (days since last order, vs the stream's own max
@@ -973,25 +1017,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_engine(spark)
     from pyspark.sql.window import Window
 
-    orders = t(spark, sf_dir, "orders").select(
-        "o_custkey",
-        F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").alias(
-            "__day"
-        ),
-        F.col("o_totalprice").cast("decimal(18,4)").alias("__m"),
-    )
-    per_cust = orders.groupBy("o_custkey").agg(
-        F.max("__day").alias("__last"),
-        F.count(F.lit(1)).alias("__f"),
-        F.sum("__m").alias("__mon"),
-    )
-    horizon = per_cust.agg(F.max("__last").alias("__h"))
-    staged = per_cust.crossJoin(F.broadcast(horizon)).select(
-        "o_custkey",
-        (F.col("__h") - F.col("__last")).alias("__rec"),
-        "__f",
-        "__mon",
-    )
+    staged = rfm_staged(spark, sf_dir)
     # most recent = highest r_score: order recency DESC so ntile 5 is
     # the freshest quintile; same polarity for f and m
     wr = Window.orderBy(F.desc("__rec"), F.asc("o_custkey"))
@@ -1290,16 +1316,7 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_engine(spark)
     from pyspark.sql.window import Window
 
-    li = t(spark, sf_dir, "lineitem")
-    orders = t(spark, sf_dir, "orders")
-    money = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,4)"
-    )
-    per_cust = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("o_custkey")
-        .agg(F.sum(money).alias("__rev"))
-    )
+    per_cust = per_customer_revenue(spark, sf_dir)
     w = Window.orderBy("__rev", "o_custkey")
     ranked = per_cust.select(
         "__rev", F.row_number().over(w).cast("long").alias("__i")
@@ -1359,16 +1376,7 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_engine(spark)
     from pyspark.sql.window import Window
 
-    li = t(spark, sf_dir, "lineitem")
-    orders = t(spark, sf_dir, "orders")
-    money = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,4)"
-    )
-    per_cust = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("o_custkey")
-        .agg(F.sum(money).alias("__rev"))
-    )
+    per_cust = per_customer_revenue(spark, sf_dir)
     w = Window.orderBy("__rev", "o_custkey")
     deciles = per_cust.select(
         "__rev", F.ntile(10).over(w).cast("long").alias("decile")
@@ -1686,9 +1694,15 @@ def q_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_partkey",
             "n_rows",
             "fanout",
+            # DECIMAL(18,8) re-cast before the display round (half-round
+            # landmine) — quotient of exact ints is engine-identical, the
+            # round of it is not
             F.round(
-                F.col("fanout").cast("double") / tot.cast("double"), 6
-            ).alias("join_share"),
+                (F.col("fanout").cast("double") / tot.cast("double")).cast(
+                    "decimal(18,8)"
+                ),
+                6,
+            ).cast("double").alias("join_share"),
         )
         .orderBy(F.desc("fanout"), "l_partkey")
         .limit(20)
@@ -1703,7 +1717,7 @@ f AS (SELECT l_partkey, n, n * n AS fanout FROM per)
 SELECT l_partkey,
        n::BIGINT AS n_rows,
        fanout::BIGINT AS fanout,
-       round(fanout::DOUBLE / (sum(fanout) OVER ())::DOUBLE, 6) AS join_share
+       round((fanout::DOUBLE / (sum(fanout) OVER ())::DOUBLE)::DECIMAL(18,8), 6)::DOUBLE AS join_share
 FROM f
 ORDER BY fanout DESC, l_partkey
 LIMIT 20

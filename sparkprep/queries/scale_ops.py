@@ -605,17 +605,10 @@ GROUP BY kb.key, n_exact
 # ---------------------------------------------------------------------------
 
 
-def _per_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    orders = t(spark, sf_dir, "orders")
-    money = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,4)"
-    )
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("o_custkey")
-        .agg(F.sum(money).alias("__rev"))
-    )
+# exact/scale twin pairs share ONE staging code path (and one oracle):
+# relational_ext.per_customer_revenue / rfm_staged — a hand-synced copy
+# here would silently break the bit-identity contract on the next edit
+_per_customer_revenue = relational_ext.per_customer_revenue
 
 
 def q_gini_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -692,25 +685,7 @@ def q_rfm_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     pid-hash exchange each, all parallel) instead of three
     single-partition ntile windows. Identical output, same oracle."""
     tune_for_engine(spark)
-    orders = t(spark, sf_dir, "orders").select(
-        "o_custkey",
-        F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").alias(
-            "__day"
-        ),
-        F.col("o_totalprice").cast("decimal(18,4)").alias("__m"),
-    )
-    per_cust = orders.groupBy("o_custkey").agg(
-        F.max("__day").alias("__last"),
-        F.count(F.lit(1)).alias("__f"),
-        F.sum("__m").alias("__mon"),
-    )
-    horizon = per_cust.agg(F.max("__last").alias("__h"))
-    staged = per_cust.crossJoin(F.broadcast(horizon)).select(
-        "o_custkey",
-        (F.col("__h") - F.col("__last")).alias("__rec"),
-        "__f",
-        "__mon",
-    )
+    staged = relational_ext.rfm_staged(spark, sf_dir)
     scored = ranks.global_ntile(
         staged, 5, [F.desc("__rec"), F.asc("o_custkey")], bucket_name="r_score"
     )
@@ -778,10 +753,13 @@ def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix-sum, no single-partition sort) over exact integer revenue
     units (DECIMAL(18,4) x 10^4 → int64: order-independent, engine-
     identical; int64 holds to ~9e14 in total revenue — far past driver
-    SFs, swap to the decimal cumsum at warehouse scale). Bucket = pure
-    integer ((10·cum − 1) div total) + 1; a whale spanning several
-    tenths leaves the skipped deciles EMPTY (both engines, by
-    construction). One keyed join + one groupBy around the cumsum."""
+    SFs, swap to the decimal cumsum at warehouse scale). Bucket =
+    ``(10·cum − 1) div total + 1`` in NATIVE int64 ``div`` (the
+    float-div floor trick misrounds once 10·cum exceeds 2^53 — review
+    caught it ~10⁴ below the documented int64 headroom; the oracle's
+    ``//`` is exact HUGEINT); a whale spanning several tenths leaves
+    the skipped deciles EMPTY (both engines, by construction). One
+    keyed join + one groupBy around the cumsum."""
     per_cust = _per_customer_revenue(spark, sf_dir)
     units = per_cust.select(
         "o_custkey",
@@ -795,8 +773,7 @@ def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum_name="__cum",
         total_name="__tot",
     )
-    a = F.lit(10) * F.col("__cum") - 1
-    decile = (((a - a % F.col("__tot")) / F.col("__tot")).cast("long") + 1)
+    decile = F.expr("(10 * __cum - 1) div __tot") + 1
     return (
         cum.withColumn("value_decile", decile)
         .groupBy("value_decile")

@@ -67,6 +67,13 @@ def test_dup_offset_headroom(sfd):
             "(Spark AND oracle SQL, including the `% 10000` sub-corpus "
             "selectors) before trusting any dedup/similarity query."
         )
+        # early warning at the promised 2x line (sf0.1 doc_id tops out at
+        # 4999 today — exactly on it), not just at the collision cliff
+        assert mx <= DUP_ID_OFFSET // 2, (
+            f"{sfd}: max({name}) = {mx} is within 2x of the dup-id offset "
+            f"{DUP_ID_OFFSET} — raise the offset (and the `% 10000` "
+            "selectors) before ids can collide."
+        )
 
 
 @pytest.mark.parametrize("sfd", _all_sf_dirs())
@@ -91,9 +98,10 @@ def test_basket_cap_headroom(sfd):
 
 @pytest.mark.parametrize("sfd", _all_sf_dirs())
 def test_two_hop_degree_cap_headroom(sfd):
-    """q_two_hop_reach's hub guard (directed_ends_capped, 64) must stay
-    a no-op on driver data: max degree of the support->=2 co-purchase
-    graph is 13 today. If a regeneration pushes it past the cap, Spark
+    """q_two_hop_reach's hub guard (directed_ends_capped, DEGREE_CAP=256)
+    must stay a no-op on driver data: max degree of the support->=2
+    co-purchase graph is 51 today (sf0.001 — the densest generation;
+    sf0.01 is 13). If a regeneration pushes it past the cap, Spark
     silently drops neighbors the all-pairs oracle keeps."""
     con = duckdb.connect()
     max_deg = con.execute(
