@@ -190,3 +190,58 @@ def global_cumsum(
         out = out.withColumn(total_name, F.col("__tot"))
     keep = {cum_name, total_name}
     return out.drop(*[c for c in ("__pid", "__off", "__tot") if c not in keep])
+
+
+def grouped_global_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_exprs: list[Column],
+    rank_name: str = "rank",
+    group_total_name: str | None = None,
+    num_partitions: int = 32,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Per-GROUP exact ``row_number`` for LOW-CARDINALITY group keys —
+    the case the plan audit cannot even see: ``Window.partitionBy(key)``
+    over 5 distinct keys is "keyed", but each key's whole data lands in
+    ONE task (5 tasks sort 100 TB). Range-partitioning on
+    ``(group_cols, order_exprs)`` spreads every group over many
+    partitions while keeping each partition a contiguous slice of one
+    group-ordering, so the same partial-counts + broadcast-offsets
+    scaffold as :func:`global_rank` yields the exact per-group rank —
+    offsets and totals are computed PER (partition, group), a frame
+    bounded by num_partitions + |groups| rows. ``group_total_name``
+    attaches each group's row count (for percent_rank-style math).
+    ``order_exprs`` must totally order rows WITHIN a group (include a
+    tie-break key)."""
+    gexprs = [F.asc(c) for c in group_cols]
+    parted = df.repartitionByRange(
+        num_partitions, *gexprs, *order_exprs
+    ).withColumn("__pid", F.spark_partition_id())
+    if checkpoint:
+        parted = parted.localCheckpoint(eager=False)
+    counts = parted.groupBy("__pid", *group_cols).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__pid",
+        *group_cols,
+        F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__c").over(Window.partitionBy(*group_cols)).alias("__tot"),
+    )
+    w_local = Window.partitionBy("__pid", *group_cols).orderBy(*order_exprs)
+    out = parted.join(
+        F.broadcast(offsets), ["__pid", *group_cols]
+    ).withColumn(
+        rank_name,
+        (F.row_number().over(w_local) + F.col("__off")).cast("long"),
+    )
+    if group_total_name is not None:
+        out = out.withColumn(group_total_name, F.col("__tot").cast("long"))
+    keep = {rank_name, group_total_name}
+    return out.drop(*[c for c in ("__pid", "__off", "__tot") if c not in keep])

@@ -210,6 +210,7 @@ _ROUND5_OVERFLOW = [
     "seasonal_adjust",
     "equidepth_bins",
     "value_deciles",
+    "percent_rank_scale",
 ]
 
 

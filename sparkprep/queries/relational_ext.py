@@ -120,7 +120,13 @@ UNPIVOT (value FOR metric IN (l_quantity, l_discount, l_tax))
 def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percent-rank feature scaling per event type (rank-based
     normalization is outlier-immune where min-max isn't) — one keyed
-    window, deterministic under ties by definition."""
+    window, deterministic under ties by definition.
+
+    100x toggle: the window key has only ~5 distinct values, so each
+    type's whole data sorts in ONE task at scale — use
+    ``percent_rank_scale`` (scale_ops.q_percent_rank_scale:
+    ranks.grouped_global_rank range-spread, bit-identical output, same
+    oracle) beyond driver SFs."""
     ev = t(spark, sf_dir, "events")
     from pyspark.sql.window import Window
 

@@ -813,10 +813,41 @@ FROM b GROUP BY 1
 """
 
 
+def q_percent_rank_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank's 100x twin: the exact query windows per event_type
+    — keyed, so the plan audit passes it, but with only ~5 distinct
+    types each key's ENTIRE data sorts in one task at scale (the
+    low-cardinality-key trap a single-partition check can't see).
+    ``ranks.grouped_global_rank`` range-partitions on (type, value, id)
+    so every type spreads over many partitions; the tie-sharing SQL
+    rank() is then min(row_number) over the (type, value) peer group (a
+    high-cardinality keyed window — bounded per distinct value), and
+    percent_rank = (rank−1)/(n_type−1), the same IEEE division
+    percent_rank() itself performs. Identical output, same oracle."""
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    rn = ranks.grouped_global_rank(
+        ev,
+        ["event_type"],
+        [F.asc("value"), F.asc("event_id")],
+        rank_name="__rn",
+        group_total_name="__n",
+    )
+    from pyspark.sql.window import Window
+
+    rank = F.min("__rn").over(Window.partitionBy("event_type", "value"))
+    pr = F.when(F.col("__n") == 1, F.lit(0.0)).otherwise(
+        (rank - 1).cast("double") / (F.col("__n") - 1)
+    )
+    return rn.select(
+        "event_id", "event_type", F.round(pr, 4).alias("value_pr")
+    )
+
+
 QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "equidepth_bins": q_equidepth_bins,
     "value_deciles": q_value_deciles,
+    "percent_rank_scale": q_percent_rank_scale,
     "incr_agg": q_incr_agg,
     "approx_distinct": q_approx_distinct,
     "approx_quantiles": q_approx_quantiles,
@@ -860,4 +891,6 @@ ORACLES = {
     "rfm_scale": relational_ext._RFM_SQL,
     "equidepth_bins": _EQUIDEPTH_BINS_SQL,
     "value_deciles": _VALUE_DECILES_SQL,
+    # bit-identical to the exact keyed-window form — shares its oracle
+    "percent_rank_scale": relational_ext._PERCENT_RANK_SQL,
 }

@@ -135,6 +135,45 @@ def test_global_cumsum_preserves_decimal_exactness(spark):
     assert last["c"] == sum(m for _, m in rows) == last["t"]
 
 
+def test_grouped_global_rank_matches_per_group_window(spark):
+    # 3 groups of very different sizes, with ties inside each
+    rows = []
+    for i in range(120):
+        rows.append((i, ["a", "a", "a", "b", "c"][i % 5], float(i % 7)))
+    df = spark.createDataFrame(rows, ["id", "g", "v"])
+    order = [F.asc("v"), F.asc("id")]
+    got = {
+        r["id"]: (r["rk"], r["n"])
+        for r in ranks.grouped_global_rank(
+            df, ["g"], order, rank_name="rk", group_total_name="n"
+        ).collect()
+    }
+    wg = Window.partitionBy("g").orderBy(*order)
+    want = {
+        r["id"]: (r["rk"], r["n"])
+        for r in df.select(
+            "id",
+            F.row_number().over(wg).alias("rk"),
+            F.count(F.lit(1)).over(Window.partitionBy("g")).alias("n"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_grouped_global_rank_single_row_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 5.0), (2, "y", 1.0)], ["id", "g", "v"]
+    )
+    out = {
+        r["id"]: (r["rk"], r["n"])
+        for r in ranks.grouped_global_rank(
+            df, ["g"], [F.asc("v"), F.asc("id")], rank_name="rk",
+            group_total_name="n",
+        ).collect()
+    }
+    assert out == {1: (1, 1), 2: (1, 1)}
+
+
 def test_ntile_from_rank_matches_sql_semantics_exhaustively(spark):
     """Pure integer-math check of the bucket formula against the SQL
     definition (first n mod k buckets get one extra row) for every
