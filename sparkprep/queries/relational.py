@@ -1054,7 +1054,10 @@ ORDER BY l_partkey
 
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group top-k (rank window): top-3 orders by price within each
-    priority — the grouped form of O1/O3."""
+    priority — the grouped form of O1/O3. The rank<=k filter compiles
+    to WindowGroupLimit (map-side per-group limit BEFORE the shuffle:
+    each task ships <=3 rows per key), which is what keeps a 5-key
+    window scale-safe — plan-asserted in test_plans_quality."""
     from pyspark.sql.window import Window
 
     orders = t(spark, sf_dir, "orders")

@@ -672,7 +672,10 @@ def q_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic K-per-group sampling: 3 documents per source,
     chosen by md5-hash order (engine-portable, unlike Spark's RNG
     sampler — the md5 convention all oracle-reaching hashing uses).
-    The distributed form of 'grab a few examples from every shard'."""
+    The distributed form of 'grab a few examples from every shard';
+    the rank<=k filter compiles to WindowGroupLimit (map-side per-group
+    limit, <=3 rows per key per task — plan-asserted in
+    test_plans_quality), so the few-key window never sorts a shard."""
     from pyspark.sql.window import Window
 
     docs = t(spark, sf_dir, "documents")

@@ -303,3 +303,19 @@ def test_runtime_filter_join_prunes_fact_before_shuffle(spark, sf_dir):
         assert plan.find("SortMergeJoin") < plan.find("LeftSemi")
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_topk_windows_get_window_group_limit(spark, sf_dir):
+    """Per-key top-k windows (rank <= k filter) must compile to Spark's
+    WindowGroupLimit: a map-side per-group limit BEFORE the shuffle, so
+    each task ships at most k rows per key — what makes a 5-key top-3
+    window scale-safe even though the key is low-cardinality. If this
+    node disappears (optimizer regression, a filter rewrite that breaks
+    the rank-predicate pattern), the window silently reverts to a
+    full per-key sort-everything plan."""
+    from sparkprep.queries.relational import q_topk_per_group
+    from sparkprep.queries.textops import q_per_group_sample
+
+    for fn in (q_topk_per_group, q_per_group_sample):
+        plan = _simple(fn(spark, sf_dir))
+        assert "WindowGroupLimit" in plan, f"{fn.__name__}:\n{plan}"
