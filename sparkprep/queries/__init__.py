@@ -211,6 +211,7 @@ _ROUND5_OVERFLOW = [
     "equidepth_bins",
     "value_deciles",
     "percent_rank_scale",
+    "rolling_quantiles_scale",
 ]
 
 

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from sparkprep.operators import quantize, ranks, sketches
 from sparkprep.queries import relational_ext, t
+from sparkprep.queries import temporal_grouped as _tg
 from sparkprep.session import tune_for_engine
 
 _DIM = 64
@@ -843,11 +844,89 @@ def q_percent_rank_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROLL_W_US = 3_600_000_000  # trailing-hour frame, µs
+
+
+def q_rolling_quantiles_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rolling_quantiles' 100x twin — the BUCKET-OVERLAP spread for
+    bounded time frames: the exact query's RANGE window partitions by
+    event_type (~5 keys), so each type's whole stream sorts in one task
+    at scale. Because the frame is BOUNDED (trailing hour), every row
+    only ever needs history from its own hour-bucket and the previous
+    one — so each row is emitted into bucket b (as itself) and b+1 (as
+    borrowed history), the window partitions by (type, bucket) —
+    high-cardinality, fully parallel — and borrowed copies are dropped
+    from the output. Frame membership is provably identical (t−W ≥
+    (b−1)·W bounds history to one bucket back), so the output is
+    bit-identical and shares the exact query's oracle. Cost: 2x the
+    rows — the price of parallel exact trailing windows; at true 100x
+    also swap percentile → percentile_approx (documented trade)."""
+    from pyspark.sql.window import Window
+
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts")).alias("__us"),
+    )
+    copies = (
+        ev.withColumn("__b", F.expr(f"__us div {_ROLL_W_US}"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            "__us",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("__b").alias("pb"), F.lit(True).alias("own")
+                    ),
+                    F.struct(
+                        (F.col("__b") + 1).alias("pb"),
+                        F.lit(False).alias("own"),
+                    ),
+                )
+            ).alias("__c"),
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            "__us",
+            F.col("__c.pb").alias("__pb"),
+            F.col("__c.own").alias("__own"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type", "__pb")
+        .orderBy("__us")
+        .rangeBetween(-_ROLL_W_US, 0)
+    )
+    return (
+        copies.select(
+            "event_id",
+            "event_type",
+            F.round(F.expr("percentile(value, 0.5)").over(w), 4).alias(
+                "roll_p50"
+            ),
+            F.round(F.expr("percentile(value, 0.9)").over(w), 4).alias(
+                "roll_p90"
+            ),
+            F.count("value").over(w).cast("long").alias("n_in_window"),
+            "__own",
+        )
+        .filter(F.col("__own"))
+        .drop("__own")
+    )
+
+
 QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "equidepth_bins": q_equidepth_bins,
     "value_deciles": q_value_deciles,
     "percent_rank_scale": q_percent_rank_scale,
+    "rolling_quantiles_scale": q_rolling_quantiles_scale,
     "incr_agg": q_incr_agg,
     "approx_distinct": q_approx_distinct,
     "approx_quantiles": q_approx_quantiles,
@@ -891,6 +970,7 @@ ORACLES = {
     "rfm_scale": relational_ext._RFM_SQL,
     "equidepth_bins": _EQUIDEPTH_BINS_SQL,
     "value_deciles": _VALUE_DECILES_SQL,
-    # bit-identical to the exact keyed-window form — shares its oracle
+    # bit-identical to the exact keyed-window forms — share their oracles
     "percent_rank_scale": relational_ext._PERCENT_RANK_SQL,
+    "rolling_quantiles_scale": _tg._ROLLING_QUANTILES_SQL,
 }

@@ -1058,7 +1058,12 @@ def q_rolling_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE window spec -> one WindowExec, one keyed shuffle. Exact
     ``percentile`` == DuckDB ``quantile_cont`` (same linear
     interpolation); at 100 TB swap in percentile_approx over the same
-    frame (documented exactness-for-oracle trade, as stats_extended)."""
+    frame (documented exactness-for-oracle trade, as stats_extended).
+
+    100x toggle: the window key has ~5 distinct values, so each type's
+    stream sorts in one task at scale — use ``rolling_quantiles_scale``
+    (scale_ops.q_rolling_quantiles_scale: bucket-overlap spread over
+    (type, hour-bucket), bit-identical output, same oracle)."""
     from pyspark.sql.window import Window
 
     tune_for_engine(spark)
