@@ -245,3 +245,51 @@ def grouped_global_rank(
         out = out.withColumn(group_total_name, F.col("__tot").cast("long"))
     keep = {rank_name, group_total_name}
     return out.drop(*[c for c in ("__pid", "__off", "__tot") if c not in keep])
+
+
+def grouped_global_cumsum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_exprs: list[Column],
+    value_col: str,
+    cum_name: str = "cum",
+    num_partitions: int = 32,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Per-GROUP exact running total for LOW-CARDINALITY group keys —
+    :func:`global_cumsum`'s grouped form, completing the primitive
+    family (rank / ntile / cumsum × global / grouped). Range-partition
+    on (group, order) spreads each group over many partitions;
+    per-(partition, group) partial sums → broadcast prefix offsets →
+    per-(partition, group) running-sum window + offset. Feed an exact
+    type (DECIMAL / integer) — double summation would reorder between
+    engines."""
+    gexprs = [F.asc(c) for c in group_cols]
+    parted = df.repartitionByRange(
+        num_partitions, *gexprs, *order_exprs
+    ).withColumn("__pid", F.spark_partition_id())
+    if checkpoint:
+        parted = parted.localCheckpoint(eager=False)
+    partials = parted.groupBy("__pid", *group_cols).agg(
+        F.sum(value_col).alias("__c")
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = partials.select(
+        "__pid",
+        *group_cols,
+        F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_local = (
+        Window.partitionBy("__pid", *group_cols)
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = parted.join(
+        F.broadcast(offsets), ["__pid", *group_cols]
+    ).withColumn(cum_name, F.sum(value_col).over(w_local) + F.col("__off"))
+    keep = {cum_name}
+    return out.drop(*[c for c in ("__pid", "__off") if c not in keep])

@@ -212,6 +212,7 @@ _ROUND5_OVERFLOW = [
     "value_deciles",
     "percent_rank_scale",
     "rolling_quantiles_scale",
+    "token_packing_scale",
 ]
 
 

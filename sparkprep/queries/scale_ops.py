@@ -921,12 +921,41 @@ def q_rolling_quantiles_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_packing_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token_packing's 100x twin: the per-source running token total
+    comes from ``ranks.grouped_global_cumsum`` (range-partition on
+    (source, doc_id) + per-(partition, source) partials + broadcast
+    prefix offsets) instead of a per-source keyed window whose few keys
+    each sort a whole source in one task. Same pack-assignment formula
+    on identical int64 running totals → bit-identical manifest, same
+    oracle."""
+    from sparkprep.operators import text as _tx
+
+    budget = 2048
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", _tx.token_count("text").alias("__nt")
+    )
+    c = ranks.grouped_global_cumsum(
+        docs, ["source"], [F.asc("doc_id")], "__nt", cum_name="__cum"
+    )
+    packed = c.withColumn(
+        "pack_id",
+        F.floor((F.col("__cum") - F.col("__nt")) / budget).cast("long"),
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
 QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "equidepth_bins": q_equidepth_bins,
     "value_deciles": q_value_deciles,
     "percent_rank_scale": q_percent_rank_scale,
     "rolling_quantiles_scale": q_rolling_quantiles_scale,
+    "token_packing_scale": q_token_packing_scale,
     "incr_agg": q_incr_agg,
     "approx_distinct": q_approx_distinct,
     "approx_quantiles": q_approx_quantiles,
@@ -973,4 +1002,7 @@ ORACLES = {
     # bit-identical to the exact keyed-window forms — share their oracles
     "percent_rank_scale": relational_ext._PERCENT_RANK_SQL,
     "rolling_quantiles_scale": _tg._ROLLING_QUANTILES_SQL,
+    "token_packing_scale": __import__(
+        "sparkprep.queries.textops", fromlist=["_TOKEN_PACKING_SQL"]
+    )._TOKEN_PACKING_SQL,
 }

@@ -469,7 +469,12 @@ def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     the context-window pack its first token lands in. Window is
     partitioned by source — at 100 TB you pack per (source, date-shard)
     so no shard outgrows a task; the ORDER BY doc_id makes packing
-    deterministic. Output is the per-pack manifest."""
+    deterministic. Output is the per-pack manifest.
+
+    100x toggle: ``token_packing_scale`` (scale_ops.q_token_packing_scale:
+    ranks.grouped_global_cumsum range-spread of the per-source running
+    total, bit-identical manifest, same oracle) removes even the
+    few-key window without needing the date-shard key."""
     budget = 2048
     from pyspark.sql import Window
 

@@ -160,6 +160,30 @@ def test_grouped_global_rank_matches_per_group_window(spark):
     assert got == want
 
 
+def test_grouped_global_cumsum_matches_per_group_window(spark):
+    rows = [
+        (i, ["a", "a", "b", "c", "c"][i % 5], (i % 9) + 1) for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, ["id", "g", "w"])
+    order = [F.asc("id")]
+    got = {
+        r["id"]: r["c"]
+        for r in ranks.grouped_global_cumsum(
+            df, ["g"], order, "w", cum_name="c"
+        ).collect()
+    }
+    wg = (
+        Window.partitionBy("g")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r["id"]: r["c"]
+        for r in df.select("id", F.sum("w").over(wg).alias("c")).collect()
+    }
+    assert got == want
+
+
 def test_grouped_global_rank_single_row_groups(spark):
     df = spark.createDataFrame(
         [(1, "x", 5.0), (2, "y", 1.0)], ["id", "g", "v"]
