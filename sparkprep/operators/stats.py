@@ -1,5 +1,7 @@
 """Inferential statistics with exact cross-engine arithmetic: one-way
-ANOVA F and Spearman rank correlation.
+ANOVA F, Spearman rank correlation, and the rank-based nonparametric
+tests (Mann-Whitney U, Kruskal-Wallis H) built on the same
+value-frequency rank table.
 
 Both follow the repo's decimal-sum discipline (CLAUDE.md): every
 order-sensitive accumulation happens in exact DECIMAL on per-row-cast
@@ -94,13 +96,18 @@ def anova_f(
     )
 
 
-def _doubled_rank_map(df: DataFrame, col: str) -> DataFrame:
+def _doubled_rank_map(
+    df: DataFrame, col: str, keep_count: bool = False
+) -> DataFrame:
     """(value, 2·average-rank) from the value-frequency table: with
     c(v) the count of v and cum(v) the running count through v in
     value order, 2·r_avg(v) = 2·cum(v) − c(v) + 1 — an exact integer
     (mid-rank ties are always whole or half). The window runs over the
     AGGREGATED counts frame (|distinct| rows, HashAggregate below the
     single-partition exchange — the sanctioned shape), never raw data.
+    ``keep_count`` also emits c(v) so callers can fold tie terms from
+    the joined row stream (Σ_rows(c²−1) = Σ_v(c³−c)) without consuming
+    the map twice.
     """
     counts = df.groupBy(F.col(col).alias("__v")).agg(
         F.count(F.lit(1)).alias("__c")
@@ -108,10 +115,10 @@ def _doubled_rank_map(df: DataFrame, col: str) -> DataFrame:
     w = Window.orderBy("__v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    return counts.select(
-        "__v",
-        (2 * F.sum("__c").over(w) - F.col("__c") + 1).alias("__r2"),
-    )
+    cols = ["__v", (2 * F.sum("__c").over(w) - F.col("__c") + 1).alias("__r2")]
+    if keep_count:
+        cols.append(F.col("__c"))
+    return counts.select(*cols)
 
 
 def spearman(
@@ -158,4 +165,131 @@ def spearman(
     return sums.select(
         F.round(rho, round_to).alias("spearman_rho"),
         F.col("__n").cast("long").alias("n_rows"),
+    )
+
+
+def mann_whitney(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) of ``value_col`` between the
+    ``group_a`` and ``group_b`` levels of ``group_col`` — the
+    nonparametric companion of ab_test's Welch compare. No global
+    sort: pooled mid-ranks come from the value-frequency table
+    (:func:`_doubled_rank_map`, window over the |distinct| frame), so
+    every accumulated quantity is an exact integer in DECIMAL(38,0) —
+    2·R_a (doubled rank sum), the tie term T = Σ(c³−c) — and the
+    normal-approximation z is a handful of IEEE ops on deterministic
+    inputs at the end:
+
+      2·U_a = 2·R_a − n_a(n_a+1)
+      z = (2·U_a − n_a·n_b) / (2·σ),
+      σ² = n_a·n_b/12 · ((N+1) − T/(N(N−1)))
+
+    Returns one row ``(n_a, n_b, u_a, z, round_to'd)``. NULL values
+    drop; degenerate inputs (all ties → σ=0) yield NULL z on both
+    engines via try_divide.
+    """
+    pooled = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isin([group_a, group_b])
+    ).select(
+        F.col(value_col).alias("__v"),
+        (F.col(group_col) == F.lit(group_a)).alias("__a"),
+    )
+    rmap = _doubled_rank_map(pooled, "__v", keep_count=True)
+    d38 = "decimal(38,0)"
+    # the tie term folds from the SAME joined row stream — each row of
+    # a value v carries c(v), and Σ_rows(c²−1) = Σ_v c(c²−1) = Σ(c³−c)
+    # — so the rank map is consumed exactly once (no second scan, no
+    # 1-row cross-attach)
+    folded = pooled.join(F.broadcast(rmap), "__v").agg(
+        F.sum(F.when(F.col("__a"), 1).otherwise(0)).alias("__na"),
+        F.sum(F.when(F.col("__a"), 0).otherwise(1)).alias("__nb"),
+        F.sum(
+            F.when(F.col("__a"), F.col("__r2")).otherwise(0).cast(d38)
+        ).alias("__r2a"),
+        F.sum(
+            (F.col("__c").cast(d38) * F.col("__c") - 1).cast(d38)
+        ).alias("__t"),
+    )
+    na = F.col("__na").cast("double")
+    nb = F.col("__nb").cast("double")
+    n = na + nb
+    u2 = F.col("__r2a").cast("double") - na * (na + 1)  # 2·U_a
+    var = (
+        na
+        * nb
+        / 12.0
+        * ((n + 1) - F.col("__t").cast("double") / (n * (n - 1)))
+    )
+    z = F.try_divide(u2 - na * nb, 2.0 * F.sqrt(var))
+    return folded.select(
+        F.col("__na").cast("long").alias("n_a"),
+        F.col("__nb").cast("long").alias("n_b"),
+        F.round(u2 / 2.0, round_to).alias("u_a"),
+        F.round(z, round_to).alias("z"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Kruskal-Wallis H of ``value_col`` across every ``group_col``
+    level — the k-group rank analogue of :func:`anova_f`. Pooled
+    mid-ranks from the value-frequency table (no global sort); per-
+    group doubled rank sums accumulate DECIMAL(38,0)-exact; the
+    per-group float term R2_g²/n_g (2 IEEE ops on deterministic
+    inputs) re-casts to DECIMAL(38,6) for the k-row fold, exactly the
+    anova_f g_term discipline. With R2_g = 2·R_g:
+
+      H = 3/(N(N+1)) · Σ_g R2_g²/n_g − 3(N+1)
+      H_corrected = H / (1 − T/(N³−N)),  T = Σ(c³−c)
+
+    Returns one row ``(h_stat, df, n_rows)``; h_stat is the
+    tie-corrected H (NULL when every value ties via try_divide).
+    """
+    pooled = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("__v"), F.col(group_col).alias("__g")
+    )
+    rmap = _doubled_rank_map(pooled, "__v", keep_count=True)
+    d38 = "decimal(38,0)"
+    # per-group rank sums AND the per-group share of the global tie
+    # term fold from one joined stream (Σ_rows(c²−1) = Σ(c³−c) after
+    # the k-row re-fold) — the rank map is consumed exactly once
+    per = (
+        pooled.join(F.broadcast(rmap), "__v")
+        .groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col("__r2").cast(d38)).alias("__r2g"),
+            F.sum(
+                (F.col("__c").cast(d38) * F.col("__c") - 1).cast(d38)
+            ).alias("__tg"),
+        )
+    )
+    g_term = (
+        (F.col("__r2g").cast("double") * F.col("__r2g").cast("double"))
+        / F.col("__n")
+    ).cast("decimal(38,6)")
+    folded = per.agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.sum("__n").alias("__N"),
+        F.sum(g_term).alias("__G"),
+        F.sum("__tg").alias("__t"),
+    )
+    n = F.col("__N").cast("double")
+    h = 3.0 / (n * (n + 1)) * F.col("__G").cast("double") - 3.0 * (n + 1)
+    tie = 1.0 - F.col("__t").cast("double") / (n * n * n - n)
+    return folded.select(
+        F.round(F.try_divide(h, tie), round_to).alias("h_stat"),
+        (F.col("__k") - 1).cast("long").alias("df"),
+        F.col("__N").cast("long").alias("n_rows"),
     )

@@ -812,6 +812,99 @@ FROM sums
 """
 
 
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U: does quantity rank differently between returned
+    ('R') and delivered-clean ('N') line items? The nonparametric
+    companion of ab_test — no distributional assumption, no global
+    sort: pooled mid-ranks come from the 50-row value-frequency table
+    (``stats.mann_whitney``), the tie term folds from the same joined
+    row stream, and the z normal approximation is a handful of IEEE
+    ops on exact DECIMAL(38,0) integers."""
+    from sparkprep.operators.stats import mann_whitney
+
+    li = t(spark, sf_dir, "lineitem")
+    return mann_whitney(li, "l_quantity", "l_returnflag", "R", "N")
+
+
+_MANN_WHITNEY_SQL = """
+WITH pooled AS (
+  SELECT l_quantity AS v, (l_returnflag = 'R') AS a
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_returnflag IN ('R', 'N')
+),
+c AS (SELECT v, count(*) AS c FROM pooled GROUP BY 1),
+r AS (SELECT v, c,
+             2 * sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c + 1 AS r2
+      FROM c),
+folded AS (
+  SELECT sum(CASE WHEN a THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN a THEN 0 ELSE 1 END) AS nb,
+         sum((CASE WHEN a THEN r2 ELSE 0 END)::DECIMAL(38,0)) AS r2a,
+         sum((c::DECIMAL(38,0) * c - 1)::DECIMAL(38,0)) AS t
+  FROM pooled JOIN r USING (v)
+)
+SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+       round((r2a::DOUBLE - na::DOUBLE * (na::DOUBLE + 1)) / 2.0, 6) AS u_a,
+       round(((r2a::DOUBLE - na::DOUBLE * (na::DOUBLE + 1)) - na::DOUBLE * nb::DOUBLE)
+             / (2.0 * sqrt(na::DOUBLE * nb::DOUBLE / 12.0
+                           * (((na::DOUBLE + nb::DOUBLE) + 1)
+                              - t::DOUBLE / ((na::DOUBLE + nb::DOUBLE)
+                                             * ((na::DOUBLE + nb::DOUBLE) - 1))))),
+             6) AS z
+FROM folded
+"""
+
+
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H: does line-item quantity rank differently
+    across the five order priorities? The k-group rank analogue of
+    anova_f (``stats.kruskal_wallis``) over the lineitem⋈orders join —
+    pooled mid-ranks from the 50-row value-frequency table, per-group
+    DECIMAL(38,0)-exact doubled rank sums, tie-corrected H."""
+    from sparkprep.operators.stats import kruskal_wallis
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return kruskal_wallis(
+        li.join(orders, "l_orderkey"), "l_quantity", "o_orderpriority"
+    )
+
+
+_KRUSKAL_WALLIS_SQL = """
+WITH pooled AS (
+  SELECT l_quantity AS v, o_orderpriority AS g
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_quantity IS NOT NULL
+),
+c AS (SELECT v, count(*) AS c FROM pooled GROUP BY 1),
+r AS (SELECT v, c,
+             2 * sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c + 1 AS r2
+      FROM c),
+per AS (
+  SELECT g, count(*) AS n,
+         sum(r2::DECIMAL(38,0)) AS r2g,
+         sum((c::DECIMAL(38,0) * c - 1)::DECIMAL(38,0)) AS tg
+  FROM pooled JOIN r USING (v) GROUP BY g
+),
+folded AS (
+  SELECT count(*) AS k, sum(n) AS nn,
+         sum(((r2g::DOUBLE * r2g::DOUBLE) / n)::DECIMAL(38,6)) AS g,
+         sum(tg) AS t
+  FROM per
+)
+SELECT round((3.0 / (nn::DOUBLE * (nn::DOUBLE + 1)) * g::DOUBLE
+              - 3.0 * (nn::DOUBLE + 1))
+             / (1.0 - t::DOUBLE
+                / (nn::DOUBLE * nn::DOUBLE * nn::DOUBLE - nn::DOUBLE)),
+             6) AS h_stat,
+       (k - 1)::BIGINT AS df,
+       nn::BIGINT AS n_rows
+FROM folded
+"""
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted equi-join, adjudicated by EQUIVALENCE: revenue
     by supplier nation computed through ``skew.salted_join`` (left
@@ -1749,6 +1842,8 @@ QUERIES = {
     "lorenz_curve": q_lorenz_curve,
     "salted_join": q_salted_join,
     "spearman": q_spearman,
+    "mann_whitney": q_mann_whitney,
+    "kruskal_wallis": q_kruskal_wallis,
     "skyline": q_skyline,
     "merge_upsert": q_merge_upsert,
     "merge_scd2": q_merge_scd2,
@@ -1785,6 +1880,8 @@ ORACLES = {
     "lorenz_curve": _LORENZ_SQL,
     "salted_join": _SALTED_JOIN_SQL,
     "spearman": _SPEARMAN_SQL,
+    "mann_whitney": _MANN_WHITNEY_SQL,
+    "kruskal_wallis": _KRUSKAL_WALLIS_SQL,
     "skyline": _SKYLINE_SQL,
     "k_anonymity": _K_ANONYMITY_SQL,
     "filtered_join": _FILTERED_JOIN_SQL,

@@ -138,6 +138,8 @@ _BOUNDED_GLOBAL_WINDOW = {
     "length_histogram": "fixed length-bin frame",
     "lm_score": "score-bin frame",
     "lorenz_scale": "O(32) offsets + 10-row decile frames only",
+    "mann_whitney": "50-row quantity value-frequency rank frame",
+    "kruskal_wallis": "50-row quantity value-frequency rank frame",
     "markov_3step": "|event_types|^2 transition frame",
     "mix_weights": "per-source frame (~5 langs)",
     "mom_growth": "~84-row month frame",

@@ -1,0 +1,110 @@
+"""Round-6 operator semantics the oracle can't see: nonparametric
+rank tests (Mann-Whitney U, Kruskal-Wallis H) against brute-force
+pure-Python references (mid-rank ties, tie-corrected variance), plus
+degenerate-input behavior (all-ties → NULL statistic, not a crash)."""
+
+import math
+from collections import Counter
+
+import pytest
+
+from sparkprep.operators.stats import kruskal_wallis, mann_whitney
+
+
+def _mid_ranks(values):
+    cnt = Counter(values)
+    less, cum = {}, 0
+    for v in sorted(cnt):
+        less[v] = cum
+        cum += cnt[v]
+    return {v: less[v] + (cnt[v] + 1) / 2 for v in cnt}
+
+
+def _ref_mann_whitney(a, b):
+    pooled = list(a) + list(b)
+    r = _mid_ranks(pooled)
+    na, nb, n = len(a), len(b), len(pooled)
+    ra = sum(r[v] for v in a)
+    u = ra - na * (na + 1) / 2
+    t = sum(c**3 - c for c in Counter(pooled).values())
+    var = na * nb / 12 * ((n + 1) - t / (n * (n - 1)))
+    z = (u - na * nb / 2) / math.sqrt(var)
+    return u, z
+
+
+def _ref_kruskal(groups):
+    pooled = [v for g in groups for v in g]
+    r = _mid_ranks(pooled)
+    n = len(pooled)
+    h = 12 / (n * (n + 1)) * sum(
+        sum(r[v] for v in g) ** 2 / len(g) for g in groups
+    ) - 3 * (n + 1)
+    t = sum(c**3 - c for c in Counter(pooled).values())
+    return h / (1 - t / (n**3 - n))
+
+
+def test_mann_whitney_matches_reference(spark):
+    a = [3, 5, 5, 7, 9, 12, 12, 12, 15, 4]
+    b = [1, 2, 5, 6, 6, 8, 12, 3, 3]
+    rows = [(v, "A") for v in a] + [(v, "B") for v in b]
+    df = spark.createDataFrame(rows, ["v", "g"])
+    got = mann_whitney(df, "v", "g", "A", "B").collect()[0]
+    u_ref, z_ref = _ref_mann_whitney(a, b)
+    assert got["n_a"] == len(a) and got["n_b"] == len(b)
+    assert got["u_a"] == pytest.approx(u_ref, abs=1e-6)
+    assert got["z"] == pytest.approx(z_ref, abs=1e-6)
+
+
+def test_mann_whitney_symmetry(spark):
+    # U_a + U_b = n_a * n_b; z flips sign when the groups swap
+    rows = [(v, "A") for v in [1, 4, 4, 9]] + [
+        (v, "B") for v in [2, 2, 7, 8, 10]
+    ]
+    df = spark.createDataFrame(rows, ["v", "g"])
+    ab = mann_whitney(df, "v", "g", "A", "B").collect()[0]
+    ba = mann_whitney(df, "v", "g", "B", "A").collect()[0]
+    assert ab["u_a"] + ba["u_a"] == pytest.approx(ab["n_a"] * ab["n_b"])
+    assert ab["z"] == pytest.approx(-ba["z"], abs=1e-9)
+
+
+def test_mann_whitney_all_ties_null_z(spark):
+    df = spark.createDataFrame(
+        [(5, "A")] * 4 + [(5, "B")] * 3, ["v", "g"]
+    )
+    got = mann_whitney(df, "v", "g", "A", "B").collect()[0]
+    assert got["z"] is None  # sigma = 0 -> try_divide NULL, no crash
+    assert got["u_a"] == pytest.approx(4 * 3 / 2)  # all mid-ranks equal
+
+
+def test_kruskal_wallis_matches_reference(spark):
+    groups = {
+        "x": [6.4, 6.8, 7.2, 8.3, 8.4, 9.1, 9.4, 9.7],
+        "y": [2.5, 3.7, 4.9, 5.4, 5.9, 8.1, 8.2],
+        "z": [1.3, 4.1, 4.9, 5.2, 5.5, 8.2],  # ties across groups
+    }
+    rows = [(v, g) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, ["v", "g"])
+    got = kruskal_wallis(df, "v", "g").collect()[0]
+    assert got["df"] == 2
+    assert got["n_rows"] == sum(len(v) for v in groups.values())
+    assert got["h_stat"] == pytest.approx(
+        _ref_kruskal(list(groups.values())), abs=1e-6
+    )
+
+
+def test_kruskal_wallis_two_groups_equals_mw_z_squared(spark):
+    # with k=2, H equals z² of the Mann-Whitney normal approximation
+    a = [3, 5, 5, 7, 9, 12, 1]
+    b = [2, 2, 6, 6, 8, 12, 3, 14]
+    rows = [(v, "A") for v in a] + [(v, "B") for v in b]
+    df = spark.createDataFrame(rows, ["v", "g"])
+    h = kruskal_wallis(df, "v", "g").collect()[0]["h_stat"]
+    _, z = _ref_mann_whitney(a, b)
+    assert h == pytest.approx(z * z, abs=1e-5)
+
+
+def test_kruskal_wallis_all_ties_null(spark):
+    df = spark.createDataFrame(
+        [(7, "A")] * 3 + [(7, "B")] * 2 + [(7, "C")] * 2, ["v", "g"]
+    )
+    assert kruskal_wallis(df, "v", "g").collect()[0]["h_stat"] is None
