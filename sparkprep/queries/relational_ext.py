@@ -905,6 +905,71 @@ FROM folded
 """
 
 
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-weighted quantity quartiles per return flag: "half the
+    REVENUE ships in lines of quantity ≤ X" — the weighted companion
+    of the count-based percentile panels. Weights are exact integer
+    cents (round(price·100) — engine-identical since a double can
+    never land exactly on .5 cents); the cumulative-weight window runs
+    over the 3×50-row (flag, quantity) frequency frame, never raw
+    data; the lower weighted quantile (smallest v with cum·k ≥ q·k·W)
+    is pure int64 comparisons — no float in the whole query."""
+    li = t(spark, sf_dir, "lineitem")
+    from pyspark.sql.window import Window
+
+    wf = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+        ).alias("__w")
+    )
+    w_cum = Window.partitionBy("l_returnflag").orderBy("l_quantity").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy("l_returnflag").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = wf.select(
+        "l_returnflag",
+        "l_quantity",
+        F.sum("__w").over(w_cum).alias("__cum"),
+        F.sum("__w").over(w_all).alias("__tot"),
+    )
+    pick = lambda k_num, k_den: F.min(  # noqa: E731
+        F.when(
+            F.col("__cum") * k_den >= F.col("__tot") * k_num,
+            F.col("l_quantity"),
+        )
+    )
+    return cum.groupBy("l_returnflag").agg(
+        pick(1, 4).alias("w_p25"),
+        pick(1, 2).alias("w_median"),
+        pick(3, 4).alias("w_p75"),
+        F.max("__tot").cast("long").alias("total_cents"),
+    )
+
+
+_WEIGHTED_MEDIAN_SQL = """
+WITH wf AS (
+  SELECT l_returnflag, l_quantity,
+         sum(round(l_extendedprice * 100)::BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+c AS (
+  SELECT l_returnflag, l_quantity,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(w) OVER (PARTITION BY l_returnflag) AS tot
+  FROM wf
+)
+SELECT l_returnflag,
+       min(CASE WHEN cum * 4 >= tot * 1 THEN l_quantity END) AS w_p25,
+       min(CASE WHEN cum * 2 >= tot * 1 THEN l_quantity END) AS w_median,
+       min(CASE WHEN cum * 4 >= tot * 3 THEN l_quantity END) AS w_p75,
+       max(tot)::BIGINT AS total_cents
+FROM c GROUP BY 1
+"""
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted equi-join, adjudicated by EQUIVALENCE: revenue
     by supplier nation computed through ``skew.salted_join`` (left
@@ -1844,6 +1909,7 @@ QUERIES = {
     "spearman": q_spearman,
     "mann_whitney": q_mann_whitney,
     "kruskal_wallis": q_kruskal_wallis,
+    "weighted_median": q_weighted_median,
     "skyline": q_skyline,
     "merge_upsert": q_merge_upsert,
     "merge_scd2": q_merge_scd2,
@@ -1882,6 +1948,7 @@ ORACLES = {
     "spearman": _SPEARMAN_SQL,
     "mann_whitney": _MANN_WHITNEY_SQL,
     "kruskal_wallis": _KRUSKAL_WALLIS_SQL,
+    "weighted_median": _WEIGHTED_MEDIAN_SQL,
     "skyline": _SKYLINE_SQL,
     "k_anonymity": _K_ANONYMITY_SQL,
     "filtered_join": _FILTERED_JOIN_SQL,

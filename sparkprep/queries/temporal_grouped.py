@@ -2015,12 +2015,138 @@ FROM st
 """
 
 
+def q_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-reach curve: per day, how many users touched the
+    product for the FIRST time, the running total, and the share of
+    the final audience — the growth companion of active_users' DAU/WAU
+    engagement view. One groupBy folds each user to a first-seen day
+    (map-combined min), a second folds days; the running-sum window
+    runs over the bounded per-day frame (~90 rows), never raw events.
+    Day emitted as a string (DATE-dtype hash divergence, CLAUDE.md)."""
+    tune_for_engine(spark)
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("__d")
+    )
+    per_day = first.groupBy("__d").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w_cum = Window.orderBy("__d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = F.sum("new_users").over(w_cum)
+    tot = F.sum("new_users").over(w_all)
+    return per_day.select(
+        F.date_format("__d", "yyyy-MM-dd").alias("day"),
+        F.col("new_users").cast("long").alias("new_users"),
+        cum.cast("long").alias("cum_users"),
+        F.round(
+            F.try_divide(cum.cast("double"), tot.cast("double")), 4
+        ).alias("pct_reach"),
+    )
+
+
+_CUMULATIVE_REACH_SQL = """
+WITH first AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS d FROM events GROUP BY 1
+),
+per AS (SELECT d, count(*) AS nu FROM first GROUP BY 1),
+c AS (
+  SELECT d, nu,
+         sum(nu) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(nu) OVER () AS tot
+  FROM per
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       nu::BIGINT AS new_users,
+       cum::BIGINT AS cum_users,
+       round(cum::DOUBLE / tot::DOUBLE, 4) AS pct_reach
+FROM c
+"""
+
+
+def q_user_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TIME-weighted average event value: each observation
+    holds until the user's next event (right-open step function), so
+    TWA = Σ vᵢ·Δtᵢ / Σ Δtᵢ — the correct mean for irregularly sampled
+    signals, where the plain avg over-weights bursts. Keyed lag/lead
+    window on user_id (entity-grain key — scales with users, never a
+    global sort); Δt is exact int64 epoch-micros math (Spark 4 NTZ
+    landmine); the per-interval product re-casts to DECIMAL(38,6) so
+    the per-user sum is order-independent; one IEEE division at the
+    end. Users with one non-null observation drop (no interval)."""
+    tune_for_engine(spark)
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tmicro = F.unix_micros(F.col("ts"))
+    obs = ev.select(
+        "user_id",
+        "value",
+        tmicro.alias("__t"),
+        F.lead(tmicro).over(w).alias("__nxt"),
+    ).filter(F.col("__nxt").isNotNull())
+    iv = obs.select(
+        "user_id",
+        (F.col("value") * (F.col("__nxt") - F.col("__t")))
+        .cast("decimal(38,6)")
+        .alias("__wv"),
+        (F.col("__nxt") - F.col("__t")).alias("__dt"),
+    )
+    per = iv.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__wv").alias("__swv"),
+        F.sum("__dt").alias("__span"),
+    )
+    return per.select(
+        "user_id",
+        (F.col("__n") + 1).cast("long").alias("n_events"),
+        F.expr("__span div 1000000").cast("long").alias("span_s"),
+        F.round(
+            F.try_divide(
+                F.col("__swv").cast("double"), F.col("__span").cast("double")
+            ),
+            6,
+        ).alias("twa"),
+    )
+
+
+_USER_TWA_SQL = """
+WITH obs AS (
+  SELECT user_id, value, epoch_us(ts) AS t,
+         lead(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events WHERE value IS NOT NULL
+),
+iv AS (
+  SELECT user_id, (value * (nxt - t))::DECIMAL(38,6) AS wv, nxt - t AS dt
+  FROM obs WHERE nxt IS NOT NULL
+),
+per AS (
+  SELECT user_id, count(*) AS n, sum(wv) AS swv, sum(dt) AS span
+  FROM iv GROUP BY 1
+)
+SELECT user_id, (n + 1)::BIGINT AS n_events,
+       (span // 1000000)::BIGINT AS span_s,
+       round(swv::DOUBLE / span::DOUBLE, 6) AS twa
+FROM per
+"""
+
+
 QUERIES = {
     "autocorr": q_autocorr,
     "seasonal_adjust": q_seasonal_adjust,
     "window_funnel": q_window_funnel,
     "chi_square": q_chi_square,
     "anova_f": q_anova_f,
+    "cumulative_reach": q_cumulative_reach,
+    "user_twa": q_user_twa,
     "session_stats": q_session_stats,
     "reorder_gaps": q_reorder_gaps,
     "user_migration": q_user_migration,
@@ -2067,6 +2193,8 @@ ORACLES = {
     "window_funnel": _WINDOW_FUNNEL_SQL,
     "chi_square": _CHI_SQUARE_SQL,
     "anova_f": _ANOVA_F_SQL,
+    "cumulative_reach": _CUMULATIVE_REACH_SQL,
+    "user_twa": _USER_TWA_SQL,
     "session_stats": _SESSION_STATS_SQL,
     "reorder_gaps": _REORDER_GAPS_SQL,
     "user_migration": _USER_MIGRATION_SQL,

@@ -108,3 +108,48 @@ def test_kruskal_wallis_all_ties_null(spark):
         [(7, "A")] * 3 + [(7, "B")] * 2 + [(7, "C")] * 2, ["v", "g"]
     )
     assert kruskal_wallis(df, "v", "g").collect()[0]["h_stat"] is None
+
+
+def test_weighted_median_quartiles_ordered(spark, sf_dir):
+    from sparkprep.queries.relational_ext import q_weighted_median
+
+    rows = q_weighted_median(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["w_p25"] <= r["w_median"] <= r["w_p75"]
+        assert r["total_cents"] > 0
+
+
+def test_cumulative_reach_monotone_and_complete(spark, sf_dir):
+    from sparkprep.queries.temporal_grouped import q_cumulative_reach
+
+    rows = q_cumulative_reach(spark, sf_dir).orderBy("day").collect()
+    assert rows
+    assert rows[-1]["pct_reach"] == pytest.approx(1.0)
+    cums = [r["cum_users"] for r in rows]
+    assert cums == sorted(cums) and all(r["new_users"] > 0 for r in rows)
+    assert sum(r["new_users"] for r in rows) == cums[-1]
+
+
+def test_user_twa_bounded_by_observed_values(spark, sf_dir):
+    # a time-weighted AVERAGE can never leave the observed value range
+    from pyspark.sql import functions as F
+
+    from sparkprep.queries import t
+    from sparkprep.queries.temporal_grouped import q_user_twa
+
+    twa = q_user_twa(spark, sf_dir)
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bounds = ev.groupBy("user_id").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    bad = (
+        twa.join(bounds, "user_id")
+        .filter(
+            (F.col("twa") < F.col("lo") - 1e-6)
+            | (F.col("twa") > F.col("hi") + 1e-6)
+        )
+        .count()
+    )
+    assert bad == 0
+    assert twa.filter(F.col("n_events") < 2).count() == 0
