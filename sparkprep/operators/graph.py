@@ -525,3 +525,63 @@ def association_rules(
     return scored.orderBy(
         F.desc("lift"), "antecedent", "consequent"
     ).limit(top)
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 3,
+    max_rounds: int = 12,
+    num_partitions: int = 8,
+) -> DataFrame:
+    """k-core decomposition membership: iteratively PEEL nodes of
+    degree < k (and the edges they anchor) until a fixpoint — the
+    standard distributed shape (each round is one map-combined degree
+    groupBy + two semi-joins keyed on the endpoints; nothing is ever
+    collected except the per-round edge count, one bounded driver
+    scalar used for early exit). ``edges(u, v)`` must be UNDIRECTED
+    UNIQUE pairs (u < v).
+
+    Loop disciplines (CLAUDE.md): the working edge set is repartitioned
+    to ``num_partitions`` BEFORE the loop (a vocabulary-sized frame
+    spread over 32 shuffle partitions pays ~0.7s/round in scheduling —
+    the BPE landmine) and localCheckpoint-ed each round (the survivor
+    set anchors the next round's degree aggregate AND both semi-joins;
+    without lineage truncation every round re-executes all prior
+    rounds).
+
+    Early exit at a fixpoint is RESULT-IDENTICAL to running all
+    ``max_rounds``: peeling is monotone, so once no node falls below
+    k, further rounds are no-ops — which is what makes a fixed-depth
+    unrolled-CTE oracle exact for any graph converging within its
+    depth (the pagerank oracle convention; pin convergence headroom
+    with a canary, tests/test_headroom_canaries.py).
+
+    Returns the surviving nodes with their within-core degree
+    ``(node, core_degree)``; every core_degree is ≥ k by construction.
+    """
+    e = (
+        edges.select("u", "v")
+        .repartition(num_partitions)
+        .localCheckpoint(eager=False)
+    )
+    n_edges = e.count()
+    for _ in range(int(max_rounds)):
+        if n_edges == 0:
+            break
+        ends = e.select(F.explode(F.array("u", "v")).alias("n"))
+        deg = ends.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= int(k)).select("n")
+        e2 = (
+            e.join(keep.withColumnRenamed("n", "u"), "u", "semi")
+            .join(keep.withColumnRenamed("n", "v"), "v", "semi")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+        n2 = e2.count()
+        if n2 == n_edges:
+            break
+        e, n_edges = e2, n2
+    ends = e.select(F.explode(F.array("u", "v")).alias("node"))
+    return ends.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("core_degree")
+    )

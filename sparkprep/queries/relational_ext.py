@@ -905,6 +905,63 @@ FROM folded
 """
 
 
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the co-purchase graph: iteratively peel pendant
+    parts (degree < 2) until only cycle-supported structure remains —
+    the densest-substructure readout beside triangle_count's census.
+    ``graph.k_core`` peels distributively (per-round degree groupBy +
+    two endpoint semi-joins, working set repartitioned small before
+    the loop, survivor set localCheckpoint-ed per round); early exit
+    at the fixpoint is result-identical to the oracle's fixed-depth
+    unrolled-CTE replay because peeling is monotone (pagerank's oracle
+    convention). Peel depth 16 vs 5 rounds observed worst-case across
+    testdata generations — canary-pinned in
+    tests/test_headroom_canaries.py."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        graph.cooccurrence_pairs(
+            li, "l_orderkey", "l_partkey", max_items_per_key=64, cap_by="id"
+        )
+        .filter(F.col("n_keys") >= 2)
+        .select(F.col("item_a").alias("u"), F.col("item_b").alias("v"))
+    )
+    core = graph.k_core(edges, k=2, max_rounds=16)
+    return core.select(F.col("node").cast("long").alias("node"), "core_degree")
+
+
+def _k_core_sql(rounds: int, k: int) -> str:
+    parts = [
+        "op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        "e0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v FROM op a "
+        "JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+        "GROUP BY 1, 2 HAVING count(*) >= 2)",
+    ]
+    for i in range(rounds):
+        # AS MATERIALIZED: each round references its predecessor five
+        # times (degree fold + two IN-subqueries x two columns); without
+        # materialization DuckDB INLINES the chain -> 5^rounds parquet
+        # re-opens ("Too many open files" observed at depth 16)
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT n, count(*) AS d FROM "
+            f"(SELECT u AS n FROM e{i} UNION ALL SELECT v AS n FROM e{i}) "
+            f"GROUP BY 1)"
+        )
+        parts.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT u, v FROM e{i} "
+            f"WHERE u IN (SELECT n FROM d{i} WHERE d >= {k}) "
+            f"AND v IN (SELECT n FROM d{i} WHERE d >= {k}))"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        f"SELECT node::BIGINT AS node, count(*)::BIGINT AS core_degree FROM "
+        f"(SELECT u AS node FROM e{rounds} UNION ALL SELECT v AS node FROM e{rounds}) "
+        f"GROUP BY 1"
+    )
+
+
+_K_CORE_SQL = _k_core_sql(16, 2)
+
+
 def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue-weighted quantity quartiles per return flag: "half the
     REVENUE ships in lines of quantity ≤ X" — the weighted companion
@@ -1910,6 +1967,7 @@ QUERIES = {
     "mann_whitney": q_mann_whitney,
     "kruskal_wallis": q_kruskal_wallis,
     "weighted_median": q_weighted_median,
+    "k_core": q_k_core,
     "skyline": q_skyline,
     "merge_upsert": q_merge_upsert,
     "merge_scd2": q_merge_scd2,
@@ -1949,6 +2007,7 @@ ORACLES = {
     "mann_whitney": _MANN_WHITNEY_SQL,
     "kruskal_wallis": _KRUSKAL_WALLIS_SQL,
     "weighted_median": _WEIGHTED_MEDIAN_SQL,
+    "k_core": _K_CORE_SQL,
     "skyline": _SKYLINE_SQL,
     "k_anonymity": _K_ANONYMITY_SQL,
     "filtered_join": _FILTERED_JOIN_SQL,

@@ -126,3 +126,42 @@ SELECT coalesce(max(d), 0) FROM (
         f"q_two_hop_reach's hub cap {DEGREE_CAP} — raise the cap (Spark "
         "AND re-audit the oracle) before it binds."
     )
+
+
+# q_k_core's unrolled-oracle peel depth (graph.k_core max_rounds=16 and
+# _k_core_sql(16, 2)): the fixed-depth CTE replay is exact only while
+# the 2-core peel CONVERGES within the depth. Worst observed: 5 rounds
+# (sf0.1); require <= depth/2 on every generation.
+K_CORE_DEPTH = 16
+
+
+@pytest.mark.parametrize("sfd", _all_sf_dirs())
+def test_k_core_peel_depth_headroom(sfd):
+    from collections import defaultdict
+
+    con = duckdb.connect()
+    edges = con.execute(f"""
+      WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey
+        FROM '{sfd}/lineitem.parquet'
+      )
+      SELECT a.l_partkey, b.l_partkey
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    """).fetchall()
+    e, rounds = set(edges), 0
+    while True:
+        deg = defaultdict(int)
+        for u, v in e:
+            deg[u] += 1
+            deg[v] += 1
+        e2 = {(u, v) for u, v in e if deg[u] >= 2 and deg[v] >= 2}
+        if len(e2) == len(e):
+            break
+        e, rounds = e2, rounds + 1
+    assert rounds <= K_CORE_DEPTH // 2, (
+        f"{sfd}: 2-core peel needs {rounds} rounds — over half the "
+        f"unrolled-oracle depth {K_CORE_DEPTH}; raise max_rounds and "
+        "_k_core_sql's depth together"
+    )

@@ -153,3 +153,18 @@ def test_user_twa_bounded_by_observed_values(spark, sf_dir):
     )
     assert bad == 0
     assert twa.filter(F.col("n_events") < 2).count() == 0
+
+
+def test_k_core_peels_pendants_keeps_clique(spark):
+    from sparkprep.operators.graph import k_core
+
+    # K4 clique (nodes 1-4) + a pendant chain 4-10-11-12 hanging off it
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    chain = [(4, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(clique + chain, ["u", "v"])
+    got = {r["node"]: r["core_degree"] for r in k_core(df, k=2).collect()}
+    # the chain peels from the leaf inward; the clique survives intact
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # 3-core of K4 is K4 itself; k=4 peels everything
+    assert {r["node"] for r in k_core(df, k=3).collect()} == {1, 2, 3, 4}
+    assert k_core(df, k=4).count() == 0
