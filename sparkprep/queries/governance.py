@@ -338,7 +338,82 @@ FROM pairs
 """
 
 
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit over the same (nation × market segment)
+    quasi-identifiers and thousand-dollar balance buckets as
+    l_diversity — the gate that catches a class which is large AND
+    diverse yet skewed toward one end of the balance scale. Ordered
+    EMD with an exact integer numerator per class (|cum_c·N − cum_g·n|
+    summed in DECIMAL(38,0)) and ONE final division
+    (``privacy.t_closeness_report``); the bucket panel is a bounded
+    driver collect, densification is a row-local literal-array explode
+    (never a cross join)."""
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0))
+        .cast("long")
+        .alias("bal_bucket"),
+    )
+    return privacy.t_closeness_report(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_bucket", t=0.2
+    ).orderBy("c_nationkey", "c_mktsegment")
+
+
+_T_CLOSENESS_SQL = """
+WITH c AS (
+  SELECT c_nationkey::BIGINT AS c_nationkey, c_mktsegment,
+         floor(c_acctbal / 1000.0)::BIGINT AS b
+  FROM customer WHERE c_acctbal IS NOT NULL
+),
+cb AS (
+  SELECT c_nationkey, c_mktsegment, b, count(*) AS cnt
+  FROM c GROUP BY 1, 2, 3
+),
+panel AS (
+  SELECT b, sum(cnt) AS g,
+         sum(sum(cnt)) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cg
+  FROM cb GROUP BY b
+),
+tot AS (SELECT sum(g) AS N, count(*) AS nb FROM panel),
+cls AS (
+  SELECT c_nationkey, c_mktsegment, sum(cnt) AS nc
+  FROM cb GROUP BY 1, 2
+),
+grid AS (
+  SELECT cls.c_nationkey, cls.c_mktsegment, cls.nc, panel.b, panel.cg
+  FROM cls CROSS JOIN panel
+),
+cum AS (
+  SELECT grid.c_nationkey, grid.c_mktsegment, grid.nc, grid.b, grid.cg,
+         sum(coalesce(cb.cnt, 0)) OVER (
+           PARTITION BY grid.c_nationkey, grid.c_mktsegment
+           ORDER BY grid.b ROWS UNBOUNDED PRECEDING) AS cc
+  FROM grid LEFT JOIN cb
+    ON grid.c_nationkey = cb.c_nationkey
+   AND grid.c_mktsegment = cb.c_mktsegment
+   AND grid.b = cb.b
+),
+per AS (
+  SELECT c_nationkey, c_mktsegment, nc,
+         sum(abs(cc * (SELECT N FROM tot) - cg * nc)::DECIMAL(38,0)) AS s
+  FROM cum GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT c_nationkey, c_mktsegment, nc::BIGINT AS class_size,
+         round(s::DOUBLE / (nc::DOUBLE * (SELECT N FROM tot)
+                            * ((SELECT nb FROM tot) - 1)), 6) AS t_closeness
+  FROM per
+)
+SELECT c_nationkey, c_mktsegment, class_size, t_closeness,
+       (t_closeness > 0.2) AS at_risk,
+       max(t_closeness) OVER () AS t_level
+FROM scored ORDER BY c_nationkey, c_mktsegment
+"""
+
+
 QUERIES = {
+    "t_closeness": q_t_closeness,
     "fk_audit": q_fk_audit,
     "fd_audit": q_fd_audit,
     "sample_ks": q_sample_ks,
@@ -350,6 +425,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "t_closeness": _T_CLOSENESS_SQL,
     "fk_audit": _FK_AUDIT_SQL,
     "fd_audit": _fd_sql(),
     "sample_ks": _SAMPLE_KS_SQL,

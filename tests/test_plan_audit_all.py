@@ -151,6 +151,7 @@ _BOUNDED_GLOBAL_WINDOW = {
     "skyline": "per-level frame of the skyline lattice (bounded)",
     "spearman": "50/11 distinct-value frequency frames",
     "survival_table": "|distinct lifetime days| frame, bounded by horizon",
+    "t_closeness": "same QI-class frame as k_anonymity (125 classes)",
     "target_encode": "per-category prior frame, bounded by category domain",
     "token_budget": "20-row source frame",
     "token_js": "two-scan vocab panel (vocab-grain, sublinear)",

@@ -168,3 +168,31 @@ def test_k_core_peels_pendants_keeps_clique(spark):
     # 3-core of K4 is K4 itself; k=4 peels everything
     assert {r["node"] for r in k_core(df, k=3).collect()} == {1, 2, 3, 4}
     assert k_core(df, k=4).count() == 0
+
+
+def test_t_closeness_hand_math(spark):
+    from sparkprep.operators.privacy import t_closeness_report
+
+    # classes over 3 ordered buckets: A = [2,0,0], B = [0,1,1]
+    # global g = [2,1,1], N = 4, cum_g = [2,3,4]; both classes:
+    # sum|cum_c*N - cum_g*n| = 4+2+0 = 6 -> t = 6/(2*4*2) = 0.375
+    rows = [("A", 0), ("A", 0), ("B", 1), ("B", 2)]
+    df = spark.createDataFrame(rows, ["qi", "s"])
+    got = {
+        r["qi"]: r
+        for r in t_closeness_report(df, ["qi"], "s", t=0.2).collect()
+    }
+    assert got["A"]["t_closeness"] == pytest.approx(0.375)
+    assert got["B"]["t_closeness"] == pytest.approx(0.375)
+    assert got["A"]["at_risk"] and got["A"]["t_level"] == pytest.approx(0.375)
+
+
+def test_t_closeness_identical_distribution_is_zero(spark):
+    from sparkprep.operators.privacy import t_closeness_report
+
+    # a class matching the global distribution has EMD exactly 0
+    rows = [("A", b) for b in (0, 1, 2)] * 2 + [("B", b) for b in (0, 1, 2)]
+    df = spark.createDataFrame(rows, ["qi", "s"])
+    for r in t_closeness_report(df, ["qi"], "s").collect():
+        assert r["t_closeness"] == 0.0
+        assert not r["at_risk"]
