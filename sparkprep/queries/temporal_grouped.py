@@ -2015,6 +2015,158 @@ FROM st
 """
 
 
+def q_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust trend per event type: Theil-Sen slope (median of the
+    pairwise daily-count slopes — outlier days can't drag it the way
+    they drag daily_trend's OLS fit) plus the Mann-Kendall monotonic-
+    trend test (S = Σ sign(nⱼ−nᵢ), tie-corrected variance, continuity-
+    corrected z). The pair frame is the self-join of the BOUNDED
+    per-(type, day) aggregate (~90 days × 5 types — localCheckpoint-ed:
+    a self-join's sides never hit ReusedExchange, CLAUDE.md), never raw
+    events. Every slope is ONE IEEE division of exact int64s; the
+    median is LOWER-median row selection (no interpolation — the
+    cross-engine quantile-interpolation landmine); S, the tie term and
+    Var(S)'s numerator are exact integers."""
+    tune_for_engine(spark)
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.expr(
+                "unix_micros(date_trunc('day', ts)) div 86400000000"
+            ).alias("__d"),
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=False)
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("a.__d") < F.col("b.__d"))
+        .select(
+            "event_type",
+            (
+                (F.col("b.__n") - F.col("a.__n"))
+                / (F.col("b.__d") - F.col("a.__d"))
+            ).alias("__slope"),
+            F.signum(
+                (F.col("b.__n") - F.col("a.__n")).cast("double")
+            ).cast("long").alias("__sgn"),
+            F.col("a.__d").alias("__da"),
+            F.col("b.__d").alias("__db"),
+        )
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(
+        "__slope", "__da", "__db"
+    )
+    w_m = Window.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "__slope",
+        "__sgn",
+        F.row_number().over(w_rank).alias("__rn"),
+        F.count(F.lit(1)).over(w_m).alias("__mm"),
+    )
+    # tie term over the VALUE multiset: Σ t(t−1)(2t+5) per type
+    ties = (
+        daily.groupBy("event_type", "__n")
+        .agg(F.count(F.lit(1)).alias("__t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("__t") * (F.col("__t") - 1) * (2 * F.col("__t") + 5)
+            ).alias("__tt"),
+            F.count(F.lit(1)).alias("__ndist"),
+        )
+    )
+    days = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("__nd")
+    )
+    per = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("__m"),
+        F.sum("__sgn").alias("__s"),
+        F.min(
+            F.when(
+                F.col("__rn") == F.expr("(__mm + 1) div 2"),
+                F.col("__slope"),
+            )
+        ).alias("__med"),
+    )
+    nd = F.col("__nd").cast("double")
+    var = (
+        nd * (nd - 1) * (2 * nd + 5) - F.col("__tt").cast("double")
+    ) / 18.0
+    s = F.col("__s").cast("double")
+    z = (
+        F.when(F.col("__s") > 0, F.try_divide(s - 1, F.sqrt(var)))
+        .when(F.col("__s") < 0, F.try_divide(s + 1, F.sqrt(var)))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        per.join(ties, "event_type")
+        .join(days, "event_type")
+        .select(
+            "event_type",
+            F.col("__nd").cast("long").alias("n_days"),
+            F.col("__m").cast("long").alias("n_pairs"),
+            F.round("__med", 6).alias("ts_slope"),
+            F.col("__s").cast("long").alias("mk_s"),
+            F.round(z, 6).alias("mk_z"),
+        )
+    )
+
+
+_TREND_ROBUST_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         (epoch_us(date_trunc('day', ts)) // 86400000000) AS d,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type,
+         (b.n - a.n)::DOUBLE / (b.d - a.d) AS slope,
+         CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1 ELSE 0 END AS sgn,
+         a.d AS da, b.d AS db
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+),
+ranked AS (
+  SELECT event_type, slope, sgn,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY slope, da, db) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS m
+  FROM pairs
+),
+per AS (
+  SELECT event_type, max(m) AS m, sum(sgn) AS s,
+         min(CASE WHEN rn = ((m + 1) // 2) THEN slope END) AS med
+  FROM ranked GROUP BY 1
+),
+ties AS (
+  SELECT event_type, sum(t * (t - 1) * (2 * t + 5)) AS tt
+  FROM (SELECT event_type, n, count(*) AS t FROM daily GROUP BY 1, 2)
+  GROUP BY 1
+),
+days AS (SELECT event_type, count(*) AS nd FROM daily GROUP BY 1)
+SELECT per.event_type,
+       nd::BIGINT AS n_days, m::BIGINT AS n_pairs,
+       round(med, 6) AS ts_slope, s::BIGINT AS mk_s,
+       round(CASE
+         WHEN s > 0 THEN (s::DOUBLE - 1)
+           / sqrt((nd::DOUBLE * (nd::DOUBLE - 1) * (2 * nd::DOUBLE + 5)
+                   - tt::DOUBLE) / 18.0)
+         WHEN s < 0 THEN (s::DOUBLE + 1)
+           / sqrt((nd::DOUBLE * (nd::DOUBLE - 1) * (2 * nd::DOUBLE + 5)
+                   - tt::DOUBLE) / 18.0)
+         ELSE 0.0 END, 6) AS mk_z
+FROM per JOIN ties ON per.event_type = ties.event_type
+JOIN days ON per.event_type = days.event_type
+"""
+
+
 def q_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative-reach curve: per day, how many users touched the
     product for the FIRST time, the running total, and the share of
@@ -2145,6 +2297,7 @@ QUERIES = {
     "window_funnel": q_window_funnel,
     "chi_square": q_chi_square,
     "anova_f": q_anova_f,
+    "trend_robust": q_trend_robust,
     "cumulative_reach": q_cumulative_reach,
     "user_twa": q_user_twa,
     "session_stats": q_session_stats,
@@ -2193,6 +2346,7 @@ ORACLES = {
     "window_funnel": _WINDOW_FUNNEL_SQL,
     "chi_square": _CHI_SQUARE_SQL,
     "anova_f": _ANOVA_F_SQL,
+    "trend_robust": _TREND_ROBUST_SQL,
     "cumulative_reach": _CUMULATIVE_REACH_SQL,
     "user_twa": _USER_TWA_SQL,
     "session_stats": _SESSION_STATS_SQL,

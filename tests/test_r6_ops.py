@@ -196,3 +196,47 @@ def test_t_closeness_identical_distribution_is_zero(spark):
     for r in t_closeness_report(df, ["qi"], "s").collect():
         assert r["t_closeness"] == 0.0
         assert not r["at_risk"]
+
+
+def test_trend_robust_matches_python_reference(spark, sf_dir, duck):
+    # recompute Theil-Sen + Mann-Kendall in plain Python from the same
+    # daily counts and compare — validates the MATH, not just the
+    # cross-engine agreement the oracle pins
+    from sparkprep.queries.temporal_grouped import q_trend_robust
+
+    daily = duck.execute("""
+      SELECT event_type, (epoch_us(date_trunc('day', ts)) // 86400000000) AS d,
+             count(*) AS n
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """).fetchall()
+    series = {}
+    for et, d, n in daily:
+        series.setdefault(et, []).append((int(d), int(n)))
+    got = {r["event_type"]: r for r in q_trend_robust(spark, sf_dir).collect()}
+    for et, pts in series.items():
+        slopes, s = [], 0
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                (da, na), (db, nb) = pts[i], pts[j]
+                slopes.append((nb - na) / (db - da))
+                s += (nb > na) - (nb < na)
+        slopes.sort()
+        med = slopes[(len(slopes) + 1) // 2 - 1]  # lower median
+        r = got[et]
+        assert r["n_days"] == len(pts) and r["n_pairs"] == len(slopes)
+        assert r["mk_s"] == s
+        assert r["ts_slope"] == pytest.approx(med, abs=1e-6)
+        nd = len(pts)
+        from collections import Counter
+        tt = sum(
+            t * (t - 1) * (2 * t + 5)
+            for t in Counter(n for _, n in pts).values()
+        )
+        var = (nd * (nd - 1) * (2 * nd + 5) - tt) / 18.0
+        if s > 0:
+            z = (s - 1) / var**0.5
+        elif s < 0:
+            z = (s + 1) / var**0.5
+        else:
+            z = 0.0
+        assert r["mk_z"] == pytest.approx(z, abs=1e-6)
