@@ -2015,6 +2015,147 @@ FROM st
 """
 
 
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM 2013):
+    per arm (user-id parity, as ab_test), the post-period value mean
+    before and after subtracting the pre-period-covariate projection
+    θ·(X − E[X]) — the standard trick that shrinks experiment CIs by
+    the covariate's R². NEVER materializes per-row adjusted values
+    (a double sum of them would be summation-order-dependent — the
+    money-sum landmine): mean_adj = ȳ_arm − θ(x̄_arm − x̄), and
+    var_adj = var_y − 2θ·cov + θ²·var_x, all from per-arm exact
+    DECIMAL sufficient statistics (x int64, y/yy/xy per-row decimal
+    casts), θ pooled from the same sums; the only floats are
+    deterministic IEEE ops on those exact sums. The corpus-midpoint
+    split timestamp is one bounded min/max driver scalar (A6
+    pattern); the pooled fold is a window over the 2-row arm frame.
+    Note the pooled-θ guarantee is POOLED variance reduction — a
+    single arm's var_y_adj can exceed its var_y when that arm's own
+    cov/var ratio disagrees with the pooled fit (observed at
+    sf0.001)."""
+    tune_for_engine(spark)
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    split = (lo + hi) // 2
+    tm = F.unix_micros("ts")
+    users = ev.groupBy("user_id").agg(
+        F.sum(F.when(tm < split, 1).otherwise(0)).alias("__x"),
+        F.coalesce(
+            F.sum(
+                F.when(tm >= split, F.col("value")).cast("decimal(18,6)")
+            ),
+            F.lit(0).cast("decimal(18,6)"),
+        ).alias("__y"),
+    )
+    arms = users.groupBy(
+        (F.col("user_id") % 2 == 1).alias("arm")
+    ).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+    )
+    w = Window.partitionBy()
+    pooled = arms.select(
+        "*",
+        F.sum("__n").over(w).alias("__pn"),
+        F.sum("__sx").over(w).alias("__psx"),
+        F.sum("__sy").over(w).alias("__psy"),
+        F.sum("__sxx").over(w).alias("__psxx"),
+        F.sum("__sxy").over(w).alias("__psxy"),
+    )
+    pn = F.col("__pn").cast("double")
+    psx = F.col("__psx").cast("double")
+    theta = F.try_divide(
+        pn * F.col("__psxy").cast("double") - psx * F.col("__psy").cast("double"),
+        pn * F.col("__psxx").cast("double") - psx * psx,
+    )
+    n = F.col("__n").cast("double")
+    mx = F.col("__sx").cast("double") / n
+    my = F.col("__sy").cast("double") / n
+    pmx = psx / pn
+    var_y = F.col("__syy").cast("double") / n - my * my
+    var_x = F.col("__sxx").cast("double") / n - mx * mx
+    cov = F.col("__sxy").cast("double") / n - mx * my
+    var_adj = var_y - 2.0 * theta * cov + theta * theta * var_x
+    return pooled.select(
+        "arm",
+        F.col("__n").cast("long").alias("n_users"),
+        F.round(my, 6).alias("mean_y"),
+        F.round(my - theta * (mx - pmx), 6).alias("mean_y_adj"),
+        F.round(var_y, 6).alias("var_y"),
+        F.round(var_adj, 6).alias("var_y_adj"),
+        F.round(
+            F.try_divide(var_y - var_adj, var_y) * 100.0, 4
+        ).alias("var_reduction_pct"),
+    )
+
+
+_CUPED_SQL = """
+WITH bounds AS (
+  SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS split FROM events
+),
+users AS (
+  SELECT user_id,
+         sum(CASE WHEN epoch_us(ts) < (SELECT split FROM bounds)
+                  THEN 1 ELSE 0 END) AS x,
+         coalesce(sum(CASE WHEN epoch_us(ts) >= (SELECT split FROM bounds)
+                           THEN value END::DECIMAL(18,6)),
+                  0::DECIMAL(18,6)) AS y
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT user_id % 2 = 1 AS arm, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM users GROUP BY 1
+),
+pooled AS (
+  SELECT *, sum(n) OVER () AS pn, sum(sx) OVER () AS psx,
+         sum(sy) OVER () AS psy, sum(sxx) OVER () AS psxx,
+         sum(sxy) OVER () AS psxy
+  FROM arms
+)
+SELECT arm, n::BIGINT AS n_users,
+       round(sy::DOUBLE / n, 6) AS mean_y,
+       round(sy::DOUBLE / n
+             - ((pn::DOUBLE * psxy::DOUBLE - psx::DOUBLE * psy::DOUBLE)
+                / (pn::DOUBLE * psxx::DOUBLE - psx::DOUBLE * psx::DOUBLE))
+               * (sx::DOUBLE / n - psx::DOUBLE / pn), 6) AS mean_y_adj,
+       round(syy::DOUBLE / n - (sy::DOUBLE / n) * (sy::DOUBLE / n), 6)
+         AS var_y,
+       round((syy::DOUBLE / n - (sy::DOUBLE / n) * (sy::DOUBLE / n))
+             - 2.0 * ((pn::DOUBLE * psxy::DOUBLE - psx::DOUBLE * psy::DOUBLE)
+                      / (pn::DOUBLE * psxx::DOUBLE - psx::DOUBLE * psx::DOUBLE))
+                   * (sxy::DOUBLE / n - (sx::DOUBLE / n) * (sy::DOUBLE / n))
+             + ((pn::DOUBLE * psxy::DOUBLE - psx::DOUBLE * psy::DOUBLE)
+                / (pn::DOUBLE * psxx::DOUBLE - psx::DOUBLE * psx::DOUBLE))
+               * ((pn::DOUBLE * psxy::DOUBLE - psx::DOUBLE * psy::DOUBLE)
+                  / (pn::DOUBLE * psxx::DOUBLE - psx::DOUBLE * psx::DOUBLE))
+               * (sxx::DOUBLE / n - (sx::DOUBLE / n) * (sx::DOUBLE / n)), 6)
+         AS var_y_adj,
+       round(((syy::DOUBLE / n - (sy::DOUBLE / n) * (sy::DOUBLE / n))
+              - ((syy::DOUBLE / n - (sy::DOUBLE / n) * (sy::DOUBLE / n))
+                 - 2.0 * ((pn::DOUBLE * psxy::DOUBLE - psx::DOUBLE * psy::DOUBLE)
+                          / (pn::DOUBLE * psxx::DOUBLE - psx::DOUBLE * psx::DOUBLE))
+                       * (sxy::DOUBLE / n - (sx::DOUBLE / n) * (sy::DOUBLE / n))
+                 + ((pn::DOUBLE * psxy::DOUBLE - psx::DOUBLE * psy::DOUBLE)
+                    / (pn::DOUBLE * psxx::DOUBLE - psx::DOUBLE * psx::DOUBLE))
+                   * ((pn::DOUBLE * psxy::DOUBLE - psx::DOUBLE * psy::DOUBLE)
+                      / (pn::DOUBLE * psxx::DOUBLE - psx::DOUBLE * psx::DOUBLE))
+                   * (sxx::DOUBLE / n - (sx::DOUBLE / n) * (sx::DOUBLE / n))))
+             / (syy::DOUBLE / n - (sy::DOUBLE / n) * (sy::DOUBLE / n))
+             * 100.0, 4) AS var_reduction_pct
+FROM pooled
+"""
+
+
 def q_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust trend per event type: Theil-Sen slope (median of the
     pairwise daily-count slopes — outlier days can't drag it the way
@@ -2297,6 +2438,7 @@ QUERIES = {
     "window_funnel": q_window_funnel,
     "chi_square": q_chi_square,
     "anova_f": q_anova_f,
+    "cuped": q_cuped,
     "trend_robust": q_trend_robust,
     "cumulative_reach": q_cumulative_reach,
     "user_twa": q_user_twa,
@@ -2346,6 +2488,7 @@ ORACLES = {
     "window_funnel": _WINDOW_FUNNEL_SQL,
     "chi_square": _CHI_SQUARE_SQL,
     "anova_f": _ANOVA_F_SQL,
+    "cuped": _CUPED_SQL,
     "trend_robust": _TREND_ROBUST_SQL,
     "cumulative_reach": _CUMULATIVE_REACH_SQL,
     "user_twa": _USER_TWA_SQL,

@@ -128,6 +128,7 @@ _BOUNDED_GLOBAL_WINDOW = {
     "benford": "9-row leading-digit frame",
     "chi_square": "|event_types| x 7 contingency frame",
     "freq_orderpriority": "5-row priority frame",
+    "cuped": "2-row arm frame (pooled-sufficient-stat fold)",
     "cumulative_reach": "per-day first-seen frame (~90 rows), bounded by horizon",
     "equidepth_bins": "O(32) ranks.global_ntile offsets frame only (raw-fact ntile distributed)",
     "gini_scale": "O(32) ranks.global_rank offsets frame only",

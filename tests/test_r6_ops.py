@@ -240,3 +240,59 @@ def test_trend_robust_matches_python_reference(spark, sf_dir, duck):
         else:
             z = 0.0
         assert r["mk_z"] == pytest.approx(z, abs=1e-6)
+
+
+def test_cuped_matches_python_replay(spark, sf_dir, duck):
+    # replay the CUPED algebra from the same per-user sufficient stats
+    # in plain Python — validates the math (theta, adjusted mean and
+    # variance identities), not just cross-engine agreement
+    from sparkprep.queries.temporal_grouped import q_cuped
+
+    users = duck.execute("""
+      WITH bounds AS (
+        SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS split
+        FROM events
+      )
+      SELECT user_id % 2 = 1 AS arm,
+             sum(CASE WHEN epoch_us(ts) < (SELECT split FROM bounds)
+                      THEN 1 ELSE 0 END) AS x,
+             coalesce(sum(CASE WHEN epoch_us(ts) >= (SELECT split FROM bounds)
+                               THEN value END::DECIMAL(18,6)),
+                      0::DECIMAL(18,6)) AS y
+      FROM events GROUP BY user_id
+    """).fetchall()
+    import collections
+
+    stats = collections.defaultdict(lambda: [0, 0.0, 0.0, 0.0, 0.0, 0.0])
+    for arm, x, y in users:
+        y = float(y)
+        st = stats[bool(arm)]
+        st[0] += 1
+        st[1] += x
+        st[2] += y
+        st[3] += x * x
+        st[4] += y * y
+        st[5] += x * y
+    pn = sum(s[0] for s in stats.values())
+    psx = sum(s[1] for s in stats.values())
+    psy = sum(s[2] for s in stats.values())
+    psxx = sum(s[3] for s in stats.values())
+    psxy = sum(s[5] for s in stats.values())
+    theta = (pn * psxy - psx * psy) / (pn * psxx - psx * psx)
+    got = {r["arm"]: r for r in q_cuped(spark, sf_dir).collect()}
+    assert set(got) == {True, False}
+    for arm, (n, sx, sy, sxx, syy, sxy) in stats.items():
+        mx, my = sx / n, sy / n
+        var_y = syy / n - my * my
+        var_x = sxx / n - mx * mx
+        cov = sxy / n - mx * my
+        r = got[arm]
+        assert r["n_users"] == n
+        assert r["mean_y"] == pytest.approx(my, abs=1e-5)
+        assert r["mean_y_adj"] == pytest.approx(
+            my - theta * (mx - psx / pn), abs=1e-5
+        )
+        assert r["var_y"] == pytest.approx(var_y, rel=1e-6)
+        assert r["var_y_adj"] == pytest.approx(
+            var_y - 2 * theta * cov + theta * theta * var_x, rel=1e-6
+        )
