@@ -293,3 +293,53 @@ def kruskal_wallis(
         (F.col("__k") - 1).cast("long").alias("df"),
         F.col("__N").cast("long").alias("n_rows"),
     )
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    diff_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Wilcoxon signed-rank test over a column of PAIRED differences —
+    the nonparametric companion of a paired t-test (is the typical
+    within-subject change nonzero?). Zeros drop (the standard
+    convention); |d| mid-ranks come from the value-frequency table
+    (:func:`_doubled_rank_map` on ABS — no global sort), the tie term
+    folds from the same joined row stream, and with doubled ranks
+    everything accumulated is an exact DECIMAL(38,0) integer:
+
+      2·W⁺ = Σ_{d>0} 2·rank(|d|)
+      z = (4·W⁺ − n(n+1)) / (4·σ),
+      σ² = n(n+1)(2n+1)/24 − T/48,  T = Σ(t³−t)
+
+    (the z numerator/denominator are scaled ×4 so both stay integer-
+    exact until one division). Returns one row
+    ``(n_nonzero, w_plus, z)``; all-tied inputs yield NULL z via
+    try_divide.
+    """
+    nz = df.filter(
+        F.col(diff_col).isNotNull() & (F.col(diff_col) != 0)
+    ).select(
+        F.abs(F.col(diff_col)).alias("__v"),
+        (F.col(diff_col) > 0).alias("__pos"),
+    )
+    rmap = _doubled_rank_map(nz, "__v", keep_count=True)
+    d38 = "decimal(38,0)"
+    folded = nz.join(F.broadcast(rmap), "__v").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(
+            F.when(F.col("__pos"), F.col("__r2")).otherwise(0).cast(d38)
+        ).alias("__r2p"),
+        F.sum(
+            (F.col("__c").cast(d38) * F.col("__c") - 1).cast(d38)
+        ).alias("__t"),
+    )
+    n = F.col("__n").cast("double")
+    w2 = F.col("__r2p").cast("double")  # 2·W+
+    var = n * (n + 1) * (2 * n + 1) / 24.0 - F.col("__t").cast("double") / 48.0
+    z = F.try_divide(2.0 * w2 - n * (n + 1), 4.0 * F.sqrt(var))
+    return folded.select(
+        F.col("__n").cast("long").alias("n_nonzero"),
+        F.round(w2 / 2.0, round_to).alias("w_plus"),
+        F.round(z, round_to).alias("z"),
+    )

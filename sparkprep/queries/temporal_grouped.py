@@ -2156,6 +2156,64 @@ FROM pooled
 """
 
 
+def q_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank: did per-user activity SHIFT between the
+    first and second half of the observation window? Paired
+    differences (2nd-half − 1st-half event count per user, the same
+    corpus-midpoint split as cuped) through
+    ``stats.wilcoxon_signed_rank`` — |d| mid-ranks from the
+    value-frequency table, every accumulated term an exact
+    DECIMAL(38,0) integer, one division at the end."""
+    tune_for_engine(spark)
+    from sparkprep.operators.stats import wilcoxon_signed_rank
+
+    ev = t(spark, sf_dir, "events")
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    split = (lo + hi) // 2
+    tm = F.unix_micros("ts")
+    diffs = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.when(tm >= split, 1).otherwise(0))
+            - F.sum(F.when(tm < split, 1).otherwise(0))
+        ).alias("__diff")
+    )
+    return wilcoxon_signed_rank(diffs, "__diff")
+
+
+_SIGNED_RANK_SQL = """
+WITH bounds AS (
+  SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS split FROM events
+),
+diffs AS (
+  SELECT user_id,
+         sum(CASE WHEN epoch_us(ts) >= (SELECT split FROM bounds)
+                  THEN 1 ELSE 0 END)
+         - sum(CASE WHEN epoch_us(ts) < (SELECT split FROM bounds)
+                    THEN 1 ELSE 0 END) AS d
+  FROM events GROUP BY user_id
+),
+nz AS (SELECT abs(d) AS v, d > 0 AS pos FROM diffs WHERE d IS NOT NULL AND d <> 0),
+c AS (SELECT v, count(*) AS c FROM nz GROUP BY 1),
+r AS (SELECT v, c,
+             2 * sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c + 1 AS r2
+      FROM c),
+folded AS (
+  SELECT count(*) AS n,
+         sum((CASE WHEN pos THEN r2 ELSE 0 END)::DECIMAL(38,0)) AS r2p,
+         sum((c::DECIMAL(38,0) * c - 1)::DECIMAL(38,0)) AS t
+  FROM nz JOIN r USING (v)
+)
+SELECT n::BIGINT AS n_nonzero,
+       round(r2p::DOUBLE / 2.0, 6) AS w_plus,
+       round((2.0 * r2p::DOUBLE - n::DOUBLE * (n::DOUBLE + 1))
+             / (4.0 * sqrt(n::DOUBLE * (n::DOUBLE + 1) * (2 * n::DOUBLE + 1)
+                           / 24.0 - t::DOUBLE / 48.0)), 6) AS z
+FROM folded
+"""
+
+
 def q_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust trend per event type: Theil-Sen slope (median of the
     pairwise daily-count slopes — outlier days can't drag it the way
@@ -2439,6 +2497,7 @@ QUERIES = {
     "chi_square": q_chi_square,
     "anova_f": q_anova_f,
     "cuped": q_cuped,
+    "signed_rank": q_signed_rank,
     "trend_robust": q_trend_robust,
     "cumulative_reach": q_cumulative_reach,
     "user_twa": q_user_twa,
@@ -2489,6 +2548,7 @@ ORACLES = {
     "chi_square": _CHI_SQUARE_SQL,
     "anova_f": _ANOVA_F_SQL,
     "cuped": _CUPED_SQL,
+    "signed_rank": _SIGNED_RANK_SQL,
     "trend_robust": _TREND_ROBUST_SQL,
     "cumulative_reach": _CUMULATIVE_REACH_SQL,
     "user_twa": _USER_TWA_SQL,

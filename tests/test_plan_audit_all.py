@@ -149,6 +149,7 @@ _BOUNDED_GLOBAL_WINDOW = {
     "psi_drift": "2 x K-bin cohort frame",
     "rfm_scale": "O(32) offsets frames only (3 chained global_ntile passes)",
     "sample_ks": "ECDF over bounded value-frequency frame",
+    "signed_rank": "|d| value-frequency rank frame (bounded by distinct per-user count diffs)",
     "skyline": "per-level frame of the skyline lattice (bounded)",
     "spearman": "50/11 distinct-value frequency frames",
     "survival_table": "|distinct lifetime days| frame, bounded by horizon",

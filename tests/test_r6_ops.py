@@ -296,3 +296,36 @@ def test_cuped_matches_python_replay(spark, sf_dir, duck):
         assert r["var_y_adj"] == pytest.approx(
             var_y - 2 * theta * cov + theta * theta * var_x, rel=1e-6
         )
+
+
+def _ref_signed_rank(diffs):
+    nz = [d for d in diffs if d != 0]
+    r = _mid_ranks([abs(d) for d in nz])
+    n = len(nz)
+    w_plus = sum(r[abs(d)] for d in nz if d > 0)
+    t = sum(c**3 - c for c in Counter(abs(d) for d in nz).values())
+    var = n * (n + 1) * (2 * n + 1) / 24 - t / 48
+    z = (w_plus - n * (n + 1) / 4) / math.sqrt(var)
+    return n, w_plus, z
+
+
+def test_wilcoxon_signed_rank_matches_reference(spark):
+    from sparkprep.operators.stats import wilcoxon_signed_rank
+
+    diffs = [3, -1, 4, -1, 5, 9, -2, 6, -5, 3, 0, 0, 1, -4, 2]
+    df = spark.createDataFrame([(d,) for d in diffs], ["d"])
+    got = wilcoxon_signed_rank(df, "d").collect()[0]
+    n, w_plus, z = _ref_signed_rank(diffs)
+    assert got["n_nonzero"] == n
+    assert got["w_plus"] == pytest.approx(w_plus, abs=1e-6)
+    assert got["z"] == pytest.approx(z, abs=1e-6)
+
+
+def test_wilcoxon_all_same_positive(spark):
+    from sparkprep.operators.stats import wilcoxon_signed_rank
+
+    # all |d| equal and positive: every mid-rank is (n+1)/2, so
+    # W+ = n·(n+1)/2 = 15 for n=5
+    df = spark.createDataFrame([(2,)] * 5, ["d"])
+    got = wilcoxon_signed_rank(df, "d").collect()[0]
+    assert got["n_nonzero"] == 5 and got["w_plus"] == pytest.approx(15.0)
