@@ -228,11 +228,16 @@ def mann_whitney(
         * ((n + 1) - F.col("__t").cast("double") / (n * (n - 1)))
     )
     z = F.try_divide(u2 - na * nb, 2.0 * F.sqrt(var))
+    # Cliff's delta (the rank-test's effect size): δ = 2U_a/(n_a·n_b) − 1
+    # ∈ [−1, 1] — P(a > b) − P(b > a) under the mid-rank tie convention;
+    # exact integers in, one division
+    delta = F.try_divide(u2, na * nb) - 1.0
     return folded.select(
         F.col("__na").cast("long").alias("n_a"),
         F.col("__nb").cast("long").alias("n_b"),
         F.round(u2 / 2.0, round_to).alias("u_a"),
         F.round(z, round_to).alias("z"),
+        F.round(delta, round_to).alias("cliffs_d"),
     )
 
 

@@ -850,7 +850,9 @@ SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
                            * (((na::DOUBLE + nb::DOUBLE) + 1)
                               - t::DOUBLE / ((na::DOUBLE + nb::DOUBLE)
                                              * ((na::DOUBLE + nb::DOUBLE) - 1))))),
-             6) AS z
+             6) AS z,
+       round((r2a::DOUBLE - na::DOUBLE * (na::DOUBLE + 1))
+             / (na::DOUBLE * nb::DOUBLE) - 1.0, 6) AS cliffs_d
 FROM folded
 """
 

@@ -53,6 +53,8 @@ def test_mann_whitney_matches_reference(spark):
     assert got["n_a"] == len(a) and got["n_b"] == len(b)
     assert got["u_a"] == pytest.approx(u_ref, abs=1e-6)
     assert got["z"] == pytest.approx(z_ref, abs=1e-6)
+    na, nb = len(a), len(b)
+    assert got["cliffs_d"] == pytest.approx(2 * u_ref / (na * nb) - 1, abs=1e-6)
 
 
 def test_mann_whitney_symmetry(spark):
