@@ -1197,3 +1197,87 @@ def pca_project(
         )
         outs.append(F.round(dot, round_to).alias(f"c{k}"))
     return staged.select(id_col, *outs)
+
+
+def knn_label_consistency(
+    emb_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    num_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    round_to: int = 4,
+    suspect_below: float = 0.5,
+) -> DataFrame:
+    """Label-error mining via in-bucket kNN agreement (the
+    Confident-Learning-style neighborhood check): for each vector, the
+    fraction of its k nearest in-bucket neighbors sharing its label —
+    a row whose neighborhood overwhelmingly disagrees is a labeling
+    suspect worth human review before training.
+
+    Candidates stay LSH-bucket-bounded (reuses
+    :func:`embedding_near_dup_pairs` with the threshold open), each
+    undirected pair explodes to both directions row-locally, and the
+    per-source top-k is a keyed window whose ``rank ≤ k`` filter
+    compiles to WindowGroupLimit (map-side per-group limit — the
+    scale-safe top-k shape). Labels attach by two keyed equi-joins on
+    the id (entity-grain: never broadcast at corpus scale, AQE decides
+    here). Vectors alone in their bucket drop out — they have no
+    neighborhood to vote.
+    """
+    from pyspark.sql.window import Window
+
+    pairs = embedding_near_dup_pairs(
+        emb_df.select(id_col, vec_col), id_col, vec_col, threshold=-1.0,
+        num_planes=num_planes, dim=dim, seed=seed, round_to=round_to,
+    )
+    directed = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src"),
+                    F.col("id_b").alias("dst"),
+                    F.col("cosine"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("src"),
+                    F.col("id_a").alias("dst"),
+                    F.col("cosine"),
+                ),
+            )
+        ).alias("__e")
+    ).select("__e.src", "__e.dst", "__e.cosine")
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    topk = (
+        directed.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= int(k))
+    )
+    labels = emb_df.select(
+        F.col(id_col).alias("__id"), F.col(label_col).alias("__lbl")
+    )
+    scored = (
+        topk.join(labels.withColumnsRenamed({"__id": "src", "__lbl": "__own"}), "src")
+        .join(labels.withColumnsRenamed({"__id": "dst", "__lbl": "__nbr"}), "dst")
+    )
+    per = scored.groupBy("src", "__own").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(
+            F.when(F.col("__nbr") == F.col("__own"), 1).otherwise(0)
+        ).alias("__agree"),
+    )
+    frac = F.round(
+        F.try_divide(
+            F.col("__agree").cast("double"), F.col("__n").cast("double")
+        ),
+        round_to,
+    )
+    return per.select(
+        F.col("src").alias(id_col),
+        F.col("__own").alias(label_col),
+        F.col("__n").cast("long").alias("n_nbrs"),
+        F.col("__agree").cast("long").alias("n_agree"),
+        frac.alias("agree_frac"),
+        (frac < F.lit(float(suspect_below))).alias("suspect"),
+    )

@@ -643,6 +643,69 @@ WHERE t1.src < t1.dst
 """
 
 
+def q_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-error mining: for every embedding, the fraction of its 5
+    nearest in-bucket neighbors sharing its label
+    (``sim.knn_label_consistency`` — Confident-Learning-style
+    neighborhood vote); rows whose neighborhoods overwhelmingly
+    disagree are labeling suspects to route to review before training.
+    Candidates stay LSH-bucket-bounded; the per-source top-k window
+    compiles to WindowGroupLimit; labels attach by keyed equi-joins
+    (entity-grain — never broadcast at corpus scale)."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    return sim.knn_label_consistency(
+        emb, k=5, num_planes=_PLANES, dim=_DIM, seed=42
+    )
+
+
+_LABEL_CONSISTENCY_SQL = f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, label, ({_sig_sql('embedding')}) AS sig
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({_cos_sql('a.embedding', 'b.embedding')}, 4) AS cosine
+  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+  WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 4) >= -1.0
+),
+directed AS (
+  SELECT id_a AS src, id_b AS dst, cosine FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst, cosine FROM pairs
+),
+topk AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rk
+    FROM directed
+  ) WHERE rk <= 5
+),
+voted AS (
+  SELECT t.src, o.label AS own, n.label AS nbr
+  FROM topk t
+  JOIN sigs o ON t.src = o.vec_id
+  JOIN sigs n ON t.dst = n.vec_id
+),
+per AS (
+  SELECT src, own, count(*) AS n,
+         sum(CASE WHEN nbr = own THEN 1 ELSE 0 END) AS agree
+  FROM voted GROUP BY 1, 2
+)
+SELECT src AS vec_id, own AS label,
+       n::BIGINT AS n_nbrs, agree::BIGINT AS n_agree,
+       round(agree::DOUBLE / n::DOUBLE, 4) AS agree_frac,
+       (round(agree::DOUBLE / n::DOUBLE, 4) < 0.5) AS suspect
+FROM per
+"""
+
+
 def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup-cluster-aware leakage-safe split: transitive MinHash
     clusters (dedup_clusters) dealt 80/10/10 by md5 of the CLUSTER rep
@@ -1432,6 +1495,7 @@ WHERE ni / (sa.n + sb.n - ni) >= 0.5
 QUERIES = {
     "setsim_join": q_setsim_join,
     "mutual_nn": q_mutual_nn,
+    "label_consistency": q_label_consistency,
     "embedding_drift": q_embedding_drift,
     "exact_dedup": q_exact_dedup,
     "minhash_pairs": q_minhash_pairs,
@@ -1463,6 +1527,7 @@ QUERIES = {
 ORACLES = {
     "setsim_join": _SETSIM_JOIN_SQL,
     "mutual_nn": _MUTUAL_NN_SQL,
+    "label_consistency": _LABEL_CONSISTENCY_SQL,
     "embedding_drift": _EMBEDDING_DRIFT_SQL,
     "exact_dedup": _EXACT_DEDUP_SQL,
     "minhash_pairs": _minhash_sql(),

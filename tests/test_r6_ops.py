@@ -331,3 +331,26 @@ def test_wilcoxon_all_same_positive(spark):
     df = spark.createDataFrame([(2,)] * 5, ["d"])
     got = wilcoxon_signed_rank(df, "d").collect()[0]
     assert got["n_nonzero"] == 5 and got["w_plus"] == pytest.approx(15.0)
+
+
+def test_knn_label_consistency_flags_planted_error(spark):
+    from sparkprep.operators.similarity import knn_label_consistency
+
+    # a tight cluster of 6 near-identical vectors, one mislabeled:
+    # the odd one's neighborhood unanimously disagrees -> suspect
+    base = [1.0, 0.2, -0.3, 0.05]
+    rows = [
+        (i, [v + 0.001 * i for v in base], 0 if i < 5 else 1)
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {
+        r["vec_id"]: r
+        for r in knn_label_consistency(
+            df, k=3, num_planes=2, dim=4, seed=42
+        ).collect()
+    }
+    assert got[5]["suspect"] and got[5]["n_agree"] == 0
+    # correctly-labeled members see at most one dissenter among top-3
+    for i in range(5):
+        assert got[i]["agree_frac"] >= 0.5 and not got[i]["suspect"]
