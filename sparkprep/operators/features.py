@@ -519,3 +519,85 @@ def did_report(
         F.round(m_ca, round_to).alias("control_after"),
         F.round((m_ta - m_tb) - (m_ca - m_cb), round_to).alias("did_effect"),
     )
+
+
+def binned_average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 1000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Average precision (PR-AUC, step interpolation) of a score
+    against a boolean label at fixed-bin granularity —
+    :func:`binned_auc`'s companion for imbalanced gates, where ROC
+    flatters a scorer that ranks the huge negative class well. Same
+    distributed shape: ONE map-combined groupBy to (bin, pos, neg),
+    cumulative structure over the ≤``bins``-row aggregated frame,
+    descending-score traversal:
+
+      AP = Σ_b pos_b · P(≥b) / n_pos,
+      P(≥b) = cum_pos(≥b) / (cum_pos(≥b) + cum_neg(≥b))
+
+    Rows inside one bin share that bin's precision (the binned-score
+    convention; exact when distinct scores ≤ bins). Each per-bin term
+    is 2 IEEE ops on exact int64 cumulative counts, then re-cast to
+    DECIMAL(38,12) so the cross-bin sum is order-independent (the
+    anova_f g_term discipline — a raw double sum over 1000 bins would
+    be summation-order-dependent). NULL scores/labels drop, as in
+    binned_auc. Returns one row ``(ap, base_rate, n_pos, n_neg)``;
+    base_rate (= n_pos/N) is the no-skill AP floor.
+    """
+    from pyspark.sql.window import Window
+
+    b = F.least(
+        F.greatest(
+            F.floor(F.col(score_col) * bins).cast("long"),
+            F.lit(0).cast("long"),
+        ),
+        F.lit(bins - 1).cast("long"),
+    )
+    y = F.col(label_col).cast("int")
+    binned = (
+        df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .select(b.alias("__b"), y.alias("__y"))
+        .groupBy("__b")
+        .agg(
+            F.sum("__y").alias("pos"),
+            F.sum(F.lit(1) - F.col("__y")).alias("neg"),
+        )
+    )
+    w = Window.orderBy(F.desc("__b")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = binned.select(
+        "pos",
+        F.sum("pos").over(w).alias("__cp"),
+        F.sum("neg").over(w).alias("__cn"),
+    )
+    term = (
+        F.col("pos")
+        * (
+            F.col("__cp").cast("double")
+            / (F.col("__cp") + F.col("__cn")).cast("double")
+        )
+    ).cast("decimal(38,12)")
+    # the desc-cumulative maxima ARE the class totals (last bin holds
+    # the full running sums) — no second pass over the bin frame
+    return cum.agg(
+        F.round(
+            F.try_divide(
+                F.sum(term).cast("double"), F.max("__cp").cast("double")
+            ),
+            round_to,
+        ).alias("ap"),
+        F.round(
+            F.try_divide(
+                F.max("__cp").cast("double"),
+                (F.max("__cp") + F.max("__cn")).cast("double"),
+            ),
+            round_to,
+        ).alias("base_rate"),
+        F.max("__cp").cast("long").alias("n_pos"),
+        F.max("__cn").cast("long").alias("n_neg"),
+    )

@@ -925,6 +925,55 @@ FROM cum
 """
 
 
+def q_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (PR-AUC) of the distilled quality score
+    against the gopher gate — auc_quality's companion for the
+    imbalanced regime, where ROC flatters a scorer that merely ranks
+    the big negative class well
+    (``features.binned_average_precision``: same 1000-bin map-combined
+    fold, descending cumulative precision over the bounded bin frame,
+    per-bin terms DECIMAL-recast so the cross-bin sum is
+    order-independent). base_rate is the no-skill floor to read ap
+    against."""
+    from sparkprep.operators.features import binned_average_precision
+
+    docs = t(spark, sf_dir, "documents")
+    sig = tx.gopher_quality_flags(docs, "text", required_stopwords=_EN)
+    z = _logit_z()
+    scored = sig.select(
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+        F.col("pass"),
+    )
+    return binned_average_precision(scored, "score", "pass", bins=1000)
+
+
+_PR_AUC_SQL = rf"""
+WITH {_GOPHER_SIG_CTES},
+scored AS (
+  SELECT round(1.0 / (1.0 + exp(-{_LOGIT_Z_SQL})), 6) AS score,
+         {_GOPHER_GATE_SQL} AS pass
+  FROM sig
+),
+binned AS (
+  SELECT least(greatest(floor(score * 1000), 0), 999)::BIGINT AS b,
+         sum(CASE WHEN pass THEN 1 ELSE 0 END) AS pos,
+         sum(CASE WHEN pass THEN 0 ELSE 1 END) AS neg
+  FROM scored WHERE score IS NOT NULL GROUP BY 1
+),
+cum AS (
+  SELECT pos,
+         sum(pos) OVER (ORDER BY b DESC ROWS UNBOUNDED PRECEDING) AS cp,
+         sum(neg) OVER (ORDER BY b DESC ROWS UNBOUNDED PRECEDING) AS cn
+  FROM binned
+)
+SELECT round(sum((pos * (cp::DOUBLE / (cp + cn)::DOUBLE))::DECIMAL(38,12))::DOUBLE
+             / max(cp)::DOUBLE, 6) AS ap,
+       round(max(cp)::DOUBLE / (max(cp) + max(cn))::DOUBLE, 6) AS base_rate,
+       max(cp)::BIGINT AS n_pos, max(cn)::BIGINT AS n_neg
+FROM cum
+"""
+
+
 _SCORE_CALIBRATION_SQL = rf"""
 WITH {_GOPHER_SIG_CTES},
 scored AS (
@@ -1128,6 +1177,7 @@ QUERIES = {
     "pii_census": q_pii_census,
     "score_calibration": q_score_calibration,
     "auc_quality": q_auc_quality,
+    "pr_auc": q_pr_auc,
     "readability": q_readability,
     "length_histogram": q_length_histogram,
     "lang_id_ngram": q_lang_id_ngram,
@@ -1162,6 +1212,7 @@ ORACLES = {
     "pii_census": _PII_CENSUS_SQL,
     "score_calibration": _SCORE_CALIBRATION_SQL,
     "auc_quality": _AUC_QUALITY_SQL,
+    "pr_auc": _PR_AUC_SQL,
     "readability": _READABILITY_SQL,
     "length_histogram": _LENGTH_HISTOGRAM_SQL,
     "lang_id_ngram": _lang_ngram_sql(),

@@ -354,3 +354,35 @@ def test_knn_label_consistency_flags_planted_error(spark):
     # correctly-labeled members see at most one dissenter among top-3
     for i in range(5):
         assert got[i]["agree_frac"] >= 0.5 and not got[i]["suspect"]
+
+
+def test_average_precision_perfect_and_no_skill(spark):
+    from sparkprep.operators.features import binned_average_precision
+
+    # perfectly separating scorer: AP = 1.0
+    rows = [(0.9 + i * 0.0001, True) for i in range(5)] + [
+        (0.1 + i * 0.0001, False) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["score", "label"])
+    r = binned_average_precision(df, "score", "label", bins=1000).collect()[0]
+    assert r["ap"] == pytest.approx(1.0)
+    assert r["n_pos"] == 5 and r["n_neg"] == 20
+    assert r["base_rate"] == pytest.approx(0.2)
+
+    # constant scorer (all one bin): AP collapses to the base rate
+    df2 = spark.createDataFrame(
+        [(0.5, i < 5) for i in range(25)], ["score", "label"]
+    )
+    r2 = binned_average_precision(df2, "score", "label", bins=1000).collect()[0]
+    assert r2["ap"] == pytest.approx(r2["base_rate"])
+
+
+def test_average_precision_hand_math(spark):
+    from sparkprep.operators.features import binned_average_precision
+
+    # descending bins: [pos=1], [neg=1], [pos=1] ->
+    # AP = (1*(1/1) + 1*(2/3)) / 2 = 5/6
+    rows = [(0.9, True), (0.5, False), (0.1, True)]
+    df = spark.createDataFrame(rows, ["score", "label"])
+    r = binned_average_precision(df, "score", "label", bins=10).collect()[0]
+    assert r["ap"] == pytest.approx(5 / 6, abs=1e-6)
