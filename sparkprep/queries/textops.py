@@ -974,6 +974,79 @@ FROM cum
 """
 
 
+def q_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-number calibration summary for the distilled quality score:
+    expected calibration error (ECE, 10 fixed buckets — the weighted
+    |accuracy − confidence| gap score_calibration shows per bucket)
+    plus the Brier score, in ONE map-combined bin fold: per-bin counts,
+    pass counts, DECIMAL-exact score sums, and DECIMAL-exact per-row
+    squared-error sums; the final fold over the 10-row bin frame is
+    plain aggregation (no window, no scalar attach). Per-bin
+    acc/conf are deterministic IEEE ops on the exact sums, re-cast to
+    DECIMAL(38,12) before the cross-bin weighted sum. NULL scores
+    (empty docs) drop."""
+    docs = t(spark, sf_dir, "documents")
+    sig = tx.gopher_quality_flags(docs, "text", required_stopwords=_EN)
+    z = _logit_z()
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    staged = sig.select(
+        score.alias("__s"), F.col("pass").cast("int").alias("__p")
+    ).filter(F.col("__s").isNotNull())
+    binned = staged.groupBy(
+        F.least(F.floor(F.col("__s") * 10).cast("long"), F.lit(9).cast("long")).alias("__b")
+    ).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__p").alias("__pos"),
+        F.sum(F.col("__s").cast("decimal(9,6)")).alias("__ss"),
+        F.sum(
+            (
+                (F.col("__s") - F.col("__p")) * (F.col("__s") - F.col("__p"))
+            ).cast("decimal(38,12)")
+        ).alias("__sq"),
+    )
+    acc = F.col("__pos").cast("double") / F.col("__n")
+    conf = F.col("__ss").cast("double") / F.col("__n")
+    term = (F.col("__n") * F.abs(acc - conf)).cast("decimal(38,12)")
+    return binned.agg(
+        F.round(
+            F.try_divide(
+                F.sum(term).cast("double"), F.sum("__n").cast("double")
+            ),
+            6,
+        ).alias("ece"),
+        F.round(
+            F.try_divide(
+                F.sum("__sq").cast("double"), F.sum("__n").cast("double")
+            ),
+            6,
+        ).alias("brier"),
+        F.sum("__n").cast("long").alias("n_rows"),
+    )
+
+
+_CALIBRATION_ERROR_SQL = rf"""
+WITH {_GOPHER_SIG_CTES},
+scored AS (
+  SELECT round(1.0 / (1.0 + exp(-{_LOGIT_Z_SQL})), 6) AS s,
+         (CASE WHEN {_GOPHER_GATE_SQL} THEN 1 ELSE 0 END) AS p
+  FROM sig
+),
+cal_staged AS (SELECT s, p FROM scored WHERE s IS NOT NULL),
+binned AS (
+  SELECT least(floor(s * 10), 9)::BIGINT AS b,
+         count(*) AS n, sum(p) AS pos,
+         sum(s::DECIMAL(9,6)) AS ss,
+         sum(((s - p) * (s - p))::DECIMAL(38,12)) AS sq
+  FROM cal_staged GROUP BY 1
+)
+SELECT round(sum((n * abs(pos::DOUBLE / n - ss::DOUBLE / n))::DECIMAL(38,12))::DOUBLE
+             / sum(n)::DOUBLE, 6) AS ece,
+       round(sum(sq)::DOUBLE / sum(n)::DOUBLE, 6) AS brier,
+       sum(n)::BIGINT AS n_rows
+FROM binned
+"""
+
+
 _SCORE_CALIBRATION_SQL = rf"""
 WITH {_GOPHER_SIG_CTES},
 scored AS (
@@ -1178,6 +1251,7 @@ QUERIES = {
     "score_calibration": q_score_calibration,
     "auc_quality": q_auc_quality,
     "pr_auc": q_pr_auc,
+    "calibration_error": q_calibration_error,
     "readability": q_readability,
     "length_histogram": q_length_histogram,
     "lang_id_ngram": q_lang_id_ngram,
@@ -1213,6 +1287,7 @@ ORACLES = {
     "score_calibration": _SCORE_CALIBRATION_SQL,
     "auc_quality": _AUC_QUALITY_SQL,
     "pr_auc": _PR_AUC_SQL,
+    "calibration_error": _CALIBRATION_ERROR_SQL,
     "readability": _READABILITY_SQL,
     "length_histogram": _LENGTH_HISTOGRAM_SQL,
     "lang_id_ngram": _lang_ngram_sql(),

@@ -386,3 +386,16 @@ def test_average_precision_hand_math(spark):
     df = spark.createDataFrame(rows, ["score", "label"])
     r = binned_average_precision(df, "score", "label", bins=10).collect()[0]
     assert r["ap"] == pytest.approx(5 / 6, abs=1e-6)
+
+
+def test_calibration_error_values_sane(spark, sf_dir):
+    from sparkprep.queries.textops import q_calibration_error
+
+    r = q_calibration_error(spark, sf_dir).collect()[0]
+    # ECE and Brier both live in [0, 1]; Brier of a calibrated-ish
+    # score beats the 0.25 coin-flip ceiling only if informative —
+    # just pin the ranges and row accounting here (the oracle pins
+    # exact values)
+    assert 0.0 <= r["ece"] <= 1.0
+    assert 0.0 <= r["brier"] <= 1.0
+    assert r["n_rows"] > 0
