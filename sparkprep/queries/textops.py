@@ -974,6 +974,93 @@ FROM cum
 """
 
 
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve: cumulative distinct token
+    types vs cumulative tokens in doc-id order, read out every 256th
+    document — the corpus-health curve that says whether new data is
+    still contributing vocabulary or just repeating it. Distributed
+    shape: per-token first-seen doc is one groupBy MIN (after a
+    row-local array_distinct — never dropDuplicates on the exploded
+    stream); per-doc new-type counts fold back; BOTH running totals
+    come from ``ranks.global_cumsum`` (range-partition + broadcast
+    prefix offsets), never a single-partition window over the
+    doc-grain frame. ttr = types/tokens, one division per checkpoint
+    row."""
+    from sparkprep.operators import ranks
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("__tk")
+    )
+    per_doc = docs.select(
+        "doc_id",
+        F.size("__tk").alias("__nt"),
+        F.array_distinct("__tk").alias("__uniq"),
+    )
+    first_seen = (
+        per_doc.select("doc_id", F.explode("__uniq").alias("__tok"))
+        .groupBy("__tok")
+        .agg(F.min("doc_id").alias("__first"))
+    )
+    new_types = first_seen.groupBy(
+        F.col("__first").alias("doc_id")
+    ).agg(F.count(F.lit(1)).alias("__new"))
+    base = per_doc.select("doc_id", "__nt").join(
+        new_types, "doc_id", "left"
+    ).select(
+        "doc_id",
+        "__nt",
+        F.coalesce(F.col("__new"), F.lit(0)).alias("__new"),
+    )
+    c1 = ranks.global_cumsum(
+        base, [F.asc("doc_id")], "__nt", cum_name="__ct"
+    )
+    c2 = ranks.global_cumsum(
+        c1, [F.asc("doc_id")], "__new", cum_name="__cv"
+    )
+    return c2.filter(F.col("doc_id") % 256 == 0).select(
+        "doc_id",
+        F.col("__ct").cast("long").alias("cum_tokens"),
+        F.col("__cv").cast("long").alias("cum_types"),
+        F.round(
+            F.try_divide(
+                F.col("__cv").cast("double"), F.col("__ct").cast("double")
+            ),
+            6,
+        ).alias("ttr"),
+    )
+
+
+_VOCAB_GROWTH_SQL = """
+WITH per_doc AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS nt,
+         list_distinct(string_split(text, ' ')) AS uniq
+  FROM documents
+),
+first_seen AS (
+  SELECT tok, min(doc_id) AS first_doc
+  FROM (SELECT doc_id, unnest(uniq) AS tok FROM per_doc)
+  GROUP BY 1
+),
+new_types AS (
+  SELECT first_doc AS doc_id, count(*) AS nv FROM first_seen GROUP BY 1
+),
+base AS (
+  SELECT p.doc_id, p.nt, coalesce(n.nv, 0) AS nv
+  FROM per_doc p LEFT JOIN new_types n ON p.doc_id = n.doc_id
+),
+c AS (
+  SELECT doc_id,
+         sum(nt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS ct,
+         sum(nv) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cv
+  FROM base
+)
+SELECT doc_id, ct::BIGINT AS cum_tokens, cv::BIGINT AS cum_types,
+       round(cv::DOUBLE / ct::DOUBLE, 6) AS ttr
+FROM c WHERE doc_id % 256 = 0
+"""
+
+
 def q_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-number calibration summary for the distilled quality score:
     expected calibration error (ECE, 10 fixed buckets — the weighted
@@ -1252,6 +1339,7 @@ QUERIES = {
     "auc_quality": q_auc_quality,
     "pr_auc": q_pr_auc,
     "calibration_error": q_calibration_error,
+    "vocab_growth": q_vocab_growth,
     "readability": q_readability,
     "length_histogram": q_length_histogram,
     "lang_id_ngram": q_lang_id_ngram,
@@ -1288,6 +1376,7 @@ ORACLES = {
     "auc_quality": _AUC_QUALITY_SQL,
     "pr_auc": _PR_AUC_SQL,
     "calibration_error": _CALIBRATION_ERROR_SQL,
+    "vocab_growth": _VOCAB_GROWTH_SQL,
     "readability": _READABILITY_SQL,
     "length_histogram": _LENGTH_HISTOGRAM_SQL,
     "lang_id_ngram": _lang_ngram_sql(),

@@ -161,6 +161,7 @@ _BOUNDED_GLOBAL_WINDOW = {
     "top_supplier": "per-supplier dim frame; ranks.global_rank is the out at entity scale",
     "user_migration": "per-period argmax frames + 1-row bounds attach",
     "value_deciles": "O(32) ranks.global_cumsum offsets frame only",
+    "vocab_growth": "O(32) offsets frames only (2 chained global_cumsum passes)",
     "vocab_coverage": "1-row folded coverage frames",
     "window_funnel": "per-step funnel frame (4 steps)",
 }

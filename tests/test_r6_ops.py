@@ -399,3 +399,16 @@ def test_calibration_error_values_sane(spark, sf_dir):
     assert 0.0 <= r["ece"] <= 1.0
     assert 0.0 <= r["brier"] <= 1.0
     assert r["n_rows"] > 0
+
+
+def test_vocab_growth_monotone_and_bounded(spark, sf_dir):
+    from sparkprep.queries.textops import q_vocab_growth
+
+    rows = q_vocab_growth(spark, sf_dir).orderBy("doc_id").collect()
+    assert rows
+    prev_t, prev_v = 0, 0
+    for r in rows:
+        assert r["cum_types"] <= r["cum_tokens"]
+        assert r["cum_tokens"] >= prev_t and r["cum_types"] >= prev_v
+        assert 0.0 < r["ttr"] <= 1.0
+        prev_t, prev_v = r["cum_tokens"], r["cum_types"]
