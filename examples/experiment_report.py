@@ -23,6 +23,7 @@ from sparkprep.queries.temporal_grouped import (  # noqa: E402
     q_ab_test,
     q_cumulative_reach,
     q_cuped,
+    q_signed_rank,
     q_trend_robust,
     q_user_twa,
 )
@@ -43,6 +44,9 @@ def main(sf_dir: str) -> None:
 
     print("== Kruskal-Wallis H: quantity across order priorities ==")
     q_kruskal_wallis(spark, sf_dir).show(truncate=False)
+
+    print("== Wilcoxon signed-rank: did per-user activity shift? ==")
+    q_signed_rank(spark, sf_dir).show(truncate=False)
 
     print("== Robust daily trend per event type ==")
     q_trend_robust(spark, sf_dir).orderBy("event_type").show(truncate=False)

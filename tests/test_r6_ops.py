@@ -412,3 +412,24 @@ def test_vocab_growth_monotone_and_bounded(spark, sf_dir):
         assert r["cum_tokens"] >= prev_t and r["cum_types"] >= prev_v
         assert 0.0 < r["ttr"] <= 1.0
         prev_t, prev_v = r["cum_tokens"], r["cum_types"]
+
+
+def test_rank_tests_invariant_under_monotone_transform(spark):
+    # the defining property of rank statistics: any strictly monotone
+    # transform of the values leaves U, z, H, and Cliff's delta
+    # unchanged (means/variances would shift — ranks cannot)
+    from sparkprep.operators.stats import kruskal_wallis, mann_whitney
+
+    rows = [(v, g) for g, vs in {
+        "A": [3, 5, 5, 7, 9, 12, 1],
+        "B": [2, 2, 6, 6, 8, 12, 3, 14],
+        "C": [4, 4, 10, 11, 2],
+    }.items() for v in vs]
+    df = spark.createDataFrame(rows, ["v", "g"])
+    warped = df.selectExpr("CAST(v * v * v + 7 AS DOUBLE) AS v", "g")
+    base_mw = mann_whitney(df, "v", "g", "A", "B").collect()[0]
+    warp_mw = mann_whitney(warped, "v", "g", "A", "B").collect()[0]
+    assert base_mw.asDict() == warp_mw.asDict()
+    base_kw = kruskal_wallis(df, "v", "g").collect()[0]
+    warp_kw = kruskal_wallis(warped, "v", "g").collect()[0]
+    assert base_kw.asDict() == warp_kw.asDict()
