@@ -351,3 +351,37 @@ def impute_mode(
     return joined.withColumn(
         out_col, F.coalesce(F.col(col), F.col("__mode"))
     ).drop("__mode")
+
+
+def fd_repair(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    repaired_name: str = "repaired",
+) -> DataFrame:
+    """Majority-vote repair of a SHOULD-BE-functional dependency
+    key → value (the fix for what profile.fd_audit detects in a
+    denormalized table): every row's value is replaced by its key's
+    MODAL value, ties broken by the smallest value — deterministic,
+    engine-portable, no RNG. One map-combined (key, value) count, a
+    keyed row_number over that aggregated frame (per-key group size =
+    the key's distinct corrupted values, bounded by corruption
+    multiplicity, never raw rows), and one shuffle join back on the
+    key (entity-grain — never broadcast at scale). Keys where the
+    corruption OUTVOTES the truth stay wrong — majority repair is
+    honest about that; report residuals, don't hide them.
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(key_col, value_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.desc("__c"), F.asc(value_col)
+    )
+    modal = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(key_col, F.col(value_col).alias(repaired_name))
+    )
+    return df.join(modal, key_col)

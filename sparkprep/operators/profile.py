@@ -352,3 +352,37 @@ def fd_audit(
             (F.col("n_violating") == 0).alias("holds"),
         )
     )
+
+
+def null_pattern_census(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Missing-data PATTERN census — which columns go null TOGETHER:
+    one map-combined groupBy on the per-row null bitmask (a '0'/'1'
+    character per column, in ``cols`` order), with each pattern's row
+    count and share. The co-occurrence view null_census's per-column
+    marginals can't show (MCAR vs systematic missingness looks
+    identical in marginals). The share window runs over the ≤2^k-row
+    pattern frame only.
+    """
+    from pyspark.sql.window import Window
+
+    pattern = F.concat(
+        *[
+            F.when(F.col(c).isNull(), F.lit("1")).otherwise(F.lit("0"))
+            for c in cols
+        ]
+    )
+    counts = df.groupBy(pattern.alias("pattern")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    w = Window.partitionBy()
+    return counts.select(
+        "pattern",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round(
+            F.try_divide(
+                F.col("n_rows").cast("double"),
+                F.sum("n_rows").over(w).cast("double"),
+            ),
+            6,
+        ).alias("share"),
+    )

@@ -933,7 +933,129 @@ ORDER BY b.c_custkey
 """
 
 
+def q_null_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-data pattern census over deterministically nullified
+    lineitem columns (testdata ships null-free, as the drift canary
+    pins): quantity nulls above 45, discount nulls at 0, tax nulls
+    above 0.07 — three correlated rules whose CO-OCCURRENCE pattern
+    the per-column null_census marginals cannot show
+    (``profile.null_pattern_census``: one groupBy on the per-row
+    '0'/'1' bitmask, share window over the ≤2³-row pattern frame)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_quantity") > 45, None)
+        .otherwise(F.col("l_quantity"))
+        .alias("qty"),
+        F.when(F.col("l_discount") == 0, None)
+        .otherwise(F.col("l_discount"))
+        .alias("disc"),
+        F.when(F.col("l_tax") > 0.07, None)
+        .otherwise(F.col("l_tax"))
+        .alias("tax"),
+    )
+    from sparkprep.operators import profile
+
+    return profile.null_pattern_census(li, ["qty", "disc", "tax"])
+
+
+_NULL_PATTERNS_SQL = """
+WITH staged AS (
+  SELECT CASE WHEN l_quantity > 45 THEN NULL ELSE l_quantity END AS qty,
+         CASE WHEN l_discount = 0 THEN NULL ELSE l_discount END AS disc,
+         CASE WHEN l_tax > 0.07 THEN NULL ELSE l_tax END AS tax
+  FROM lineitem
+),
+pat AS (
+  SELECT (CASE WHEN qty IS NULL THEN '1' ELSE '0' END)
+         || (CASE WHEN disc IS NULL THEN '1' ELSE '0' END)
+         || (CASE WHEN tax IS NULL THEN '1' ELSE '0' END) AS pattern,
+         count(*) AS n_rows
+  FROM staged GROUP BY 1
+)
+SELECT pattern, n_rows::BIGINT AS n_rows,
+       round(n_rows::DOUBLE / (sum(n_rows) OVER ())::DOUBLE, 6) AS share
+FROM pat
+"""
+
+
+def q_fd_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote FD repair audit: the denormalized lineitem⋈part
+    brand column is deterministically corrupted on every 23rd line
+    ((orderkey + linenumber) % 23 = 0 → 'Brand#99'), then repaired by
+    per-part modal vote (``clean.fd_repair`` — what fd_audit detects,
+    this fixes). One summary row: rows, corruptions planted, rows the
+    vote fixed, and RESIDUALS where corruption outvoted the truth
+    (majority repair is honest about losing sparse keys — at sf0.01
+    some parts have one line). All counts exact int64."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    part = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    denorm = li.join(part, "l_partkey").select(
+        "l_partkey",
+        "p_brand",
+        F.when(
+            (F.col("l_orderkey") + F.col("l_linenumber")) % 23 == 0,
+            F.lit("Brand#99"),
+        )
+        .otherwise(F.col("p_brand"))
+        .alias("corrupted"),
+    )
+    from sparkprep.operators import clean as cl
+
+    repaired = cl.fd_repair(denorm, "l_partkey", "corrupted")
+    return repaired.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(
+            F.when(F.col("corrupted") != F.col("p_brand"), 1).otherwise(0)
+        ).cast("long").alias("n_corrupted"),
+        F.sum(
+            F.when(
+                (F.col("corrupted") != F.col("p_brand"))
+                & (F.col("repaired") == F.col("p_brand")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_fixed"),
+        F.sum(
+            F.when(F.col("repaired") != F.col("p_brand"), 1).otherwise(0)
+        ).cast("long").alias("n_residual"),
+    )
+
+
+_FD_REPAIR_SQL = """
+WITH denorm AS (
+  SELECT l_partkey, p_brand,
+         CASE WHEN (l_orderkey + l_linenumber) % 23 = 0
+              THEN 'Brand#99' ELSE p_brand END AS corrupted
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+counts AS (
+  SELECT l_partkey, corrupted AS v, count(*) AS c
+  FROM denorm GROUP BY 1, 2
+),
+modal AS (
+  SELECT l_partkey, v AS repaired FROM (
+    SELECT l_partkey, v,
+           row_number() OVER (PARTITION BY l_partkey
+                              ORDER BY c DESC, v) AS rn
+    FROM counts
+  ) WHERE rn = 1
+)
+SELECT count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN corrupted <> p_brand THEN 1 ELSE 0 END)::BIGINT
+         AS n_corrupted,
+       sum(CASE WHEN corrupted <> p_brand AND repaired = p_brand
+                THEN 1 ELSE 0 END)::BIGINT AS n_fixed,
+       sum(CASE WHEN repaired <> p_brand THEN 1 ELSE 0 END)::BIGINT
+         AS n_residual
+FROM denorm JOIN modal USING (l_partkey)
+"""
+
+
 QUERIES = {
+    "null_patterns": q_null_patterns,
+    "fd_repair": q_fd_repair,
     # round-2 additions first: driver verdicts cover the first 50
     # registry entries per round; the rows below already have green
     # round-1 verdicts and can fall past the cutoff
@@ -971,6 +1093,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "null_patterns": _NULL_PATTERNS_SQL,
+    "fd_repair": _FD_REPAIR_SQL,
     "dedup_audit": _DEDUP_AUDIT_SQL,
     "window_dedup": _WINDOW_DEDUP_SQL,
     "minmax_normalize": _MINMAX_SQL,

@@ -146,6 +146,7 @@ _BOUNDED_GLOBAL_WINDOW = {
     "mix_weights": "per-source frame (~5 langs)",
     "mom_growth": "~84-row month frame",
     "mutual_info": "|types| x 7 contingency frame",
+    "null_patterns": "<=2^3-row null-bitmask pattern frame",
     "pr_auc": "<=1000-row score-bin PR frame (auc_quality's twin)",
     "psi_drift": "2 x K-bin cohort frame",
     "rfm_scale": "O(32) offsets frames only (3 chained global_ntile passes)",

@@ -433,3 +433,34 @@ def test_rank_tests_invariant_under_monotone_transform(spark):
     base_kw = kruskal_wallis(df, "v", "g").collect()[0]
     warp_kw = kruskal_wallis(warped, "v", "g").collect()[0]
     assert base_kw.asDict() == warp_kw.asDict()
+
+
+def test_fd_repair_majority_and_ties(spark):
+    from sparkprep.operators.clean import fd_repair
+
+    rows = [
+        (1, "x"), (1, "x"), (1, "y"),          # majority x
+        (2, "a"), (2, "b"),                     # tie -> smallest value 'a'
+        (3, "z"),                               # singleton keeps itself
+    ]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {
+        (r["k"], r["v"]): r["repaired"] for r in fd_repair(df, "k", "v").collect()
+    }
+    assert got[(1, "x")] == "x" and got[(1, "y")] == "x"
+    assert got[(2, "a")] == "a" and got[(2, "b")] == "a"
+    assert got[(3, "z")] == "z"
+
+
+def test_null_pattern_census_hand_case(spark):
+    from sparkprep.operators.profile import null_pattern_census
+
+    rows = [
+        (None, 1), (None, 1), (2, None), (3, 4),
+    ]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = {r["pattern"]: (r["n_rows"], r["share"]) for r in
+           null_pattern_census(df, ["a", "b"]).collect()}
+    assert got["10"] == (2, 0.5)
+    assert got["01"] == (1, 0.25)
+    assert got["00"] == (1, 0.25)
