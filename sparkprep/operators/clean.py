@@ -373,6 +373,9 @@ def fd_repair(
     """
     from pyspark.sql.window import Window
 
+    # df anchors two consumers (the count fold and the join-back) —
+    # truncate lineage or the upstream subtree executes twice
+    df = df.localCheckpoint(eager=False)
     counts = df.groupBy(key_col, value_col).agg(
         F.count(F.lit(1)).alias("__c")
     )

@@ -2268,7 +2268,9 @@ def q_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_rank).alias("__rn"),
         F.count(F.lit(1)).over(w_m).alias("__mm"),
     )
-    # tie term over the VALUE multiset: Σ t(t−1)(2t+5) per type
+    # tie term over the VALUE multiset: Σ t(t−1)(2t+5) per type —
+    # and Σt IS the day count, so one leg serves both (no separate
+    # days aggregate + join)
     ties = (
         daily.groupBy("event_type", "__n")
         .agg(F.count(F.lit(1)).alias("__t"))
@@ -2277,11 +2279,8 @@ def q_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.col("__t") * (F.col("__t") - 1) * (2 * F.col("__t") + 5)
             ).alias("__tt"),
-            F.count(F.lit(1)).alias("__ndist"),
+            F.sum("__t").alias("__nd"),
         )
-    )
-    days = daily.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("__nd")
     )
     per = ranked.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("__m"),
@@ -2303,17 +2302,13 @@ def q_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("__s") < 0, F.try_divide(s + 1, F.sqrt(var)))
         .otherwise(F.lit(0.0))
     )
-    return (
-        per.join(ties, "event_type")
-        .join(days, "event_type")
-        .select(
-            "event_type",
-            F.col("__nd").cast("long").alias("n_days"),
-            F.col("__m").cast("long").alias("n_pairs"),
-            F.round("__med", 6).alias("ts_slope"),
-            F.col("__s").cast("long").alias("mk_s"),
-            F.round(z, 6).alias("mk_z"),
-        )
+    return per.join(ties, "event_type").select(
+        "event_type",
+        F.col("__nd").cast("long").alias("n_days"),
+        F.col("__m").cast("long").alias("n_pairs"),
+        F.round("__med", 6).alias("ts_slope"),
+        F.col("__s").cast("long").alias("mk_s"),
+        F.round(z, 6).alias("mk_z"),
     )
 
 
