@@ -869,9 +869,11 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
     )
-    return kruskal_wallis(
-        li.join(orders, "l_orderkey"), "l_quantity", "o_orderpriority"
-    )
+    # the operator consumes its input twice (rank-map fold + join-back);
+    # a raw-parquet input re-scans cheaply, but a JOINED input would
+    # re-execute the join per consumer — truncate lineage first
+    pooled = li.join(orders, "l_orderkey").localCheckpoint(eager=False)
+    return kruskal_wallis(pooled, "l_quantity", "o_orderpriority")
 
 
 _KRUSKAL_WALLIS_SQL = """

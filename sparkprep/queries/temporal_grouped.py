@@ -2173,12 +2173,15 @@ def q_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     split = (lo + hi) // 2
     tm = F.unix_micros("ts")
+    # checkpoint: the operator consumes diffs twice (rank-map fold +
+    # join-back) — without truncation the events scan + user fold
+    # execute per consumer
     diffs = ev.groupBy("user_id").agg(
         (
             F.sum(F.when(tm >= split, 1).otherwise(0))
             - F.sum(F.when(tm < split, 1).otherwise(0))
         ).alias("__diff")
-    )
+    ).localCheckpoint(eager=False)
     return wilcoxon_signed_rank(diffs, "__diff")
 
 
