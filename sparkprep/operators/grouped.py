@@ -173,3 +173,63 @@ def grouped_cusum(
         return pdf
 
     return df.groupBy(*key_cols).applyInPandas(cusum, out_schema)
+
+
+def grouped_holt(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    level_col: str = "level",
+    trend_col: str = "trend",
+) -> DataFrame:
+    """Per-key Holt double-exponential smoothing (level + trend) — the
+    forecasting step up from :func:`grouped_ewma` when the series has
+    drift an EWMA lags behind:
+
+        l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1},   l_1 = y_1, b_1 = 0
+
+    Same linear-recurrence regime as grouped_ewma (no window function
+    expresses it), same machinery and same bit-parity contract: Arrow
+    grouped map, explicit float op order, constants interpolated into
+    the recursive-CTE oracle via ``repr`` (1 − α in Python is a
+    DIFFERENT double than the SQL literal). The oracle's recursive arm
+    must repeat the l_t expression textually inside b_t — same
+    expression, same IEEE result. One-step forecast = l_t + b_t.
+    NULL values poison their key's tail — filter first. Memory bound =
+    largest single group (use on BOUNDED groups, e.g. per-type daily
+    panels — never per-entity raw events).
+    """
+    import numpy as np
+
+    oneha = 1.0 - alpha
+    onehb = 1.0 - beta
+    schema_fields = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in df.columns
+    )
+    out_schema = f"{schema_fields}, {level_col} double, {trend_col} double"
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        x = pdf[value_col].to_numpy(dtype=float)
+        lv = np.empty_like(x)
+        tr = np.empty_like(x)
+        l = b = 0.0
+        for i, v in enumerate(x):
+            if i == 0:
+                l, b = v, 0.0
+            else:
+                lp = l
+                l = alpha * v + oneha * (l + b)
+                b = beta * (l - lp) + onehb * b
+            lv[i] = l
+            tr[i] = b
+        pdf = pdf.copy()
+        pdf[level_col] = lv
+        pdf[trend_col] = tr
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(holt, out_schema)

@@ -2015,6 +2015,75 @@ FROM st
 """
 
 
+_HOLT_ALPHA = 0.3
+_HOLT_BETA = 0.1
+
+
+def q_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing of daily event volume per
+    type — level + trend + one-step forecast, the drift-aware upgrade
+    of the EWMA (``grouped.grouped_holt``, Arrow grouped map over the
+    BOUNDED per-type daily panel, ~90 rows/group). The oracle replays
+    the exact recurrence as a recursive CTE with repr-interpolated
+    constants — bit parity, not approximate agreement (user_ewma's
+    convention). Day emitted as the int64 epoch-day."""
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(date_trunc('day', ts)) div 86400000000").alias(
+            "day"
+        ),
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    out = grouped.grouped_holt(
+        daily, ["event_type"], ["day"], "y",
+        alpha=_HOLT_ALPHA, beta=_HOLT_BETA,
+    )
+    return out.select(
+        "event_type",
+        F.col("day").cast("long").alias("day"),
+        F.col("y").cast("long").alias("n_events"),
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round(F.col("level") + F.col("trend"), 6).alias("forecast_next"),
+    )
+
+
+def _holt_sql() -> str:
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    ia, ib = 1.0 - a, 1.0 - b
+    lexpr = f"{a!r} * o.y + {ia!r} * (e.l + e.b)"
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type,
+         (epoch_us(date_trunc('day', ts)) // 86400000000) AS day,
+         count(*)::DOUBLE AS y
+  FROM events GROUP BY 1, 2
+),
+ordered AS (
+  SELECT event_type, day, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily
+),
+h(event_type, rn, day, y, l, b) AS (
+  -- 0.0::DOUBLE, not 0.0: DuckDB types recursive-CTE columns from the
+  -- ANCHOR, and a bare 0.0 is DECIMAL(1,1) — every b would quantize
+  -- to one decimal through the whole recursion (observed: -0.06 -> -0.1)
+  SELECT event_type, rn, day, y, y, 0.0::DOUBLE FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.event_type, o.rn, o.day, o.y,
+         {lexpr},
+         {b!r} * (({lexpr}) - e.l) + {ib!r} * e.b
+  FROM h e JOIN ordered o
+    ON o.event_type = e.event_type AND o.rn = e.rn + 1
+)
+SELECT event_type, day::BIGINT AS day, y::BIGINT AS n_events,
+       round(l, 6) AS level, round(b, 6) AS trend,
+       round(l + b, 6) AS forecast_next
+FROM h
+"""
+
+
 def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance-reduced A/B readout (Deng et al., WSDM 2013):
     per arm (user-id parity, as ab_test), the post-period value mean
@@ -2495,6 +2564,7 @@ QUERIES = {
     "chi_square": q_chi_square,
     "anova_f": q_anova_f,
     "cuped": q_cuped,
+    "holt_trend": q_holt_trend,
     "signed_rank": q_signed_rank,
     "trend_robust": q_trend_robust,
     "cumulative_reach": q_cumulative_reach,
@@ -2546,6 +2616,7 @@ ORACLES = {
     "chi_square": _CHI_SQUARE_SQL,
     "anova_f": _ANOVA_F_SQL,
     "cuped": _CUPED_SQL,
+    "holt_trend": _holt_sql(),
     "signed_rank": _SIGNED_RANK_SQL,
     "trend_robust": _TREND_ROBUST_SQL,
     "cumulative_reach": _CUMULATIVE_REACH_SQL,

@@ -464,3 +464,24 @@ def test_null_pattern_census_hand_case(spark):
     assert got["10"] == (2, 0.5)
     assert got["01"] == (1, 0.25)
     assert got["00"] == (1, 0.25)
+
+
+def test_grouped_holt_hand_recurrence(spark):
+    from sparkprep.operators.grouped import grouped_holt
+
+    ys = [10.0, 12.0, 11.0, 15.0, 14.0]
+    df = spark.createDataFrame(
+        [("k", i, y) for i, y in enumerate(ys)], ["g", "i", "y"]
+    )
+    got = {
+        r["i"]: (r["level"], r["trend"])
+        for r in grouped_holt(df, ["g"], ["i"], "y", alpha=0.3, beta=0.1).collect()
+    }
+    l, b = ys[0], 0.0
+    assert got[0] == (l, b)
+    for i, y in enumerate(ys[1:], start=1):
+        lp = l
+        l = 0.3 * y + (1.0 - 0.3) * (l + b)
+        b = 0.1 * (l - lp) + (1.0 - 0.1) * b
+        assert got[i][0] == pytest.approx(l, abs=1e-12)
+        assert got[i][1] == pytest.approx(b, abs=1e-12)
