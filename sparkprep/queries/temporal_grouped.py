@@ -2015,6 +2015,83 @@ FROM st
 """
 
 
+def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct churn-label construction — the supervised
+    training-set builder: per (user, active week), this-week behavior
+    features (events, purchases, value) and the LABEL "was the user
+    active next week", taken strictly from the FOLLOWING week via a
+    keyed lead window — no feature can see label-period data, the
+    leakage mistake naive joins make. The final week has no label
+    horizon and is dropped (not labeled 0 — that would fabricate
+    churners at the observation edge). Keyed on user_id (entity-grain
+    key, scales with users); weeks are exact int64 epoch-week
+    numbers."""
+    tune_for_engine(spark)
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    week = F.expr("unix_micros(ts) div 604800000000")
+    weekly = ev.groupBy(
+        "user_id", week.alias("week")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("__val"),
+    )
+    # label horizon = last observed week, ONE bounded min/max-style
+    # driver scalar (A6 pattern) — a global max window over the
+    # user-week frame would single-partition an entity-grain frame
+    horizon = ev.agg(F.max(week)).first()[0]
+    w = Window.partitionBy("user_id").orderBy("week")
+    labeled = weekly.select(
+        "user_id",
+        "week",
+        "n_events",
+        "n_purchases",
+        F.round(F.col("__val").cast("double"), 4).alias("week_value"),
+        F.lead("week").over(w).alias("__nxt"),
+    )
+    return (
+        labeled.filter(F.col("week") < F.lit(int(horizon)))
+        .select(
+            "user_id",
+            F.col("week").cast("long").alias("week"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_purchases").cast("long").alias("n_purchases"),
+            "week_value",
+            F.coalesce(
+                F.col("__nxt") == F.col("week") + 1, F.lit(False)
+            ).alias("active_next_week"),
+        )
+    )
+
+
+_CHURN_LABELS_SQL = """
+WITH weekly AS (
+  SELECT user_id, (epoch_us(ts) // 604800000000) AS week,
+         count(*) AS n_events,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS n_purchases,
+         sum(value::DECIMAL(18,6)) AS val
+  FROM events GROUP BY 1, 2
+),
+labeled AS (
+  SELECT user_id, week, n_events, n_purchases,
+         round(val::DOUBLE, 4) AS week_value,
+         lead(week) OVER (PARTITION BY user_id ORDER BY week) AS nxt,
+         max(week) OVER () AS horizon
+  FROM weekly
+)
+SELECT user_id, week::BIGINT AS week,
+       n_events::BIGINT AS n_events, n_purchases::BIGINT AS n_purchases,
+       week_value,
+       coalesce(nxt = week + 1, FALSE) AS active_next_week
+FROM labeled WHERE week < horizon
+"""
+
+
 _HOLT_ALPHA = 0.3
 _HOLT_BETA = 0.1
 
@@ -2565,6 +2642,7 @@ QUERIES = {
     "anova_f": q_anova_f,
     "cuped": q_cuped,
     "holt_trend": q_holt_trend,
+    "churn_labels": q_churn_labels,
     "signed_rank": q_signed_rank,
     "trend_robust": q_trend_robust,
     "cumulative_reach": q_cumulative_reach,
@@ -2617,6 +2695,7 @@ ORACLES = {
     "anova_f": _ANOVA_F_SQL,
     "cuped": _CUPED_SQL,
     "holt_trend": _holt_sql(),
+    "churn_labels": _CHURN_LABELS_SQL,
     "signed_rank": _SIGNED_RANK_SQL,
     "trend_robust": _TREND_ROBUST_SQL,
     "cumulative_reach": _CUMULATIVE_REACH_SQL,

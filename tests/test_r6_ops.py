@@ -485,3 +485,35 @@ def test_grouped_holt_hand_recurrence(spark):
         b = 0.1 * (l - lp) + (1.0 - 0.1) * b
         assert got[i][0] == pytest.approx(l, abs=1e-12)
         assert got[i][1] == pytest.approx(b, abs=1e-12)
+
+
+def test_churn_labels_point_in_time_correct(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sparkprep.queries import t
+    from sparkprep.queries.temporal_grouped import q_churn_labels
+
+    out = q_churn_labels(spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    # the final observed week never appears as a FEATURE row (no label
+    # horizon) — the fabricated-churner guard
+    ev = t(spark, sf_dir, "events")
+    horizon = ev.agg(
+        F.max(F.expr("unix_micros(ts) div 604800000000"))
+    ).first()[0]
+    assert all(r["week"] < horizon for r in rows)
+    # label cross-check on one user: active_next_week TRUE iff a week+1
+    # row exists in the weekly grid
+    weeks = {}
+    for r in rows:
+        weeks.setdefault(r["user_id"], set()).add(r["week"])
+    # rebuild full activity (including horizon week) for the check
+    full = {
+        (x["user_id"], x["w"])
+        for x in ev.select(
+            "user_id", F.expr("unix_micros(ts) div 604800000000").alias("w")
+        ).distinct().collect()
+    }
+    for r in rows:
+        assert r["active_next_week"] == ((r["user_id"], r["week"] + 1) in full)
