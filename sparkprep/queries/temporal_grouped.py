@@ -2161,6 +2161,99 @@ FROM h
 """
 
 
+def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the Holt one-step forecast: per event type, MAE and
+    sMAPE of f_t = l_t + b_t against the NEXT day's actual (aligned by
+    a keyed lead over the bounded daily panel — the same
+    point-in-time discipline as churn_labels: each forecast is scored
+    only on data it could not see). Per-pair |error| terms re-cast to
+    DECIMAL(38,12) so the per-type sums are order-independent; one
+    division per metric at the end. The honest-accuracy readout that
+    should gate any forecast op before anyone trusts it."""
+    tune_for_engine(spark)
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(date_trunc('day', ts)) div 86400000000").alias(
+            "day"
+        ),
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    h = grouped.grouped_holt(
+        daily, ["event_type"], ["day"], "y",
+        alpha=_HOLT_ALPHA, beta=_HOLT_BETA,
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    scored = h.select(
+        "event_type",
+        (F.col("level") + F.col("trend")).alias("__f"),
+        F.lead("y").over(w).alias("__nxt"),
+    ).filter(F.col("__nxt").isNotNull())
+    err = F.abs(F.col("__nxt") - F.col("__f"))
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_forecasts"),
+        F.round(
+            F.try_divide(
+                F.sum(err.cast("decimal(38,12)")).cast("double"),
+                F.count(F.lit(1)).cast("double"),
+            ),
+            6,
+        ).alias("mae"),
+        F.round(
+            F.try_divide(
+                F.sum(
+                    (
+                        2.0 * err
+                        / (F.abs(F.col("__nxt")) + F.abs(F.col("__f")))
+                    ).cast("decimal(38,12)")
+                ).cast("double"),
+                F.count(F.lit(1)).cast("double"),
+            ),
+            6,
+        ).alias("smape"),
+    )
+
+
+def _forecast_eval_sql() -> str:
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    ia, ib = 1.0 - a, 1.0 - b
+    lexpr = f"{a!r} * o.y + {ia!r} * (e.l + e.b)"
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type,
+         (epoch_us(date_trunc('day', ts)) // 86400000000) AS day,
+         count(*)::DOUBLE AS y
+  FROM events GROUP BY 1, 2
+),
+ordered AS (
+  SELECT event_type, day, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily
+),
+h(event_type, rn, day, y, l, b) AS (
+  SELECT event_type, rn, day, y, y, 0.0::DOUBLE FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.event_type, o.rn, o.day, o.y,
+         {lexpr},
+         {b!r} * (({lexpr}) - e.l) + {ib!r} * e.b
+  FROM h e JOIN ordered o
+    ON o.event_type = e.event_type AND o.rn = e.rn + 1
+),
+scored AS (
+  SELECT event_type, l + b AS f,
+         lead(y) OVER (PARTITION BY event_type ORDER BY day) AS nxt
+  FROM h
+)
+SELECT event_type, count(*)::BIGINT AS n_forecasts,
+       round(sum((abs(nxt - f))::DECIMAL(38,12))::DOUBLE
+             / count(*)::DOUBLE, 6) AS mae,
+       round(sum((2.0 * abs(nxt - f) / (abs(nxt) + abs(f)))::DECIMAL(38,12))::DOUBLE
+             / count(*)::DOUBLE, 6) AS smape
+FROM scored WHERE nxt IS NOT NULL GROUP BY 1
+"""
+
+
 def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance-reduced A/B readout (Deng et al., WSDM 2013):
     per arm (user-id parity, as ab_test), the post-period value mean
@@ -2643,6 +2736,7 @@ QUERIES = {
     "cuped": q_cuped,
     "holt_trend": q_holt_trend,
     "churn_labels": q_churn_labels,
+    "forecast_eval": q_forecast_eval,
     "signed_rank": q_signed_rank,
     "trend_robust": q_trend_robust,
     "cumulative_reach": q_cumulative_reach,
@@ -2696,6 +2790,7 @@ ORACLES = {
     "cuped": _CUPED_SQL,
     "holt_trend": _holt_sql(),
     "churn_labels": _CHURN_LABELS_SQL,
+    "forecast_eval": _forecast_eval_sql(),
     "signed_rank": _SIGNED_RANK_SQL,
     "trend_robust": _TREND_ROBUST_SQL,
     "cumulative_reach": _CUMULATIVE_REACH_SQL,

@@ -517,3 +517,14 @@ def test_churn_labels_point_in_time_correct(spark, sf_dir):
     }
     for r in rows:
         assert r["active_next_week"] == ((r["user_id"], r["week"] + 1) in full)
+
+
+def test_forecast_eval_metrics_sane(spark, sf_dir):
+    from sparkprep.queries.temporal_grouped import q_forecast_eval
+
+    rows = q_forecast_eval(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["mae"] >= 0.0
+        assert 0.0 <= r["smape"] <= 2.0  # sMAPE is bounded by 2
+        assert r["n_forecasts"] > 0
