@@ -366,25 +366,33 @@ def fd_repair(
     engine-portable, no RNG. One map-combined (key, value) count, a
     keyed row_number over that aggregated frame (per-key group size =
     the key's distinct corrupted values, bounded by corruption
-    multiplicity, never raw rows), and one shuffle join back on the
-    key (entity-grain — never broadcast at scale). Keys where the
-    corruption OUTVOTES the truth stay wrong — majority repair is
-    honest about that; report residuals, don't hide them.
+    multiplicity, never raw rows), and one shuffle LEFT join back on
+    the key (entity-grain — never broadcast at scale; left, so
+    NULL-key rows survive with a NULL repair instead of silently
+    dropping). NULL values never win the vote: they are excluded from
+    the modal frame, and the tie-break is ``asc_nulls_last`` (Spark
+    sorts NULLs first under plain ``asc``, DuckDB last — a latent
+    oracle divergence if a NULL ever reached a count tie). A key whose
+    values are ALL NULL gets a NULL repair. Keys where the corruption
+    OUTVOTES the truth stay wrong — majority repair is honest about
+    that; report residuals, don't hide them.
     """
     from pyspark.sql.window import Window
 
     # df anchors two consumers (the count fold and the join-back) —
     # truncate lineage or the upstream subtree executes twice
     df = df.localCheckpoint(eager=False)
-    counts = df.groupBy(key_col, value_col).agg(
-        F.count(F.lit(1)).alias("__c")
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(key_col, value_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
     )
     w = Window.partitionBy(key_col).orderBy(
-        F.desc("__c"), F.asc(value_col)
+        F.desc("__c"), F.asc_nulls_last(value_col)
     )
     modal = (
         counts.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select(key_col, F.col(value_col).alias(repaired_name))
     )
-    return df.join(modal, key_col)
+    return df.join(modal, [key_col], "left")

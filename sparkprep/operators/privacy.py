@@ -254,11 +254,17 @@ def t_closeness_report(
         .orderBy("__b")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # ADVICE r6: cast the cumulative counts to DECIMAL *before* the
+    # multiplications — cum*N in int64 overflows under ANSI at
+    # multi-billion-row N while the DuckDB oracle auto-promotes to
+    # HUGEINT. DECIMAL(19,0) operands make the product DECIMAL(38,0)
+    # (exact to ~1e38), matching the oracle's headroom.
+    _d19 = "decimal(19,0)"
     term = F.abs(
-        F.sum(F.coalesce(F.col("__cnt"), F.lit(0))).over(w_cum)
-        * F.lit(int(total))
-        - F.col("__cg") * F.col("class_size")
-    ).cast("decimal(38,0)")
+        F.sum(F.coalesce(F.col("__cnt"), F.lit(0))).over(w_cum).cast(_d19)
+        * F.lit(int(total)).cast(_d19)
+        - F.col("__cg").cast(_d19) * F.col("class_size").cast(_d19)
+    )
     per = joined.select(
         *quasi_cols, "class_size", term.alias("__term")
     ).groupBy(*quasi_cols, "class_size").agg(

@@ -192,13 +192,17 @@ LIMIT 20
 
 def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15-shaped argmax: supplier(s) with the maximum quarterly
-    revenue. The global max comes from an empty-frame window over the
-    ALREADY-AGGREGATED per-supplier frame (tiny — safe where the same
-    window on raw data would single-partition it), avoiding the
-    crossJoin(agg) re-execution trap."""
+    revenue. The global max is a 1-row ``agg(max)`` over the per-supplier
+    aggregate, broadcast-attached (the key_skew/minmax_normalize
+    pattern): supplier is a dim that GROWS with the data, so an
+    empty-frame window here would funnel the whole per-supplier frame
+    through one task at 100x. The per-supplier aggregate is consumed by
+    BOTH the max-agg and the equality join (which Catalyst compiles to
+    a BroadcastHashJoin on the revenue value) — the join-side
+    ``isnotnull`` filter de-canonicalizes the exchanges, so a lazy
+    localCheckpoint materializes the aggregate once (the CLAUDE.md
+    both-join-sides discipline)."""
     tune_for_engine(spark)
-    from pyspark.sql.window import Window
-
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -208,10 +212,13 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_supp = li.groupBy("l_suppkey").agg(
         F.round(F.sum(money), 2).cast("double").alias("total_revenue")
+    ).localCheckpoint(eager=False)
+    mx = per_supp.agg(F.max("total_revenue").alias("__max_rev"))
+    best = (
+        per_supp.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__max_rev"))
+        .drop("__max_rev")
     )
-    best = per_supp.withColumn(
-        "max_rev", F.max("total_revenue").over(Window.partitionBy())
-    ).filter(F.col("total_revenue") == F.col("max_rev"))
     supp = t(spark, sf_dir, "supplier")
     return (
         best.join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
@@ -448,11 +455,12 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11-shaped HAVING-vs-global-scalar: parts whose shipped
     value (from one nation's suppliers) exceeds 0.1%% of the total.
     Adapted: no partsupp table, value = discounted lineitem revenue.
-    The global total is an empty-frame window over the per-part
-    AGGREGATE (small frame — the safe placement), not a crossJoin
-    against the raw data."""
-    from pyspark.sql.window import Window
-
+    The global total is a 1-row ``agg(sum)`` over the per-part
+    aggregate, broadcast-attached: part is a dim that grows with the
+    data, so a global window over the per-part frame would
+    single-partition it at 100x. AQE ReusedExchange computes the
+    per-part sum once (both consumers share the un-aliased groupBy
+    exchange)."""
     li = t(spark, sf_dir, "lineitem")
     supp = t(spark, sf_dir, "supplier")
     nation = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
@@ -470,11 +478,10 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("raw_value")
         )
     )
+    tot = per_part.agg(F.sum("raw_value").alias("__total"))
     return (
-        per_part.withColumn(
-            "total", F.sum("raw_value").over(Window.partitionBy())
-        )
-        .filter(F.col("raw_value") > F.col("total") * 0.001)
+        per_part.join(F.broadcast(tot))
+        .filter(F.col("raw_value") > F.col("__total") * 0.001)
         .select(
             F.col("l_partkey").alias("p_partkey"),
             F.round(F.col("raw_value"), 2).cast("double").alias("part_value"),
@@ -1899,8 +1906,10 @@ def q_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle/LSH buckets): an A⋈A equi-join emits cnt(k)² rows per key,
     so Σ cnt² is the join's true size and the top keys are the skew
     that salting/capping exists for. One map-combined groupBy; the
-    join-share denominator is an empty-frame window over the per-PART
-    aggregate (dimension-grain, the top_supplier-sanctioned placement);
+    join-share denominator is a 1-row ``agg(sum)`` over the per-PART
+    aggregate, broadcast-attached (key_skew's sanctioned tiny-broadcast
+    cross — part is a dim that grows with the data, so a global window
+    here would single-partition the whole per-part frame at 100x);
     share = ONE IEEE division of exact int64s; TakeOrdered top-20 with
     partkey tie-break. Pairs with key_skew (group-key imbalance) as the
     join-side lens of the skew toolkit."""
@@ -1911,11 +1920,10 @@ def q_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__n").cast("long").alias("n_rows"),
         (F.col("__n") * F.col("__n")).cast("long").alias("fanout"),
     )
-    from pyspark.sql.window import Window
-
-    tot = F.sum("fanout").over(Window.partitionBy())
+    tot = fan.agg(F.sum("fanout").alias("__tot"))
     return (
-        fan.select(
+        fan.join(F.broadcast(tot))
+        .select(
             "l_partkey",
             "n_rows",
             "fanout",
@@ -1923,9 +1931,10 @@ def q_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
             # landmine) — quotient of exact ints is engine-identical, the
             # round of it is not
             F.round(
-                (F.col("fanout").cast("double") / tot.cast("double")).cast(
-                    "decimal(18,8)"
-                ),
+                (
+                    F.col("fanout").cast("double")
+                    / F.col("__tot").cast("double")
+                ).cast("decimal(18,8)"),
                 6,
             ).cast("double").alias("join_share"),
         )

@@ -753,14 +753,16 @@ def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     + partial sums + broadcast prefix offsets — exact distributed
     prefix-sum, no single-partition sort) over exact integer revenue
     units (DECIMAL(18,4) x 10^4 → int64: order-independent, engine-
-    identical; int64 holds to ~9e14 in total revenue — far past driver
-    SFs, swap to the decimal cumsum at warehouse scale). Bucket =
-    ``(10·cum − 1) div total + 1`` in NATIVE int64 ``div`` (the
-    float-div floor trick misrounds once 10·cum exceeds 2^53 — review
-    caught it ~10⁴ below the documented int64 headroom; the oracle's
-    ``//`` is exact HUGEINT); a whale spanning several tenths leaves
-    the skipped deciles EMPTY (both engines, by construction). One
-    keyed join + one groupBy around the cumsum."""
+    identical). Bucket = ``greatest(10·cum − 1, 0) div total + 1``
+    with the cumsum CAST TO DECIMAL(38,0) before the ×10 (ADVICE r6:
+    int64 10·cum overflows under ANSI at ~9e14 revenue units while the
+    oracle's ``//`` is HUGEINT — the decimal cast removes the
+    asymmetry; the ``greatest`` guard removes the other one: a
+    zero-revenue first customer makes the numerator −1, which Spark
+    ``div`` truncates to 0 but DuckDB ``//`` floors to −1); a whale
+    spanning several tenths leaves the skipped deciles EMPTY (both
+    engines, by construction). One keyed join + one groupBy around the
+    cumsum."""
     per_cust = _per_customer_revenue(spark, sf_dir)
     units = per_cust.select(
         "o_custkey",
@@ -774,7 +776,10 @@ def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum_name="__cum",
         total_name="__tot",
     )
-    decile = F.expr("(10 * __cum - 1) div __tot") + 1
+    decile = (
+        F.expr("greatest(10 * CAST(__cum AS DECIMAL(38,0)) - 1, 0) div __tot")
+        + 1
+    )
     return (
         cum.withColumn("value_decile", decile)
         .groupBy("value_decile")
@@ -805,7 +810,7 @@ c AS (
          sum(units) OVER () AS tot
   FROM u
 ),
-b AS (SELECT (10 * cum - 1) // tot + 1 AS value_decile, rev, units, tot FROM c)
+b AS (SELECT greatest(10 * cum - 1, 0) // tot + 1 AS value_decile, rev, units, tot FROM c)
 SELECT value_decile::BIGINT AS value_decile,
        count(*)::BIGINT AS n_customers,
        round(sum(rev), 2)::DOUBLE AS revenue,

@@ -2042,8 +2042,12 @@ def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # label horizon = last observed week, ONE bounded min/max-style
     # driver scalar (A6 pattern) — a global max window over the
-    # user-week frame would single-partition an entity-grain frame
+    # user-week frame would single-partition an entity-grain frame.
+    # ADVICE r6: an EMPTY events table makes the scalar None — short-
+    # circuit to the (empty) labeled frame instead of int(None).
     horizon = ev.agg(F.max(week)).first()[0]
+    if horizon is None:
+        horizon = 0  # weekly is empty too; the < filter matches nothing
     w = Window.partitionBy("user_id").orderBy("week")
     labeled = weekly.select(
         "user_id",
@@ -2388,6 +2392,8 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = ev.agg(
         F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
     ).first()
+    if lo is None:  # empty events: every downstream frame is empty too
+        lo = hi = 0
     split = (lo + hi) // 2
     tm = F.unix_micros("ts")
     users = ev.groupBy("user_id").agg(
@@ -2519,6 +2525,8 @@ def q_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = ev.agg(
         F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
     ).first()
+    if lo is None:  # empty events: every downstream frame is empty too
+        lo = hi = 0
     split = (lo + hi) // 2
     tm = F.unix_micros("ts")
     # checkpoint: the operator consumes diffs twice (rank-map fold +

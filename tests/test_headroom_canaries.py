@@ -165,3 +165,44 @@ def test_k_core_peel_depth_headroom(sfd):
         f"unrolled-oracle depth {K_CORE_DEPTH}; raise max_rounds and "
         "_k_core_sql's depth together"
     )
+
+
+# q_signed_rank's single-partition window runs over the |d|
+# value-frequency frame (d = per-user 2nd-half - 1st-half event-count
+# diff). Its _BOUNDED_GLOBAL_WINDOW justification is data-shape-derived
+# (VERDICT r6 #6): distinct |d| is 8/21/26 across today's generations.
+# If a regeneration ever makes the diff column effectively continuous
+# (entity-grain: one distinct |d| per user), the rank frame becomes the
+# user frame and the window single-task-sorts it — fail loudly here.
+SIGNED_RANK_RANK_FRAME_CAP = 1024
+
+
+@pytest.mark.parametrize("sfd", _all_sf_dirs())
+def test_signed_rank_rank_frame_headroom(sfd):
+    con = duckdb.connect()
+    n_distinct, n_users = con.execute(
+        f"""
+WITH bounds AS (
+  SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS split
+  FROM '{sfd}/events.parquet'
+),
+diffs AS (
+  SELECT user_id,
+         sum(CASE WHEN epoch_us(ts) >= (SELECT split FROM bounds)
+                  THEN 1 ELSE 0 END)
+         - sum(CASE WHEN epoch_us(ts) < (SELECT split FROM bounds)
+                    THEN 1 ELSE 0 END) AS d
+  FROM '{sfd}/events.parquet' GROUP BY user_id
+)
+SELECT count(DISTINCT abs(d)), count(*) FROM diffs WHERE d <> 0
+"""
+    ).fetchone()
+    assert n_distinct <= SIGNED_RANK_RANK_FRAME_CAP // 2, (
+        f"{sfd}: signed_rank's |d| rank frame has {n_distinct} distinct "
+        f"values (of {n_users} users) — within 2x of the "
+        f"{SIGNED_RANK_RANK_FRAME_CAP} boundedness cap its "
+        "_BOUNDED_GLOBAL_WINDOW entry assumes. The frame is drifting "
+        "toward entity grain; rebuild the rank map on "
+        "ranks.global_cumsum (the distributed twin discipline) before "
+        "trusting the single-partition window."
+    )

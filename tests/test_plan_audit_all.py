@@ -59,6 +59,8 @@ _TINY_BROADCAST_CROSS = {
     "basket_size_dist",  # 1-row order-total attach for the share column
     "rfm_segments",      # 1-row max-order-day attach for recency
     "rfm_scale",         # same 1-row horizon attach as rfm_segments
+    "important_parts",   # 1-row global-total attach to the per-part agg
+    "join_fanout",       # 1-row Σfanout attach to the per-part agg
 }
 
 # the one deliberate Python-row-path showcase: a Python UDTF (SURVEY
@@ -133,8 +135,6 @@ _BOUNDED_GLOBAL_WINDOW = {
     "equidepth_bins": "O(32) ranks.global_ntile offsets frame only (raw-fact ntile distributed)",
     "gini_scale": "O(32) ranks.global_rank offsets frame only",
     "hybrid_rrf": "bounded top-k retrieval legs",
-    "important_parts": "per-part dim frame; ranks.global_rank is the out if parts reach entity scale",
-    "join_fanout": "per-part dim frame (top_supplier's sanctioned share-denominator placement)",
     "k_anonymity": "quasi-identifier cross-product frame (125 classes), bounded by QI domains not rows",
     "l_diversity": "same QI-class frame as k_anonymity",
     "length_histogram": "fixed length-bin frame",
@@ -151,7 +151,7 @@ _BOUNDED_GLOBAL_WINDOW = {
     "psi_drift": "2 x K-bin cohort frame",
     "rfm_scale": "O(32) offsets frames only (3 chained global_ntile passes)",
     "sample_ks": "ECDF over bounded value-frequency frame",
-    "signed_rank": "|d| value-frequency rank frame (bounded by distinct per-user count diffs)",
+    "signed_rank": "|d| value-frequency rank frame (8-26 distinct values; canary-pinned <=512 in test_headroom_canaries)",
     "skyline": "per-level frame of the skyline lattice (bounded)",
     "spearman": "50/11 distinct-value frequency frames",
     "survival_table": "|distinct lifetime days| frame, bounded by horizon",
@@ -159,7 +159,6 @@ _BOUNDED_GLOBAL_WINDOW = {
     "target_encode": "per-category prior frame, bounded by category domain",
     "token_budget": "20-row source frame",
     "token_js": "two-scan vocab panel (vocab-grain, sublinear)",
-    "top_supplier": "per-supplier dim frame; ranks.global_rank is the out at entity scale",
     "user_migration": "per-period argmax frames + 1-row bounds attach",
     "value_deciles": "O(32) ranks.global_cumsum offsets frame only",
     "vocab_growth": "O(32) offsets frames only (2 chained global_cumsum passes)",

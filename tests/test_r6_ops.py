@@ -452,6 +452,27 @@ def test_fd_repair_majority_and_ties(spark):
     assert got[(3, "z")] == "z"
 
 
+def test_fd_repair_null_semantics(spark):
+    # ADVICE r6: NULL-key rows must survive (left join), NULL values
+    # must never win the modal vote, and an all-NULL key repairs to NULL
+    from sparkprep.operators.clean import fd_repair
+
+    rows = [
+        (None, "k"),                       # NULL key survives, repair NULL
+        (4, None), (4, None), (4, "w"),    # NULLs outnumber but never vote
+        (5, None),                         # all-NULL key -> NULL repair
+    ]
+    df = spark.createDataFrame(rows, "k int, v string")
+    out = fd_repair(df, "k", "v").collect()
+    assert len(out) == len(rows), "left join must keep every input row"
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["k"], set()).add(r["repaired"])
+    assert by_key[None] == {None}
+    assert by_key[4] == {"w"}
+    assert by_key[5] == {None}
+
+
 def test_null_pattern_census_hand_case(spark):
     from sparkprep.operators.profile import null_pattern_census
 
@@ -540,3 +561,27 @@ def test_forecast_anomalies_flags_are_true_outliers(spark, sf_dir):
         # implies |e| + |mean| > 2 sigma; pin the direct contract)
         assert r["sigma"] > 0.0
         assert abs(r["residual"]) > 0.0
+
+
+def test_a6_scalar_queries_survive_empty_events(spark, tmp_path):
+    # ADVICE r6: the A6 driver-scalar pattern (max/min collected to the
+    # driver) unpacks None on an EMPTY events table — churn_labels,
+    # cuped and signed_rank must return empty frames, not TypeError
+    import shutil
+
+    from sparkprep.queries.temporal_grouped import (
+        q_churn_labels,
+        q_cuped,
+        q_signed_rank,
+    )
+
+    src = "/root/testdata/sf0.001"
+    real = spark.read.parquet(f"{src}/events.parquet")
+    empty_dir = tmp_path / "sf_empty"
+    empty_dir.mkdir()
+    real.limit(0).write.parquet(str(empty_dir / "events.parquet"))
+    for q in (q_churn_labels, q_cuped):
+        assert q(spark, str(empty_dir)).count() == 0
+    # signed_rank is a global-summary aggregate: one all-zero/NULL row
+    row = q_signed_rank(spark, str(empty_dir)).collect()
+    assert len(row) == 1 and row[0]["n_nonzero"] == 0
