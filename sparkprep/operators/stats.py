@@ -348,3 +348,115 @@ def wilcoxon_signed_rank(
         F.round(w2 / 2.0, round_to).alias("w_plus"),
         F.round(z, round_to).alias("z"),
     )
+
+
+def kendall_tau(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """Kendall's τ-b rank correlation WITHOUT enumerating pairs: over
+    bounded value domains (|X|·|Y| contingency cells — quantity x
+    discount is 50x11) the concordant/discordant pair counts fold from
+    2-D prefix sums of the contingency table:
+
+      C = Σ_cells n(x,y) · P(x,y),  P = Σ_{x'<x, y'<y} n
+      D = Σ_cells n(x,y) · Q(x,y),  Q = Σ_{x'<x, y'>y} n
+      τ-b = (C − D) / √((n₀ − n₁)(n₀ − n₂)),
+      n₀ = n(n−1)/2, n₁ = Σ_x t_x(t_x−1)/2, n₂ = Σ_y u_y(u_y−1)/2
+
+    The naive formulation self-joins the row stream (O(n²) — the
+    all-pairs blowup every CLAUDE.md join discipline exists to avoid);
+    here the only joins are over the aggregated cell frame. The dense
+    grid comes from exploding a 1-row sorted y-domain array against
+    the x-domain frame (the sanctioned 1-row broadcast attach), the
+    prefix sums are two keyed windows over the |X|·|Y| grid (bounded by
+    the value domains, NOT the data — scale-safe by construction), and
+    every accumulated term is exact int64/DECIMAL(38,0); the finish is
+    one IEEE division. Ties follow the τ-b convention. Returns one row
+    ``(kendall_tau, concordant, discordant, n_rows)``.
+    """
+    staged = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+    # cells feeds four consumers (grid x-side, y-domain, dense join,
+    # tie terms) — truncate lineage or the scan executes per consumer
+    cells = (
+        staged.groupBy("__x", "__y")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=False)
+    )
+    ydom = cells.select("__y").distinct().agg(
+        F.sort_array(F.collect_list("__y")).alias("__ys")
+    )
+    grid = (
+        cells.select("__x")
+        .distinct()
+        .join(F.broadcast(ydom))
+        .select("__x", F.explode("__ys").alias("__y"))
+    )
+    dense = grid.join(cells, ["__x", "__y"], "left").select(
+        "__x", "__y", F.coalesce(F.col("__n"), F.lit(0)).alias("__n")
+    )
+    w_lt = (
+        Window.partitionBy("__x")
+        .orderBy(F.asc("__y"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_gt = (
+        Window.partitionBy("__x")
+        .orderBy(F.desc("__y"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    stage1 = dense.select(
+        "__x",
+        "__y",
+        "__n",
+        F.coalesce(F.sum("__n").over(w_lt), F.lit(0)).alias("__clt"),
+        F.coalesce(F.sum("__n").over(w_gt), F.lit(0)).alias("__cgt"),
+    )
+    w_x = (
+        Window.partitionBy("__y")
+        .orderBy(F.asc("__x"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d19 = "decimal(19,0)"
+    d38 = "decimal(38,0)"
+    stage2 = stage1.select(
+        "__n",
+        F.coalesce(F.sum("__clt").over(w_x), F.lit(0)).alias("__P"),
+        F.coalesce(F.sum("__cgt").over(w_x), F.lit(0)).alias("__Q"),
+    )
+    # operands cast DECIMAL(19,0) BEFORE the multiply: n·P can pass
+    # int64 at warehouse row counts while the oracle auto-promotes
+    folded = stage2.agg(
+        F.sum("__n").alias("__nr"),
+        F.sum(F.col("__n").cast(d19) * F.col("__P").cast(d19)).alias("__C"),
+        F.sum(F.col("__n").cast(d19) * F.col("__Q").cast(d19)).alias("__D"),
+    )
+    tx = cells.groupBy("__x").agg(F.sum("__n").alias("__t"))
+    n1 = tx.agg(
+        F.sum(
+            F.col("__t").cast(d19) * (F.col("__t") - 1).cast(d19) / 2
+        ).cast(d38).alias("__n1")
+    )
+    uy = cells.groupBy("__y").agg(F.sum("__n").alias("__t"))
+    n2 = uy.agg(
+        F.sum(
+            F.col("__t").cast(d19) * (F.col("__t") - 1).cast(d19) / 2
+        ).cast(d38).alias("__n2")
+    )
+    all_sums = folded.join(F.broadcast(n1)).join(F.broadcast(n2))
+    n = F.col("__nr").cast("double")
+    n0 = n * (n - 1.0) / 2.0
+    num = F.col("__C").cast("double") - F.col("__D").cast("double")
+    den = F.sqrt(n0 - F.col("__n1").cast("double")) * F.sqrt(
+        n0 - F.col("__n2").cast("double")
+    )
+    return all_sums.select(
+        F.round(F.try_divide(num, den), round_to).alias("kendall_tau"),
+        F.col("__C").cast("long").alias("concordant"),
+        F.col("__D").cast("long").alias("discordant"),
+        F.col("__nr").cast("long").alias("n_rows"),
+    )

@@ -819,6 +819,72 @@ FROM sums
 """
 
 
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b of quantity vs discount WITHOUT enumerating pairs:
+    concordant/discordant counts fold from 2-D prefix sums of the
+    50x11 value-domain contingency table (``stats.kendall_tau`` — the
+    dense grid is a 1-row y-domain array exploded against the x-domain
+    frame, prefix sums are keyed windows over the |X|·|Y| cell frame,
+    every accumulated term exact int64/DECIMAL). The pair-count
+    companion of ``spearman``'s rank-moment ρ — τ's O(n²) naive form
+    is exactly the all-pairs self-join this engine's join disciplines
+    exist to avoid."""
+    from sparkprep.operators.stats import kendall_tau
+
+    li = t(spark, sf_dir, "lineitem")
+    return kendall_tau(li, "l_quantity", "l_discount")
+
+
+_KENDALL_TAU_SQL = """
+WITH staged AS (
+  SELECT l_quantity AS x, l_discount AS y FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+),
+cells AS (SELECT x, y, count(*) AS n FROM staged GROUP BY 1, 2),
+grid AS (
+  SELECT xs.x, ys.y
+  FROM (SELECT DISTINCT x FROM cells) xs
+  CROSS JOIN (SELECT DISTINCT y FROM cells) ys
+),
+dense AS (
+  SELECT g.x, g.y, coalesce(c.n, 0) AS n
+  FROM grid g LEFT JOIN cells c ON g.x = c.x AND g.y = c.y
+),
+s1 AS (
+  SELECT x, y, n,
+         coalesce(sum(n) OVER (PARTITION BY x ORDER BY y
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS clt,
+         coalesce(sum(n) OVER (PARTITION BY x ORDER BY y DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cgt
+  FROM dense
+),
+s2 AS (
+  SELECT n,
+         coalesce(sum(clt) OVER (PARTITION BY y ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p,
+         coalesce(sum(cgt) OVER (PARTITION BY y ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS q
+  FROM s1
+),
+folded AS (
+  SELECT sum(n) AS nr,
+         sum(n::DECIMAL(19,0) * p::DECIMAL(19,0)) AS c,
+         sum(n::DECIMAL(19,0) * q::DECIMAL(19,0)) AS d
+  FROM s2
+),
+t1 AS (SELECT sum(t::DECIMAL(19,0) * (t - 1)::DECIMAL(19,0) / 2)::DECIMAL(38,0) AS n1
+       FROM (SELECT sum(n) AS t FROM cells GROUP BY x)),
+t2 AS (SELECT sum(t::DECIMAL(19,0) * (t - 1)::DECIMAL(19,0) / 2)::DECIMAL(38,0) AS n2
+       FROM (SELECT sum(n) AS t FROM cells GROUP BY y))
+SELECT round((c::DOUBLE - d::DOUBLE)
+             / (sqrt(nr::DOUBLE * (nr::DOUBLE - 1) / 2 - n1::DOUBLE)
+                * sqrt(nr::DOUBLE * (nr::DOUBLE - 1) / 2 - n2::DOUBLE)), 4)
+         AS kendall_tau,
+       c::BIGINT AS concordant, d::BIGINT AS discordant, nr::BIGINT AS n_rows
+FROM folded, t1, t2
+"""
+
+
 def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U: does quantity rank differently between returned
     ('R') and delivered-clean ('N') line items? The nonparametric
@@ -1977,6 +2043,7 @@ QUERIES = {
     "lorenz_curve": q_lorenz_curve,
     "salted_join": q_salted_join,
     "spearman": q_spearman,
+    "kendall_tau": q_kendall_tau,
     "mann_whitney": q_mann_whitney,
     "kruskal_wallis": q_kruskal_wallis,
     "weighted_median": q_weighted_median,
@@ -2017,6 +2084,7 @@ ORACLES = {
     "lorenz_curve": _LORENZ_SQL,
     "salted_join": _SALTED_JOIN_SQL,
     "spearman": _SPEARMAN_SQL,
+    "kendall_tau": _KENDALL_TAU_SQL,
     "mann_whitney": _MANN_WHITNEY_SQL,
     "kruskal_wallis": _KRUSKAL_WALLIS_SQL,
     "weighted_median": _WEIGHTED_MEDIAN_SQL,

@@ -954,6 +954,149 @@ def q_token_packing_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# Poisson(1) CDF as integer thresholds over the md5 hash range
+# [0, 2^31-1): weight k iff hash < _POIS_T[k] (first match). Pure
+# int64 comparisons — no float-compare divergence surface at all.
+_POIS_T = (790015083, 1580030167, 1975037709, 2106706890, 2139624185,
+           2146207644)
+_BOOT_B = 32
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap CI for the mean order value —
+    the resampling-free bootstrap (Chamandy et al., "Estimating
+    Uncertainty for Massive Data Streams", Google 2012): instead of
+    materializing B resamples (B full shuffles of the corpus), each
+    row computes its OWN per-replicate Poisson(1) weight from an
+    md5-derived hash of (orderkey, replicate) — row-local, exactly
+    reproducible on any engine. One explode to B=32 weighted copies
+    (map-side only), ONE map-combined groupBy(replicate) (each
+    partition emits <=32 partial rows), and the CI is an order
+    statistic of the 32 replicate means (2nd and 31st of 32 — a
+    ~94% interval; order statistics, never a float re-sum). Replicate
+    means divide exact DECIMAL sums once; the 32-row rank window is
+    data-independent (registered bound). Weights come from integer
+    threshold compares against the Poisson(1) CDF scaled to the hash
+    range — no float comparison anywhere in the weight path."""
+    from sparkprep.operators.dedup import string_to_int_hash
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,4)").alias("__p")
+    ).localCheckpoint(eager=False)  # consumed by point agg AND replicate fold
+    rep = orders.withColumn(
+        "__b", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1)))
+    )
+    h = string_to_int_hash(
+        F.concat_ws(":", F.col("o_orderkey"), F.col("__b"))
+    )
+    w = F.when(h < _POIS_T[0], 0)
+    for k, thr in enumerate(_POIS_T[1:], start=1):
+        w = w.when(h < thr, k)
+    w = w.otherwise(6)
+    means = (
+        rep.select("__b", w.alias("__w"), "__p")
+        .groupBy("__b")
+        .agg(
+            F.sum(F.col("__p") * F.col("__w")).alias("__s"),
+            F.sum("__w").cast("long").alias("__m"),
+        )
+        .select(
+            "__b",
+            F.try_divide(
+                F.col("__s").cast("double"), F.col("__m")
+            ).alias("__mean"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(Window.orderBy("__mean", "__b"))
+    ranked = means.select("__mean", rn.alias("__rn"))
+    ci = ranked.agg(
+        F.round(
+            F.max(F.when(F.col("__rn") == 2, F.col("__mean"))).cast(
+                "decimal(18,8)"
+            ),
+            6,
+        ).cast("double").alias("boot_lo"),
+        F.round(
+            F.max(
+                F.when(F.col("__rn") == _BOOT_B - 1, F.col("__mean"))
+            ).cast("decimal(18,8)"),
+            6,
+        ).cast("double").alias("boot_hi"),
+    )
+    point = orders.agg(
+        F.round(
+            F.try_divide(
+                F.sum("__p").cast("double"), F.count(F.lit(1))
+            ).cast("decimal(18,8)"),
+            6,
+        ).cast("double").alias("point_mean"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    return point.join(F.broadcast(ci)).select(
+        "point_mean",
+        "boot_lo",
+        "boot_hi",
+        "n_orders",
+        F.lit(_BOOT_B).cast("long").alias("b_reps"),
+    )
+
+
+_BOOTSTRAP_CI_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey, o_totalprice::DECIMAL(18,4) AS p FROM orders
+),
+rep AS (
+  SELECT o_orderkey, p, b
+  FROM o CROSS JOIN (SELECT unnest(range({_BOOT_B})) AS b)
+),
+wts AS (
+  SELECT p,
+         b,
+         CASE
+           WHEN hv < {_POIS_T[0]} THEN 0
+           WHEN hv < {_POIS_T[1]} THEN 1
+           WHEN hv < {_POIS_T[2]} THEN 2
+           WHEN hv < {_POIS_T[3]} THEN 3
+           WHEN hv < {_POIS_T[4]} THEN 4
+           WHEN hv < {_POIS_T[5]} THEN 5
+           ELSE 6
+         END AS w
+  FROM (
+    SELECT p, b,
+           ('0x' || substr(md5(o_orderkey::VARCHAR || ':' || b::VARCHAR),
+                           1, 15))::BIGINT % 2147483647 AS hv
+    FROM rep
+  )
+),
+means AS (
+  SELECT b, sum(p * w) AS s, sum(w)::BIGINT AS m FROM wts GROUP BY b
+),
+ranked AS (
+  SELECT s::DOUBLE / m AS mean,
+         row_number() OVER (ORDER BY s::DOUBLE / m, b) AS rn
+  FROM means
+),
+ci AS (
+  SELECT round(max(CASE WHEN rn = 2 THEN mean END)::DECIMAL(18,8), 6)::DOUBLE
+           AS boot_lo,
+         round(max(CASE WHEN rn = {_BOOT_B - 1} THEN mean END)::DECIMAL(18,8),
+               6)::DOUBLE AS boot_hi
+  FROM ranked
+),
+pt AS (
+  SELECT round((sum(p)::DOUBLE / count(*))::DECIMAL(18,8), 6)::DOUBLE
+           AS point_mean,
+         count(*)::BIGINT AS n_orders
+  FROM o
+)
+SELECT point_mean, boot_lo, boot_hi, n_orders, {_BOOT_B}::BIGINT AS b_reps
+FROM pt, ci
+"""
+
+
 QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "equidepth_bins": q_equidepth_bins,
@@ -977,9 +1120,11 @@ QUERIES = {
     "gini_scale": q_gini_scale,
     "lorenz_scale": q_lorenz_scale,
     "rfm_scale": q_rfm_scale,
+    "bootstrap_ci": q_bootstrap_ci,
 }
 
 ORACLES = {
+    "bootstrap_ci": _BOOTSTRAP_CI_SQL,
     "incr_agg": _INCR_AGG_SQL,
     "embedding_quantize": _EMBEDDING_QUANTIZE_SQL,
     # approx_distinct / approx_quantiles: rows-only by design (sketch

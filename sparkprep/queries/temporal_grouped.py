@@ -2844,6 +2844,192 @@ FROM per
 """
 
 
+
+_MERGE_DUR_US = 300_000_000  # each event spans [ts, ts + 5 min)
+
+
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user merged activity intervals: each event opens a 5-minute
+    window [ts, ts+300s); overlapping/touching windows coalesce into
+    islands (the classic gaps-and-islands sweep, the building block
+    under uptime/SLA coverage and ad-exposure dedup). New island iff
+    start > max(end) over ALL preceding intervals (a plain lag is
+    WRONG when an early long interval swallows later short ones —
+    running-max is the correct sweep). Everything stays exact int64
+    microseconds (no float seconds, no date-type hash landmine); two
+    same-key windows share one exchange+sort; keyed by user_id —
+    entity-parallel at any scale."""
+    tune_for_engine(spark)
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("__s"),
+        (F.unix_micros("ts") + _MERGE_DUR_US).alias("__e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("__s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("__s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "__s",
+        "__e",
+        F.when(
+            F.col("__s") > F.coalesce(F.max("__e").over(w_prev), F.lit(-1)),
+            1,
+        ).otherwise(0).alias("__new"),
+    )
+    # the island cumsum MUST use the same total order as the sweep
+    # (s, event_id): a tied-start row ordered before its coverer would
+    # attach to the PREVIOUS island
+    isl = marked.select(
+        "user_id", "__s", "__e", F.sum("__new").over(w_cum).alias("__isl")
+    )
+    per_isl = isl.groupBy("user_id", "__isl").agg(
+        F.min("__s").alias("__a"),
+        F.max("__e").alias("__b"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return per_isl.groupBy("user_id").agg(
+        F.sum("__n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_merged"),
+        F.sum(F.col("__b") - F.col("__a")).cast("long").alias("covered_us"),
+        F.max(F.col("__b") - F.col("__a")).cast("long").alias("longest_us"),
+    )
+
+
+_INTERVAL_MERGE_SQL = f"""
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         epoch_us(ts) + {_MERGE_DUR_US} AS e
+  FROM events
+),
+marked AS (
+  SELECT user_id, event_id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (PARTITION BY user_id
+                ORDER BY s, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_i
+  FROM iv
+),
+isl AS (
+  SELECT user_id, s, e,
+         sum(new_i) OVER (PARTITION BY user_id ORDER BY s, event_id
+                          ROWS UNBOUNDED PRECEDING) AS island
+  FROM marked
+),
+per_isl AS (
+  SELECT user_id, island, min(s) AS a, max(e) AS b, count(*) AS n
+  FROM isl GROUP BY 1, 2
+)
+SELECT user_id,
+       sum(n)::BIGINT AS n_events,
+       count(*)::BIGINT AS n_merged,
+       sum(b - a)::BIGINT AS covered_us,
+       max(b - a)::BIGINT AS longest_us
+FROM per_isl GROUP BY 1
+"""
+
+
+_XCORR_MAX_LAG = 3
+
+
+def q_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between the click and purchase daily
+    series: Pearson r of (clicks on day d, purchases on day d+lag) for
+    lags −3..+3 — the panel that answers "do clicks LEAD purchases,
+    and by how many days?". Day index is exact integer µs-div; the
+    lag fan-out explodes a 7-element literal array against the
+    ~90-row daily panel (bounded by horizon); the y side equi-joins on
+    day+lag; every sum is exact int64/DECIMAL with products cast
+    DECIMAL(19,0) first, finish = one IEEE division per lag. The daily
+    panel feeds both join sides — lazily checkpointed (the CLAUDE.md
+    both-sides discipline)."""
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    daily = (
+        ev.groupBy(
+            F.expr("unix_micros(ts) div 86400000000").alias("__d")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("__x"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("__y"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    lags = F.array(
+        *[F.lit(l) for l in range(-_XCORR_MAX_LAG, _XCORR_MAX_LAG + 1)]
+    )
+    xl = daily.select("__d", "__x", F.explode(lags).alias("lag"))
+    yr = daily.select(F.col("__d").alias("__d2"), "__y")
+    joined = xl.join(yr, F.col("__d2") == F.col("__d") + F.col("lag"))
+    d19 = "decimal(19,0)"
+    s = joined.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x").cast(d19) * F.col("__y").cast(d19)).alias("__sxy"),
+        F.sum(F.col("__x").cast(d19) * F.col("__x").cast(d19)).alias("__sxx"),
+        F.sum(F.col("__y").cast(d19) * F.col("__y").cast(d19)).alias("__syy"),
+    )
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    num = n * F.col("__sxy").cast("double") - sx * sy
+    den = F.sqrt(n * F.col("__sxx").cast("double") - sx * sx) * F.sqrt(
+        n * F.col("__syy").cast("double") - sy * sy
+    )
+    return s.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("__n").cast("long").alias("n_days"),
+        F.round(F.try_divide(num, den), 4).alias("xcorr"),
+    )
+
+
+_CROSS_CORR_SQL = f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS d,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1
+),
+lags AS (SELECT unnest(range(-{_XCORR_MAX_LAG}, {_XCORR_MAX_LAG + 1})) AS lag),
+j AS (
+  SELECT l.lag, a.x, b.y
+  FROM daily a CROSS JOIN lags l
+  JOIN daily b ON b.d = a.d + l.lag
+),
+s AS (
+  SELECT lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x::DECIMAL(19,0) * y::DECIMAL(19,0)) AS sxy,
+         sum(x::DECIMAL(19,0) * x::DECIMAL(19,0)) AS sxx,
+         sum(y::DECIMAL(19,0) * y::DECIMAL(19,0)) AS syy
+  FROM j GROUP BY 1
+)
+SELECT lag::BIGINT AS lag, n::BIGINT AS n_days,
+       round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+             4) AS xcorr
+FROM s
+"""
+
+
 QUERIES = {
     "autocorr": q_autocorr,
     "seasonal_adjust": q_seasonal_adjust,
@@ -2897,6 +3083,8 @@ QUERIES = {
     "session_paths": q_session_paths,
     "cooccurrence": q_cooccurrence,
     "mutual_info": q_mutual_info,
+    "interval_merge": q_interval_merge,
+    "cross_corr": q_cross_corr,
 }
 
 ORACLES = {
@@ -2952,4 +3140,6 @@ ORACLES = {
     "session_paths": _SESSION_PATHS_SQL,
     "cooccurrence": _COOCCURRENCE_SQL,
     "mutual_info": _MUTUAL_INFO_SQL,
+    "interval_merge": _INTERVAL_MERGE_SQL,
+    "cross_corr": _CROSS_CORR_SQL,
 }

@@ -61,6 +61,8 @@ _TINY_BROADCAST_CROSS = {
     "rfm_scale",         # same 1-row horizon attach as rfm_segments
     "important_parts",   # 1-row global-total attach to the per-part agg
     "join_fanout",       # 1-row Σfanout attach to the per-part agg
+    "bootstrap_ci",      # 1-row CI frame attach to the 1-row point frame
+    "kendall_tau",       # 1-row y-domain array + 1-row tie-term attaches
 }
 
 # the one deliberate Python-row-path showcase: a Python UDTF (SURVEY
@@ -128,6 +130,7 @@ def _single_partition_window_queries(all_plans):
 _BOUNDED_GLOBAL_WINDOW = {
     "auc_quality": "<=1000-row score-bin ROC frame",
     "benford": "9-row leading-digit frame",
+    "bootstrap_ci": "32-row replicate-mean frame (B fixed, data-independent)",
     "chi_square": "|event_types| x 7 contingency frame",
     "freq_orderpriority": "5-row priority frame",
     "cuped": "2-row arm frame (pooled-sufficient-stat fold)",
@@ -136,6 +139,7 @@ _BOUNDED_GLOBAL_WINDOW = {
     "gini_scale": "O(32) ranks.global_rank offsets frame only",
     "hybrid_rrf": "bounded top-k retrieval legs",
     "k_anonymity": "quasi-identifier cross-product frame (125 classes), bounded by QI domains not rows",
+    "kendall_tau": "|X|x|Y| contingency grid (50x11), bounded by value domains not rows",
     "l_diversity": "same QI-class frame as k_anonymity",
     "length_histogram": "fixed length-bin frame",
     "lm_score": "score-bin frame",

@@ -1,0 +1,152 @@
+"""Round-7 operator semantics the oracle can't see: Kendall tau-b vs a
+brute-force all-pairs reference (with ties), deterministic Poisson
+bootstrap, interval merging, and lead-lag cross-correlation edge cases."""
+
+import math
+from itertools import combinations
+
+import pytest
+
+from sparkprep.operators.stats import kendall_tau
+
+
+def _ref_kendall(xs, ys):
+    c = d = 0
+    for (x1, y1), (x2, y2) in combinations(zip(xs, ys), 2):
+        s = (x1 - x2) * (y1 - y2)
+        if s > 0:
+            c += 1
+        elif s < 0:
+            d += 1
+    n = len(xs)
+    n0 = n * (n - 1) / 2
+    from collections import Counter
+
+    n1 = sum(t * (t - 1) / 2 for t in Counter(xs).values())
+    n2 = sum(t * (t - 1) / 2 for t in Counter(ys).values())
+    return c, d, (c - d) / math.sqrt((n0 - n1) * (n0 - n2))
+
+
+def test_kendall_matches_brute_force_with_ties(spark):
+    xs = [1, 1, 2, 2, 3, 3, 4, 5, 5, 6, 2, 4]
+    ys = [2, 3, 3, 1, 4, 4, 5, 5, 2, 6, 2, 1]
+    df = spark.createDataFrame(list(zip(xs, ys)), ["x", "y"])
+    got = kendall_tau(df, "x", "y").collect()[0]
+    c_ref, d_ref, tau_ref = _ref_kendall(xs, ys)
+    assert got["concordant"] == c_ref
+    assert got["discordant"] == d_ref
+    assert got["n_rows"] == len(xs)
+    assert got["kendall_tau"] == pytest.approx(tau_ref, abs=1e-4)
+
+
+def test_kendall_perfect_and_reversed(spark):
+    xs = list(range(1, 9))
+    df = spark.createDataFrame([(x, x * 2) for x in xs], ["x", "y"])
+    assert kendall_tau(df, "x", "y").collect()[0]["kendall_tau"] == 1.0
+    rev = spark.createDataFrame([(x, -x) for x in xs], ["x", "y"])
+    assert kendall_tau(rev, "x", "y").collect()[0]["kendall_tau"] == -1.0
+
+
+def test_kendall_all_ties_null(spark):
+    df = spark.createDataFrame([(7, 1), (7, 2), (7, 3)], ["x", "y"])
+    got = kendall_tau(df, "x", "y").collect()[0]
+    assert got["kendall_tau"] is None  # n0 == n1 -> try_divide NULL
+    assert got["concordant"] == 0 and got["discordant"] == 0
+
+
+def test_interval_merge_swallowing_interval(spark, tmp_path):
+    # an early LONG interval swallows later short ones: a lag-based
+    # sweep would wrongly split; the running-max sweep must not
+    import datetime
+
+    from sparkprep.queries.temporal_grouped import q_interval_merge
+
+    base = datetime.datetime(2022, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: events at t, t+1min, t+4min -> one island (5-min spans
+        # chain); then t+20min -> second island
+        (1, 1, base),
+        (1, 2, base + datetime.timedelta(minutes=1)),
+        (1, 3, base + datetime.timedelta(minutes=4)),
+        (1, 4, base + datetime.timedelta(minutes=20)),
+        # user 2: single event -> one island of exactly 5 minutes
+        (2, 5, base),
+        # user 2... adjacent-at-boundary: t+5min touches [t, t+5) end
+        # exclusively -> merges (start == prev end is NOT >)
+        (2, 6, base + datetime.timedelta(minutes=5)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    d = tmp_path / "sf"
+    d.mkdir()
+    df.write.parquet(str(d / "events.parquet"))
+    got = {
+        r["user_id"]: r
+        for r in q_interval_merge(spark, str(d)).collect()
+    }
+    assert got[1]["n_merged"] == 2 and got[1]["n_events"] == 4
+    assert got[1]["covered_us"] == (9 * 60 + 5 * 60) * 1_000_000
+    assert got[1]["longest_us"] == 9 * 60 * 1_000_000
+    assert got[2]["n_merged"] == 1
+    assert got[2]["covered_us"] == 10 * 60 * 1_000_000
+
+
+def test_cross_corr_detects_known_lag(spark, tmp_path):
+    # purchases = clicks shifted by +2 days -> xcorr peaks at lag 2
+    import datetime
+
+    from sparkprep.queries.temporal_grouped import q_cross_corr
+
+    base = datetime.datetime(2022, 1, 1)
+    counts = [3, 9, 1, 7, 5, 8, 2, 6, 4, 10]
+    rows = []
+    eid = 0
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, 1, "click", base + datetime.timedelta(days=d)))
+        for _ in range(c):
+            eid += 1
+            rows.append(
+                (eid, 1, "purchase", base + datetime.timedelta(days=d + 2))
+            )
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    df.write.parquet(str(d / "events.parquet"))
+    got = {r["lag"]: r["xcorr"] for r in q_cross_corr(spark, str(d)).collect()}
+    assert got[2] == pytest.approx(1.0)
+    assert all(got[l] < 1.0 for l in got if l != 2)
+
+
+def test_bootstrap_ci_contains_point_and_is_deterministic(spark, sf_dir):
+    from sparkprep.queries.scale_ops import q_bootstrap_ci
+
+    a = q_bootstrap_ci(spark, sf_dir).collect()[0]
+    b = q_bootstrap_ci(spark, sf_dir).collect()[0]
+    assert a == b  # md5-derived weights: bit-identical across runs
+    assert a["boot_lo"] <= a["point_mean"] <= a["boot_hi"]
+    assert a["boot_lo"] < a["boot_hi"]
+    assert a["b_reps"] == 32
+
+
+def test_poisson_weights_mean_near_one(spark, sf_dir):
+    # the replicate weight distribution must be ~Poisson(1): mean ~1
+    from pyspark.sql import functions as F
+
+    from sparkprep.operators.dedup import string_to_int_hash
+    from sparkprep.queries import t
+    from sparkprep.queries.scale_ops import _POIS_T
+
+    orders = t(spark, sf_dir, "orders").select("o_orderkey")
+    rep = orders.withColumn("__b", F.explode(F.sequence(F.lit(0), F.lit(31))))
+    h = string_to_int_hash(F.concat_ws(":", F.col("o_orderkey"), F.col("__b")))
+    w = F.when(h < _POIS_T[0], 0)
+    for k, thr in enumerate(_POIS_T[1:], start=1):
+        w = w.when(h < thr, k)
+    w = w.otherwise(6)
+    stats = rep.agg(
+        F.avg(w).alias("m"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    assert stats["m"] == pytest.approx(1.0, abs=0.05)
