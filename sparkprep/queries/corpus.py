@@ -906,6 +906,65 @@ JOIN sizes nb ON inter.source_b = nb.source
 """
 
 
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty curve: the fraction of a doc's
+    DISTINCT 3-gram shingles never seen in any earlier doc (by doc_id
+    order) — the redundancy-growth readout a crawl pipeline watches to
+    decide when a source is mined out. First-occurrence attribution is
+    one map-combined min(doc_id) per shingle; the join back is 1:n on
+    the shingle value against the AGGREGATED first-seen map (never a
+    shingle-value self-join — that fan-out is the CLAUDE.md all-pairs
+    trap); distinctness is ``array_distinct`` before the explode
+    (row-local, no post-explode exchange). Exact integer counts; one
+    division, DECIMAL(18,8)-recast before the display round."""
+    from sparkprep.operators import dedup as dd
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    occ = dd.explode_shingles(
+        docs, "text", "doc_id", k=3, distinct=True
+    ).localCheckpoint(eager=False)  # consumed by the first-seen fold AND the join-back
+    first = occ.groupBy("shingle").agg(F.min("doc_id").alias("__first"))
+    per = occ.join(first, "shingle").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(
+            F.when(F.col("doc_id") == F.col("__first"), 1).otherwise(0)
+        ).alias("__novel"),
+    )
+    return per.select(
+        "doc_id",
+        F.col("__n").cast("long").alias("n_shingles"),
+        F.col("__novel").cast("long").alias("n_novel"),
+        F.round(
+            F.try_divide(F.col("__novel"), F.col("__n")).cast(
+                "decimal(18,8)"
+            ),
+            4,
+        ).cast("double").alias("novelty"),
+    )
+
+
+# same trigram construction as the minhash oracles (llmprep), WITH the
+# per-doc DISTINCT: novelty is over shingle SETS
+_NGRAM_NOVELTY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+occ AS (
+  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)
+),
+fst AS (SELECT shingle, min(doc_id) AS first_doc FROM occ GROUP BY 1)
+SELECT doc_id,
+       count(*)::BIGINT AS n_shingles,
+       sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+       round((sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+              / count(*)::DOUBLE)::DECIMAL(18,8), 4)::DOUBLE AS novelty
+FROM occ JOIN fst USING (shingle)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "source_overlap": q_source_overlap,
     "bigram_pmi": q_bigram_pmi,
@@ -923,6 +982,7 @@ QUERIES = {
     "grouped_split": q_grouped_split,
     "grouped_kfold": q_grouped_kfold,
     "ngram_diversity": q_ngram_diversity,
+    "ngram_novelty": q_ngram_novelty,
     "weighted_sample": q_weighted_sample,
     "token_budget": q_token_budget,
     "preference_pairs": q_preference_pairs,
@@ -934,6 +994,7 @@ ORACLES = {
     "bigram_pmi": _BIGRAM_PMI_SQL,
     "top_p_sources": _TOP_P_SQL,
     "ngram_diversity": _NGRAM_DIVERSITY_SQL,
+    "ngram_novelty": _NGRAM_NOVELTY_SQL,
     "weighted_sample": _WEIGHTED_SAMPLE_SQL,
     "token_budget": _TOKEN_BUDGET_SQL,
     "url_canon": _URL_CANON_SQL,

@@ -412,6 +412,72 @@ FROM scored ORDER BY c_nationkey, c_mktsegment
 """
 
 
+
+_DP_EPSILON = 1.0
+_MERSENNE_P = 2147483647
+
+
+def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private event-type counts via the Laplace
+    mechanism with a DETERMINISTIC noise draw — the release mechanism
+    that completes the privacy suite (k-anon/l-div/t-closeness audit
+    risk; this is the mitigation). Count queries have sensitivity 1,
+    so noise ~ Laplace(1/ε). The draw replays on any engine: u comes
+    from the md5 hash of the group key mapped into (0,1) (u =
+    (h + 0.5)/P — never exactly 0 or 1, so the inverse CDF is always
+    finite), noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|). No RNG, no float
+    comparisons in the branch (the sign tests against exact integers).
+    True counts emitted alongside for the demo/audit; a production
+    release would drop them. ε = 1."""
+    from sparkprep.operators.dedup import string_to_int_hash
+
+    ev = t(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("__n"))
+    h = string_to_int_hash(F.col("event_type"))
+    u = (h.cast("double") + 0.5) / float(_MERSENNE_P)
+    half = u - 0.5
+    mag = F.log(1.0 - 2.0 * F.abs(half))
+    # noise = -(1/eps) * sign(half) * ln(1 - 2|half|): ln <= 0, so
+    # u above the median draws POSITIVE noise (standard inverse CDF)
+    noise = (
+        F.when(half >= 0, 1.0).otherwise(-1.0) * mag / F.lit(-_DP_EPSILON)
+    )
+    return per.select(
+        "event_type",
+        F.col("__n").cast("long").alias("n_true"),
+        F.round(noise.cast("decimal(18,8)"), 4).cast("double").alias("noise"),
+        F.round(
+            (F.col("__n").cast("double") + noise).cast("decimal(18,8)"), 4
+        ).cast("double").alias("n_released"),
+        F.lit(float(_DP_EPSILON)).alias("epsilon"),
+    )
+
+
+_DP_COUNTS_SQL = f"""
+WITH per AS (
+  SELECT event_type, count(*) AS n FROM events GROUP BY 1
+),
+drawn AS (
+  SELECT event_type, n,
+         ((('0x' || substr(md5(event_type), 1, 15))::BIGINT
+            % {_MERSENNE_P})::DOUBLE + 0.5) / {float(_MERSENNE_P)} AS u
+  FROM per
+),
+noisy AS (
+  SELECT event_type, n,
+         (CASE WHEN u - 0.5 >= 0 THEN 1.0 ELSE -1.0 END)
+           * ln(1.0 - 2.0 * abs(u - 0.5)) / (-{_DP_EPSILON}) AS noise
+  FROM drawn
+)
+SELECT event_type,
+       n::BIGINT AS n_true,
+       round(noise::DECIMAL(18,8), 4)::DOUBLE AS noise,
+       round((n::DOUBLE + noise)::DECIMAL(18,8), 4)::DOUBLE AS n_released,
+       {float(_DP_EPSILON)} AS epsilon
+FROM noisy
+"""
+
+
 QUERIES = {
     "t_closeness": q_t_closeness,
     "fk_audit": q_fk_audit,
@@ -422,6 +488,7 @@ QUERIES = {
     "l_diversity": q_l_diversity,
     "benford": q_benford,
     "revenue_concentration": q_revenue_concentration,
+    "dp_counts": q_dp_counts,
 }
 
 ORACLES = {
@@ -434,4 +501,5 @@ ORACLES = {
     "l_diversity": _L_DIVERSITY_SQL,
     "benford": _BENFORD_SQL,
     "revenue_concentration": _CONCENTRATION_SQL,
+    "dp_counts": _DP_COUNTS_SQL,
 }

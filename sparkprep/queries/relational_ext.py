@@ -885,6 +885,96 @@ FROM folded, t1, t2
 """
 
 
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence / Information Value panel — THE feature-
+    screening table of the reference's credit-risk domain (LoanStats
+    EDA): per discount bucket, WoE = ln(pct_good/pct_bad) against the
+    returned-item target, and the bucket's IV contribution
+    (pct_g − pct_b)·WoE with the total IV attached. One map-combined
+    groupBy to the 11-row bucket frame; totals and the IV fold are
+    windows over that bounded frame; WoE = ONE ln of one division of
+    exact-int products (cast double first — products can pass int64 at
+    warehouse counts); the cross-bucket IV sum is DECIMAL(38,12)-recast
+    per term so it is order-independent (the pr_auc discipline).
+    Zero-class buckets get NULL WoE explicitly (Spark ln(0) is NULL,
+    DuckDB -inf — never rely on the engines' defaults)."""
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_discount").alias("bucket"),
+        (F.col("l_returnflag") == "R").alias("__bad"),
+    )
+    per = li.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__bad"), 0).otherwise(1)).alias("__ng"),
+        F.sum(F.when(F.col("__bad"), 1).otherwise(0)).alias("__nb"),
+    )
+    w = Window.partitionBy()
+    staged = per.select(
+        "bucket",
+        "__ng",
+        "__nb",
+        F.sum("__ng").over(w).alias("__tg"),
+        F.sum("__nb").over(w).alias("__tb"),
+    )
+    ngd = F.col("__ng").cast("double")
+    nbd = F.col("__nb").cast("double")
+    tgd = F.col("__tg").cast("double")
+    tbd = F.col("__tb").cast("double")
+    woe = F.when(
+        (F.col("__ng") > 0) & (F.col("__nb") > 0),
+        F.log((ngd * tbd) / (nbd * tgd)),
+    )
+    iv_term = (ngd / tgd - nbd / tbd) * woe
+    terms = staged.select(
+        "bucket", "__ng", "__nb", woe.alias("__woe"), iv_term.alias("__t")
+    )
+    d18 = "decimal(18,8)"
+    return terms.select(
+        "bucket",
+        F.col("__ng").cast("long").alias("n_good"),
+        F.col("__nb").cast("long").alias("n_bad"),
+        F.round(F.col("__woe").cast(d18), 6).cast("double").alias("woe"),
+        F.round(F.col("__t").cast(d18), 6).cast("double").alias("iv_term"),
+        F.round(
+            F.sum(F.col("__t").cast("decimal(38,12)")).over(w).cast("double"),
+            6,
+        ).alias("iv_total"),
+    )
+
+
+_WOE_IV_SQL = """
+WITH per AS (
+  SELECT l_discount AS bucket,
+         sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS ng,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS nb
+  FROM lineitem GROUP BY 1
+),
+staged AS (
+  SELECT bucket, ng, nb,
+         sum(ng) OVER () AS tg, sum(nb) OVER () AS tb
+  FROM per
+),
+terms AS (
+  SELECT bucket, ng, nb,
+         CASE WHEN ng > 0 AND nb > 0
+              THEN ln((ng::DOUBLE * tb::DOUBLE) / (nb::DOUBLE * tg::DOUBLE))
+         END AS woe,
+         (ng::DOUBLE / tg::DOUBLE - nb::DOUBLE / tb::DOUBLE)
+           * CASE WHEN ng > 0 AND nb > 0
+                  THEN ln((ng::DOUBLE * tb::DOUBLE) / (nb::DOUBLE * tg::DOUBLE))
+             END AS t
+  FROM staged
+)
+SELECT bucket,
+       ng::BIGINT AS n_good,
+       nb::BIGINT AS n_bad,
+       round(woe::DECIMAL(18,8), 6)::DOUBLE AS woe,
+       round(t::DECIMAL(18,8), 6)::DOUBLE AS iv_term,
+       round(sum(t::DECIMAL(38,12)) OVER ()::DOUBLE, 6) AS iv_total
+FROM terms
+"""
+
+
 def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U: does quantity rank differently between returned
     ('R') and delivered-clean ('N') line items? The nonparametric
@@ -1270,6 +1360,133 @@ def per_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.sum(money).alias("__rev"))
     )
+
+
+def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality decomposition of per-customer revenue by
+    nation — the DECOMPOSABLE companion of gini_revenue (Gini does not
+    split into within+between; Theil does exactly:
+    T = T_between + Σ_g s_g·T_g). Per-nation panel: customer count,
+    revenue share, within-group T_g = (1/n_g)Σ r·ln r (r = x·n_g/X_g,
+    ONE multiply + ONE division of exact-cast operands, per-row terms
+    DECIMAL(38,12)-recast before the group sum — the pr_auc
+    order-independence discipline), the nation's between-group term
+    s_g·ln(s_g/(n_g/n)), and the folded within/between/total indices
+    attached from a window over the 25-row nation frame (bounded by
+    the nation domain). Customer→nation attach is a keyed join;
+    per-row work is map-local; the per-nation sums map-combine —
+    entity-parallel at any scale."""
+    from pyspark.sql.window import Window
+
+    per_cust = per_customer_revenue(spark, sf_dir)
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    staged = per_cust.join(
+        cust, per_cust.o_custkey == cust.c_custkey
+    ).join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    grp = staged.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("__ng"),
+        F.sum("__rev").alias("__xg"),
+    )
+    with_g = staged.join(F.broadcast(grp), "n_name")
+    xd = F.col("__rev").cast("double")
+    ngd = F.col("__ng").cast("double")
+    xgd = F.col("__xg").cast("double")
+    r = xd * ngd / xgd
+    term = (r * F.log(r)).cast("decimal(38,12)")
+    per_nation = with_g.groupBy("n_name").agg(
+        F.max("__ng").alias("__ng"),
+        F.max("__xg").alias("__xg"),
+        F.sum(term).alias("__tsum"),
+    )
+    w = Window.partitionBy()
+    folded = per_nation.select(
+        "n_name",
+        "__ng",
+        "__xg",
+        "__tsum",
+        F.sum("__ng").over(w).alias("__n"),
+        F.sum("__xg").over(w).alias("__x"),
+    )
+    ngd2 = F.col("__ng").cast("double")
+    nd = F.col("__n").cast("double")
+    xgd2 = F.col("__xg").cast("double")
+    xdt = F.col("__x").cast("double")
+    s_g = xgd2 / xdt
+    t_g = F.col("__tsum").cast("double") / ngd2
+    btw = s_g * F.log(s_g * nd / ngd2)
+    scored = folded.select(
+        "n_name",
+        "__ng",
+        s_g.alias("__sg"),
+        t_g.alias("__tg"),
+        btw.alias("__btw"),
+        (s_g * t_g).alias("__wterm"),
+    )
+    d18 = "decimal(18,8)"
+    d38 = "decimal(38,12)"
+    return scored.select(
+        F.col("n_name").alias("nation"),
+        F.col("__ng").cast("long").alias("n_cust"),
+        F.round(F.col("__sg").cast(d18), 6).cast("double").alias("rev_share"),
+        F.round(F.col("__tg").cast(d18), 6).cast("double").alias("theil_g"),
+        F.round(F.col("__btw").cast(d18), 6).cast("double").alias("between_term"),
+        F.round(
+            F.sum(F.col("__wterm").cast(d38)).over(w).cast("double"), 6
+        ).alias("theil_within"),
+        F.round(
+            F.sum(F.col("__btw").cast(d38)).over(w).cast("double"), 6
+        ).alias("theil_between"),
+    )
+
+
+_THEIL_INDEX_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)) AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1
+),
+staged AS (
+  SELECT n_name, rev
+  FROM per_cust
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+),
+grp AS (
+  SELECT n_name, count(*) AS ng, sum(rev) AS xg FROM staged GROUP BY 1
+),
+per_nation AS (
+  SELECT s.n_name, max(g.ng) AS ng, max(g.xg) AS xg,
+         sum(((s.rev::DOUBLE * g.ng::DOUBLE / g.xg::DOUBLE)
+              * ln(s.rev::DOUBLE * g.ng::DOUBLE / g.xg::DOUBLE))::DECIMAL(38,12))
+           AS tsum
+  FROM staged s JOIN grp g USING (n_name)
+  GROUP BY 1
+),
+folded AS (
+  SELECT n_name, ng, xg, tsum,
+         sum(ng) OVER () AS n, sum(xg) OVER () AS x
+  FROM per_nation
+),
+scored AS (
+  SELECT n_name, ng,
+         xg::DOUBLE / x::DOUBLE AS sg,
+         tsum::DOUBLE / ng::DOUBLE AS tg,
+         (xg::DOUBLE / x::DOUBLE)
+           * ln((xg::DOUBLE / x::DOUBLE) * n::DOUBLE / ng::DOUBLE) AS btw,
+         (xg::DOUBLE / x::DOUBLE) * (tsum::DOUBLE / ng::DOUBLE) AS wterm
+  FROM folded
+)
+SELECT n_name AS nation,
+       ng::BIGINT AS n_cust,
+       round(sg::DECIMAL(18,8), 6)::DOUBLE AS rev_share,
+       round(tg::DECIMAL(18,8), 6)::DOUBLE AS theil_g,
+       round(btw::DECIMAL(18,8), 6)::DOUBLE AS between_term,
+       round(sum(wterm::DECIMAL(38,12)) OVER ()::DOUBLE, 6) AS theil_within,
+       round(sum(btw::DECIMAL(38,12)) OVER ()::DOUBLE, 6) AS theil_between
+FROM scored
+"""
 
 
 def rfm_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2044,6 +2261,8 @@ QUERIES = {
     "salted_join": q_salted_join,
     "spearman": q_spearman,
     "kendall_tau": q_kendall_tau,
+    "woe_iv": q_woe_iv,
+    "theil_index": q_theil_index,
     "mann_whitney": q_mann_whitney,
     "kruskal_wallis": q_kruskal_wallis,
     "weighted_median": q_weighted_median,
@@ -2085,6 +2304,8 @@ ORACLES = {
     "salted_join": _SALTED_JOIN_SQL,
     "spearman": _SPEARMAN_SQL,
     "kendall_tau": _KENDALL_TAU_SQL,
+    "woe_iv": _WOE_IV_SQL,
+    "theil_index": _THEIL_INDEX_SQL,
     "mann_whitney": _MANN_WHITNEY_SQL,
     "kruskal_wallis": _KRUSKAL_WALLIS_SQL,
     "weighted_median": _WEIGHTED_MEDIAN_SQL,

@@ -1097,6 +1097,113 @@ FROM pt, ci
 """
 
 
+
+def q_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains/lift table — the credit-scoring model-quality
+    screen of the reference's LoanStats domain: orders ranked by
+    o_totalprice (descending, orderkey tie-break) into 10 deciles via
+    ``ranks.global_ntile`` (range-partition + broadcast offsets — the
+    distributed ntile, bit-identical to the window form), target =
+    order contains a returned ('R') line item. Per decile: volume, bad
+    count, bad rate, cumulative capture of all bads, and lift vs the
+    base rate. The only single-partition window runs over the 10-row
+    decile frame; every rate is exact-int division, DECIMAL-recast
+    before the display round."""
+    from pyspark.sql.window import Window
+
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    flagged = li.groupBy("l_orderkey").agg(
+        F.max(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("__bad")
+    )
+    scored = orders.join(
+        flagged, orders.o_orderkey == flagged.l_orderkey, "left"
+    ).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.coalesce(F.col("__bad"), F.lit(0)).alias("__bad"),
+    )
+    binned = ranks.global_ntile(
+        scored,
+        10,
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        bucket_name="decile",
+    )
+    per = binned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__bad").alias("__nb"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    d18 = "decimal(18,8)"
+    staged = per.select(
+        "decile",
+        "__n",
+        "__nb",
+        F.sum("__nb").over(w_cum).alias("__cb"),
+        F.sum("__nb").over(w_all).alias("__tb"),
+        F.sum("__n").over(w_all).alias("__tn"),
+    )
+    return staged.select(
+        F.col("decile").cast("long").alias("decile"),
+        F.col("__n").cast("long").alias("n_orders"),
+        F.col("__nb").cast("long").alias("n_bad"),
+        F.round(
+            F.try_divide(F.col("__nb"), F.col("__n")).cast(d18), 6
+        ).cast("double").alias("bad_rate"),
+        F.round(
+            F.try_divide(F.col("__cb"), F.col("__tb")).cast(d18), 6
+        ).cast("double").alias("cum_capture"),
+        F.round(
+            F.try_divide(
+                F.col("__nb").cast("double") * F.col("__tn").cast("double"),
+                F.col("__n").cast("double") * F.col("__tb").cast("double"),
+            ).cast(d18),
+            6,
+        ).cast("double").alias("lift"),
+    )
+
+
+_GAINS_TABLE_SQL = """
+WITH flagged AS (
+  SELECT l_orderkey,
+         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS bad
+  FROM lineitem GROUP BY 1
+),
+scored AS (
+  SELECT o_orderkey, o_totalprice, coalesce(bad, 0) AS bad
+  FROM orders LEFT JOIN flagged ON o_orderkey = l_orderkey
+),
+binned AS (
+  SELECT bad,
+         ntile(10) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS decile
+  FROM scored
+),
+per AS (
+  SELECT decile, count(*) AS n, sum(bad) AS nb FROM binned GROUP BY 1
+),
+staged AS (
+  SELECT decile, n, nb,
+         sum(nb) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cb,
+         sum(nb) OVER () AS tb,
+         sum(n) OVER () AS tn
+  FROM per
+)
+SELECT decile::BIGINT AS decile,
+       n::BIGINT AS n_orders,
+       nb::BIGINT AS n_bad,
+       round((nb / n::DOUBLE)::DECIMAL(18,8), 6)::DOUBLE AS bad_rate,
+       round((cb / tb::DOUBLE)::DECIMAL(18,8), 6)::DOUBLE AS cum_capture,
+       round((nb::DOUBLE * tn::DOUBLE / (n::DOUBLE * tb::DOUBLE))::DECIMAL(18,8),
+             6)::DOUBLE AS lift
+FROM staged
+"""
+
+
 QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "equidepth_bins": q_equidepth_bins,
@@ -1121,10 +1228,12 @@ QUERIES = {
     "lorenz_scale": q_lorenz_scale,
     "rfm_scale": q_rfm_scale,
     "bootstrap_ci": q_bootstrap_ci,
+    "gains_table": q_gains_table,
 }
 
 ORACLES = {
     "bootstrap_ci": _BOOTSTRAP_CI_SQL,
+    "gains_table": _GAINS_TABLE_SQL,
     "incr_agg": _INCR_AGG_SQL,
     "embedding_quantize": _EMBEDDING_QUANTIZE_SQL,
     # approx_distinct / approx_quantiles: rows-only by design (sketch

@@ -3030,6 +3030,113 @@ FROM s
 """
 
 
+
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single best changepoint per event_type daily series (binary
+    segmentation, step 1): the split day minimizing total two-segment
+    SSE. Minimizing SSE = maximizing h(i) = S1_l²/n_l + S1_r²/n_r over
+    prefix sums, so the scan is ONE cumulative window over the
+    day-grain panel (bounded by horizon, keyed by type) and every h is
+    built from exact int64 prefix sums — the only floats are two
+    divisions and one add of IEEE-identical operands, so the argmax is
+    engine-deterministic (day asc tie-break). No per-candidate rescan:
+    the naive form recomputes both segment means per split (O(days²)
+    work and a correlated-subquery shape); prefix sums make it one
+    pass."""
+    tune_for_engine(spark)
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("__d"),
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("__d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    staged = daily.select(
+        "event_type",
+        "__d",
+        F.sum("__c").over(w_cum).alias("__s1"),
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("__d")
+        ).alias("__i"),
+        F.sum("__c").over(w_all).alias("__st"),
+        F.count(F.lit(1)).over(w_all).alias("__N"),
+    )
+    cand = staged.filter(F.col("__i") < F.col("__N"))
+    nl = F.col("__i").cast("double")
+    nr = (F.col("__N") - F.col("__i")).cast("double")
+    s1l = F.col("__s1").cast("double")
+    s1r = (F.col("__st") - F.col("__s1")).cast("double")
+    scored = cand.select(
+        "event_type",
+        "__d",
+        "__N",
+        (s1l * s1l / nl + s1r * s1r / nr).alias("__h"),
+        (s1l / nl).alias("__mb"),
+        (s1r / nr).alias("__ma"),
+    )
+    best = scored.withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.desc("__h"), F.asc("__d")
+            )
+        ),
+    ).filter(F.col("__rn") == 1)
+    return best.select(
+        "event_type",
+        F.col("__d").cast("long").alias("split_day"),
+        F.round(F.col("__mb").cast("decimal(18,8)"), 4)
+        .cast("double")
+        .alias("mean_before"),
+        F.round(F.col("__ma").cast("decimal(18,8)"), 4)
+        .cast("double")
+        .alias("mean_after"),
+        F.col("__N").cast("long").alias("n_days"),
+    )
+
+
+_CHANGEPOINT_SQL = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS d, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+staged AS (
+  SELECT event_type, d,
+         sum(c) OVER (PARTITION BY event_type ORDER BY d
+                      ROWS UNBOUNDED PRECEDING) AS s1,
+         row_number() OVER (PARTITION BY event_type ORDER BY d) AS i,
+         sum(c) OVER (PARTITION BY event_type) AS st,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+),
+scored AS (
+  SELECT event_type, d, n,
+         s1::DOUBLE * s1::DOUBLE / i::DOUBLE
+           + (st - s1)::DOUBLE * (st - s1)::DOUBLE / (n - i)::DOUBLE AS h,
+         s1::DOUBLE / i::DOUBLE AS mb,
+         (st - s1)::DOUBLE / (n - i)::DOUBLE AS ma
+  FROM staged WHERE i < n
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY h DESC, d) AS rn
+  FROM scored
+)
+SELECT event_type,
+       d::BIGINT AS split_day,
+       round(mb::DECIMAL(18,8), 4)::DOUBLE AS mean_before,
+       round(ma::DECIMAL(18,8), 4)::DOUBLE AS mean_after,
+       n::BIGINT AS n_days
+FROM best WHERE rn = 1
+"""
+
+
 QUERIES = {
     "autocorr": q_autocorr,
     "seasonal_adjust": q_seasonal_adjust,
@@ -3085,6 +3192,7 @@ QUERIES = {
     "mutual_info": q_mutual_info,
     "interval_merge": q_interval_merge,
     "cross_corr": q_cross_corr,
+    "changepoint": q_changepoint,
 }
 
 ORACLES = {
@@ -3142,4 +3250,5 @@ ORACLES = {
     "mutual_info": _MUTUAL_INFO_SQL,
     "interval_merge": _INTERVAL_MERGE_SQL,
     "cross_corr": _CROSS_CORR_SQL,
+    "changepoint": _CHANGEPOINT_SQL,
 }

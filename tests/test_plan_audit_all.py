@@ -136,6 +136,7 @@ _BOUNDED_GLOBAL_WINDOW = {
     "cuped": "2-row arm frame (pooled-sufficient-stat fold)",
     "cumulative_reach": "per-day first-seen frame (~90 rows), bounded by horizon",
     "equidepth_bins": "O(32) ranks.global_ntile offsets frame only (raw-fact ntile distributed)",
+    "gains_table": "10-row decile frame + O(32) ranks.global_ntile offsets",
     "gini_scale": "O(32) ranks.global_rank offsets frame only",
     "hybrid_rrf": "bounded top-k retrieval legs",
     "k_anonymity": "quasi-identifier cross-product frame (125 classes), bounded by QI domains not rows",
@@ -161,6 +162,7 @@ _BOUNDED_GLOBAL_WINDOW = {
     "survival_table": "|distinct lifetime days| frame, bounded by horizon",
     "t_closeness": "same QI-class frame as k_anonymity (125 classes)",
     "target_encode": "per-category prior frame, bounded by category domain",
+    "theil_index": "25-row nation frame (bounded by the nation domain)",
     "token_budget": "20-row source frame",
     "token_js": "two-scan vocab panel (vocab-grain, sublinear)",
     "user_migration": "per-period argmax frames + 1-row bounds attach",
@@ -168,6 +170,7 @@ _BOUNDED_GLOBAL_WINDOW = {
     "vocab_growth": "O(32) offsets frames only (2 chained global_cumsum passes)",
     "vocab_coverage": "1-row folded coverage frames",
     "window_funnel": "per-step funnel frame (4 steps)",
+    "woe_iv": "11-row discount-bucket frame (bounded by the value domain)",
 }
 
 # Entity-grain global windows: exact form kept for the oracle, with a

@@ -150,3 +150,159 @@ def test_poisson_weights_mean_near_one(spark, sf_dir):
         F.avg(w).alias("m"), F.count(F.lit(1)).alias("n")
     ).collect()[0]
     assert stats["m"] == pytest.approx(1.0, abs=0.05)
+
+
+def test_changepoint_finds_step(spark, tmp_path):
+    # level 2/day for 6 days then 10/day for 6 days -> split after day 5
+    import datetime
+
+    from sparkprep.queries.temporal_grouped import q_changepoint
+
+    base = datetime.datetime(2022, 3, 1)
+    rows = []
+    eid = 0
+    for d in range(12):
+        n = 2 if d < 6 else 10
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, 1, "click", base + datetime.timedelta(days=d)))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    dd = tmp_path / "sf"
+    dd.mkdir()
+    df.write.parquet(str(dd / "events.parquet"))
+    got = q_changepoint(spark, str(dd)).collect()
+    assert len(got) == 1
+    r = got[0]
+    first_day = r["split_day"] - 5  # split at the 6th day of the series
+    assert r["n_days"] == 12
+    assert r["mean_before"] == pytest.approx(2.0)
+    assert r["mean_after"] == pytest.approx(10.0)
+    assert first_day * 86400000000 <= r["split_day"] * 86400000000
+
+
+def test_ngram_novelty_exact_dup_and_fresh(spark, tmp_path):
+    from sparkprep.queries.corpus import q_ngram_novelty
+
+    rows = [
+        (1, "a b c d"),        # 2 shingles, all novel
+        (2, "a b c d"),        # exact dup of doc 1 -> novelty 0
+        (3, "a b c x y z"),    # 4 shingles: 'a b c' seen, 3 novel
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = tmp_path / "sf"
+    d.mkdir()
+    df.write.parquet(str(d / "documents.parquet"))
+    got = {r["doc_id"]: r for r in q_ngram_novelty(spark, str(d)).collect()}
+    assert got[1]["n_shingles"] == 2 and got[1]["novelty"] == 1.0
+    assert got[2]["n_shingles"] == 2 and got[2]["novelty"] == 0.0
+    assert got[3]["n_shingles"] == 4 and got[3]["n_novel"] == 3
+    assert got[3]["novelty"] == pytest.approx(0.75)
+
+
+def test_gains_table_invariants(spark, sf_dir):
+    from sparkprep.queries.scale_ops import q_gains_table
+
+    rows = q_gains_table(spark, sf_dir).orderBy("decile").collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    # cumulative capture is monotone and ends at 1.0
+    caps = [r["cum_capture"] for r in rows]
+    assert caps == sorted(caps) and caps[-1] == pytest.approx(1.0)
+    # decile sizes differ by at most 1 (exact ntile)
+    sizes = [r["n_orders"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    # lift averages to ~1 weighted by volume: sum(nb) / tb == 1
+    total_bad = sum(r["n_bad"] for r in rows)
+    assert total_bad > 0
+
+
+def test_woe_iv_hand_math(spark, tmp_path):
+    import math
+
+    from sparkprep.queries.relational_ext import q_woe_iv
+
+    # bucket 0.0: 30 good / 10 bad; bucket 0.1: 10 good / 30 bad
+    rows = (
+        [(0.0, "N")] * 30 + [(0.0, "R")] * 10
+        + [(0.1, "N")] * 10 + [(0.1, "R")] * 30
+    )
+    df = spark.createDataFrame(rows, "l_discount double, l_returnflag string")
+    d = tmp_path / "sf"
+    d.mkdir()
+    df.write.parquet(str(d / "lineitem.parquet"))
+    got = {r["bucket"]: r for r in q_woe_iv(spark, str(d)).collect()}
+    # pct_g = 30/40, pct_b = 10/40 -> woe = ln(3); symmetric bucket ln(1/3)
+    assert got[0.0]["woe"] == pytest.approx(math.log(3), abs=1e-6)
+    assert got[0.1]["woe"] == pytest.approx(-math.log(3), abs=1e-6)
+    iv = 2 * (30 / 40 - 10 / 40) * math.log(3)
+    assert got[0.0]["iv_total"] == pytest.approx(iv, abs=1e-6)
+    assert got[0.0]["iv_term"] == pytest.approx(iv / 2, abs=1e-6)
+
+
+def test_theil_decomposition_identity(spark, sf_dir):
+    # Theil is additively decomposable: within = sum(s_g * T_g)
+    from sparkprep.queries.relational_ext import q_theil_index
+
+    rows = q_theil_index(spark, sf_dir).collect()
+    assert rows
+    within = rows[0]["theil_within"]
+    between = rows[0]["theil_between"]
+    recomposed = sum(r["rev_share"] * r["theil_g"] for r in rows)
+    assert within == pytest.approx(recomposed, abs=1e-4)
+    rebetween = sum(r["between_term"] for r in rows)
+    assert between == pytest.approx(rebetween, abs=1e-4)
+    assert within >= 0
+    assert sum(r["rev_share"] for r in rows) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_theil_equal_distribution_is_zero(spark, tmp_path):
+    from sparkprep.queries.relational_ext import q_theil_index
+
+    # 4 customers, 2 nations, identical revenue -> every index 0
+    li = spark.createDataFrame(
+        [(i, 100.0, 0.0) for i in range(1, 5)],
+        "l_orderkey long, l_extendedprice double, l_discount double",
+    )
+    orders = spark.createDataFrame(
+        [(i, i) for i in range(1, 5)], "o_orderkey long, o_custkey long"
+    )
+    cust = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 20)],
+        "c_custkey long, c_nationkey long",
+    )
+    nation = spark.createDataFrame(
+        [(10, "A"), (20, "B")], "n_nationkey long, n_name string"
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    for name, df in [
+        ("lineitem", li), ("orders", orders),
+        ("customer", cust), ("nation", nation),
+    ]:
+        df.write.parquet(str(d / f"{name}.parquet"))
+    for r in q_theil_index(spark, str(d)).collect():
+        assert r["theil_g"] == 0.0
+        assert r["between_term"] == pytest.approx(0.0, abs=1e-6)
+        assert r["theil_within"] == 0.0 and r["theil_between"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_dp_counts_mechanism_replay(spark, sf_dir):
+    import hashlib
+    import math
+
+    from sparkprep.queries.governance import q_dp_counts
+
+    rows = {r["event_type"]: r for r in q_dp_counts(spark, sf_dir).collect()}
+    assert set(rows) == {"click", "error", "purchase", "signup", "view"}
+    P = 2147483647
+    for et, r in rows.items():
+        h = int(hashlib.md5(et.encode()).hexdigest()[:15], 16) % P
+        u = (h + 0.5) / P
+        sign = 1.0 if u - 0.5 >= 0 else -1.0
+        expected = -sign * math.log(1.0 - 2.0 * abs(u - 0.5))
+        assert r["noise"] == pytest.approx(expected, abs=1e-4)
+        assert r["n_released"] == pytest.approx(
+            r["n_true"] + expected, abs=1e-3
+        )
+        assert r["epsilon"] == 1.0
