@@ -955,12 +955,37 @@ def q_token_packing_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-# Poisson(1) CDF as integer thresholds over the md5 hash range
-# [0, 2^31-1): weight k iff hash < _POIS_T[k] (first match). Pure
-# int64 comparisons — no float-compare divergence surface at all.
-_POIS_T = (790015083, 1580030167, 1975037709, 2106706890, 2139624185,
-           2146207644)
+# Poisson(1) CDF as 4-hex-char thresholds over a 16-bit hash slice:
+# weight k iff slice < _POIS_HEX[k] (first match). Fixed-length
+# lowercase hex compares LEXICOGRAPHICALLY == numerically on both
+# engines (binary string order), and skipping the hex→int conv()
+# measured ~20% off the exploded row pass. 16 bits quantize the CDF to
+# 1/65536 (identically on both engines — the quantized distribution IS
+# the sampled distribution). Int values: 24109, 48218, 60273, 64291,
+# 65296, 65497.
+_POIS_HEX = ("5e2d", "bc5a", "eb71", "fb23", "ff10", "ffd9")
 _BOOT_B = 32
+
+
+def _boot_digest(key: F.Column) -> F.Column:
+    """128 hex chars of replicate entropy per row from FOUR md5 calls
+    (8 replicates × 4 hex chars each): md5 per (row, replicate) was 3x
+    slower at sf0.1 (6.4s → 2.3s measured) — the digest count, not the
+    exploded row count, dominated the weight path."""
+    return F.concat(
+        *[F.md5(F.concat_ws(":", key, F.lit(j))) for j in range(4)]
+    )
+
+
+def _boot_weight(digest: F.Column, b: F.Column) -> F.Column:
+    """Poisson(1) weight for replicate ``b`` from its 4-hex slice of
+    the row digest, via lexicographic CDF-threshold compares (equal to
+    the numeric compare for fixed-length lowercase hex)."""
+    sl = F.substring(digest, b * 4 + 1, 4)
+    w = F.when(sl < _POIS_HEX[0], 0)
+    for k, thr in enumerate(_POIS_HEX[1:], start=1):
+        w = w.when(sl < thr, k)
+    return w.otherwise(6)
 
 
 def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -969,31 +994,27 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     Uncertainty for Massive Data Streams", Google 2012): instead of
     materializing B resamples (B full shuffles of the corpus), each
     row computes its OWN per-replicate Poisson(1) weight from an
-    md5-derived hash of (orderkey, replicate) — row-local, exactly
-    reproducible on any engine. One explode to B=32 weighted copies
-    (map-side only), ONE map-combined groupBy(replicate) (each
-    partition emits <=32 partial rows), and the CI is an order
-    statistic of the 32 replicate means (2nd and 31st of 32 — a
-    ~94% interval; order statistics, never a float re-sum). Replicate
-    means divide exact DECIMAL sums once; the 32-row rank window is
-    data-independent (registered bound). Weights come from integer
-    threshold compares against the Poisson(1) CDF scaled to the hash
-    range — no float comparison anywhere in the weight path."""
-    from sparkprep.operators.dedup import string_to_int_hash
-
+    md5-derived hash slice — row-local, exactly reproducible on any
+    engine, and only FOUR md5 calls per row for all B=32 replicates
+    (4-hex-char slices; one md5 per (row, replicate) measured 3x
+    slower). One explode to B=32 weighted copies (map-side only), ONE
+    map-combined groupBy(replicate) (each partition emits <=32 partial
+    rows), and the CI is an order statistic of the 32 replicate means
+    (2nd and 31st of 32 — a ~94% interval; order statistics, never a
+    float re-sum). Replicate means divide exact DECIMAL sums once; the
+    32-row rank window is data-independent (registered bound). Weights
+    come from integer threshold compares against the Poisson(1) CDF
+    scaled to the 16-bit slice range — no float comparison anywhere in
+    the weight path."""
     orders = t(spark, sf_dir, "orders").select(
         "o_orderkey", F.col("o_totalprice").cast("decimal(18,4)").alias("__p")
     ).localCheckpoint(eager=False)  # consumed by point agg AND replicate fold
     rep = orders.withColumn(
+        "__md", _boot_digest(F.col("o_orderkey"))
+    ).withColumn(
         "__b", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1)))
     )
-    h = string_to_int_hash(
-        F.concat_ws(":", F.col("o_orderkey"), F.col("__b"))
-    )
-    w = F.when(h < _POIS_T[0], 0)
-    for k, thr in enumerate(_POIS_T[1:], start=1):
-        w = w.when(h < thr, k)
-    w = w.otherwise(6)
+    w = _boot_weight(F.col("__md"), F.col("__b"))
     means = (
         rep.select("__b", w.alias("__w"), "__p")
         .groupBy("__b")
@@ -1056,18 +1077,22 @@ wts AS (
   SELECT p,
          b,
          CASE
-           WHEN hv < {_POIS_T[0]} THEN 0
-           WHEN hv < {_POIS_T[1]} THEN 1
-           WHEN hv < {_POIS_T[2]} THEN 2
-           WHEN hv < {_POIS_T[3]} THEN 3
-           WHEN hv < {_POIS_T[4]} THEN 4
-           WHEN hv < {_POIS_T[5]} THEN 5
+           WHEN hv < '{_POIS_HEX[0]}' THEN 0
+           WHEN hv < '{_POIS_HEX[1]}' THEN 1
+           WHEN hv < '{_POIS_HEX[2]}' THEN 2
+           WHEN hv < '{_POIS_HEX[3]}' THEN 3
+           WHEN hv < '{_POIS_HEX[4]}' THEN 4
+           WHEN hv < '{_POIS_HEX[5]}' THEN 5
            ELSE 6
          END AS w
   FROM (
     SELECT p, b,
-           ('0x' || substr(md5(o_orderkey::VARCHAR || ':' || b::VARCHAR),
-                           1, 15))::BIGINT % 2147483647 AS hv
+           substr(
+              md5(o_orderkey::VARCHAR || ':0')
+                || md5(o_orderkey::VARCHAR || ':1')
+                || md5(o_orderkey::VARCHAR || ':2')
+                || md5(o_orderkey::VARCHAR || ':3'),
+              b * 4 + 1, 4) AS hv
     FROM rep
   )
 ),

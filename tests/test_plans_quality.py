@@ -198,14 +198,16 @@ def test_product_profit_dims_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_important_parts_window_post_agg(spark, sf_dir):
-    # Q11 shape: the empty-frame window runs over the per-part AGGREGATE
-    # (HashAggregate below Window in the tree), never over raw lineitem
+def test_important_parts_no_window_broadcast_attach(spark, sf_dir):
+    # Q11 shape, round-7 form: the global total is a 1-row agg
+    # broadcast-ATTACHED to the per-part aggregate — part grows with
+    # the data, so the old empty-frame window over the per-part frame
+    # would single-task it at 100x (VERDICT r6 #2). No Window node at
+    # all; the only BNLJ is the sanctioned 1-row attach.
     plan = _simple(QUERIES["important_parts"](spark, sf_dir))
-    assert "Window" in plan
-    agg_pos = plan.find("HashAggregate")
-    win_pos = plan.find("Window")
-    assert agg_pos != -1 and win_pos < agg_pos  # window consumes the agg
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total attach
+    assert "HashAggregate" in plan
 
 
 def test_window_medley_single_window_exec(spark, sf_dir):

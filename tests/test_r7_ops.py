@@ -135,17 +135,14 @@ def test_poisson_weights_mean_near_one(spark, sf_dir):
     # the replicate weight distribution must be ~Poisson(1): mean ~1
     from pyspark.sql import functions as F
 
-    from sparkprep.operators.dedup import string_to_int_hash
     from sparkprep.queries import t
-    from sparkprep.queries.scale_ops import _POIS_T
+    from sparkprep.queries.scale_ops import _boot_digest, _boot_weight
 
     orders = t(spark, sf_dir, "orders").select("o_orderkey")
-    rep = orders.withColumn("__b", F.explode(F.sequence(F.lit(0), F.lit(31))))
-    h = string_to_int_hash(F.concat_ws(":", F.col("o_orderkey"), F.col("__b")))
-    w = F.when(h < _POIS_T[0], 0)
-    for k, thr in enumerate(_POIS_T[1:], start=1):
-        w = w.when(h < thr, k)
-    w = w.otherwise(6)
+    rep = orders.withColumn(
+        "__md", _boot_digest(F.col("o_orderkey"))
+    ).withColumn("__b", F.explode(F.sequence(F.lit(0), F.lit(31))))
+    w = _boot_weight(F.col("__md"), F.col("__b"))
     stats = rep.agg(
         F.avg(w).alias("m"), F.count(F.lit(1)).alias("n")
     ).collect()[0]
