@@ -1489,6 +1489,225 @@ FROM scored
 """
 
 
+def q_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump induction on l_quantity predicting the returned
+    flag — the CART/credit-scorecard primitive beside woe_iv: the
+    split value minimizing weighted two-leaf Gini impurity. Same
+    prefix-sum algebra as ``changepoint``: minimizing weighted Gini ⇔
+    maximizing h(s) = (g_l²+b_l²)/n_l + (g_r²+b_r²)/n_r over class
+    prefix sums in value order — ONE cumulative window over the
+    50-row value-frequency frame (bounded by the quantity domain,
+    never raw rows), every h from exact int64 sums, two divisions +
+    one add of IEEE-identical operands → engine-deterministic argmax
+    (value-asc tie-break)."""
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("__v"),
+        (F.col("l_returnflag") == "R").alias("__bad"),
+    )
+    cells = li.groupBy("__v").agg(
+        F.sum(F.when(F.col("__bad"), 0).otherwise(1)).alias("__g"),
+        F.sum(F.when(F.col("__bad"), 1).otherwise(0)).alias("__b"),
+    )
+    w_cum = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    staged = cells.select(
+        "__v",
+        F.sum("__g").over(w_cum).alias("__gl"),
+        F.sum("__b").over(w_cum).alias("__bl"),
+        F.sum("__g").over(w_all).alias("__gt"),
+        F.sum("__b").over(w_all).alias("__bt"),
+        F.row_number().over(Window.orderBy("__v")).alias("__i"),
+        F.count(F.lit(1)).over(w_all).alias("__k"),
+    )
+    cand = staged.filter(F.col("__i") < F.col("__k"))
+    gl = F.col("__gl").cast("double")
+    bl = F.col("__bl").cast("double")
+    gr = (F.col("__gt") - F.col("__gl")).cast("double")
+    br = (F.col("__bt") - F.col("__bl")).cast("double")
+    nl = gl + bl
+    nr = gr + br
+    h = (gl * gl + bl * bl) / nl + (gr * gr + br * br) / nr
+    n = (F.col("__gt") + F.col("__bt")).cast("double")
+    gini_before = 1.0 - (
+        (F.col("__gt").cast("double") / n) ** 2
+        + (F.col("__bt").cast("double") / n) ** 2
+    )
+    gini_after = (n - h) / n
+    scored = cand.select(
+        "__v",
+        nl.cast("long").alias("n_left"),
+        nr.cast("long").alias("n_right"),
+        (bl / nl).alias("__brl"),
+        (br / nr).alias("__brr"),
+        gini_before.alias("__g0"),
+        gini_after.alias("__g1"),
+        F.row_number().over(
+            Window.orderBy(
+                F.desc((gl * gl + bl * bl) / nl + (gr * gr + br * br) / nr),
+                F.asc("__v"),
+            )
+        ).alias("__rn"),
+    )
+    d18 = "decimal(18,8)"
+    return scored.filter(F.col("__rn") == 1).select(
+        F.col("__v").alias("split_value"),
+        "n_left",
+        "n_right",
+        F.round(F.col("__brl").cast(d18), 6).cast("double").alias(
+            "bad_rate_left"
+        ),
+        F.round(F.col("__brr").cast(d18), 6).cast("double").alias(
+            "bad_rate_right"
+        ),
+        F.round(F.col("__g0").cast(d18), 6).cast("double").alias(
+            "gini_before"
+        ),
+        F.round(F.col("__g1").cast(d18), 6).cast("double").alias(
+            "gini_after"
+        ),
+    )
+
+
+_STUMP_SPLIT_SQL = """
+WITH cells AS (
+  SELECT l_quantity AS v,
+         sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS g,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS b
+  FROM lineitem GROUP BY 1
+),
+staged AS (
+  SELECT v,
+         sum(g) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS gl,
+         sum(b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS bl,
+         sum(g) OVER () AS gt, sum(b) OVER () AS bt,
+         row_number() OVER (ORDER BY v) AS i,
+         count(*) OVER () AS k
+  FROM cells
+),
+scored AS (
+  SELECT v,
+         (gl + bl)::BIGINT AS n_left,
+         ((gt - gl) + (bt - bl))::BIGINT AS n_right,
+         bl::DOUBLE / (gl + bl)::DOUBLE AS brl,
+         (bt - bl)::DOUBLE / ((gt - gl) + (bt - bl))::DOUBLE AS brr,
+         1.0 - ((gt::DOUBLE / (gt + bt)::DOUBLE) * (gt::DOUBLE / (gt + bt)::DOUBLE)
+                + (bt::DOUBLE / (gt + bt)::DOUBLE) * (bt::DOUBLE / (gt + bt)::DOUBLE))
+           AS g0,
+         ((gt + bt)::DOUBLE
+          - ((gl::DOUBLE * gl::DOUBLE + bl::DOUBLE * bl::DOUBLE)
+               / (gl + bl)::DOUBLE
+             + ((gt - gl)::DOUBLE * (gt - gl)::DOUBLE
+                + (bt - bl)::DOUBLE * (bt - bl)::DOUBLE)
+               / ((gt - gl) + (bt - bl))::DOUBLE))
+           / (gt + bt)::DOUBLE AS g1,
+         row_number() OVER (ORDER BY
+           (gl::DOUBLE * gl::DOUBLE + bl::DOUBLE * bl::DOUBLE)
+             / (gl + bl)::DOUBLE
+           + ((gt - gl)::DOUBLE * (gt - gl)::DOUBLE
+              + (bt - bl)::DOUBLE * (bt - bl)::DOUBLE)
+             / ((gt - gl) + (bt - bl))::DOUBLE DESC, v) AS rn
+  FROM staged WHERE i < k
+)
+SELECT v AS split_value,
+       n_left, n_right,
+       round(brl::DECIMAL(18,8), 6)::DOUBLE AS bad_rate_left,
+       round(brr::DECIMAL(18,8), 6)::DOUBLE AS bad_rate_right,
+       round(g0::DECIMAL(18,8), 6)::DOUBLE AS gini_before,
+       round(g1::DECIMAL(18,8), 6)::DOUBLE AS gini_after
+FROM scored WHERE rn = 1
+"""
+
+
+def q_ols_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log OLS demand slope per brand: regress ln(quantity) on
+    ln(unit price) over the lineitem⋈part slice — the price-
+    elasticity screen, and the registry's closed-form OLS primitive
+    (trend_robust is the rank-based sibling). Sufficient statistics
+    only: per-row ln terms and their products are DECIMAL(38,12)-
+    recast before the map-combined per-brand sums (order-independent,
+    the pr_auc discipline); slope/intercept/R² are a handful of IEEE
+    ops on those exact sums, one row per brand (25 — bounded by the
+    brand domain)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    staged = li.join(part, "l_partkey").select(
+        "p_brand",
+        F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("__x"),
+        F.log("l_quantity").alias("__y"),
+    )
+    d38 = "decimal(38,12)"
+    sums = staged.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__x").cast(d38)).alias("__sx"),
+        F.sum(F.col("__y").cast(d38)).alias("__sy"),
+        F.sum((F.col("__x") * F.col("__y")).cast(d38)).alias("__sxy"),
+        F.sum((F.col("__x") * F.col("__x")).cast(d38)).alias("__sxx"),
+        F.sum((F.col("__y") * F.col("__y")).cast(d38)).alias("__syy"),
+    )
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    num = n * sxy - sx * sy
+    slope = F.try_divide(num, dx)
+    intercept = (sy - slope * sx) / n
+    r2 = F.try_divide(num * num, dx * dy)
+    d18 = "decimal(18,8)"
+    return sums.select(
+        F.col("p_brand").alias("brand"),
+        F.col("__n").cast("long").alias("n_rows"),
+        F.round(slope.cast(d18), 6).cast("double").alias("slope"),
+        F.round(intercept.cast(d18), 6).cast("double").alias("intercept"),
+        F.round(r2.cast(d18), 6).cast("double").alias("r2"),
+    )
+
+
+_OLS_ELASTICITY_SQL = """
+WITH staged AS (
+  SELECT p_brand,
+         ln(l_extendedprice / l_quantity) AS x,
+         ln(l_quantity) AS y
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+sums AS (
+  SELECT p_brand, count(*) AS n,
+         sum(x::DECIMAL(38,12)) AS sx, sum(y::DECIMAL(38,12)) AS sy,
+         sum((x * y)::DECIMAL(38,12)) AS sxy,
+         sum((x * x)::DECIMAL(38,12)) AS sxx,
+         sum((y * y)::DECIMAL(38,12)) AS syy
+  FROM staged GROUP BY 1
+)
+SELECT p_brand AS brand,
+       n::BIGINT AS n_rows,
+       round(((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+              / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))::DECIMAL(18,8),
+             6)::DOUBLE AS slope,
+       round(((sy::DOUBLE
+               - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                  / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
+                 * sx::DOUBLE)
+              / n::DOUBLE)::DECIMAL(18,8), 6)::DOUBLE AS intercept,
+       round((((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+               * (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE))
+              / ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                 * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)))::DECIMAL(18,8),
+             6)::DOUBLE AS r2
+FROM sums
+"""
+
+
 def rfm_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared RFM staging for rfm_segments and scale_ops.q_rfm_scale
     (same oracle): per-customer (recency, frequency, monetary) with the
@@ -2263,6 +2482,8 @@ QUERIES = {
     "kendall_tau": q_kendall_tau,
     "woe_iv": q_woe_iv,
     "theil_index": q_theil_index,
+    "stump_split": q_stump_split,
+    "ols_elasticity": q_ols_elasticity,
     "mann_whitney": q_mann_whitney,
     "kruskal_wallis": q_kruskal_wallis,
     "weighted_median": q_weighted_median,
@@ -2306,6 +2527,8 @@ ORACLES = {
     "kendall_tau": _KENDALL_TAU_SQL,
     "woe_iv": _WOE_IV_SQL,
     "theil_index": _THEIL_INDEX_SQL,
+    "stump_split": _STUMP_SPLIT_SQL,
+    "ols_elasticity": _OLS_ELASTICITY_SQL,
     "mann_whitney": _MANN_WHITNEY_SQL,
     "kruskal_wallis": _KRUSKAL_WALLIS_SQL,
     "weighted_median": _WEIGHTED_MEDIAN_SQL,

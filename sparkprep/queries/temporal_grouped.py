@@ -3137,6 +3137,88 @@ FROM best WHERE rn = 1
 """
 
 
+
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic burstiness per event_type: Fano factor (var/mean of
+    hourly counts, 1 = Poisson, >1 = bursty) and squared coefficient
+    of variation — the dispersion screen that decides whether rate
+    limits / partition sizing can assume smooth arrivals. ZERO floats
+    until one division: missing hours (count 0) enter the variance
+    WITHOUT densification, because over the per-type hour span H,
+    Fano = (H·S2 − S1²)/(H·S1) and CV² = (H·S2 − S1²)/S1² with
+    S1 = Σc, S2 = Σc² over observed hours only — exact int64 algebra
+    (products cast DECIMAL(19,0) for warehouse headroom). One
+    map-combined (type, hour) count, one per-type fold."""
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("__h"),
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    d19 = "decimal(19,0)"
+    per = hourly.groupBy("event_type").agg(
+        F.sum("__c").alias("__s1"),
+        F.sum(F.col("__c").cast(d19) * F.col("__c").cast(d19)).alias("__s2"),
+        (F.max("__h") - F.min("__h") + 1).alias("__hh"),
+    )
+    d38 = "decimal(38,0)"
+    num = (
+        F.col("__hh").cast(d38) * F.col("__s2").cast(d38)
+        - F.col("__s1").cast(d38) * F.col("__s1").cast(d38)
+    )
+    d18 = "decimal(18,8)"
+    return per.select(
+        "event_type",
+        F.col("__s1").cast("long").alias("n_events"),
+        F.col("__hh").cast("long").alias("n_hours"),
+        F.round(
+            F.try_divide(
+                num.cast("double"),
+                (F.col("__hh").cast(d38) * F.col("__s1").cast(d38)).cast(
+                    "double"
+                ),
+            ).cast(d18),
+            6,
+        ).cast("double").alias("fano"),
+        F.round(
+            F.try_divide(
+                num.cast("double"),
+                (F.col("__s1").cast(d38) * F.col("__s1").cast(d38)).cast(
+                    "double"
+                ),
+            ).cast(d18),
+            6,
+        ).cast("double").alias("cv2"),
+    )
+
+
+_BURSTINESS_SQL = """
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+per AS (
+  SELECT event_type,
+         sum(c) AS s1,
+         sum(c::DECIMAL(19,0) * c::DECIMAL(19,0)) AS s2,
+         max(h) - min(h) + 1 AS hh
+  FROM hourly GROUP BY 1
+)
+SELECT event_type,
+       s1::BIGINT AS n_events,
+       hh::BIGINT AS n_hours,
+       round(((hh::DECIMAL(38,0) * s2::DECIMAL(38,0)
+               - s1::DECIMAL(38,0) * s1::DECIMAL(38,0))::DOUBLE
+              / (hh::DECIMAL(38,0) * s1::DECIMAL(38,0))::DOUBLE)::DECIMAL(18,8),
+             6)::DOUBLE AS fano,
+       round(((hh::DECIMAL(38,0) * s2::DECIMAL(38,0)
+               - s1::DECIMAL(38,0) * s1::DECIMAL(38,0))::DOUBLE
+              / (s1::DECIMAL(38,0) * s1::DECIMAL(38,0))::DOUBLE)::DECIMAL(18,8),
+             6)::DOUBLE AS cv2
+FROM per
+"""
+
+
 QUERIES = {
     "autocorr": q_autocorr,
     "seasonal_adjust": q_seasonal_adjust,
@@ -3193,6 +3275,7 @@ QUERIES = {
     "interval_merge": q_interval_merge,
     "cross_corr": q_cross_corr,
     "changepoint": q_changepoint,
+    "burstiness": q_burstiness,
 }
 
 ORACLES = {
@@ -3251,4 +3334,5 @@ ORACLES = {
     "interval_merge": _INTERVAL_MERGE_SQL,
     "cross_corr": _CROSS_CORR_SQL,
     "changepoint": _CHANGEPOINT_SQL,
+    "burstiness": _BURSTINESS_SQL,
 }

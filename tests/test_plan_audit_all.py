@@ -159,6 +159,7 @@ _BOUNDED_GLOBAL_WINDOW = {
     "signed_rank": "|d| value-frequency rank frame (8-26 distinct values; canary-pinned <=512 in test_headroom_canaries)",
     "skyline": "per-level frame of the skyline lattice (bounded)",
     "spearman": "50/11 distinct-value frequency frames",
+    "stump_split": "50-row quantity value-frequency frame (bounded by the value domain)",
     "survival_table": "|distinct lifetime days| frame, bounded by horizon",
     "t_closeness": "same QI-class frame as k_anonymity (125 classes)",
     "target_encode": "per-category prior frame, bounded by category domain",

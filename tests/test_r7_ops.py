@@ -303,3 +303,80 @@ def test_dp_counts_mechanism_replay(spark, sf_dir):
             r["n_true"] + expected, abs=1e-3
         )
         assert r["epsilon"] == 1.0
+
+
+def test_burstiness_hand_math(spark, tmp_path):
+    # hours [h, h+2], observed counts 4 and 2 with the MIDDLE hour
+    # empty: S1=6, S2=20, H=3 -> fano = (3*20 - 36)/(3*6) = 4/3.
+    # The zero hour must count WITHOUT densification.
+    import datetime
+
+    from sparkprep.queries.temporal_grouped import q_burstiness
+
+    base = datetime.datetime(2022, 5, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for _ in range(4):
+        eid += 1
+        rows.append((eid, 1, "click", base))
+    for _ in range(2):
+        eid += 1
+        rows.append((eid, 1, "click", base + datetime.timedelta(hours=2)))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    df.write.parquet(str(d / "events.parquet"))
+    got = q_burstiness(spark, str(d)).collect()[0]
+    assert got["n_events"] == 6 and got["n_hours"] == 3
+    assert got["fano"] == pytest.approx(4 / 3, abs=1e-6)
+    assert got["cv2"] == pytest.approx((3 * 20 - 36) / 36, abs=1e-6)
+
+
+def test_stump_split_separable_case(spark, tmp_path):
+    from sparkprep.queries.relational_ext import q_stump_split
+
+    # quantity <= 10 never returns, quantity > 10 always returns:
+    # the stump must split at 10 with pure leaves
+    rows = (
+        [(5.0, "N")] * 20 + [(10.0, "N")] * 10
+        + [(20.0, "R")] * 15 + [(30.0, "R")] * 5
+    )
+    df = spark.createDataFrame(rows, "l_quantity double, l_returnflag string")
+    d = tmp_path / "sf"
+    d.mkdir()
+    df.write.parquet(str(d / "lineitem.parquet"))
+    got = q_stump_split(spark, str(d)).collect()[0]
+    assert got["split_value"] == 10.0
+    assert got["n_left"] == 30 and got["n_right"] == 20
+    assert got["bad_rate_left"] == 0.0 and got["bad_rate_right"] == 1.0
+    assert got["gini_after"] == 0.0
+    assert got["gini_before"] == pytest.approx(2 * 0.6 * 0.4, abs=1e-6)
+
+
+def test_ols_elasticity_recovers_exact_line(spark, tmp_path):
+    import math
+
+    from sparkprep.queries.relational_ext import q_ols_elasticity
+
+    # engineer ln(qty) = 2*ln(unit) + 1 exactly: unit = e^t, qty = e^(2t+1)
+    rows = []
+    for i, tv in enumerate([0.0, 0.5, 1.0, 1.5]):
+        unit = math.exp(tv)
+        qty = math.exp(2 * tv + 1)
+        rows.append((i, qty, unit * qty))
+    li = spark.createDataFrame(
+        rows, "l_partkey long, l_quantity double, l_extendedprice double"
+    )
+    part = spark.createDataFrame(
+        [(i, "Brand#1") for i in range(4)], "p_partkey long, p_brand string"
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    li.write.parquet(str(d / "lineitem.parquet"))
+    part.write.parquet(str(d / "part.parquet"))
+    got = q_ols_elasticity(spark, str(d)).collect()[0]
+    assert got["slope"] == pytest.approx(2.0, abs=1e-5)
+    assert got["intercept"] == pytest.approx(1.0, abs=1e-5)
+    assert got["r2"] == pytest.approx(1.0, abs=1e-6)
