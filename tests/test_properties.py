@@ -6,6 +6,8 @@ batched into one DataFrame per example.
 
 import math
 
+import pytest
+
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -350,3 +352,41 @@ def test_canonical_url_variant_invariance_and_fixpoint(spark, pairs):
         assert r["ca"] == r["cb"], (pairs[r["i"]], r["ca"], r["cb"])
         # and the key is a fixpoint of the canonicalizer
         assert r["caa"] == r["ca"]
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 6), st.integers(1, 5)),
+        min_size=3,
+        max_size=25,
+    )
+)
+def test_kendall_tau_matches_brute_force(spark, pairs):
+    # the 2-D-prefix-sum tau-b must equal the O(n^2) pair enumeration
+    # for ANY tie structure hypothesis can produce
+    from itertools import combinations
+
+    from sparkprep.operators.stats import kendall_tau
+
+    df = spark.createDataFrame(pairs, ["x", "y"])
+    got = kendall_tau(df, "x", "y").collect()[0]
+    c = d = 0
+    for (x1, y1), (x2, y2) in combinations(pairs, 2):
+        s = (x1 - x2) * (y1 - y2)
+        if s > 0:
+            c += 1
+        elif s < 0:
+            d += 1
+    assert got["concordant"] == c and got["discordant"] == d
+    n = len(pairs)
+    n0 = n * (n - 1) / 2
+    from collections import Counter
+
+    n1 = sum(t * (t - 1) / 2 for t in Counter(p[0] for p in pairs).values())
+    n2 = sum(t * (t - 1) / 2 for t in Counter(p[1] for p in pairs).values())
+    den = math.sqrt((n0 - n1) * (n0 - n2))
+    if den == 0:
+        assert got["kendall_tau"] is None
+    else:
+        assert got["kendall_tau"] == pytest.approx((c - d) / den, abs=1e-4)
