@@ -1708,6 +1708,144 @@ FROM sums
 """
 
 
+def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed degree distribution of the co-purchase graph —
+    the structure screen that says whether pagerank/k_core/two_hop
+    face a power-law hub problem (it is also the input to every
+    "should this join be salted" decision). Same capped edge builder
+    as k_core (support >= 2, cap-64 canary-pinned); degrees are one
+    map-combined groupBy over the exploded endpoints; the log2 bucket
+    is EXACT integer arithmetic on both engines — bit-length via
+    binary-string length (Spark ``conv(d,10,2)``, DuckDB ``bin(d)``),
+    never floor(log2(double)) whose boundary ulp can flip the bucket
+    cross-engine."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        graph.cooccurrence_pairs(
+            li, "l_orderkey", "l_partkey", max_items_per_key=64, cap_by="id"
+        )
+        .filter(F.col("n_keys") >= 2)
+        .select(F.col("item_a").alias("u"), F.col("item_b").alias("v"))
+    )
+    ends = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node"))
+    )
+    deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("__d"))
+    bucket = (F.length(F.conv(F.col("__d"), 10, 2)) - 1).cast("long")
+    return (
+        deg.groupBy(bucket.alias("log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("__d").cast("long").alias("min_degree"),
+            F.max("__d").cast("long").alias("max_degree"),
+            F.sum("__d").cast("long").alias("sum_degree"),
+        )
+    )
+
+
+_DEGREE_DIST_SQL = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+  ) GROUP BY 1
+)
+SELECT (length(bin(d)) - 1)::BIGINT AS log2_bucket,
+       count(*)::BIGINT AS n_nodes,
+       min(d)::BIGINT AS min_degree,
+       max(d)::BIGINT AS max_degree,
+       sum(d)::BIGINT AS sum_degree
+FROM deg GROUP BY 1
+"""
+
+
+def q_tail_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tail order statistics of order value at scale: p50/p90/
+    p99/p99.9 WITHOUT a global sort or a single-partition percentile —
+    ``ranks.global_rank`` (range partition + broadcast prefix offsets)
+    assigns every order a unique rank, and each target index is pure
+    integer math (ceil(p·n) = (p_num·n + p_den − 1) div p_den — no
+    float ceil whose half-boundary could flip cross-engine). The
+    tail-to-median ratio is the skew headline: stats_extended's
+    percentile() documents "per-group sort" as its 100 TB trade; this
+    is the exact global form that scales."""
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    from sparkprep.operators import ranks as _ranks
+
+    ranked = _ranks.global_rank(
+        orders,
+        [F.asc("o_totalprice"), F.asc("o_orderkey")],
+        rank_name="__r",
+        total_name="__n",
+    )
+    n = F.col("__n")
+    idx50 = F.expr("(__n + 1) div 2")
+    idx90 = F.expr("(9 * __n + 9) div 10")
+    idx99 = F.expr("(99 * __n + 99) div 100")
+    idx999 = F.expr("(999 * __n + 999) div 1000")
+    hits = ranked.filter(
+        (F.col("__r") == idx50)
+        | (F.col("__r") == idx90)
+        | (F.col("__r") == idx99)
+        | (F.col("__r") == idx999)
+    )
+    folded = hits.agg(
+        F.max(F.when(F.col("__r") == idx50, F.col("o_totalprice"))).alias(
+            "p50"
+        ),
+        F.max(F.when(F.col("__r") == idx90, F.col("o_totalprice"))).alias(
+            "p90"
+        ),
+        F.max(F.when(F.col("__r") == idx99, F.col("o_totalprice"))).alias(
+            "p99"
+        ),
+        F.max(F.when(F.col("__r") == idx999, F.col("o_totalprice"))).alias(
+            "p999"
+        ),
+        F.max("__n").cast("long").alias("n_orders"),
+    )
+    d18 = "decimal(18,8)"
+    return folded.select(
+        "n_orders",
+        "p50",
+        "p90",
+        "p99",
+        "p999",
+        F.round(
+            F.try_divide(F.col("p99"), F.col("p50")).cast(d18), 6
+        ).cast("double").alias("tail_ratio_99_50"),
+    )
+
+
+_TAIL_QUANTILES_SQL = """
+WITH ranked AS (
+  SELECT o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS r,
+         count(*) OVER () AS n
+  FROM orders
+),
+folded AS (
+  SELECT max(CASE WHEN r = (n + 1) // 2 THEN o_totalprice END) AS p50,
+         max(CASE WHEN r = (9 * n + 9) // 10 THEN o_totalprice END) AS p90,
+         max(CASE WHEN r = (99 * n + 99) // 100 THEN o_totalprice END) AS p99,
+         max(CASE WHEN r = (999 * n + 999) // 1000 THEN o_totalprice END) AS p999,
+         max(n)::BIGINT AS n_orders
+  FROM ranked
+)
+SELECT n_orders, p50, p90, p99, p999,
+       round((p99 / p50)::DECIMAL(18,8), 6)::DOUBLE AS tail_ratio_99_50
+FROM folded
+"""
+
+
 def rfm_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared RFM staging for rfm_segments and scale_ops.q_rfm_scale
     (same oracle): per-customer (recency, frequency, monetary) with the
@@ -2484,6 +2622,8 @@ QUERIES = {
     "theil_index": q_theil_index,
     "stump_split": q_stump_split,
     "ols_elasticity": q_ols_elasticity,
+    "degree_dist": q_degree_dist,
+    "tail_quantiles": q_tail_quantiles,
     "mann_whitney": q_mann_whitney,
     "kruskal_wallis": q_kruskal_wallis,
     "weighted_median": q_weighted_median,
@@ -2529,6 +2669,8 @@ ORACLES = {
     "theil_index": _THEIL_INDEX_SQL,
     "stump_split": _STUMP_SPLIT_SQL,
     "ols_elasticity": _OLS_ELASTICITY_SQL,
+    "degree_dist": _DEGREE_DIST_SQL,
+    "tail_quantiles": _TAIL_QUANTILES_SQL,
     "mann_whitney": _MANN_WHITNEY_SQL,
     "kruskal_wallis": _KRUSKAL_WALLIS_SQL,
     "weighted_median": _WEIGHTED_MEDIAN_SQL,

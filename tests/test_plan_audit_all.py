@@ -162,6 +162,7 @@ _BOUNDED_GLOBAL_WINDOW = {
     "stump_split": "50-row quantity value-frequency frame (bounded by the value domain)",
     "survival_table": "|distinct lifetime days| frame, bounded by horizon",
     "t_closeness": "same QI-class frame as k_anonymity (125 classes)",
+    "tail_quantiles": "O(32) ranks.global_rank offsets frame only (rank itself distributed)",
     "target_encode": "per-category prior frame, bounded by category domain",
     "theil_index": "25-row nation frame (bounded by the nation domain)",
     "token_budget": "20-row source frame",

@@ -380,3 +380,49 @@ def test_ols_elasticity_recovers_exact_line(spark, tmp_path):
     assert got["slope"] == pytest.approx(2.0, abs=1e-5)
     assert got["intercept"] == pytest.approx(1.0, abs=1e-5)
     assert got["r2"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_degree_dist_path_graph(spark, tmp_path):
+    from sparkprep.queries.relational_ext import q_degree_dist
+
+    # build lineitem so the support>=2 co-purchase graph is the path
+    # a-b-c: orders {a,b}x2 and {b,c}x2 -> degrees a=1, b=2, c=1
+    rows = []
+    for ok, parts in [(1, (100, 200)), (2, (100, 200)),
+                      (3, (200, 300)), (4, (200, 300))]:
+        for pk in parts:
+            rows.append((ok, pk))
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    d = tmp_path / "sf"
+    d.mkdir()
+    df.write.parquet(str(d / "lineitem.parquet"))
+    got = {r["log2_bucket"]: r for r in q_degree_dist(spark, str(d)).collect()}
+    # bucket 0 = degree 1 (two leaf nodes), bucket 1 = degree 2-3 (hub)
+    assert got[0]["n_nodes"] == 2 and got[0]["max_degree"] == 1
+    assert got[1]["n_nodes"] == 1 and got[1]["min_degree"] == 2
+
+
+def test_tail_quantiles_order_statistics(spark, tmp_path):
+    import math
+
+    from sparkprep.queries.relational_ext import q_tail_quantiles
+
+    vals = [float(v) for v in range(1, 201)]  # 1..200, unique
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)],
+        "o_orderkey long, o_totalprice double",
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    df.write.parquet(str(d / "orders.parquet"))
+    got = q_tail_quantiles(spark, str(d)).collect()[0]
+    s = sorted(vals)
+    n = len(s)
+    assert got["n_orders"] == n
+    assert got["p50"] == s[math.ceil(0.5 * n) - 1]
+    assert got["p90"] == s[math.ceil(0.9 * n) - 1]
+    assert got["p99"] == s[math.ceil(0.99 * n) - 1]
+    assert got["p999"] == s[math.ceil(0.999 * n) - 1]
+    assert got["tail_ratio_99_50"] == pytest.approx(
+        s[math.ceil(0.99 * n) - 1] / s[math.ceil(0.5 * n) - 1], abs=1e-6
+    )
