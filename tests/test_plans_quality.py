@@ -321,3 +321,47 @@ def test_topk_windows_get_window_group_limit(spark, sf_dir):
     for fn in (q_topk_per_group, q_per_group_sample):
         plan = _simple(fn(spark, sf_dir))
         assert "WindowGroupLimit" in plan, f"{fn.__name__}:\n{plan}"
+
+
+def test_bootstrap_ci_four_digests_not_thirtytwo(spark, sf_dir):
+    # the weight path derives all 32 replicates from FOUR md5 calls per
+    # row (one per (row, replicate) measured 3x slower); the plan must
+    # not regress to per-replicate digests or re-evaluate the digest
+    # per array element (the F.array literal-form HOF landmine)
+    plan = _simple(QUERIES["bootstrap_ci"](spark, sf_dir))
+    assert 1 <= plan.count("md5") <= 8  # 4 in the projection (+reuse)
+    assert "CartesianProduct" not in plan
+    assert "conv(" not in plan  # lexicographic hex compares, no hex->int
+
+
+def test_interval_merge_one_exchange_for_both_windows(spark, sf_dir):
+    # the running-max sweep and the island cumsum share ONE
+    # (user_id)-partitioned exchange+sort — a second exchange means the
+    # window specs drifted apart
+    plan = _simple(QUERIES["interval_merge"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_degree_dist_uses_bit_length_not_log2(spark, sf_dir):
+    # the log2 bucket must be the exact binary-string bit-length path;
+    # floor(log2(double)) boundaries can flip cross-engine
+    plan = _simple(QUERIES["degree_dist"](spark, sf_dir))
+    assert "conv(" in plan
+    assert "LOG2" not in plan.upper().replace("LOG2_BUCKET", "")
+
+
+def test_kendall_no_allpairs_join(spark, sf_dir):
+    # tau-b must come from the contingency grid, never an O(n^2)
+    # row-stream self-join: no cartesian, and the only sort-merge joins
+    # are on the aggregated cell frame
+    plan = _simple(QUERIES["kendall_tau"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_cross_corr_equijoin_on_day_lag(spark, sf_dir):
+    # the lag fan-out joins y on day+lag as an EQUI-join; a theta join
+    # here would BNLJ the daily panel against itself
+    plan = _simple(QUERIES["cross_corr"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
