@@ -347,6 +347,73 @@ def main() -> None:
     nn_planes = max(8, math.ceil(math.log2(max(num_docs, 1) / 25)))
     bench(f"mutual NN (2^{nn_planes} buckets)", lambda: materialize(
         similarity.mutual_nn_pairs(vecs, num_planes=nn_planes)))
+
+    # --- round-7 operators ------------------------------------------
+    from pyspark.sql.window import Window
+
+    from sparkprep.operators import ranks
+    from sparkprep.queries.scale_ops import _boot_digest, _boot_weight
+
+    # Poisson bootstrap: num_rows x 32 weighted copies; must stay a
+    # map-side explode + ONE 32-group map-combined fold (watch for the
+    # digest re-evaluation cliff)
+    def boot():
+        rep = rows.select("k", "v").withColumn(
+            "__md", _boot_digest(F.col("k"))
+        ).withColumn("__b", F.explode(F.sequence(F.lit(0), F.lit(31))))
+        w = _boot_weight(F.col("__md"), F.col("__b"))
+        return materialize(
+            rep.select("__b", w.alias("__w"), "v")
+            .groupBy("__b")
+            .agg(F.sum(F.col("v") * F.col("__w")), F.sum("__w"))
+        )
+
+    bench("poisson bootstrap (32 reps)", boot)
+
+    # kendall tau-b on bounded domains (1000 x 100 contingency grid):
+    # cost must be ONE groupBy over num_rows + grid-sized window work
+    kt_in = rows.select(
+        F.col("g").cast("double").alias("x"),
+        F.pmod("k", 100).cast("double").alias("y"),
+    )
+    bench("kendall tau-b (1000x100 grid)", lambda: materialize(
+        stats.kendall_tau(kt_in, "x", "y")))
+
+    # exact global rank over num_rows (tail_quantiles' engine): range
+    # partition + broadcast offsets, never a single-partition sort
+    bench("global rank (exact, 10M)", lambda: materialize(
+        ranks.global_rank(rows, [F.asc("v"), F.asc("k")],
+                          rank_name="r", total_name="n")))
+
+    # interval merge sweep over num_rows events / 1000 users: two
+    # same-key windows must share one exchange+sort
+    def imerge():
+        pt = fev.select(
+            "user_id",
+            F.unix_micros("ts").alias("s"),
+            (F.unix_micros("ts") + 300_000_000).alias("e"),
+        )
+        w_prev = (
+            Window.partitionBy("user_id").orderBy("s", "e")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        w_cum = (
+            Window.partitionBy("user_id").orderBy("s", "e")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        marked = pt.select(
+            "user_id", "s", "e",
+            F.when(F.col("s") > F.coalesce(
+                F.max("e").over(w_prev), F.lit(-1)), 1).otherwise(0)
+            .alias("ni"),
+        )
+        isl = marked.select(
+            "user_id", "s", "e", F.sum("ni").over(w_cum).alias("isl"))
+        return materialize(
+            isl.groupBy("user_id", "isl")
+            .agg(F.min("s"), F.max("e"), F.count(F.lit(1))))
+
+    bench("interval merge (1000 users)", imerge)
     spark.stop()
 
 
