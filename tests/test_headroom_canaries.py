@@ -206,3 +206,32 @@ SELECT count(DISTINCT abs(d)), count(*) FROM diffs WHERE d <> 0
         "ranks.global_cumsum (the distributed twin discipline) before "
         "trusting the single-partition window."
     )
+
+
+# The value-domain boundedness a whole family of rank/contingency
+# queries assumes: mann_whitney/kruskal_wallis/spearman/signed-rank
+# doubled-rank maps, kendall_tau's |X|x|Y| grid, stump_split's split
+# scan, and woe_iv's bucket frame all run windows over the quantity
+# (50 distinct) and discount (11 distinct) value-frequency frames. If
+# a regeneration ever makes those columns effectively continuous
+# (entity-grain distinct values), every one of those "bounded" frames
+# becomes the row frame and their single-partition windows melt.
+VALUE_DOMAIN_CAP = 4096
+
+
+@pytest.mark.parametrize("sfd", _all_sf_dirs())
+def test_value_domain_headroom(sfd):
+    con = duckdb.connect()
+    nq, nd = con.execute(
+        f"""SELECT count(DISTINCT l_quantity), count(DISTINCT l_discount)
+            FROM '{sfd}/lineitem.parquet'"""
+    ).fetchone()
+    for name, n in (("l_quantity", nq), ("l_discount", nd)):
+        assert n <= VALUE_DOMAIN_CAP // 2, (
+            f"{sfd}: {name} has {n} distinct values — within 2x of the "
+            f"{VALUE_DOMAIN_CAP} value-domain cap the rank/contingency "
+            "family (mann_whitney, kendall_tau, stump_split, woe_iv, "
+            "spearman, equidepth bucket math) assumes. Rebuild their "
+            "rank maps on ranks.global_cumsum (the distributed twin "
+            "discipline) before trusting those windows."
+        )
