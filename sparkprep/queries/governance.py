@@ -478,6 +478,78 @@ FROM noisy
 """
 
 
+
+_DP_HIST_WIDTH = 60_000
+_DP_HIST_BUCKETS = 10
+
+
+def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram of order value — dp_counts'
+    sibling for numerics: 10 FIXED-width buckets (data-independent
+    edges — learning edges from the data would itself leak), one count
+    per bucket, Laplace(1/ε) noise from the md5-derived uniform of the
+    bucket id (histogram sensitivity is 1: one individual lands in
+    exactly one bucket). Same deterministic inverse CDF as dp_counts —
+    replays identically on any engine, no RNG. ε = 1."""
+    ev = t(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / _DP_HIST_WIDTH).cast("long"),
+        F.lit(_DP_HIST_BUCKETS - 1),
+    )
+    per = ev.groupBy(bucket.alias("__b")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    from sparkprep.operators.dedup import string_to_int_hash
+
+    h = string_to_int_hash(F.concat_ws(":", F.lit("dph"), F.col("__b")))
+    u = (h.cast("double") + 0.5) / float(_MERSENNE_P)
+    half = u - 0.5
+    noise = (
+        F.when(half >= 0, 1.0).otherwise(-1.0)
+        * F.log(1.0 - 2.0 * F.abs(half))
+        / F.lit(-_DP_EPSILON)
+    )
+    return per.select(
+        F.col("__b").cast("long").alias("bucket"),
+        (F.col("__b") * _DP_HIST_WIDTH).cast("double").alias("lo"),
+        ((F.col("__b") + 1) * _DP_HIST_WIDTH).cast("double").alias("hi"),
+        F.col("__n").cast("long").alias("n_true"),
+        F.round(noise.cast("decimal(18,8)"), 4).cast("double").alias("noise"),
+        F.round(
+            (F.col("__n").cast("double") + noise).cast("decimal(18,8)"), 4
+        ).cast("double").alias("n_released"),
+    )
+
+
+_DP_HISTOGRAM_SQL = f"""
+WITH per AS (
+  SELECT least(floor(o_totalprice / {_DP_HIST_WIDTH})::BIGINT,
+               {_DP_HIST_BUCKETS - 1}) AS b,
+         count(*) AS n
+  FROM orders GROUP BY 1
+),
+drawn AS (
+  SELECT b, n,
+         ((('0x' || substr(md5('dph:' || b::VARCHAR), 1, 15))::BIGINT
+            % {_MERSENNE_P})::DOUBLE + 0.5) / {float(_MERSENNE_P)} AS u
+  FROM per
+),
+noisy AS (
+  SELECT b, n,
+         (CASE WHEN u - 0.5 >= 0 THEN 1.0 ELSE -1.0 END)
+           * ln(1.0 - 2.0 * abs(u - 0.5)) / (-{_DP_EPSILON}) AS noise
+  FROM drawn
+)
+SELECT b::BIGINT AS bucket,
+       (b * {_DP_HIST_WIDTH})::DOUBLE AS lo,
+       ((b + 1) * {_DP_HIST_WIDTH})::DOUBLE AS hi,
+       n::BIGINT AS n_true,
+       round(noise::DECIMAL(18,8), 4)::DOUBLE AS noise,
+       round((n::DOUBLE + noise)::DECIMAL(18,8), 4)::DOUBLE AS n_released
+FROM noisy
+"""
+
+
 QUERIES = {
     "t_closeness": q_t_closeness,
     "fk_audit": q_fk_audit,
@@ -489,6 +561,7 @@ QUERIES = {
     "benford": q_benford,
     "revenue_concentration": q_revenue_concentration,
     "dp_counts": q_dp_counts,
+    "dp_histogram": q_dp_histogram,
 }
 
 ORACLES = {
@@ -502,4 +575,5 @@ ORACLES = {
     "benford": _BENFORD_SQL,
     "revenue_concentration": _CONCENTRATION_SQL,
     "dp_counts": _DP_COUNTS_SQL,
+    "dp_histogram": _DP_HISTOGRAM_SQL,
 }

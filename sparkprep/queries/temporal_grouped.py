@@ -3219,6 +3219,68 @@ FROM per
 """
 
 
+
+def q_repeat_purchase_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase survival curve: for each observed purchase count
+    k, how many users made EXACTLY k and AT LEAST k purchases — the
+    loyalty readout behind every "what % of buyers come back" question
+    (cohort_retention is the time-sliced sibling; this is the depth
+    slice). NO per-user k-explosion: one per-user count, one groupBy
+    over the DISTINCT-count frame (10-24 rows across testdata
+    generations — value-frequency-bounded like signed_rank's |d| map,
+    not user-grain), survival = reverse cumulative sum over that tiny
+    frame. share = one division of exact ints per row."""
+    tune_for_engine(spark)
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("__c"))
+    dist = per_user.groupBy("__c").agg(
+        F.count(F.lit(1)).alias("__nu")
+    )
+    w_rev = Window.orderBy(F.desc("__c")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    staged = dist.select(
+        "__c",
+        "__nu",
+        F.sum("__nu").over(w_rev).alias("__ge"),
+        F.sum("__nu").over(w_all).alias("__tot"),
+    )
+    d18 = "decimal(18,8)"
+    return staged.select(
+        F.col("__c").cast("long").alias("k_purchases"),
+        F.col("__nu").cast("long").alias("n_users_exact"),
+        F.col("__ge").cast("long").alias("n_users_ge"),
+        F.round(
+            F.try_divide(F.col("__ge"), F.col("__tot")).cast(d18), 6
+        ).cast("double").alias("share_ge"),
+    )
+
+
+_REPEAT_PURCHASE_SQL = """
+WITH per_user AS (
+  SELECT user_id, count(*) AS c FROM events
+  WHERE event_type = 'purchase' GROUP BY 1
+),
+dist AS (SELECT c, count(*) AS nu FROM per_user GROUP BY 1),
+staged AS (
+  SELECT c, nu,
+         sum(nu) OVER (ORDER BY c DESC ROWS UNBOUNDED PRECEDING) AS ge,
+         sum(nu) OVER () AS tot
+  FROM dist
+)
+SELECT c::BIGINT AS k_purchases,
+       nu::BIGINT AS n_users_exact,
+       ge::BIGINT AS n_users_ge,
+       round((ge / tot::DOUBLE)::DECIMAL(18,8), 6)::DOUBLE AS share_ge
+FROM staged
+"""
+
+
 QUERIES = {
     "autocorr": q_autocorr,
     "seasonal_adjust": q_seasonal_adjust,
@@ -3276,6 +3338,7 @@ QUERIES = {
     "cross_corr": q_cross_corr,
     "changepoint": q_changepoint,
     "burstiness": q_burstiness,
+    "repeat_purchase_curve": q_repeat_purchase_curve,
 }
 
 ORACLES = {
@@ -3335,4 +3398,5 @@ ORACLES = {
     "cross_corr": _CROSS_CORR_SQL,
     "changepoint": _CHANGEPOINT_SQL,
     "burstiness": _BURSTINESS_SQL,
+    "repeat_purchase_curve": _REPEAT_PURCHASE_SQL,
 }

@@ -235,3 +235,26 @@ def test_value_domain_headroom(sfd):
             "rank maps on ranks.global_cumsum (the distributed twin "
             "discipline) before trusting those windows."
         )
+
+
+# repeat_purchase_curve's survival window runs over the DISTINCT
+# per-user purchase-count frame (10/18/24 values across today's
+# generations) — same class as signed_rank's |d| map.
+PURCHASE_COUNT_FRAME_CAP = 1024
+
+
+@pytest.mark.parametrize("sfd", _all_sf_dirs())
+def test_repeat_purchase_frame_headroom(sfd):
+    con = duckdb.connect()
+    n_distinct = con.execute(
+        f"""SELECT count(DISTINCT c) FROM (
+              SELECT user_id, count(*) AS c FROM '{sfd}/events.parquet'
+              WHERE event_type = 'purchase' GROUP BY 1)"""
+    ).fetchone()[0]
+    assert n_distinct <= PURCHASE_COUNT_FRAME_CAP // 2, (
+        f"{sfd}: repeat_purchase_curve's count frame has {n_distinct} "
+        f"distinct values — within 2x of the {PURCHASE_COUNT_FRAME_CAP} "
+        "cap its _BOUNDED_GLOBAL_WINDOW entry assumes. Rebuild the "
+        "survival fold on ranks.global_cumsum before trusting the "
+        "single-partition window."
+    )

@@ -154,6 +154,7 @@ _BOUNDED_GLOBAL_WINDOW = {
     "null_patterns": "<=2^3-row null-bitmask pattern frame",
     "pr_auc": "<=1000-row score-bin PR frame (auc_quality's twin)",
     "psi_drift": "2 x K-bin cohort frame",
+    "repeat_purchase_curve": "distinct per-user purchase-count frame (10-24 values; canary-pinned <=512 in test_headroom_canaries)",
     "rfm_scale": "O(32) offsets frames only (3 chained global_ntile passes)",
     "sample_ks": "ECDF over bounded value-frequency frame",
     "signed_rank": "|d| value-frequency rank frame (8-26 distinct values; canary-pinned <=512 in test_headroom_canaries)",

@@ -426,3 +426,39 @@ def test_tail_quantiles_order_statistics(spark, tmp_path):
     assert got["tail_ratio_99_50"] == pytest.approx(
         s[math.ceil(0.99 * n) - 1] / s[math.ceil(0.5 * n) - 1], abs=1e-6
     )
+
+
+def test_repeat_purchase_curve_invariants(spark, sf_dir):
+    from sparkprep.queries.temporal_grouped import q_repeat_purchase_curve
+
+    rows = q_repeat_purchase_curve(spark, sf_dir).orderBy("k_purchases").collect()
+    assert rows
+    # survival is non-increasing in k and starts at 1.0 (everyone who
+    # purchased made >= min observed count)
+    ge = [r["n_users_ge"] for r in rows]
+    assert ge == sorted(ge, reverse=True)
+    assert rows[0]["share_ge"] == pytest.approx(1.0)
+    assert sum(r["n_users_exact"] for r in rows) == ge[0]
+    # exact + survival consistency: ge[i] - ge[i+1] == exact[i]
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_users_ge"] - b["n_users_ge"] == a["n_users_exact"]
+
+
+def test_dp_histogram_mechanism_and_edges(spark, sf_dir):
+    import hashlib
+    import math
+
+    from sparkprep.queries.governance import q_dp_histogram
+
+    rows = q_dp_histogram(spark, sf_dir).orderBy("bucket").collect()
+    assert rows
+    P = 2147483647
+    for r in rows:
+        assert r["hi"] - r["lo"] == 60_000.0
+        assert r["lo"] == r["bucket"] * 60_000.0
+        h = int(hashlib.md5(f"dph:{r['bucket']}".encode()).hexdigest()[:15], 16) % P
+        u = (h + 0.5) / P
+        sign = 1.0 if u - 0.5 >= 0 else -1.0
+        expected = -sign * math.log(1.0 - 2.0 * abs(u - 0.5))
+        assert r["noise"] == pytest.approx(expected, abs=1e-4)
+        assert r["n_released"] == pytest.approx(r["n_true"] + expected, abs=1e-3)
