@@ -935,3 +935,86 @@ def prefix_jaccard_join(
         inter.filter(jac >= threshold)
         .select("id_a", "id_b", F.round(jac, round_to).alias("jaccard"))
     )
+
+
+def symspell_pairs(
+    words: DataFrame,
+    word_col: str = "word",
+    max_edits: int = 2,
+) -> DataFrame:
+    """SymSpell-style spelling-variant pairs: all DISTINCT word pairs
+    within Levenshtein distance ``max_edits``, found by an equi-join on
+    single/double-DELETION neighborhoods instead of the quadratic
+    all-pairs scan.
+
+    The SymSpell guarantee (Garbe's public algorithm): two words at
+    edit distance ≤ k share at least one common variant when each side
+    generates every way of deleting UP TO k characters (the word
+    itself included, depth 0). So the candidate set is
+    ``join on variant`` — cost Σ|word|·(|word|+1)/2 rows per word for
+    k = 2, never vocabulary² — and an exact ``levenshtein() ≤ k``
+    filter on the candidates removes the false positives the deletion
+    match admits. At corpus scale this is the standard spell-dedup
+    shape: the variant fan-out is bounded by word length (and words
+    beyond ~30 chars are junk-filtered upstream), the join is a plain
+    hash equi-join on the variant string, and candidate pairs are
+    deduplicated BEFORE the Levenshtein filter so each pair pays the
+    DP cost once.
+
+    Deletion variants are generated natively: ``sequence(0, len)``
+    exploded (never a Python UDF), each position deleting one char via
+    ``concat(left, right)`` substrings; depth-2 variants re-apply the
+    same expansion to the depth-1 output. Returns distinct
+    ``(word_a, word_b, distance)`` with ``word_a < word_b``.
+    """
+    w = words.select(F.col(word_col).alias("__w")).distinct()
+    # depth-0..1: position 0 keeps the word itself (deletion of nothing)
+    d1 = w.select(
+        "__w",
+        F.explode(F.sequence(F.lit(0), F.length("__w"))).alias("__p"),
+    ).select(
+        "__w",
+        F.when(F.col("__p") == 0, F.col("__w"))
+        .otherwise(
+            F.concat(
+                F.expr("substring(__w, 1, __p - 1)"),
+                F.expr("substring(__w, __p + 1)"),
+            )
+        )
+        .alias("__v"),
+    )
+    variants = d1
+    if int(max_edits) >= 2:
+        d2 = d1.select(
+            "__w",
+            F.col("__v").alias("__v1"),
+            F.explode(F.sequence(F.lit(0), F.length("__v"))).alias("__p"),
+        ).select(
+            "__w",
+            F.when(F.col("__p") == 0, F.col("__v1"))
+            .otherwise(
+                F.concat(
+                    F.expr("substring(__v1, 1, __p - 1)"),
+                    F.expr("substring(__v1, __p + 1)"),
+                )
+            )
+            .alias("__v"),
+        )
+        variants = d2
+    variants = variants.select("__w", "__v").distinct()
+    right = variants.select(
+        F.col("__w").alias("__wb"), F.col("__v").alias("__v")
+    )
+    cand = (
+        variants.join(right, "__v")
+        .filter(F.col("__w") < F.col("__wb"))
+        .select(F.col("__w").alias("word_a"), F.col("__wb").alias("word_b"))
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "distance", F.levenshtein("word_a", "word_b").cast("long")
+        )
+        .filter(F.col("distance") <= int(max_edits))
+        .select("word_a", "word_b", "distance")
+    )

@@ -585,3 +585,104 @@ def k_core(
     return ends.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("core_degree")
     )
+
+
+def lpa_communities(
+    edges: DataFrame,
+    rounds: int = 4,
+    num_partitions: int = 8,
+) -> DataFrame:
+    """Synchronous label propagation (deterministic variant): every
+    node starts labeled with its own id; each round every node adopts
+    the MOST FREQUENT label among its neighbors, ties broken by the
+    SMALLEST label — the deterministic form of Raghavan-style LPA that
+    a fixed-depth unrolled-CTE oracle can replay exactly (random
+    tie-breaking is the published algorithm's only nondeterminism, and
+    min-label is its standard derandomization).
+
+    ``edges(u, v)`` must be UNDIRECTED UNIQUE pairs; the adjacency is
+    materialized BOTH directions once, repartitioned small before the
+    loop and localCheckpoint-ed (BPE loop discipline). Each round is
+    one keyed join (labels ⋈ adjacency on the source endpoint) and one
+    map-combined groupBy; the per-node argmax is ``min(struct(-count,
+    label))`` — an aggregate, not a window, so it partial-aggregates
+    map-side. The label frame is localCheckpoint-ed per round (it
+    feeds the next round's join; lineage otherwise re-executes all
+    prior rounds — k_core discipline).
+
+    A fixed round count (NOT a convergence test) is part of the
+    operator contract: synchronous LPA can 2-cycle on bipartite-ish
+    structure, so "run r rounds" is the only definition both engines
+    can replay bit-identically. Isolated nodes never appear in an edge
+    list and are out of scope by construction.
+
+    Returns ``(node, community)`` after ``rounds`` rounds.
+    """
+    adj = (
+        edges.select("u", "v")
+        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition(num_partitions)
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        adj.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(int(rounds)):
+        votes = (
+            adj.join(labels.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(F.min(F.struct((-F.col("__c")).alias("__nc"), F.col("lbl"))).alias("__m"))
+            .select("node", F.col("__m.lbl").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+    return labels.select("node", F.col("lbl").alias("community"))
+
+
+def hits_bipartite(
+    edges: DataFrame,
+    hub_col: str,
+    auth_col: str,
+    rounds: int = 2,
+) -> DataFrame:
+    """Unnormalized HITS over a bipartite containment graph (hub =
+    basket/order, authority = item/part): h⁰ ≡ 1, then rounds of
+    aᵣ(p) = Σ_{hubs ∋ p} hᵣ₋₁ and hᵣ(o) = Σ_{p ∈ o} aᵣ(p).
+
+    Normalization is deliberately SKIPPED: the classic L2 norm is a
+    float sqrt whose cross-engine drift would poison every rank, while
+    the unnormalized scores after a fixed round count are exact
+    integers whose ORDER is the same as the normalized iteration's
+    (normalization is a positive scalar per round). Score growth is
+    geometric in the round count — two rounds stay far inside int64 at
+    any realistic scale (a₂ ≤ maxdeg²·|edges|); more rounds would cast
+    the accumulators to DECIMAL(38,0) first.
+
+    Every step is a keyed equi-join of the score frame against the
+    edge list plus a map-combined sum — the same shuffle shape as
+    pagerank, with no per-round driver scalar at all. Returns the
+    authority frame ``(auth, score)`` after ``rounds`` rounds.
+    """
+    e = edges.select(
+        F.col(hub_col).alias("__h"), F.col(auth_col).alias("__a")
+    ).distinct()
+    # round 1 folds h0 == 1 into a plain degree count
+    auth = e.groupBy("__a").agg(F.count(F.lit(1)).cast("long").alias("__as"))
+    for _ in range(int(rounds) - 1):
+        hub = (
+            e.join(auth, "__a")
+            .groupBy("__h")
+            .agg(F.sum("__as").alias("__hs"))
+        )
+        auth = (
+            e.join(hub, "__h")
+            .groupBy("__a")
+            .agg(F.sum("__hs").cast("long").alias("__as"))
+        )
+    return auth.select(F.col("__a").alias("auth"), F.col("__as").alias("score"))

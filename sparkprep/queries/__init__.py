@@ -215,9 +215,66 @@ _ROUND5_OVERFLOW = [
     "token_packing_scale",
 ]
 
+# Round-7 queue: the 37 round-6/7 session additions that were riding on
+# module-merge auto-promotion, pinned in their established order so new
+# modules can't reshuffle them out of the 50-slot window, followed by
+# this session's additions in landing order. 46 pre-session names + the
+# first 4 here fill the round-7 window; the rest drain in round 8 (all
+# covered by the sf0.001 oracle replay in pytest meanwhile).
+_ROUND7_QUEUE = [
+    "pr_auc",
+    "calibration_error",
+    "vocab_growth",
+    "label_consistency",
+    "cuped",
+    "holt_trend",
+    "churn_labels",
+    "forecast_eval",
+    "forecast_anomalies",
+    "signed_rank",
+    "trend_robust",
+    "cumulative_reach",
+    "user_twa",
+    "interval_merge",
+    "cross_corr",
+    "changepoint",
+    "burstiness",
+    "repeat_purchase_curve",
+    "kendall_tau",
+    "woe_iv",
+    "theil_index",
+    "stump_split",
+    "ols_elasticity",
+    "degree_dist",
+    "tail_quantiles",
+    "mann_whitney",
+    "kruskal_wallis",
+    "weighted_median",
+    "k_core",
+    "null_patterns",
+    "fd_repair",
+    "bootstrap_ci",
+    "gains_table",
+    "ngram_novelty",
+    "t_closeness",
+    "dp_counts",
+    "dp_histogram",
+    # round-7 session additions (never driver-verified)
+    "kmeans_assign",
+    "communities",
+    "spell_pairs",
+    "cohens_kappa",
+    "transition_gini",
+    "resample_interp",
+    "isotonic_fit",
+    "hits_scores",
+    "sprt_stop",
+]
+
 
 def registry():
     from sparkprep.queries import (
+        advanced,
         cleaning,
         corpus,
         governance,
@@ -231,7 +288,7 @@ def registry():
 
     merged_q: dict = {}
     oracles: dict = {}
-    for mod in (textops, llmprep, temporal_grouped, relational_ext, cleaning, relational, scale_ops, corpus, governance):
+    for mod in (textops, llmprep, temporal_grouped, relational_ext, cleaning, relational, scale_ops, corpus, governance, advanced):
         merged_q.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     # The correctness driver adjudicates the FIRST 50 registry entries
@@ -249,6 +306,7 @@ def registry():
     # slot that a never-verified query needs (round-3 failure mode)
     priority = [n for n in _DRIVER_WINDOW_PRIORITY if n not in seen]
     priority += [n for n in _ROUND5_OVERFLOW if n not in seen and n not in priority]
+    priority += [n for n in _ROUND7_QUEUE if n not in seen and n not in priority]
     priority += [n for n in merged_q if n not in seen and n not in priority]
     queries: dict = {name: merged_q[name] for name in priority}
     for name, fn in merged_q.items():

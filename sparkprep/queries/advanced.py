@@ -1,0 +1,775 @@
+"""Round-7 advanced analytics block: iterative ML/graph operators in
+engine-replayable exact arithmetic (k-means, label propagation, HITS),
+a SymSpell spelling-variant join, agreement/impurity/calibration
+statistics (Cohen's kappa, transition Gini, isotonic regression), a
+linear-interpolation gap fill, and a Wald SPRT early-stopping scan.
+
+Every oracle follows the repo conventions: iterative operators unroll
+to fixed-depth MATERIALIZED CTE chains (the pagerank/k_core
+convention); every emitted float is either a single IEEE division of
+exact integers or a DECIMAL(18,8)-recast round; CTE names are
+module-prefixed so fragments can never collide.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sparkprep.operators import clustering, dedup, graph
+from sparkprep.operators import text as tx
+from sparkprep.queries import t
+from sparkprep.session import tune_for_engine
+
+_D18 = "decimal(18,8)"
+_D38 = "decimal(38,0)"
+
+
+def _dec_round(col, n: int):
+    """DECIMAL(18,8)-recast round, emitted as DOUBLE (the cross-engine
+    round-half discipline, CLAUDE.md)."""
+    return F.round(col.cast(_D18), n).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# k-means (distributed Lloyd, integer-exact)
+# ---------------------------------------------------------------------------
+
+_KM_K = 4
+_KM_DIMS = 8
+_KM_SCALE = 1000
+_KM_ROUNDS = 3
+_KM_OUT_DIMS = 4
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embeddings table (k=4, first
+    8 dims, 3 fixed rounds) with the per-cluster profile readout: size,
+    within-cluster sum of squares, leading centroid means.
+
+    Scale shape (operators/clustering.py): each round is one
+    map-combined groupBy to k rows + one broadcast of those k centroid
+    rows back across the points — the points side never shuffles, and
+    the per-point argmin fans out exactly k candidate rows under a
+    point-id-keyed window. The integer-exact distance (cross-multiplied
+    by n² so the only float op is ONE division of exact int64s) is what
+    makes a fixed-depth unrolled-CTE oracle replay every argmin
+    bit-identically; headroom: q ≤ dims·(n·scale·max|x|)² ≈ 5·10¹¹ at
+    sf0.1 against int64's 9.2·10¹⁸ (at extreme corpus scale the same
+    plan runs with double centroid means like any production k-means —
+    the integer form is the oracle-exact variant, not a different
+    algorithm)."""
+    emb = t(spark, sf_dir, "embeddings")
+    pts = clustering.quantize_points(
+        emb, "vec_id", "embedding", dims=_KM_DIMS, scale=_KM_SCALE
+    )
+    asg = clustering.kmeans_lloyd(pts, k=_KM_K, dims=_KM_DIMS, rounds=_KM_ROUNDS)
+    prof = clustering.cluster_profile(asg, dims=_KM_DIMS, out_dims=_KM_OUT_DIMS)
+    return prof.select(
+        F.col("cluster").cast("long").alias("cluster"),
+        "n_points",
+        "wss",
+        *[f"mean_{j}" for j in range(_KM_OUT_DIMS)],
+    )
+
+
+def _kmeans_sql(k: int, dims: int, scale: int, rounds: int, out_dims: int) -> str:
+    xs = ", ".join(
+        f"floor(embedding[{j + 1}]::DOUBLE * {scale} + 0.5)::BIGINT AS x{j}"
+        for j in range(dims)
+    )
+    xcols = ", ".join(f"x{j}" for j in range(dims))
+    pxcols = ", ".join(f"p.x{j}" for j in range(dims))
+    sums = ", ".join(f"sum(x{j})::BIGINT AS s{j}" for j in range(dims))
+    qexpr = " + ".join(
+        f"(t.n * p.x{j} - t.s{j}) * (t.n * p.x{j} - t.s{j})" for j in range(dims)
+    )
+    parts = [
+        f"km_a0 AS MATERIALIZED (SELECT vec_id AS id, {xs}, "
+        f"vec_id % {k} AS c FROM embeddings)"
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"km_c{r} AS MATERIALIZED (SELECT c, count(*)::BIGINT AS n, {sums} "
+            f"FROM km_a{r - 1} GROUP BY c)"
+        )
+        parts.append(
+            f"km_d{r} AS MATERIALIZED (SELECT p.id, {pxcols}, t.c, "
+            f"({qexpr})::DOUBLE / (t.n * t.n)::DOUBLE AS dist "
+            f"FROM km_a{r - 1} p CROSS JOIN km_c{r} t)"
+        )
+        parts.append(
+            f"km_a{r} AS MATERIALIZED (SELECT id, {xcols}, c FROM "
+            f"(SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, c) "
+            f"AS rn FROM km_d{r}) WHERE rn = 1)"
+        )
+    parts.append(
+        f"km_cf AS MATERIALIZED (SELECT c, count(*)::BIGINT AS n, {sums} "
+        f"FROM km_a{rounds} GROUP BY c)"
+    )
+    scols = ", ".join(f"t.s{j}" for j in range(out_dims))
+    parts.append(
+        f"km_q AS (SELECT t.c, t.n, {scols}, "
+        f"sum(({qexpr})::HUGEINT) AS qsum "
+        f"FROM km_a{rounds} p JOIN km_cf t ON p.c = t.c "
+        f"GROUP BY t.c, t.n, {scols})"
+    )
+    means = ", ".join(
+        f"round((s{j}::DOUBLE / n::DOUBLE)::DECIMAL(18,8), 6)::DOUBLE AS mean_{j}"
+        for j in range(out_dims)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT c::BIGINT AS cluster, n::BIGINT AS n_points, "
+        "round((qsum::DOUBLE / (n * n)::DOUBLE)::DECIMAL(18,8), 4)::DOUBLE AS wss, "
+        + means
+        + " FROM km_q"
+    )
+
+
+_KMEANS_SQL = _kmeans_sql(_KM_K, _KM_DIMS, _KM_SCALE, _KM_ROUNDS, _KM_OUT_DIMS)
+
+
+# ---------------------------------------------------------------------------
+# label-propagation communities
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 4
+
+
+def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community structure of the co-purchase graph via deterministic
+    synchronous label propagation (4 fixed rounds, most-frequent
+    neighbor label, min-label tie-break — operators/graph.py
+    ``lpa_communities``), reported as community sizes. Same edge
+    construction as k_core/triangle_count (co-purchase pairs supported
+    by ≥2 orders; basket cap 64 vs observed max 17, canary-pinned)."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        graph.cooccurrence_pairs(
+            li, "l_orderkey", "l_partkey", max_items_per_key=64, cap_by="id"
+        )
+        .filter(F.col("n_keys") >= 2)
+        .select(F.col("item_a").alias("u"), F.col("item_b").alias("v"))
+    )
+    lbl = graph.lpa_communities(edges, rounds=_LPA_ROUNDS)
+    return (
+        lbl.groupBy(F.col("community").cast("long").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .orderBy("community")
+    )
+
+
+def _communities_sql(rounds: int) -> str:
+    parts = [
+        "cm_op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        "cm_e AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v "
+        "FROM cm_op a JOIN cm_op b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey < b.l_partkey GROUP BY 1, 2 HAVING count(*) >= 2)",
+        "cm_adj AS MATERIALIZED (SELECT u, v FROM cm_e "
+        "UNION ALL SELECT v, u FROM cm_e)",
+        "cm_l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM cm_adj)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"cm_v{r} AS MATERIALIZED (SELECT a.v AS node, l.lbl, count(*) AS c "
+            f"FROM cm_adj a JOIN cm_l{r - 1} l ON a.u = l.node GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"cm_l{r} AS MATERIALIZED (SELECT node, lbl FROM "
+            f"(SELECT node, lbl, row_number() OVER "
+            f"(PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM cm_v{r}) "
+            f"WHERE rn = 1)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT lbl::BIGINT AS community, count(*)::BIGINT AS n_members "
+        f"FROM cm_l{rounds} GROUP BY 1 ORDER BY 1"
+    )
+
+
+_COMMUNITIES_SQL = _communities_sql(_LPA_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# SymSpell spelling-variant pairs
+# ---------------------------------------------------------------------------
+
+
+def q_spell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spelling-variant pairs in the part-name vocabulary (Levenshtein
+    ≤ 2) via the SymSpell deletion-neighborhood equi-join
+    (operators/dedup.py ``symspell_pairs``) — the scale-correct shape:
+    candidate cost is Σ|word|² variants per word hash-joined on the
+    variant string, never vocabulary²; the oracle brute-forces the
+    same answer because the DISTINCT vocabulary is tiny at any SF
+    (the data point is the pair list; the plan shape is the point)."""
+    part = t(spark, sf_dir, "part")
+    words = part.select(
+        F.explode(F.split("p_name", " ")).alias("word")
+    ).filter(F.length("word") >= 4)
+    return dedup.symspell_pairs(words, "word", max_edits=2).orderBy(
+        "word_a", "word_b"
+    )
+
+
+_SPELL_PAIRS_SQL = """
+WITH sp_w AS (
+  SELECT DISTINCT unnest(string_split(p_name, ' ')) AS w FROM part
+),
+sp_f AS (SELECT w FROM sp_w WHERE length(w) >= 4)
+SELECT a.w AS word_a, b.w AS word_b,
+       levenshtein(a.w, b.w)::BIGINT AS distance
+FROM sp_f a JOIN sp_f b ON a.w < b.w AND levenshtein(a.w, b.w) <= 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa (heuristic lang-id vs gold label)
+# ---------------------------------------------------------------------------
+
+
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-rater agreement between the stopword-evidence language
+    classifier (textops lang_id, the exact classifier the lang_id
+    query ships) and the gold ``lang`` column: observed agreement po,
+    chance agreement pe from the marginal products, and Cohen's
+    κ = (N·diag − Σ_c row_c·col_c) / (N² − Σ_c row_c·col_c) — every
+    ratio is ONE division of exact integers (products carried in
+    DECIMAL(38,0): at multi-billion-doc N the int64 N² would overflow
+    under ANSI — the t_closeness discipline). The confusion frame is
+    ≤|langs|² rows, localCheckpoint-ed because three marginal
+    aggregates consume it (self-join/reuse discipline)."""
+    docs = t(spark, sf_dir, "documents")
+    c = (
+        docs.select("lang", tx.lang_id("text").alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    tot = c.agg(
+        F.sum("n").alias("N"),
+        F.sum(
+            F.when(F.col("lang") == F.col("guess"), F.col("n")).otherwise(F.lit(0))
+        ).alias("diag"),
+    )
+    rowm = c.groupBy(F.col("lang").alias("cls")).agg(F.sum("n").alias("rn"))
+    colm = c.groupBy(F.col("guess").alias("cls")).agg(F.sum("n").alias("cn"))
+    s = rowm.join(colm, "cls").agg(
+        F.sum(F.col("rn").cast(_D38) * F.col("cn")).alias("S")
+    )
+    out = tot.crossJoin(F.broadcast(s))
+    n38 = F.col("N").cast(_D38)
+    return out.select(
+        F.col("N").cast("long").alias("n_docs"),
+        _dec_round(F.col("diag").cast("double") / F.col("N").cast("double"), 6).alias(
+            "po"
+        ),
+        _dec_round(
+            F.col("S").cast("double") / (n38 * F.col("N")).cast("double"), 6
+        ).alias("pe"),
+        _dec_round(
+            F.try_divide(
+                (n38 * F.col("diag") - F.col("S")).cast("double"),
+                (n38 * F.col("N") - F.col("S")).cast("double"),
+            ),
+            6,
+        ).alias("kappa"),
+    )
+
+
+# classifier fragment mirrors textops._LANG_ID_SQL exactly (same
+# stopword lists, same CASE priority); CTE names kp_-prefixed so the
+# fragments can never collide with textops' when both interpolate.
+_KP_DE = "'der', 'die', 'und', 'das', 'ist', 'nicht', 'ein', 'mit'"
+_KP_EN = "'the', 'a', 'and', 'of', 'to', 'in', 'is', 'it'"
+_KP_ES = "'el', 'los', 'las', 'una', 'y', 'que', 'por', 'con'"
+_KP_FR = "'le', 'les', 'et', 'des', 'une', 'est', 'dans', 'pour'"
+
+_COHENS_KAPPA_SQL = f"""
+WITH kp_s AS (
+  SELECT lang,
+         len(list_filter(string_split(text, ' '), x -> x IN ({_KP_DE}))) AS s_de,
+         len(list_filter(string_split(text, ' '), x -> x IN ({_KP_EN}))) AS s_en,
+         len(list_filter(string_split(text, ' '), x -> x IN ({_KP_ES}))) AS s_es,
+         len(list_filter(string_split(text, ' '), x -> x IN ({_KP_FR}))) AS s_fr
+  FROM documents
+), kp_g AS (
+  SELECT lang,
+         CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+              WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+              WHEN s_es >= s_fr THEN 'es'
+              ELSE 'fr' END AS guess
+  FROM kp_s
+), kp_c AS (
+  SELECT lang, guess, count(*)::BIGINT AS n FROM kp_g GROUP BY 1, 2
+), kp_tot AS (
+  SELECT sum(n) AS N, coalesce(sum(n) FILTER (lang = guess), 0) AS diag FROM kp_c
+), kp_r AS (SELECT lang AS cls, sum(n) AS rn FROM kp_c GROUP BY 1),
+kp_col AS (SELECT guess AS cls, sum(n) AS cn FROM kp_c GROUP BY 1),
+kp_e AS (SELECT sum(rn * cn) AS S FROM kp_r JOIN kp_col USING (cls))
+SELECT N::BIGINT AS n_docs,
+       round((diag::DOUBLE / N::DOUBLE)::DECIMAL(18,8), 6)::DOUBLE AS po,
+       round((S::DOUBLE / (N * N)::DOUBLE)::DECIMAL(18,8), 6)::DOUBLE AS pe,
+       round(((N * diag - S)::DOUBLE / (N * N - S)::DOUBLE)::DECIMAL(18,8),
+             6)::DOUBLE AS kappa
+FROM kp_tot CROSS JOIN kp_e
+"""
+
+
+# ---------------------------------------------------------------------------
+# next-event transition impurity (Gini)
+# ---------------------------------------------------------------------------
+
+
+def q_transition_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Gini impurity of the NEXT-event distribution
+    (per-user consecutive pairs): how predictable the follow-up action
+    is. Impurity = 1 − Σp² = (tot² − Σn²)/tot² — exact integer algebra
+    in DECIMAL(38,0) (entropy would need per-row ln, whose cross-engine
+    libm drift is the reason this panel is Gini), ONE division per
+    type. One user-keyed lag window over raw events (high-cardinality
+    key), one map-combined count, one 5-row fold."""
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    cnt = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    g = cnt.groupBy("src").agg(
+        F.sum("n").alias("tot"),
+        F.sum(F.col("n").cast(_D38) * F.col("n")).alias("ss"),
+    )
+    tot38 = F.col("tot").cast(_D38)
+    return g.select(
+        F.col("src").alias("event_type"),
+        F.col("tot").cast("long").alias("n_transitions"),
+        _dec_round(
+            F.try_divide(
+                (tot38 * F.col("tot") - F.col("ss")).cast("double"),
+                (tot38 * F.col("tot")).cast("double"),
+            ),
+            6,
+        ).alias("next_gini"),
+    ).orderBy("event_type")
+
+
+_TRANSITION_GINI_SQL = """
+WITH tg_p AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+), tg_c AS (
+  SELECT src, dst, count(*)::BIGINT AS n FROM tg_p WHERE dst IS NOT NULL
+  GROUP BY 1, 2
+), tg_g AS (
+  SELECT src, sum(n) AS tot, sum(n::DECIMAL(38,0) * n) AS ss FROM tg_c GROUP BY 1
+)
+SELECT src AS event_type, tot::BIGINT AS n_transitions,
+       round(((tot::DECIMAL(38,0) * tot - ss)::DOUBLE
+              / (tot::DECIMAL(38,0) * tot)::DOUBLE)::DECIMAL(18,8),
+             6)::DOUBLE AS next_gini
+FROM tg_g ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# linear-interpolation gap fill
+# ---------------------------------------------------------------------------
+
+
+def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type hourly count series densified by LINEAR INTERPOLATION
+    (resample_ffill's twin for signals where a gap means 'missing
+    reading', not 'zero'): every hour in the global span gets a value;
+    missing hours take v_prev + (v_next − v_prev)·(h − h_prev)/(h_next
+    − h_prev), edges nearest-fill. Counts and hour indexes are exact
+    int64, the fraction is ONE IEEE division and the fill one
+    multiply-add — engine-identical. The per-type window runs over the
+    GRID frame (hours in the calendar span × |types| — bounded by
+    wall-clock time, not data volume; 720×5 here), never raw events;
+    the observed aggregate is localCheckpoint-ed because the grid
+    bounds, the type list and the fill join all consume it."""
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events")
+    obs = (
+        ev.groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("h"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    bounds = obs.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = bounds.select(F.explode(F.sequence("h0", "h1")).alias("h"))
+    types = obs.select("event_type").distinct()
+    g = grid.crossJoin(F.broadcast(types))
+    j = g.join(obs, ["event_type", "h"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("n").isNotNull(), F.col("h"))
+    staged = j.select(
+        "event_type",
+        "h",
+        "n",
+        F.last("n", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_h, ignorenulls=True).over(wp).alias("ph"),
+        F.first("n", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_h, ignorenulls=True).over(wn).alias("nh"),
+    )
+    filled = (
+        F.when(F.col("n").isNotNull(), F.col("n").cast("double"))
+        .when(F.col("pv").isNull(), F.col("nv").cast("double"))
+        .when(F.col("nv").isNull(), F.col("pv").cast("double"))
+        .otherwise(
+            F.col("pv").cast("double")
+            + (F.col("nv") - F.col("pv")).cast("double")
+            * (
+                (F.col("h") - F.col("ph")).cast("double")
+                / (F.col("nh") - F.col("ph")).cast("double")
+            )
+        )
+    )
+    return staged.select(
+        "event_type",
+        F.col("h").cast("long").alias("h"),
+        _dec_round(filled, 4).alias("filled"),
+        F.col("n").isNotNull().cast("long").alias("observed"),
+    )
+
+
+_RESAMPLE_INTERP_SQL = """
+WITH ri_obs AS MATERIALIZED (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+ri_b AS (SELECT min(h) AS h0, max(h) AS h1 FROM ri_obs),
+ri_grid AS (SELECT unnest(generate_series(h0, h1)) AS h FROM ri_b),
+ri_types AS (SELECT DISTINCT event_type FROM ri_obs),
+ri_g AS (SELECT ty.event_type, g.h FROM ri_grid g CROSS JOIN ri_types ty),
+ri_j AS (
+  SELECT g.event_type, g.h, o.n FROM ri_g g
+  LEFT JOIN ri_obs o ON g.event_type = o.event_type AND g.h = o.h
+),
+ri_w AS (
+  SELECT event_type, h, n,
+    last_value(n IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN n IS NOT NULL THEN h END IGNORE NULLS)
+      OVER (PARTITION BY event_type ORDER BY h
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+    first_value(n IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN n IS NOT NULL THEN h END IGNORE NULLS)
+      OVER (PARTITION BY event_type ORDER BY h
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+  FROM ri_j
+)
+SELECT event_type, h::BIGINT AS h,
+  round((CASE WHEN n IS NOT NULL THEN n::DOUBLE
+       WHEN pv IS NULL THEN nv::DOUBLE
+       WHEN nv IS NULL THEN pv::DOUBLE
+       ELSE pv::DOUBLE + (nv - pv)::DOUBLE
+            * ((h - ph)::DOUBLE / (nh - ph)::DOUBLE)
+   END)::DECIMAL(18,8), 4)::DOUBLE AS filled,
+  (n IS NOT NULL)::BIGINT AS observed
+FROM ri_w
+"""
+
+
+# ---------------------------------------------------------------------------
+# isotonic regression (PAV via the minimax identity)
+# ---------------------------------------------------------------------------
+
+_ISO_BINS = 50
+_ISO_MULT = 200
+
+
+def q_isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted isotonic regression of P(lang = 'en') against the
+    English-stopword-ratio score, on fixed integer score bins: the
+    monotone calibration curve (what an sklearn IsotonicRegression
+    would fit), computed CLOSED-FORM via the minimax identity
+    iso(i) = min_{k≥i} max_{j≤i} avg(y over bins j..k) — no iterative
+    pooling, no collect. The bin is pure integer math ((hits·200) div
+    n_tokens, capped — both engines truncate identically on
+    non-negatives); prefix sums run over the ≤50-row bin frame (the
+    ONLY single-partition window, bounded by the fixed bin grid); the
+    (j,k) pair frame is ≤ 50·51/2 rows and each weighted average is
+    ONE IEEE division of exact int64 prefix differences, so every
+    max/min compares identical doubles on both engines."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.split("text", " ")
+    hits = F.size(F.filter(toks, lambda x: x.isin(*tx.EN_STOPWORDS)))
+    bin_col = F.least(
+        F.expr(f"({_ISO_MULT} * __hits) div __ntok"), F.lit(_ISO_BINS - 1)
+    ).cast("long")
+    staged = docs.select(
+        hits.alias("__hits"),
+        F.size(toks).alias("__ntok"),
+        (F.col("lang") == "en").cast("long").alias("__y"),
+    )
+    bins = staged.select(bin_col.alias("bin"), "__y").groupBy("bin").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("__y").alias("pos")
+    )
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    prefix = bins.select(
+        "bin",
+        "cnt",
+        "pos",
+        F.sum("cnt").over(wc).alias("ccnt"),
+        F.sum("pos").over(wc).alias("cpos"),
+    ).localCheckpoint(eager=False)
+    pj = prefix.select(
+        F.col("bin").alias("jb"),
+        (F.col("ccnt") - F.col("cnt")).alias("jpc"),
+        (F.col("cpos") - F.col("pos")).alias("jpp"),
+    )
+    pk = prefix.select(
+        F.col("bin").alias("kb"), F.col("ccnt").alias("kcc"), F.col("cpos").alias("kcp")
+    )
+    pairs = pj.join(pk, pj["jb"] <= pk["kb"]).select(
+        "jb",
+        "kb",
+        (
+            (F.col("kcp") - F.col("jpp")).cast("double")
+            / (F.col("kcc") - F.col("jpc")).cast("double")
+        ).alias("avgjk"),
+    )
+    ib = prefix.select(F.col("bin").alias("ib"))
+    ik = (
+        pairs.join(ib, (F.col("jb") <= F.col("ib")) & (F.col("ib") <= F.col("kb")))
+        .groupBy("ib", "kb")
+        .agg(F.max("avgjk").alias("mx"))
+    )
+    iso = ik.groupBy("ib").agg(F.min("mx").alias("iso"))
+    return (
+        bins.join(iso, bins["bin"] == iso["ib"])
+        .select(
+            F.col("bin"),
+            F.col("cnt").cast("long").alias("n"),
+            F.col("pos").cast("long").alias("pos"),
+            _dec_round(
+                F.col("pos").cast("double") / F.col("cnt").cast("double"), 6
+            ).alias("rate_raw"),
+            _dec_round(F.col("iso"), 6).alias("rate_iso"),
+        )
+        .orderBy("bin")
+    )
+
+
+_ISOTONIC_SQL = f"""
+WITH iso_d AS (
+  SELECT least(({_ISO_MULT} * len(list_filter(string_split(text, ' '),
+                               x -> x IN ({_KP_EN}))))
+               // len(string_split(text, ' ')), {_ISO_BINS - 1})::BIGINT AS bin,
+         (lang = 'en')::BIGINT AS y
+  FROM documents WHERE text IS NOT NULL
+),
+iso_b AS MATERIALIZED (
+  SELECT bin, count(*)::BIGINT AS cnt, sum(y)::BIGINT AS pos FROM iso_d GROUP BY 1
+),
+iso_p AS MATERIALIZED (
+  SELECT bin, cnt, pos,
+         sum(cnt) OVER (ORDER BY bin)::BIGINT AS ccnt,
+         sum(pos) OVER (ORDER BY bin)::BIGINT AS cpos
+  FROM iso_b
+),
+iso_pairs AS MATERIALIZED (
+  SELECT j.bin AS jb, k.bin AS kb,
+         (k.cpos - j.cpos + j.pos)::DOUBLE
+           / (k.ccnt - j.ccnt + j.cnt)::DOUBLE AS avgjk
+  FROM iso_p j JOIN iso_p k ON j.bin <= k.bin
+),
+iso_ik AS (
+  SELECT i.bin AS ib, p.kb, max(p.avgjk) AS mx
+  FROM iso_pairs p JOIN iso_p i ON p.jb <= i.bin AND i.bin <= p.kb
+  GROUP BY 1, 2
+),
+iso_i AS (SELECT ib AS bin, min(mx) AS iso FROM iso_ik GROUP BY 1)
+SELECT b.bin, b.cnt AS n, b.pos,
+       round((b.pos::DOUBLE / b.cnt::DOUBLE)::DECIMAL(18,8), 6)::DOUBLE AS rate_raw,
+       round(i.iso::DECIMAL(18,8), 6)::DOUBLE AS rate_iso
+FROM iso_b b JOIN iso_i i USING (bin) ORDER BY bin
+"""
+
+
+# ---------------------------------------------------------------------------
+# HITS (bipartite, exact integer)
+# ---------------------------------------------------------------------------
+
+_HITS_TOP = 20
+
+
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top authority parts under two unnormalized HITS rounds on the
+    order⊃part bipartite graph (operators/graph.py ``hits_bipartite``):
+    parts score high when LARGE orders that contain POPULAR parts
+    contain them — the mutual-reinforcement ranking degree alone
+    misses. Scores after a fixed round count are exact int64 (the norm
+    is deliberately skipped: it's a positive per-round scalar, so the
+    ranking is identical and the floats — and their cross-engine sqrt
+    drift — never exist). Top-k via TakeOrdered on the total order
+    (score DESC, part)."""
+    li = t(spark, sf_dir, "lineitem")
+    auth = graph.hits_bipartite(li, "l_orderkey", "l_partkey", rounds=2)
+    return (
+        auth.select(F.col("auth").cast("long").alias("p_partkey"), "score")
+        .orderBy(F.desc("score"), "p_partkey")
+        .limit(_HITS_TOP)
+    )
+
+
+_HITS_SQL = f"""
+WITH ht_e AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+ht_a1 AS MATERIALIZED (SELECT p, count(*)::BIGINT AS s FROM ht_e GROUP BY 1),
+ht_h1 AS MATERIALIZED (
+  SELECT o, sum(s)::BIGINT AS s FROM ht_e JOIN ht_a1 USING (p) GROUP BY 1
+),
+ht_a2 AS (
+  SELECT p, sum(s)::BIGINT AS s FROM ht_e JOIN ht_h1 USING (o) GROUP BY 1
+)
+SELECT p::BIGINT AS p_partkey, s AS score FROM ht_a2
+ORDER BY s DESC, p LIMIT {_HITS_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wald SPRT early stopping
+# ---------------------------------------------------------------------------
+
+_SPRT_P0 = 0.15
+_SPRT_P1 = 0.30
+_SPRT_ALPHA = 0.05
+# log-likelihood increments and Wald boundaries, scaled to exact
+# integer micro-nats ONCE here (both engines consume the same int
+# literals — no ln() ever runs inside either engine, so there is no
+# libm to drift)
+_SPRT_AS = round(math.log(_SPRT_P1 / _SPRT_P0) * 1_000_000)
+_SPRT_AF = round(math.log((1 - _SPRT_P1) / (1 - _SPRT_P0)) * 1_000_000)
+_SPRT_ACC = round(math.log((1 - _SPRT_ALPHA) / _SPRT_ALPHA) * 1_000_000)
+_SPRT_REJ = round(math.log(_SPRT_ALPHA / (1 - _SPRT_ALPHA)) * 1_000_000)
+
+
+def q_sprt_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Wald sequential probability ratio test on the purchase
+    rate (H0: p = 0.15 vs H1: p = 0.30, α = β = 0.05), replayed over
+    each user's ordered event stream: the cumulative log-likelihood
+    ratio is s·ln(p1/p0) + f·ln(q1/q0) with the increments pre-scaled
+    to integer micro-nats, so the whole scan is int64 multiply-adds
+    under one user-keyed window. Readout: how many users the monitor
+    would stop early for H1 / for H0 / leave running, and the average
+    stopping time of each group (sum/count — ONE division)."""
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = ev.select(
+        "user_id",
+        F.row_number().over(w).alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .over(w)
+        .alias("s"),
+    ).select(
+        "user_id",
+        "n",
+        (
+            F.col("s") * F.lit(_SPRT_AS)
+            + (F.col("n") - F.col("s")) * F.lit(_SPRT_AF)
+        ).alias("llr"),
+    )
+    crossed = cum.filter(
+        (F.col("llr") >= _SPRT_ACC) | (F.col("llr") <= _SPRT_REJ)
+    )
+    first = crossed.groupBy("user_id").agg(
+        F.min("n").alias("n_stop"), F.min_by("llr", "n").alias("llr_stop")
+    )
+    users = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_tot"))
+    j = users.join(first, "user_id", "left").select(
+        F.when(F.col("llr_stop").isNull(), F.lit("continue"))
+        .when(F.col("llr_stop") >= _SPRT_ACC, F.lit("accept_h1"))
+        .otherwise(F.lit("accept_h0"))
+        .alias("decision"),
+        F.coalesce(F.col("n_stop"), F.col("n_tot")).alias("steps"),
+    )
+    return (
+        j.groupBy("decision")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            _dec_round(
+                F.sum("steps").cast("double") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("avg_steps"),
+        )
+        .orderBy("decision")
+    )
+
+
+_SPRT_SQL = f"""
+WITH sq_c AS (
+  SELECT user_id,
+         row_number() OVER w AS n,
+         sum((event_type = 'purchase')::BIGINT) OVER w AS s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), sq_l AS (
+  SELECT user_id, n, s * {_SPRT_AS} + (n - s) * ({_SPRT_AF}) AS llr FROM sq_c
+), sq_f AS (
+  SELECT user_id, min(n) AS n_stop, min_by(llr, n) AS llr_stop
+  FROM sq_l WHERE llr >= {_SPRT_ACC} OR llr <= {_SPRT_REJ} GROUP BY 1
+), sq_u AS (
+  SELECT user_id, count(*)::BIGINT AS n_tot FROM events GROUP BY 1
+), sq_j AS (
+  SELECT CASE WHEN f.llr_stop IS NULL THEN 'continue'
+              WHEN f.llr_stop >= {_SPRT_ACC} THEN 'accept_h1'
+              ELSE 'accept_h0' END AS decision,
+         coalesce(f.n_stop, u.n_tot) AS steps
+  FROM sq_u u LEFT JOIN sq_f f USING (user_id)
+)
+SELECT decision, count(*)::BIGINT AS n_users,
+       round((sum(steps)::DOUBLE / count(*)::DOUBLE)::DECIMAL(18,8),
+             4)::DOUBLE AS avg_steps
+FROM sq_j GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES = {
+    "kmeans_assign": q_kmeans_assign,
+    "communities": q_communities,
+    "spell_pairs": q_spell_pairs,
+    "cohens_kappa": q_cohens_kappa,
+    "transition_gini": q_transition_gini,
+    "resample_interp": q_resample_interp,
+    "isotonic_fit": q_isotonic_fit,
+    "hits_scores": q_hits_scores,
+    "sprt_stop": q_sprt_stop,
+}
+
+ORACLES = {
+    "kmeans_assign": _KMEANS_SQL,
+    "communities": _COMMUNITIES_SQL,
+    "spell_pairs": _SPELL_PAIRS_SQL,
+    "cohens_kappa": _COHENS_KAPPA_SQL,
+    "transition_gini": _TRANSITION_GINI_SQL,
+    "resample_interp": _RESAMPLE_INTERP_SQL,
+    "isotonic_fit": _ISOTONIC_SQL,
+    "hits_scores": _HITS_SQL,
+    "sprt_stop": _SPRT_SQL,
+}

@@ -1,0 +1,354 @@
+"""Semantics tests for the round-7 advanced operators — everything the
+sf0.001/sf0.01 oracle replay can't see because both engines run the
+same formula: each operator is checked against an INDEPENDENT pure-
+Python reference implementation (reference Lloyd iteration, reference
+synchronous LPA, brute-force Levenshtein, reference PAV pooling,
+numpy-free HITS power steps, closed-form interpolation cases).
+"""
+
+import itertools
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkprep.operators import clustering, dedup, graph
+
+
+# ---------------------------------------------------------------------------
+# k-means
+# ---------------------------------------------------------------------------
+
+
+def _py_lloyd(points, k, rounds):
+    """Reference Lloyd with exact fractions: argmin over clusters of
+    ||x - S/n||^2 with ties broken by cluster id; init id % k."""
+    from fractions import Fraction
+
+    asg = {i: i % k for i in points}
+    for _ in range(rounds):
+        stats = {}
+        for i, c in asg.items():
+            n, s = stats.get(c, (0, [0] * len(points[i])))
+            stats[c] = (n + 1, [a + b for a, b in zip(s, points[i])])
+        new = {}
+        for i, x in points.items():
+            best = None
+            for c, (n, s) in sorted(stats.items()):
+                d = sum((Fraction(xj) - Fraction(sj, n)) ** 2 for xj, sj in zip(x, s))
+                if best is None or d < best[0]:
+                    best = (d, c)
+            new[i] = best[1]
+        asg = new
+    return asg
+
+
+def test_kmeans_matches_reference_lloyd(spark):
+    rng = random.Random(7)
+    pts = {i: [rng.randint(-500, 500) for _ in range(4)] for i in range(40)}
+    df = spark.createDataFrame(
+        [(i, [float(v) / 1000.0 for v in x]) for i, x in pts.items()],
+        "id long, vec array<double>",
+    )
+    q = clustering.quantize_points(df, "id", "vec", dims=4, scale=1000)
+    got = {
+        r["id"]: r["cluster"]
+        for r in clustering.kmeans_lloyd(q, k=3, dims=4, rounds=3).collect()
+    }
+    want = _py_lloyd(pts, k=3, rounds=3)
+    assert got == want
+
+
+def test_kmeans_profile_counts_and_wss(spark):
+    # two blobs aligned with the id%k init (even ids = blob A, odd =
+    # blob B) so Lloyd is stable from round 1: profile must report
+    # exact sizes, exact integer-grid means, zero WSS
+    data = [
+        (i, [0.1, 0.2] if i % 2 == 0 else [0.9, -0.4]) for i in range(16)
+    ]
+    df = spark.createDataFrame(data, "id long, vec array<double>")
+    q = clustering.quantize_points(df, "id", "vec", dims=2, scale=1000)
+    asg = clustering.kmeans_lloyd(q, k=2, dims=2, rounds=3)
+    prof = clustering.cluster_profile(asg, dims=2, out_dims=2).collect()
+    assert sorted(r["n_points"] for r in prof) == [8, 8]
+    for r in prof:
+        if r["cluster"] == 0:
+            assert (r["mean_0"], r["mean_1"]) == (100.0, 200.0)
+        else:
+            assert (r["mean_0"], r["mean_1"]) == (900.0, -400.0)
+        assert r["wss"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# label propagation
+# ---------------------------------------------------------------------------
+
+
+def _py_lpa(edges, rounds):
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    lbl = {n: n for n in adj}
+    for _ in range(rounds):
+        new = {}
+        for n, nbrs in adj.items():
+            counts = {}
+            for m in nbrs:
+                counts[lbl[m]] = counts.get(lbl[m], 0) + 1
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            new[n] = best[0]
+        lbl = new
+    return lbl
+
+
+@pytest.mark.parametrize("seed,rounds", [(1, 1), (2, 3), (3, 4)])
+def test_lpa_matches_reference(spark, seed, rounds):
+    rng = random.Random(seed)
+    nodes = list(range(30))
+    edges = set()
+    # two dense-ish blobs with a weak bridge
+    for grp in (nodes[:15], nodes[15:]):
+        for _ in range(40):
+            u, v = rng.sample(grp, 2)
+            edges.add((min(u, v), max(u, v)))
+    edges.add((14, 15))
+    df = spark.createDataFrame(sorted(edges), "u long, v long")
+    got = {
+        r["node"]: r["community"]
+        for r in graph.lpa_communities(df, rounds=rounds).collect()
+    }
+    assert got == _py_lpa(sorted(edges), rounds)
+
+
+# ---------------------------------------------------------------------------
+# SymSpell pairs
+# ---------------------------------------------------------------------------
+
+
+def _py_lev(a, b):
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+    return dp[-1]
+
+
+def test_symspell_complete_vs_bruteforce(spark):
+    rng = random.Random(11)
+    alphabet = "abcde"
+    vocab = set()
+    while len(vocab) < 60:
+        vocab.add("".join(rng.choice(alphabet) for _ in range(rng.randint(4, 8))))
+    vocab = sorted(vocab)
+    want = {
+        (a, b, _py_lev(a, b))
+        for a, b in itertools.combinations(vocab, 2)
+        if _py_lev(a, b) <= 2
+    }
+    df = spark.createDataFrame([(w,) for w in vocab], "word string")
+    got = {
+        (r["word_a"], r["word_b"], r["distance"])
+        for r in dedup.symspell_pairs(df, "word", max_edits=2).collect()
+    }
+    assert got == want
+    assert len(want) > 10  # the random vocab actually exercises the join
+
+
+def test_symspell_no_false_positives_at_k1(spark):
+    words = ["hello", "hallo", "hell", "world", "word", "sword"]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        (r["word_a"], r["word_b"])
+        for r in dedup.symspell_pairs(df, "word", max_edits=1).collect()
+    }
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(words), 2)
+        if _py_lev(a, b) <= 1
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# HITS
+# ---------------------------------------------------------------------------
+
+
+def test_hits_matches_reference_power_steps(spark):
+    rng = random.Random(5)
+    edges = {(rng.randint(0, 9), rng.randint(100, 109)) for _ in range(60)}
+    df = spark.createDataFrame(sorted(edges), "o long, p long")
+    auth1 = {}
+    for o, p in edges:
+        auth1[p] = auth1.get(p, 0) + 1
+    hub1 = {}
+    for o, p in edges:
+        hub1[o] = hub1.get(o, 0) + auth1[p]
+    auth2 = {}
+    for o, p in edges:
+        auth2[p] = auth2.get(p, 0) + hub1[o]
+    got = {
+        r["auth"]: r["score"]
+        for r in graph.hits_bipartite(df, "o", "p", rounds=2).collect()
+    }
+    assert got == auth2
+
+
+# ---------------------------------------------------------------------------
+# isotonic regression (PAV reference)
+# ---------------------------------------------------------------------------
+
+
+def _py_pav(ys, ws):
+    """Classic pool-adjacent-violators on (value, weight) bins."""
+    merged = []
+    for y, w in zip(ys, ws):
+        merged.append([y * w, w])
+        while len(merged) >= 2 and (
+            merged[-2][0] * merged[-1][1] > merged[-1][0] * merged[-2][1]
+        ):
+            s2, w2 = merged.pop()
+            merged[-1][0] += s2
+            merged[-1][1] += w2
+    # expand back to per-bin fitted values: walk bins against pools
+    res = []
+    i = 0
+    for s, w in merged:
+        acc = 0
+        while acc < w:
+            acc += ws[i]
+            res.append(s / w)
+            i += 1
+    return res
+
+
+def test_minimax_isotonic_matches_pav(spark, sf_dir):
+    # run the registered query and re-derive PAV from its own bin stats
+    from sparkprep.queries.advanced import q_isotonic_fit
+
+    rows = q_isotonic_fit(spark, sf_dir).collect()
+    rows = sorted(rows, key=lambda r: r["bin"])
+    ys = [r["pos"] / r["n"] for r in rows]
+    ws = [r["n"] for r in rows]
+    want = _py_pav(ys, ws)
+    got = [r["rate_iso"] for r in rows]
+    for g, w in zip(got, want):
+        assert g == pytest.approx(w, abs=2e-6)
+    # monotone non-decreasing by construction
+    assert all(a <= b + 1e-12 for a, b in zip(got, got[1:]))
+
+
+# ---------------------------------------------------------------------------
+# linear interpolation
+# ---------------------------------------------------------------------------
+
+
+def test_resample_interp_closed_form(spark, sf_dir, tmp_path):
+    # synthetic series with a hole: observed h=0 (v=10), h=3 (v=40);
+    # h=1,2 must interpolate to 20, 30; plus a leading-edge case on a
+    # second type observed only at h=2
+    import pandas as pd
+
+    # h=0 weight 10 and h=3 weight 40 via duplicated events
+    rows = []
+    for _ in range(10):
+        rows.append((len(rows), "2024-01-01 00:30", 1, "a"))
+    for _ in range(40):
+        rows.append((len(rows), "2024-01-01 03:30", 1, "a"))
+    rows.append((len(rows), "2024-01-01 02:15", 2, "b"))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pdf["value"] = 1.0
+    pdf["props"] = "{}"
+    out = tmp_path / "sf"
+    out.mkdir()
+    pdf.to_parquet(out / "events.parquet", index=False)
+    from sparkprep.queries.advanced import q_resample_interp
+
+    res = {
+        (r["event_type"], r["h"] % 24): (r["filled"], r["observed"])
+        for r in q_resample_interp(spark, str(out)).collect()
+    }
+    assert res[("a", 0)] == (10.0, 1)
+    assert res[("a", 1)] == (20.0, 0)
+    assert res[("a", 2)] == (30.0, 0)
+    assert res[("a", 3)] == (40.0, 1)
+    # type b: single observation -> nearest-fill everywhere
+    assert res[("b", 0)] == (1.0, 0)
+    assert res[("b", 2)] == (1.0, 1)
+    assert res[("b", 3)] == (1.0, 0)
+
+
+# ---------------------------------------------------------------------------
+# SPRT
+# ---------------------------------------------------------------------------
+
+
+def test_sprt_constants_and_reference_scan(spark, sf_dir):
+    from sparkprep.queries import advanced as adv
+
+    # boundaries: symmetric at alpha=beta, increments signed correctly
+    assert adv._SPRT_AS > 0 > adv._SPRT_AF
+    assert adv._SPRT_ACC == -adv._SPRT_REJ > 0
+    # reference scan on the real data for a handful of users
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").orderBy("ts", "event_id")
+    rows = [
+        (r["user_id"], r["event_type"] == "purchase")
+        for r in ev.select("user_id", "event_type", "ts", "event_id").collect()
+    ]
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for u, hit in rows:
+        per_user[u].append(hit)
+    decisions = defaultdict(lambda: [0, 0])
+    for u, seq in per_user.items():
+        s = 0
+        stopped = None
+        for n, hit in enumerate(seq, 1):
+            s += int(hit)
+            llr = s * adv._SPRT_AS + (n - s) * adv._SPRT_AF
+            if llr >= adv._SPRT_ACC:
+                stopped = ("accept_h1", n)
+                break
+            if llr <= adv._SPRT_REJ:
+                stopped = ("accept_h0", n)
+                break
+        if stopped is None:
+            stopped = ("continue", len(seq))
+        decisions[stopped[0]][0] += 1
+        decisions[stopped[0]][1] += stopped[1]
+    got = {
+        r["decision"]: (r["n_users"], r["avg_steps"])
+        for r in adv.q_sprt_stop(spark, sf_dir).collect()
+    }
+    for dec, (n, tot) in decisions.items():
+        assert got[dec][0] == n
+        assert got[dec][1] == pytest.approx(tot / n, abs=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# transition gini / kappa sanity
+# ---------------------------------------------------------------------------
+
+
+def test_transition_gini_bounds(spark, sf_dir):
+    from sparkprep.queries.advanced import q_transition_gini
+
+    rows = q_transition_gini(spark, sf_dir).collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert 0.0 <= r["next_gini"] <= 1.0 - 1.0 / 5 + 1e-9  # k=5 types max
+
+
+def test_cohens_kappa_identities(spark, sf_dir):
+    from sparkprep.queries.advanced import q_cohens_kappa
+
+    r = q_cohens_kappa(spark, sf_dir).collect()[0]
+    # kappa = (po - pe) / (1 - pe) within rounding
+    assert r["kappa"] == pytest.approx(
+        (r["po"] - r["pe"]) / (1 - r["pe"]), abs=5e-5
+    )
+    assert -1.0 <= r["kappa"] <= 1.0

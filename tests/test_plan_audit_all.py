@@ -63,6 +63,10 @@ _TINY_BROADCAST_CROSS = {
     "join_fanout",       # 1-row Σfanout attach to the per-part agg
     "bootstrap_ci",      # 1-row CI frame attach to the 1-row point frame
     "kendall_tau",       # 1-row y-domain array + 1-row tie-term attaches
+    "kmeans_assign",     # k=4 centroid rows broadcast x points, per Lloyd round
+    "cohens_kappa",      # 1-row totals x 1-row marginal-product attach
+    "resample_interp",   # |event_types|-row (5) type frame x hour grid
+    "isotonic_fit",      # <=50-row bin frames, non-equi (j<=i<=k) by design
 }
 
 # the one deliberate Python-row-path showcase: a Python UDTF (SURVEY
@@ -139,6 +143,11 @@ _BOUNDED_GLOBAL_WINDOW = {
     "gains_table": "10-row decile frame + O(32) ranks.global_ntile offsets",
     "gini_scale": "O(32) ranks.global_rank offsets frame only",
     "hybrid_rrf": "bounded top-k retrieval legs",
+    # NOTE isotonic_fit also runs a single-partition window (the <=50-row
+    # bin prefix, bounded by the fixed integer bin grid) but its lazy
+    # localCheckpoint truncates the registered plan above the window, so
+    # the detector can't see it — bound documented in the query docstring.
+    "resample_interp": "SinglePartition is the 1-row grid-bounds scalar; the fill windows are event_type-KEYED over the calendar-span-bounded grid",
     "k_anonymity": "quasi-identifier cross-product frame (125 classes), bounded by QI domains not rows",
     "kendall_tau": "|X|x|Y| contingency grid (50x11), bounded by value domains not rows",
     "l_diversity": "same QI-class frame as k_anonymity",

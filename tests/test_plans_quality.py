@@ -365,3 +365,57 @@ def test_cross_corr_equijoin_on_day_lag(spark, sf_dir):
     plan = _simple(QUERIES["cross_corr"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kmeans_broadcast_centroids_not_shuffle(spark, sf_dir):
+    # each Lloyd round must broadcast the k centroid rows across the
+    # points — the points side may never hash-shuffle on a join key
+    # (there is none); the cross is the sanctioned k-row BNLJ and the
+    # per-point argmin window is keyed by point id, never global.
+    # checkpoint=False path: the production localCheckpoint truncates
+    # explain() above the rounds (ranks.global_rank convention)
+    from sparkprep.operators import clustering
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pts = clustering.quantize_points(emb, "vec_id", "embedding", dims=4)
+    plan = _simple(
+        clustering.kmeans_lloyd(pts, k=4, dims=4, rounds=2, checkpoint=False)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the k-row centroid attach
+    # the argmin window is keyed by point id — never a global sort
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_communities_vote_is_aggregate_not_window(spark, sf_dir):
+    # the per-node argmax label must be a map-combinable aggregate
+    # (min(struct(-count,label))), not a row_number window over the
+    # vote stream
+    plan = _simple(QUERIES["communities"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_spell_pairs_equijoin_on_variant(spark, sf_dir):
+    # SymSpell must hash-join deletion variants — never an all-pairs
+    # theta join on the vocabulary
+    plan = _simple(QUERIES["spell_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hits_keyed_joins_only(spark, sf_dir):
+    # both HITS rounds are keyed equi-joins + partial aggregates
+    plan = _simple(QUERIES["hits_scores"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-20 never global-sorts
+
+
+def test_sprt_single_keyed_window_no_python(spark, sf_dir):
+    # the LLR scan is one user-keyed window over raw events; no Python
+    # evaluation anywhere (the ln constants were folded in Python)
+    plan = _simple(QUERIES["sprt_stop"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
