@@ -414,6 +414,48 @@ def main() -> None:
             .agg(F.min("s"), F.max("e"), F.count(F.lit(1))))
 
     bench("interval merge (1000 users)", imerge)
+
+    # --- round-7 session-2: clustering / LPA / SymSpell / HITS --------
+    from sparkprep.operators import clustering
+
+    # distributed Lloyd at 100x the bench points: per round ONE
+    # map-combined groupBy to k rows + a k-row broadcast back; the
+    # cliff to watch is the interpreted zip_with lambda (k x dims
+    # evaluations per point per round)
+    km_pts = clustering.quantize_points(vecs, "vec_id", "embedding", dims=8)
+    bench("kmeans lloyd (k=4, 3 rounds)", lambda: materialize(
+        clustering.kmeans_lloyd(km_pts, k=4, dims=8, rounds=3)))
+
+    # sync LPA on the basket co-occurrence graph: per round one keyed
+    # join + one map-combined argmax aggregate; the cliff is a hub
+    # label fanning out (bounded here by the basket cap, as in prod)
+    bench("LPA communities (4 rounds)", lambda: materialize(
+        graph.lpa_communities(
+            co_edges.select("item_a", "item_b")
+            .withColumnRenamed("item_a", "u")
+            .withColumnRenamed("item_b", "v"),
+            rounds=4)))
+
+    # SymSpell over a 50k-word synthetic vocabulary: variant fan-out is
+    # Sum(|w|^2)/2 per word (~30x vocab rows), hash-joined on the
+    # variant — never vocab^2; the cliff is a hot variant bucket
+    sym_w = spark.range(50_000).select(
+        F.concat(
+            F.lit("w"),
+            (F.pmod(F.xxhash64("id"), 26) + 10).cast("string"),
+            (F.pmod(F.xxhash64(F.col("id") + 1), 26) + 10).cast("string"),
+            (F.pmod(F.xxhash64(F.col("id") + 2), 26) + 10).cast("string"),
+            (F.pmod(F.xxhash64(F.col("id") + 3), 100) + 10).cast("string"),
+        ).alias("word")
+    )
+    bench("symspell pairs (50k vocab)", lambda: materialize(
+        dedup.symspell_pairs(sym_w, "word", max_edits=2)))
+
+    # exact-integer HITS on the basket bipartite graph: two keyed
+    # equi-join + map-combined sum rounds over num_rows/8 baskets
+    bench("HITS bipartite (2 rounds)", lambda: materialize(
+        graph.hits_bipartite(baskets, "basket", "item", rounds=2)))
+
     spark.stop()
 
 

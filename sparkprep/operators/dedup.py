@@ -941,6 +941,7 @@ def symspell_pairs(
     words: DataFrame,
     word_col: str = "word",
     max_edits: int = 2,
+    max_word_len: int = 30,
 ) -> DataFrame:
     """SymSpell-style spelling-variant pairs: all DISTINCT word pairs
     within Levenshtein distance ``max_edits``, found by an equi-join on
@@ -955,11 +956,13 @@ def symspell_pairs(
     k = 2, never vocabulary² — and an exact ``levenshtein() ≤ k``
     filter on the candidates removes the false positives the deletion
     match admits. At corpus scale this is the standard spell-dedup
-    shape: the variant fan-out is bounded by word length (and words
-    beyond ~30 chars are junk-filtered upstream), the join is a plain
-    hash equi-join on the variant string, and candidate pairs are
-    deduplicated BEFORE the Levenshtein filter so each pair pays the
-    DP cost once.
+    shape: the variant fan-out is bounded by word length — and the
+    operator ENFORCES that bound itself: tokens longer than
+    ``max_word_len`` are dropped (a single pathological 1000-char
+    token would otherwise emit ~500k depth-2 variants, quadratic in
+    word length) — the join is a plain hash equi-join on the variant
+    string, and candidate pairs are deduplicated BEFORE the
+    Levenshtein filter so each pair pays the DP cost once.
 
     Deletion variants are generated natively: ``sequence(0, len)``
     exploded (never a Python UDF), each position deleting one char via
@@ -967,7 +970,11 @@ def symspell_pairs(
     same expansion to the depth-1 output. Returns distinct
     ``(word_a, word_b, distance)`` with ``word_a < word_b``.
     """
-    w = words.select(F.col(word_col).alias("__w")).distinct()
+    w = (
+        words.select(F.col(word_col).alias("__w"))
+        .filter(F.length("__w") <= int(max_word_len))
+        .distinct()
+    )
     # depth-0..1: position 0 keeps the word itself (deletion of nothing)
     d1 = w.select(
         "__w",

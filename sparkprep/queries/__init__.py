@@ -269,6 +269,10 @@ _ROUND7_QUEUE = [
     "isotonic_fit",
     "hits_scores",
     "sprt_stop",
+    "modularity",
+    "position_attribution",
+    "jaccard_histogram",
+    "conformal_interval",
 ]
 
 

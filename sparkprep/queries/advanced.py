@@ -222,7 +222,7 @@ _SPELL_PAIRS_SQL = """
 WITH sp_w AS (
   SELECT DISTINCT unnest(string_split(p_name, ' ')) AS w FROM part
 ),
-sp_f AS (SELECT w FROM sp_w WHERE length(w) >= 4)
+sp_f AS (SELECT w FROM sp_w WHERE length(w) BETWEEN 4 AND 30)
 SELECT a.w AS word_a, b.w AS word_b,
        levenshtein(a.w, b.w)::BIGINT AS distance
 FROM sp_f a JOIN sp_f b ON a.w < b.w AND levenshtein(a.w, b.w) <= 2
@@ -773,3 +773,445 @@ ORACLES = {
     "hits_scores": _HITS_SQL,
     "sprt_stop": _SPRT_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# modularity of the LPA partition
+# ---------------------------------------------------------------------------
+
+
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the 4-round LPA partition over the
+    co-purchase graph — the quality number that says whether the
+    communities are real structure or noise. Exact integer algebra:
+    Q·4m² = Σ_c (4m·e_c − d_c²) with e_c = intra-community edges and
+    d_c = community degree sum, every product in DECIMAL(38,0)
+    (billion-edge m² overflows int64 under ANSI), ONE division at the
+    end. The edge set is localCheckpoint-ed (it feeds the degree
+    aggregate, the intra-edge join AND the m count); the 1-row m frame
+    is a sanctioned broadcast cross."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        graph.cooccurrence_pairs(
+            li, "l_orderkey", "l_partkey", max_items_per_key=64, cap_by="id"
+        )
+        .filter(F.col("n_keys") >= 2)
+        .select(F.col("item_a").alias("u"), F.col("item_b").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    lbl = graph.lpa_communities(edges, rounds=_LPA_ROUNDS)
+    m_row = edges.agg(F.count(F.lit(1)).alias("m"))
+    deg = (
+        edges.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dc = (
+        deg.join(lbl, "node")
+        .groupBy("community")
+        .agg(F.sum("d").alias("dc"))
+    )
+    la = lbl.select(F.col("node").alias("u"), F.col("community").alias("ca"))
+    lb = lbl.select(F.col("node").alias("v"), F.col("community").alias("cb"))
+    ec = (
+        edges.join(la, "u")
+        .join(lb, "v")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("ec"))
+    )
+    folded = (
+        dc.join(ec, "community", "left")
+        .crossJoin(F.broadcast(m_row))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+            F.min("m").cast("long").alias("n_edges"),
+            F.sum(
+                F.lit(4).cast(_D38) * F.col("m") * F.coalesce(F.col("ec"), F.lit(0))
+                - F.col("dc").cast(_D38) * F.col("dc")
+            ).alias("num"),
+        )
+    )
+    m38 = F.col("n_edges").cast(_D38)
+    return folded.select(
+        "n_communities",
+        "n_edges",
+        _dec_round(
+            F.try_divide(
+                F.col("num").cast("double"),
+                (F.lit(4).cast(_D38) * m38 * F.col("n_edges")).cast("double"),
+            ),
+            6,
+        ).alias("modularity"),
+    )
+
+
+def _modularity_sql(rounds: int) -> str:
+    # reuses the communities CTE chain (same names — separate statement)
+    base = _communities_sql(rounds).split("\nSELECT")[0]
+    return (
+        base
+        + f""",
+md_deg AS (SELECT u AS node, count(*) AS d FROM cm_adj GROUP BY 1),
+md_m AS (SELECT count(*)::BIGINT AS m FROM cm_e),
+md_dc AS (SELECT l.lbl AS c, sum(d)::BIGINT AS dc
+          FROM md_deg g JOIN cm_l{rounds} l ON g.node = l.node GROUP BY 1),
+md_ec AS (SELECT la.lbl AS c, count(*)::BIGINT AS ec
+          FROM cm_e e JOIN cm_l{rounds} la ON e.u = la.node
+          JOIN cm_l{rounds} lb ON e.v = lb.node
+          WHERE la.lbl = lb.lbl GROUP BY 1),
+md_t AS (
+  SELECT count(*)::BIGINT AS n_communities, min(mm.m)::BIGINT AS n_edges,
+         sum(4::DECIMAL(38,0) * mm.m * coalesce(e.ec, 0)
+             - d.dc::DECIMAL(38,0) * d.dc) AS num
+  FROM md_dc d LEFT JOIN md_ec e ON d.c = e.c CROSS JOIN md_m mm
+)
+SELECT n_communities, n_edges,
+       round((num::DOUBLE
+              / (4::DECIMAL(38,0) * n_edges * n_edges)::DOUBLE)::DECIMAL(18,8),
+             6)::DOUBLE AS modularity
+FROM md_t"""
+    )
+
+
+_MODULARITY_SQL = _modularity_sql(_LPA_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# U-shaped (position-based) multi-touch attribution
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_US = 7 * 86400 * 1_000_000
+
+
+def q_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: every
+    non-purchase touch is assigned to the user's NEXT purchase within
+    7 days via ONE forward-looking keyed window (never an interval
+    join — per-user fan-out would be touches x purchases); per journey
+    the first and last touch take 4000 basis points each and the
+    middle touches split 2000 (n=1 -> 10000, n=2 -> 5000/5000).
+    Basis points are exact ints except the middle split — ONE division
+    of exact ints, recast DECIMAL(18,8) per row so the per-channel
+    credit sums are order-independent (the decayed_value discipline).
+    last-touch attribution is the asof-join sibling (q_attribution)."""
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events")
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    is_p = F.col("event_type") == "purchase"
+    staged = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.first(
+            F.when(is_p, F.struct(F.unix_micros("ts").alias("pus"), F.col("event_id").alias("pid"))),
+            ignorenulls=True,
+        )
+        .over(w_next)
+        .alias("np"),
+    )
+    touches = staged.filter(
+        (~(F.col("event_type") == "purchase"))
+        & F.col("np").isNotNull()
+        & ((F.col("np.pus") - F.col("us")) <= F.lit(_ATTR_WINDOW_US))
+    ).select(
+        "user_id",
+        "event_type",
+        "us",
+        "event_id",
+        F.col("np.pid").alias("pid"),
+    )
+    wj = Window.partitionBy("user_id", "pid").orderBy("us", "event_id")
+    wn = Window.partitionBy("user_id", "pid")
+    pos = touches.select(
+        "event_type",
+        F.row_number().over(wj).alias("pos"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    bp = (
+        F.when(F.col("n") == 1, F.lit(10000.0))
+        .when(F.col("n") == 2, F.lit(5000.0))
+        .when(F.col("pos") == 1, F.lit(4000.0))
+        .when(F.col("pos") == F.col("n"), F.lit(4000.0))
+        .otherwise(
+            F.lit(2000).cast("double") / (F.col("n") - 2).cast("double")
+        )
+    )
+    return (
+        pos.select("event_type", bp.cast(_D18).alias("__bp"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.round(F.sum("__bp"), 4).cast("double").alias("credit_bp"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_POSITION_ATTRIBUTION_SQL = f"""
+WITH pa_s AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+         first_value(CASE WHEN event_type = 'purchase'
+                          THEN {{'pus': epoch_us(ts), 'pid': event_id}} END
+                     IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS np
+  FROM events
+), pa_t AS (
+  SELECT user_id, event_type, us, event_id, np.pid AS pid
+  FROM pa_s
+  WHERE event_type <> 'purchase' AND np IS NOT NULL
+    AND np.pus - us <= {_ATTR_WINDOW_US}
+), pa_p AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY user_id, pid ORDER BY us, event_id) AS pos,
+         count(*) OVER (PARTITION BY user_id, pid) AS n
+  FROM pa_t
+)
+SELECT event_type, count(*)::BIGINT AS n_touches,
+       round(sum((CASE WHEN n = 1 THEN 10000.0
+                       WHEN n = 2 THEN 5000.0
+                       WHEN pos = 1 THEN 4000.0
+                       WHEN pos = n THEN 4000.0
+                       ELSE 2000::DOUBLE / (n - 2)::DOUBLE
+                  END)::DECIMAL(18,8)), 4)::DOUBLE AS credit_bp
+FROM pa_p GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact Jaccard histogram over candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def q_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-threshold sweep for dedup tuning: the distribution of
+    EXACT 3-gram Jaccard over candidate pairs of the planted near-dup
+    sub-corpus, binned by (10·|A∩B|) div |A∪B| — pure integer math, no
+    float anywhere in the whole query. At corpus scale the candidate
+    stream comes from the LSH bands (minhash_pairs); the bounded
+    sub-corpus here is the exact-verifier configuration, same as
+    q_jaccard_pairs. Tells you where the j-threshold should sit before
+    committing a full dedup pass."""
+    from sparkprep.operators import dedup as dd
+    from sparkprep.queries.llmprep import _corpus_near
+
+    corpus = _corpus_near(spark, sf_dir).filter((F.col("doc_id") % 10000) < 60)
+    sh = dd.explode_shingles(corpus, "text", "doc_id", 3).localCheckpoint(
+        eager=False
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    binned = (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            F.least(
+                F.expr("(10 * n_inter) div (n_a + n_b - n_inter)"), F.lit(9)
+            )
+            .cast("long")
+            .alias("j_bin")
+        )
+    )
+    return (
+        binned.groupBy("j_bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("j_bin")
+    )
+
+
+def _jaccard_histogram_sql() -> str:
+    from sparkprep.queries.llmprep import _CORPUS_NEAR_SQL
+
+    return f"""
+WITH {_CORPUS_NEAR_SQL},
+jh_sub AS (SELECT * FROM corpus WHERE doc_id % 10000 < 60),
+jh_tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM jh_sub),
+jh_sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+          FROM jh_tok, UNNEST(range(1, len(tk) - 1)) AS u(i)),
+jh_sz AS (SELECT doc_id, count(*) AS n FROM jh_sh GROUP BY 1),
+jh_in AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+          FROM jh_sh a JOIN jh_sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT least((10 * n_inter) // (na.n + nb.n - n_inter), 9)::BIGINT AS j_bin,
+       count(*)::BIGINT AS n_pairs
+FROM jh_in
+JOIN jh_sz na ON na.doc_id = id_a
+JOIN jh_sz nb ON nb.doc_id = id_b
+GROUP BY 1 ORDER BY 1
+"""
+
+
+_JACCARD_HISTOGRAM_SQL = _jaccard_histogram_sql()
+
+
+# ---------------------------------------------------------------------------
+# split-conformal prediction interval
+# ---------------------------------------------------------------------------
+
+_CONF_ALPHA_NUM = 9  # coverage 1 - alpha = 9/10
+
+
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for a linear model of order
+    totalprice on order-date day index: fit on the md5-50% train
+    split (closed-form OLS on DECIMAL-exact sufficient statistics —
+    the ols_elasticity discipline, no ln so no libm anywhere), take
+    q_hat = the ⌈(n_cal+1)·0.9⌉-th smallest absolute calibration
+    residual via ``ranks.global_rank`` (range-partitioned — the
+    calibration frame is entity-grain and must never single-partition
+    sort), and report the finite-sample coverage of pred ± q_hat on
+    the held-out test split. The k-th order statistic is tie-safe:
+    both engines select the same VALUE at rank k however ties split.
+    The 1-row model/q_hat frames are sanctioned broadcast crosses."""
+    from sparkprep.operators import ranks
+
+    tune_for_engine(spark)
+    # o_orderdate arrives TIMESTAMP_NTZ (the loader only normalizes
+    # `ts`); cast to session-TZ TIMESTAMP first (identity under the
+    # pinned-UTC session — the reorder_gaps convention)
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(
+            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+        ).alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y_cents"),
+    )
+    # deterministic md5 3-way split: 0-7 train, 8-b calib, c-f test
+    nib = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    staged = orders.select(
+        "x",
+        "y_cents",
+        F.when(nib < "8", F.lit("train"))
+        .when(nib < "c", F.lit("calib"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    ).localCheckpoint(eager=False)
+    d38 = "decimal(38,4)"
+    sums = staged.filter(F.col("split") == "train").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y_cents").cast(d38)).alias("sy"),
+        F.sum((F.col("x") * F.col("y_cents")).cast(d38)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = F.try_divide(n * sxy - sx * sy, n * sxx - sx * sx)
+    model = sums.select(
+        F.col("n").cast("long").alias("n_train"),
+        slope.alias("b"),
+        ((sy - slope * sx) / n).alias("a"),
+    )
+    scored = staged.filter(F.col("split") != "train").crossJoin(
+        F.broadcast(model)
+    )
+    resid = scored.select(
+        "split",
+        "n_train",
+        F.abs(
+            F.col("y_cents").cast("double")
+            - (F.col("a") + F.col("b") * F.col("x").cast("double"))
+        ).alias("r"),
+    ).localCheckpoint(eager=False)
+    cal = resid.filter(F.col("split") == "calib")
+    ranked = ranks.global_rank(
+        cal.select("r"), [F.asc("r")], rank_name="rk", total_name="nc"
+    )
+    # k = ceil((n_cal + 1) * 9 / 10) in exact integers
+    qhat = ranked.filter(
+        F.col("rk")
+        == F.expr(f"((nc + 1) * {_CONF_ALPHA_NUM} + 9) div 10")
+    ).agg(F.min("r").alias("q_hat"), F.min("nc").alias("n_cal"))
+    test = resid.filter(F.col("split") == "test").crossJoin(F.broadcast(qhat))
+    return test.agg(
+        F.min("n_train").alias("n_train"),
+        F.min("n_cal").cast("long").alias("n_cal"),
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        _dec_round(F.min("q_hat") / F.lit(100.0), 4).alias("q_hat"),
+        _dec_round(
+            F.sum((F.col("r") <= F.col("q_hat")).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("coverage"),
+    )
+
+
+_CONFORMAL_SQL = f"""
+WITH cf_o AS (
+  SELECT o_orderkey,
+         epoch_us(o_orderdate) // 86400000000 AS x,
+         round(o_totalprice * 100)::BIGINT AS y_cents,
+         CASE WHEN substring(md5(o_orderkey::VARCHAR), 1, 1) < '8' THEN 'train'
+              WHEN substring(md5(o_orderkey::VARCHAR), 1, 1) < 'c' THEN 'calib'
+              ELSE 'test' END AS split
+  FROM orders
+), cf_s AS (
+  SELECT count(*) AS n,
+         sum(x::DECIMAL(38,4)) AS sx, sum(y_cents::DECIMAL(38,4)) AS sy,
+         sum((x * y_cents)::DECIMAL(38,4)) AS sxy,
+         sum((x * x)::DECIMAL(38,4)) AS sxx
+  FROM cf_o WHERE split = 'train'
+), cf_m AS (
+  SELECT n::BIGINT AS n_train,
+         (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+           / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) AS b,
+         (sy::DOUBLE - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+           / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)) * sx::DOUBLE)
+           / n::DOUBLE AS a
+  FROM cf_s
+), cf_r AS (
+  SELECT split, n_train,
+         abs(y_cents::DOUBLE - (a + b * x::DOUBLE)) AS r
+  FROM cf_o CROSS JOIN cf_m WHERE split <> 'train'
+), cf_rk AS (
+  SELECT r, row_number() OVER (ORDER BY r) AS rk, count(*) OVER () AS nc
+  FROM cf_r WHERE split = 'calib'
+), cf_q AS (
+  SELECT min(r) AS q_hat, min(nc)::BIGINT AS n_cal FROM cf_rk
+  WHERE rk = ((nc + 1) * {_CONF_ALPHA_NUM} + 9) // 10
+)
+SELECT min(n_train)::BIGINT AS n_train,
+       min(q.n_cal) AS n_cal,
+       count(*)::BIGINT AS n_test,
+       round((min(q.q_hat) / 100.0)::DECIMAL(18,8), 4)::DOUBLE AS q_hat,
+       round((sum((r <= q.q_hat)::BIGINT)::DOUBLE
+              / count(*)::DOUBLE)::DECIMAL(18,8), 6)::DOUBLE AS coverage
+FROM cf_r CROSS JOIN cf_q q WHERE split = 'test'
+"""
+
+
+QUERIES.update(
+    {
+        "modularity": q_modularity,
+        "position_attribution": q_position_attribution,
+        "jaccard_histogram": q_jaccard_histogram,
+        "conformal_interval": q_conformal_interval,
+    }
+)
+
+ORACLES.update(
+    {
+        "modularity": _MODULARITY_SQL,
+        "position_attribution": _POSITION_ATTRIBUTION_SQL,
+        "jaccard_histogram": _JACCARD_HISTOGRAM_SQL,
+        "conformal_interval": _CONFORMAL_SQL,
+    }
+)

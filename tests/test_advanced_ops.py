@@ -352,3 +352,118 @@ def test_cohens_kappa_identities(spark, sf_dir):
         (r["po"] - r["pe"]) / (1 - r["pe"]), abs=5e-5
     )
     assert -1.0 <= r["kappa"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# modularity / attribution / jaccard histogram / conformal
+# ---------------------------------------------------------------------------
+
+
+def test_modularity_two_clique_identity(spark, tmp_path):
+    # two disjoint triangles via synthetic lineitem: orders {1,2,3} each
+    # buy part-pairs of clique A twice, orders {4,5,6} clique B —
+    # LPA finds the two cliques, and modularity of a 2-clique split of
+    # 2 triangles is exactly 1/2 - 1/4 + ... hand value below
+    import pandas as pd
+
+    rows = []
+    # clique A = parts 1,2,3 ; clique B = parts 11,12,13; each order
+    # holds the full clique -> every pair supported by >= 2 orders
+    for o in (1, 2, 3):
+        for p in (1, 2, 3):
+            rows.append((o, p))
+    for o in (4, 5, 6):
+        for p in (11, 12, 13):
+            rows.append((o, p))
+    pdf = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    for c in (
+        "l_suppkey l_linenumber l_quantity l_extendedprice l_discount "
+        "l_tax l_returnflag l_linestatus l_shipdate"
+    ).split():
+        pdf[c] = 0 if c not in ("l_returnflag", "l_linestatus", "l_shipdate") else "x"
+    pdf["l_shipdate"] = pd.to_datetime("2024-01-01")
+    out = tmp_path / "sf"
+    out.mkdir()
+    pdf.to_parquet(out / "lineitem.parquet", index=False)
+    from sparkprep.queries.advanced import q_modularity
+
+    r = q_modularity(spark, str(out)).collect()[0]
+    # 6 edges, 2 communities, each with e_c=3, d_c=6:
+    # Q = sum(e_c/m - (d_c/2m)^2) = 2*(3/6 - (6/12)^2) = 0.5
+    assert r["n_edges"] == 6
+    assert r["n_communities"] == 2
+    assert r["modularity"] == 0.5
+
+
+def test_position_attribution_hand_math(spark, tmp_path):
+    import pandas as pd
+
+    # user 1: touches a,b,c then purchase -> 4000/2000/4000
+    # user 2: single touch a then purchase -> 10000
+    # user 3: touch beyond 7d window -> excluded
+    rows = [
+        (1, "2024-01-01 00:00", 1, "view"),
+        (2, "2024-01-01 01:00", 1, "click"),
+        (3, "2024-01-01 02:00", 1, "signup"),
+        (4, "2024-01-01 03:00", 1, "purchase"),
+        (5, "2024-01-02 00:00", 2, "view"),
+        (6, "2024-01-02 01:00", 2, "purchase"),
+        (7, "2024-01-01 00:00", 3, "click"),
+        (8, "2024-01-20 00:00", 3, "purchase"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pdf["value"] = 1.0
+    pdf["props"] = "{}"
+    out = tmp_path / "sf"
+    out.mkdir()
+    pdf.to_parquet(out / "events.parquet", index=False)
+    from sparkprep.queries.advanced import q_position_attribution
+
+    got = {
+        r["event_type"]: (r["n_touches"], r["credit_bp"])
+        for r in q_position_attribution(spark, str(out)).collect()
+    }
+    assert got["view"] == (2, 14000.0)  # 4000 (first of 3) + 10000 (solo)
+    assert got["click"] == (1, 2000.0)  # middle of 3
+    assert got["signup"] == (1, 4000.0)  # last of 3
+    # user 3's click is outside the 7-day window
+    total = sum(v for _, v in got.values())
+    assert total == 20000.0  # exactly two journeys' worth of credit
+
+
+def test_jaccard_histogram_mass_matches_pairs(spark, sf_dir):
+    # every >=0.3 pair found by the exact jaccard query must land in a
+    # bin >= 2 of the histogram on the same sub-corpus, and the total
+    # histogram mass must equal the candidate-pair count
+    from sparkprep.operators import dedup as dd
+    from sparkprep.queries.advanced import q_jaccard_histogram
+    from sparkprep.queries.llmprep import _corpus_near
+
+    hist = {r["j_bin"]: r["n_pairs"] for r in q_jaccard_histogram(spark, sf_dir).collect()}
+    corpus = _corpus_near(spark, sf_dir).filter((F.col("doc_id") % 10000) < 60)
+    pairs = dd.jaccard_pairs(corpus, "text", "doc_id", k=3, threshold=0.0).count()
+    assert sum(hist.values()) == pairs
+    assert all(0 <= b <= 9 for b in hist)
+
+
+def test_conformal_coverage_near_nominal(spark, sf_dir):
+    from sparkprep.queries.advanced import q_conformal_interval
+
+    r = q_conformal_interval(spark, sf_dir).collect()[0]
+    assert r["n_train"] > 0 and r["n_cal"] > 0 and r["n_test"] > 0
+    assert r["q_hat"] > 0
+    # split-conformal guarantees coverage >= 0.9 in expectation; allow
+    # finite-sample slack at sf0.001's ~400-row test split
+    assert 0.82 <= r["coverage"] <= 0.98
+
+
+def test_symspell_word_len_cap_drops_not_truncates(spark):
+    words = ["hello", "hallo", "x" * 40, "x" * 40 + "y"]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        (r["word_a"], r["word_b"])
+        for r in dedup.symspell_pairs(df, "word", max_edits=1).collect()
+    }
+    # the two >30-char near-identical tokens are dropped entirely
+    assert got == {("hallo", "hello")}

@@ -67,6 +67,8 @@ _TINY_BROADCAST_CROSS = {
     "cohens_kappa",      # 1-row totals x 1-row marginal-product attach
     "resample_interp",   # |event_types|-row (5) type frame x hour grid
     "isotonic_fit",      # <=50-row bin frames, non-equi (j<=i<=k) by design
+    "modularity",        # 1-row edge-count frame attach to the community fold
+    "conformal_interval",  # 1-row model frame + 1-row q_hat frame attaches
 }
 
 # the one deliberate Python-row-path showcase: a Python UDTF (SURVEY
@@ -137,6 +139,7 @@ _BOUNDED_GLOBAL_WINDOW = {
     "bootstrap_ci": "32-row replicate-mean frame (B fixed, data-independent)",
     "chi_square": "|event_types| x 7 contingency frame",
     "freq_orderpriority": "5-row priority frame",
+    "conformal_interval": "O(32) ranks.global_rank offsets frame only (residual rank itself distributed)",
     "cuped": "2-row arm frame (pooled-sufficient-stat fold)",
     "cumulative_reach": "per-day first-seen frame (~90 rows), bounded by horizon",
     "equidepth_bins": "O(32) ranks.global_ntile offsets frame only (raw-fact ntile distributed)",

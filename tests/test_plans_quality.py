@@ -419,3 +419,39 @@ def test_sprt_single_keyed_window_no_python(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_position_attribution_no_interval_join(spark, sf_dir):
+    # touches attach to their next purchase via a keyed window — an
+    # interval join here would BNLJ touches x purchases per user
+    plan = _simple(QUERIES["position_attribution"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_jaccard_histogram_equijoin_integer_bins(spark, sf_dir):
+    # candidates come from the shingle equi-join; bins are integer div —
+    # no float, no cross join
+    plan = _simple(QUERIES["jaccard_histogram"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_conformal_interval_distributed_rank(spark, sf_dir):
+    # q_hat selection must ride ranks.global_rank (range partition +
+    # offsets, asserted on the checkpoint=False path — the production
+    # localCheckpoint truncates explain() to Scan ExistingRDD); the
+    # registered query itself must stay cartesian-free
+    from pyspark.sql import functions as F
+
+    from sparkprep.operators import ranks
+
+    plan = _simple(QUERIES["conformal_interval"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    cal = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_totalprice").alias("r")
+    )
+    rk_plan = _simple(
+        ranks.global_rank(cal, [F.asc("r")], rank_name="rk", checkpoint=False)
+    )
+    assert "rangepartitioning" in rk_plan.lower()
