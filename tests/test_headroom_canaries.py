@@ -258,3 +258,54 @@ def test_repeat_purchase_frame_headroom(sfd):
         "survival fold on ranks.global_cumsum before trusting the "
         "single-partition window."
     )
+
+
+# spell_pairs' word-length cap (dedup.symspell_pairs max_word_len=30):
+# words beyond the cap are DROPPED by the Spark operator while the
+# brute-force oracle only length-filters at [4, 30] — both sides agree
+# by construction, but if a testdata regeneration ever grew p_name
+# tokens past ~15 chars the 2x headroom to the cap would be gone and
+# a 31-char token would silently vanish from the Spark side of any
+# future oracle that forgets the mirror filter.
+SPELL_WORD_CAP = 30
+
+
+@pytest.mark.parametrize("sfd", _all_sf_dirs())
+def test_spell_word_len_headroom(sfd):
+    con = duckdb.connect()
+    max_len = con.execute(
+        f"""SELECT max(length(w)) FROM (
+              SELECT unnest(string_split(p_name, ' ')) AS w
+              FROM '{sfd}/part.parquet')"""
+    ).fetchone()[0]
+    assert max_len * 2 <= SPELL_WORD_CAP, (
+        f"{sfd}: longest p_name token is {max_len} chars — within 2x of "
+        f"symspell's {SPELL_WORD_CAP}-char cap; revisit the cap or the "
+        "oracle mirror filter"
+    )
+
+
+# kmeans_assign's int64 distance headroom: q = Σⱼ(n·xⱼ − Sⱼ)² must stay
+# far inside int64 (the operator docstring claims ~5·10¹¹ at sf0.1 vs
+# 9.2·10¹⁸). Conservative bound: dims·(2·n·scale·max|x|)² with n the
+# embeddings row count — assert 1000x headroom so a regeneration that
+# grows the table or the value range two orders of magnitude still
+# can't overflow before the canary trips.
+KM_SCALE = 1000
+KM_DIMS = 8
+
+
+@pytest.mark.parametrize("sfd", _all_sf_dirs())
+def test_kmeans_int64_headroom(sfd):
+    con = duckdb.connect()
+    n, max_abs = con.execute(
+        f"""SELECT count(*),
+                   max(greatest(abs(list_min(embedding)),
+                                abs(list_max(embedding))))
+            FROM '{sfd}/embeddings.parquet'"""
+    ).fetchone()
+    worst = KM_DIMS * (2 * n * KM_SCALE * max_abs) ** 2
+    assert worst * 1000 <= 2**63 - 1, (
+        f"{sfd}: worst-case kmeans distance term {worst:.2e} is within "
+        "1000x of int64 — switch the accumulators to DECIMAL(38,0)"
+    )
