@@ -460,3 +460,61 @@ def kendall_tau(
         F.col("__D").cast("long").alias("discordant"),
         F.col("__nr").cast("long").alias("n_rows"),
     )
+
+
+def isotonic_bins(bins: DataFrame, bin_col: str, cnt_col: str, pos_col: str) -> DataFrame:
+    """Weighted isotonic regression on an AGGREGATED bin frame
+    ``(bin, cnt, pos)`` — returns ``(bin, iso)`` with ``iso`` the
+    monotone-nondecreasing least-squares fit of ``pos/cnt`` weighted by
+    ``cnt``, computed CLOSED-FORM via the minimax identity
+
+        iso(i) = min_{k≥i} max_{j≤i} (P_k − P_{j−1}) / (C_k − C_{j−1})
+
+    (prefix sums P/C of positives/counts) instead of iterative
+    pool-adjacent-violators — no collect, no loop, replayable in plain
+    SQL. Intended for FIXED bin grids (scores quantized to ≤~100 integer
+    bins): the pair frame is O(bins²) and the (j,i,k) triple O(bins³)/6,
+    trivial at that size; the prefix window is the only single-partition
+    exchange and runs over the bin frame, never raw data. Each weighted
+    average is ONE IEEE division of exact int64 prefix differences, so
+    every max/min compares identical doubles on any engine.
+
+    Exactness caveat shared with its oracle: bin stats must be integer
+    counts. The input frame is localCheckpoint-ed (three self-join
+    consumers — CLAUDE.md discipline).
+    """
+    wc = Window.orderBy(bin_col).rowsBetween(Window.unboundedPreceding, 0)
+    prefix = bins.select(
+        F.col(bin_col).alias("__b"),
+        F.col(cnt_col).alias("__c"),
+        F.col(pos_col).alias("__p"),
+        F.sum(cnt_col).over(wc).alias("__cc"),
+        F.sum(pos_col).over(wc).alias("__cp"),
+    ).localCheckpoint(eager=False)
+    pj = prefix.select(
+        F.col("__b").alias("jb"),
+        (F.col("__cc") - F.col("__c")).alias("jpc"),
+        (F.col("__cp") - F.col("__p")).alias("jpp"),
+    )
+    pk = prefix.select(
+        F.col("__b").alias("kb"), F.col("__cc").alias("kcc"), F.col("__cp").alias("kcp")
+    )
+    pairs = pj.join(pk, pj["jb"] <= pk["kb"]).select(
+        "jb",
+        "kb",
+        (
+            (F.col("kcp") - F.col("jpp")).cast("double")
+            / (F.col("kcc") - F.col("jpc")).cast("double")
+        ).alias("avgjk"),
+    )
+    ib = prefix.select(F.col("__b").alias("ib"))
+    ik = (
+        pairs.join(ib, (F.col("jb") <= F.col("ib")) & (F.col("ib") <= F.col("kb")))
+        .groupBy("ib", "kb")
+        .agg(F.max("avgjk").alias("mx"))
+    )
+    return (
+        ik.groupBy("ib")
+        .agg(F.min("mx").alias("iso"))
+        .select(F.col("ib").alias(bin_col), "iso")
+    )

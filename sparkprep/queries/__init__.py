@@ -273,6 +273,7 @@ _ROUND7_QUEUE = [
     "position_attribution",
     "jaccard_histogram",
     "conformal_interval",
+    "ndcg_eval",
 ]
 
 

@@ -525,40 +525,17 @@ def q_isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("__ntok"),
         (F.col("lang") == "en").cast("long").alias("__y"),
     )
-    bins = staged.select(bin_col.alias("bin"), "__y").groupBy("bin").agg(
-        F.count(F.lit(1)).alias("cnt"), F.sum("__y").alias("pos")
+    from sparkprep.operators import stats
+
+    bins = (
+        staged.select(bin_col.alias("bin"), "__y")
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("__y").alias("pos"))
+        .localCheckpoint(eager=False)
     )
-    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    prefix = bins.select(
-        "bin",
-        "cnt",
-        "pos",
-        F.sum("cnt").over(wc).alias("ccnt"),
-        F.sum("pos").over(wc).alias("cpos"),
-    ).localCheckpoint(eager=False)
-    pj = prefix.select(
-        F.col("bin").alias("jb"),
-        (F.col("ccnt") - F.col("cnt")).alias("jpc"),
-        (F.col("cpos") - F.col("pos")).alias("jpp"),
+    iso = stats.isotonic_bins(bins, "bin", "cnt", "pos").withColumnRenamed(
+        "bin", "ib"
     )
-    pk = prefix.select(
-        F.col("bin").alias("kb"), F.col("ccnt").alias("kcc"), F.col("cpos").alias("kcp")
-    )
-    pairs = pj.join(pk, pj["jb"] <= pk["kb"]).select(
-        "jb",
-        "kb",
-        (
-            (F.col("kcp") - F.col("jpp")).cast("double")
-            / (F.col("kcc") - F.col("jpc")).cast("double")
-        ).alias("avgjk"),
-    )
-    ib = prefix.select(F.col("bin").alias("ib"))
-    ik = (
-        pairs.join(ib, (F.col("jb") <= F.col("ib")) & (F.col("ib") <= F.col("kb")))
-        .groupBy("ib", "kb")
-        .agg(F.max("avgjk").alias("mx"))
-    )
-    iso = ik.groupBy("ib").agg(F.min("mx").alias("iso"))
     return (
         bins.join(iso, bins["bin"] == iso["ib"])
         .select(
@@ -1215,3 +1192,136 @@ ORACLES.update(
         "conformal_interval": _CONFORMAL_SQL,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# nDCG@k retrieval evaluation
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 10
+_NDCG_QUERIES = 20
+# log2 discounts precomputed in PYTHON once and embedded as identical
+# double literals on both engines (the SPRT-constants discipline) — no
+# log2() ever runs inside either engine, so there is no libm to drift.
+# repr() round-trips doubles exactly; both parsers bind the same bits.
+_NDCG_W = [1.0 / math.log2(i + 1) for i in range(1, _NDCG_K + 1)]
+_NDCG_IDCG = [0.0] + [sum(_NDCG_W[: r + 1]) for r in range(_NDCG_K)]
+
+
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of brute-force cosine retrieval against the label
+    column (binary relevance: neighbor shares the query's label) — the
+    ranking-quality companion of retrieval_overlap/recall tests. The
+    cosine leg is cosine_topk's exact shape (queries broadcast across
+    the corpus, per-query keyed window top-k — the corpus never
+    shuffles); the discount weights AND the ideal-DCG prefix table are
+    Python-precomputed double literals, per-term products recast
+    DECIMAL(18,12) so the per-query DCG sum is order-independent;
+    nDCG is ONE division, NULL when a query has no relevant neighbor
+    in its top-k (R=0 → ideal DCG 0, try_divide ↔ DuckDB /0)."""
+    from sparkprep.operators.similarity import cosine_native
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _NDCG_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        F.col("label").alias("__ql"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__cv"),
+        F.col("label").alias("__nl"),
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "__ql",
+            "__nl",
+            cosine_native(F.col("__qv"), F.col("__cv")).alias("__cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("__cos"), F.asc("neighbor_id")
+    )
+    ranked = (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= _NDCG_K)
+        .select(
+            "query_id",
+            (F.col("__ql") == F.col("__nl")).cast("long").alias("__rel"),
+            F.element_at(
+                F.array(*[F.lit(x) for x in _NDCG_W]), F.col("__rk").cast("int")
+            ).alias("__w"),
+        )
+    )
+    per_q = ranked.groupBy("query_id").agg(
+        F.sum(
+            (F.col("__rel").cast("double") * F.col("__w")).cast("decimal(18,12)")
+        ).alias("__dcg"),
+        F.sum("__rel").alias("__r"),
+    )
+    idcg = F.lit(None).cast("double")
+    expr = None
+    for r, v in enumerate(_NDCG_IDCG):
+        branch = F.when(F.col("__r") == r, F.lit(v))
+        expr = branch if expr is None else expr.when(F.col("__r") == r, F.lit(v))
+    idcg = expr.otherwise(F.lit(None))
+    return per_q.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("__r").cast("long").alias("n_rel"),
+        _dec_round(
+            F.try_divide(F.col("__dcg").cast("double"), idcg), 6
+        ).alias("ndcg"),
+    ).orderBy("query_id")
+
+
+def _ndcg_sql() -> str:
+    from sparkprep.queries.llmprep import _cos_sql
+
+    w_case = " ".join(
+        f"WHEN {i + 1} THEN {w!r}" for i, w in enumerate(_NDCG_W)
+    )
+    idcg_case = " ".join(
+        f"WHEN {r} THEN {v!r}" for r, v in enumerate(_NDCG_IDCG)
+    )
+    return f"""
+WITH nd_q AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS ql
+  FROM embeddings WHERE vec_id < {_NDCG_QUERIES}
+),
+nd_c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS nl
+         FROM embeddings),
+nd_s AS (
+  SELECT query_id, ql, neighbor_id, nl, {_cos_sql('qv', 'cv')} AS cos
+  FROM nd_q, nd_c WHERE neighbor_id != query_id
+),
+nd_r AS (
+  SELECT query_id, ql, nl,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rk
+  FROM nd_s
+),
+nd_t AS (
+  SELECT query_id, (ql = nl)::BIGINT AS rel,
+         CASE rk {w_case} END AS w
+  FROM nd_r WHERE rk <= {_NDCG_K}
+),
+nd_p AS (
+  SELECT query_id, sum((rel::DOUBLE * w)::DECIMAL(18,12)) AS dcg,
+         sum(rel) AS r
+  FROM nd_t GROUP BY 1
+)
+SELECT query_id::BIGINT AS query_id, r::BIGINT AS n_rel,
+       round((dcg::DOUBLE / (CASE r {idcg_case} END))::DECIMAL(18,8),
+             6)::DOUBLE AS ndcg
+FROM nd_p ORDER BY 1
+"""
+
+
+_NDCG_SQL = _ndcg_sql()
+
+QUERIES["ndcg_eval"] = q_ndcg_eval
+ORACLES["ndcg_eval"] = _NDCG_SQL

@@ -467,3 +467,62 @@ def test_symspell_word_len_cap_drops_not_truncates(spark):
     }
     # the two >30-char near-identical tokens are dropped entirely
     assert got == {("hallo", "hello")}
+
+
+def test_ndcg_matches_numpy_reference(spark, sf_dir):
+    import math
+
+    import numpy as np
+
+    from sparkprep.queries.advanced import _NDCG_K, _NDCG_QUERIES, q_ndcg_eval
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    vecs = {r["vec_id"]: (np.array(r["embedding"], dtype=np.float64), r["label"]) for r in emb}
+    got = {r["query_id"]: (r["n_rel"], r["ndcg"]) for r in q_ndcg_eval(spark, sf_dir).collect()}
+    w = [1.0 / math.log2(i + 1) for i in range(1, _NDCG_K + 1)]
+    for qid in range(_NDCG_QUERIES):
+        qv, ql = vecs[qid]
+        scored = []
+        for nid, (nv, nl) in vecs.items():
+            if nid == qid:
+                continue
+            cos = float(qv @ nv / (np.linalg.norm(qv) * np.linalg.norm(nv)))
+            scored.append((-cos, nid, nl))
+        scored.sort()
+        top = scored[:_NDCG_K]
+        rel = [1 if nl == ql else 0 for _, _, nl in top]
+        r = sum(rel)
+        dcg = sum(x * wi for x, wi in zip(rel, w))
+        idcg = sum(w[:r])
+        want = None if r == 0 else dcg / idcg
+        assert got[qid][0] == r
+        if want is None:
+            assert got[qid][1] is None
+        else:
+            assert got[qid][1] == pytest.approx(want, abs=2e-6)
+
+
+def test_isotonic_bins_property_random_inputs(spark):
+    # the minimax identity must equal classic PAV pooling on arbitrary
+    # weighted bin frames — 6 seeded random cases in one session
+    from sparkprep.operators import stats
+
+    rng = random.Random(23)
+    for case in range(6):
+        nbins = rng.randint(1, 18)
+        cnts = [rng.randint(1, 20) for _ in range(nbins)]
+        poss = [rng.randint(0, c) for c in cnts]
+        df = spark.createDataFrame(
+            [(b, c, p) for b, (c, p) in enumerate(zip(cnts, poss))],
+            "bin long, cnt long, pos long",
+        )
+        got = {
+            r["bin"]: r["iso"]
+            for r in stats.isotonic_bins(df, "bin", "cnt", "pos").collect()
+        }
+        want = _py_pav([p / c for p, c in zip(poss, cnts)], cnts)
+        for b in range(nbins):
+            assert got[b] == pytest.approx(want[b], abs=1e-12), (
+                f"case {case}: bin {b}: {got[b]} != {want[b]} "
+                f"(cnts={cnts}, poss={poss})"
+            )

@@ -69,6 +69,7 @@ _TINY_BROADCAST_CROSS = {
     "isotonic_fit",      # <=50-row bin frames, non-equi (j<=i<=k) by design
     "modularity",        # 1-row edge-count frame attach to the community fold
     "conformal_interval",  # 1-row model frame + 1-row q_hat frame attaches
+    "ndcg_eval",         # 20 query vectors broadcast x corpus (cosine_topk's shape)
 }
 
 # the one deliberate Python-row-path showcase: a Python UDTF (SURVEY
