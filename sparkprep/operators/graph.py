@@ -686,3 +686,52 @@ def hits_bipartite(
             .agg(F.sum("__hs").cast("long").alias("__as"))
         )
     return auth.select(F.col("__a").alias("auth"), F.col("__as").alias("score"))
+
+
+def bfs_hops(
+    edges: DataFrame,
+    rounds: int = 4,
+    num_partitions: int = 8,
+) -> DataFrame:
+    """Breadth-first hop distances from the MINIMUM node id over an
+    undirected edge set — the shortest-path-layer primitive (reach
+    census, diameter probing, seed-centric neighborhood carving).
+
+    Distance propagation in the connected-components shape: each round
+    relaxes ``dist(v) ≤ min over neighbors(dist(u) + 1)`` via one keyed
+    join (adjacency ⋈ current distances) and one map-combined min
+    aggregate over the union with the current frame — never a frontier
+    collect. A FIXED round count is the contract (hop layers beyond it
+    are reported as unreached), which makes the fixed-depth
+    unrolled-CTE oracle exact; run more rounds for deeper graphs. The
+    adjacency is repartitioned small and localCheckpoint-ed before the
+    loop, the distance frame per round (each feeds the next join — the
+    k_core lineage discipline).
+
+    Returns ``(node, hop)`` for every node reached within ``rounds``
+    hops of the seed; the seed itself is hop 0. Nodes outside the
+    seed's component (or beyond the horizon) are absent — callers
+    wanting an unreached census anti-join the node set.
+    """
+    adj = (
+        edges.select("u", "v")
+        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition(num_partitions)
+        .localCheckpoint(eager=False)
+    )
+    seed = adj.agg(F.min("u").alias("node")).select(
+        "node", F.lit(0).cast("long").alias("hop")
+    )
+    dist = seed.localCheckpoint(eager=False)
+    for _ in range(int(rounds)):
+        cand = (
+            adj.join(dist.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"), (F.col("hop") + 1).alias("hop"))
+        )
+        dist = (
+            dist.union(cand)
+            .groupBy("node")
+            .agg(F.min("hop").alias("hop"))
+            .localCheckpoint(eager=False)
+        )
+    return dist

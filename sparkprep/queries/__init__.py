@@ -274,6 +274,7 @@ _ROUND7_QUEUE = [
     "jaccard_histogram",
     "conformal_interval",
     "ndcg_eval",
+    "bfs_layers",
 ]
 
 

@@ -1325,3 +1325,83 @@ _NDCG_SQL = _ndcg_sql()
 
 QUERIES["ndcg_eval"] = q_ndcg_eval
 ORACLES["ndcg_eval"] = _NDCG_SQL
+
+
+# ---------------------------------------------------------------------------
+# BFS hop census
+# ---------------------------------------------------------------------------
+
+_BFS_ROUNDS = 4
+
+
+def q_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-distance census from the minimum part id over the
+    co-purchase graph (operators/graph.py ``bfs_hops``, 4 fixed
+    rounds): how much of the catalog is within k referral hops of the
+    seed — the reachability readout beside two_hop_reach's per-node
+    panel. Nodes beyond the horizon (or outside the component) are
+    reported as hop −1 via one anti-join of the node set. All exact
+    integers."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        graph.cooccurrence_pairs(
+            li, "l_orderkey", "l_partkey", max_items_per_key=64, cap_by="id"
+        )
+        .filter(F.col("n_keys") >= 2)
+        .select(F.col("item_a").alias("u"), F.col("item_b").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    dist = graph.bfs_hops(edges, rounds=_BFS_ROUNDS)
+    nodes = (
+        edges.select(F.explode(F.array("u", "v")).alias("node")).distinct()
+    )
+    unreached = nodes.join(dist, "node", "anti").select(
+        "node", F.lit(-1).cast("long").alias("hop")
+    )
+    return (
+        dist.select("node", F.col("hop").cast("long").alias("hop"))
+        .union(unreached)
+        .groupBy("hop")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .orderBy("hop")
+    )
+
+
+def _bfs_sql(rounds: int) -> str:
+    parts = [
+        "bf_op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        "bf_e AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v "
+        "FROM bf_op a JOIN bf_op b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey < b.l_partkey GROUP BY 1, 2 HAVING count(*) >= 2)",
+        "bf_adj AS MATERIALIZED (SELECT u, v FROM bf_e "
+        "UNION ALL SELECT v, u FROM bf_e)",
+        "bf_l0 AS MATERIALIZED (SELECT min(u) AS node, 0::BIGINT AS hop "
+        "FROM bf_adj)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"bf_l{r} AS MATERIALIZED (SELECT node, min(hop)::BIGINT AS hop "
+            f"FROM (SELECT node, hop FROM bf_l{r - 1} "
+            f"UNION ALL SELECT a.v AS node, l.hop + 1 AS hop "
+            f"FROM bf_adj a JOIN bf_l{r - 1} l ON a.u = l.node) GROUP BY 1)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+bf_n AS (SELECT DISTINCT u AS node FROM bf_adj),
+bf_all AS (
+  SELECT node, hop FROM bf_l{rounds}
+  UNION ALL
+  SELECT node, -1::BIGINT AS hop FROM bf_n
+  WHERE node NOT IN (SELECT node FROM bf_l{rounds})
+)
+SELECT hop::BIGINT AS hop, count(*)::BIGINT AS n_nodes
+FROM bf_all GROUP BY 1 ORDER BY 1"""
+    )
+
+
+_BFS_SQL = _bfs_sql(_BFS_ROUNDS)
+
+QUERIES["bfs_layers"] = q_bfs_layers
+ORACLES["bfs_layers"] = _BFS_SQL

@@ -526,3 +526,27 @@ def test_isotonic_bins_property_random_inputs(spark):
                 f"case {case}: bin {b}: {got[b]} != {want[b]} "
                 f"(cnts={cnts}, poss={poss})"
             )
+
+
+def test_bfs_hops_path_graph(spark):
+    # path 0-1-2-3-4-5-6: 4 rounds from seed 0 reach hops 0..4;
+    # nodes 5,6 stay unreached (absent from the result)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "u long, v long"
+    )
+    got = {
+        r["node"]: r["hop"] for r in graph.bfs_hops(edges, rounds=4).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+
+
+def test_bfs_hops_takes_shortest_route(spark):
+    # triangle + tail: 0-1, 0-2, 1-2, 2-3 — node 2 is hop 1 (direct),
+    # never hop 2 via node 1; node 3 is hop 2
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 3)], "u long, v long"
+    )
+    got = {
+        r["node"]: r["hop"] for r in graph.bfs_hops(edges, rounds=3).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2}

@@ -455,3 +455,12 @@ def test_conformal_interval_distributed_rank(spark, sf_dir):
         ranks.global_rank(cal, [F.asc("r")], rank_name="rk", checkpoint=False)
     )
     assert "rangepartitioning" in rk_plan.lower()
+
+
+def test_bfs_layers_keyed_joins_no_collect_loop(spark, sf_dir):
+    # every BFS round is a keyed equi-join + min aggregate; the plan
+    # must stay cartesian-free and never fall off the JVM path
+    plan = _simple(QUERIES["bfs_layers"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
