@@ -516,14 +516,22 @@ def dedup_clusters(
     bands: int = 4,
     seed: int = 42,
     est_threshold: float = 0.8,
+    cc: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash pairs → transitive clusters → (id, cluster_rep); docs
     with no near-dup get themselves as rep. Drop ``id != cluster_rep``
-    rows for a transitively-correct dedup."""
-    prs = minhash_candidate_pairs(
-        df, text_col, id_col, num_hashes, k, bands, seed, est_threshold
-    )
-    cc = connected_components(prs)
+    rows for a transitively-correct dedup.
+
+    ``cc`` accepts a precomputed ``connected_components`` (node,
+    component) frame so a family of consumers (labels, split, reps)
+    pays the MinHash+CC subtree ONCE per session instead of once per
+    query — the frame is already materialized by the CC convergence
+    loop, so reuse is a leaf scan."""
+    if cc is None:
+        prs = minhash_candidate_pairs(
+            df, text_col, id_col, num_hashes, k, bands, seed, est_threshold
+        )
+        cc = connected_components(prs)
     return (
         df.select(F.col(id_col))
         .join(cc, df[id_col] == cc.node, "left")
@@ -544,6 +552,7 @@ def cluster_representatives(
     bands: int = 4,
     seed: int = 42,
     est_threshold: float = 0.8,
+    cc: DataFrame | None = None,
 ) -> DataFrame:
     """The dedup DECISION table: transitive near-dup clusters
     (``dedup_clusters``) resolved to one kept representative per cluster
@@ -568,11 +577,14 @@ def cluster_representatives(
     # inline dedup_clusters' label join so quality rides along in the
     # SAME left join: going through dedup_clusters() would join the
     # corpus twice (once for labels, once for quality) — one full-frame
-    # equi-join saved, identical result
-    prs = minhash_candidate_pairs(
-        df, text_col, id_col, num_hashes, k, bands, seed, est_threshold
-    )
-    cc = connected_components(prs)
+    # equi-join saved, identical result. A precomputed ``cc`` (the
+    # dedup_clusters session-sharing contract) skips the MinHash+CC
+    # subtree entirely.
+    if cc is None:
+        prs = minhash_candidate_pairs(
+            df, text_col, id_col, num_hashes, k, bands, seed, est_threshold
+        )
+        cc = connected_components(prs)
     lab = (
         df.select(F.col(id_col), F.col(quality_col))
         .join(cc, df[id_col] == cc.node, "left")
@@ -970,6 +982,12 @@ def symspell_pairs(
     same expansion to the depth-1 output. Returns distinct
     ``(word_a, word_b, distance)`` with ``word_a < word_b``.
     """
+    if int(max_edits) < 1 or int(max_edits) > 2:
+        # the variant expansion below is hand-unrolled to depth 2; a
+        # deeper neighborhood would silently MISS distance-3+ pairs
+        raise ValueError(
+            f"symspell_pairs supports max_edits in {{1, 2}}, got {max_edits}"
+        )
     w = (
         words.select(F.col(word_col).alias("__w"))
         .filter(F.length("__w") <= int(max_word_len))

@@ -169,22 +169,44 @@ def subset_search(
 ):
     """M8 — feature-subset search (mlpc.py:510-522:
     ``itertools.combinations`` over categorical columns). Driver-side
-    orchestration loop by nature; each fit/score is distributed. Yields
-    (subset, metrics) so callers can early-stop."""
+    orchestration loop BY DESIGN (reference parity): the loop fits one
+    pipeline per subset, so the total cost is Σ C(n, k) ≈ 2^n
+    distributed fits — the CALLER owns that bill. Fine at the
+    reference's 5 categoricals (31 fits); ruinous past ~10 columns
+    (1023+ fits), so the operator refuses >10 candidates unless
+    ``max_size`` bounds the exhaustive blow-up. Each individual
+    fit/score is fully distributed. Yields (subset, metrics) lazily so
+    callers can early-stop."""
     import itertools
+    import math
     from dataclasses import replace
 
-    sizes = range(1, (max_size or len(candidate_cols)) + 1)
-    for size in sizes:
-        for subset in itertools.combinations(candidate_cols, size):
-            sub_plan = replace(plan, categorical=list(subset))
-            pipe = build_feature_pipeline(sub_plan)
-            prep = pipe.fit(train_df)
-            train_t = prep.transform(train_df)
-            est = build_estimator(train_t)
-            model = strip_training_summary(est.fit(train_t))
-            scored = model.transform(prep.transform(test_df))
-            yield subset, confusion_metrics(scored)
+    n_fits = sum(
+        math.comb(len(candidate_cols), k)
+        for k in range(1, (max_size or len(candidate_cols)) + 1)
+    )
+    if n_fits > 2**10 - 1:
+        # eager (call-time) guard — the body below is a generator, so
+        # without the wrapper the refusal would hide until first next()
+        raise ValueError(
+            f"subset_search would run {n_fits} pipeline fits over "
+            f"{len(candidate_cols)} candidate columns (2^n growth); "
+            "pass max_size to bound the search or trim the candidates"
+        )
+
+    def _run():
+        for size in range(1, (max_size or len(candidate_cols)) + 1):
+            for subset in itertools.combinations(candidate_cols, size):
+                sub_plan = replace(plan, categorical=list(subset))
+                pipe = build_feature_pipeline(sub_plan)
+                prep = pipe.fit(train_df)
+                train_t = prep.transform(train_df)
+                est = build_estimator(train_t)
+                model = strip_training_summary(est.fit(train_t))
+                scored = model.transform(prep.transform(test_df))
+                yield subset, confusion_metrics(scored)
+
+    return _run()
 
 
 def fit_quality_classifier(

@@ -462,7 +462,13 @@ def kendall_tau(
     )
 
 
-def isotonic_bins(bins: DataFrame, bin_col: str, cnt_col: str, pos_col: str) -> DataFrame:
+def isotonic_bins(
+    bins: DataFrame,
+    bin_col: str,
+    cnt_col: str,
+    pos_col: str,
+    checkpoint: bool = True,
+) -> DataFrame:
     """Weighted isotonic regression on an AGGREGATED bin frame
     ``(bin, cnt, pos)`` — returns ``(bin, iso)`` with ``iso`` the
     monotone-nondecreasing least-squares fit of ``pos/cnt`` weighted by
@@ -481,7 +487,10 @@ def isotonic_bins(bins: DataFrame, bin_col: str, cnt_col: str, pos_col: str) -> 
 
     Exactness caveat shared with its oracle: bin stats must be integer
     counts. The input frame is localCheckpoint-ed (three self-join
-    consumers — CLAUDE.md discipline).
+    consumers — CLAUDE.md discipline); ``checkpoint=False`` exists for
+    plan-shape audits only (the checkpoint truncates explain() to Scan
+    ExistingRDD, hiding the bounded prefix window from the detector —
+    the ranks.global_rank convention).
     """
     wc = Window.orderBy(bin_col).rowsBetween(Window.unboundedPreceding, 0)
     prefix = bins.select(
@@ -490,7 +499,9 @@ def isotonic_bins(bins: DataFrame, bin_col: str, cnt_col: str, pos_col: str) -> 
         F.col(pos_col).alias("__p"),
         F.sum(cnt_col).over(wc).alias("__cc"),
         F.sum(pos_col).over(wc).alias("__cp"),
-    ).localCheckpoint(eager=False)
+    )
+    if checkpoint:
+        prefix = prefix.localCheckpoint(eager=False)
     pj = prefix.select(
         F.col("__b").alias("jb"),
         (F.col("__cc") - F.col("__c")).alias("jpc"),

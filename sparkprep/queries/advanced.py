@@ -164,7 +164,10 @@ def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _communities_sql(rounds: int) -> str:
+def _communities_cte_parts(rounds: int) -> list:
+    """The LPA CTE chain shared by the communities and modularity
+    oracles — returned as a parts LIST (not a rendered string) so
+    consumers compose structurally instead of string surgery."""
     parts = [
         "cm_op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
         "cm_e AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v "
@@ -185,9 +188,13 @@ def _communities_sql(rounds: int) -> str:
             f"(PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM cm_v{r}) "
             f"WHERE rn = 1)"
         )
+    return parts
+
+
+def _communities_sql(rounds: int) -> str:
     return (
         "WITH "
-        + ",\n".join(parts)
+        + ",\n".join(_communities_cte_parts(rounds))
         + f"\nSELECT lbl::BIGINT AS community, count(*)::BIGINT AS n_members "
         f"FROM cm_l{rounds} GROUP BY 1 ORDER BY 1"
     )
@@ -501,7 +508,9 @@ _ISO_BINS = 50
 _ISO_MULT = 200
 
 
-def q_isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_isotonic_fit(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
     """Weighted isotonic regression of P(lang = 'en') against the
     English-stopword-ratio score, on fixed integer score bins: the
     monotone calibration curve (what an sklearn IsotonicRegression
@@ -513,7 +522,10 @@ def q_isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONLY single-partition window, bounded by the fixed bin grid); the
     (j,k) pair frame is ≤ 50·51/2 rows and each weighted average is
     ONE IEEE division of exact int64 prefix differences, so every
-    max/min compares identical doubles on both engines."""
+    max/min compares identical doubles on both engines.
+    ``checkpoint=False`` is the plan-audit path: it disables the two
+    lazy localCheckpoints so test_plan_audit_all's window detector SEES
+    the bounded bin-prefix window instead of Scan ExistingRDD."""
     docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = F.split("text", " ")
     hits = F.size(F.filter(toks, lambda x: x.isin(*tx.EN_STOPWORDS)))
@@ -531,11 +543,12 @@ def q_isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         staged.select(bin_col.alias("bin"), "__y")
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("cnt"), F.sum("__y").alias("pos"))
-        .localCheckpoint(eager=False)
     )
-    iso = stats.isotonic_bins(bins, "bin", "cnt", "pos").withColumnRenamed(
-        "bin", "ib"
-    )
+    if checkpoint:
+        bins = bins.localCheckpoint(eager=False)
+    iso = stats.isotonic_bins(
+        bins, "bin", "cnt", "pos", checkpoint=checkpoint
+    ).withColumnRenamed("bin", "ib")
     return (
         bins.join(iso, bins["bin"] == iso["ib"])
         .select(
@@ -824,8 +837,9 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _modularity_sql(rounds: int) -> str:
-    # reuses the communities CTE chain (same names — separate statement)
-    base = _communities_sql(rounds).split("\nSELECT")[0]
+    # reuses the communities CTE chain (same names — separate statement),
+    # composed from the parts list (no string surgery on a rendered SQL)
+    base = "WITH " + ",\n".join(_communities_cte_parts(rounds))
     return (
         base
         + f""",
@@ -1066,7 +1080,12 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
         ).alias("x"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("y_cents"),
+        # DECIMAL(18,8) recast before round (CLAUDE.md round-on-double
+        # discipline): safe even if a future testdata generation emits
+        # >2-decimal prices whose ×100 product lands on an exact half
+        F.round((F.col("o_totalprice") * 100).cast("decimal(18,8)"))
+        .cast("long")
+        .alias("y_cents"),
     )
     # deterministic md5 3-way split: 0-7 train, 8-b calib, c-f test
     nib = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
@@ -1135,7 +1154,7 @@ _CONFORMAL_SQL = f"""
 WITH cf_o AS (
   SELECT o_orderkey,
          epoch_us(o_orderdate) // 86400000000 AS x,
-         round(o_totalprice * 100)::BIGINT AS y_cents,
+         round((o_totalprice * 100)::DECIMAL(18,8))::BIGINT AS y_cents,
          CASE WHEN substring(md5(o_orderkey::VARCHAR), 1, 1) < '8' THEN 'train'
               WHEN substring(md5(o_orderkey::VARCHAR), 1, 1) < 'c' THEN 'calib'
               ELSE 'test' END AS split

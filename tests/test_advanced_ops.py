@@ -156,6 +156,15 @@ def test_symspell_complete_vs_bruteforce(spark):
     assert len(want) > 10  # the random vocab actually exercises the join
 
 
+def test_symspell_rejects_unsupported_max_edits(spark):
+    # the deletion neighborhood is unrolled to depth 2; deeper would
+    # silently miss distance-3 pairs, so the operator must refuse
+    df = spark.createDataFrame([("abc",)], "word string")
+    for bad in (0, 3, 5):
+        with pytest.raises(ValueError):
+            dedup.symspell_pairs(df, "word", max_edits=bad)
+
+
 def test_symspell_no_false_positives_at_k1(spark):
     words = ["hello", "hallo", "hell", "world", "word", "sword"]
     df = spark.createDataFrame([(w,) for w in words], "word string")

@@ -340,3 +340,27 @@ def test_duplicate_window_coverage_partial_copy(spark):
     assert out[1].dup_coverage == round(3 / 13, 4)
     assert (out[3].n_shared, out[3].dup_coverage) == (0, 0.0)
     assert 4 not in out  # shorter than k: no windows, no 0/0 row
+
+
+def test_cc_family_shares_one_labels_frame(spark, sf_dir):
+    """The dedup_clusters / cluster_split / cluster_reps family must
+    reuse ONE materialized CC-labels frame per (session, sf_dir) — the
+    VERDICT r7 family-head optimization — and the shared frame must
+    produce the same labels as a from-scratch dedup_clusters build."""
+    from sparkprep.queries import llmprep as lp
+
+    lp._CC_SHARED.clear()
+    a = lp._shared_cc_labels(spark, sf_dir)
+    b = lp._shared_cc_labels(spark, sf_dir)
+    assert a is b, "second call must hit the session cache"
+    # parity with the unshared operator path
+    corpus = lp._corpus_near(spark, sf_dir)
+    fresh = dd.dedup_clusters(
+        corpus, "text", "doc_id",
+        num_hashes=lp._NUM_HASHES, k=lp._K, bands=lp._BANDS, seed=lp._SEED,
+        est_threshold=0.8,
+    )
+    shared = dd.dedup_clusters(corpus, "text", "doc_id", cc=a)
+    rows_fresh = sorted(map(tuple, fresh.collect()))
+    rows_shared = sorted(map(tuple, shared.collect()))
+    assert rows_fresh == rows_shared

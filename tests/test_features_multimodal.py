@@ -51,6 +51,19 @@ def test_feature_pipeline_assembles(loan_df):
     assert layers == [layers[0], 8, 3]
 
 
+def test_subset_search_guards_exponential_fit_count(spark):
+    # the 2^n driver-loop cost is the caller's bill (M8 reference
+    # parity) — but the operator must refuse an unbounded blow-up
+    plan = ft.FeaturePlan(label_col="y", categorical=[], continuous=[])
+    cols = [f"c{i}" for i in range(12)]
+    with pytest.raises(ValueError, match="pipeline fits"):
+        ft.subset_search(None, None, plan, cols, None)
+    # bounded search over the same columns is accepted (generator
+    # construction succeeds; no fit is attempted on the None frames)
+    gen = ft.subset_search(None, None, plan, cols, None, max_size=1)
+    assert gen is not None
+
+
 def test_confusion_metrics_in_spark(spark):
     scored = spark.createDataFrame(
         [(1.0, 1.0)] * 40 + [(1.0, 0.0)] * 10 + [(0.0, 0.0)] * 45 + [(0.0, 1.0)] * 5,
