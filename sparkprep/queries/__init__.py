@@ -277,6 +277,16 @@ _ROUND7_QUEUE = [
     "bfs_layers",
 ]
 
+# Round-8 session additions, pinned in landing order behind the round-7
+# stragglers (the established window discipline — new modules can't
+# reshuffle them, the self-cleaning filter drops them once adjudicated).
+_ROUND8_QUEUE = [
+    "levene_bf",
+    "jarque_bera",
+    "cramers_v",
+    "durbin_watson",
+]
+
 
 def registry():
     from sparkprep.queries import (
@@ -288,13 +298,14 @@ def registry():
         relational,
         relational_ext,
         scale_ops,
+        stat_tests,
         temporal_grouped,
         textops,
     )
 
     merged_q: dict = {}
     oracles: dict = {}
-    for mod in (textops, llmprep, temporal_grouped, relational_ext, cleaning, relational, scale_ops, corpus, governance, advanced):
+    for mod in (textops, llmprep, temporal_grouped, relational_ext, cleaning, relational, scale_ops, corpus, governance, advanced, stat_tests):
         merged_q.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     # The correctness driver adjudicates the FIRST 50 registry entries
@@ -313,6 +324,7 @@ def registry():
     priority = [n for n in _DRIVER_WINDOW_PRIORITY if n not in seen]
     priority += [n for n in _ROUND5_OVERFLOW if n not in seen and n not in priority]
     priority += [n for n in _ROUND7_QUEUE if n not in seen and n not in priority]
+    priority += [n for n in _ROUND8_QUEUE if n not in seen and n not in priority]
     priority += [n for n in merged_q if n not in seen and n not in priority]
     queries: dict = {name: merged_q[name] for name in priority}
     for name, fn in merged_q.items():

@@ -1,0 +1,513 @@
+"""Round-8 statistical-test block: Brown-Forsythe variance homogeneity,
+Jarque-Bera normality, Cramér's V association panel, and the
+Durbin-Watson residual-autocorrelation readout on the daily revenue
+series. Companions of anova_f / mann_whitney / chi_square — each fills
+a hole in the test battery (variance equality, distribution shape,
+categorical effect size, serial correlation).
+
+Engine-exactness conventions (CLAUDE.md): every accumulation is an
+exact DECIMAL sum (per-row double→decimal casts are engine-identical);
+float math happens only in short deterministic expression trees over
+those exact sums (IEEE ops on identical inputs are bit-identical on
+both engines — the anova_f discipline); every emitted float goes
+through the DECIMAL(18,8)-recast round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sparkprep.queries import t
+from sparkprep.session import tune_for_engine
+
+_D18 = "decimal(18,8)"
+
+
+def _dec_round(col, n: int):
+    """DECIMAL(18,8)-recast round, emitted as DOUBLE (the cross-engine
+    round-half discipline, CLAUDE.md)."""
+    return F.round(col.cast(_D18), n).cast("double")
+
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe (median-based Levene) variance homogeneity
+# ---------------------------------------------------------------------------
+
+
+def q_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test: is quantity VARIANCE homogeneous across
+    return flags? (anova_f compares means; this is the spread
+    companion — the robust Levene variant with group MEDIANS as
+    centers, the form scipy.stats.levene(center='median') computes.)
+
+    No raw-data re-scan for the deviations: quantity has a 50-value
+    integer domain, so the (flag, value) frequency frame (≤150 rows)
+    carries everything — lower medians come from a cumsum over it
+    (keyed window, value-domain-bounded like mann_whitney's), |x−med|
+    is integer, and the one-way-ANOVA fold on the deviations runs as
+    WEIGHTED sufficient statistics over the same tiny frame (the
+    anova_f identities; per-group S²/n terms DECIMAL(30,8)-recast so
+    the k-row fold is order-independent)."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity").isNotNull())
+    freq = (
+        li.groupBy(
+            F.col("l_returnflag").alias("g"),
+            F.col("l_quantity").cast("long").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("g")
+    ranked = freq.select(
+        "g", "v", "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wtot).alias("n_g"),
+    )
+    # lower median: smallest v with cum >= (n_g + 1) div 2
+    med = (
+        ranked.filter(F.col("cum") >= F.expr("(n_g + 1) div 2"))
+        .groupBy("g")
+        .agg(F.min("v").alias("med"))
+    )
+    dev = freq.join(F.broadcast(med), "g").select(
+        "g", "c", F.abs(F.col("v") - F.col("med")).alias("z")
+    )
+    z = F.col("z").cast("decimal(18,6)")
+    per = dev.groupBy("g").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * z).alias("s"),
+        F.sum(F.col("c") * z * z).alias("q"),
+    )
+    g_term = (
+        (F.col("s").cast("double") * F.col("s").cast("double")) / F.col("n")
+    ).cast("decimal(30,8)")
+    folded = per.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("ss"),
+        F.sum("q").alias("qq"),
+        F.sum(g_term).alias("gg"),
+    )
+    S = F.col("ss").cast("double")
+    ssb = F.greatest(
+        F.col("gg").cast("double") - (S * S) / F.col("nn"), F.lit(0.0)
+    )
+    ssw = F.greatest(
+        F.col("qq").cast("double") - F.col("gg").cast("double"), F.lit(0.0)
+    )
+    df1 = (F.col("k") - 1).cast("long")
+    df2 = (F.col("nn") - F.col("k")).cast("long")
+    f_stat = F.try_divide(
+        F.try_divide(ssb, df1.cast("double")),
+        F.try_divide(ssw, df2.cast("double")),
+    )
+    return folded.select(
+        _dec_round(f_stat, 6).alias("f_stat"),
+        df1.alias("df_between"),
+        df2.alias("df_within"),
+        F.col("nn").cast("long").alias("n_rows"),
+    )
+
+
+_LEVENE_BF_SQL = """
+WITH lv_freq AS (
+  SELECT l_returnflag AS g, l_quantity::BIGINT AS v, count(*) AS c
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2
+),
+lv_rk AS (
+  SELECT g, v, c,
+         sum(c) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY g) AS n_g
+  FROM lv_freq
+),
+lv_med AS (
+  SELECT g, min(v) AS med FROM lv_rk WHERE cum >= (n_g + 1) // 2 GROUP BY 1
+),
+lv_dev AS (
+  SELECT f.g, f.c, abs(f.v - m.med)::DECIMAL(18,6) AS z
+  FROM lv_freq f JOIN lv_med m ON f.g = m.g
+),
+lv_per AS (
+  SELECT g, sum(c) AS n, sum(c * z) AS s, sum(c * z * z) AS q
+  FROM lv_dev GROUP BY 1
+),
+lv_fold AS (
+  SELECT count(*) AS k, sum(n) AS nn, sum(s) AS ss, sum(q) AS qq,
+         sum(((s::DOUBLE * s::DOUBLE) / n)::DECIMAL(30,8)) AS gg
+  FROM lv_per
+)
+SELECT round(((greatest(gg::DOUBLE - (ss::DOUBLE * ss::DOUBLE) / nn, 0)
+               / (k - 1))
+              / (greatest(qq::DOUBLE - gg::DOUBLE, 0)
+                 / (nn - k)))::DECIMAL(18,8), 6)::DOUBLE AS f_stat,
+       (k - 1)::BIGINT AS df_between,
+       (nn - k)::BIGINT AS df_within,
+       nn::BIGINT AS n_rows
+FROM lv_fold
+"""
+
+
+# ---------------------------------------------------------------------------
+# Jarque-Bera normality (per group, from exact power sums)
+# ---------------------------------------------------------------------------
+
+
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality statistic of quantity per return flag:
+    skewness, excess kurtosis, and JB = n/6·(g1² + g2²/4) — the "is
+    this column even close to Gaussian" profile check that decides
+    whether z-score outlier fences (outlier_fences) are meaningful.
+
+    One map-combined groupBy accumulates the four power sums
+    Σx..Σx⁴ as exact DECIMAL(38,0) integers (quantity is an integer
+    1..50, so x⁴ ≤ 6.25e6 — no overflow until ~1e31 rows); the central
+    moments, g1 = m3/(m2·√m2) and g2 = m4/m2² − 3 are ONE fixed
+    IEEE expression tree over those exact sums (√ is correctly rounded
+    — bit-identical both engines), then DECIMAL-recast rounds."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity").isNotNull())
+    x = F.col("l_quantity").cast("long")
+    d38 = "decimal(38,0)"
+    per = li.groupBy(F.col("l_returnflag").alias("g")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(d38)).alias("s1"),
+        F.sum((x * x).cast(d38)).alias("s2"),
+        F.sum((x * x * x).cast(d38)).alias("s3"),
+        F.sum((x * x * x * x).cast(d38)).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    r4 = F.col("s4").cast("double") / n
+    m2 = r2 - m1 * m1
+    m3 = r3 - F.lit(3.0) * m1 * r2 + F.lit(2.0) * m1 * m1 * m1
+    m4 = (
+        r4
+        - F.lit(4.0) * m1 * r3
+        + F.lit(6.0) * m1 * m1 * r2
+        - F.lit(3.0) * m1 * m1 * m1 * m1
+    )
+    g1 = F.try_divide(m3, m2 * F.sqrt(m2))
+    g2 = F.try_divide(m4, m2 * m2) - F.lit(3.0)
+    jb = n / F.lit(6.0) * (g1 * g1 + g2 * g2 / F.lit(4.0))
+    return per.select(
+        F.col("g").alias("l_returnflag"),
+        F.col("n").cast("long").alias("n_rows"),
+        _dec_round(g1, 6).alias("skewness"),
+        _dec_round(g2, 6).alias("excess_kurtosis"),
+        _dec_round(jb, 4).alias("jarque_bera"),
+    ).orderBy("l_returnflag")
+
+
+_JARQUE_BERA_SQL = """
+WITH jb_per AS (
+  SELECT l_returnflag AS g, count(*) AS n,
+         sum((l_quantity::BIGINT)::DECIMAL(38,0)) AS s1,
+         sum((l_quantity::BIGINT * l_quantity::BIGINT)::DECIMAL(38,0)) AS s2,
+         sum((l_quantity::BIGINT * l_quantity::BIGINT
+              * l_quantity::BIGINT)::DECIMAL(38,0)) AS s3,
+         sum((l_quantity::BIGINT * l_quantity::BIGINT * l_quantity::BIGINT
+              * l_quantity::BIGINT)::DECIMAL(38,0)) AS s4
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1
+),
+jb_m AS (
+  SELECT g, n,
+         s1::DOUBLE / n::DOUBLE AS m1,
+         s2::DOUBLE / n::DOUBLE AS r2,
+         s3::DOUBLE / n::DOUBLE AS r3,
+         s4::DOUBLE / n::DOUBLE AS r4
+  FROM jb_per
+),
+jb_c AS (
+  SELECT g, n, m1,
+         r2 - m1 * m1 AS m2,
+         r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1 AS m3,
+         r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2
+            - 3.0 * m1 * m1 * m1 * m1 AS m4
+  FROM jb_m
+),
+jb_g AS (
+  SELECT g, n,
+         m3 / (m2 * sqrt(m2)) AS g1,
+         m4 / (m2 * m2) - 3.0 AS g2
+  FROM jb_c
+)
+SELECT g AS l_returnflag, n::BIGINT AS n_rows,
+       round(g1::DECIMAL(18,8), 6)::DOUBLE AS skewness,
+       round(g2::DECIMAL(18,8), 6)::DOUBLE AS excess_kurtosis,
+       round((n::DOUBLE / 6.0 * (g1 * g1 + g2 * g2 / 4.0))::DECIMAL(18,8),
+             4)::DOUBLE AS jarque_bera
+FROM jb_g ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V association panel
+# ---------------------------------------------------------------------------
+
+
+def _cramers_pair(df: DataFrame, a: str, b: str, label: str) -> DataFrame:
+    """χ² + Cramér's V for one categorical pair via the expanded
+    identity χ² = N·(Σ O²/(rᵢ·cⱼ) − 1): cell counts, row totals and
+    column totals are exact integers; each cell contributes ONE IEEE
+    division (O² exact ÷ rᵢ·cⱼ exact) recast DECIMAL(18,12) so the
+    ≤|A|·|B|-cell sum is order-independent."""
+    cells = (
+        df.filter(F.col(a).isNotNull() & F.col(b).isNotNull())
+        .groupBy(F.col(a).alias("ra"), F.col(b).alias("cb"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rows = cells.groupBy("ra").agg(F.sum("o").alias("rt"))
+    cols = cells.groupBy("cb").agg(F.sum("o").alias("ct"))
+    term = (
+        (F.col("o").cast("double") * F.col("o").cast("double"))
+        / (F.col("rt") * F.col("ct")).cast("double")
+    ).cast("decimal(18,12)")
+    joined = cells.join(F.broadcast(rows), "ra").join(F.broadcast(cols), "cb")
+    folded = joined.agg(
+        F.sum("o").alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.countDistinct("ra").alias("r"),
+        F.countDistinct("cb").alias("c"),
+        F.sum(term).alias("t"),
+    )
+    chi2 = F.col("n").cast("double") * (
+        F.col("t").cast("double") - F.lit(1.0)
+    )
+    dof = ((F.col("r") - 1) * (F.col("c") - 1)).cast("long")
+    v = F.sqrt(
+        F.try_divide(
+            chi2,
+            (
+                F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1)
+            ).cast("double"),
+        )
+    )
+    return folded.select(
+        F.lit(label).alias("pair"),
+        F.col("n").cast("long").alias("n_rows"),
+        dof.alias("dof"),
+        _dec_round(chi2, 4).alias("chi2"),
+        _dec_round(v, 6).alias("cramers_v"),
+    )
+
+
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association panel: the normalized effect size
+    ([0,1]) behind chi_square's raw statistic, for three categorical
+    pairs across three tables — the column-pair dependence profile a
+    feature-selection pass reads before one-hot-encoding correlated
+    categoricals. Each pair is an independent bounded-contingency
+    pipeline (cells ≤ |A|·|B|, totals broadcast); the union is of
+    three DISTINCT aggregated subtrees (no shared-scan re-execution)."""
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    cn = cust.join(
+        F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"]
+    )
+    return (
+        _cramers_pair(orders, "o_orderpriority", "o_orderstatus", "orders:priority~status")
+        .unionByName(_cramers_pair(li, "l_returnflag", "l_linestatus", "lineitem:flag~status"))
+        .unionByName(_cramers_pair(cn, "c_mktsegment", "n_name", "customer:segment~nation"))
+        .orderBy("pair")
+    )
+
+
+def _cramers_pair_sql(src: str, a: str, b: str, label: str) -> str:
+    return f"""
+SELECT '{label}' AS pair, n::BIGINT AS n_rows,
+       ((r - 1) * (c - 1))::BIGINT AS dof,
+       round((n::DOUBLE * (t::DOUBLE - 1.0))::DECIMAL(18,8), 4)::DOUBLE AS chi2,
+       round(sqrt((n::DOUBLE * (t::DOUBLE - 1.0))
+                  / (n * least(r - 1, c - 1))::DOUBLE)::DECIMAL(18,8),
+             6)::DOUBLE AS cramers_v
+FROM (
+  SELECT sum(o) AS n, count(*) AS n_cells,
+         count(DISTINCT ra) AS r, count(DISTINCT cb) AS c,
+         sum(((o::DOUBLE * o::DOUBLE) / (rt * ct)::DOUBLE)::DECIMAL(18,12)) AS t
+  FROM (
+    SELECT ra, cb, o,
+           sum(o) OVER (PARTITION BY ra) AS rt,
+           sum(o) OVER (PARTITION BY cb) AS ct
+    FROM (
+      SELECT {a} AS ra, {b} AS cb, count(*) AS o
+      FROM {src}
+      WHERE {a} IS NOT NULL AND {b} IS NOT NULL
+      GROUP BY 1, 2
+    )
+  )
+)"""
+
+
+_CRAMERS_V_SQL = (
+    _cramers_pair_sql("orders", "o_orderpriority", "o_orderstatus", "orders:priority~status")
+    + "\nUNION ALL\n"
+    + _cramers_pair_sql("lineitem", "l_returnflag", "l_linestatus", "lineitem:flag~status")
+    + "\nUNION ALL\n"
+    + _cramers_pair_sql(
+        "(SELECT c_mktsegment, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey) cn",
+        "c_mktsegment", "n_name", "customer:segment~nation",
+    )
+    + "\nORDER BY pair"
+)
+
+
+# ---------------------------------------------------------------------------
+# Durbin-Watson on the daily-revenue trend residuals
+# ---------------------------------------------------------------------------
+
+
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson serial-correlation statistic of the residuals from
+    an OLS linear trend on daily order revenue — the "are the trend
+    model's errors independent" diagnostic that decides whether
+    daily_trend's OLS standard errors can be believed (DW ≈ 2 → fine;
+    → 0 positive autocorrelation; → 4 negative).
+
+    Daily revenue is an exact integer (per-row cents via the
+    DECIMAL(18,8)-recast round, summed as int64); the OLS fit is the
+    conformal_interval/ols_elasticity closed form on DECIMAL(38,4)
+    sufficient statistics; per-day residuals are one fixed IEEE
+    expression on those exact inputs. The lag runs over the
+    CALENDAR-BOUNDED daily frame (~2.4k rows regardless of fact-table
+    scale — registered in _BOUNDED_GLOBAL_WINDOW), and both
+    quadratic-form sums recast each per-day double term to
+    DECIMAL(38,6) so the accumulation is order-independent. The 1-row
+    model frame is a sanctioned broadcast attach."""
+    tune_for_engine(spark)
+    orders = t(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.expr(
+                "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+            ).alias("x"),
+            F.round((F.col("o_totalprice") * 100).cast(_D18))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("x")
+        .agg(F.sum("cents").alias("y"))
+    )
+    d38 = "decimal(38,4)"
+    sums = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = F.try_divide(n * sxy - sx * sy, n * sxx - sx * sx)
+    model = sums.select(
+        F.col("n").cast("long").alias("n_days"),
+        slope.alias("b"),
+        ((sy - slope * sx) / n).alias("a"),
+    )
+    resid = daily.crossJoin(F.broadcast(model)).select(
+        "n_days",
+        "x",
+        (
+            F.col("y").cast("double")
+            - (F.col("a") + F.col("b") * F.col("x").cast("double"))
+        ).alias("e"),
+        F.col("b"),
+    )
+    w = Window.orderBy("x")
+    lagged = resid.select(
+        "n_days",
+        "b",
+        "e",
+        F.lag("e").over(w).alias("ep"),
+    )
+    d = F.col("e") - F.col("ep")
+    folded = lagged.agg(
+        F.min("n_days").alias("n_days"),
+        F.min("b").alias("b"),
+        F.sum((F.col("e") * F.col("e")).cast("decimal(38,6)")).alias("den"),
+        F.sum(
+            F.when(F.col("ep").isNotNull(), (d * d).cast("decimal(38,6)"))
+        ).alias("num"),
+    )
+    return folded.select(
+        F.col("n_days"),
+        _dec_round(F.col("b") / F.lit(100.0), 6).alias("slope_dollars_per_day"),
+        _dec_round(
+            F.try_divide(F.col("num").cast("double"), F.col("den").cast("double")),
+            6,
+        ).alias("durbin_watson"),
+    )
+
+
+_DURBIN_WATSON_SQL = """
+WITH dw_daily AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS x,
+         sum(round((o_totalprice * 100)::DECIMAL(18,8))::BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+dw_s AS (
+  SELECT count(*) AS n,
+         sum(x::DECIMAL(38,4)) AS sx, sum(y::DECIMAL(38,4)) AS sy,
+         sum((x * y)::DECIMAL(38,4)) AS sxy,
+         sum((x * x)::DECIMAL(38,4)) AS sxx
+  FROM dw_daily
+),
+dw_m AS (
+  SELECT n::BIGINT AS n_days,
+         (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+           / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) AS b,
+         (sy::DOUBLE - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+           / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)) * sx::DOUBLE)
+           / n::DOUBLE AS a
+  FROM dw_s
+),
+dw_e AS (
+  SELECT n_days, b, x,
+         y::DOUBLE - (a + b * x::DOUBLE) AS e
+  FROM dw_daily CROSS JOIN dw_m
+),
+dw_l AS (
+  SELECT n_days, b, e, lag(e) OVER (ORDER BY x) AS ep FROM dw_e
+)
+SELECT min(n_days) AS n_days,
+       round((min(b) / 100.0)::DECIMAL(18,8), 6)::DOUBLE AS slope_dollars_per_day,
+       round((sum(CASE WHEN ep IS NOT NULL
+                       THEN ((e - ep) * (e - ep))::DECIMAL(38,6) END)::DOUBLE
+              / sum((e * e)::DECIMAL(38,6))::DOUBLE)::DECIMAL(18,8),
+             6)::DOUBLE AS durbin_watson
+FROM dw_l
+"""
+
+
+QUERIES.update(
+    {
+        "levene_bf": q_levene_bf,
+        "jarque_bera": q_jarque_bera,
+        "cramers_v": q_cramers_v,
+        "durbin_watson": q_durbin_watson,
+    }
+)
+
+ORACLES.update(
+    {
+        "levene_bf": _LEVENE_BF_SQL,
+        "jarque_bera": _JARQUE_BERA_SQL,
+        "cramers_v": _CRAMERS_V_SQL,
+        "durbin_watson": _DURBIN_WATSON_SQL,
+    }
+)

@@ -81,6 +81,7 @@ _TINY_BROADCAST_CROSS = {
     "modularity",        # 1-row edge-count frame attach to the community fold
     "conformal_interval",  # 1-row model frame + 1-row q_hat frame attaches
     "ndcg_eval",         # 20 query vectors broadcast x corpus (cosine_topk's shape)
+    "durbin_watson",     # 1-row OLS model frame attach to the daily frame
 }
 
 # the one deliberate Python-row-path showcase: a Python UDTF (SURVEY
@@ -154,6 +155,7 @@ _BOUNDED_GLOBAL_WINDOW = {
     "conformal_interval": "O(32) ranks.global_rank offsets frame only (residual rank itself distributed)",
     "cuped": "2-row arm frame (pooled-sufficient-stat fold)",
     "cumulative_reach": "per-day first-seen frame (~90 rows), bounded by horizon",
+    "durbin_watson": "calendar-bounded daily-revenue frame (~2.4k rows at any fact scale)",
     "equidepth_bins": "O(32) ranks.global_ntile offsets frame only (raw-fact ntile distributed)",
     "gains_table": "10-row decile frame + O(32) ranks.global_ntile offsets",
     "gini_scale": "O(32) ranks.global_rank offsets frame only",

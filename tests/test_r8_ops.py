@@ -1,0 +1,229 @@
+"""Round-8 statistical-test semantics: numpy references on real
+testdata plus controlled hand cases through tiny synthetic parquet
+dirs (the queries read tables via the `t` loader, so a temp dir with a
+purpose-built lineitem/orders parquet IS the unit-test harness)."""
+
+import math
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sparkprep.queries import stat_tests as st
+
+
+@pytest.fixture(scope="module")
+def lineitem_pd(sf_dir):
+    return pd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"))
+
+
+def _mini_dir(spark, **tables) -> str:
+    """Write pandas frames as single-file parquet tables into a temp
+    dir shaped like a testdata sf dir."""
+    d = tempfile.mkdtemp(prefix="r8mini_")
+    for name, pdf in tables.items():
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, f"{name}.parquet")
+        )
+    return d
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe
+# ---------------------------------------------------------------------------
+
+
+def _bf_reference(groups):
+    """scipy-free Brown-Forsythe F on a dict {g: np.array}."""
+    zs = {g: np.abs(x - np.sort(x)[(len(x) + 1) // 2 - 1]) for g, x in groups.items()}
+    k = len(zs)
+    N = sum(len(z) for z in zs.values())
+    zbar = sum(z.sum() for z in zs.values()) / N
+    ssb = sum(len(z) * (z.mean() - zbar) ** 2 for z in zs.values())
+    ssw = sum(((z - z.mean()) ** 2).sum() for z in zs.values())
+    return (ssb / (k - 1)) / (ssw / (N - k))
+
+
+def test_levene_bf_matches_numpy_reference(spark, sf_dir, lineitem_pd):
+    got = st.q_levene_bf(spark, sf_dir).collect()[0]
+    li = lineitem_pd.dropna(subset=["l_quantity"])
+    groups = {
+        g: sub["l_quantity"].astype(int).to_numpy()
+        for g, sub in li.groupby("l_returnflag")
+    }
+    want = _bf_reference(groups)
+    assert got["n_rows"] == len(li)
+    assert got["df_between"] == len(groups) - 1
+    assert got["f_stat"] == pytest.approx(want, abs=1e-4)
+
+
+def test_levene_bf_equal_spread_is_zero(spark):
+    # identical distributions in every group -> all |x - med| equal
+    # across groups -> SSB = 0 -> F = 0
+    rows = []
+    for g in ("A", "N", "R"):
+        for q in (1, 2, 3, 4, 5) * 4:
+            rows.append((g, float(q)))
+    pdf = pd.DataFrame(rows, columns=["l_returnflag", "l_quantity"])
+    d = _mini_dir(spark, lineitem=pdf)
+    try:
+        got = st.q_levene_bf(spark, d).collect()[0]
+        assert got["f_stat"] == 0.0
+        assert got["n_rows"] == 60
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Jarque-Bera
+# ---------------------------------------------------------------------------
+
+
+def test_jarque_bera_matches_numpy_moments(spark, sf_dir, lineitem_pd):
+    got = {r["l_returnflag"]: r for r in st.q_jarque_bera(spark, sf_dir).collect()}
+    li = lineitem_pd.dropna(subset=["l_quantity"])
+    for g, sub in li.groupby("l_returnflag"):
+        x = sub["l_quantity"].astype(float).to_numpy()
+        n = len(x)
+        m = x.mean()
+        m2 = ((x - m) ** 2).mean()
+        m3 = ((x - m) ** 3).mean()
+        m4 = ((x - m) ** 4).mean()
+        g1 = m3 / m2**1.5
+        g2 = m4 / m2**2 - 3.0
+        jb = n / 6.0 * (g1**2 + g2**2 / 4.0)
+        assert got[g]["n_rows"] == n
+        assert got[g]["skewness"] == pytest.approx(g1, abs=1e-4)
+        assert got[g]["excess_kurtosis"] == pytest.approx(g2, abs=1e-4)
+        assert got[g]["jarque_bera"] == pytest.approx(jb, rel=1e-4)
+
+
+def test_jarque_bera_symmetric_input_zero_skew(spark):
+    # symmetric values -> m3 = 0 exactly (integer algebra) -> skew 0
+    pdf = pd.DataFrame(
+        {"l_returnflag": ["A"] * 6, "l_quantity": [1.0, 2.0, 3.0, 3.0, 4.0, 5.0]}
+    )
+    d = _mini_dir(spark, lineitem=pdf)
+    try:
+        got = st.q_jarque_bera(spark, d).collect()[0]
+        assert got["skewness"] == 0.0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V
+# ---------------------------------------------------------------------------
+
+
+def _cramers_reference(a, b):
+    ct = pd.crosstab(a, b).to_numpy().astype(float)
+    n = ct.sum()
+    r_tot = ct.sum(axis=1, keepdims=True)
+    c_tot = ct.sum(axis=0, keepdims=True)
+    e = r_tot @ c_tot / n
+    chi2 = ((ct - e) ** 2 / e).sum()
+    v = math.sqrt(chi2 / (n * (min(ct.shape[0], ct.shape[1]) - 1)))
+    return chi2, v
+
+
+def test_cramers_v_matches_numpy_contingency(spark, sf_dir, lineitem_pd):
+    got = {r["pair"]: r for r in st.q_cramers_v(spark, sf_dir).collect()}
+    chi2, v = _cramers_reference(
+        lineitem_pd["l_returnflag"], lineitem_pd["l_linestatus"]
+    )
+    row = got["lineitem:flag~status"]
+    assert row["chi2"] == pytest.approx(chi2, abs=1e-4)  # query rounds at 4
+    assert row["cramers_v"] == pytest.approx(v, abs=1e-6)
+    for r in got.values():
+        assert 0.0 <= r["cramers_v"] <= 1.0
+
+
+def test_cramers_v_extremes(spark):
+    # perfect association (b determined by a) -> V = 1; independence -> V ~ 0
+    perf = pd.DataFrame(
+        {
+            "o_orderpriority": ["1", "2", "1", "2"] * 5,
+            "o_orderstatus": ["X", "Y", "X", "Y"] * 5,
+        }
+    )
+    indep = pd.DataFrame(
+        {
+            "l_returnflag": ["A", "A", "B", "B"] * 5,
+            "l_linestatus": ["X", "Y", "X", "Y"] * 5,
+        }
+    )
+    cust = pd.DataFrame(
+        {"c_custkey": [1], "c_nationkey": [0], "c_mktsegment": ["S"]}
+    )
+    nation = pd.DataFrame({"n_nationkey": [0], "n_name": ["N"]})
+    d = _mini_dir(spark, orders=perf, lineitem=indep, customer=cust, nation=nation)
+    try:
+        got = {r["pair"]: r for r in st.q_cramers_v(spark, d).collect()}
+        assert got["orders:priority~status"]["cramers_v"] == 1.0
+        assert got["lineitem:flag~status"]["cramers_v"] == 0.0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Durbin-Watson
+# ---------------------------------------------------------------------------
+
+
+def test_durbin_watson_matches_numpy(spark, sf_dir):
+    from sparkprep.session import tune_for_engine
+
+    tune_for_engine(spark)
+    got = st.q_durbin_watson(spark, sf_dir).collect()[0]
+    orders = pd.read_parquet(os.path.join(sf_dir, "orders.parquet"))
+    days = (
+        orders["o_orderdate"].values.astype("datetime64[us]").astype("int64")
+        // 86_400_000_000
+    )
+    cents = np.round(orders["o_totalprice"].to_numpy() * 100).astype("int64")
+    daily = pd.DataFrame({"x": days, "y": cents}).groupby("x")["y"].sum().sort_index()
+    x = daily.index.to_numpy().astype(float)
+    y = daily.to_numpy().astype(float)
+    b, a = np.polyfit(x, y, 1)
+    e = y - (a + b * x)
+    dw = np.sum(np.diff(e) ** 2) / np.sum(e**2)
+    assert got["n_days"] == len(daily)
+    assert got["slope_dollars_per_day"] == pytest.approx(b / 100.0, rel=1e-6)
+    assert got["durbin_watson"] == pytest.approx(dw, abs=1e-5)
+
+
+def test_durbin_watson_hand_cases(spark):
+    from sparkprep.session import tune_for_engine
+
+    tune_for_engine(spark)
+    # alternating residuals around a flat trend -> DW near 4
+    dates = pd.date_range("2024-01-01", periods=40, freq="D")
+    alt = pd.DataFrame(
+        {
+            "o_orderdate": dates,
+            "o_totalprice": [100.0, 200.0] * 20,  # e flips sign every day
+        }
+    )
+    d = _mini_dir(spark, orders=alt)
+    try:
+        got = st.q_durbin_watson(spark, d).collect()[0]
+        assert got["durbin_watson"] > 3.5
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    # smooth quadratic drift -> adjacent residuals nearly equal -> DW near 0
+    quad = pd.DataFrame(
+        {
+            "o_orderdate": dates,
+            "o_totalprice": [(i - 20) ** 2 / 4.0 + 100 for i in range(40)],
+        }
+    )
+    d = _mini_dir(spark, orders=quad)
+    try:
+        got = st.q_durbin_watson(spark, d).collect()[0]
+        assert got["durbin_watson"] < 0.5
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
