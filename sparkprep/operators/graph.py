@@ -735,3 +735,51 @@ def bfs_hops(
             .localCheckpoint(eager=False)
         )
     return dist
+
+
+def multi_bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 4,
+    num_partitions: int = 8,
+) -> DataFrame:
+    """Multi-source BFS: hop distances from EVERY seed at once, keyed
+    (seed, node) — the centrality/neighborhood primitive behind
+    closeness estimates and landmark-distance features.
+
+    Same relaxation shape as ``bfs_hops`` with the seed id carried
+    through the key: per round one keyed adjacency join fans the
+    frontier out PER SEED, one map-combined min over the union
+    collapses it. Cost per round is O(|E| x seeds-reaching-it) — keep
+    the seed panel small (sampled landmarks), which is exactly how
+    closeness is estimated at scale (Eppstein-Wang style sampling;
+    all-pairs BFS is O(V·E) and is the wrong tool past toy graphs).
+    Frames are checkpointed per the k_core loop discipline.
+
+    ``seeds`` must have a single ``node`` column. Returns
+    ``(seed, node, hop)`` for every node within ``rounds`` hops of
+    each seed (hop 0 = the seed itself); unreached pairs are absent.
+    """
+    adj = (
+        edges.select("u", "v")
+        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition(num_partitions)
+        .localCheckpoint(eager=False)
+    )
+    dist = seeds.select(
+        F.col("node").alias("seed"),
+        F.col("node"),
+        F.lit(0).cast("long").alias("hop"),
+    ).localCheckpoint(eager=False)
+    for _ in range(int(rounds)):
+        cand = (
+            adj.join(dist.withColumnRenamed("node", "u"), "u")
+            .select("seed", F.col("v").alias("node"), (F.col("hop") + 1).alias("hop"))
+        )
+        dist = (
+            dist.union(cand)
+            .groupBy("seed", "node")
+            .agg(F.min("hop").alias("hop"))
+            .localCheckpoint(eager=False)
+        )
+    return dist

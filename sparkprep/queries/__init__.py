@@ -285,6 +285,9 @@ _ROUND8_QUEUE = [
     "jarque_bera",
     "cramers_v",
     "durbin_watson",
+    "pit_snapshot",
+    "closeness_centrality",
+    "mmr_rerank",
 ]
 
 

@@ -1424,3 +1424,105 @@ _BFS_SQL = _bfs_sql(_BFS_ROUNDS)
 
 QUERIES["bfs_layers"] = q_bfs_layers
 ORACLES["bfs_layers"] = _BFS_SQL
+
+
+# ---------------------------------------------------------------------------
+# sampled closeness centrality (multi-source BFS landmarks) — round 8
+# ---------------------------------------------------------------------------
+
+_CLOSENESS_SEEDS = 8
+_CLOSENESS_ROUNDS = 4
+
+
+def q_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled closeness centrality over the co-purchase graph: for 8
+    landmark seeds (smallest part ids — deterministic), BFS to hop 4
+    via ONE multi-source pass (``graph.multi_bfs_hops`` — the
+    Eppstein-Wang estimation shape: landmarks, never all-pairs), then
+    per seed the classic closeness (n_reached−1)/Σhop and harmonic
+    centrality Σ 1/hop. Hops are exact integers; each 1/hop is ONE
+    IEEE division recast DECIMAL(18,12) so the per-seed harmonic sum
+    is order-independent; closeness is ONE division of exact int64s."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        graph.cooccurrence_pairs(
+            li, "l_orderkey", "l_partkey", max_items_per_key=64, cap_by="id"
+        )
+        .filter(F.col("n_keys") >= 2)
+        .select(F.col("item_a").alias("u"), F.col("item_b").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = edges.select(F.explode(F.array("u", "v")).alias("node")).distinct()
+    seeds = nodes.orderBy("node").limit(_CLOSENESS_SEEDS)
+    dist = graph.multi_bfs_hops(edges, seeds, rounds=_CLOSENESS_ROUNDS)
+    per = dist.groupBy("seed").agg(
+        F.count(F.lit(1)).alias("n_reached"),
+        F.sum("hop").alias("total_hops"),
+        F.sum(
+            F.when(
+                F.col("hop") > 0,
+                (F.lit(1.0) / F.col("hop").cast("double")).cast(
+                    "decimal(18,12)"
+                ),
+            )
+        ).alias("harm"),
+    )
+    return per.select(
+        F.col("seed").cast("long").alias("seed"),
+        (F.col("n_reached") - 1).cast("long").alias("n_reached"),
+        F.col("total_hops").cast("long").alias("total_hops"),
+        _dec_round(
+            F.try_divide(
+                (F.col("n_reached") - 1).cast("double"),
+                F.col("total_hops").cast("double"),
+            ),
+            6,
+        ).alias("closeness"),
+        _dec_round(F.col("harm").cast("double"), 6).alias("harmonic"),
+    ).orderBy("seed")
+
+
+def _closeness_sql(rounds: int, n_seeds: int) -> str:
+    parts = [
+        "cl_op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        "cl_e AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v "
+        "FROM cl_op a JOIN cl_op b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey < b.l_partkey GROUP BY 1, 2 HAVING count(*) >= 2)",
+        "cl_adj AS MATERIALIZED (SELECT u, v FROM cl_e "
+        "UNION ALL SELECT v, u FROM cl_e)",
+        f"cl_seed AS MATERIALIZED (SELECT node FROM "
+        f"(SELECT DISTINCT u AS node FROM cl_adj) ORDER BY node LIMIT {n_seeds})",
+        "cl_l0 AS MATERIALIZED (SELECT node AS seed, node, 0::BIGINT AS hop "
+        "FROM cl_seed)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"cl_l{r} AS MATERIALIZED (SELECT seed, node, min(hop)::BIGINT AS hop "
+            f"FROM (SELECT seed, node, hop FROM cl_l{r - 1} "
+            f"UNION ALL SELECT l.seed, a.v AS node, l.hop + 1 AS hop "
+            f"FROM cl_adj a JOIN cl_l{r - 1} l ON a.u = l.node) GROUP BY 1, 2)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+cl_per AS (
+  SELECT seed, count(*) AS n_reached, sum(hop) AS total_hops,
+         sum(CASE WHEN hop > 0
+                  THEN (1.0::DOUBLE / hop::DOUBLE)::DECIMAL(18,12) END) AS harm
+  FROM cl_l{rounds} GROUP BY 1
+)
+SELECT seed::BIGINT AS seed,
+       (n_reached - 1)::BIGINT AS n_reached,
+       total_hops::BIGINT AS total_hops,
+       round(((n_reached - 1)::DOUBLE / total_hops::DOUBLE)::DECIMAL(18,8),
+             6)::DOUBLE AS closeness,
+       round((harm::DOUBLE)::DECIMAL(18,8), 6)::DOUBLE AS harmonic
+FROM cl_per ORDER BY 1"""
+    )
+
+
+QUERIES["closeness_centrality"] = q_closeness_centrality
+ORACLES["closeness_centrality"] = _closeness_sql(
+    _CLOSENESS_ROUNDS, _CLOSENESS_SEEDS
+)

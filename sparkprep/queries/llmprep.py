@@ -1582,3 +1582,177 @@ ORACLES = {
     "hard_negatives": _HARD_NEGATIVES_SQL,    "sft_assembly": _SFT_ASSEMBLY_SQL,
     "cluster_split": _cluster_split_sql(),
 }
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking — round 8
+# ---------------------------------------------------------------------------
+
+_MMR_QUERIES = 10
+_MMR_CAND = 8
+_MMR_K = 4
+_MMR_LAMBDA = 0.5  # exact binary fraction — both engines bind identical bits
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking: take each query's
+    cosine top-8 candidates, then greedily select 4 balancing
+    relevance against redundancy — score(d) = λ·cos(q,d) −
+    (1−λ)·max_{s∈selected} cos(d,s) — the standard retrieval
+    diversifier (RAG context assembly, dedup-aware search).
+
+    Scale shape: the candidate pool is the bounded top-k output
+    (queries × 8 rows), so the pairwise-similarity frame is queries ×
+    64 and the K selection rounds iterate over TINY frames — plan-side
+    unrolled joins, no collect, no loop-carried lineage worth
+    checkpointing. Every cosine is the order-stable left-fold double
+    (identical bits on both engines), λ is an exact binary fraction,
+    so each round's argmax (score desc, id asc) picks the same row on
+    both engines; displayed scores are DECIMAL-recast rounds."""
+    from pyspark.sql.window import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _MMR_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("__cv")
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            sim.cosine_native(F.col("__qv"), F.col("__cv")).alias("rel"),
+            "__cv",
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cand_id"))
+    cand = (
+        scored.withColumn("__rk", F.row_number().over(wq))
+        .filter(F.col("__rk") <= _MMR_CAND)
+        .select("query_id", "cand_id", "rel", "__cv")
+        .localCheckpoint(eager=False)  # anchors the pair frame AND every round
+    )
+    a = cand.select("query_id", F.col("cand_id").alias("id_a"), F.col("__cv").alias("__va"))
+    b = cand.select("query_id", F.col("cand_id").alias("id_b"), F.col("__cv").alias("__vb"))
+    pairs = (
+        a.join(b, "query_id")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "query_id",
+            "id_a",
+            "id_b",
+            sim.cosine_native(F.col("__va"), F.col("__vb")).alias("sim_ab"),
+        )
+        .localCheckpoint(eager=False)  # consumed once per selection round
+    )
+    pool = cand.select("query_id", "cand_id", "rel")
+    lam = F.lit(_MMR_LAMBDA)
+    # round 1: pure relevance
+    selected = pool.withColumn(
+        "__rk", F.row_number().over(wq)
+    ).filter(F.col("__rk") == 1).select(
+        "query_id",
+        "cand_id",
+        F.lit(1).cast("long").alias("round"),
+        (lam * F.col("rel")).alias("score"),
+    )
+    for r in range(2, _MMR_K + 1):
+        # penalty(cand) = max sim to the selected set: fan the selected
+        # ids out over their pair rows (id_a = selected, id_b = cand)
+        # and fold max per candidate; selected candidates drop via the
+        # anti-join, so pen covers exactly the available pool
+        sel_ids = selected.select("query_id", F.col("cand_id").alias("id_a"))
+        pen = (
+            sel_ids.join(pairs, ["query_id", "id_a"])
+            .groupBy("query_id", F.col("id_b").alias("cand_id"))
+            .agg(F.max("sim_ab").alias("__pen"))
+        )
+        avail = pool.join(
+            sel_ids.withColumnRenamed("id_a", "cand_id"),
+            ["query_id", "cand_id"],
+            "left_anti",
+        ).join(pen, ["query_id", "cand_id"])
+        wsel = Window.partitionBy("query_id").orderBy(
+            F.desc("__score"), F.asc("cand_id")
+        )
+        pick = (
+            avail.withColumn(
+                "__score", lam * F.col("rel") - (F.lit(1.0) - lam) * F.col("__pen")
+            )
+            .withColumn("__rk", F.row_number().over(wsel))
+            .filter(F.col("__rk") == 1)
+            .select(
+                "query_id",
+                "cand_id",
+                F.lit(r).cast("long").alias("round"),
+                F.col("__score").alias("score"),
+            )
+        )
+        # the next round references `selected` twice (pen + anti-join);
+        # checkpoint keeps the accumulated-union lineage flat (the
+        # iterative-loop discipline — frames are queries x rounds tiny)
+        selected = selected.unionByName(pick).localCheckpoint(eager=False)
+    return selected.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "round",
+        F.col("cand_id").cast("long").alias("selected_id"),
+        F.round(F.col("score").cast("decimal(18,8)"), 6)
+        .cast("double")
+        .alias("score"),
+    ).orderBy("query_id", "round")
+
+
+def _mmr_sql() -> str:
+    cos_qc = _cos_sql("qv", "c.embedding")
+    parts = [
+        f"mm_q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {_MMR_QUERIES})",
+        "mm_sc AS MATERIALIZED (SELECT query_id, c.vec_id AS cand_id, "
+        f"{cos_qc} AS rel, c.embedding AS cv "
+        "FROM mm_q, embeddings c WHERE c.vec_id != query_id)",
+        f"mm_c AS MATERIALIZED (SELECT query_id, cand_id, rel, cv FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rk FROM mm_sc) "
+        f"WHERE rk <= {_MMR_CAND})",
+        "mm_p AS MATERIALIZED (SELECT a.query_id, a.cand_id AS id_a, b.cand_id AS id_b, "
+        + _cos_sql("a.cv", "b.cv")
+        + " AS sim_ab FROM mm_c a JOIN mm_c b ON a.query_id = b.query_id AND a.cand_id != b.cand_id)",
+        f"mm_sel1 AS MATERIALIZED (SELECT query_id, cand_id, 1::BIGINT AS round, "
+        f"{_MMR_LAMBDA!r} * rel AS score FROM "
+        "(SELECT query_id, cand_id, rel, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rk FROM mm_c) WHERE rk = 1)",
+    ]
+    for r in range(2, _MMR_K + 1):
+        prev = f"mm_sel{r - 1}"
+        parts.append(
+            f"mm_pen{r} AS MATERIALIZED (SELECT p.query_id, p.id_b AS cand_id, "
+            f"max(p.sim_ab) AS pen FROM {prev} s JOIN mm_p p "
+            "ON s.query_id = p.query_id AND s.cand_id = p.id_a GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"mm_pick{r} AS MATERIALIZED (SELECT query_id, cand_id, {r}::BIGINT AS round, score FROM "
+            f"(SELECT c.query_id, c.cand_id, "
+            f"{_MMR_LAMBDA!r} * c.rel - (1.0 - {_MMR_LAMBDA!r}) * n.pen AS score, "
+            "row_number() OVER (PARTITION BY c.query_id ORDER BY "
+            f"{_MMR_LAMBDA!r} * c.rel - (1.0 - {_MMR_LAMBDA!r}) * n.pen DESC, c.cand_id) AS rk "
+            f"FROM mm_c c JOIN mm_pen{r} n ON c.query_id = n.query_id AND c.cand_id = n.cand_id "
+            f"WHERE NOT EXISTS (SELECT 1 FROM {prev} s WHERE s.query_id = c.query_id "
+            "AND s.cand_id = c.cand_id)) WHERE rk = 1)"
+        )
+        parts.append(
+            f"mm_sel{r} AS MATERIALIZED (SELECT * FROM {prev} "
+            f"UNION ALL SELECT * FROM mm_pick{r})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT query_id::BIGINT AS query_id, round, cand_id::BIGINT AS selected_id,
+       round(score::DECIMAL(18,8), 6)::DOUBLE AS score
+FROM mm_sel{_MMR_K} ORDER BY 1, 2"""
+    )
+
+
+QUERIES["mmr_rerank"] = q_mmr_rerank
+ORACLES["mmr_rerank"] = _mmr_sql()

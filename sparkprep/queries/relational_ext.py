@@ -2691,3 +2691,91 @@ ORACLES = {
     "nation_trade_flow": _NATION_TRADE_SQL,
     "important_parts": _IMPORTANT_PARTS_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# point-in-time (as-of) SCD2 snapshot census — round 8
+# ---------------------------------------------------------------------------
+
+_PIT_DATES = ["1993-01-01", "1995-01-01", "1996-06-01", "1998-01-01"]
+
+
+def q_pit_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension reconstruction: treat each customer's
+    order stream as an SCD2 attribute history (the priority of their
+    latest order is the customer's "current state", valid until their
+    next order) and answer "what did the dimension look like AS OF
+    date T" for a fixed probe panel — the time-travel read every
+    warehouse bolts onto merge_scd2's history table.
+
+    Validity intervals come from ONE keyed lead window (per customer,
+    (day, orderkey)-ordered so same-day versions collapse to the last
+    order deterministically — the earlier one's interval is empty and
+    matches no probe); day arithmetic is exact int64 epoch-day. The
+    4-row probe panel broadcast against the version frame is the
+    sanctioned tiny cross-attach (validity is a range predicate — no
+    equi-key exists); the census groupBy is the only data shuffle."""
+    from pyspark.sql.window import Window
+
+    tune_for_engine(spark)
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr(
+            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+        ).alias("vfrom"),
+        "o_orderpriority",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("vfrom", "o_orderkey")
+    hist = orders.select(
+        "o_custkey",
+        "o_orderpriority",
+        "vfrom",
+        F.coalesce(
+            F.lead("vfrom").over(w), F.lit(2**62).cast("long")
+        ).alias("vto"),
+    )
+    probes = spark.createDataFrame(
+        [(d,) for d in _PIT_DATES], "as_of string"
+    ).select(
+        "as_of",
+        F.expr(
+            "unix_micros(cast(to_date(as_of) as timestamp)) div 86400000000"
+        ).alias("pd"),
+    )
+    return (
+        hist.join(
+            F.broadcast(probes),
+            (F.col("vfrom") <= F.col("pd")) & (F.col("pd") < F.col("vto")),
+        )
+        .groupBy("as_of", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy("as_of", "o_orderpriority")
+    )
+
+
+def _pit_snapshot_sql() -> str:
+    dates = ", ".join(f"('{d}')" for d in _PIT_DATES)
+    return f"""
+WITH pit_h AS (
+  SELECT o_custkey, o_orderpriority,
+         epoch_us(o_orderdate) // 86400000000 AS vfrom,
+         coalesce(lead(epoch_us(o_orderdate) // 86400000000)
+                    OVER (PARTITION BY o_custkey
+                          ORDER BY epoch_us(o_orderdate) // 86400000000,
+                                   o_orderkey),
+                  4611686018427387904) AS vto
+  FROM orders
+),
+pit_p AS (
+  SELECT as_of, epoch_us(as_of::TIMESTAMP) // 86400000000 AS pd
+  FROM (VALUES {dates}) AS v(as_of)
+)
+SELECT as_of, o_orderpriority, count(*)::BIGINT AS n_customers
+FROM pit_h JOIN pit_p ON vfrom <= pd AND pd < vto
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+QUERIES["pit_snapshot"] = q_pit_snapshot
+ORACLES["pit_snapshot"] = _pit_snapshot_sql()

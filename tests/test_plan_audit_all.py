@@ -82,6 +82,8 @@ _TINY_BROADCAST_CROSS = {
     "conformal_interval",  # 1-row model frame + 1-row q_hat frame attaches
     "ndcg_eval",         # 20 query vectors broadcast x corpus (cosine_topk's shape)
     "durbin_watson",     # 1-row OLS model frame attach to the daily frame
+    "pit_snapshot",      # 4-row as-of probe panel x version frame (range predicate, no equi-key)
+    "mmr_rerank",        # 10 query vectors broadcast x corpus (cosine_topk's shape)
 }
 
 # the one deliberate Python-row-path showcase: a Python UDTF (SURVEY

@@ -227,3 +227,140 @@ def test_durbin_watson_hand_cases(spark):
         assert got["durbin_watson"] < 0.5
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# point-in-time snapshot
+# ---------------------------------------------------------------------------
+
+
+def test_pit_snapshot_hand_history(spark):
+    from sparkprep.queries import relational_ext as rx
+    from sparkprep.session import tune_for_engine
+
+    tune_for_engine(spark)
+    # cust 1: URGENT from 1992, LOW from 1995-06; cust 2: HIGH from 1997;
+    # cust 3: two same-day orders 1994-01-01 -> the LAST (higher key) wins
+    pdf = pd.DataFrame(
+        {
+            "o_custkey": [1, 1, 2, 3, 3],
+            "o_orderkey": [10, 11, 20, 30, 31],
+            "o_orderdate": pd.to_datetime(
+                ["1992-03-01", "1995-06-01", "1997-02-01", "1994-01-01", "1994-01-01"]
+            ),
+            "o_orderpriority": ["URGENT", "LOW", "HIGH", "FIRST", "SECOND"],
+        }
+    )
+    d = _mini_dir(spark, orders=pdf)
+    try:
+        rows = {
+            (r["as_of"], r["o_orderpriority"]): r["n_customers"]
+            for r in rx.q_pit_snapshot(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    # 1993-01-01: cust1=URGENT only (cust2/3 not born yet)
+    assert rows[("1993-01-01", "URGENT")] == 1
+    assert ("1993-01-01", "FIRST") not in rows
+    # 1995-01-01: cust1 still URGENT, cust3's same-day tie resolved to SECOND
+    assert rows[("1995-01-01", "URGENT")] == 1
+    assert rows[("1995-01-01", "SECOND")] == 1
+    assert ("1995-01-01", "FIRST") not in rows
+    # 1998-01-01: cust1=LOW, cust2=HIGH, cust3=SECOND
+    assert rows[("1998-01-01", "LOW")] == 1
+    assert rows[("1998-01-01", "HIGH")] == 1
+    assert rows[("1998-01-01", "SECOND")] == 1
+
+
+# ---------------------------------------------------------------------------
+# multi-source BFS + closeness
+# ---------------------------------------------------------------------------
+
+
+def test_multi_bfs_hops_path_graph(spark):
+    from sparkprep.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], ["u", "v"]
+    )
+    seeds = spark.createDataFrame([(1,), (3,)], ["node"])
+    got = {
+        (r["seed"], r["node"]): r["hop"]
+        for r in graph.multi_bfs_hops(edges, seeds, rounds=3).collect()
+    }
+    # seed 1 reaches 1..4 within 3 hops (5 is 4 away)
+    assert {n: h for (s, n), h in got.items() if s == 1} == {1: 0, 2: 1, 3: 2, 4: 3}
+    # seed 3 reaches everything
+    assert {n: h for (s, n), h in got.items() if s == 3} == {
+        1: 2, 2: 1, 3: 0, 4: 1, 5: 2,
+    }
+
+
+def test_closeness_centrality_math_on_path(spark):
+    # closeness/harmonic identities on the 3-hop ball of a path graph,
+    # computed through the same fold the query uses
+    from sparkprep.operators import graph
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 5)], ["u", "v"])
+    seeds = spark.createDataFrame([(3,)], ["node"])
+    dist = graph.multi_bfs_hops(edges, seeds, rounds=4)
+    per = dist.groupBy("seed").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("hop").alias("th")
+    ).collect()[0]
+    # node 3: distances {1:2, 2:1, 3:0, 4:1, 5:2} -> closeness 4/6
+    assert (per["n"] - 1, per["th"]) == (4, 6)
+
+
+# ---------------------------------------------------------------------------
+# MMR re-ranking
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_rerank_matches_greedy_reference(spark, sf_dir):
+    from sparkprep.queries import llmprep as lp
+
+    emb = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    vecs = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64) for r in emb.itertuples()}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    got = lp.q_mmr_rerank(spark, sf_dir).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["round"], r["selected_id"]))
+    lam = lp._MMR_LAMBDA
+    for qid in range(lp._MMR_QUERIES):
+        qv = vecs[qid]
+        scored = sorted(
+            ((cos(qv, v), -cid) for cid, v in vecs.items() if cid != qid),
+            reverse=True,
+        )
+        cands = [(-ncid, rel) for rel, ncid in scored[: lp._MMR_CAND]]
+        selected = []
+        for _ in range(lp._MMR_K):
+            best = None
+            for cid, rel in cands:
+                if cid in selected:
+                    continue
+                pen = max((cos(vecs[cid], vecs[s]) for s in selected), default=None)
+                score = lam * rel if pen is None else lam * rel - (1 - lam) * pen
+                key = (score, -cid)
+                if best is None or key > best[0]:
+                    best = (key, cid)
+            selected.append(best[1])
+        want = [(i + 1, cid) for i, cid in enumerate(selected)]
+        assert sorted(by_q[qid]) == want, f"query {qid}"
+
+
+def test_mmr_first_pick_is_top_relevance_and_no_repeats(spark, sf_dir):
+    from sparkprep.queries import llmprep as lp
+
+    rows = lp.q_mmr_rerank(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        ids = [r["selected_id"] for r in rs]
+        assert len(set(ids)) == len(ids) == lp._MMR_K
