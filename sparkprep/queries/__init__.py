@@ -288,6 +288,9 @@ _ROUND8_QUEUE = [
     "pit_snapshot",
     "closeness_centrality",
     "mmr_rerank",
+    "growth_decomposition",
+    "group_sequential",
+    "local_clustering",
 ]
 
 

@@ -1526,3 +1526,102 @@ QUERIES["closeness_centrality"] = q_closeness_centrality
 ORACLES["closeness_centrality"] = _closeness_sql(
     _CLOSENESS_ROUNDS, _CLOSENESS_SEEDS
 )
+
+
+# ---------------------------------------------------------------------------
+# local clustering coefficients (top-degree nodes) — round 8
+# ---------------------------------------------------------------------------
+
+_LCC_TOP = 20
+
+
+def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient for the 20 highest-degree
+    co-purchase nodes: lcc(v) = 2·T(v) / (d(v)·(d(v)−1)) with T(v) the
+    closed neighbor-pair (triangle) count — the node-level companion of
+    triangle_count's global census, and the standard "is this hub a
+    community or a star" probe.
+
+    Scale shape: the neighbor-pair fan-out is restricted to the TOP-K
+    selection (broadcast), so the wedge frame is Σ d(v)² over 20 nodes
+    — bounded by the co-occurrence degree cap, never the graph size;
+    closure is one hash equi-join of wedges against the canonical
+    (a<b) edge list. Degree ties break by node id for a deterministic
+    panel. All counts exact int64; lcc is ONE division."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        graph.cooccurrence_pairs(
+            li, "l_orderkey", "l_partkey", max_items_per_key=64, cap_by="id"
+        )
+        .filter(F.col("n_keys") >= 2)
+        .select(F.col("item_a").alias("ea"), F.col("item_b").alias("eb"))
+        .localCheckpoint(eager=False)  # degree + adjacency sides + closure probe
+    )
+    adj = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("ea").alias("u"), F.col("eb").alias("v")),
+                F.struct(F.col("eb").alias("u"), F.col("ea").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    top = deg.orderBy(F.desc("degree"), F.asc("u")).limit(_LCC_TOP)
+    nbrs = adj.join(F.broadcast(top.select("u", "degree")), "u")
+    n1 = nbrs.select("u", "degree", F.col("v").alias("a"))
+    n2 = nbrs.select("u", F.col("v").alias("b"))
+    wedges = (
+        n1.join(n2, "u")
+        .filter(F.col("a") < F.col("b"))
+        .select("u", "degree", "a", "b")
+    )
+    tri = (
+        wedges.join(
+            edges, (F.col("a") == F.col("ea")) & (F.col("b") == F.col("eb"))
+        )
+        .groupBy("u", "degree")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    out = top.join(tri, ["u", "degree"], "left").select(
+        F.col("u").cast("long").alias("node"),
+        F.col("degree").cast("long").alias("degree"),
+        F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+        _dec_round(
+            F.try_divide(
+                (F.lit(2) * F.coalesce("triangles", F.lit(0))).cast("double"),
+                (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+            ),
+            6,
+        ).alias("lcc"),
+    )
+    return out.orderBy(F.desc("degree"), F.asc("node"))
+
+
+_LOCAL_CLUSTERING_SQL = f"""
+WITH lc_op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+lc_e AS MATERIALIZED (SELECT a.l_partkey AS ea, b.l_partkey AS eb
+  FROM lc_op a JOIN lc_op b ON a.l_orderkey = b.l_orderkey
+  AND a.l_partkey < b.l_partkey GROUP BY 1, 2 HAVING count(*) >= 2),
+lc_adj AS MATERIALIZED (SELECT ea AS u, eb AS v FROM lc_e
+  UNION ALL SELECT eb AS u, ea AS v FROM lc_e),
+lc_deg AS (SELECT u, count(*) AS degree FROM lc_adj GROUP BY 1),
+lc_top AS MATERIALIZED (SELECT u, degree FROM lc_deg
+  ORDER BY degree DESC, u LIMIT {_LCC_TOP}),
+lc_n AS MATERIALIZED (SELECT a.u, t.degree, a.v
+  FROM lc_adj a JOIN lc_top t ON a.u = t.u),
+lc_w AS (SELECT x.u, x.degree, x.v AS a, y.v AS b
+  FROM lc_n x JOIN lc_n y ON x.u = y.u AND x.v < y.v),
+lc_t AS (SELECT w.u, w.degree, count(*) AS triangles
+  FROM lc_w w JOIN lc_e e ON w.a = e.ea AND w.b = e.eb GROUP BY 1, 2)
+SELECT t.u::BIGINT AS node, t.degree::BIGINT AS degree,
+       coalesce(tr.triangles, 0)::BIGINT AS triangles,
+       round(((2 * coalesce(tr.triangles, 0))::DOUBLE
+              / (t.degree * (t.degree - 1))::DOUBLE)::DECIMAL(18,8),
+             6)::DOUBLE AS lcc
+FROM lc_top t LEFT JOIN lc_t tr ON t.u = tr.u AND t.degree = tr.degree
+ORDER BY degree DESC, node
+"""
+
+
+QUERIES["local_clustering"] = q_local_clustering
+ORACLES["local_clustering"] = _LOCAL_CLUSTERING_SQL

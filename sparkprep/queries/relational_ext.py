@@ -2779,3 +2779,95 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES["pit_snapshot"] = q_pit_snapshot
 ORACLES["pit_snapshot"] = _pit_snapshot_sql()
+
+
+# ---------------------------------------------------------------------------
+# growth decomposition (volume vs price effects) — round 8
+# ---------------------------------------------------------------------------
+
+
+def q_growth_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-bridge decomposition per customer nation, 1995 → 1996:
+    ΔRevenue split into a VOLUME effect (quantity change at old unit
+    price, (q2−q1)·p1) and a PRICE effect (new volume times unit-price
+    change, q2·(p2−p1)) — the Laspeyres/Paasche bridge every BI
+    review opens with, and by construction the two effects telescope
+    EXACTLY to ΔR (the test asserts the identity).
+
+    Revenue accumulates as per-row DECIMAL(18,4) cents-exact sums;
+    quantities are int64; unit prices are ONE IEEE division each of
+    exact aggregates, so every effect is a short identical float tree
+    on both engines. One fact-table aggregate (conditional sums per
+    year), dimensions broadcast."""
+    tune_for_engine(spark)
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.year(F.col("o_orderdate").cast("timestamp")).alias("yr"),
+    )
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    qty = F.col("l_quantity").cast("long")
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(F.col("yr").isin(1995, 1996))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    per = joined.groupBy("n_name").agg(
+        F.sum(F.when(F.col("yr") == 1995, rev)).alias("r1"),
+        F.sum(F.when(F.col("yr") == 1995, qty)).alias("q1"),
+        F.sum(F.when(F.col("yr") == 1996, rev)).alias("r2"),
+        F.sum(F.when(F.col("yr") == 1996, qty)).alias("q2"),
+    )
+    r1 = F.col("r1").cast("double")
+    r2 = F.col("r2").cast("double")
+    q1 = F.col("q1").cast("double")
+    q2 = F.col("q2").cast("double")
+    p1 = F.try_divide(r1, q1)
+    p2 = F.try_divide(r2, q2)
+    dec2 = lambda c: F.round(c.cast("decimal(18,8)"), 2).cast("double")  # noqa: E731
+    return per.select(
+        F.col("n_name").alias("nation"),
+        dec2(r1).alias("rev_1995"),
+        dec2(r2).alias("rev_1996"),
+        dec2(r2 - r1).alias("delta"),
+        dec2((q2 - q1) * p1).alias("volume_effect"),
+        dec2(q2 * (p2 - p1)).alias("price_effect"),
+    ).orderBy("nation")
+
+
+_GROWTH_DECOMP_SQL = """
+WITH gd_per AS (
+  SELECT n_name AS nation,
+         sum(CASE WHEN year(o_orderdate) = 1995
+                  THEN (l_extendedprice * (1.0 - l_discount))::DECIMAL(18,4) END) AS r1,
+         sum(CASE WHEN year(o_orderdate) = 1995 THEN l_quantity::BIGINT END) AS q1,
+         sum(CASE WHEN year(o_orderdate) = 1996
+                  THEN (l_extendedprice * (1.0 - l_discount))::DECIMAL(18,4) END) AS r2,
+         sum(CASE WHEN year(o_orderdate) = 1996 THEN l_quantity::BIGINT END) AS q2
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE year(o_orderdate) IN (1995, 1996)
+  GROUP BY 1
+)
+SELECT nation,
+       round((r1::DOUBLE)::DECIMAL(18,8), 2)::DOUBLE AS rev_1995,
+       round((r2::DOUBLE)::DECIMAL(18,8), 2)::DOUBLE AS rev_1996,
+       round((r2::DOUBLE - r1::DOUBLE)::DECIMAL(18,8), 2)::DOUBLE AS delta,
+       round(((q2::DOUBLE - q1::DOUBLE) * (r1::DOUBLE / q1::DOUBLE))::DECIMAL(18,8),
+             2)::DOUBLE AS volume_effect,
+       round((q2::DOUBLE * (r2::DOUBLE / q2::DOUBLE - r1::DOUBLE / q1::DOUBLE))::DECIMAL(18,8),
+             2)::DOUBLE AS price_effect
+FROM gd_per ORDER BY nation
+"""
+
+
+QUERIES["growth_decomposition"] = q_growth_decomposition
+ORACLES["growth_decomposition"] = _GROWTH_DECOMP_SQL

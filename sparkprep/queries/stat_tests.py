@@ -15,6 +15,8 @@ through the DECIMAL(18,8)-recast round.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -511,3 +513,137 @@ ORACLES.update(
         "durbin_watson": _DURBIN_WATSON_SQL,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# group-sequential A/B monitoring (O'Brien-Fleming bounds)
+# ---------------------------------------------------------------------------
+
+# Two-sided O'Brien-Fleming z boundaries for K=5 equally-spaced looks at
+# overall alpha = 0.05: z_k = z_OBF · sqrt(K / k) with z_OBF = 2.0310
+# (Lan-DeMets / standard GSD tables). Precomputed in PYTHON as double
+# literals (the SPRT-constants discipline) — no inverse normal CDF ever
+# runs inside either engine.
+_GS_LOOKS = ["2024-01-07", "2024-01-13", "2024-01-19", "2024-01-25", "2024-01-31"]
+_GS_ZOBF = 2.0310
+_GS_BOUNDS = [_GS_ZOBF * math.sqrt(len(_GS_LOOKS) / k) for k in range(1, len(_GS_LOOKS) + 1)]
+
+
+def q_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential A/B monitor: the purchase-rate two-proportion
+    z-statistic at 5 interim looks with O'Brien-Fleming stopping
+    boundaries — the frequentist peeking-safe companion of sprt_stop
+    (which is the Wald/Bayesian-flavored scan). Arms are the md5
+    parity of user_id (deterministic, RNG-free); each look is a
+    CUMULATIVE cutoff, so ONE aggregate pass with per-look conditional
+    sums feeds all five rows (explode of a 5-struct literal — no
+    unions-of-selects re-executing the scan). z is a short IEEE tree
+    over exact int64 counts; the boundaries are Python double
+    literals; crossed = |z| > bound is an exact comparison of
+    engine-identical doubles."""
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events").select(
+        (
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8"
+        ).alias("arm_a"),
+        (F.col("event_type") == "purchase").cast("long").alias("x"),
+        "ts",
+    )
+    aggs = []
+    for k, cut in enumerate(_GS_LOOKS, start=1):
+        in_look = F.col("ts") < F.to_timestamp(F.lit(cut))
+        aggs += [
+            F.sum(F.when(in_look & F.col("arm_a"), 1).otherwise(0)).alias(f"na{k}"),
+            F.sum(F.when(in_look & F.col("arm_a"), F.col("x")).otherwise(0)).alias(f"xa{k}"),
+            F.sum(F.when(in_look & ~F.col("arm_a"), 1).otherwise(0)).alias(f"nb{k}"),
+            F.sum(F.when(in_look & ~F.col("arm_a"), F.col("x")).otherwise(0)).alias(f"xb{k}"),
+        ]
+    wide = ev.agg(*aggs)
+    looks = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("long").alias("look"),
+                F.lit(_GS_LOOKS[k - 1]).alias("cutoff"),
+                F.col(f"na{k}").cast("long").alias("n_a"),
+                F.col(f"xa{k}").cast("long").alias("x_a"),
+                F.col(f"nb{k}").cast("long").alias("n_b"),
+                F.col(f"xb{k}").cast("long").alias("x_b"),
+                F.lit(_GS_BOUNDS[k - 1]).alias("bound"),
+            )
+            for k in range(1, len(_GS_LOOKS) + 1)
+        ]
+    )
+    rows = wide.select(F.explode(looks).alias("l")).select("l.*")
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    pa = F.col("x_a").cast("double") / na
+    pb = F.col("x_b").cast("double") / nb
+    pp = (F.col("x_a") + F.col("x_b")).cast("double") / (na + nb)
+    z = F.try_divide(
+        pa - pb,
+        F.sqrt(pp * (F.lit(1.0) - pp) * (F.lit(1.0) / na + F.lit(1.0) / nb)),
+    )
+    return rows.select(
+        "look",
+        "cutoff",
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        _dec_round(pa, 6).alias("rate_a"),
+        _dec_round(pb, 6).alias("rate_b"),
+        _dec_round(z, 4).alias("z"),
+        _dec_round(F.col("bound"), 4).alias("bound"),
+        (F.abs(z) > F.col("bound")).alias("crossed"),
+    ).orderBy("look")
+
+
+def _group_sequential_sql() -> str:
+    cases = []
+    for k, cut in enumerate(_GS_LOOKS, start=1):
+        c = f"ts < TIMESTAMP '{cut}'"
+        cases += [
+            f"sum(CASE WHEN {c} AND arm_a THEN 1 ELSE 0 END) AS na{k}",
+            f"sum(CASE WHEN {c} AND arm_a THEN x ELSE 0 END) AS xa{k}",
+            f"sum(CASE WHEN {c} AND NOT arm_a THEN 1 ELSE 0 END) AS nb{k}",
+            f"sum(CASE WHEN {c} AND NOT arm_a THEN x ELSE 0 END) AS xb{k}",
+        ]
+    look_rows = "\nUNION ALL\n".join(
+        f"SELECT {k}::BIGINT AS look, '{_GS_LOOKS[k - 1]}' AS cutoff, "
+        f"na{k}::BIGINT AS n_a, xa{k}::BIGINT AS x_a, "
+        f"nb{k}::BIGINT AS n_b, xb{k}::BIGINT AS x_b, "
+        f"{_GS_BOUNDS[k - 1]!r} AS bound FROM gs_w"
+        for k in range(1, len(_GS_LOOKS) + 1)
+    )
+    return f"""
+WITH gs_e AS (
+  SELECT substring(md5(user_id::VARCHAR), 1, 1) < '8' AS arm_a,
+         (event_type = 'purchase')::BIGINT AS x, ts
+  FROM events
+),
+gs_w AS MATERIALIZED (
+  SELECT {', '.join(cases)} FROM gs_e
+),
+gs_l AS ({look_rows}),
+gs_z AS (
+  SELECT *,
+         x_a::DOUBLE / n_a::DOUBLE AS pa,
+         x_b::DOUBLE / n_b::DOUBLE AS pb,
+         (x_a + x_b)::DOUBLE / (n_a::DOUBLE + n_b::DOUBLE) AS pp
+  FROM gs_l
+)
+SELECT look, cutoff, n_a, x_a, n_b, x_b,
+       round(pa::DECIMAL(18,8), 6)::DOUBLE AS rate_a,
+       round(pb::DECIMAL(18,8), 6)::DOUBLE AS rate_b,
+       round(((pa - pb) / sqrt(pp * (1.0 - pp)
+              * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)))::DECIMAL(18,8),
+             4)::DOUBLE AS z,
+       round(bound::DECIMAL(18,8), 4)::DOUBLE AS bound,
+       abs((pa - pb) / sqrt(pp * (1.0 - pp)
+           * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE))) > bound AS crossed
+FROM gs_z ORDER BY look
+"""
+
+
+QUERIES["group_sequential"] = q_group_sequential
+ORACLES["group_sequential"] = _group_sequential_sql()

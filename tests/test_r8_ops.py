@@ -364,3 +364,108 @@ def test_mmr_first_pick_is_top_relevance_and_no_repeats(spark, sf_dir):
     for qid, rs in by_q.items():
         ids = [r["selected_id"] for r in rs]
         assert len(set(ids)) == len(ids) == lp._MMR_K
+
+
+# ---------------------------------------------------------------------------
+# growth decomposition
+# ---------------------------------------------------------------------------
+
+
+def test_growth_decomposition_telescopes_and_matches_pandas(spark, sf_dir):
+    from sparkprep.queries import relational_ext as rx
+    from sparkprep.session import tune_for_engine
+
+    tune_for_engine(spark)
+    rows = rx.q_growth_decomposition(spark, sf_dir).collect()
+    assert rows, "expected at least one nation with 1995/1996 activity"
+    li = pd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    orders = pd.read_parquet(os.path.join(sf_dir, "orders.parquet"))
+    cust = pd.read_parquet(os.path.join(sf_dir, "customer.parquet"))
+    nation = pd.read_parquet(os.path.join(sf_dir, "nation.parquet"))
+    j = (
+        li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    )
+    j["yr"] = j["o_orderdate"].dt.year
+    j = j[j["yr"].isin((1995, 1996))]
+    j["rev"] = j["l_extendedprice"] * (1.0 - j["l_discount"])
+    for r in rows:
+        sub = j[j["n_name"] == r["nation"]]
+        r1 = sub.loc[sub.yr == 1995, "rev"].sum()
+        r2 = sub.loc[sub.yr == 1996, "rev"].sum()
+        q1 = sub.loc[sub.yr == 1995, "l_quantity"].sum()
+        q2 = sub.loc[sub.yr == 1996, "l_quantity"].sum()
+        assert r["rev_1995"] == pytest.approx(r1, abs=0.02)
+        assert r["rev_1996"] == pytest.approx(r2, abs=0.02)
+        assert r["volume_effect"] == pytest.approx((q2 - q1) * r1 / q1, abs=0.02)
+        assert r["price_effect"] == pytest.approx(q2 * (r2 / q2 - r1 / q1), abs=0.02)
+        # the bridge telescopes: volume + price == delta (up to 2dp rounding)
+        assert r["volume_effect"] + r["price_effect"] == pytest.approx(
+            r["delta"], abs=0.03
+        )
+
+
+# ---------------------------------------------------------------------------
+# group-sequential monitor
+# ---------------------------------------------------------------------------
+
+
+def test_group_sequential_cumulative_and_z_reference(spark, sf_dir):
+    import hashlib
+
+    from sparkprep.queries import stat_tests as st2
+    from sparkprep.session import tune_for_engine
+
+    tune_for_engine(spark)
+    rows = st2.q_group_sequential(spark, sf_dir).collect()
+    assert [r["look"] for r in rows] == [1, 2, 3, 4, 5]
+    # information accrues monotonically; OBF boundaries shrink
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_a"] <= b["n_a"] and a["n_b"] <= b["n_b"]
+        assert a["bound"] > b["bound"]
+    # numpy/pandas reference for the final look
+    ev = pd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    arm_a = ev["user_id"].map(
+        lambda u: hashlib.md5(str(int(u)).encode()).hexdigest()[0] < "8"
+    )
+    x = (ev["event_type"] == "purchase").astype(int)
+    last = rows[-1]
+    na, xa = int(arm_a.sum()), int(x[arm_a].sum())
+    nb, xb = int((~arm_a).sum()), int(x[~arm_a].sum())
+    assert (last["n_a"], last["x_a"], last["n_b"], last["x_b"]) == (na, xa, nb, xb)
+    pa, pb, pp = xa / na, xb / nb, (xa + xb) / (na + nb)
+    z = (pa - pb) / math.sqrt(pp * (1 - pp) * (1 / na + 1 / nb))
+    assert last["z"] == pytest.approx(z, abs=1e-4)
+    assert last["crossed"] == (abs(z) > last["bound"])
+
+
+# ---------------------------------------------------------------------------
+# local clustering coefficient
+# ---------------------------------------------------------------------------
+
+
+def test_local_clustering_triangle_vs_star(spark):
+    from sparkprep.queries import advanced as adv
+
+    # orders 1,2 each carry parts {1,2,3} -> all three edges survive the
+    # >=2-order support filter -> a closed triangle (lcc = 1 for each);
+    # orders 3,4 carry {10,11} and 5,6 carry {10,12} -> node 10 is an
+    # open star centre (lcc = 0)
+    rows = []
+    for ok, parts in [
+        (1, (1, 2, 3)), (2, (1, 2, 3)),
+        (3, (10, 11)), (4, (10, 11)),
+        (5, (10, 12)), (6, (10, 12)),
+    ]:
+        rows += [(ok, p) for p in parts]
+    pdf = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    d = _mini_dir(spark, lineitem=pdf)
+    try:
+        got = {r["node"]: r for r in adv.q_local_clustering(spark, d).collect()}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    for n in (1, 2, 3):
+        assert (got[n]["degree"], got[n]["triangles"], got[n]["lcc"]) == (2, 1, 1.0)
+    assert (got[10]["degree"], got[10]["triangles"], got[10]["lcc"]) == (2, 0, 0.0)
+    assert got[11]["degree"] == 1 and got[11]["lcc"] is None  # d<2: undefined
