@@ -291,6 +291,9 @@ _ROUND8_QUEUE = [
     "growth_decomposition",
     "group_sequential",
     "local_clustering",
+    "generalization_ladder",
+    "eb_shrinkage",
+    "source_dup_report",
 ]
 
 

@@ -577,3 +577,92 @@ ORACLES = {
     "dp_counts": _DP_COUNTS_SQL,
     "dp_histogram": _DP_HISTOGRAM_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity generalization ladder — round 8
+# ---------------------------------------------------------------------------
+
+
+def q_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The anonymization trade-off curve: k-anonymity metrics at four
+    quasi-identifier generalization levels (balance-bucket × nation ×
+    segment → nation × segment → region × segment → region) — the
+    table a privacy review reads to pick the coarsest release that
+    still clears k ≥ 10 (k_anonymity audits ONE level; this is the
+    search ladder above it).
+
+    Per level: class count, k-level (min class size), rows at risk and
+    the at-risk fraction (ONE exact int division). Each level is an
+    independent aggregated subtree over the small dimension join
+    (nation/region broadcast); the unioned branches re-scan only the
+    customer dimension — cheap by construction, and the fact tables
+    are never touched."""
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long").alias("bal_bucket"),
+    )
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    joined = cust.join(
+        F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"]
+    )
+
+    def level(label: str, cols: list) -> DataFrame:
+        classes = joined.groupBy(*cols).agg(F.count(F.lit(1)).alias("sz"))
+        return classes.agg(
+            F.lit(label).alias("level"),
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.min("sz").cast("long").alias("k_level"),
+            F.sum(F.when(F.col("sz") < 10, F.col("sz")).otherwise(0))
+            .cast("long")
+            .alias("rows_at_risk"),
+            F.round(
+                (
+                    F.sum(F.when(F.col("sz") < 10, F.col("sz")).otherwise(0))
+                    .cast("double")
+                    / F.sum("sz").cast("double")
+                ).cast("decimal(18,8)"),
+                6,
+            )
+            .cast("double")
+            .alias("at_risk_frac"),
+        )
+
+    return (
+        level("L0:bucket+nation+segment", ["bal_bucket", "c_nationkey", "c_mktsegment"])
+        .unionByName(level("L1:nation+segment", ["c_nationkey", "c_mktsegment"]))
+        .unionByName(level("L2:region+segment", ["n_regionkey", "c_mktsegment"]))
+        .unionByName(level("L3:region", ["n_regionkey"]))
+        .orderBy("level")
+    )
+
+
+def _gl_level_sql(label: str, cols: str) -> str:
+    return f"""
+SELECT '{label}' AS level, count(*)::BIGINT AS n_classes,
+       min(sz)::BIGINT AS k_level,
+       sum(CASE WHEN sz < 10 THEN sz ELSE 0 END)::BIGINT AS rows_at_risk,
+       round((sum(CASE WHEN sz < 10 THEN sz ELSE 0 END)::DOUBLE
+              / sum(sz)::DOUBLE)::DECIMAL(18,8), 6)::DOUBLE AS at_risk_frac
+FROM (SELECT {cols}, count(*) AS sz FROM gl_j GROUP BY {cols})"""
+
+
+_GENERALIZATION_LADDER_SQL = (
+    """
+WITH gl_j AS MATERIALIZED (
+  SELECT c_custkey, c_nationkey, c_mktsegment, n_regionkey,
+         floor(c_acctbal / 1000.0)::BIGINT AS bal_bucket
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)"""
+    + _gl_level_sql("L0:bucket+nation+segment", "bal_bucket, c_nationkey, c_mktsegment")
+    + "\nUNION ALL" + _gl_level_sql("L1:nation+segment", "c_nationkey, c_mktsegment")
+    + "\nUNION ALL" + _gl_level_sql("L2:region+segment", "n_regionkey, c_mktsegment")
+    + "\nUNION ALL" + _gl_level_sql("L3:region", "n_regionkey")
+    + "\nORDER BY level"
+)
+
+
+QUERIES["generalization_ladder"] = q_generalization_ladder
+ORACLES["generalization_ladder"] = _GENERALIZATION_LADDER_SQL

@@ -1756,3 +1756,77 @@ FROM mm_sel{_MMR_K} ORDER BY 1, 2"""
 
 QUERIES["mmr_rerank"] = q_mmr_rerank
 ORACLES["mmr_rerank"] = _mmr_sql()
+
+
+# ---------------------------------------------------------------------------
+# per-source near-dup provenance report — round 8
+# ---------------------------------------------------------------------------
+
+
+def q_source_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source near-duplication report card: for every ingest
+    source, how many of its documents sit inside a near-dup cluster,
+    the dup fraction, and how many distinct clusters touch the source
+    — the provenance table a corpus owner reads to decide which feed
+    to fix (dedup_clusters says WHICH docs collide; this says WHOSE).
+
+    Mutant twins attribute to their original's source (doc_id mod
+    10000 — the corpus-twin id contract, canary-pinned). Rides the
+    session-shared ``_shared_cc_labels`` frame like the rest of the
+    CC family, so the report costs two broadcast-joined aggregates on
+    top of the already-owed cluster computation."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    corpus = _corpus_near(spark, sf_dir).select(
+        "doc_id", (F.col("doc_id") % 10000).alias("__base")
+    )
+    cc = _shared_cc_labels(spark, sf_dir)
+    labeled = (
+        corpus.join(
+            docs.select(F.col("doc_id").alias("__base"), "source"), "__base"
+        )
+        .join(cc, corpus["doc_id"] == cc["node"], "left")
+    )
+    return (
+        labeled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("component").isNotNull().cast("long"))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.countDistinct("component").cast("long").alias("n_clusters"),
+            F.round(
+                (
+                    F.sum(F.col("component").isNotNull().cast("long")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1)).cast("double")
+                ).cast("decimal(18,8)"),
+                6,
+            )
+            .cast("double")
+            .alias("dup_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+def _source_dup_report_sql() -> str:
+    return f"""
+WITH RECURSIVE {_cc_reps_ctes()},
+sd_l AS (
+  SELECT c.doc_id, d.source, comp.component
+  FROM corpus c
+  JOIN documents d ON c.doc_id % 10000 = d.doc_id
+  LEFT JOIN comp ON comp.node = c.doc_id
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum((component IS NOT NULL)::BIGINT)::BIGINT AS n_dup_docs,
+       count(DISTINCT component)::BIGINT AS n_clusters,
+       round((sum((component IS NOT NULL)::BIGINT)::DOUBLE
+              / count(*)::DOUBLE)::DECIMAL(18,8), 6)::DOUBLE AS dup_frac
+FROM sd_l GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["source_dup_report"] = q_source_dup_report
+ORACLES["source_dup_report"] = _source_dup_report_sql()

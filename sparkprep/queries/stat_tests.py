@@ -647,3 +647,120 @@ FROM gs_z ORDER BY look
 
 QUERIES["group_sequential"] = q_group_sequential
 ORACLES["group_sequential"] = _group_sequential_sql()
+
+
+# ---------------------------------------------------------------------------
+# empirical-Bayes shrinkage of per-part return rates
+# ---------------------------------------------------------------------------
+
+_EB_TOP = 20
+_EB_MIN_N = 2
+
+
+def q_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrunk return rates: fit a Beta prior to the
+    per-part return-rate distribution by method of moments, then rank
+    parts by the posterior-mean rate (x+α)/(n+α+β) — the standard fix
+    for "this part has a 100% return rate (n=1)" leaderboards; raw
+    rates overrank tiny samples, the shrunk ranking doesn't.
+
+    Engine-exactness: each per-part rate is ONE IEEE division of exact
+    int64 counts, recast DECIMAL(18,12) before the parts-wide moment
+    sums (order-independent); μ, v, α, β are a short identical float
+    tree on both engines, broadcast back as a 1-row prior frame (the
+    sanctioned scalar attach); every posterior mean is then the same
+    deterministic expression per part. Top-20 by (shrunk desc, part)
+    is a TakeOrdered — no global sort."""
+    li = t(spark, sf_dir, "lineitem")
+    per = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("l_returnflag") == "R").cast("long")).alias("x"),
+    ).filter(F.col("n") >= _EB_MIN_N)
+    rate = F.col("x").cast("double") / F.col("n").cast("double")
+    staged = per.select(
+        "part", "n", "x",
+        rate.cast("decimal(18,12)").alias("r1"),
+        (rate * rate).cast("decimal(18,12)").alias("r2"),
+    )
+    mom = staged.agg(
+        F.count(F.lit(1)).alias("p"),
+        F.sum("r1").alias("s1"),
+        F.sum("r2").alias("s2"),
+    )
+    p = F.col("p").cast("double")
+    mu = F.col("s1").cast("double") / p
+    v = F.col("s2").cast("double") / p - mu * mu
+    # method of moments: c = μ(1−μ)/v − 1; α = μc, β = (1−μ)c
+    c = mu * (F.lit(1.0) - mu) / v - F.lit(1.0)
+    prior = mom.select(
+        (mu * c).alias("alpha"), ((F.lit(1.0) - mu) * c).alias("beta")
+    )
+    scored = staged.crossJoin(F.broadcast(prior)).select(
+        F.col("part").cast("long").alias("part"),
+        F.col("n").cast("long").alias("n"),
+        F.col("x").cast("long").alias("x_returned"),
+        _dec_round(F.col("r1").cast("double"), 6).alias("raw_rate"),
+        (
+            (F.col("x").cast("double") + F.col("alpha"))
+            / (F.col("n").cast("double") + F.col("alpha") + F.col("beta"))
+        ).alias("__shrunk"),
+        F.col("alpha"),
+        F.col("beta"),
+    )
+    return (
+        scored.orderBy(F.desc("__shrunk"), F.asc("part"))
+        .limit(_EB_TOP)
+        .select(
+            "part", "n", "x_returned", "raw_rate",
+            _dec_round(F.col("__shrunk"), 6).alias("shrunk_rate"),
+            _dec_round(F.col("alpha"), 4).alias("prior_alpha"),
+            _dec_round(F.col("beta"), 4).alias("prior_beta"),
+        )
+    )
+
+
+_EB_SHRINKAGE_SQL = f"""
+WITH eb_per AS (
+  SELECT l_partkey AS part, count(*) AS n,
+         sum((l_returnflag = 'R')::BIGINT) AS x
+  FROM lineitem GROUP BY 1 HAVING count(*) >= {_EB_MIN_N}
+),
+eb_st AS MATERIALIZED (
+  SELECT part, n, x,
+         (x::DOUBLE / n::DOUBLE)::DECIMAL(18,12) AS r1,
+         ((x::DOUBLE / n::DOUBLE) * (x::DOUBLE / n::DOUBLE))::DECIMAL(18,12) AS r2
+  FROM eb_per
+),
+eb_m AS (
+  SELECT count(*) AS p, sum(r1) AS s1, sum(r2) AS s2 FROM eb_st
+),
+eb_pr AS (
+  SELECT (s1::DOUBLE / p::DOUBLE)
+           * ((s1::DOUBLE / p::DOUBLE) * (1.0 - s1::DOUBLE / p::DOUBLE)
+              / (s2::DOUBLE / p::DOUBLE
+                 - (s1::DOUBLE / p::DOUBLE) * (s1::DOUBLE / p::DOUBLE)) - 1.0)
+           AS alpha,
+         (1.0 - s1::DOUBLE / p::DOUBLE)
+           * ((s1::DOUBLE / p::DOUBLE) * (1.0 - s1::DOUBLE / p::DOUBLE)
+              / (s2::DOUBLE / p::DOUBLE
+                 - (s1::DOUBLE / p::DOUBLE) * (s1::DOUBLE / p::DOUBLE)) - 1.0)
+           AS beta
+  FROM eb_m
+),
+eb_sc AS (
+  SELECT part::BIGINT AS part, n::BIGINT AS n, x::BIGINT AS x_returned,
+         round((r1::DOUBLE)::DECIMAL(18,8), 6)::DOUBLE AS raw_rate,
+         (x::DOUBLE + alpha) / (n::DOUBLE + alpha + beta) AS shrunk,
+         alpha, beta
+  FROM eb_st CROSS JOIN eb_pr
+)
+SELECT part, n, x_returned, raw_rate,
+       round(shrunk::DECIMAL(18,8), 6)::DOUBLE AS shrunk_rate,
+       round(alpha::DECIMAL(18,8), 4)::DOUBLE AS prior_alpha,
+       round(beta::DECIMAL(18,8), 4)::DOUBLE AS prior_beta
+FROM eb_sc ORDER BY shrunk DESC, part LIMIT {_EB_TOP}
+"""
+
+
+QUERIES["eb_shrinkage"] = q_eb_shrinkage
+ORACLES["eb_shrinkage"] = _EB_SHRINKAGE_SQL

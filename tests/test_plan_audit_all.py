@@ -84,6 +84,7 @@ _TINY_BROADCAST_CROSS = {
     "durbin_watson",     # 1-row OLS model frame attach to the daily frame
     "pit_snapshot",      # 4-row as-of probe panel x version frame (range predicate, no equi-key)
     "mmr_rerank",        # 10 query vectors broadcast x corpus (cosine_topk's shape)
+    "eb_shrinkage",      # 1-row beta-prior frame attach to the per-part frame
 }
 
 # the one deliberate Python-row-path showcase: a Python UDTF (SURVEY

@@ -469,3 +469,79 @@ def test_local_clustering_triangle_vs_star(spark):
         assert (got[n]["degree"], got[n]["triangles"], got[n]["lcc"]) == (2, 1, 1.0)
     assert (got[10]["degree"], got[10]["triangles"], got[10]["lcc"]) == (2, 0, 0.0)
     assert got[11]["degree"] == 1 and got[11]["lcc"] is None  # d<2: undefined
+
+
+# ---------------------------------------------------------------------------
+# generalization ladder
+# ---------------------------------------------------------------------------
+
+
+def test_generalization_ladder_monotone_k(spark, sf_dir):
+    from sparkprep.queries import governance as gov
+
+    rows = {r["level"]: r for r in gov.q_generalization_ladder(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "L0:bucket+nation+segment", "L1:nation+segment",
+        "L2:region+segment", "L3:region",
+    }
+    # coarser levels can only merge classes: k never decreases up the
+    # ladder and the class count never grows
+    order = ["L0:bucket+nation+segment", "L1:nation+segment",
+             "L2:region+segment", "L3:region"]
+    for fine, coarse in zip(order, order[1:]):
+        assert rows[coarse]["k_level"] >= rows[fine]["k_level"]
+        assert rows[coarse]["n_classes"] <= rows[fine]["n_classes"]
+        assert rows[coarse]["at_risk_frac"] <= rows[fine]["at_risk_frac"]
+
+
+# ---------------------------------------------------------------------------
+# empirical-Bayes shrinkage
+# ---------------------------------------------------------------------------
+
+
+def test_eb_shrinkage_matches_numpy_and_shrinks(spark, sf_dir, lineitem_pd):
+    from sparkprep.queries import stat_tests as st2
+
+    rows = st2.q_eb_shrinkage(spark, sf_dir).collect()
+    per = (
+        lineitem_pd.assign(r=(lineitem_pd["l_returnflag"] == "R").astype(int))
+        .groupby("l_partkey")
+        .agg(n=("r", "size"), x=("r", "sum"))
+    )
+    per = per[per["n"] >= st2._EB_MIN_N]
+    rates = per["x"] / per["n"]
+    mu, v = rates.mean(), (rates**2).mean() - rates.mean() ** 2
+    c = mu * (1 - mu) / v - 1
+    alpha, beta = mu * c, (1 - mu) * c
+    shrunk = (per["x"] + alpha) / (per["n"] + alpha + beta)
+    want_top = shrunk.sort_values(ascending=False).head(len(rows))
+    for r in rows:
+        assert r["prior_alpha"] == pytest.approx(alpha, abs=1e-3)
+        assert r["prior_beta"] == pytest.approx(beta, abs=1e-3)
+        assert r["shrunk_rate"] == pytest.approx(shrunk.loc[r["part"]], abs=1e-5)
+        # shrinkage pulls toward the prior mean: shrunk sits between
+        # the raw rate and mu
+        lo, hi = sorted((r["raw_rate"], mu))
+        assert lo - 1e-6 <= r["shrunk_rate"] <= hi + 1e-6
+    assert set(r["part"] for r in rows) == set(want_top.index)
+
+
+# ---------------------------------------------------------------------------
+# source dup report
+# ---------------------------------------------------------------------------
+
+
+def test_source_dup_report_accounts_every_doc(spark, sf_dir):
+    from sparkprep.queries import llmprep as lp
+
+    rows = lp.q_source_dup_report(spark, sf_dir).collect()
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    # corpus = originals + mutants attributed to the original's source:
+    # every source's n_docs is exactly 2x its raw doc count
+    counts = docs.groupby("source").size()
+    assert {r["source"]: r["n_docs"] for r in rows} == (counts * 2).to_dict()
+    for r in rows:
+        assert 0 <= r["n_dup_docs"] <= r["n_docs"]
+        assert r["dup_frac"] == pytest.approx(r["n_dup_docs"] / r["n_docs"], abs=1e-6)
+        # the planted mutant corpus guarantees near-dups everywhere
+        assert r["n_clusters"] >= 1
