@@ -294,6 +294,9 @@ _ROUND8_QUEUE = [
     "generalization_ladder",
     "eb_shrinkage",
     "source_dup_report",
+    "copurchase_chi2",
+    "capture_recapture",
+    "unseen_mass",
 ]
 
 

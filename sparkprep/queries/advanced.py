@@ -1625,3 +1625,110 @@ ORDER BY degree DESC, node
 
 QUERIES["local_clustering"] = q_local_clustering
 ORACLES["local_clustering"] = _LOCAL_CLUSTERING_SQL
+
+
+# ---------------------------------------------------------------------------
+# chi²-significant co-purchases — round 8
+# ---------------------------------------------------------------------------
+
+_CP_CHI2_TOP = 20
+_CP_MIN_PAIR = 3
+
+
+def q_copurchase_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Significance-filtered co-purchase pairs: the 2×2 chi² statistic
+    of each part pair against independence — assoc_rules ranks by
+    lift, which overranks rare coincidences; chi² weighs the same
+    evidence by sample size (the classic market-basket noise filter).
+
+    chi² = N·(O·N − r·c)² / (r·c·(N−r)·(N−c)) over exact int64 counts
+    (pair support O from ONE self-join of the distinct order-part
+    frame, part supports broadcast) — a single identical IEEE tree per
+    pair, so ranking and the rounded statistic agree across engines.
+    Support floor + top-20 TakeOrdered keep the output bounded."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op = li.distinct().localCheckpoint(eager=False)  # pair join sides + supports
+    n_orders = op.select("l_orderkey").distinct().count()
+    supp = op.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("s")
+    )
+    a = op.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .filter(F.col("o") >= _CP_MIN_PAIR)
+    )
+    joined = (
+        pairs.join(
+            F.broadcast(supp.select(F.col("pk").alias("part_a"), F.col("s").alias("ra"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(supp.select(F.col("pk").alias("part_b"), F.col("s").alias("rb"))),
+            "part_b",
+        )
+    )
+    N = F.lit(int(n_orders)).cast("double")
+    o = F.col("o").cast("double")
+    ra = F.col("ra").cast("double")
+    rb = F.col("rb").cast("double")
+    dev = o * N - ra * rb
+    chi2 = F.try_divide(
+        N * dev * dev, ra * rb * (N - ra) * (N - rb)
+    )
+    out = joined.select(
+        F.col("part_a").cast("long").alias("part_a"),
+        F.col("part_b").cast("long").alias("part_b"),
+        F.col("o").cast("long").alias("n_copurchases"),
+        F.col("ra").cast("long").alias("support_a"),
+        F.col("rb").cast("long").alias("support_b"),
+        chi2.alias("__chi2"),
+    )
+    return (
+        out.orderBy(F.desc("__chi2"), F.asc("part_a"), F.asc("part_b"))
+        .limit(_CP_CHI2_TOP)
+        .select(
+            "part_a", "part_b", "n_copurchases", "support_a", "support_b",
+            _dec_round(F.col("__chi2"), 4).alias("chi2"),
+        )
+    )
+
+
+_COPURCHASE_CHI2_SQL = f"""
+WITH cp_op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+cp_n AS (SELECT count(DISTINCT l_orderkey) AS n FROM cp_op),
+cp_s AS (SELECT l_partkey AS pk, count(*) AS s FROM cp_op GROUP BY 1),
+cp_p AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS o
+  FROM cp_op a JOIN cp_op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_CP_MIN_PAIR}
+),
+cp_j AS (
+  SELECT part_a, part_b, o, sa.s AS ra, sb.s AS rb, n.n
+  FROM cp_p
+  JOIN cp_s sa ON sa.pk = part_a
+  JOIN cp_s sb ON sb.pk = part_b
+  CROSS JOIN cp_n n
+),
+cp_c AS (
+  SELECT part_a::BIGINT AS part_a, part_b::BIGINT AS part_b,
+         o::BIGINT AS n_copurchases, ra::BIGINT AS support_a,
+         rb::BIGINT AS support_b,
+         n::DOUBLE * (o::DOUBLE * n::DOUBLE - ra::DOUBLE * rb::DOUBLE)
+           * (o::DOUBLE * n::DOUBLE - ra::DOUBLE * rb::DOUBLE)
+           / (ra::DOUBLE * rb::DOUBLE * (n::DOUBLE - ra::DOUBLE)
+              * (n::DOUBLE - rb::DOUBLE)) AS chi2
+  FROM cp_j
+)
+SELECT part_a, part_b, n_copurchases, support_a, support_b,
+       round(chi2::DECIMAL(18,8), 4)::DOUBLE AS chi2
+FROM cp_c ORDER BY cp_c.chi2 DESC, part_a, part_b LIMIT {_CP_CHI2_TOP}
+"""
+
+
+QUERIES["copurchase_chi2"] = q_copurchase_chi2
+ORACLES["copurchase_chi2"] = _COPURCHASE_CHI2_SQL

@@ -764,3 +764,164 @@ FROM eb_sc ORDER BY shrunk DESC, part LIMIT {_EB_TOP}
 
 QUERIES["eb_shrinkage"] = q_eb_shrinkage
 ORACLES["eb_shrinkage"] = _EB_SHRINKAGE_SQL
+
+
+# ---------------------------------------------------------------------------
+# capture-recapture (Chapman) population estimate
+# ---------------------------------------------------------------------------
+
+
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimate of the active-user
+    population from two observation windows (first vs second half of
+    the event stream): N̂ = (n1+1)(n2+1)/(m+1) − 1 with m the users
+    seen in BOTH windows — the census trick for "how many users do we
+    actually have" when any single window undercounts, and the same
+    estimator dedup pipelines use to size a population from overlap.
+
+    One aggregate over the per-user presence frame (exact int64
+    counts); the estimate and its Seber variance are a short IEEE
+    tree; √ is correctly rounded, so the CI bounds agree bit-for-bit
+    across engines."""
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events")
+    cut = "2024-01-16"
+    per_user = ev.groupBy("user_id").agg(
+        F.max((F.col("ts") < F.to_timestamp(F.lit(cut))).cast("long")).alias("w1"),
+        F.max((F.col("ts") >= F.to_timestamp(F.lit(cut))).cast("long")).alias("w2"),
+    )
+    folded = per_user.agg(
+        F.sum("w1").alias("n1"),
+        F.sum("w2").alias("n2"),
+        F.sum(F.col("w1") * F.col("w2")).alias("m"),
+        F.count(F.lit(1)).alias("truth"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    m = F.col("m").cast("double")
+    nhat = (n1 + 1) * (n2 + 1) / (m + 1) - F.lit(1.0)
+    var = (
+        (n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m)
+        / ((m + 1) * (m + 1) * (m + 2))
+    )
+    se = F.sqrt(var)
+    return folded.select(
+        F.col("n1").cast("long").alias("n_window1"),
+        F.col("n2").cast("long").alias("n_window2"),
+        F.col("m").cast("long").alias("n_both"),
+        F.col("truth").cast("long").alias("n_true_users"),
+        _dec_round(nhat, 2).alias("chapman_estimate"),
+        _dec_round(nhat - F.lit(1.96) * se, 2).alias("ci_low"),
+        _dec_round(nhat + F.lit(1.96) * se, 2).alias("ci_high"),
+    )
+
+
+_CAPTURE_RECAPTURE_SQL = """
+WITH cr_u AS (
+  SELECT user_id,
+         max((ts < TIMESTAMP '2024-01-16')::BIGINT) AS w1,
+         max((ts >= TIMESTAMP '2024-01-16')::BIGINT) AS w2
+  FROM events GROUP BY 1
+),
+cr_f AS (
+  SELECT sum(w1) AS n1, sum(w2) AS n2, sum(w1 * w2) AS m,
+         count(*) AS truth
+  FROM cr_u
+),
+cr_e AS (
+  SELECT n1, n2, m, truth,
+         (n1::DOUBLE + 1) * (n2::DOUBLE + 1) / (m::DOUBLE + 1) - 1.0 AS nhat,
+         sqrt((n1::DOUBLE + 1) * (n2::DOUBLE + 1)
+              * (n1::DOUBLE - m::DOUBLE) * (n2::DOUBLE - m::DOUBLE)
+              / ((m::DOUBLE + 1) * (m::DOUBLE + 1) * (m::DOUBLE + 2))) AS se
+  FROM cr_f
+)
+SELECT n1::BIGINT AS n_window1, n2::BIGINT AS n_window2,
+       m::BIGINT AS n_both, truth::BIGINT AS n_true_users,
+       round(nhat::DECIMAL(18,8), 2)::DOUBLE AS chapman_estimate,
+       round((nhat - 1.96 * se)::DECIMAL(18,8), 2)::DOUBLE AS ci_low,
+       round((nhat + 1.96 * se)::DECIMAL(18,8), 2)::DOUBLE AS ci_high
+FROM cr_e
+"""
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing missing mass + Chao1 unseen-vocabulary estimate
+# ---------------------------------------------------------------------------
+
+
+def q_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much vocabulary has the corpus NOT seen yet? Good-Turing
+    missing mass P₀ = N₁/N (probability the next token is novel) and
+    the bias-corrected Chao1 richness estimate
+    S_obs + N₁(N₁−1)/(2(N₂+1)) — defined even when no token occurs
+    exactly twice — from the token
+    frequency-of-frequencies — the coverage planner's answer to "is
+    more data still buying new vocabulary" (vocab_growth shows the
+    curve; this is its asymptote estimate).
+
+    Two map-combined aggregates (token counts → count-of-counts →
+    1-row fold), every statistic exact-int division or one IEEE op."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    fof = counts.groupBy("c").agg(F.count(F.lit(1)).alias("fc"))
+    folded = fof.agg(
+        F.sum(F.col("c") * F.col("fc")).alias("n_tokens"),
+        F.sum("fc").alias("s_obs"),
+        F.sum(F.when(F.col("c") == 1, F.col("fc")).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("c") == 2, F.col("fc")).otherwise(0)).alias("n2"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    p0 = F.try_divide(n1, F.col("n_tokens").cast("double"))
+    chao1 = F.col("s_obs").cast("double") + n1 * (n1 - 1) / (
+        F.lit(2.0) * (n2 + 1)
+    )
+    return folded.select(
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("s_obs").cast("long").alias("vocab_observed"),
+        F.col("n1").cast("long").alias("hapaxes"),
+        F.col("n2").cast("long").alias("dis_legomena"),
+        _dec_round(p0, 6).alias("missing_mass"),
+        _dec_round(chao1, 2).alias("chao1_vocab"),
+    )
+
+
+_UNSEEN_MASS_SQL = """
+WITH um_t AS (
+  SELECT unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+um_c AS (SELECT w, count(*) AS c FROM um_t WHERE w != '' GROUP BY 1),
+um_f AS (SELECT c, count(*) AS fc FROM um_c GROUP BY 1),
+um_x AS (
+  SELECT sum(c * fc) AS n_tokens, sum(fc) AS s_obs,
+         sum(CASE WHEN c = 1 THEN fc ELSE 0 END) AS n1,
+         sum(CASE WHEN c = 2 THEN fc ELSE 0 END) AS n2
+  FROM um_f
+)
+SELECT n_tokens::BIGINT AS n_tokens, s_obs::BIGINT AS vocab_observed,
+       n1::BIGINT AS hapaxes, n2::BIGINT AS dis_legomena,
+       round((n1::DOUBLE / n_tokens::DOUBLE)::DECIMAL(18,8), 6)::DOUBLE AS missing_mass,
+       round((s_obs::DOUBLE + n1::DOUBLE * (n1::DOUBLE - 1)
+              / (2.0 * (n2::DOUBLE + 1)))::DECIMAL(18,8),
+             2)::DOUBLE AS chao1_vocab
+FROM um_x
+"""
+
+
+QUERIES.update(
+    {
+        "capture_recapture": q_capture_recapture,
+        "unseen_mass": q_unseen_mass,
+    }
+)
+ORACLES.update(
+    {
+        "capture_recapture": _CAPTURE_RECAPTURE_SQL,
+        "unseen_mass": _UNSEEN_MASS_SQL,
+    }
+)

@@ -545,3 +545,77 @@ def test_source_dup_report_accounts_every_doc(spark, sf_dir):
         assert r["dup_frac"] == pytest.approx(r["n_dup_docs"] / r["n_docs"], abs=1e-6)
         # the planted mutant corpus guarantees near-dups everywhere
         assert r["n_clusters"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# copurchase chi2
+# ---------------------------------------------------------------------------
+
+
+def test_copurchase_chi2_matches_contingency_reference(spark, sf_dir):
+    from sparkprep.queries import advanced as adv
+
+    rows = adv.q_copurchase_chi2(spark, sf_dir).collect()
+    assert 0 < len(rows) <= adv._CP_CHI2_TOP
+    li = pd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    op = li[["l_orderkey", "l_partkey"]].drop_duplicates()
+    n = op["l_orderkey"].nunique()
+    supp = op.groupby("l_partkey").size()
+    orders_by_part = op.groupby("l_partkey")["l_orderkey"].agg(set)
+    for r in rows[:5]:
+        o = len(orders_by_part[r["part_a"]] & orders_by_part[r["part_b"]])
+        ra, rb = supp[r["part_a"]], supp[r["part_b"]]
+        assert (r["n_copurchases"], r["support_a"], r["support_b"]) == (o, ra, rb)
+        # 2x2 chi2 via the standard expected-counts formula
+        want = n * (o * n - ra * rb) ** 2 / (ra * rb * (n - ra) * (n - rb))
+        assert r["chi2"] == pytest.approx(want, abs=1e-3)
+    chis = [r["chi2"] for r in rows]
+    assert chis == sorted(chis, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# capture-recapture
+# ---------------------------------------------------------------------------
+
+
+def test_capture_recapture_identity_and_sanity(spark, sf_dir):
+    from sparkprep.queries import stat_tests as st2
+    from sparkprep.session import tune_for_engine
+
+    tune_for_engine(spark)
+    r = st2.q_capture_recapture(spark, sf_dir).collect()[0]
+    # Chapman estimator identity on the reported counts
+    want = (r["n_window1"] + 1) * (r["n_window2"] + 1) / (r["n_both"] + 1) - 1
+    assert r["chapman_estimate"] == pytest.approx(want, abs=0.01)
+    assert r["ci_low"] <= r["chapman_estimate"] <= r["ci_high"]
+    # the estimate must be at least the users actually observed
+    observed = r["n_window1"] + r["n_window2"] - r["n_both"]
+    assert observed == r["n_true_users"]  # every user appears in some window
+    assert r["chapman_estimate"] >= r["n_both"]
+
+
+# ---------------------------------------------------------------------------
+# unseen mass
+# ---------------------------------------------------------------------------
+
+
+def test_unseen_mass_matches_counter_reference(spark, sf_dir):
+    from collections import Counter
+
+    from sparkprep.queries import stat_tests as st2
+
+    r = st2.q_unseen_mass(spark, sf_dir).collect()[0]
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    c = Counter(
+        w for t_ in docs["text"].dropna() for w in t_.split(" ") if w != ""
+    )
+    fof = Counter(c.values())
+    n = sum(c.values())
+    n1, n2 = fof.get(1, 0), fof.get(2, 0)
+    assert r["n_tokens"] == n
+    assert r["vocab_observed"] == len(c)
+    assert (r["hapaxes"], r["dis_legomena"]) == (n1, n2)
+    assert r["missing_mass"] == pytest.approx(n1 / n, abs=1e-6)
+    want_chao = len(c) + n1 * (n1 - 1) / (2 * (n2 + 1))
+    assert r["chao1_vocab"] == pytest.approx(want_chao, abs=0.01)
+    assert r["chao1_vocab"] >= r["vocab_observed"]
