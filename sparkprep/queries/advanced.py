@@ -148,14 +148,9 @@ def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``lpa_communities``), reported as community sizes. Same edge
     construction as k_core/triangle_count (co-purchase pairs supported
     by ≥2 orders; basket cap 64 vs observed max 17, canary-pinned)."""
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = (
-        graph.cooccurrence_pairs(
-            li, "l_orderkey", "l_partkey", max_items_per_key=64, cap_by="id"
-        )
-        .filter(F.col("n_keys") >= 2)
-        .select(F.col("item_a").alias("u"), F.col("item_b").alias("v"))
-    )
+    from sparkprep.queries import shared_frames
+
+    edges = shared_frames.copurchase_edges(spark, sf_dir)
     lbl = graph.lpa_communities(edges, rounds=_LPA_ROUNDS)
     return (
         lbl.groupBy(F.col("community").cast("long").alias("community"))
@@ -780,15 +775,12 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     end. The edge set is localCheckpoint-ed (it feeds the degree
     aggregate, the intra-edge join AND the m count); the 1-row m frame
     is a sanctioned broadcast cross."""
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = (
-        graph.cooccurrence_pairs(
-            li, "l_orderkey", "l_partkey", max_items_per_key=64, cap_by="id"
-        )
-        .filter(F.col("n_keys") >= 2)
-        .select(F.col("item_a").alias("u"), F.col("item_b").alias("v"))
-        .localCheckpoint(eager=False)
-    )
+    from sparkprep.queries import shared_frames
+
+    # the shared pair frame is already a materialized leaf, so the
+    # three consumers (degrees, intra-edge join, m count) re-scan it
+    # cheaply — the per-query localCheckpoint became redundant
+    edges = shared_frames.copurchase_edges(spark, sf_dir)
     lbl = graph.lpa_communities(edges, rounds=_LPA_ROUNDS)
     m_row = edges.agg(F.count(F.lit(1)).alias("m"))
     deg = (
@@ -1361,15 +1353,9 @@ def q_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     panel. Nodes beyond the horizon (or outside the component) are
     reported as hop −1 via one anti-join of the node set. All exact
     integers."""
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = (
-        graph.cooccurrence_pairs(
-            li, "l_orderkey", "l_partkey", max_items_per_key=64, cap_by="id"
-        )
-        .filter(F.col("n_keys") >= 2)
-        .select(F.col("item_a").alias("u"), F.col("item_b").alias("v"))
-        .localCheckpoint(eager=False)
-    )
+    from sparkprep.queries import shared_frames
+
+    edges = shared_frames.copurchase_edges(spark, sf_dir)
     dist = graph.bfs_hops(edges, rounds=_BFS_ROUNDS)
     nodes = (
         edges.select(F.explode(F.array("u", "v")).alias("node")).distinct()
@@ -1443,15 +1429,9 @@ def q_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     centrality Σ 1/hop. Hops are exact integers; each 1/hop is ONE
     IEEE division recast DECIMAL(18,12) so the per-seed harmonic sum
     is order-independent; closeness is ONE division of exact int64s."""
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = (
-        graph.cooccurrence_pairs(
-            li, "l_orderkey", "l_partkey", max_items_per_key=64, cap_by="id"
-        )
-        .filter(F.col("n_keys") >= 2)
-        .select(F.col("item_a").alias("u"), F.col("item_b").alias("v"))
-        .localCheckpoint(eager=False)
-    )
+    from sparkprep.queries import shared_frames
+
+    edges = shared_frames.copurchase_edges(spark, sf_dir)
     nodes = edges.select(F.explode(F.array("u", "v")).alias("node")).distinct()
     seeds = nodes.orderBy("node").limit(_CLOSENESS_SEEDS)
     dist = graph.multi_bfs_hops(edges, seeds, rounds=_CLOSENESS_ROUNDS)
@@ -1548,15 +1528,9 @@ def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure is one hash equi-join of wedges against the canonical
     (a<b) edge list. Degree ties break by node id for a deterministic
     panel. All counts exact int64; lcc is ONE division."""
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = (
-        graph.cooccurrence_pairs(
-            li, "l_orderkey", "l_partkey", max_items_per_key=64, cap_by="id"
-        )
-        .filter(F.col("n_keys") >= 2)
-        .select(F.col("item_a").alias("ea"), F.col("item_b").alias("eb"))
-        .localCheckpoint(eager=False)  # degree + adjacency sides + closure probe
-    )
+    from sparkprep.queries import shared_frames
+
+    edges = shared_frames.copurchase_edges(spark, sf_dir, a="ea", b="eb")
     adj = edges.select(
         F.explode(
             F.array(
@@ -1646,20 +1620,25 @@ def q_copurchase_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame, part supports broadcast) — a single identical IEEE tree per
     pair, so ranking and the rounded statistic agree across engines.
     Support floor + top-20 TakeOrdered keep the output bounded."""
+    from sparkprep.queries import shared_frames
+
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    op = li.distinct().localCheckpoint(eager=False)  # pair join sides + supports
+    op = li.distinct()
     n_orders = op.select("l_orderkey").distinct().count()
     supp = op.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.count(F.lit(1)).alias("s")
     )
-    a = op.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = op.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    # pair support = n_keys on the session-shared co-purchase frame
+    # (the same (item_a, item_b, #shared orders) aggregate this query
+    # re-derived via its own self-join before sharing)
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("o"))
-        .filter(F.col("o") >= _CP_MIN_PAIR)
+        shared_frames.copurchase_pairs(spark, sf_dir)
+        .filter(F.col("n_keys") >= _CP_MIN_PAIR)
+        .select(
+            F.col("item_a").alias("part_a"),
+            F.col("item_b").alias("part_b"),
+            F.col("n_keys").alias("o"),
+        )
     )
     joined = (
         pairs.join(

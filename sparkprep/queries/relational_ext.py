@@ -1084,14 +1084,9 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention). Peel depth 16 vs 5 rounds observed worst-case across
     testdata generations — canary-pinned in
     tests/test_headroom_canaries.py."""
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = (
-        graph.cooccurrence_pairs(
-            li, "l_orderkey", "l_partkey", max_items_per_key=64, cap_by="id"
-        )
-        .filter(F.col("n_keys") >= 2)
-        .select(F.col("item_a").alias("u"), F.col("item_b").alias("v"))
-    )
+    from sparkprep.queries import shared_frames
+
+    edges = shared_frames.copurchase_edges(spark, sf_dir)
     core = graph.k_core(edges, k=2, max_rounds=16)
     return core.select(F.col("node").cast("long").alias("node"), "core_degree")
 
@@ -1254,10 +1249,11 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     binds on driver data (max basket 17; canary-pinned with 2x headroom
     in tests/test_headroom_canaries.py so the all-pairs oracle can't
     silently diverge)."""
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = graph.cooccurrence_pairs(
-        li, "l_orderkey", "l_partkey", max_items_per_key=64, cap_by="id"
-    ).filter(F.col("n_keys") >= 2)
+    from sparkprep.queries import shared_frames
+
+    edges = shared_frames.copurchase_pairs(spark, sf_dir).filter(
+        F.col("n_keys") >= 2
+    )
     return graph.triangle_stats(edges)
 
 
@@ -1719,14 +1715,9 @@ def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary-string length (Spark ``conv(d,10,2)``, DuckDB ``bin(d)``),
     never floor(log2(double)) whose boundary ulp can flip the bucket
     cross-engine."""
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = (
-        graph.cooccurrence_pairs(
-            li, "l_orderkey", "l_partkey", max_items_per_key=64, cap_by="id"
-        )
-        .filter(F.col("n_keys") >= 2)
-        .select(F.col("item_a").alias("u"), F.col("item_b").alias("v"))
-    )
+    from sparkprep.queries import shared_frames
+
+    edges = shared_frames.copurchase_edges(spark, sf_dir)
     ends = edges.select(F.col("u").alias("node")).unionAll(
         edges.select(F.col("v").alias("node"))
     )
@@ -2113,10 +2104,11 @@ def q_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     (multi-consumer: the 1-hop leg and both sides of the 2-hop
     self-join); one distinct-count aggregate with a conditional
     distinct for the direct-degree column. TakeOrdered top-k."""
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = graph.cooccurrence_pairs(
-        li, "l_orderkey", "l_partkey", max_items_per_key=64, cap_by="id"
-    ).filter(F.col("n_keys") >= 2)
+    from sparkprep.queries import shared_frames
+
+    edges = shared_frames.copurchase_pairs(spark, sf_dir).filter(
+        F.col("n_keys") >= 2
+    )
     dirs = graph.directed_ends_capped(
         edges, max_degree=256
     ).localCheckpoint(eager=False)
@@ -2305,10 +2297,11 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     hubs or to one-off partners? ``graph.assortativity`` — exact
     int64 degree Pearson with decimal sums; the oracle replays the
     directed-ends join."""
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = graph.cooccurrence_pairs(
-        li, "l_orderkey", "l_partkey", max_items_per_key=64, cap_by="id"
-    ).filter(F.col("n_keys") >= 2)
+    from sparkprep.queries import shared_frames
+
+    edges = shared_frames.copurchase_pairs(spark, sf_dir).filter(
+        F.col("n_keys") >= 2
+    )
     return graph.assortativity(edges)
 
 
@@ -2357,11 +2350,11 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     metric a single IEEE division of exact int64 counts. Pair stream
     reuses ``graph.cooccurrence_pairs``; both rule directions explode
     row-locally; the top-k compiles to TakeOrderedAndProject."""
+    from sparkprep.queries import shared_frames
+
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     op = li.dropDuplicates()
-    pairs = graph.cooccurrence_pairs(
-        li, "l_orderkey", "l_partkey", max_items_per_key=64, cap_by="id"
-    )
+    pairs = shared_frames.copurchase_pairs(spark, sf_dir)
     item_counts = op.groupBy(F.col("l_partkey").alias("item")).agg(
         F.count(F.lit(1)).alias("n")
     )

@@ -619,3 +619,30 @@ def test_unseen_mass_matches_counter_reference(spark, sf_dir):
     want_chao = len(c) + n1 * (n1 - 1) / (2 * (n2 + 1))
     assert r["chao1_vocab"] == pytest.approx(want_chao, abs=0.01)
     assert r["chao1_vocab"] >= r["vocab_observed"]
+
+
+# ---------------------------------------------------------------------------
+# shared co-purchase frame
+# ---------------------------------------------------------------------------
+
+
+def test_copurchase_frame_shared_and_correct(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sparkprep.operators import graph
+    from sparkprep.queries import shared_frames, t
+
+    shared_frames._FRAMES.clear()
+    a = shared_frames.copurchase_pairs(spark, sf_dir)
+    b = shared_frames.copurchase_pairs(spark, sf_dir)
+    assert a is b, "second call must hit the session cache"
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    fresh = graph.cooccurrence_pairs(
+        li, "l_orderkey", "l_partkey", max_items_per_key=64, cap_by="id"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, fresh.collect()))
+    # the edge view applies the standard support filter + renames
+    e = shared_frames.copurchase_edges(spark, sf_dir)
+    assert e.columns == ["u", "v"]
+    want = fresh.filter(F.col("n_keys") >= 2).count()
+    assert e.count() == want
