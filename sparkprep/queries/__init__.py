@@ -297,6 +297,9 @@ _ROUND8_QUEUE = [
     "copurchase_chi2",
     "capture_recapture",
     "unseen_mass",
+    "bounce_rate",
+    "budget_apportion",
+    "yuen_test",
 ]
 
 

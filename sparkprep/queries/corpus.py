@@ -1012,3 +1012,90 @@ ORACLES = {
     "grouped_split": _GROUPED_SPLIT_SQL,
     "grouped_kfold": _GROUPED_KFOLD_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# largest-remainder token-budget apportionment — round 8
+# ---------------------------------------------------------------------------
+
+_APPORTION_BUDGET = 100_000
+
+
+def q_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer apportionment of a fixed token budget across sources by
+    the largest-remainder (Hamilton) method: quota_i = ⌊B·n_i/N⌋ plus
+    one extra token-share for the largest remainders until the budget
+    is exact — the allocator that turns mix_weights' real-valued
+    shares into per-source integer quotas that SUM EXACTLY to B (naive
+    rounding over- or under-shoots; training-data manifests need the
+    ledger to balance).
+
+    Everything is exact integer arithmetic: remainders are compared as
+    B·n_i mod N (ints — no float ranking anywhere), the rank comes
+    from ONE window over the |sources| frame, and the test asserts
+    Σquota = B to the token. Ties break by source name."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tok")
+    )
+    tot = toks.agg(
+        F.sum("n_tok").alias("N"), F.count(F.lit(1)).alias("k")
+    )
+    B = F.lit(_APPORTION_BUDGET).cast("long")
+    staged = toks.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tok",
+        F.expr(f"({_APPORTION_BUDGET} * n_tok) div N").alias("floor_q"),
+        F.expr(f"({_APPORTION_BUDGET} * n_tok) % N").alias("rem"),
+    )
+    from pyspark.sql.window import Window
+
+    wr = Window.orderBy(F.desc("rem"), F.asc("source"))
+    # shortfall = B − Σfloor_q, computed on the |sources| frame itself
+    wall = Window.partitionBy()
+    ranked = staged.select(
+        "source",
+        "n_tok",
+        "floor_q",
+        "rem",
+        F.row_number().over(wr).alias("__rk"),
+        (B - F.sum("floor_q").over(wall)).alias("__short"),
+    )
+    return ranked.select(
+        "source",
+        F.col("n_tok").alias("n_tokens"),
+        (
+            F.col("floor_q")
+            + (F.col("__rk") <= F.col("__short")).cast("long")
+        ).cast("long").alias("quota"),
+        F.col("rem").cast("long").alias("remainder"),
+    ).orderBy("source")
+
+
+_BUDGET_APPORTION_SQL = f"""
+WITH ba_t AS (
+  SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS n_tok
+  FROM documents WHERE text IS NOT NULL GROUP BY 1
+),
+ba_n AS (SELECT sum(n_tok) AS nn FROM ba_t),
+ba_s AS (
+  SELECT source, n_tok,
+         ({_APPORTION_BUDGET} * n_tok) // nn AS floor_q,
+         ({_APPORTION_BUDGET} * n_tok) % nn AS rem
+  FROM ba_t CROSS JOIN ba_n
+),
+ba_r AS (
+  SELECT *,
+         row_number() OVER (ORDER BY rem DESC, source) AS rk,
+         {_APPORTION_BUDGET} - sum(floor_q) OVER () AS short
+  FROM ba_s
+)
+SELECT source, n_tok AS n_tokens,
+       (floor_q + (rk <= short)::BIGINT)::BIGINT AS quota,
+       rem::BIGINT AS remainder
+FROM ba_r ORDER BY source
+"""
+
+
+QUERIES["budget_apportion"] = q_budget_apportion
+ORACLES["budget_apportion"] = _BUDGET_APPORTION_SQL

@@ -925,3 +925,161 @@ ORACLES.update(
         "unseen_mass": _UNSEEN_MASS_SQL,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Yuen's trimmed-mean two-sample test
+# ---------------------------------------------------------------------------
+
+_YUEN_A = "R"
+_YUEN_B = "N"
+
+
+def q_yuen_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yuen's 20%-trimmed-mean test of quantity between returned ('R')
+    and clean ('N') line items — the robust companion of ab_test/
+    mann_whitney: outlier-insensitive like ranks, but still an
+    interpretable difference of (trimmed) means.
+
+    Entirely from the ≤50-row per-group value-frequency frame (the
+    mann_whitney machinery): trim counts, the two winsorization
+    boundary values (rank selection on the cumsum), the retained-mass
+    overlap per value row, and the trimmed/winsorized sums are ALL
+    exact integers; Yuen's t = (m̄t₁−m̄t₂)/√(d₁+d₂) with
+    dᵢ = (Q_w − S_w²/n)/(h(h−1)) is one short IEEE tree at the end."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_returnflag").isin(_YUEN_A, _YUEN_B)
+    )
+    freq = li.groupBy(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").cast("long").alias("v"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("g").orderBy("v").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    wtot = Window.partitionBy("g")
+    rk = freq.select(
+        "g", "v", "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wtot).alias("n"),
+    ).withColumn("trim", F.expr("n div 5"))
+    bounds = rk.groupBy("g", "n", "trim").agg(
+        F.min(F.when(F.col("cum") >= F.col("trim") + 1, F.col("v"))).alias("vlo"),
+        F.min(F.when(F.col("cum") >= F.col("n") - F.col("trim"), F.col("v"))).alias("vhi"),
+    )
+    mid = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cum"), F.col("n") - F.col("trim"))
+        - F.greatest(F.col("cum") - F.col("c"), F.col("trim")),
+    )
+    sums = rk.groupBy("g").agg(
+        F.sum(mid * F.col("v")).alias("st"),
+        F.sum(mid * F.col("v") * F.col("v")).alias("qt"),
+    )
+    per = bounds.join(sums, "g").select(
+        "g", "n", "trim", "vlo", "vhi",
+        (F.col("n") - 2 * F.col("trim")).alias("h"),
+        (F.col("st") + F.col("trim") * (F.col("vlo") + F.col("vhi"))).alias("sw"),
+        (
+            F.col("qt")
+            + F.col("trim")
+            * (F.col("vlo") * F.col("vlo") + F.col("vhi") * F.col("vhi"))
+        ).alias("qw"),
+        F.col("st"),
+    )
+    nn = F.col("n").cast("double")
+    h = F.col("h").cast("double")
+    sw = F.col("sw").cast("double")
+    qw = F.col("qw").cast("double")
+    mt = F.col("st").cast("double") / h
+    d = (qw - sw * sw / nn) / (h * (h - F.lit(1.0)))
+    wide = per.select(
+        "g",
+        F.col("n").cast("long").alias("n"),
+        F.col("h").cast("long").alias("h_retained"),
+        mt.alias("__mt"),
+        d.alias("__d"),
+    )
+    folded = wide.agg(
+        F.min(F.when(F.col("g") == _YUEN_A, F.col("n"))).cast("long").alias("n_a"),
+        F.min(F.when(F.col("g") == _YUEN_B, F.col("n"))).cast("long").alias("n_b"),
+        F.min(F.when(F.col("g") == _YUEN_A, F.col("h_retained"))).cast("long").alias("h_a"),
+        F.min(F.when(F.col("g") == _YUEN_B, F.col("h_retained"))).cast("long").alias("h_b"),
+        F.min(F.when(F.col("g") == _YUEN_A, F.col("__mt"))).alias("mta"),
+        F.min(F.when(F.col("g") == _YUEN_B, F.col("__mt"))).alias("mtb"),
+        F.min(F.when(F.col("g") == _YUEN_A, F.col("__d"))).alias("da"),
+        F.min(F.when(F.col("g") == _YUEN_B, F.col("__d"))).alias("db"),
+    )
+    tstat = (F.col("mta") - F.col("mtb")) / F.sqrt(F.col("da") + F.col("db"))
+    return folded.select(
+        "n_a", "n_b", "h_a", "h_b",
+        _dec_round(F.col("mta"), 6).alias("trimmed_mean_a"),
+        _dec_round(F.col("mtb"), 6).alias("trimmed_mean_b"),
+        _dec_round(tstat, 4).alias("yuen_t"),
+    )
+
+
+_YUEN_SQL = f"""
+WITH yu_f AS (
+  SELECT l_returnflag AS g, l_quantity::BIGINT AS v, count(*) AS c
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_returnflag IN ('{_YUEN_A}', '{_YUEN_B}')
+  GROUP BY 1, 2
+),
+yu_r AS (
+  SELECT g, v, c,
+         sum(c) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY g) AS n
+  FROM yu_f
+),
+yu_k AS (SELECT *, n // 5 AS trim FROM yu_r),
+yu_b AS (
+  SELECT g, n, trim,
+         min(CASE WHEN cum >= trim + 1 THEN v END) AS vlo,
+         min(CASE WHEN cum >= n - trim THEN v END) AS vhi
+  FROM yu_k GROUP BY 1, 2, 3
+),
+yu_s AS (
+  SELECT g,
+         sum(greatest(0, least(cum, n - trim) - greatest(cum - c, trim)) * v) AS st,
+         sum(greatest(0, least(cum, n - trim) - greatest(cum - c, trim)) * v * v) AS qt
+  FROM yu_k GROUP BY 1
+),
+yu_p AS (
+  SELECT b.g, b.n, b.trim, (b.n - 2 * b.trim) AS h,
+         s.st + b.trim * (b.vlo + b.vhi) AS sw,
+         s.qt + b.trim * (b.vlo * b.vlo + b.vhi * b.vhi) AS qw,
+         s.st
+  FROM yu_b b JOIN yu_s s ON b.g = s.g
+),
+yu_w AS (
+  SELECT g, n, h,
+         st::DOUBLE / h::DOUBLE AS mt,
+         (qw::DOUBLE - sw::DOUBLE * sw::DOUBLE / n::DOUBLE)
+           / (h::DOUBLE * (h::DOUBLE - 1.0)) AS d
+  FROM yu_p
+),
+yu_x AS (
+  SELECT min(CASE WHEN g = '{_YUEN_A}' THEN n END)::BIGINT AS n_a,
+         min(CASE WHEN g = '{_YUEN_B}' THEN n END)::BIGINT AS n_b,
+         min(CASE WHEN g = '{_YUEN_A}' THEN h END)::BIGINT AS h_a,
+         min(CASE WHEN g = '{_YUEN_B}' THEN h END)::BIGINT AS h_b,
+         min(CASE WHEN g = '{_YUEN_A}' THEN mt END) AS mta,
+         min(CASE WHEN g = '{_YUEN_B}' THEN mt END) AS mtb,
+         min(CASE WHEN g = '{_YUEN_A}' THEN d END) AS da,
+         min(CASE WHEN g = '{_YUEN_B}' THEN d END) AS db
+  FROM yu_w
+)
+SELECT n_a, n_b, h_a, h_b,
+       round(mta::DECIMAL(18,8), 6)::DOUBLE AS trimmed_mean_a,
+       round(mtb::DECIMAL(18,8), 6)::DOUBLE AS trimmed_mean_b,
+       round(((mta - mtb) / sqrt(da + db))::DECIMAL(18,8), 4)::DOUBLE AS yuen_t
+FROM yu_x
+"""
+
+
+QUERIES["yuen_test"] = q_yuen_test
+ORACLES["yuen_test"] = _YUEN_SQL

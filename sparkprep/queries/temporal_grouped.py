@@ -3400,3 +3400,103 @@ ORACLES = {
     "burstiness": _BURSTINESS_SQL,
     "repeat_purchase_curve": _REPEAT_PURCHASE_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# bounce rate by session entry type — round 8
+# ---------------------------------------------------------------------------
+
+
+def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate segmented by session ENTRY event type: which
+    doorway loses users immediately — the per-entry breakdown of
+    session_stats' single bounce number (the first product-analytics
+    question after "what's our bounce rate"). Sessions are the same
+    30-minute-gap assignment (operators/temporal.sessionize_ids); the
+    entry row and per-session size come from two window functions over
+    ONE keyed exchange; the readout groupBy runs on |sessions| rows.
+    Rates are exact-int divisions, DECIMAL-recast rounds."""
+    tune_for_engine(spark)
+    from pyspark.sql.window import Window
+
+    from sparkprep.operators import temporal
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    sess = temporal.sessionize_ids(
+        ev, ["user_id"], "ts", gap="30 minutes", order_cols=["ts", "event_id"]
+    )
+    w = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    wa = Window.partitionBy("user_id", "session_id")
+    pers = sess.select(
+        "event_type",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wa).alias("__n_ev"),
+    )
+    entry = pers.filter(F.col("__rn") == 1)
+    return (
+        entry.groupBy(F.col("event_type").alias("entry_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum((F.col("__n_ev") == 1).cast("long"))
+            .cast("long")
+            .alias("n_bounced"),
+            F.round(
+                (
+                    F.sum((F.col("__n_ev") == 1).cast("long")).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                ).cast("decimal(18,8)"),
+                6,
+            )
+            .cast("double")
+            .alias("bounce_rate"),
+            F.round(
+                (
+                    F.sum("__n_ev").cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                ).cast("decimal(18,8)"),
+                4,
+            )
+            .cast("double")
+            .alias("events_per_session"),
+        )
+        .orderBy("entry_type")
+    )
+
+
+_BOUNCE_RATE_SQL = """
+WITH br_m AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+br_s AS (
+  SELECT user_id, event_id, ts, event_type,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM br_m
+),
+br_p AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY user_id, session_id
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id, session_id) AS n_ev
+  FROM br_s
+)
+SELECT event_type AS entry_type,
+       count(*)::BIGINT AS n_sessions,
+       sum((n_ev = 1)::BIGINT)::BIGINT AS n_bounced,
+       round((sum((n_ev = 1)::BIGINT)::DOUBLE / count(*)::DOUBLE)::DECIMAL(18,8),
+             6)::DOUBLE AS bounce_rate,
+       round((sum(n_ev)::DOUBLE / count(*)::DOUBLE)::DECIMAL(18,8),
+             4)::DOUBLE AS events_per_session
+FROM br_p WHERE rn = 1
+GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["bounce_rate"] = q_bounce_rate
+ORACLES["bounce_rate"] = _BOUNCE_RATE_SQL

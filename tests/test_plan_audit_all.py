@@ -85,6 +85,7 @@ _TINY_BROADCAST_CROSS = {
     "pit_snapshot",      # 4-row as-of probe panel x version frame (range predicate, no equi-key)
     "mmr_rerank",        # 10 query vectors broadcast x corpus (cosine_topk's shape)
     "eb_shrinkage",      # 1-row beta-prior frame attach to the per-part frame
+    "budget_apportion",  # 1-row (N, k) totals attach to the per-source frame
 }
 
 # the one deliberate Python-row-path showcase: a Python UDTF (SURVEY
@@ -159,6 +160,7 @@ _BOUNDED_GLOBAL_WINDOW = {
     "cuped": "2-row arm frame (pooled-sufficient-stat fold)",
     "cumulative_reach": "per-day first-seen frame (~90 rows), bounded by horizon",
     "durbin_watson": "calendar-bounded daily-revenue frame (~2.4k rows at any fact scale)",
+    "budget_apportion": "per-source frame (~20 rows, bounded by the source domain)",
     "equidepth_bins": "O(32) ranks.global_ntile offsets frame only (raw-fact ntile distributed)",
     "gains_table": "10-row decile frame + O(32) ranks.global_ntile offsets",
     "gini_scale": "O(32) ranks.global_rank offsets frame only",

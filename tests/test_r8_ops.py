@@ -646,3 +646,103 @@ def test_copurchase_frame_shared_and_correct(spark, sf_dir):
     assert e.columns == ["u", "v"]
     want = fresh.filter(F.col("n_keys") >= 2).count()
     assert e.count() == want
+
+
+# ---------------------------------------------------------------------------
+# bounce rate by entry type
+# ---------------------------------------------------------------------------
+
+
+def test_bounce_rate_hand_sessions(spark):
+    from sparkprep.queries import temporal_grouped as tg
+    from sparkprep.session import tune_for_engine
+
+    tune_for_engine(spark)
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        # user 1: session of 3 starting with 'view'
+        (1, 1, base, "view"),
+        (2, 1, base + pd.Timedelta(minutes=5), "click"),
+        (3, 1, base + pd.Timedelta(minutes=10), "purchase"),
+        # user 1: bounce session starting with 'error' (>30 min later)
+        (4, 1, base + pd.Timedelta(hours=2), "error"),
+        # user 2: bounce starting with 'view'
+        (5, 2, base, "view"),
+        # user 2: 2-event session starting with 'view'
+        (6, 2, base + pd.Timedelta(hours=3), "view"),
+        (7, 2, base + pd.Timedelta(hours=3, minutes=1), "click"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "event_type"])
+    d = _mini_dir(spark, events=pdf)
+    try:
+        got = {r["entry_type"]: r for r in tg.q_bounce_rate(spark, d).collect()}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got["view"]["n_sessions"] == 3
+    assert got["view"]["n_bounced"] == 1
+    assert got["view"]["bounce_rate"] == pytest.approx(1 / 3, abs=1e-6)
+    assert got["error"]["n_sessions"] == 1 and got["error"]["n_bounced"] == 1
+    assert "click" not in got and "purchase" not in got  # never entries
+
+
+# ---------------------------------------------------------------------------
+# budget apportionment
+# ---------------------------------------------------------------------------
+
+
+def test_budget_apportion_sums_exactly_and_matches_hamilton(spark, sf_dir):
+    from sparkprep.queries import corpus as cq
+
+    rows = cq.q_budget_apportion(spark, sf_dir).collect()
+    B = cq._APPORTION_BUDGET
+    assert sum(r["quota"] for r in rows) == B  # the ledger balances exactly
+    # Hamilton reference in exact ints
+    toks = {r["source"]: r["n_tokens"] for r in rows}
+    N = sum(toks.values())
+    floor_q = {s: B * n // N for s, n in toks.items()}
+    rem = {s: B * n % N for s, n in toks.items()}
+    short = B - sum(floor_q.values())
+    extras = set(
+        sorted(toks, key=lambda s: (-rem[s], s))[:short]
+    )
+    for r in rows:
+        want = floor_q[r["source"]] + (1 if r["source"] in extras else 0)
+        assert r["quota"] == want, r["source"]
+    # every quota is within 1 of the exact proportional share
+    for r in rows:
+        assert abs(r["quota"] - B * toks[r["source"]] / N) < 1.0
+
+
+# ---------------------------------------------------------------------------
+# Yuen's trimmed test
+# ---------------------------------------------------------------------------
+
+
+def test_yuen_matches_numpy_reference(spark, sf_dir, lineitem_pd):
+    from sparkprep.queries import stat_tests as st2
+
+    got = st2.q_yuen_test(spark, sf_dir).collect()[0]
+    li = lineitem_pd.dropna(subset=["l_quantity"])
+
+    def yuen_side(vals):
+        x = np.sort(vals.astype(int))
+        n = len(x)
+        g = n // 5
+        h = n - 2 * g
+        mid = x[g : n - g]
+        mt = mid.mean()
+        w = np.clip(x, x[g], x[n - g - 1])  # winsorize to boundary order stats
+        sw2 = ((w - w.mean()) ** 2).sum() / (n - 1)
+        d = sw2 * (n - 1) / (h * (h - 1))
+        return n, h, mt, d
+
+    na, ha, mta, da = yuen_side(
+        li.loc[li.l_returnflag == st2._YUEN_A, "l_quantity"].to_numpy()
+    )
+    nb, hb, mtb, db = yuen_side(
+        li.loc[li.l_returnflag == st2._YUEN_B, "l_quantity"].to_numpy()
+    )
+    assert (got["n_a"], got["n_b"], got["h_a"], got["h_b"]) == (na, nb, ha, hb)
+    assert got["trimmed_mean_a"] == pytest.approx(mta, abs=1e-5)
+    assert got["trimmed_mean_b"] == pytest.approx(mtb, abs=1e-5)
+    assert got["yuen_t"] == pytest.approx((mta - mtb) / math.sqrt(da + db), abs=1e-3)
