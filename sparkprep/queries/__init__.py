@@ -300,6 +300,8 @@ _ROUND8_QUEUE = [
     "bounce_rate",
     "budget_apportion",
     "yuen_test",
+    "markov_stationary",
+    "frequent_triples",
 ]
 
 

@@ -2864,3 +2864,106 @@ FROM gd_per ORDER BY nation
 
 QUERIES["growth_decomposition"] = q_growth_decomposition
 ORACLES["growth_decomposition"] = _GROWTH_DECOMP_SQL
+
+
+# ---------------------------------------------------------------------------
+# frequent 3-itemsets — round 8
+# ---------------------------------------------------------------------------
+
+_TRIPLE_TOP = 10
+_TRIPLE_MIN_SUP = 2
+
+
+def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-itemsets by basket support — one step beyond assoc_rules'
+    pair lattice (the "customers who bought A and B also bought C"
+    level). The a<b<c self-join chain is bounded by the basket-size
+    cap cubed, never the catalog (same contract as the co-purchase
+    pair build; observed max basket 17 vs cap 64, canary-pinned), and
+    the Apriori prefix prune rides the session-shared pair frame: only
+    (a,b) pairs that already clear the support floor fan out to a
+    third item. Lift vs independent pair·item support is ONE IEEE
+    division of exact int64 counts; top-k compiles to TakeOrdered."""
+    from sparkprep.queries import shared_frames
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op = li.distinct().localCheckpoint(eager=False)  # basket side x2 + supports
+    n_baskets = op.select("l_orderkey").distinct().count()
+    pairs = (
+        shared_frames.copurchase_pairs(spark, sf_dir)
+        .filter(F.col("n_keys") >= _TRIPLE_MIN_SUP)
+        .select(
+            F.col("item_a").alias("pa"),
+            F.col("item_b").alias("pb"),
+            F.col("n_keys").alias("sup_ab"),
+        )
+    )
+    ab_baskets = (
+        op.select(F.col("l_orderkey"), F.col("l_partkey").alias("pa"))
+        .join(
+            op.select(F.col("l_orderkey"), F.col("l_partkey").alias("pb")),
+            "l_orderkey",
+        )
+        .join(pairs, ["pa", "pb"])  # Apriori prune: only frequent pairs
+    )
+    triples = (
+        ab_baskets.join(
+            op.select(F.col("l_orderkey"), F.col("l_partkey").alias("pc")),
+            "l_orderkey",
+        )
+        .filter(F.col("pc") > F.col("pb"))
+        .groupBy("pa", "pb", "pc", "sup_ab")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= _TRIPLE_MIN_SUP)
+    )
+    supp_c = op.groupBy(F.col("l_partkey").alias("pc")).agg(
+        F.count(F.lit(1)).alias("sup_c")
+    )
+    scored = triples.join(F.broadcast(supp_c), "pc")
+    conf = F.col("sup").cast("double") / F.col("sup_ab").cast("double")
+    lift = (
+        F.col("sup").cast("double") * F.lit(float(n_baskets))
+    ) / (F.col("sup_ab").cast("double") * F.col("sup_c").cast("double"))
+    out = scored.select(
+        F.col("pa").cast("long").alias("part_a"),
+        F.col("pb").cast("long").alias("part_b"),
+        F.col("pc").cast("long").alias("part_c"),
+        F.col("sup").cast("long").alias("support"),
+        F.round(conf.cast("decimal(18,8)"), 4).cast("double").alias("confidence"),
+        F.round(lift.cast("decimal(18,8)"), 4).cast("double").alias("lift"),
+    )
+    return out.orderBy(
+        F.desc("support"), F.asc("part_a"), F.asc("part_b"), F.asc("part_c")
+    ).limit(_TRIPLE_TOP)
+
+
+_FREQUENT_TRIPLES_SQL = f"""
+WITH ft_op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ft_n AS (SELECT count(DISTINCT l_orderkey) AS n FROM ft_op),
+ft_pairs AS MATERIALIZED (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS sup_ab
+  FROM ft_op a JOIN ft_op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_TRIPLE_MIN_SUP}
+),
+ft_t AS (
+  SELECT p.pa, p.pb, c.l_partkey AS pc, p.sup_ab, count(*) AS sup
+  FROM ft_pairs p
+  JOIN ft_op a ON a.l_partkey = p.pa
+  JOIN ft_op b ON b.l_orderkey = a.l_orderkey AND b.l_partkey = p.pb
+  JOIN ft_op c ON c.l_orderkey = a.l_orderkey AND c.l_partkey > p.pb
+  GROUP BY 1, 2, 3, 4 HAVING count(*) >= {_TRIPLE_MIN_SUP}
+),
+ft_sc AS (SELECT l_partkey AS pc, count(*) AS sup_c FROM ft_op GROUP BY 1)
+SELECT t.pa::BIGINT AS part_a, t.pb::BIGINT AS part_b, t.pc::BIGINT AS part_c,
+       t.sup::BIGINT AS support,
+       round((t.sup::DOUBLE / t.sup_ab::DOUBLE)::DECIMAL(18,8), 4)::DOUBLE AS confidence,
+       round((t.sup::DOUBLE * n.n::DOUBLE
+              / (t.sup_ab::DOUBLE * s.sup_c::DOUBLE))::DECIMAL(18,8), 4)::DOUBLE AS lift
+FROM ft_t t JOIN ft_sc s ON t.pc = s.pc CROSS JOIN ft_n n
+ORDER BY support DESC, part_a, part_b, part_c LIMIT {_TRIPLE_TOP}
+"""
+
+
+QUERIES["frequent_triples"] = q_frequent_triples
+ORACLES["frequent_triples"] = _FREQUENT_TRIPLES_SQL

@@ -3500,3 +3500,88 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["bounce_rate"] = q_bounce_rate
 ORACLES["bounce_rate"] = _BOUNCE_RATE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution + convergence readout — round 8
+# ---------------------------------------------------------------------------
+
+_STATIONARY_STEPS = 12
+
+
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-run (stationary) event-type distribution of the user-
+    journey Markov chain with a convergence certificate: 12 power
+    steps from uniform, reporting each state's limiting probability
+    AND the per-state movement in the final step (≈0 ⇒ converged) —
+    markov_3step answers "after three clicks"; this answers "in the
+    long run, where do journeys live, and has the chain actually
+    mixed".
+
+    The transition fit runs ONCE (checkpointed — both the 11-step and
+    final-step consumers read the leaf); every iteration is a
+    broadcast join over the |states|² matrix with the per-step
+    round(12) drift pin power_iteration documents."""
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events")
+    trans = graph.transition_matrix(
+        ev, "user_id", "event_type", [F.col("ts"), F.col("event_id")]
+    ).localCheckpoint(eager=False)
+    states = ev.select(F.col("event_type").alias("state")).distinct()
+    d_prev = graph.power_iteration(trans, states, steps=_STATIONARY_STEPS - 1)
+    d_last = (
+        trans.withColumnRenamed("src", "__src")
+        .join(
+            d_prev.select(F.col("state").alias("__src"), F.col("p").alias("pp")),
+            "__src",
+        )
+        .groupBy(F.col("dst").alias("state"))
+        .agg(F.round(F.sum(F.col("p") * F.col("pp")), 12).alias("p"))
+    )
+    joined = d_last.join(
+        d_prev.select("state", F.col("p").alias("p_prev")), "state", "left"
+    )
+    return joined.select(
+        F.col("state").alias("event_type"),
+        F.round("p", 6).alias("p_stationary"),
+        F.round(F.abs(F.col("p") - F.col("p_prev")), 6).alias("last_step_delta"),
+    ).orderBy("event_type")
+
+
+def _markov_stationary_sql(steps: int) -> str:
+    iters = []
+    for i in range(1, steps + 1):
+        iters.append(
+            f"md{i} AS (\n"
+            f"  SELECT t.dst AS state, round(sum(t.p * d.p), 12) AS p\n"
+            f"  FROM ms_trans t JOIN md{i - 1} d ON t.src = d.state GROUP BY 1\n"
+            f")"
+        )
+    return (
+        "WITH ms_seq AS (\n"
+        "  SELECT event_type AS dst,\n"
+        "         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src\n"
+        "  FROM events\n"
+        "),\n"
+        "ms_edges AS (\n"
+        "  SELECT src, dst, count(*) AS n FROM ms_seq WHERE src IS NOT NULL GROUP BY 1, 2\n"
+        "),\n"
+        "ms_trans AS MATERIALIZED (\n"
+        "  SELECT src, dst, n::DOUBLE / sum(n) OVER (PARTITION BY src) AS p FROM ms_edges\n"
+        "),\n"
+        "ms_states AS (SELECT DISTINCT event_type AS state FROM events),\n"
+        "md0 AS (\n"
+        "  SELECT state, round(1.0::DOUBLE / (SELECT count(*) FROM ms_states), 12) AS p\n"
+        "  FROM ms_states\n"
+        "),\n"
+        + ",\n".join(iters)
+        + f"""
+SELECT l.state AS event_type, round(l.p, 6) AS p_stationary,
+       round(abs(l.p - pv.p), 6) AS last_step_delta
+FROM md{steps} l LEFT JOIN md{steps - 1} pv ON l.state = pv.state
+ORDER BY 1"""
+    )
+
+
+QUERIES["markov_stationary"] = q_markov_stationary
+ORACLES["markov_stationary"] = _markov_stationary_sql(_STATIONARY_STEPS)

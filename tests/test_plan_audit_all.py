@@ -176,6 +176,7 @@ _BOUNDED_GLOBAL_WINDOW = {
     "mann_whitney": "50-row quantity value-frequency rank frame",
     "kruskal_wallis": "50-row quantity value-frequency rank frame",
     "markov_3step": "|event_types|^2 transition frame",
+    "markov_stationary": "|event_types|^2 transition frame (markov_3step's init/normalize windows)",
     "mix_weights": "per-source frame (~5 langs)",
     "mom_growth": "~84-row month frame",
     "mutual_info": "|types| x 7 contingency frame",

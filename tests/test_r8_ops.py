@@ -746,3 +746,67 @@ def test_yuen_matches_numpy_reference(spark, sf_dir, lineitem_pd):
     assert got["trimmed_mean_a"] == pytest.approx(mta, abs=1e-5)
     assert got["trimmed_mean_b"] == pytest.approx(mtb, abs=1e-5)
     assert got["yuen_t"] == pytest.approx((mta - mtb) / math.sqrt(da + db), abs=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# markov stationary
+# ---------------------------------------------------------------------------
+
+
+def test_markov_stationary_converged_and_matches_numpy(spark, sf_dir):
+    from sparkprep.queries import temporal_grouped as tg
+    from sparkprep.session import tune_for_engine
+
+    tune_for_engine(spark)
+    rows = tg.q_markov_stationary(spark, sf_dir).collect()
+    ps = {r["event_type"]: r["p_stationary"] for r in rows}
+    # mass conservation (chain has no absorbing leak on this data)
+    assert sum(ps.values()) == pytest.approx(1.0, abs=1e-3)
+    # converged: final step barely moves the distribution
+    assert all(r["last_step_delta"] < 5e-3 for r in rows)
+    # numpy reference: build the transition matrix and iterate
+    ev = pd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    ev["src"] = ev.groupby("user_id")["event_type"].shift()
+    edges = ev.dropna(subset=["src"]).groupby(["src", "event_type"]).size()
+    states = sorted(ev["event_type"].unique())
+    idx = {s: i for i, s in enumerate(states)}
+    P = np.zeros((len(states), len(states)))
+    for (s, d_), n in edges.items():
+        P[idx[s], idx[d_]] = n
+    P = P / P.sum(axis=1, keepdims=True)
+    pi = np.full(len(states), 1 / len(states))
+    for _ in range(tg._STATIONARY_STEPS):
+        pi = pi @ P
+    for s in states:
+        assert ps[s] == pytest.approx(pi[idx[s]], abs=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# frequent triples
+# ---------------------------------------------------------------------------
+
+
+def test_frequent_triples_matches_bruteforce(spark, sf_dir):
+    from itertools import combinations
+
+    from sparkprep.queries import relational_ext as rx
+
+    rows = rx.q_frequent_triples(spark, sf_dir).collect()
+    li = pd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    op = li[["l_orderkey", "l_partkey"]].drop_duplicates()
+    from collections import Counter
+
+    sup = Counter()
+    for _, basket in op.groupby("l_orderkey")["l_partkey"]:
+        for tri in combinations(sorted(basket), 3):
+            sup[tri] += 1
+    want = sorted(
+        ((n, tri) for tri, n in sup.items() if n >= rx._TRIPLE_MIN_SUP),
+        key=lambda x: (-x[0], x[1]),
+    )[: rx._TRIPLE_TOP]
+    got = [((r["support"]), (r["part_a"], r["part_b"], r["part_c"])) for r in rows]
+    assert got == [(n, tri) for n, tri in want]
+    for r in rows:
+        assert 0 < r["confidence"] <= 1.0
+        assert r["lift"] > 0
