@@ -233,3 +233,47 @@ def grouped_holt(
         return pdf
 
     return df.groupBy(*key_cols).applyInPandas(holt, out_schema)
+
+
+def grouped_croston(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    demand_col: str,
+    interval_col: str,
+    alpha: float = 0.25,
+) -> DataFrame:
+    """Per-key Croston state (the intermittent-demand forecaster):
+    TWO coupled SES recurrences over the key's demand OCCURRENCES —
+    z_i = z + α(d_i − z) on demand sizes, p_i = p + α(q_i − p) on
+    inter-demand intervals, seeded z₁ = d₁, p₁ = q₁ — emitting one
+    row per key with the final state and occurrence count (the
+    forecast rate z/p is the caller's one division). Same
+    linear-recurrence regime as :func:`grouped_ewma` (no window
+    function expresses it), same bit-parity contract: α must be an
+    exact binary fraction or interpolated into the oracle via
+    ``repr`` so both engines replay identical IEEE ops. NULLs poison
+    their key's tail — filter first.
+    """
+    import numpy as np  # noqa: F401  (template parity with siblings)
+
+    key_fields = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in key_cols
+    )
+    out_schema = f"{key_fields}, n_demands bigint, z double, p double"
+
+    def croston(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        d = pdf[demand_col].to_numpy(dtype=float)
+        q = pdf[interval_col].to_numpy(dtype=float)
+        z, p = d[0], q[0]
+        for i in range(1, len(d)):
+            z = z + alpha * (d[i] - z)
+            p = p + alpha * (q[i] - p)
+        out = {c: [pdf[c].iloc[0]] for c in key_cols}
+        out["n_demands"] = [len(d)]
+        out["z"] = [z]
+        out["p"] = [p]
+        return pd.DataFrame(out)
+
+    return df.groupBy(*key_cols).applyInPandas(croston, out_schema)

@@ -302,6 +302,7 @@ _ROUND8_QUEUE = [
     "yuen_test",
     "markov_stationary",
     "frequent_triples",
+    "croston",
 ]
 
 

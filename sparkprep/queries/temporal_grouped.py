@@ -3585,3 +3585,101 @@ ORDER BY 1"""
 
 QUERIES["markov_stationary"] = q_markov_stationary
 ORACLES["markov_stationary"] = _markov_stationary_sql(_STATIONARY_STEPS)
+
+
+# ---------------------------------------------------------------------------
+# Croston intermittent-demand forecast — round 8
+# ---------------------------------------------------------------------------
+
+_CROSTON_ALPHA = 0.25  # exact binary fraction — identical bits both engines
+_CROSTON_MIN_DEMANDS = 5
+
+
+def q_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method per part: the standard forecaster for
+    INTERMITTENT demand (most parts ship in a few scattered weeks —
+    holt_trend's dense-series smoothing is the wrong model there).
+    Weekly demand occurrences per part feed two coupled SES
+    recurrences — smoothed demand size z and smoothed inter-demand
+    interval p — and the forecast rate is z/p per week.
+
+    The weekly aggregate + lag interval are native (exact int64 week
+    arithmetic); the per-part recursion runs on the Arrow grouped-map
+    path (operators/grouped.grouped_croston — the user_ewma regime:
+    no window function expresses a linear recurrence) with α = 0.25,
+    an exact binary fraction, so every float step is bit-identical to
+    the oracle's keyed recursive-CTE replay. Parts below
+    5 demand-weeks are excluded (Croston state is noise there)."""
+    tune_for_engine(spark)
+    from pyspark.sql.window import Window
+
+    from sparkprep.operators import grouped as gr
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr(
+            "unix_micros(cast(l_shipdate as timestamp)) div 604800000000"
+        ).alias("wk"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    weekly = li.groupBy("l_partkey", "wk").agg(F.sum("qty").alias("d"))
+    w = Window.partitionBy("l_partkey").orderBy("wk")
+    occ = weekly.select(
+        "l_partkey",
+        "wk",
+        "d",
+        F.coalesce(
+            (F.col("wk") - F.lag("wk").over(w)).cast("double"), F.lit(1.0)
+        ).alias("q"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_partkey")).alias("__n"),
+    ).filter(F.col("__n") >= _CROSTON_MIN_DEMANDS)
+    state = gr.grouped_croston(
+        occ, ["l_partkey"], ["wk"], "d", "q", alpha=_CROSTON_ALPHA
+    )
+    return state.select(
+        F.col("l_partkey").cast("long").alias("part"),
+        F.col("n_demands").cast("long").alias("n_demand_weeks"),
+        F.round("z", 6).alias("smoothed_size"),
+        F.round("p", 6).alias("smoothed_interval"),
+        F.round(F.col("z") / F.col("p"), 6).alias("weekly_rate"),
+    ).orderBy("part")
+
+
+def _croston_sql() -> str:
+    a = _CROSTON_ALPHA
+    return f"""
+WITH RECURSIVE cr_w AS (
+  SELECT l_partkey,
+         epoch_us(l_shipdate) // 604800000000 AS wk,
+         sum(l_quantity::BIGINT) AS d
+  FROM lineitem GROUP BY 1, 2
+),
+cr_o AS (
+  SELECT l_partkey, wk, d,
+         coalesce((wk - lag(wk) OVER (PARTITION BY l_partkey ORDER BY wk))::DOUBLE,
+                  1.0) AS q,
+         row_number() OVER (PARTITION BY l_partkey ORDER BY wk) AS rn,
+         count(*) OVER (PARTITION BY l_partkey) AS n
+  FROM cr_w
+),
+cr_f AS MATERIALIZED (
+  SELECT * FROM cr_o WHERE n >= {_CROSTON_MIN_DEMANDS}
+),
+cr_s(l_partkey, rn, n, z, p) AS (
+  SELECT l_partkey, rn, n, d::DOUBLE, q FROM cr_f WHERE rn = 1
+  UNION ALL
+  SELECT o.l_partkey, o.rn, o.n,
+         s.z + {a!r} * (o.d::DOUBLE - s.z),
+         s.p + {a!r} * (o.q - s.p)
+  FROM cr_s s JOIN cr_f o ON o.l_partkey = s.l_partkey AND o.rn = s.rn + 1
+)
+SELECT l_partkey::BIGINT AS part, n::BIGINT AS n_demand_weeks,
+       round(z, 6) AS smoothed_size,
+       round(p, 6) AS smoothed_interval,
+       round(z / p, 6) AS weekly_rate
+FROM cr_s WHERE rn = n ORDER BY part
+"""
+
+
+QUERIES["croston"] = q_croston
+ORACLES["croston"] = _croston_sql()

@@ -810,3 +810,56 @@ def test_frequent_triples_matches_bruteforce(spark, sf_dir):
     for r in rows:
         assert 0 < r["confidence"] <= 1.0
         assert r["lift"] > 0
+
+
+# ---------------------------------------------------------------------------
+# Croston intermittent demand
+# ---------------------------------------------------------------------------
+
+
+def test_croston_hand_recursion(spark):
+    from sparkprep.queries import temporal_grouped as tg
+    from sparkprep.session import tune_for_engine
+
+    tune_for_engine(spark)
+    # part 1 ships in weeks 0, 2, 3, 7, 8 with known quantities; the
+    # expected state is the recursion replayed by hand below
+    ship = []
+    base = pd.Timestamp("1995-01-02")  # epoch week boundary alignment free
+    weeks = [0, 2, 3, 7, 8]
+    qtys = [4, 8, 2, 6, 10]
+    for w_, q_ in zip(weeks, qtys):
+        ship.append((1, base + pd.Timedelta(weeks=w_), float(q_)))
+    pdf = pd.DataFrame(ship, columns=["l_partkey", "l_shipdate", "l_quantity"])
+    d = _mini_dir(spark, lineitem=pdf)
+    try:
+        got = tg.q_croston(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert len(got) == 1
+    r = got[0]
+    a = tg._CROSTON_ALPHA
+    z, p = float(qtys[0]), 1.0
+    gaps = [weeks[i] - weeks[i - 1] for i in range(1, len(weeks))]
+    for d_, q_ in zip(qtys[1:], gaps):
+        z = z + a * (d_ - z)
+        p = p + a * (q_ - p)
+    assert r["n_demand_weeks"] == 5
+    assert r["smoothed_size"] == pytest.approx(z, abs=1e-6)
+    assert r["smoothed_interval"] == pytest.approx(p, abs=1e-6)
+    assert r["weekly_rate"] == pytest.approx(z / p, abs=1e-6)
+
+
+def test_croston_excludes_sparse_parts(spark):
+    from sparkprep.queries import temporal_grouped as tg
+    from sparkprep.session import tune_for_engine
+
+    tune_for_engine(spark)
+    base = pd.Timestamp("1995-01-02")
+    rows = [(9, base + pd.Timedelta(weeks=w), 1.0) for w in range(3)]  # 3 < 5
+    pdf = pd.DataFrame(rows, columns=["l_partkey", "l_shipdate", "l_quantity"])
+    d = _mini_dir(spark, lineitem=pdf)
+    try:
+        assert tg.q_croston(spark, d).count() == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
