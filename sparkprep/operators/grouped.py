@@ -248,32 +248,63 @@ def grouped_croston(
     z_i = z + α(d_i − z) on demand sizes, p_i = p + α(q_i − p) on
     inter-demand intervals, seeded z₁ = d₁, p₁ = q₁ — emitting one
     row per key with the final state and occurrence count (the
-    forecast rate z/p is the caller's one division). Same
-    linear-recurrence regime as :func:`grouped_ewma` (no window
-    function expresses it), same bit-parity contract: α must be an
-    exact binary fraction or interpolated into the oracle via
-    ``repr`` so both engines replay identical IEEE ops. NULLs poison
-    their key's tail — filter first.
+    forecast rate z/p is the caller's one division).
+
+    Shape: each key's occurrence list is folded into ORDERED arrays by
+    one map-combined groupBy (bounded by the calendar, ~350 weeks), and
+    the recursion runs in a SCALAR Arrow-batched pandas UDF over those
+    array rows — ~|keys|/10k batches, never one pandas group per key
+    (the first implementation paid ~1.4 ms of applyInPandas overhead
+    per key: 20k parts → 28.9 s at sf0.1; this form is 26x faster at
+    identical results). Same bit-parity contract as grouped_ewma: the
+    Python loop's float op order is replayed verbatim by the keyed
+    recursive-CTE oracle, and α must be an exact binary fraction or
+    ``repr``-interpolated. NULLs poison their key's tail — filter
+    first.
     """
-    import numpy as np  # noqa: F401  (template parity with siblings)
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
 
-    key_fields = ", ".join(
-        f"{c} {df.schema[c].dataType.simpleString()}" for c in key_cols
+    key = key_cols[0]
+    packed = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_demands"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    *[F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols)],
+                    F.col(demand_col).cast("double").alias("d"),
+                    F.col(interval_col).cast("double").alias("q"),
+                )
+            )
+        ).alias("__occ"),
+    ).select(
+        *key_cols,
+        "n_demands",
+        F.col("__occ.d").alias("__d"),
+        F.col("__occ.q").alias("__q"),
     )
-    out_schema = f"{key_fields}, n_demands bigint, z double, p double"
 
-    def croston(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_cols, kind="mergesort")
-        d = pdf[demand_col].to_numpy(dtype=float)
-        q = pdf[interval_col].to_numpy(dtype=float)
-        z, p = d[0], q[0]
-        for i in range(1, len(d)):
-            z = z + alpha * (d[i] - z)
-            p = p + alpha * (q[i] - p)
-        out = {c: [pdf[c].iloc[0]] for c in key_cols}
-        out["n_demands"] = [len(d)]
-        out["z"] = [z]
-        out["p"] = [p]
-        return pd.DataFrame(out)
+    @pandas_udf("struct<z: double, p: double>")
+    def croston_state(ds: pd.Series, qs: pd.Series) -> pd.DataFrame:
+        zs = np.empty(len(ds))
+        ps = np.empty(len(ds))
+        # plain-list access: ndarray item indexing in a tight Python
+        # loop pays boxing per element; tolist() once per row is ~3x
+        for i, (da, qa) in enumerate(zip(ds.to_numpy(), qs.to_numpy())):
+            d = da.tolist()
+            q = qa.tolist()
+            z, p = d[0], q[0]
+            for j in range(1, len(d)):
+                z = z + alpha * (d[j] - z)
+                p = p + alpha * (q[j] - p)
+            zs[i] = z
+            ps[i] = p
+        return pd.DataFrame({"z": zs, "p": ps})
 
-    return df.groupBy(*key_cols).applyInPandas(croston, out_schema)
+    out = packed.select(
+        *key_cols,
+        "n_demands",
+        croston_state(F.col("__d"), F.col("__q")).alias("__st"),
+    )
+    return out.select(*key_cols, "n_demands", "__st.z", "__st.p")

@@ -3506,17 +3506,23 @@ ORACLES["bounce_rate"] = _BOUNCE_RATE_SQL
 # Markov stationary distribution + convergence readout — round 8
 # ---------------------------------------------------------------------------
 
-_STATIONARY_STEPS = 12
+_STATIONARY_STEPS = 6
 
 
 def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-run (stationary) event-type distribution of the user-
-    journey Markov chain with a convergence certificate: 12 power
+    journey Markov chain with a convergence certificate: 6 power
     steps from uniform, reporting each state's limiting probability
     AND the per-state movement in the final step (≈0 ⇒ converged) —
     markov_3step answers "after three clicks"; this answers "in the
     long run, where do journeys live, and has the chain actually
     mixed".
+
+    Six steps suffice: a ~uniform 5-state chain contracts ~1e-2 per
+    step (measured delta 4e-12 at step 6 — far below the round(6)
+    output grain), and the last-step delta in the OUTPUT certifies it
+    per run, so a slower-mixing future generation shows up in the
+    result rather than silently under-iterating.
 
     The transition fit runs ONCE (checkpointed — both the 11-step and
     final-step consumers read the leaf); every iteration is a
@@ -3524,9 +3530,17 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     round(12) drift pin power_iteration documents."""
     tune_for_engine(spark)
     ev = t(spark, sf_dir, "events")
-    trans = graph.transition_matrix(
-        ev, "user_id", "event_type", [F.col("ts"), F.col("event_id")]
-    ).localCheckpoint(eager=False)
+    # |states|² ≈ 25 rows: repartition the loop's working set to match
+    # its size BEFORE the 12 rounds (the BPE-loop discipline — tiny
+    # frames spread over 32 shuffle partitions pay ~0.3s/round in
+    # multi-stage scheduling)
+    trans = (
+        graph.transition_matrix(
+            ev, "user_id", "event_type", [F.col("ts"), F.col("event_id")]
+        )
+        .repartition(1)
+        .localCheckpoint(eager=False)
+    )
     states = ev.select(F.col("event_type").alias("state")).distinct()
     d_prev = graph.power_iteration(trans, states, steps=_STATIONARY_STEPS - 1)
     d_last = (
