@@ -303,6 +303,8 @@ _ROUND8_QUEUE = [
     "markov_stationary",
     "frequent_triples",
     "croston",
+    "journey_distance",
+    "top_movers",
 ]
 
 

@@ -104,32 +104,29 @@ _SEED = 42
 _EST_THRESHOLD = 0.5
 
 # One (node, component) CC-labels frame per (session, sf_dir), shared by
-# the dedup_clusters / cluster_split / cluster_reps family: the three
-# queries otherwise each rebuild the identical MinHash-pairs +
+# the dedup_clusters / cluster_split / cluster_reps / source_dup_report
+# family: each otherwise rebuilds the identical MinHash-pairs +
 # connected-components subtree (the family head of every bench run —
-# ~15.8s at sf0.1, VERDICT r7 item 4). connected_components' convergence
-# loop MATERIALIZES the labels (per-round lazy localCheckpoint), so
-# reuse is a leaf scan. Keyed by applicationId: a restarted session
-# invalidates the cached frame's RDD lineage, so the key must die with
-# it; the dict holds at most one entry (tiny frame, no growth).
-_CC_SHARED: dict = {}
+# 16.1s → 1.6s measured at sf0.1, VERDICT r7 item 4).
+# connected_components' convergence loop MATERIALIZES the labels
+# (per-round lazy localCheckpoint), so reuse is a leaf scan. Lives in
+# shared_frames.session_frame (applicationId-keyed — a restarted
+# session's dead RDD lineage can never be served stale).
 
 
 def _shared_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _CC_SHARED.get(key)
-    if hit is not None:
-        return hit
-    corpus = _corpus_near(spark, sf_dir)
-    prs = dd.minhash_candidate_pairs(
-        corpus, "text", "doc_id",
-        num_hashes=_NUM_HASHES, k=_K, bands=_BANDS, seed=_SEED,
-        est_threshold=0.8,
-    )
-    cc = dd.connected_components(prs)
-    _CC_SHARED.clear()
-    _CC_SHARED[key] = cc
-    return cc
+    from sparkprep.queries import shared_frames
+
+    def build() -> DataFrame:
+        corpus = _corpus_near(spark, sf_dir)
+        prs = dd.minhash_candidate_pairs(
+            corpus, "text", "doc_id",
+            num_hashes=_NUM_HASHES, k=_K, bands=_BANDS, seed=_SEED,
+            est_threshold=0.8,
+        )
+        return dd.connected_components(prs)
+
+    return shared_frames.session_frame(spark, "cc_labels", sf_dir, build)
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

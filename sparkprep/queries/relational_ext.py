@@ -2967,3 +2967,101 @@ ORDER BY support DESC, part_a, part_b, part_c LIMIT {_TRIPLE_TOP}
 
 QUERIES["frequent_triples"] = q_frequent_triples
 ORACLES["frequent_triples"] = _FREQUENT_TRIPLES_SQL
+
+
+# ---------------------------------------------------------------------------
+# top movers (period-over-period share shift) — round 8
+# ---------------------------------------------------------------------------
+
+_MOVERS_TOP = 15
+
+
+def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top revenue-share movers, 1995 → 1996, by part brand: the
+    period-over-period "what changed" screen (growth_decomposition
+    explains WHY a segment moved; this ranks WHICH moved most). Share
+    per period is an exact-decimal revenue sum over the period total
+    (ONE IEEE division each); the shift in basis points is a short
+    identical float tree, so the |Δbps| ranking and the TakeOrdered
+    top-15 agree across engines. Brand dimension broadcast; one
+    conditional-sum fact aggregate; the 1-row period-totals frame is a
+    sanctioned broadcast attach."""
+    tune_for_engine(spark)
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year(F.col("o_orderdate").cast("timestamp")).alias("yr"),
+    )
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(F.col("yr").isin(1995, 1996))
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    )
+    per = joined.groupBy("p_brand").agg(
+        F.sum(F.when(F.col("yr") == 1995, rev)).alias("r1"),
+        F.sum(F.when(F.col("yr") == 1996, rev)).alias("r2"),
+    )
+    tot = per.agg(
+        F.sum("r1").alias("t1"), F.sum("r2").alias("t2")
+    )
+    scored = per.crossJoin(F.broadcast(tot))
+    s1 = F.try_divide(F.col("r1").cast("double"), F.col("t1").cast("double"))
+    s2 = F.try_divide(F.col("r2").cast("double"), F.col("t2").cast("double"))
+    shift_bps = (s2 - s1) * F.lit(10000.0)
+    out = scored.select(
+        F.col("p_brand").alias("brand"),
+        F.round(F.col("r1").cast("double").cast("decimal(18,8)"), 2)
+        .cast("double")
+        .alias("rev_1995"),
+        F.round(F.col("r2").cast("double").cast("decimal(18,8)"), 2)
+        .cast("double")
+        .alias("rev_1996"),
+        shift_bps.alias("__shift"),
+    )
+    return (
+        out.orderBy(F.desc(F.abs(F.col("__shift"))), F.asc("brand"))
+        .limit(_MOVERS_TOP)
+        .select(
+            "brand",
+            "rev_1995",
+            "rev_1996",
+            F.round(F.col("__shift").cast("decimal(18,8)"), 2)
+            .cast("double")
+            .alias("share_shift_bps"),
+        )
+    )
+
+
+_TOP_MOVERS_SQL = f"""
+WITH tm_per AS (
+  SELECT p_brand AS brand,
+         sum(CASE WHEN year(o_orderdate) = 1995
+                  THEN (l_extendedprice * (1.0 - l_discount))::DECIMAL(18,4) END) AS r1,
+         sum(CASE WHEN year(o_orderdate) = 1996
+                  THEN (l_extendedprice * (1.0 - l_discount))::DECIMAL(18,4) END) AS r2
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE year(o_orderdate) IN (1995, 1996)
+  GROUP BY 1
+),
+tm_tot AS (SELECT sum(r1) AS t1, sum(r2) AS t2 FROM tm_per),
+tm_s AS (
+  SELECT brand,
+         round((r1::DOUBLE)::DECIMAL(18,8), 2)::DOUBLE AS rev_1995,
+         round((r2::DOUBLE)::DECIMAL(18,8), 2)::DOUBLE AS rev_1996,
+         (r2::DOUBLE / t2::DOUBLE - r1::DOUBLE / t1::DOUBLE) * 10000.0 AS shift
+  FROM tm_per CROSS JOIN tm_tot
+)
+SELECT brand, rev_1995, rev_1996,
+       round(shift::DECIMAL(18,8), 2)::DOUBLE AS share_shift_bps
+FROM tm_s ORDER BY abs(shift) DESC, brand LIMIT {_MOVERS_TOP}
+"""
+
+
+QUERIES["top_movers"] = q_top_movers
+ORACLES["top_movers"] = _TOP_MOVERS_SQL

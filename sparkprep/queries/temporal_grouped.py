@@ -3697,3 +3697,98 @@ FROM cr_s WHERE rn = n ORDER BY part
 
 QUERIES["croston"] = q_croston
 ORACLES["croston"] = _croston_sql()
+
+
+# ---------------------------------------------------------------------------
+# journey edit-distance panel — round 8
+# ---------------------------------------------------------------------------
+
+_JOURNEY_USERS = 10
+_JOURNEY_MAX_EVENTS = 50
+
+
+def q_journey_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise edit distance between user journeys: each user's
+    (ts, event_id)-ordered event types collapse to an initial-letter
+    string (first 50 events), and every pair among the 10 smallest
+    user ids gets a Levenshtein distance plus a length-normalized
+    similarity — the distance matrix behind journey clustering /
+    "which users behave alike" (session_paths shows individual routes;
+    this compares them).
+
+    The journey fold is one map-combined groupBy (slice bounds the
+    string); the pair frame is a broadcast self-join of the FIXED
+    10-row panel (45 pairs, never users²) — the bounded-panel contract
+    is what scales: at 100 TB you compare cohort exemplars, not every
+    user pair. Levenshtein is exact-integer native in both engines;
+    the similarity is ONE division."""
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events")
+    journeys = (
+        ev.filter(F.col("user_id") < _JOURNEY_USERS)
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    "ts", "event_id",
+                                    F.substring("event_type", 1, 1).alias("c"),
+                                )
+                            )
+                        ),
+                        lambda s: s["c"],
+                    ),
+                    1,
+                    _JOURNEY_MAX_EVENTS,
+                ),
+            ).alias("j")
+        )
+    )
+    a = journeys.select(F.col("user_id").alias("user_a"), F.col("j").alias("ja"))
+    b = journeys.select(F.col("user_id").alias("user_b"), F.col("j").alias("jb"))
+    pairs = a.join(F.broadcast(b), F.col("user_a") < F.col("user_b"))
+    dist = F.levenshtein("ja", "jb").cast("long")
+    maxlen = F.greatest(F.length("ja"), F.length("jb"))
+    return pairs.select(
+        "user_a",
+        "user_b",
+        F.length("ja").cast("long").alias("len_a"),
+        F.length("jb").cast("long").alias("len_b"),
+        dist.alias("edit_distance"),
+        F.round(
+            (F.lit(1.0) - F.try_divide(dist.cast("double"), maxlen.cast("double")))
+            .cast("decimal(18,8)"),
+            6,
+        )
+        .cast("double")
+        .alias("similarity"),
+    ).orderBy("user_a", "user_b")
+
+
+_JOURNEY_DISTANCE_SQL = f"""
+WITH jd_o AS (
+  SELECT user_id, substring(event_type, 1, 1) AS c,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id < {_JOURNEY_USERS}
+),
+jd_j AS (
+  SELECT user_id, string_agg(c, '' ORDER BY rn) AS j
+  FROM jd_o WHERE rn <= {_JOURNEY_MAX_EVENTS} GROUP BY 1
+)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       length(a.j)::BIGINT AS len_a, length(b.j)::BIGINT AS len_b,
+       levenshtein(a.j, b.j)::BIGINT AS edit_distance,
+       round((1.0 - levenshtein(a.j, b.j)::DOUBLE
+              / greatest(length(a.j), length(b.j))::DOUBLE)::DECIMAL(18,8),
+             6)::DOUBLE AS similarity
+FROM jd_j a JOIN jd_j b ON a.user_id < b.user_id
+ORDER BY 1, 2
+"""
+
+
+QUERIES["journey_distance"] = q_journey_distance
+ORACLES["journey_distance"] = _JOURNEY_DISTANCE_SQL

@@ -349,7 +349,9 @@ def test_cc_family_shares_one_labels_frame(spark, sf_dir):
     produce the same labels as a from-scratch dedup_clusters build."""
     from sparkprep.queries import llmprep as lp
 
-    lp._CC_SHARED.clear()
+    from sparkprep.queries import shared_frames
+
+    shared_frames._FRAMES.clear()
     a = lp._shared_cc_labels(spark, sf_dir)
     b = lp._shared_cc_labels(spark, sf_dir)
     assert a is b, "second call must hit the session cache"

@@ -86,6 +86,8 @@ _TINY_BROADCAST_CROSS = {
     "mmr_rerank",        # 10 query vectors broadcast x corpus (cosine_topk's shape)
     "eb_shrinkage",      # 1-row beta-prior frame attach to the per-part frame
     "budget_apportion",  # 1-row (N, k) totals attach to the per-source frame
+    "journey_distance",  # 10-row journey panel broadcast self-join (45 pairs, fixed panel)
+    "top_movers",        # 1-row period-totals frame attach to the per-brand frame
 }
 
 # the one deliberate Python-row-path showcase: a Python UDTF (SURVEY

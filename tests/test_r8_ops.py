@@ -863,3 +863,72 @@ def test_croston_excludes_sparse_parts(spark):
         assert tg.q_croston(spark, d).count() == 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# journey distance
+# ---------------------------------------------------------------------------
+
+
+def test_journey_distance_matches_python_levenshtein(spark, sf_dir):
+    from sparkprep.queries import temporal_grouped as tg
+    from sparkprep.session import tune_for_engine
+
+    tune_for_engine(spark)
+    rows = tg.q_journey_distance(spark, sf_dir).collect()
+    n = tg._JOURNEY_USERS
+    assert len(rows) == n * (n - 1) // 2
+    ev = pd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = ev[ev.user_id < n].sort_values(["user_id", "ts", "event_id"])
+    js = {
+        int(u): "".join(s.str[0])[: tg._JOURNEY_MAX_EVENTS]
+        for u, s in ev.groupby("user_id")["event_type"]
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    for r in rows[:10]:
+        want = lev(js[r["user_a"]], js[r["user_b"]])
+        assert r["edit_distance"] == want
+        assert r["len_a"] == len(js[r["user_a"]])
+        m = max(r["len_a"], r["len_b"])
+        assert r["similarity"] == pytest.approx(1 - want / m, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# top movers
+# ---------------------------------------------------------------------------
+
+
+def test_top_movers_matches_pandas_shares(spark, sf_dir):
+    from sparkprep.queries import relational_ext as rx
+    from sparkprep.session import tune_for_engine
+
+    tune_for_engine(spark)
+    rows = rx.q_top_movers(spark, sf_dir).collect()
+    assert 0 < len(rows) <= rx._MOVERS_TOP
+    li = pd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    orders = pd.read_parquet(os.path.join(sf_dir, "orders.parquet"))
+    part = pd.read_parquet(os.path.join(sf_dir, "part.parquet"))
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey").merge(
+        part, left_on="l_partkey", right_on="p_partkey"
+    )
+    j["yr"] = j["o_orderdate"].dt.year
+    j = j[j.yr.isin((1995, 1996))]
+    j["rev"] = j["l_extendedprice"] * (1 - j["l_discount"])
+    per = j.pivot_table(index="p_brand", columns="yr", values="rev", aggfunc="sum")
+    t1, t2 = per[1995].sum(), per[1996].sum()
+    shift = (per[1996] / t2 - per[1995] / t1) * 10000
+    want = shift.abs().sort_values(ascending=False)
+    got_brands = [r["brand"] for r in rows]
+    # the top-|shift| set matches (ordering ties broken by brand)
+    assert set(got_brands) <= set(want.index[: len(rows) + 3])
+    for r in rows[:5]:
+        assert r["share_shift_bps"] == pytest.approx(shift[r["brand"]], abs=0.02)
