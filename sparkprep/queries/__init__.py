@@ -305,6 +305,9 @@ _ROUND8_QUEUE = [
     "croston",
     "journey_distance",
     "top_movers",
+    "revenue_bridge",
+    "abc_classification",
+    "ltv_curve",
 ]
 
 

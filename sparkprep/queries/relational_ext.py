@@ -3065,3 +3065,196 @@ FROM tm_s ORDER BY abs(shift) DESC, brand LIMIT {_MOVERS_TOP}
 
 QUERIES["top_movers"] = q_top_movers
 ORACLES["top_movers"] = _TOP_MOVERS_SQL
+
+
+# ---------------------------------------------------------------------------
+# revenue growth accounting (new / churned / retained bridge) — round 8
+# ---------------------------------------------------------------------------
+
+
+def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth-accounting revenue bridge, 1995 → 1996: ΔRevenue split
+    into NEW customers (active only in 1996), CHURNED (only 1995,
+    negative), and the retained cohort's EXPANSION vs CONTRACTION
+    (per-customer delta, split by sign) — the SaaS-style "where did
+    growth come from" ledger that growth_decomposition's price/volume
+    view can't answer. The five components telescope EXACTLY to ΔR
+    (asserted in the test): all sums are per-customer cents-exact
+    DECIMAL; the sign split is row-local on the per-customer frame."""
+    tune_for_engine(spark)
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year(F.col("o_orderdate").cast("timestamp")).alias("yr"),
+        F.round((F.col("o_totalprice") * 100).cast("decimal(18,8)"))
+        .cast("long")
+        .alias("cents"),
+    ).filter(F.col("yr").isin(1995, 1996))
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(F.when(F.col("yr") == 1995, F.col("cents")).otherwise(0)).alias("r1"),
+        F.sum(F.when(F.col("yr") == 1996, F.col("cents")).otherwise(0)).alias("r2"),
+    )
+    d = F.col("r2") - F.col("r1")
+    bridge = per.agg(
+        F.sum("r1").alias("rev_1995"),
+        F.sum("r2").alias("rev_1996"),
+        F.sum(F.when(F.col("r1") == 0, F.col("r2")).otherwise(0)).alias("new_rev"),
+        F.sum(F.when(F.col("r2") == 0, -F.col("r1")).otherwise(0)).alias("churned_rev"),
+        F.sum(
+            F.when((F.col("r1") > 0) & (F.col("r2") > 0) & (d > 0), d).otherwise(0)
+        ).alias("expansion_rev"),
+        F.sum(
+            F.when((F.col("r1") > 0) & (F.col("r2") > 0) & (d < 0), d).otherwise(0)
+        ).alias("contraction_rev"),
+        F.sum(F.when(F.col("r1") == 0, 1).otherwise(0)).cast("long").alias("n_new"),
+        F.sum(F.when(F.col("r2") == 0, 1).otherwise(0)).cast("long").alias("n_churned"),
+        F.sum(F.when((F.col("r1") > 0) & (F.col("r2") > 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_retained"),
+    )
+    cents2d = lambda c: F.round(  # noqa: E731
+        (F.col(c).cast("double") / F.lit(100.0)).cast("decimal(18,8)"), 2
+    ).cast("double")
+    return bridge.select(
+        cents2d("rev_1995").alias("rev_1995"),
+        cents2d("rev_1996").alias("rev_1996"),
+        cents2d("new_rev").alias("new_rev"),
+        cents2d("churned_rev").alias("churned_rev"),
+        cents2d("expansion_rev").alias("expansion_rev"),
+        cents2d("contraction_rev").alias("contraction_rev"),
+        "n_new",
+        "n_churned",
+        "n_retained",
+    )
+
+
+_REVENUE_BRIDGE_SQL = """
+WITH rb_o AS (
+  SELECT o_custkey, year(o_orderdate) AS yr,
+         round((o_totalprice * 100)::DECIMAL(18,8))::BIGINT AS cents
+  FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+),
+rb_p AS (
+  SELECT o_custkey,
+         sum(CASE WHEN yr = 1995 THEN cents ELSE 0 END) AS r1,
+         sum(CASE WHEN yr = 1996 THEN cents ELSE 0 END) AS r2
+  FROM rb_o GROUP BY 1
+),
+rb_b AS (
+  SELECT sum(r1) AS rev_1995, sum(r2) AS rev_1996,
+         sum(CASE WHEN r1 = 0 THEN r2 ELSE 0 END) AS new_rev,
+         sum(CASE WHEN r2 = 0 THEN -r1 ELSE 0 END) AS churned_rev,
+         sum(CASE WHEN r1 > 0 AND r2 > 0 AND r2 - r1 > 0 THEN r2 - r1 ELSE 0 END) AS expansion_rev,
+         sum(CASE WHEN r1 > 0 AND r2 > 0 AND r2 - r1 < 0 THEN r2 - r1 ELSE 0 END) AS contraction_rev,
+         sum(CASE WHEN r1 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_new,
+         sum(CASE WHEN r2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_churned,
+         sum(CASE WHEN r1 > 0 AND r2 > 0 THEN 1 ELSE 0 END)::BIGINT AS n_retained
+  FROM rb_p
+)
+SELECT round((rev_1995::DOUBLE / 100.0)::DECIMAL(18,8), 2)::DOUBLE AS rev_1995,
+       round((rev_1996::DOUBLE / 100.0)::DECIMAL(18,8), 2)::DOUBLE AS rev_1996,
+       round((new_rev::DOUBLE / 100.0)::DECIMAL(18,8), 2)::DOUBLE AS new_rev,
+       round((churned_rev::DOUBLE / 100.0)::DECIMAL(18,8), 2)::DOUBLE AS churned_rev,
+       round((expansion_rev::DOUBLE / 100.0)::DECIMAL(18,8), 2)::DOUBLE AS expansion_rev,
+       round((contraction_rev::DOUBLE / 100.0)::DECIMAL(18,8), 2)::DOUBLE AS contraction_rev,
+       n_new, n_churned, n_retained
+FROM rb_b
+"""
+
+
+QUERIES["revenue_bridge"] = q_revenue_bridge
+ORACLES["revenue_bridge"] = _REVENUE_BRIDGE_SQL
+
+
+# ---------------------------------------------------------------------------
+# ABC inventory classification — round 8
+# ---------------------------------------------------------------------------
+
+
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC classification of the part catalog by cumulative revenue
+    share — A-parts up to 80% of revenue, B to 95%, C the tail — the
+    Pareto screen inventory/assortment reviews start from (the
+    part-grain sibling of value_deciles' order-value curve).
+
+    Part-grain cumulative shares must never single-partition sort:
+    the running total rides ``ranks.global_cumsum`` (range partition +
+    broadcast prefix offsets — the entity-grain scale discipline) over
+    cents-exact int64 revenue, ordered (revenue desc, part) for a
+    total order. The class boundary compares exact integers
+    (100·cum ≥ 80·total), so bucketing is engine-identical; the
+    readout aggregates the |parts| frame down to three rows."""
+    from sparkprep.operators import ranks
+
+    li = t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    per = (
+        li.groupBy(F.col("l_partkey").alias("part"))
+        .agg(
+            F.round((F.sum(rev) * 100).cast("decimal(18,8)"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    cum = ranks.global_cumsum(
+        per,
+        [F.desc("cents"), F.asc("part")],
+        "cents",
+        cum_name="cum",
+        total_name="tot",
+    )
+    cls = cum.select(
+        "part",
+        "cents",
+        F.when(F.lit(100) * F.col("cum") <= F.lit(80) * F.col("tot"), "A")
+        .when(F.lit(100) * F.col("cum") <= F.lit(95) * F.col("tot"), "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return (
+        cls.groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.round(
+                (F.sum("cents").cast("double") / F.lit(100.0)).cast(
+                    "decimal(18,8)"
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("abc")
+    )
+
+
+_ABC_CLASSIFICATION_SQL = """
+WITH abc_p AS (
+  SELECT l_partkey AS part,
+         round((sum((l_extendedprice * (1.0 - l_discount))::DECIMAL(18,4))
+                * 100)::DECIMAL(18,8))::BIGINT AS cents
+  FROM lineitem GROUP BY 1
+),
+abc_c AS (
+  SELECT part, cents,
+         sum(cents) OVER (ORDER BY cents DESC, part
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cents) OVER () AS tot
+  FROM abc_p
+),
+abc_l AS (
+  SELECT part, cents,
+         CASE WHEN 100 * cum <= 80 * tot THEN 'A'
+              WHEN 100 * cum <= 95 * tot THEN 'B'
+              ELSE 'C' END AS abc
+  FROM abc_c
+)
+SELECT abc, count(*)::BIGINT AS n_parts,
+       round((sum(cents)::DOUBLE / 100.0)::DECIMAL(18,8), 2)::DOUBLE AS revenue
+FROM abc_l GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["abc_classification"] = q_abc_classification
+ORACLES["abc_classification"] = _ABC_CLASSIFICATION_SQL

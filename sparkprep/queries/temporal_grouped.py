@@ -3792,3 +3792,116 @@ ORDER BY 1, 2
 
 QUERIES["journey_distance"] = q_journey_distance
 ORACLES["journey_distance"] = _JOURNEY_DISTANCE_SQL
+
+
+# ---------------------------------------------------------------------------
+# cohort LTV curve — round 8
+# ---------------------------------------------------------------------------
+
+
+def q_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers cohorted by first-order
+    year, average CUMULATIVE revenue per customer at each cohort age —
+    the curve whose flattening says when a cohort stops paying back
+    (cohort_retention counts activity; this follows the money).
+
+    Every (customer, age) cell exists — a customer quiet in a year
+    still carries their prior cumulative value (the census trap naive
+    group-bys hit: averaging only active customers inflates the tail).
+    The dense grid is a row-local ``sequence`` explode bounded by the
+    order calendar (≤8 ages), never a join against a generated
+    calendar; cumulative sums are keyed (per customer) over exact
+    int64 cents; the horizon is a 1-row broadcast attach; the readout
+    averages per (cohort, age) with ONE exact-int division."""
+    tune_for_engine(spark)
+    from pyspark.sql.window import Window
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year(F.col("o_orderdate").cast("timestamp")).alias("yr"),
+        F.round((F.col("o_totalprice") * 100).cast("decimal(18,8)"))
+        .cast("long")
+        .alias("cents"),
+    )
+    yearly = orders.groupBy("o_custkey", "yr").agg(
+        F.sum("cents").alias("ycents")
+    )
+    firsts = yearly.groupBy("o_custkey").agg(F.min("yr").alias("cohort"))
+    horizon = orders.agg(F.max("yr").alias("max_yr"))
+    grid = (
+        firsts.crossJoin(F.broadcast(horizon))
+        .select(
+            "o_custkey",
+            "cohort",
+            F.explode(F.sequence(F.col("cohort"), F.col("max_yr"))).alias("yr"),
+        )
+    )
+    filled = grid.join(yearly, ["o_custkey", "yr"], "left").select(
+        "o_custkey",
+        "cohort",
+        (F.col("yr") - F.col("cohort")).alias("age"),
+        F.coalesce("ycents", F.lit(0)).alias("ycents"),
+    )
+    wc = (
+        Window.partitionBy("o_custkey")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = filled.select(
+        "cohort", "age", F.sum("ycents").over(wc).alias("cum")
+    )
+    return (
+        cum.groupBy("cohort", "age")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(
+                (
+                    F.sum("cum").cast("double")
+                    / (F.count(F.lit(1)) * 100).cast("double")
+                ).cast("decimal(18,8)"),
+                2,
+            )
+            .cast("double")
+            .alias("avg_cum_revenue"),
+        )
+        .orderBy("cohort", "age")
+    )
+
+
+_LTV_CURVE_SQL = """
+WITH lv_o AS (
+  SELECT o_custkey, year(o_orderdate) AS yr,
+         round((o_totalprice * 100)::DECIMAL(18,8))::BIGINT AS cents
+  FROM orders
+),
+lv_y AS (
+  SELECT o_custkey, yr, sum(cents) AS ycents FROM lv_o GROUP BY 1, 2
+),
+lv_f AS (SELECT o_custkey, min(yr) AS cohort FROM lv_y GROUP BY 1),
+lv_h AS (SELECT max(yr) AS max_yr FROM lv_o),
+lv_g AS (
+  SELECT f.o_custkey, f.cohort, u.yr
+  FROM lv_f f CROSS JOIN lv_h h,
+       UNNEST(range(f.cohort, h.max_yr + 1)) AS u(yr)
+),
+lv_fill AS (
+  SELECT g.o_custkey, g.cohort, g.yr - g.cohort AS age,
+         coalesce(y.ycents, 0) AS ycents
+  FROM lv_g g LEFT JOIN lv_y y ON g.o_custkey = y.o_custkey AND g.yr = y.yr
+),
+lv_c AS (
+  SELECT cohort, age,
+         sum(ycents) OVER (PARTITION BY o_custkey ORDER BY age
+                           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM lv_fill
+)
+SELECT cohort::BIGINT AS cohort, age::BIGINT AS age,
+       count(*)::BIGINT AS n_customers,
+       round((sum(cum)::DOUBLE / (count(*) * 100)::DOUBLE)::DECIMAL(18,8),
+             2)::DOUBLE AS avg_cum_revenue
+FROM lv_c GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+QUERIES["ltv_curve"] = q_ltv_curve
+ORACLES["ltv_curve"] = _LTV_CURVE_SQL

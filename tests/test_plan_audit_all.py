@@ -88,6 +88,7 @@ _TINY_BROADCAST_CROSS = {
     "budget_apportion",  # 1-row (N, k) totals attach to the per-source frame
     "journey_distance",  # 10-row journey panel broadcast self-join (45 pairs, fixed panel)
     "top_movers",        # 1-row period-totals frame attach to the per-brand frame
+    "ltv_curve",         # 1-row max-year horizon attach for the age grid
 }
 
 # the one deliberate Python-row-path showcase: a Python UDTF (SURVEY
@@ -169,6 +170,7 @@ _BOUNDED_GLOBAL_WINDOW = {
     "hybrid_rrf": "bounded top-k retrieval legs",
     "isotonic_fit": "<=50-row bin-prefix window (fixed integer bin grid; machine-visible via the _AUDIT_CHECKPOINT_FREE plan path)",
     "resample_interp": "SinglePartition is the 1-row grid-bounds scalar; the fill windows are event_type-KEYED over the calendar-span-bounded grid",
+    "ltv_curve": "SinglePartition is the 1-row max-year horizon scalar; the cumsum window is customer-KEYED over the <=8-age grid",
     "k_anonymity": "quasi-identifier cross-product frame (125 classes), bounded by QI domains not rows",
     "kendall_tau": "|X|x|Y| contingency grid (50x11), bounded by value domains not rows",
     "l_diversity": "same QI-class frame as k_anonymity",
@@ -201,6 +203,7 @@ _BOUNDED_GLOBAL_WINDOW = {
     "token_js": "two-scan vocab panel (vocab-grain, sublinear)",
     "user_migration": "per-period argmax frames + 1-row bounds attach",
     "value_deciles": "O(32) ranks.global_cumsum offsets frame only",
+    "abc_classification": "O(32) ranks.global_cumsum offsets frame only (part-grain cumsum distributed)",
     "vocab_growth": "O(32) offsets frames only (2 chained global_cumsum passes)",
     "vocab_coverage": "1-row folded coverage frames",
     "window_funnel": "per-step funnel frame (4 steps)",

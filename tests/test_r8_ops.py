@@ -932,3 +932,86 @@ def test_top_movers_matches_pandas_shares(spark, sf_dir):
     assert set(got_brands) <= set(want.index[: len(rows) + 3])
     for r in rows[:5]:
         assert r["share_shift_bps"] == pytest.approx(shift[r["brand"]], abs=0.02)
+
+
+# ---------------------------------------------------------------------------
+# revenue bridge
+# ---------------------------------------------------------------------------
+
+
+def test_revenue_bridge_telescopes(spark, sf_dir):
+    from sparkprep.queries import relational_ext as rx
+    from sparkprep.session import tune_for_engine
+
+    tune_for_engine(spark)
+    r = rx.q_revenue_bridge(spark, sf_dir).collect()[0]
+    delta = r["rev_1996"] - r["rev_1995"]
+    parts = (
+        r["new_rev"] + r["churned_rev"] + r["expansion_rev"] + r["contraction_rev"]
+    )
+    # the five components telescope exactly to the revenue delta
+    assert parts == pytest.approx(delta, abs=0.05)
+    assert r["new_rev"] >= 0 and r["expansion_rev"] >= 0
+    assert r["churned_rev"] <= 0 and r["contraction_rev"] <= 0
+    assert r["n_new"] > 0 and r["n_churned"] > 0 and r["n_retained"] > 0
+
+
+# ---------------------------------------------------------------------------
+# ABC classification
+# ---------------------------------------------------------------------------
+
+
+def test_abc_classification_matches_pandas_pareto(spark, sf_dir, lineitem_pd):
+    from sparkprep.queries import relational_ext as rx
+
+    rows = {r["abc"]: r for r in rx.q_abc_classification(spark, sf_dir).collect()}
+    per = (
+        (lineitem_pd["l_extendedprice"] * (1 - lineitem_pd["l_discount"]))
+        .groupby(lineitem_pd["l_partkey"])
+        .sum()
+        .mul(100)
+        .round()
+        .astype("int64")
+    )
+    per = per.sort_values(ascending=False)
+    # deterministic tie-break by part id within equal cents
+    per = per.iloc[np.lexsort((per.index.to_numpy(), -per.to_numpy()))]
+    cum = per.cumsum()
+    tot = per.sum()
+    cls = np.where(100 * cum <= 80 * tot, "A", np.where(100 * cum <= 95 * tot, "B", "C"))
+    want = pd.Series(cls, index=per.index)
+    for c in ("A", "B", "C"):
+        assert rows[c]["n_parts"] == int((want == c).sum())
+        assert rows[c]["revenue"] == pytest.approx(per[want == c].sum() / 100, abs=0.02)
+    # Pareto shape: A is few parts, most revenue
+    assert rows["A"]["n_parts"] < rows["C"]["n_parts"] or rows["A"]["revenue"] > rows["C"]["revenue"]
+
+
+# ---------------------------------------------------------------------------
+# LTV curve
+# ---------------------------------------------------------------------------
+
+
+def test_ltv_curve_monotone_and_census_complete(spark, sf_dir):
+    from sparkprep.queries import temporal_grouped as tg
+    from sparkprep.session import tune_for_engine
+
+    tune_for_engine(spark)
+    rows = tg.q_ltv_curve(spark, sf_dir).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort"], []).append(r)
+    orders = pd.read_parquet(os.path.join(sf_dir, "orders.parquet"))
+    yrs = orders["o_orderdate"].dt.year
+    max_yr = int(yrs.max())
+    firsts = yrs.groupby(orders["o_custkey"]).min()
+    for cohort, rs in by_cohort.items():
+        rs = sorted(rs, key=lambda r: r["age"])
+        # census completeness: every age row carries the WHOLE cohort
+        n = int((firsts == cohort).sum())
+        assert all(r["n_customers"] == n for r in rs)
+        # ages run 0..max_yr-cohort with no gaps
+        assert [r["age"] for r in rs] == list(range(max_yr - cohort + 1))
+        # cumulative value never decreases with age
+        vals = [r["avg_cum_revenue"] for r in rs]
+        assert all(b >= a - 1e-9 for a, b in zip(vals, vals[1:]))
