@@ -22,11 +22,15 @@ def _col(c) -> Column:
 def strip_trailing_percent(c) -> Column:
     """X1 — ``udf(lambda x: x.rstrip('%'))`` (loanStat.py:178-185).
 
-    ``rstrip`` removes ALL trailing '%' chars, not just one → ``%+$``.
+    ``rstrip`` removes ALL trailing '%' chars, not just one — and the
+    anchor must be ``\\z`` (absolute end of input), NOT ``$``: Java's
+    ``$`` also matches BEFORE a final line terminator, so ``'%\\n'``
+    would wrongly lose its ``%`` (hypothesis-found; Python's rstrip
+    treats the newline as the last char and strips nothing).
     Null-safe (regexp_replace passes nulls through; the reference UDF
     would have thrown on None and relied on upstream dropna).
     """
-    return F.regexp_replace(_col(c), "%+$", "")
+    return F.regexp_replace(_col(c), "%+\\z", "")
 
 
 def remove_all_percent(c) -> Column:
