@@ -309,3 +309,34 @@ def test_kmeans_int64_headroom(sfd):
         f"{sfd}: worst-case kmeans distance term {worst:.2e} is within "
         "1000x of int64 — switch the accumulators to DECIMAL(38,0)"
     )
+
+
+@pytest.mark.parametrize("sfd", _all_sf_dirs())
+def test_event_calendar_pins_round8_constants(sfd):
+    """group_sequential's look dates and capture_recapture's window cut
+    are calendar literals (Jan 2024): both queries stay well-defined if
+    the events calendar drifts (empty looks -> NULL on both engines),
+    but the ANALYSES silently degenerate. Pin the assumption: every
+    generation's event stream must straddle the mid-month cut and end
+    inside the final look."""
+    con = duckdb.connect()
+    lo, hi = con.execute(
+        f"SELECT min(ts), max(ts) FROM read_parquet('{sfd}/events.parquet')"
+    ).fetchone()
+    assert str(lo) >= "2024-01-01", f"{sfd}: events start {lo} before the look grid"
+    assert str(lo) < "2024-01-16" < str(hi), f"{sfd}: mid-month cut outside data"
+    assert str(hi) < "2024-01-31", f"{sfd}: events at {hi} spill past the final look"
+
+
+@pytest.mark.parametrize("sfd", _all_sf_dirs())
+def test_order_calendar_pins_round8_periods(sfd):
+    """growth_decomposition / top_movers / revenue_bridge compare 1995
+    vs 1996 and pit_snapshot probes 1995-1998: both full years must
+    exist in every generation's order calendar or the period panels
+    silently go one-sided."""
+    con = duckdb.connect()
+    lo, hi = con.execute(
+        f"SELECT min(o_orderdate), max(o_orderdate) FROM read_parquet('{sfd}/orders.parquet')"
+    ).fetchone()
+    assert str(lo) < "1995-01-02", f"{sfd}: orders start {lo} after 1995 opens"
+    assert str(hi) >= "1997-01-01", f"{sfd}: orders end {hi} before 1996 closes"
