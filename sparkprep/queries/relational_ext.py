@@ -2823,7 +2823,7 @@ def q_growth_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     q2 = F.col("q2").cast("double")
     p1 = F.try_divide(r1, q1)
     p2 = F.try_divide(r2, q2)
-    dec2 = lambda c: F.round(c.cast("decimal(18,8)"), 2).cast("double")  # noqa: E731
+    dec2 = lambda c: F.round(c.cast("decimal(38,8)"), 2).cast("double")  # noqa: E731
     return per.select(
         F.col("n_name").alias("nation"),
         dec2(r1).alias("rev_1995"),
@@ -2851,12 +2851,12 @@ WITH gd_per AS (
   GROUP BY 1
 )
 SELECT nation,
-       round((r1::DOUBLE)::DECIMAL(18,8), 2)::DOUBLE AS rev_1995,
-       round((r2::DOUBLE)::DECIMAL(18,8), 2)::DOUBLE AS rev_1996,
-       round((r2::DOUBLE - r1::DOUBLE)::DECIMAL(18,8), 2)::DOUBLE AS delta,
-       round(((q2::DOUBLE - q1::DOUBLE) * (r1::DOUBLE / q1::DOUBLE))::DECIMAL(18,8),
+       round((r1::DOUBLE)::DECIMAL(38,8), 2)::DOUBLE AS rev_1995,
+       round((r2::DOUBLE)::DECIMAL(38,8), 2)::DOUBLE AS rev_1996,
+       round((r2::DOUBLE - r1::DOUBLE)::DECIMAL(38,8), 2)::DOUBLE AS delta,
+       round(((q2::DOUBLE - q1::DOUBLE) * (r1::DOUBLE / q1::DOUBLE))::DECIMAL(38,8),
              2)::DOUBLE AS volume_effect,
-       round((q2::DOUBLE * (r2::DOUBLE / q2::DOUBLE - r1::DOUBLE / q1::DOUBLE))::DECIMAL(18,8),
+       round((q2::DOUBLE * (r2::DOUBLE / q2::DOUBLE - r1::DOUBLE / q1::DOUBLE))::DECIMAL(38,8),
              2)::DOUBLE AS price_effect
 FROM gd_per ORDER BY nation
 """
@@ -3014,10 +3014,10 @@ def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     shift_bps = (s2 - s1) * F.lit(10000.0)
     out = scored.select(
         F.col("p_brand").alias("brand"),
-        F.round(F.col("r1").cast("double").cast("decimal(18,8)"), 2)
+        F.round(F.col("r1").cast("double").cast("decimal(38,8)"), 2)
         .cast("double")
         .alias("rev_1995"),
-        F.round(F.col("r2").cast("double").cast("decimal(18,8)"), 2)
+        F.round(F.col("r2").cast("double").cast("decimal(38,8)"), 2)
         .cast("double")
         .alias("rev_1996"),
         shift_bps.alias("__shift"),
@@ -3052,8 +3052,8 @@ WITH tm_per AS (
 tm_tot AS (SELECT sum(r1) AS t1, sum(r2) AS t2 FROM tm_per),
 tm_s AS (
   SELECT brand,
-         round((r1::DOUBLE)::DECIMAL(18,8), 2)::DOUBLE AS rev_1995,
-         round((r2::DOUBLE)::DECIMAL(18,8), 2)::DOUBLE AS rev_1996,
+         round((r1::DOUBLE)::DECIMAL(38,8), 2)::DOUBLE AS rev_1995,
+         round((r2::DOUBLE)::DECIMAL(38,8), 2)::DOUBLE AS rev_1996,
          (r2::DOUBLE / t2::DOUBLE - r1::DOUBLE / t1::DOUBLE) * 10000.0 AS shift
   FROM tm_per CROSS JOIN tm_tot
 )
@@ -3112,7 +3112,9 @@ def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_retained"),
     )
     cents2d = lambda c: F.round(  # noqa: E731
-        (F.col(c).cast("double") / F.lit(100.0)).cast("decimal(18,8)"), 2
+        # DECIMAL(38,8): a year of revenue is ~1e10 dollars at sf0.1
+        # already — (18,8) overflows under ANSI (hit by abc at sf0.1)
+        (F.col(c).cast("double") / F.lit(100.0)).cast("decimal(38,8)"), 2
     ).cast("double")
     return bridge.select(
         cents2d("rev_1995").alias("rev_1995"),
@@ -3150,12 +3152,12 @@ rb_b AS (
          sum(CASE WHEN r1 > 0 AND r2 > 0 THEN 1 ELSE 0 END)::BIGINT AS n_retained
   FROM rb_p
 )
-SELECT round((rev_1995::DOUBLE / 100.0)::DECIMAL(18,8), 2)::DOUBLE AS rev_1995,
-       round((rev_1996::DOUBLE / 100.0)::DECIMAL(18,8), 2)::DOUBLE AS rev_1996,
-       round((new_rev::DOUBLE / 100.0)::DECIMAL(18,8), 2)::DOUBLE AS new_rev,
-       round((churned_rev::DOUBLE / 100.0)::DECIMAL(18,8), 2)::DOUBLE AS churned_rev,
-       round((expansion_rev::DOUBLE / 100.0)::DECIMAL(18,8), 2)::DOUBLE AS expansion_rev,
-       round((contraction_rev::DOUBLE / 100.0)::DECIMAL(18,8), 2)::DOUBLE AS contraction_rev,
+SELECT round((rev_1995::DOUBLE / 100.0)::DECIMAL(38,8), 2)::DOUBLE AS rev_1995,
+       round((rev_1996::DOUBLE / 100.0)::DECIMAL(38,8), 2)::DOUBLE AS rev_1996,
+       round((new_rev::DOUBLE / 100.0)::DECIMAL(38,8), 2)::DOUBLE AS new_rev,
+       round((churned_rev::DOUBLE / 100.0)::DECIMAL(38,8), 2)::DOUBLE AS churned_rev,
+       round((expansion_rev::DOUBLE / 100.0)::DECIMAL(38,8), 2)::DOUBLE AS expansion_rev,
+       round((contraction_rev::DOUBLE / 100.0)::DECIMAL(38,8), 2)::DOUBLE AS contraction_rev,
        n_new, n_churned, n_retained
 FROM rb_b
 """
@@ -3192,7 +3194,7 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = (
         li.groupBy(F.col("l_partkey").alias("part"))
         .agg(
-            F.round((F.sum(rev) * 100).cast("decimal(18,8)"))
+            F.round((F.sum(rev) * 100).cast("decimal(38,8)"))
             .cast("long")
             .alias("cents")
         )
@@ -3218,7 +3220,7 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_parts"),
             F.round(
                 (F.sum("cents").cast("double") / F.lit(100.0)).cast(
-                    "decimal(18,8)"
+                    "decimal(38,8)"
                 ),
                 2,
             )
@@ -3233,7 +3235,7 @@ _ABC_CLASSIFICATION_SQL = """
 WITH abc_p AS (
   SELECT l_partkey AS part,
          round((sum((l_extendedprice * (1.0 - l_discount))::DECIMAL(18,4))
-                * 100)::DECIMAL(18,8))::BIGINT AS cents
+                * 100)::DECIMAL(38,8))::BIGINT AS cents
   FROM lineitem GROUP BY 1
 ),
 abc_c AS (
@@ -3251,7 +3253,7 @@ abc_l AS (
   FROM abc_c
 )
 SELECT abc, count(*)::BIGINT AS n_parts,
-       round((sum(cents)::DOUBLE / 100.0)::DECIMAL(18,8), 2)::DOUBLE AS revenue
+       round((sum(cents)::DOUBLE / 100.0)::DECIMAL(38,8), 2)::DOUBLE AS revenue
 FROM abc_l GROUP BY 1 ORDER BY 1
 """
 
