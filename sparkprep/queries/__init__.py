@@ -308,6 +308,7 @@ _ROUND8_QUEUE = [
     "revenue_bridge",
     "abc_classification",
     "ltv_curve",
+    "pruning_sim",
 ]
 
 

@@ -1290,3 +1290,170 @@ ORACLES = {
         "sparkprep.queries.textops", fromlist=["_TOKEN_PACKING_SQL"]
     )._TOKEN_PACKING_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# data-skipping (min/max pruning) layout simulation — round 8
+# ---------------------------------------------------------------------------
+
+_PRUNE_FILES = 32
+_PRUNE_ZBITS = 12
+# 1995-01-01 as epoch days — the order-calendar floor, canary-pinned by
+# tests/test_headroom_canaries.py::test_order_calendar_pins_round8_periods
+_PRUNE_DAY0 = 9131
+# predicate panel: (label, day_lo, day_hi, pk_lo, pk_hi); None = no bound
+_PRUNE_PREDS = [
+    ("day:1996-03", 9556, 9587, None, None),
+    ("part:100-299", None, None, 100, 300),
+    ("day+part", 9556, 9587, 100, 300),
+]
+
+
+def q_pruning_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping simulation: how many of 32 files must a scan
+    touch under a LINEAR (ship-day-sorted) layout vs a Z-ORDER
+    (day × part Morton) layout, for a date predicate, a part
+    predicate, and their conjunction — the table that justifies
+    zorder_layout before anyone rewrites 100 TB: linear wins the
+    single-dimension date scan outright, z-order buys the second
+    dimension without fully giving up the first.
+
+    Both layouts assign files via ``ranks.global_ntile`` (range
+    partition + offsets — never a single-partition sort; bit-identical
+    to SQL ntile under the same total order); per-file min/max and the
+    overlap tests are exact integers, so the scan counts match DuckDB
+    file-for-file. Part keys fold into the Morton key's low 12 bits
+    (dense ids wrap past 4096 — locality is per-block, which is what
+    the simulation measures; day offsets from the canary-pinned
+    calendar floor stay well inside 12 bits)."""
+    from sparkprep.functions import zorder as zo
+    from sparkprep.operators import ranks
+
+    tune_for_engine(spark)
+    li = t(spark, sf_dir, "lineitem").select(
+        (
+            F.expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000")
+            - F.lit(_PRUNE_DAY0)
+        ).alias("day"),
+        F.col("l_partkey").alias("pk"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    mask = (1 << _PRUNE_ZBITS) - 1
+    keyed = li.select(
+        "day",
+        "pk",
+        "l_orderkey",
+        "l_linenumber",
+        zo.morton_key(
+            [
+                F.col("day").bitwiseAND(F.lit(mask)),
+                F.col("pk").bitwiseAND(F.lit(mask)),
+            ],
+            bits=_PRUNE_ZBITS,
+        ).alias("zkey"),
+    )
+
+    def layout_stats(label, order_exprs):
+        filed = ranks.global_ntile(
+            keyed, _PRUNE_FILES, order_exprs, bucket_name="file"
+        )
+        return filed.groupBy("file").agg(
+            F.lit(label).alias("layout"),
+            F.min("day").alias("d_lo"),
+            F.max("day").alias("d_hi"),
+            F.min("pk").alias("p_lo"),
+            F.max("pk").alias("p_hi"),
+        )
+
+    stats = layout_stats(
+        "linear_day",
+        [F.asc("day"), F.asc("pk"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+    ).unionByName(
+        layout_stats(
+            "zorder",
+            [F.asc("zkey"), F.asc("day"), F.asc("pk"), F.asc("l_orderkey"),
+             F.asc("l_linenumber")],
+        )
+    )
+    aggs = []
+    for label, dlo, dhi, plo, phi in _PRUNE_PREDS:
+        cond = F.lit(True)
+        if dlo is not None:
+            # day predicate is on RAW days; stats hold offset days
+            cond = cond & ~(
+                (F.col("d_hi") < dlo - _PRUNE_DAY0)
+                | (F.col("d_lo") >= dhi - _PRUNE_DAY0)
+            )
+        if plo is not None:
+            cond = cond & ~((F.col("p_hi") < plo) | (F.col("p_lo") >= phi))
+        aggs.append(F.sum(cond.cast("long")).alias(f"s{len(aggs)}"))
+    wide = stats.groupBy("layout").agg(*aggs)
+    stack_args = ", ".join(
+        f"'{_PRUNE_PREDS[i][0]}', s{i}" for i in range(len(_PRUNE_PREDS))
+    )
+    return (
+        wide.select(
+            "layout",
+            F.expr(
+                f"stack({len(_PRUNE_PREDS)}, {stack_args}) AS (predicate, files_scanned)"
+            ),
+        )
+        .select("layout", "predicate", F.col("files_scanned").cast("long").alias("files_scanned"))
+        .orderBy("layout", "predicate")
+    )
+
+
+def _pruning_sim_sql() -> str:
+    terms = []
+    for i in range(_PRUNE_ZBITS):
+        terms.append(f"((((day & {(1 << _PRUNE_ZBITS) - 1}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"((((pk & {(1 << _PRUNE_ZBITS) - 1}) >> {i}) & 1) << {2 * i + 1})")
+    morton = " + ".join(terms)
+    pred_rows = []
+    for label, dlo, dhi, plo, phi in _PRUNE_PREDS:
+        conds = []
+        if dlo is not None:
+            conds.append(
+                f"NOT (d_hi < {dlo - _PRUNE_DAY0} OR d_lo >= {dhi - _PRUNE_DAY0})"
+            )
+        if plo is not None:
+            conds.append(f"NOT (p_hi < {plo} OR p_lo >= {phi})")
+        pred_rows.append(
+            f"SELECT layout, '{label}' AS predicate, "
+            f"sum(({' AND '.join(conds)})::BIGINT)::BIGINT AS files_scanned "
+            "FROM ps_stats GROUP BY 1"
+        )
+    preds = "\nUNION ALL\n".join(pred_rows)
+    return f"""
+WITH ps_b AS (
+  SELECT epoch_us(l_shipdate) // 86400000000 - {_PRUNE_DAY0} AS day,
+         l_partkey AS pk, l_orderkey, l_linenumber
+  FROM lineitem
+),
+ps_k AS MATERIALIZED (
+  SELECT *, ({morton})::BIGINT AS zkey FROM ps_b
+),
+ps_f AS (
+  SELECT 'linear_day' AS layout,
+         ntile({_PRUNE_FILES}) OVER (ORDER BY day, pk, l_orderkey, l_linenumber) AS f,
+         day, pk
+  FROM ps_k
+  UNION ALL
+  SELECT 'zorder' AS layout,
+         ntile({_PRUNE_FILES}) OVER (ORDER BY zkey, day, pk, l_orderkey, l_linenumber) AS f,
+         day, pk
+  FROM ps_k
+),
+ps_stats AS MATERIALIZED (
+  SELECT layout, f, min(day) AS d_lo, max(day) AS d_hi,
+         min(pk) AS p_lo, max(pk) AS p_hi
+  FROM ps_f GROUP BY 1, 2
+)
+{preds}
+ORDER BY layout, predicate
+"""
+
+
+QUERIES["pruning_sim"] = q_pruning_sim
+ORACLES["pruning_sim"] = _pruning_sim_sql()

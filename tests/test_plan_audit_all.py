@@ -204,6 +204,7 @@ _BOUNDED_GLOBAL_WINDOW = {
     "user_migration": "per-period argmax frames + 1-row bounds attach",
     "value_deciles": "O(32) ranks.global_cumsum offsets frame only",
     "abc_classification": "O(32) ranks.global_cumsum offsets frame only (part-grain cumsum distributed)",
+    "pruning_sim": "O(32) ranks.global_ntile offsets frames only (two layout passes, file assignment distributed)",
     "vocab_growth": "O(32) offsets frames only (2 chained global_cumsum passes)",
     "vocab_coverage": "1-row folded coverage frames",
     "window_funnel": "per-step funnel frame (4 steps)",

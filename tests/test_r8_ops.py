@@ -1015,3 +1015,36 @@ def test_ltv_curve_monotone_and_census_complete(spark, sf_dir):
         # cumulative value never decreases with age
         vals = [r["avg_cum_revenue"] for r in rs]
         assert all(b >= a - 1e-9 for a, b in zip(vals, vals[1:]))
+
+
+# ---------------------------------------------------------------------------
+# pruning simulation
+# ---------------------------------------------------------------------------
+
+
+def test_pruning_sim_layout_tradeoff(spark, sf_dir):
+    from sparkprep.queries import scale_ops as so
+    from sparkprep.session import tune_for_engine
+
+    tune_for_engine(spark)
+    rows = {(r["layout"], r["predicate"]): r["files_scanned"]
+            for r in so.q_pruning_sim(spark, sf_dir).collect()}
+    F_ = so._PRUNE_FILES
+    # every count is within [0, 32]
+    assert all(0 <= v <= F_ for v in rows.values())
+    # the textbook trade-off: a day-sorted layout prunes the date scan
+    # (nearly) perfectly and the part scan not at all; z-order prunes
+    # BOTH dimensions partially
+    assert rows[("linear_day", "day:1996-03")] <= 3
+    assert rows[("linear_day", "part:100-299")] == F_
+    # z-order keeps real date locality at every scale; its PART-side
+    # pruning only materializes once ids densely fill the low bits
+    # (32/32 at sf0.001's ~200 sparse parts, 10/32 at sf0.01) — so the
+    # part-dimension claim is asserted only as "never worse"
+    assert rows[("zorder", "day:1996-03")] < F_
+    assert rows[("zorder", "part:100-299")] <= F_
+    # conjunctions never scan more than their weakest leg
+    for lay in ("linear_day", "zorder"):
+        assert rows[(lay, "day+part")] <= min(
+            rows[(lay, "day:1996-03")], rows[(lay, "part:100-299")]
+        )
