@@ -1640,13 +1640,16 @@ def q_copurchase_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_keys").alias("o"),
         )
     )
+    # per-part support is catalog grain (one row per part) — no forced
+    # broadcast; the support-filtered pair frame is the small side and
+    # AQE's runtime size check picks the build side
     joined = (
         pairs.join(
-            F.broadcast(supp.select(F.col("pk").alias("part_a"), F.col("s").alias("ra"))),
+            supp.select(F.col("pk").alias("part_a"), F.col("s").alias("ra")),
             "part_a",
         )
         .join(
-            F.broadcast(supp.select(F.col("pk").alias("part_b"), F.col("s").alias("rb"))),
+            supp.select(F.col("pk").alias("part_b"), F.col("s").alias("rb")),
             "part_b",
         )
     )

@@ -790,9 +790,11 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = nw.select(F.col("side_tok").alias("w1"), F.col("c_w").alias("__c1"))
     c2 = nw.select(F.col("side_tok").alias("w2"), F.col("c_w").alias("__c2"))
     scored = (
+        # unigram marginals are VOCAB grain (scale with corpus
+        # cardinality) — no forced broadcast; AQE picks the build side
         pair.filter(F.col("c_xy") >= 5)
-        .join(F.broadcast(c1), "w1")
-        .join(F.broadcast(c2), "w2")
+        .join(c1, "w1")
+        .join(c2, "w2")
         .select(
             "w1",
             "w2",

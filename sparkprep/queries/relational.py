@@ -605,7 +605,8 @@ def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo_rev = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
     total_rev = F.sum(rev)
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # part is unfiltered catalog grain — no forced broadcast
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
         .agg(
             F.round(
@@ -687,8 +688,9 @@ def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["l_partkey", "l_suppkey"])
     )
+    # supplier is unfiltered catalog grain — no forced broadcast
     return cheapest.join(
-        F.broadcast(supp), cheapest.l_suppkey == supp.s_suppkey
+        supp, cheapest.l_suppkey == supp.s_suppkey
     ).select("l_partkey", "l_suppkey", "s_name", "min_price")
 
 
@@ -1372,7 +1374,8 @@ def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        # part is unfiltered catalog grain — no forced broadcast
+        pairs.join(part, pairs.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -1501,7 +1504,8 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates()
     )
     return (
-        blamed.join(F.broadcast(supp), blamed.l_suppkey == supp.s_suppkey)
+        # supplier is unfiltered catalog grain — no forced broadcast
+        blamed.join(supp, blamed.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

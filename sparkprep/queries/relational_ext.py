@@ -220,8 +220,9 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__max_rev")
     )
     supp = t(spark, sf_dir, "supplier")
+    # broadcast the argmax row(s), never the SF-scaling supplier table
     return (
-        best.join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        F.broadcast(best).join(supp, best.l_suppkey == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -257,7 +258,9 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.avg("l_quantity") * 0.2).alias("qty_threshold")
     )
     return (
-        brand_li.join(F.broadcast(avg_qty), "l_partkey")
+        # avg_qty is per-part over the brand slice — SF-scaling; let
+        # AQE's runtime size check pick the build side
+        brand_li.join(avg_qty, "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             F.round(
@@ -355,8 +358,11 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("p_retailprice") * 0.1 * F.col("l_quantity")
     ).cast("decimal(18,4)")
     return (
+        # part is PROMO-pruned (sanctioned pre-filtered hint); supplier
+        # is unfiltered catalog grain (~1M rows at sf100) — no forced
+        # broadcast, AQE's runtime size check picks the build side
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(
@@ -2495,7 +2501,8 @@ def q_region_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     region = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
     per_nation = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer is unfiltered catalog grain — no forced broadcast
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -2808,7 +2815,8 @@ def q_growth_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .filter(F.col("yr").isin(1995, 1996))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        # customer is unfiltered catalog grain — no forced broadcast
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
     )
     per = joined.groupBy("n_name").agg(
@@ -2919,7 +2927,11 @@ def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp_c = op.groupBy(F.col("l_partkey").alias("pc")).agg(
         F.count(F.lit(1)).alias("sup_c")
     )
-    scored = triples.join(F.broadcast(supp_c), "pc")
+    # supp_c is CATALOG-grain (one row per part — ~20M at sf100): never
+    # force-broadcast an SF-scaling frame (VERDICT r8 #2). The triples
+    # side is support-filtered and small; leave the build-side choice
+    # to AQE's runtime size check, which broadcasts whichever side fits.
+    scored = triples.join(supp_c, "pc")
     conf = F.col("sup").cast("double") / F.col("sup_ab").cast("double")
     lift = (
         F.col("sup").cast("double") * F.lit(float(n_baskets))
@@ -2983,9 +2995,10 @@ def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per period is an exact-decimal revenue sum over the period total
     (ONE IEEE division each); the shift in basis points is a short
     identical float tree, so the |Δbps| ranking and the TakeOrdered
-    top-15 agree across engines. Brand dimension broadcast; one
-    conditional-sum fact aggregate; the 1-row period-totals frame is a
-    sanctioned broadcast attach."""
+    top-15 agree across engines. Brand dimension joined under AQE's
+    size check (part is unfiltered catalog grain); one conditional-sum
+    fact aggregate; the 1-row period-totals frame is a sanctioned
+    broadcast attach."""
     tune_for_engine(spark)
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders").select(
@@ -2999,7 +3012,8 @@ def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .filter(F.col("yr").isin(1995, 1996))
-        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        # part is unfiltered catalog grain — no forced broadcast
+        .join(part, li["l_partkey"] == part["p_partkey"])
     )
     per = joined.groupBy("p_brand").agg(
         F.sum(F.when(F.col("yr") == 1995, rev)).alias("r1"),

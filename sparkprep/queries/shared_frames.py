@@ -10,7 +10,8 @@ computed-once-artifact shape a 100 TB pipeline would persist anyway
 (VERDICT r7 item 4 measured the CC family 16.1s → 1.6s from this).
 
 Keyed by applicationId so a restarted session (dead RDD lineage) can
-never serve a stale frame; each cache holds at most one entry.
+never serve a stale frame; within one live session the cache keeps one
+entry per (name, sf_dir) — dead-session entries are evicted on miss.
 """
 
 from __future__ import annotations
@@ -29,14 +30,18 @@ def session_frame(
     expected to return a frame whose expensive subtree is truncated by
     a lazy ``localCheckpoint`` (so reuse is a leaf scan, and the first
     consumer's action materializes it)."""
-    key = (spark.sparkContext.applicationId, name, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, name, sf_dir)
     hit = _FRAMES.get(key)
     if hit is not None:
         return hit
     frame = build()
-    # evict other sf_dirs/sessions for this name: frames are per-run
-    # artifacts, not a cache that should grow
-    for k in [k for k in _FRAMES if k[1] == name]:
+    # evict only DEAD-session entries (different applicationId) for this
+    # name: a restarted session's RDD lineage is gone, but one live
+    # session alternating two sf_dirs (sf0.001 fixtures vs
+    # SPARKPREP_TEST_SF_DIR) keeps one frame per sf_dir instead of
+    # rebuilding the expensive subtree on every switch (ADVICE r8)
+    for k in [k for k in _FRAMES if k[1] == name and k[0] != app_id]:
         del _FRAMES[k]
     _FRAMES[key] = frame
     return frame

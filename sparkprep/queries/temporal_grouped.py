@@ -3524,14 +3524,15 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     per run, so a slower-mixing future generation shows up in the
     result rather than silently under-iterating.
 
-    The transition fit runs ONCE (checkpointed — both the 11-step and
-    final-step consumers read the leaf); every iteration is a
-    broadcast join over the |states|² matrix with the per-step
-    round(12) drift pin power_iteration documents."""
+    The transition fit runs ONCE (checkpointed — both the
+    ``_STATIONARY_STEPS - 1``-step and final-step consumers read the
+    leaf); every iteration is a broadcast join over the |states|²
+    matrix with the per-step round(12) drift pin power_iteration
+    documents."""
     tune_for_engine(spark)
     ev = t(spark, sf_dir, "events")
     # |states|² ≈ 25 rows: repartition the loop's working set to match
-    # its size BEFORE the 12 rounds (the BPE-loop discipline — tiny
+    # its size BEFORE the 6 rounds (the BPE-loop discipline — tiny
     # frames spread over 32 shuffle partitions pay ~0.3s/round in
     # multi-stage scheduling)
     trans = (

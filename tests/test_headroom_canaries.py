@@ -340,3 +340,8 @@ def test_order_calendar_pins_round8_periods(sfd):
     ).fetchone()
     assert str(lo) < "1995-01-02", f"{sfd}: orders start {lo} after 1995 opens"
     assert str(hi) >= "1997-01-01", f"{sfd}: orders end {hi} before 1996 closes"
+    # q_pruning_sim's Morton day offsets subtract _PRUNE_DAY0 =
+    # 1995-01-01: a generation whose calendar opens EARLIER would make
+    # day offsets negative and silently wrap the 12-bit z-order block
+    # assumption — pin the floor, not just the ceiling
+    assert str(lo) >= "1995-01-01", f"{sfd}: orders open {lo} before the pruning-sim day floor"
