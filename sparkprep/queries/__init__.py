@@ -335,13 +335,17 @@ def registry():
     # The correctness driver adjudicates the FIRST 50 registry entries
     # per round: never-verified names first (KeyError here = a priority
     # name was renamed without updating the rotation — fail loudly),
-    # then everything else in module order. Every query keeps local
-    # sf0.001 oracle coverage regardless (tests/test_entry_oracle.py).
-    # Safety net: any registered query absent from EVERY recorded
-    # CORRECTNESS_r*.json is auto-promoted behind the explicit list, so
-    # forgetting to extend the rotation can't strand a new query
-    # outside the adjudication window.
-    seen = _driver_verified_names()
+    # then everything else LEAST-RECENTLY-VERIFIED first (VERDICT r8
+    # #5: with all 339 queries adjudicated at least once, the window
+    # now re-confirms the stalest greens against the current testdata
+    # generation — r1 greens had gone seven regenerations unchecked).
+    # Every query keeps local sf0.001 oracle coverage regardless
+    # (tests/test_entry_oracle.py). Safety net: any registered query
+    # absent from EVERY recorded CORRECTNESS_r*.json is auto-promoted
+    # behind the explicit list, so forgetting to extend the rotation
+    # can't strand a new query outside the adjudication window.
+    last_round = _last_verified_round()
+    seen = set(last_round)
     # self-cleaning: names the driver has already adjudicated fall out of
     # the pinned list automatically, so a stale pin can't hold a window
     # slot that a never-verified query needs (round-3 failure mode)
@@ -350,29 +354,47 @@ def registry():
     priority += [n for n in _ROUND7_QUEUE if n not in seen and n not in priority]
     priority += [n for n in _ROUND8_QUEUE if n not in seen and n not in priority]
     priority += [n for n in merged_q if n not in seen and n not in priority]
-    queries: dict = {name: merged_q[name] for name in priority}
-    for name, fn in merged_q.items():
-        if name not in queries:
-            queries[name] = fn
+    # stale-first rotation for the already-verified remainder: sort by
+    # the LAST round each name was adjudicated (ascending — stable, so
+    # ties keep module-merge order and the rotation stays deterministic)
+    rest = sorted(
+        (n for n in merged_q if n not in priority),
+        key=lambda n: last_round.get(n, 0),
+    )
+    queries: dict = {name: merged_q[name] for name in (*priority, *rest)}
     return queries, oracles
 
 
-def _driver_verified_names() -> set:
-    """Union of query names across every CORRECTNESS_r*.json the driver
-    has recorded in the repo root (empty set if none readable)."""
+def _last_verified_round() -> dict:
+    """Map query name → LAST round it appears in a repo-root
+    CORRECTNESS_r*.json (empty dict if none readable). The round index
+    comes from the filename; unparsable names count as round 0 so a
+    stray file can only make a query look stale, never fresh."""
     import glob
     import json
+    import re
 
     # repo root = two levels above this file's PACKAGE directory
     # (sparkprep/queries/__init__.py → sparkprep/queries → sparkprep → repo)
     root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    names: set = set()
+    last: dict = {}
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
-                names.update(json.load(fh).keys())
+                names = json.load(fh).keys()
         except Exception:
             continue
-    return names
+        for n in names:
+            if last.get(n, -1) < rnd:
+                last[n] = rnd
+    return last
+
+
+def _driver_verified_names() -> set:
+    """Union of query names across every CORRECTNESS_r*.json the driver
+    has recorded in the repo root (empty set if none readable)."""
+    return set(_last_verified_round())
