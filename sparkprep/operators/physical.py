@@ -220,3 +220,117 @@ def clustering_summary(report: DataFrame) -> DataFrame:
         F.round(F.avg("span_frac"), 4).alias("avg_span_frac"),
         F.round(F.max("span_frac"), 4).alias("max_span_frac"),
     )
+
+
+def layout_advisor(
+    df: DataFrame,
+    cols: list[str],
+    predicates: list[tuple],
+    num_files: int = 32,
+    bits: int = 12,
+) -> dict:
+    """Adjudicate LINEAR-sort vs Z-ORDER layout for a table before
+    anyone rewrites 100 TB of it: simulate ``num_files`` files under
+    each candidate layout, collect per-file min/max zone maps over
+    ``cols``, evaluate every predicate in the panel against them, and
+    return per-layout expected file-scan rates + a recommendation —
+    the `q_pruning_sim` verdict promoted into the write path
+    (VERDICT r8 #6).
+
+    ``cols``: candidate layout dimensions, already non-negative ints
+    scaled into ``bits`` bits (rank/bucket upstream for doubles — the
+    same contract as :func:`sparkprep.functions.zorder.morton_key`).
+    ``predicates``: ``(label, {col: (lo, hi)})`` half-open ranges over
+    a subset of ``cols`` — use the REAL query panel; the advice is
+    only as good as the workload it scores.
+
+    Candidate layouts: one linear sort per leading column (remaining
+    cols as tiebreakers, the classic ORDER BY rewrite) and one Morton
+    z-order over all of ``cols``. File assignment uses
+    ``ranks.global_ntile`` (range partition + broadcast offsets —
+    never a single-partition sort), so the simulation itself scales to
+    the table it advises on; the per-file stats frame is
+    |layouts| x num_files rows, a bounded driver-side collect.
+
+    Returns ``{"recommended": layout, "table": [...], "per_layout":
+    {layout: avg_scan_frac}, "apply": {layout: fn(df) -> DataFrame}}``
+    where each ``apply`` fn re-lays a frame for writing (feed it to
+    ``writers.write_laid_out``).
+    """
+    from sparkprep.functions import zorder as zo
+    from sparkprep.operators import ranks
+
+    if not cols or not predicates:
+        raise ValueError("layout_advisor needs >=1 column and >=1 predicate")
+    mask = (1 << bits) - 1
+    keyed = df.withColumn(
+        "__zkey",
+        zo.morton_key(
+            [F.col(c).bitwiseAND(F.lit(mask)) for c in cols], bits=bits
+        ),
+    )
+
+    layouts: dict = {}
+    for lead in cols:
+        rest = [c for c in cols if c != lead]
+        layouts[f"linear:{lead}"] = [F.asc(lead), *[F.asc(c) for c in rest]]
+    layouts["zorder"] = [F.asc("__zkey"), *[F.asc(c) for c in cols]]
+
+    stats = None
+    for name, order_exprs in layouts.items():
+        filed = ranks.global_ntile(keyed, num_files, order_exprs, bucket_name="__file")
+        per = filed.groupBy("__file").agg(
+            F.lit(name).alias("__layout"),
+            *[F.min(c).alias(f"__{c}_lo") for c in cols],
+            *[F.max(c).alias(f"__{c}_hi") for c in cols],
+        )
+        stats = per if stats is None else stats.unionByName(per)
+
+    aggs = []
+    for i, (_, ranges) in enumerate(predicates):
+        cond = F.lit(True)
+        for c, (lo, hi) in ranges.items():
+            if c not in cols:
+                raise ValueError(f"predicate column {c!r} not in layout cols {cols}")
+            cond = cond & ~(
+                (F.col(f"__{c}_hi") < F.lit(lo)) | (F.col(f"__{c}_lo") >= F.lit(hi))
+            )
+        aggs.append(F.sum(cond.cast("long")).alias(f"__s{i}"))
+    wide = stats.groupBy("__layout").agg(*aggs).collect()  # |layouts| rows
+
+    table = []
+    per_layout: dict = {}
+    for row in wide:
+        scans = [int(row[f"__s{i}"]) for i in range(len(predicates))]
+        for (label, _), s in zip(predicates, scans):
+            table.append(
+                {
+                    "layout": row["__layout"],
+                    "predicate": label,
+                    "files_scanned": s,
+                    "scan_frac": round(s / num_files, 4),
+                }
+            )
+        per_layout[row["__layout"]] = round(
+            sum(scans) / (num_files * len(predicates)), 4
+        )
+    recommended = min(sorted(per_layout), key=per_layout.get)
+
+    def _apply_fn(name: str):
+        def apply(frame: DataFrame) -> DataFrame:
+            if name == "zorder":
+                return zo.zorder_layout(frame, cols, num_files, bits=bits)
+            lead = name.split(":", 1)[1]
+            rest = [c for c in cols if c != lead]
+            return frame.repartitionByRange(
+                num_files, lead, *rest
+            ).sortWithinPartitions(lead, *rest)
+
+        return apply
+
+    return {
+        "recommended": recommended,
+        "table": sorted(table, key=lambda r: (r["layout"], r["predicate"])),
+        "per_layout": per_layout,
+        "apply": {name: _apply_fn(name) for name in layouts},
+    }

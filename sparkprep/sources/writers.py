@@ -180,3 +180,27 @@ def bq_load_emulated(df: DataFrame, staging_dir: str, dataset: str, table: str) 
         f"{dataset}.{table} {out}/part-* {schema}"
     )
     return {"staging_path": out, "schema_string": schema, "command": cmd}
+
+
+def write_laid_out(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    predicates: list[tuple],
+    num_files: int = 32,
+    bits: int = 12,
+    mode: str = "overwrite",
+) -> dict:
+    """Advised layout write: run :func:`physical.layout_advisor` over
+    the frame against the caller's predicate panel, apply the winning
+    layout (linear sort or z-order — each output partition becomes one
+    file whose min/max zone maps match the simulation), and write
+    parquet. Returns the advisor verdict so callers can log WHY the
+    table is laid out the way it is — the decision record a 100 TB
+    rewrite should leave behind."""
+    from sparkprep.operators.physical import layout_advisor
+
+    advice = layout_advisor(df, cols, predicates, num_files=num_files, bits=bits)
+    laid = advice["apply"][advice["recommended"]](df)
+    laid.write.mode(mode).parquet(path)
+    return advice

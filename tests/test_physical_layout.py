@@ -131,3 +131,110 @@ def test_file_skipping_report_detects_clustered_layout(spark, sf_dir, tmp_path):
     r = rep_sort.collect()
     assert all(row.col_min <= row.col_max for row in r)
     assert sum(row.n_rows for row in r) == ev.count()
+
+
+# --- layout advisor (round 9): pruning_sim's verdict in the write path ----
+
+
+def _advisor_frame(spark):
+    # x sorted-friendly (16 dense sweeps of the domain), y an
+    # INDEPENDENT hash dimension: a linear x-sort clusters x perfectly
+    # and scatters y, and vice versa — the sorted-vs-hash tension
+    # z-order splits. (An earlier cut used (id*K) % 4096 for y, which
+    # is a fixed bijection of x mod 4096 — degenerate: every layout
+    # tied. xxhash64 breaks the dependence.)
+    return spark.range(65_536).select(
+        (F.col("id") % 4096).alias("x"),
+        F.pmod(F.xxhash64("id"), 4096).alias("y"),
+    )
+
+
+_PANEL = [
+    ("x:block", {"x": (1024, 1280)}),
+    ("y:block", {"y": (1024, 1280)}),
+    ("x&y", {"x": (1024, 1280), "y": (1024, 1280)}),
+]
+
+
+def test_layout_advisor_single_dim_prefers_linear(spark):
+    from sparkprep.operators.physical import layout_advisor
+
+    df = _advisor_frame(spark)
+    # x-only workload: the x-sorted linear layout must dominate
+    adv = layout_advisor(df, ["x", "y"], [_PANEL[0]], num_files=64)
+    by = {(r["layout"], r["predicate"]): r["files_scanned"] for r in adv["table"]}
+    assert adv["recommended"] == "linear:x"
+    assert by[("linear:x", "x:block")] <= 6  # 256/4096 of the range ≈ 4 files
+    assert by[("linear:y", "x:block")] == 64  # scatters x: scans everything
+
+
+def test_layout_advisor_mixed_panel_prefers_zorder(spark):
+    from sparkprep.operators.physical import layout_advisor
+
+    df = _advisor_frame(spark)
+    adv = layout_advisor(df, ["x", "y"], _PANEL, num_files=64)
+    assert adv["recommended"] == "zorder"
+    # z-order strictly beats each single-dimension sort on the mix
+    assert adv["per_layout"]["zorder"] < adv["per_layout"]["linear:x"]
+    assert adv["per_layout"]["zorder"] < adv["per_layout"]["linear:y"]
+    # and buys the second dimension without fully giving up the first:
+    # every predicate prunes most files under z-order (the 64 files
+    # tile z-space ~8x8, so a 256-wide band touches ~1 block column)
+    zrows = {r["predicate"]: r["files_scanned"] for r in adv["table"]
+             if r["layout"] == "zorder"}
+    assert zrows["x:block"] <= 20 and zrows["y:block"] <= 20
+    assert zrows["x&y"] <= 6
+
+
+def test_layout_advisor_apply_matches_simulation(spark, tmp_path):
+    # the written files' REAL min/max zone maps must reproduce the
+    # simulated scan counts (within the repartitionByRange sampler's
+    # boundary slack — the simulation assigns exact ntile boundaries,
+    # the writer samples them)
+    import duckdb
+
+    from sparkprep.sources.writers import write_laid_out
+
+    df = _advisor_frame(spark)
+    path = str(tmp_path / "laid")
+    adv = write_laid_out(df, path, ["x", "y"], _PANEL, num_files=64)
+    assert adv["recommended"] == "zorder"
+    sim = {
+        r["predicate"]: r["files_scanned"]
+        for r in adv["table"]
+        if r["layout"] == "zorder"
+    }
+    con = duckdb.connect()
+    n_files = con.execute(
+        f"SELECT count(DISTINCT filename) FROM read_parquet('{path}/*.parquet', filename=true)"
+    ).fetchone()[0]
+    assert n_files >= 32  # sampler may merge a few of the 64 ranges
+    real = {}
+    for label, ranges in _PANEL:
+        conds = " AND ".join(
+            f"NOT (hi_{c} < {lo} OR lo_{c} >= {hi})"
+            for c, (lo, hi) in ranges.items()
+        )
+        real[label] = con.execute(
+            "SELECT sum(hit::BIGINT) FROM ("
+            f"  SELECT ({conds}) AS hit FROM ("
+            "    SELECT filename, min(x) lo_x, max(x) hi_x,"
+            "           min(y) lo_y, max(y) hi_y"
+            f"   FROM read_parquet('{path}/*.parquet', filename=true)"
+            "    GROUP BY filename))"
+        ).fetchone()[0]
+    for label in sim:
+        # same pruning story: scans a small minority of files, within
+        # a few boundary files of the exact-ntile simulation
+        assert abs(real[label] - sim[label]) <= 6, (label, sim, real)
+        assert real[label] < n_files / 2
+
+
+def test_layout_advisor_validates_inputs(spark):
+    from sparkprep.operators.physical import layout_advisor
+
+    df = _advisor_frame(spark)
+    with pytest.raises(ValueError):
+        layout_advisor(df, [], _PANEL)
+    with pytest.raises(ValueError):
+        layout_advisor(df, ["x"], [("bad", {"z": (0, 1)})])
