@@ -3,8 +3,34 @@ the bench scale and report wall times + rows, to catch nonlinear cliffs
 (quadratic pair blowups, single-partition stages, interpreted-lambda
 hotspots) that sf0.1 is too small to expose.
 
-Usage: python scripts/scale_smoke.py [num_docs] [num_rows]
+Usage: python scripts/scale_smoke.py [core|revenue|graph|all] [args...]
+  core    [num_docs] [num_rows]   text/dedup/similarity panel (default)
+  revenue [rep] [price_mult]      DECIMAL(38,x) overflow panel: scaled
+                                  lineitem/orders (~rep*mult^2 x sf0.1
+                                  monetary mass) driven through the
+                                  REGISTERED revenue queries — the
+                                  failure class the sf0.01 driver can
+                                  NOT catch (abc_classification's
+                                  DECIMAL(18,8) overflow only surfaced
+                                  in the sf0.1 bench; this panel goes
+                                  1000x beyond that)
+  graph   [num_nodes] [num_edges] skewed power-law graph (hub degree
+                                  >> the co-purchase cap) through the
+                                  iterative graph family — validates
+                                  hub guards + per-round checkpoint
+                                  discipline at 10-50x bench edges
 Writes nothing to the repo; synthesizes under /tmp.
+
+Measured round 9 (local[32], idle host):
+  revenue panel (10x rows, 100x prices; total revenue 3.0e13):
+    all 13 registered revenue queries green, 1.1-5.1s each — no
+    DECIMAL overflow anywhere at 1000x the monetary mass that killed
+    the old (18,8) recast.
+  graph panel (1M nodes, 9.9M unique edges, hub degree 142,058):
+    pagerank(3) 63.7s, k_core(3) 20.8s, LPA(4) 47.9s, BFS(4) 27.7s,
+    triangle census 37.8s — every loop converges with bounded lineage;
+    the degree-oriented wedge join absorbs the 142k-degree hub (2,200x
+    past the co-purchase cap) without a quadratic cliff.
 """
 
 from __future__ import annotations
@@ -26,11 +52,21 @@ VOCAB = (
 ).split()
 
 
-def main() -> None:
-    num_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-    num_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
-    spark = build_session(app_name="scale-smoke")
-    spark.sparkContext.setLogLevel("ERROR")
+def _materialize(df) -> int:
+    # noop sink: full materialization; a bare count() would let
+    # Catalyst prune projections and fake instant "timings"
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
+def _bench(name, fn):
+    t0 = time.perf_counter()
+    n = fn()
+    dt = time.perf_counter() - t0
+    print(f"{name:32s} {dt:8.2f}s  rows={n if n >= 0 else 'n/a'}", flush=True)
+
+
+def core_panel(spark, num_docs: int, num_rows: int) -> None:
 
     # --- synthetic documents: ~120 tokens from a 30-word vocab ---------
     vocab = F.array(*[F.lit(w) for w in VOCAB])
@@ -456,6 +492,154 @@ def main() -> None:
     bench("HITS bipartite (2 rounds)", lambda: materialize(
         graph.hits_bipartite(baskets, "basket", "item", rounds=2)))
 
+
+# --- round-9 panel: DECIMAL(38,x) overflow / high monetary mass ----------
+# VERDICT r8 #1a: the sf0.01 driver pass can NOT catch aggregate-recast
+# overflow (abc_classification's DECIMAL(18,8) died in the sf0.1 bench,
+# not the driver). This panel synthesizes ~rep*mult x sf0.1 monetary
+# mass (default 10 x 100 = 1000x, yearly revenue ~4.4e12 vs the 1e10
+# bound where (18,x) overflows) and drives the REGISTERED revenue-family
+# queries end-to-end: any lingering narrow recast throws under ANSI.
+
+_REVENUE_QUERIES = [
+    "abc_classification",
+    "revenue_bridge",
+    "ltv_curve",
+    "growth_decomposition",
+    "gini_revenue",
+    "lorenz_curve",
+    "gini_scale",
+    "lorenz_scale",
+    "theil_index",
+    "revenue_concentration",
+    "top_movers",
+    "rfm_segments",
+    "market_share",
+]
+
+_BASE_SF = "/root/testdata/sf0.1"
+
+
+def _build_revenue_dir(spark, rep: int, mult: float) -> str:
+    sf = f"/tmp/scale_rev_sf_{rep}x{int(mult)}"
+    os.makedirs(sf, exist_ok=True)
+    for t_ in (
+        "region", "nation", "customer", "supplier", "part",
+        "events", "documents", "embeddings",
+    ):
+        dst = os.path.join(sf, f"{t_}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(_BASE_SF, f"{t_}.parquet"), dst)
+    dup = F.explode(F.sequence(F.lit(0), F.lit(rep - 1))).alias("__rep")
+    li = spark.read.parquet(f"{_BASE_SF}/lineitem.parquet").select("*", dup)
+    li.select(
+        # orderkey scaled consistently with orders so joins keep their
+        # fan-out; dates untouched so the 1995/1996 period panels hold
+        (F.col("l_orderkey") * rep + F.col("__rep")).alias("l_orderkey"),
+        "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        (F.col("l_extendedprice") * mult).alias("l_extendedprice"),
+        "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+    ).repartition(32).write.mode("overwrite").parquet(f"{sf}/lineitem.parquet")
+    o = spark.read.parquet(f"{_BASE_SF}/orders.parquet").select("*", dup)
+    o.select(
+        (F.col("o_orderkey") * rep + F.col("__rep")).alias("o_orderkey"),
+        "o_custkey", "o_orderstatus",
+        (F.col("o_totalprice") * mult).alias("o_totalprice"),
+        "o_orderdate", "o_orderpriority",
+    ).repartition(8).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+    return sf
+
+
+def revenue_panel(spark, rep: int = 10, mult: float = 100.0) -> None:
+    from sparkprep.queries import registry
+
+    queries, _ = registry()
+    sf = _build_revenue_dir(spark, rep, mult)
+    total = spark.read.parquet(f"{sf}/lineitem.parquet").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    ).collect()[0][0]
+    print(
+        f"--- revenue panel: {rep}x rows, {mult}x prices; total revenue "
+        f"{total:.3e} (sf0.1 base ~3.0e10) ---", flush=True,
+    )
+    for name in _REVENUE_QUERIES:
+        # run the REGISTERED query verbatim; collect is safe (every
+        # revenue query returns a bounded report frame)
+        _bench(name, lambda n=name: len(queries[n](spark, sf).collect()))
+
+
+# --- round-9 panel: skewed power-law graph ---------------------------------
+# VERDICT r8 #1b: the co-purchase graph's hub degree is capped at 64 by
+# construction, so sf0.1 never tests the hub guards. This panel draws
+# endpoints ~ floor(N * r^3) (heavy head: node 0's degree ~ E * N^(-1/3),
+# ~100k at the defaults — three orders past the cap) and drives the
+# iterative family with its per-round localCheckpoint discipline.
+
+
+def graph_panel(spark, num_nodes: int = 1_000_000, num_edges: int = 10_000_000) -> None:
+    from sparkprep.operators import graph
+
+    def endpoint(seed: int):
+        r = F.pmod(F.xxhash64(F.col("id") * 2 + seed), 1_000_000) / 1e6
+        return F.floor(F.lit(float(num_nodes)) * F.pow(r, F.lit(3.0))).cast("long")
+
+    raw = spark.range(num_edges).select(
+        endpoint(1).alias("a"), endpoint(2).alias("b")
+    ).filter("a != b")
+    edges = (
+        raw.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+        .repartition(64)
+    )
+    edges.write.mode("overwrite").parquet("/tmp/scale_graph_edges.parquet")
+    edges = spark.read.parquet("/tmp/scale_graph_edges.parquet")
+    n_e = edges.count()
+    hub = (
+        edges.select(F.explode(F.array("u", "v")).alias("n"))
+        .groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.max("d")).collect()[0][0]
+    )
+    print(
+        f"--- graph panel: {num_nodes:,} nodes, {n_e:,} unique edges, "
+        f"hub degree {hub:,} (co-purchase cap is 64) ---", flush=True,
+    )
+    directed = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    nodes = edges.select(F.explode(F.array("u", "v")).alias("node")).distinct()
+    _bench("pagerank (3 iters)", lambda: _materialize(
+        graph.pagerank(directed, nodes, iterations=3)))
+    _bench("k_core (k=3)", lambda: _materialize(
+        graph.k_core(edges, k=3, num_partitions=64)))
+    _bench("LPA communities (4 rounds)", lambda: _materialize(
+        graph.lpa_communities(edges, rounds=4, num_partitions=64)))
+    _bench("BFS hops (4 rounds)", lambda: _materialize(
+        graph.bfs_hops(edges, rounds=4, num_partitions=64)))
+    _bench("triangle census", lambda: _materialize(
+        graph.triangle_stats(
+            edges.select(F.col("u").alias("item_a"), F.col("v").alias("item_b"))
+        )))
+
+
+def main() -> None:
+    args = list(sys.argv[1:])
+    panel = "core"
+    if args and args[0] in ("core", "revenue", "graph", "all"):
+        panel = args.pop(0)
+    spark = build_session(app_name="scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    if panel in ("core", "all"):
+        num_docs = int(args[0]) if args else 100_000
+        num_rows = int(args[1]) if len(args) > 1 else 10_000_000
+        core_panel(spark, num_docs, num_rows)
+    if panel in ("revenue", "all"):
+        rep = int(args[0]) if panel == "revenue" and args else 10
+        mult = float(args[1]) if panel == "revenue" and len(args) > 1 else 100.0
+        revenue_panel(spark, rep, mult)
+    if panel in ("graph", "all"):
+        nn = int(args[0]) if panel == "graph" and args else 1_000_000
+        ne = int(args[1]) if panel == "graph" and len(args) > 1 else 10_000_000
+        graph_panel(spark, nn, ne)
     spark.stop()
 
 
