@@ -228,6 +228,7 @@ def layout_advisor(
     predicates: list[tuple],
     num_files: int = 32,
     bits: int = 12,
+    tiebreakers: list[str] | None = None,
 ) -> dict:
     """Adjudicate LINEAR-sort vs Z-ORDER layout for a table before
     anyone rewrites 100 TB of it: simulate ``num_files`` files under
@@ -243,6 +244,12 @@ def layout_advisor(
     ``predicates``: ``(label, {col: (lo, hi)})`` half-open ranges over
     a subset of ``cols`` — use the REAL query panel; the advice is
     only as good as the workload it scores.
+    ``tiebreakers``: extra columns appended to every layout's sort so
+    the total order (and therefore the file assignment) is
+    DETERMINISTIC — pass the table's key columns when the layout
+    dimensions alone don't uniquely order rows; required for the
+    scan counts to be engine-reproducible (the oracle contract the
+    ``layout_advice`` registry query relies on).
 
     Candidate layouts: one linear sort per leading column (remaining
     cols as tiebreakers, the classic ORDER BY rewrite) and one Morton
@@ -270,11 +277,12 @@ def layout_advisor(
         ),
     )
 
+    ties = [F.asc(c) for c in (tiebreakers or [])]
     layouts: dict = {}
     for lead in cols:
         rest = [c for c in cols if c != lead]
-        layouts[f"linear:{lead}"] = [F.asc(lead), *[F.asc(c) for c in rest]]
-    layouts["zorder"] = [F.asc("__zkey"), *[F.asc(c) for c in cols]]
+        layouts[f"linear:{lead}"] = [F.asc(lead), *[F.asc(c) for c in rest], *ties]
+    layouts["zorder"] = [F.asc("__zkey"), *[F.asc(c) for c in cols], *ties]
 
     stats = None
     for name, order_exprs in layouts.items():
@@ -300,6 +308,7 @@ def layout_advisor(
 
     table = []
     per_layout: dict = {}
+    totals: dict = {}
     for row in wide:
         scans = [int(row[f"__s{i}"]) for i in range(len(predicates))]
         for (label, _), s in zip(predicates, scans):
@@ -311,20 +320,26 @@ def layout_advisor(
                     "scan_frac": round(s / num_files, 4),
                 }
             )
+        totals[row["__layout"]] = sum(scans)
         per_layout[row["__layout"]] = round(
             sum(scans) / (num_files * len(predicates)), 4
         )
-    recommended = min(sorted(per_layout), key=per_layout.get)
+    # INTEGER argmin (total files scanned over the panel), ties to the
+    # lexicographically-smallest name — exact and oracle-replicable,
+    # unlike an argmin over the rounded display fractions
+    recommended = min(totals, key=lambda n: (totals[n], n))
+
+    tie_cols = list(tiebreakers or [])
 
     def _apply_fn(name: str):
         def apply(frame: DataFrame) -> DataFrame:
             if name == "zorder":
                 return zo.zorder_layout(frame, cols, num_files, bits=bits)
             lead = name.split(":", 1)[1]
-            rest = [c for c in cols if c != lead]
+            order = [lead, *[c for c in cols if c != lead], *tie_cols]
             return frame.repartitionByRange(
-                num_files, lead, *rest
-            ).sortWithinPartitions(lead, *rest)
+                num_files, *order
+            ).sortWithinPartitions(*order)
 
         return apply
 

@@ -1457,3 +1457,138 @@ ORDER BY layout, predicate
 
 QUERIES["pruning_sim"] = q_pruning_sim
 ORACLES["pruning_sim"] = _pruning_sim_sql()
+
+
+# ---------------------------------------------------------------------------
+# layout advisor adjudication — round 9
+# ---------------------------------------------------------------------------
+
+
+def q_layout_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive ``physical.layout_advisor`` itself through the driver:
+    the same lineitem (day, part) frame and predicate panel as
+    pruning_sim, but through the PROMOTED write-path operator
+    (VERDICT r8 #6) — three candidate layouts (linear per dimension +
+    z-order), per-layout files-scanned counts, and the integer-argmin
+    recommendation flag. pruning_sim adjudicates the inline
+    simulation; this adjudicates the operator users actually call
+    before a 100 TB rewrite, including its linear:pk candidate and
+    recommendation tie-break (total scans, then name).
+
+    Determinism contract: (l_orderkey, l_linenumber) tiebreakers make
+    every layout's sort a total order, so ``ranks.global_ntile`` file
+    assignment — and therefore each file's min/max zone maps and every
+    overlap count — is bit-identical to DuckDB's ntile. The advisor's
+    driver-side table is |layouts| x |preds| = 9 rows re-lifted via
+    createDataFrame (bounded, same class as the A6 scalar contract)."""
+    from sparkprep.operators.physical import layout_advisor
+
+    tune_for_engine(spark)
+    li = t(spark, sf_dir, "lineitem").select(
+        (
+            F.expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000")
+            - F.lit(_PRUNE_DAY0)
+        ).alias("day"),
+        F.col("l_partkey").alias("pk"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    preds = []
+    for label, dlo, dhi, plo, phi in _PRUNE_PREDS:
+        ranges = {}
+        if dlo is not None:
+            ranges["day"] = (dlo - _PRUNE_DAY0, dhi - _PRUNE_DAY0)
+        if plo is not None:
+            ranges["pk"] = (plo, phi)
+        preds.append((label, ranges))
+    adv = layout_advisor(
+        li,
+        ["day", "pk"],
+        preds,
+        num_files=_PRUNE_FILES,
+        bits=_PRUNE_ZBITS,
+        tiebreakers=["l_orderkey", "l_linenumber"],
+    )
+    rows = [
+        (
+            r["layout"],
+            r["predicate"],
+            r["files_scanned"],
+            1 if r["layout"] == adv["recommended"] else 0,
+        )
+        for r in adv["table"]
+    ]
+    out = spark.createDataFrame(
+        rows, "layout string, predicate string, files_scanned long, recommended long"
+    )
+    return out.orderBy("layout", "predicate")
+
+
+def _layout_advice_sql() -> str:
+    mask = (1 << _PRUNE_ZBITS) - 1
+    terms = []
+    for i in range(_PRUNE_ZBITS):
+        terms.append(f"((((day & {mask}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"((((pk & {mask}) >> {i}) & 1) << {2 * i + 1})")
+    morton = " + ".join(terms)
+    pred_rows = []
+    for label, dlo, dhi, plo, phi in _PRUNE_PREDS:
+        conds = []
+        if dlo is not None:
+            conds.append(
+                f"NOT (d_hi < {dlo - _PRUNE_DAY0} OR d_lo >= {dhi - _PRUNE_DAY0})"
+            )
+        if plo is not None:
+            conds.append(f"NOT (p_hi < {plo} OR p_lo >= {phi})")
+        pred_rows.append(
+            f"SELECT layout, '{label}' AS predicate, "
+            f"sum(({' AND '.join(conds)})::BIGINT)::BIGINT AS files_scanned "
+            "FROM la_stats GROUP BY 1"
+        )
+    preds = "\nUNION ALL\n".join(pred_rows)
+    return f"""
+WITH la_b AS (
+  SELECT epoch_us(l_shipdate) // 86400000000 - {_PRUNE_DAY0} AS day,
+         l_partkey AS pk, l_orderkey, l_linenumber
+  FROM lineitem
+),
+la_k AS MATERIALIZED (
+  SELECT *, ({morton})::BIGINT AS zkey FROM la_b
+),
+la_f AS (
+  SELECT 'linear:day' AS layout,
+         ntile({_PRUNE_FILES}) OVER (ORDER BY day, pk, l_orderkey, l_linenumber) AS f,
+         day, pk
+  FROM la_k
+  UNION ALL
+  SELECT 'linear:pk' AS layout,
+         ntile({_PRUNE_FILES}) OVER (ORDER BY pk, day, l_orderkey, l_linenumber) AS f,
+         day, pk
+  FROM la_k
+  UNION ALL
+  SELECT 'zorder' AS layout,
+         ntile({_PRUNE_FILES}) OVER (ORDER BY zkey, day, pk, l_orderkey, l_linenumber) AS f,
+         day, pk
+  FROM la_k
+),
+la_stats AS MATERIALIZED (
+  SELECT layout, f, min(day) AS d_lo, max(day) AS d_hi,
+         min(pk) AS p_lo, max(pk) AS p_hi
+  FROM la_f GROUP BY 1, 2
+),
+la_scans AS MATERIALIZED (
+{preds}
+),
+la_best AS (
+  SELECT layout FROM la_scans GROUP BY layout
+  ORDER BY sum(files_scanned), layout LIMIT 1
+)
+SELECT s.layout, s.predicate, s.files_scanned,
+       (s.layout = (SELECT layout FROM la_best))::BIGINT AS recommended
+FROM la_scans s
+ORDER BY s.layout, s.predicate
+"""
+
+
+QUERIES["layout_advice"] = q_layout_advice
+ORACLES["layout_advice"] = _layout_advice_sql()
