@@ -33,15 +33,34 @@ def _simple(df) -> str:
 _AUDIT_CHECKPOINT_FREE = {"isotonic_fit"}
 
 
+def _analyzed(df) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
+
+
 @pytest.fixture(scope="module")
-def all_plans(spark, sf_dir):
-    plans = {}
+def _built_frames(spark, sf_dir):
+    # ONE construction pass shared by both plan layers (several queries
+    # execute bounded jobs at build time — don't pay that twice)
+    out = {}
     for name, fn in QUERIES.items():
         if name in _AUDIT_CHECKPOINT_FREE:
-            plans[name] = _simple(fn(spark, sf_dir, checkpoint=False))
+            out[name] = fn(spark, sf_dir, checkpoint=False)
         else:
-            plans[name] = _simple(fn(spark, sf_dir))
-    return plans
+            out[name] = fn(spark, sf_dir)
+    return out
+
+
+@pytest.fixture(scope="module")
+def all_plans(_built_frames):
+    return {n: _simple(df) for n, df in _built_frames.items()}
+
+
+@pytest.fixture(scope="module")
+def analyzed_plans(_built_frames):
+    # analyzed (pre-optimizer) plans keep ResolvedHint nodes, which the
+    # physical plan absorbs — the only layer where a FORCED broadcast
+    # is distinguishable from one AQE chose by size
+    return {n: _analyzed(df) for n, df in _built_frames.items()}
 
 
 def test_no_cartesian_anywhere(all_plans):
@@ -250,3 +269,76 @@ def test_entity_grain_toggles_exist_and_are_named():
             f"{exact}'s docstring must name its 100x twin {twin} "
             "(the documented-toggle convention, like stats_extended)"
         )
+
+
+# --- forced-broadcast audit (round 9) --------------------------------------
+# VERDICT r8 #2: a F.broadcast hint on an SF-scaling catalog-grain frame
+# (part ~20M rows / supplier ~1M / customer ~15M at sf100) overrides
+# AQE's size check and OOMs the build side at scale. A hint is only
+# sanctioned on a frame the plan itself shows to be bounded: filtered,
+# aggregated, or limited. This audit walks each ResolvedHint subtree in
+# the ANALYZED plan (the physical plan absorbs hints, so it cannot
+# distinguish forced from AQE-chosen broadcasts).
+
+_CATALOG_KEYS = ("p_partkey", "s_suppkey", "c_custkey")
+_BOUNDING_NODES = ("Filter", "Aggregate", "GlobalLimit", "Join")
+
+
+def _node_depth(line: str) -> int:
+    i = 0
+    while i < len(line) and line[i] in " :+-":
+        i += 1
+    return i
+
+
+def _forced_catalog_broadcasts(analyzed: str) -> list:
+    lines = analyzed.splitlines()
+    hits = []
+    for i, line in enumerate(lines):
+        if "ResolvedHint" not in line:
+            continue
+        depth = _node_depth(line)
+        subtree = []
+        for nxt in lines[i + 1:]:
+            if _node_depth(nxt) <= depth:
+                break
+            subtree.append(nxt)
+        body = "\n".join(subtree)
+        raw_catalog = any(
+            k in rel for rel in subtree if "Relation" in rel for k in _CATALOG_KEYS
+        )
+        bounded = any(node in body for node in _BOUNDING_NODES)
+        if raw_catalog and not bounded:
+            hits.append(body.strip().splitlines()[0] if subtree else line)
+    return hits
+
+
+def test_no_forced_broadcast_of_unbounded_catalog_frames(analyzed_plans):
+    bad = {
+        n: hits
+        for n, p in analyzed_plans.items()
+        if (hits := _forced_catalog_broadcasts(p))
+    }
+    assert not bad, (
+        "forced broadcast of an unfiltered/unaggregated part|supplier|"
+        f"customer frame (OOMs at sf100): {bad} — drop the F.broadcast "
+        "hint (AQE picks the build side) or bound the frame first"
+    )
+
+
+def test_forced_broadcast_detector_not_vacuous(spark, sf_dir):
+    # the audit must actually fire on the regression class it guards
+    # against, and stay quiet on the two sanctioned hint shapes
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    bad = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    assert _forced_catalog_broadcasts(_analyzed(bad))
+    filtered = li.join(
+        F.broadcast(part.filter(F.col("p_type") == "PROMO")),
+        li.l_partkey == part.p_partkey,
+    )
+    assert not _forced_catalog_broadcasts(_analyzed(filtered))
+    agg = part.groupBy("p_brand").count()
+    assert not _forced_catalog_broadcasts(_analyzed(li.join(F.broadcast(agg), F.lit(True))))
