@@ -35,3 +35,21 @@ def test_readme_totals_match_registry():
     assert int(m.group(1)) == len(q)
     assert int(m.group(2)) == len(o)
     assert int(m.group(3)) == len(q) - len(o)
+
+
+def test_scale_smoke_revenue_panel_names_registered():
+    # the revenue overflow panel drives REGISTERED queries by name; a
+    # rename in the registry must fail here, not silently skip the
+    # overflow coverage (scripts/scale_smoke.py revenue)
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "scale_smoke", os.path.join(root, "scripts", "scale_smoke.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    q, _ = registry()
+    missing = sorted(set(mod._REVENUE_QUERIES) - set(q))
+    assert not missing, f"scale_smoke revenue panel names not in registry: {missing}"
