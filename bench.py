@@ -114,6 +114,16 @@ def main() -> None:
                 F.sum("l_quantity").alias("b"),
             )
         )
+
+        # Arrow/Python worker-daemon spin-up (~6s cold, measured):
+        # whichever rotation-ordered query first touches
+        # mapInPandas/pandas_udf otherwise absorbs it and shows a
+        # phantom cross-round regression (media_features 0.40s→1.33s
+        # after the round-9 rotation reshuffled the registry order)
+        def _id_batches(it):
+            yield from it
+
+        materialize(spark.range(8).mapInPandas(_id_batches, "id bigint"))
     except Exception as exc:  # noqa: BLE001
         print(f"bench: warm-up failed (continuing cold): {exc}", file=sys.stderr)
 
