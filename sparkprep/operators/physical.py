@@ -178,10 +178,10 @@ def file_skipping_report(df: DataFrame, col: str) -> DataFrame:
     empty after exchanges. One column-pruned scan, map-combined groupBy
     on file; the global range comes from windows over the per-FILE
     frame (|files| rows). A zero global range (constant column) yields
-    NULL span_frac via try_divide, not a divide error. The
-    footer-only variant (pyarrow metadata, no data scan) is the 100 TB
-    upgrade; this form needs no listing round-trip and prunes to one
-    column."""
+    NULL span_frac via try_divide, not a divide error.
+    :func:`footer_skipping_report` is the footer-only (pyarrow
+    metadata, no data scan) 100 TB upgrade; this form needs no listing
+    round-trip and prunes to one column."""
     from pyspark.sql.window import Window
 
     per = (
@@ -349,3 +349,84 @@ def layout_advisor(
         "per_layout": per_layout,
         "apply": {name: _apply_fn(name) for name in layouts},
     }
+
+
+def footer_skipping_report(spark, path: str, cols: list[str]) -> DataFrame:
+    """Zone-map report straight from parquet FOOTERS — the 100 TB form
+    of :func:`file_skipping_report`: per (file, row-group) n_rows and
+    min/max for each of ``cols``, read via pyarrow metadata only
+    (kilobytes per file), never a data scan. At a 100 TB table the
+    scan-based report reads everything once; this reads what the
+    query planner itself reads.
+
+    Distributed by FILE: the path listing is parallelized and each
+    partition opens only footers (pyarrow handles local and object-
+    store filesystems alike), so driver memory holds file PATHS, never
+    stats for all row groups. Files written by Spark are discovered
+    through the standard _(SUCCESS/…) filtering; pass a single .parquet
+    file or a directory.
+
+    Columns with no footer statistics (e.g. disabled stats) yield NULL
+    min/max — callers should treat NULL as "cannot prune", exactly as
+    a reader would. Integer-typed layout columns only (the
+    layout_advisor/morton_key contract); wider types would need
+    type-tagged stat columns.
+    """
+    import os as _os
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    if _os.path.isdir(path):
+        files = sorted(
+            _os.path.join(path, f)
+            for f in _os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    elif _os.path.isfile(path):
+        files = [path]
+    else:
+        files = []
+    if not files:
+        raise ValueError(f"no parquet files under {path!r}")
+
+    want = list(cols)
+
+    def read_footers(paths):
+        import pyarrow.parquet as pq
+
+        for p in paths:
+            md = pq.ParquetFile(p).metadata
+            name_to_idx = {
+                md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.num_columns)
+            } if md.num_row_groups else {}
+            missing = [c for c in want if c not in name_to_idx]
+            if missing:
+                raise ValueError(f"{p}: columns {missing} not in footer schema")
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                row = [p.rsplit("/", 1)[-1], g, rg.num_rows]
+                for c in want:
+                    st = rg.column(name_to_idx[c]).statistics
+                    if st is not None and st.has_min_max:
+                        row.extend([int(st.min), int(st.max)])
+                    else:
+                        row.extend([None, None])
+                yield row
+
+    fields = [
+        StructField("file", StringType(), False),
+        StructField("row_group", LongType(), False),
+        StructField("n_rows", LongType(), False),
+    ]
+    for c in want:
+        fields.append(StructField(f"{c}_min", LongType(), True))
+        fields.append(StructField(f"{c}_max", LongType(), True))
+    schema = StructType(fields)
+    rdd = spark.sparkContext.parallelize(files, max(1, min(len(files), 64)))
+    return spark.createDataFrame(rdd.mapPartitions(read_footers), schema)

@@ -238,3 +238,48 @@ def test_layout_advisor_validates_inputs(spark):
         layout_advisor(df, [], _PANEL)
     with pytest.raises(ValueError):
         layout_advisor(df, ["x"], [("bad", {"z": (0, 1)})])
+
+
+def test_footer_skipping_report_matches_scan_report(spark, tmp_path):
+    # footer-only zone maps must agree with the ground truth computed
+    # by actually scanning the data (DuckDB per-file min/max)
+    import duckdb
+
+    from sparkprep.operators.physical import footer_skipping_report
+    from sparkprep.sources.writers import write_laid_out
+
+    df = _advisor_frame(spark)
+    path = str(tmp_path / "laid_f")
+    write_laid_out(df, path, ["x", "y"], _PANEL, num_files=16)
+    rep = footer_skipping_report(spark, path, ["x", "y"]).toPandas()
+    assert (rep["n_rows"] > 0).all()
+    con = duckdb.connect()
+    truth = con.execute(
+        "SELECT regexp_extract(filename, '[^/]+$') AS file,"
+        "       count(*) AS n, min(x) x_lo, max(x) x_hi,"
+        "       min(y) y_lo, max(y) y_hi"
+        f" FROM read_parquet('{path}/*.parquet', filename=true) GROUP BY 1"
+    ).fetchdf().set_index("file")
+    # one row group per file at this size: fold footer rows per file
+    folded = rep.groupby("file").agg(
+        n=("n_rows", "sum"), x_lo=("x_min", "min"), x_hi=("x_max", "max"),
+        y_lo=("y_min", "min"), y_hi=("y_max", "max"))
+    assert set(folded.index) == set(truth.index)
+    for f in folded.index:
+        assert folded.loc[f, "n"] == truth.loc[f, "n"]
+        assert folded.loc[f, "x_lo"] == truth.loc[f, "x_lo"]
+        assert folded.loc[f, "x_hi"] == truth.loc[f, "x_hi"]
+        assert folded.loc[f, "y_lo"] == truth.loc[f, "y_lo"]
+        assert folded.loc[f, "y_hi"] == truth.loc[f, "y_hi"]
+
+
+def test_footer_skipping_report_validates(spark, tmp_path):
+    from sparkprep.operators.physical import footer_skipping_report
+
+    with pytest.raises(ValueError):
+        footer_skipping_report(spark, str(tmp_path / "empty_dir_nothing"), ["x"])
+    df = _advisor_frame(spark).limit(100)
+    p = str(tmp_path / "one")
+    df.coalesce(1).write.parquet(p)
+    with pytest.raises(Exception, match="not in footer schema"):
+        footer_skipping_report(spark, p, ["zzz"]).collect()
