@@ -31,6 +31,16 @@ Measured round 9 (local[32], idle host):
     triangle census 37.8s — every loop converges with bounded lineage;
     the degree-oriented wedge join absorbs the 142k-degree hub (2,200x
     past the co-purchase cap) without a quadratic cliff.
+  longdoc panel (1,000 docs x 50,000 tokens, ~270 KB/doc):
+    all 8 width-sensitive text/dedup ops green, 1.0-10.9s — per-row
+    width scales linearly (minhash over 50M shingles 10.9s).
+  widevec panel (50,000 vecs x 1024 dims):
+    FOUND a cliff: semantic_dedup's arrow engine verified candidate
+    pairs through interpreted 1024-element dot folds — 187s. Fixed by
+    folding each (cluster, sig) bucket into one array row and GEMM-ing
+    it in a scalar Arrow pandas_udf (ships each vector once, pair
+    fan-out never crosses the JVM->Python boundary): 23.3s same panel.
+    cosine top-k arrow beats native on 5x the corpus.
 """
 
 from __future__ import annotations
@@ -621,10 +631,108 @@ def graph_panel(spark, num_nodes: int = 1_000_000, num_edges: int = 10_000_000) 
         )))
 
 
+# --- round-9 panel: per-ROW width (long documents) -------------------------
+# sf* documents average ~100 tokens, so nothing at bench scale tests
+# per-row state width: 350 KB strings through the regex-heavy gates,
+# 50k-element token arrays through HOF lambdas, 50k shingles exploding
+# PER DOC. This is the third scale axis (rows, groups, now row WIDTH).
+
+
+def longdoc_panel(spark, num_docs: int = 1_000, tokens_per_doc: int = 50_000) -> None:
+    from sparkprep.operators import dedup, text
+
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    tok = spark.range(num_docs * tokens_per_doc).select(
+        (F.col("id") % num_docs).alias("doc_id"),
+        F.element_at(
+            vocab, (F.pmod(F.xxhash64("id"), 30) + 1).cast("int")
+        ).alias("tok"),
+    )
+    # fold natively (no per-element lambdas; token order within a doc is
+    # irrelevant to every op below) — collect_list partials map-side
+    docs = tok.groupBy("doc_id").agg(F.concat_ws(" ", F.collect_list("tok")).alias("text"))
+    docs.repartition(32).write.mode("overwrite").parquet("/tmp/scale_longdocs.parquet")
+    docs = spark.read.parquet("/tmp/scale_longdocs.parquet")
+    avg_b = docs.select(F.avg(F.length("text"))).collect()[0][0]
+    print(
+        f"--- longdoc panel: {num_docs:,} docs x {tokens_per_doc:,} tokens "
+        f"(~{avg_b / 1024:.0f} KB/doc; bench docs are ~100 tokens) ---",
+        flush=True,
+    )
+    _bench("text stats (wide rows)", lambda: _materialize(docs.select(
+        text.token_count("text"), text.char_count("text"))))
+    _bench("gopher gate (350KB regexes)", lambda: _materialize(
+        text.gopher_quality_flags(docs, "text").select("doc_id", "pass")))
+    _bench("char entropy", lambda: _materialize(
+        text.add_char_entropy(docs, "text").select("doc_id", "char_entropy")))
+    _bench("chunking (512-tok windows)", lambda: _materialize(
+        text.chunk_documents(docs, "text", "doc_id", width=512, stride=512)))
+    _bench("span dedup (512-tok chunks)", lambda: _materialize(
+        text.dedup_spans(docs, "text", "doc_id", width=512)
+        .select("doc_id", "n_chunks", "n_kept")))
+    _bench("minhash signatures (50k shingles/doc)", lambda: _materialize(
+        dedup.minhash_signatures(docs, "text", "doc_id")))
+    _bench("simhash (50k tokens/doc)", lambda: _materialize(
+        dedup.simhash(docs, "text", "doc_id")))
+    _bench("unigram LM score", lambda: _materialize(
+        text.unigram_lm_score(docs, "text", "doc_id")))
+
+
+# --- round-9 panel: per-VECTOR width (high-dim embeddings) ------------------
+# The embeddings table is 64-dim; interpreted HOF lambdas cost ~1µs per
+# ELEMENT (CLAUDE.md), so a 1024-dim corpus multiplies every native
+# vector op by 16x and is where the Arrow twins earn their keep. The
+# panel prints native vs Arrow on the same data so the crossover is a
+# recorded number, not folklore.
+
+
+def widevec_panel(spark, num_vecs: int = 50_000, dims: int = 1_024) -> None:
+    from sparkprep.operators import quantize, similarity
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for b in batches:
+            ids = b["id"].to_numpy()
+            grid = (ids[:, None] * 2654435761 + np.arange(dims)[None, :] * 97) % 1000
+            arr = grid / 500.0 - 1.0
+            yield pd.DataFrame({"vec_id": ids, "embedding": list(arr)})
+
+    vecs = (
+        spark.range(num_vecs)
+        .repartition(32)
+        .mapInPandas(gen, "vec_id long, embedding array<double>")
+    )
+    vecs.write.mode("overwrite").parquet("/tmp/scale_widevecs.parquet")
+    vecs = spark.read.parquet("/tmp/scale_widevecs.parquet")
+    print(
+        f"--- widevec panel: {num_vecs:,} vecs x {dims} dims "
+        f"(bench embeddings are 64-dim) ---", flush=True,
+    )
+    native_slice = vecs.filter(F.col("vec_id") < num_vecs // 5)
+    _bench(f"quantize fidelity NATIVE ({num_vecs // 5 // 1000}k)", lambda: _materialize(
+        quantize.reconstruction_stats(native_slice, "embedding").select(
+            "vec_id", "mean_abs_err", "cos_fidelity")))
+    queries = vecs.filter(F.col("vec_id") < 3)
+    _bench("cosine top-k NATIVE (3 queries)", lambda: _materialize(
+        similarity.cosine_topk_native(native_slice, queries)))
+    qv = {int(r["vec_id"]): list(r["embedding"]) for r in queries.collect()}
+    _bench("cosine top-k ARROW (3 queries, 5x corpus)", lambda: _materialize(
+        similarity.cosine_topk_arrow(vecs, qv)))
+    import math
+
+    planes = max(8, math.ceil(math.log2(max(num_vecs, 1) / (8 * 25))))
+    _bench(f"semantic dedup ARROW (8x2^{planes})", lambda: _materialize(
+        similarity.semantic_dedup(vecs, dim=dims, num_planes=planes, engine="arrow")))
+    _bench("matryoshka stats (k=64)", lambda: _materialize(
+        quantize.matryoshka_stats(vecs, "embedding", k=64)))
+
+
 def main() -> None:
     args = list(sys.argv[1:])
     panel = "core"
-    if args and args[0] in ("core", "revenue", "graph", "all"):
+    if args and args[0] in ("core", "revenue", "graph", "longdoc", "widevec", "all"):
         panel = args.pop(0)
     spark = build_session(app_name="scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
@@ -640,6 +748,14 @@ def main() -> None:
         nn = int(args[0]) if panel == "graph" and args else 1_000_000
         ne = int(args[1]) if panel == "graph" and len(args) > 1 else 10_000_000
         graph_panel(spark, nn, ne)
+    if panel in ("longdoc", "all"):
+        nd = int(args[0]) if panel == "longdoc" and args else 1_000
+        tpd = int(args[1]) if panel == "longdoc" and len(args) > 1 else 50_000
+        longdoc_panel(spark, nd, tpd)
+    if panel in ("widevec", "all"):
+        nv = int(args[0]) if panel == "widevec" and args else 50_000
+        dims = int(args[1]) if panel == "widevec" and len(args) > 1 else 1_024
+        widevec_panel(spark, nv, dims)
     spark.stop()
 
 

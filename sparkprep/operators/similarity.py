@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import numpy as np
+import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -651,8 +652,14 @@ def semantic_dedup(
     (unit vectors, signature, centroid argmax) as one numpy GEMM over
     Arrow batches — the 100 TB path (interpreted HOF folds are the cost
     center; 20.1s native vs 16.0s arrow at 500k vectors, and the gap
-    grows with num_clusters + num_planes). The join skeleton is identical;
-    results agree except on ~1e-16 argmax/rounding ties (see
+    grows with num_clusters + num_planes) — AND the verify stage: each
+    (cluster, sig) bucket folds into one ordered array row and a scalar
+    Arrow pandas_udf GEMMs it block-wise, so every vector crosses the
+    JVM→Python boundary once and the per-pair dot never runs
+    interpreted (187s → 23s measured at 50k x 1024-dim vectors,
+    scripts/scale_smoke.py widevec). Results agree with native except
+    on ~1e-16 argmax/rounding ties (np.round is half-even, F.round
+    half-up — same documented tolerance class; see
     test_semantic_dedup_arrow_agrees_with_native).
     """
     rng = np.random.RandomState(seed)
@@ -671,24 +678,77 @@ def semantic_dedup(
     # interpreted dot-folds per row execute three times (28s -> 22s
     # measured at 500k vectors, 12 planes)
     assigned = assigned.localCheckpoint(eager=False)
-    a = assigned.select(
-        F.col("cluster"), F.col("__sig"),
-        F.col(id_col).alias("__id_a"), F.col("__unit").alias("__va"),
-    )
-    b = assigned.select(
-        F.col("cluster"), F.col("__sig"),
-        F.col(id_col).alias("__id_b"), F.col("__unit").alias("__vb"),
-    )
-    # Rounded-then-compared cosine: boundary-stable across engines
-    # (identical double rounding on both sides of the oracle).
-    dropped = (
-        a.join(b, ["cluster", "__sig"])
-        .filter(F.col("__id_a") < F.col("__id_b"))
-        .filter(F.round(dot_native(F.col("__va"), F.col("__vb")), round_to) >= tau)
-        .select(F.col("__id_b").alias(id_col))
-        .distinct()
-        .withColumn("__dropped", F.lit(True))
-    )
+    if engine == "arrow":
+        # Verify stage, scale path: the native pair filter evaluates an
+        # interpreted 1024-element dot fold PER CANDIDATE PAIR (1.2e9
+        # element-evals = 187s measured at 50k x 1024d in the widevec
+        # panel). Instead fold each (cluster, sig) bucket into ONE
+        # ordered array row (ships each vector once — pair fan-out
+        # never crosses the JVM->Python boundary) and GEMM the bucket
+        # in a scalar Arrow pandas_udf: one groupBy, no per-group
+        # applyInPandas overhead (the croston 1.4ms/group trap).
+        from pyspark.sql.functions import pandas_udf
+
+        tau_ = float(tau)
+        round_ = int(round_to)
+
+        @pandas_udf("array<long>")
+        def _bucket_dropped(buckets: pd.Series) -> pd.Series:
+            out = []
+            for bucket in buckets:
+                n = len(bucket)
+                if n < 2:
+                    out.append([])
+                    continue
+                ids = np.asarray([r["i"] for r in bucket], dtype=np.int64)
+                mat = np.asarray([np.asarray(r["u"]) for r in bucket])
+                dropped_pos: set = set()
+                # block the GEMM so a pathological giant bucket bounds
+                # memory at (block x n) instead of n^2
+                for lo in range(0, n, 256):
+                    hi = min(lo + 256, n)
+                    sims = np.round(mat[lo:hi] @ mat.T, round_)
+                    rows, cols = np.nonzero(sims >= tau_)
+                    keep = (rows + lo) < cols  # id_a < id_b (ids sorted)
+                    dropped_pos.update(cols[keep].tolist())
+                out.append(ids[sorted(dropped_pos)].tolist())
+            return pd.Series(out)
+
+        folded = assigned.groupBy("cluster", "__sig").agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(id_col).alias("i"), F.col("__unit").alias("u")
+                    )
+                )
+            ).alias("__bucket")
+        )
+        dropped = (
+            folded.select(F.explode(_bucket_dropped("__bucket")).alias(id_col))
+            .distinct()
+            .withColumn("__dropped", F.lit(True))
+        )
+    else:
+        a = assigned.select(
+            F.col("cluster"), F.col("__sig"),
+            F.col(id_col).alias("__id_a"), F.col("__unit").alias("__va"),
+        )
+        b = assigned.select(
+            F.col("cluster"), F.col("__sig"),
+            F.col(id_col).alias("__id_b"), F.col("__unit").alias("__vb"),
+        )
+        # Rounded-then-compared cosine: boundary-stable across engines
+        # (identical double rounding on both sides of the oracle).
+        dropped = (
+            a.join(b, ["cluster", "__sig"])
+            .filter(F.col("__id_a") < F.col("__id_b"))
+            .filter(
+                F.round(dot_native(F.col("__va"), F.col("__vb")), round_to) >= tau
+            )
+            .select(F.col("__id_b").alias(id_col))
+            .distinct()
+            .withColumn("__dropped", F.lit(True))
+        )
     return (
         assigned.join(dropped, id_col, "left")
         .select(
