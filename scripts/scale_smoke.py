@@ -40,7 +40,10 @@ Measured round 9 (local[32], idle host):
     folding each (cluster, sig) bucket into one array row and GEMM-ing
     it in a scalar Arrow pandas_udf (ships each vector once, pair
     fan-out never crosses the JVM->Python boundary): 23.3s same panel.
-    cosine top-k arrow beats native on 5x the corpus.
+    Same fix applied to embedding_near_dup_pairs/mutual_nn_pairs
+    (engine='arrow'): mutual NN 10k x 1024d 57.4s native -> 12.4s
+    arrow; 50k full corpus 66.4s. cosine top-k arrow beats native on
+    5x the corpus.
 """
 
 from __future__ import annotations
@@ -727,6 +730,14 @@ def widevec_panel(spark, num_vecs: int = 50_000, dims: int = 1_024) -> None:
         similarity.semantic_dedup(vecs, dim=dims, num_planes=planes, engine="arrow")))
     _bench("matryoshka stats (k=64)", lambda: _materialize(
         quantize.matryoshka_stats(vecs, "embedding", k=64)))
+    slice_planes = max(8, math.ceil(math.log2(max(num_vecs // 5, 1) / 25)))
+    _bench(f"mutual NN NATIVE (2^{slice_planes}, 1/5 corpus)", lambda: _materialize(
+        similarity.mutual_nn_pairs(
+            native_slice, num_planes=slice_planes, dim=dims)))
+    nn_planes = max(8, math.ceil(math.log2(max(num_vecs, 1) / 25)))
+    _bench(f"mutual NN ARROW (2^{nn_planes}, 5x corpus)", lambda: _materialize(
+        similarity.mutual_nn_pairs(
+            vecs, num_planes=nn_planes, dim=dims, engine="arrow")))
 
 
 def main() -> None:

@@ -413,12 +413,29 @@ def embedding_near_dup_pairs(
     dim: int = 64,
     seed: int = 42,
     round_to: int = 4,
+    engine: str = "native",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold)
     via hyperplane-bucket self-join: vectors with cosine ~1 almost always
-    share all sign bits, so the exact check runs only within buckets."""
+    share all sign bits, so the exact check runs only within buckets.
+
+    ``engine='native'`` is the bit-reproducible oracle path.
+    ``engine='arrow'`` is the wide-vector scale path (semantic_dedup's
+    shape): signature + unit come from one GEMM per Arrow batch, and
+    each signature bucket folds into ONE ordered array row whose pair
+    cosines a scalar Arrow pandas_udf GEMMs block-wise — every vector
+    crosses the JVM→Python boundary once; the per-pair dot never runs
+    interpreted (the 1µs/element HOF cost makes 1024-dim pair folds the
+    dominant term: mutual NN at 10k x 1024d measured 57.4s native →
+    see scale_smoke widevec). Differences vs native are the documented
+    ~1e-16 tolerance class (GEMM vs left-fold summation on near-zero
+    plane projections; np.round half-even vs F.round half-up)."""
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(num_planes, dim))
+    if engine == "arrow":
+        return _near_dup_pairs_arrow(
+            emb_df, id_col, vec_col, float(threshold), planes, int(round_to)
+        )
     # Normalize ONCE per vector (materialized alongside the signature),
     # so the per-pair work is a single dot product instead of
     # dot + 2 norms — interpreted higher-order lambdas are the cost
@@ -459,6 +476,85 @@ def embedding_near_dup_pairs(
             F.round(dot_native(F.col("__va"), F.col("__vb")), round_to).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _near_dup_pairs_arrow(
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    planes: np.ndarray,
+    round_to: int,
+) -> DataFrame:
+    """Arrow twin of the near-dup bucket self-join (see
+    embedding_near_dup_pairs docstring). Zero-norm vectors get NaN
+    units → NaN pair cosine → fails every >= threshold, matching the
+    native NULL-cosine semantics."""
+    from pyspark.sql.functions import pandas_udf
+
+    pmat = planes.T
+    bits = np.power(2.0, np.arange(planes.shape[0]))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                unit = mat / norms  # 0-norm rows → NaN units
+            sig = (((mat @ pmat) >= 0) @ bits).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "__unit": list(unit),
+                    "__sig": sig,
+                }
+            )
+
+    sig_df = emb_df.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, __unit array<double>, __sig long"
+    )
+
+    @pandas_udf("array<struct<a: bigint, b: bigint, c: double>>")
+    def _bucket_pairs(buckets: pd.Series) -> pd.Series:
+        out = []
+        for bucket in buckets:
+            n = len(bucket)
+            if n < 2:
+                out.append([])
+                continue
+            ids = np.asarray([r["i"] for r in bucket], dtype=np.int64)
+            mat = np.asarray([np.asarray(r["u"]) for r in bucket])
+            rows_out = []
+            # block the GEMM: a pathological giant bucket costs
+            # (256 x n) memory, never n^2
+            for lo in range(0, n, 256):
+                hi = min(lo + 256, n)
+                with np.errstate(invalid="ignore"):
+                    sims = np.round(mat[lo:hi] @ mat.T, round_to)
+                    rr, cc = np.nonzero(sims >= threshold)
+                keep = (rr + lo) < cc  # id_a < id_b (ids sorted)
+                for r_, c_ in zip((rr[keep] + lo).tolist(), cc[keep].tolist()):
+                    rows_out.append(
+                        {"a": int(ids[r_]), "b": int(ids[c_]), "c": float(sims[r_ - lo, c_])}
+                    )
+            out.append(rows_out)
+        return pd.Series(out)
+
+    folded = sig_df.groupBy("__sig").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("__unit").alias("u")))
+        ).alias("__bucket")
+    )
+    return (
+        folded.select(F.explode(_bucket_pairs("__bucket")).alias("__p"))
+        .select(
+            F.col("__p.a").alias("id_a"),
+            F.col("__p.b").alias("id_b"),
+            F.col("__p.c").alias("cosine"),
+        )
     )
 
 
@@ -767,6 +863,7 @@ def mutual_nn_pairs(
     dim: int = 64,
     seed: int = 42,
     round_to: int = 4,
+    engine: str = "native",
 ) -> DataFrame:
     """Reciprocal (mutual) nearest-neighbor pairs within hyperplane
     LSH buckets — the canonical-pair picker for dedup merge queues: a
@@ -789,6 +886,7 @@ def mutual_nn_pairs(
     pairs = embedding_near_dup_pairs(
         emb_df, id_col, vec_col, threshold=-1.0,
         num_planes=num_planes, dim=dim, seed=seed, round_to=round_to,
+        engine=engine,
     )
     directed = pairs.select(
         F.explode(

@@ -366,3 +366,50 @@ def test_cc_family_shares_one_labels_frame(spark, sf_dir):
     rows_fresh = sorted(map(tuple, fresh.collect()))
     rows_shared = sorted(map(tuple, shared.collect()))
     assert rows_fresh == rows_shared
+
+
+def test_near_dup_pairs_arrow_agrees_with_native(spark, sf_dir):
+    import os
+
+    from sparkprep.operators.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    kw = dict(threshold=-1.0, num_planes=6)
+    nat = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(emb, engine="native", **kw).collect()
+    }
+    arr = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(emb, engine="arrow", **kw).collect()
+    }
+    assert nat == arr
+
+
+def test_mutual_nn_arrow_agrees_with_native(spark, sf_dir):
+    import os
+
+    from sparkprep.operators.similarity import mutual_nn_pairs
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    nat = sorted(map(tuple, mutual_nn_pairs(emb, engine="native").collect()))
+    arr = sorted(map(tuple, mutual_nn_pairs(emb, engine="arrow").collect()))
+    assert nat == arr
+
+
+def test_near_dup_pairs_arrow_drops_zero_norm(spark):
+    from sparkprep.operators.similarity import embedding_near_dup_pairs
+
+    rows = [(0, [0.0] * 8), (1, [1.0] * 8), (2, [1.0] * 8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_near_dup_pairs(
+        df, threshold=-1.0, num_planes=2, dim=8, engine="arrow"
+    ).collect()
+    # the zero-norm vector's NaN cosine fails every threshold — same
+    # as the native NULL-cosine semantics
+    assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
+    assert out[0].cosine == 1.0
