@@ -34,16 +34,17 @@ Measured round 9 (local[32], idle host):
   longdoc panel (1,000 docs x 50,000 tokens, ~270 KB/doc):
     all 8 width-sensitive text/dedup ops green, 1.0-10.9s — per-row
     width scales linearly (minhash over 50M shingles 10.9s).
-  widevec panel (50,000 vecs x 1024 dims):
+  widevec panel (50,000 vecs x 1024 dims; clean idle run):
     FOUND a cliff: semantic_dedup's arrow engine verified candidate
     pairs through interpreted 1024-element dot folds — 187s. Fixed by
     folding each (cluster, sig) bucket into one array row and GEMM-ing
     it in a scalar Arrow pandas_udf (ships each vector once, pair
-    fan-out never crosses the JVM->Python boundary): 23.3s same panel.
+    fan-out never crosses the JVM->Python boundary): 8.9s same panel.
     Same fix applied to embedding_near_dup_pairs/mutual_nn_pairs
-    (engine='arrow'): mutual NN 10k x 1024d 57.4s native -> 12.4s
-    arrow; 50k full corpus 66.4s. cosine top-k arrow beats native on
-    5x the corpus.
+    (engine='arrow'): mutual NN native 77.6s on 1/5 corpus vs arrow
+    79.1s on the FULL corpus (~5x per-row). quantize fidelity arrow
+    6.3s on 5x the native slice's corpus (~3x per-row); cosine top-k
+    arrow 1.1s on 5x corpus vs native 2.6s on the slice.
 """
 
 from __future__ import annotations
@@ -716,6 +717,9 @@ def widevec_panel(spark, num_vecs: int = 50_000, dims: int = 1_024) -> None:
     native_slice = vecs.filter(F.col("vec_id") < num_vecs // 5)
     _bench(f"quantize fidelity NATIVE ({num_vecs // 5 // 1000}k)", lambda: _materialize(
         quantize.reconstruction_stats(native_slice, "embedding").select(
+            "vec_id", "mean_abs_err", "cos_fidelity")))
+    _bench("quantize fidelity ARROW (5x corpus)", lambda: _materialize(
+        quantize.reconstruction_stats_arrow(vecs, "vec_id", "embedding").select(
             "vec_id", "mean_abs_err", "cos_fidelity")))
     queries = vecs.filter(F.col("vec_id") < 3)
     _bench("cosine top-k NATIVE (3 queries)", lambda: _materialize(

@@ -413,3 +413,47 @@ def test_near_dup_pairs_arrow_drops_zero_norm(spark):
     # as the native NULL-cosine semantics
     assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
     assert out[0].cosine == 1.0
+
+
+def test_reconstruction_stats_arrow_agrees_with_native(spark, sf_dir):
+    import math
+    import os
+
+    from sparkprep.operators.quantize import (
+        reconstruction_stats,
+        reconstruction_stats_arrow,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    nat = {
+        r["vec_id"]: r
+        for r in reconstruction_stats(emb, "embedding").select(
+            "vec_id", "q_min", "q_max", "codes", "mean_abs_err", "cos_fidelity"
+        ).collect()
+    }
+    arr = {
+        r["vec_id"]: r
+        for r in reconstruction_stats_arrow(emb, "vec_id", "embedding").collect()
+    }
+    assert set(nat) == set(arr)
+    for k in nat:
+        a, b = nat[k], arr[k]
+        assert a["codes"] == b["codes"], k  # integer codes: bit-exact
+        assert a["q_min"] == b["q_min"] and a["q_max"] == b["q_max"], k
+        assert math.isclose(a["mean_abs_err"], b["mean_abs_err"], abs_tol=1e-12), k
+        assert math.isclose(a["cos_fidelity"], b["cos_fidelity"], abs_tol=1e-12), k
+
+
+def test_reconstruction_stats_arrow_zero_vector(spark):
+    from sparkprep.operators.quantize import reconstruction_stats_arrow
+
+    df = spark.createDataFrame(
+        [(0, [0.0] * 4), (1, [1.0, 2.0, 3.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in reconstruction_stats_arrow(df, "vec_id", "embedding").collect()}
+    assert rows[0]["cos_fidelity"] is None  # NaN -> NULL, native parity
+    assert rows[0]["codes"] == [0, 0, 0, 0]
+    assert rows[1]["cos_fidelity"] > 0.999
