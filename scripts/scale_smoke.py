@@ -31,6 +31,10 @@ Measured round 9 (local[32], idle host):
     triangle census 37.8s — every loop converges with bounded lineage;
     the degree-oriented wedge join absorbs the 142k-degree hub (2,200x
     past the co-purchase cap) without a quadratic cliff.
+  graph panel at 3x (2M nodes, 29.7M unique edges, hub degree 303,612):
+    pagerank(3) 98.9s, k_core 46.3s, LPA(4) 98.6s, BFS(4) 58.1s,
+    triangles 122.2s — 1.5-3.2x for 3x edges: linear-family scaling,
+    the hub guards hold at 4,700x past the co-purchase cap.
   longdoc panel (1,000 docs x 50,000 tokens, ~270 KB/doc):
     all 8 width-sensitive text/dedup ops green, 1.0-10.9s — per-row
     width scales linearly (minhash over 50M shingles 10.9s).
