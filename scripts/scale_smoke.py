@@ -48,7 +48,9 @@ Measured round 9 (local[32], idle host):
     (engine='arrow'): mutual NN native 77.6s on 1/5 corpus vs arrow
     79.1s on the FULL corpus (~5x per-row). quantize fidelity arrow
     6.3s on 5x the native slice's corpus (~3x per-row); cosine top-k
-    arrow 1.1s on 5x corpus vs native 2.6s on the slice.
+    arrow 1.1s on 5x corpus vs native 2.6s on the slice. ann_lsh
+    (corpus signature GEMM'd arrow-side, (id, sig) joined back so
+    vectors never round-trip Python): 38.6s native -> 18.7s arrow.
 """
 
 from __future__ import annotations
@@ -746,6 +748,14 @@ def widevec_panel(spark, num_vecs: int = 50_000, dims: int = 1_024) -> None:
     _bench(f"mutual NN ARROW (2^{nn_planes}, 5x corpus)", lambda: _materialize(
         similarity.mutual_nn_pairs(
             vecs, num_planes=nn_planes, dim=dims, engine="arrow")))
+    q20 = vecs.filter(F.col("vec_id") < 20)
+    _bench(f"ann_lsh NATIVE (20q, 2^{nn_planes}, 4 probes)", lambda: _materialize(
+        similarity.ann_lsh_topk(
+            vecs, q20, num_planes=nn_planes, dim=dims, num_probes=4)))
+    _bench("ann_lsh ARROW (same panel)", lambda: _materialize(
+        similarity.ann_lsh_topk(
+            vecs, q20, num_planes=nn_planes, dim=dims, num_probes=4,
+            engine="arrow")))
 
 
 def main() -> None:

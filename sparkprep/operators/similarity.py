@@ -215,6 +215,7 @@ def ann_lsh_topk(
     seed: int = 42,
     round_to: int = 4,
     num_probes: int = 1,
+    engine: str = "native",
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane bucket join, exact cosine
     rerank only inside the probed buckets.
@@ -231,17 +232,46 @@ def ann_lsh_topk(
     Multi-probe recovers the near-boundary recall single-probe loses
     WITHOUT touching the corpus side: only the (tiny, broadcast)
     query side explodes.
+
+    ``engine='arrow'`` vectorizes the CORPUS signature (the wide-vector
+    cost center: num_planes x dims interpreted evals per row — 38.6s
+    at 50k x 1024-dim measured) as one GEMM per Arrow batch emitting
+    only (id, sig); the vectors themselves never cross the JVM→Python
+    boundary — the signature joins back to the corpus by id. The
+    rerank (probed buckets only) and query side stay native: both are
+    panel-bounded.
     """
     from pyspark.sql.window import Window
 
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(num_planes, dim))
 
-    c = emb_df.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        hyperplane_signature(F.col(vec_col), planes).alias("__sig"),
-    )
+    if engine == "arrow":
+        pmat = planes.T
+        bits = np.power(2.0, np.arange(num_planes))
+
+        def corpus_sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+                sig = (((mat @ pmat) >= 0) @ bits).astype(np.int64)
+                yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "__sig": sig})
+
+        sigs = emb_df.select(id_col, vec_col).mapInPandas(
+            corpus_sig, f"{id_col} long, __sig long"
+        )
+        c = emb_df.select(
+            F.col(id_col), F.col(vec_col).alias("__cv")
+        ).join(sigs, id_col).select(
+            F.col(id_col).alias("neighbor_id"), "__cv", "__sig"
+        )
+    else:
+        c = emb_df.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            hyperplane_signature(F.col(vec_col), planes).alias("__sig"),
+        )
     # dots materialized in their own projection, signature + probe set
     # derived from the column (not the expression) — HOF re-eval trap
     q_stage = query_df.select(

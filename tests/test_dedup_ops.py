@@ -457,3 +457,20 @@ def test_reconstruction_stats_arrow_zero_vector(spark):
     assert rows[0]["cos_fidelity"] is None  # NaN -> NULL, native parity
     assert rows[0]["codes"] == [0, 0, 0, 0]
     assert rows[1]["cos_fidelity"] > 0.999
+
+
+def test_ann_lsh_arrow_agrees_with_native(spark, sf_dir):
+    import os
+
+    from sparkprep.operators.similarity import ann_lsh_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    from pyspark.sql import functions as F
+
+    q = emb.filter(F.col("vec_id") < 5)
+    kw = dict(k=3, num_planes=6, num_probes=3)
+    nat = sorted(map(tuple, ann_lsh_topk(emb, q, engine="native", **kw).collect()))
+    arr = sorted(map(tuple, ann_lsh_topk(emb, q, engine="arrow", **kw).collect()))
+    assert nat == arr
