@@ -51,6 +51,10 @@ Measured round 9 (local[32], idle host):
     arrow 1.1s on 5x corpus vs native 2.6s on the slice. ann_lsh
     (corpus signature GEMM'd arrow-side, (id, sig) joined back so
     vectors never round-trip Python): 38.6s native -> 18.7s arrow.
+    ann_ivf (corpus cell assignment GEMM argmax, same shape): 58.3s
+    native -> 29.9s arrow (residual = probe-bounded native rerank).
+    negative_pairs needs NO twin: vectors only move for the <=k*n
+    survivors by design — 12.0s at the same width.
 """
 
 from __future__ import annotations
@@ -756,6 +760,14 @@ def widevec_panel(spark, num_vecs: int = 50_000, dims: int = 1_024) -> None:
         similarity.ann_lsh_topk(
             vecs, q20, num_planes=nn_planes, dim=dims, num_probes=4,
             engine="arrow")))
+    _bench("ann_ivf NATIVE (20q, 32 cells)", lambda: _materialize(
+        similarity.ann_ivf_topk(vecs, q20, num_centroids=32, num_probes=2)))
+    _bench("ann_ivf ARROW (same panel)", lambda: _materialize(
+        similarity.ann_ivf_topk(
+            vecs, q20, num_centroids=32, num_probes=2, engine="arrow")))
+    labeled = vecs.withColumn("label", F.pmod("vec_id", 16))
+    _bench("negative mining (2000 buckets)", lambda: _materialize(
+        similarity.negative_pairs(labeled, k=3, buckets=2000)))
 
 
 def main() -> None:

@@ -340,9 +340,17 @@ def ann_ivf_topk(
     round_to: int = 4,
     lloyd_iterations: int = 2,
     sample_size: int = 1024,
+    engine: str = "native",
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus to Lloyd-refined
     centroids, search only the query's ``num_probes`` nearest cells.
+
+    ``engine='arrow'`` vectorizes the CORPUS cell assignment (the
+    wide-vector cost center: num_centroids x dims interpreted evals
+    per row — 58.3s at 50k x 1024-dim, 32 cells measured) as one GEMM
+    argmax per Arrow batch emitting only (id, cell); vectors never
+    cross the Python boundary (the cell frame joins back by id, ann_lsh's
+    shape). Query side and rerank stay native — both panel-bounded.
 
     Centroids: a deterministic pseudo-random corpus sample (hash-order
     ``limit``) refined by ``lloyd_iterations`` rounds of spherical
@@ -399,11 +407,31 @@ def ann_ivf_topk(
         )
         return F.slice(F.array_sort(scored), 1, n)
 
-    c = emb_df.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        top_cells(F.col(vec_col), 1)[0]["cid"].alias("__cell"),
-    )
+    if engine == "arrow":
+        cu_t = cunit.T
+
+        def corpus_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+                # argmax takes the FIRST maximum — the same smallest-cid
+                # tie-break as the native array_sort((-dot, cid)) chain
+                cell = np.argmax(mat @ cu_t, axis=1).astype(np.int64)
+                yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "__cell": cell})
+
+        cells = emb_df.select(id_col, vec_col).mapInPandas(
+            corpus_cells, f"{id_col} long, __cell long"
+        )
+        c = emb_df.select(F.col(id_col), F.col(vec_col).alias("__cv")).join(
+            cells, id_col
+        ).select(F.col(id_col).alias("neighbor_id"), "__cv", "__cell")
+    else:
+        c = emb_df.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            top_cells(F.col(vec_col), 1)[0]["cid"].alias("__cell"),
+        )
     q = query_df.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),

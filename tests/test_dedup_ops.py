@@ -474,3 +474,20 @@ def test_ann_lsh_arrow_agrees_with_native(spark, sf_dir):
     nat = sorted(map(tuple, ann_lsh_topk(emb, q, engine="native", **kw).collect()))
     arr = sorted(map(tuple, ann_lsh_topk(emb, q, engine="arrow", **kw).collect()))
     assert nat == arr
+
+
+def test_ann_ivf_arrow_agrees_with_native(spark, sf_dir):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparkprep.operators.similarity import ann_ivf_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    kw = dict(k=3, num_centroids=8, num_probes=2)
+    nat = sorted(map(tuple, ann_ivf_topk(emb, q, engine="native", **kw).collect()))
+    arr = sorted(map(tuple, ann_ivf_topk(emb, q, engine="arrow", **kw).collect()))
+    assert nat == arr
