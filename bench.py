@@ -51,6 +51,29 @@ def run_queries(
     return timings, errors
 
 
+def compact_line(out: dict, max_len: int = 1800) -> str:
+    """The ONE stdout JSON line, sized for the driver's 2,000-char tail.
+
+    The full per-query map is ~8.4 KB, which left BENCH_r01..r09.json all
+    parsed:null; here "queries" carries only the slowest entries (what a
+    plan audit asks about first), n_queries records the registry size,
+    and BENCH_LOCAL.json keeps the full map. Tested by
+    tests/test_bench_isolation.py::test_compact_line_fits_driver_tail.
+    """
+    compact = dict(out)
+    timings = out.get("queries", {})
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:12]
+    compact["queries"] = dict(slowest)
+    compact["n_queries"] = len(timings)
+    errors = out.get("errors")
+    if errors:
+        compact["errors"] = {k: v[:80] for k, v in list(errors.items())[:5]}
+        compact["n_errors"] = len(errors)
+    line = json.dumps(compact)
+    assert len(line) < max_len, f"compact bench line too long: {len(line)}"
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -143,18 +166,18 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
-    # Lossless archival copy (VERDICT r5 #6): the driver's BENCH_r{N}
-    # artifact keeps only the LAST 2,000 chars of stdout, clipping the
-    # front of the per-query dict every round. Writing the full JSON
-    # into the repo root preserves the whole tail for the judge; the
-    # round snapshot (BENCH_LOCAL_r{N}.json) is committed per round.
+    # Lossless archival copy (VERDICT r5 #6): the full per-query map is
+    # ~8.4 KB — far past the driver's 2,000-char stdout tail, which left
+    # BENCH_r01..r09.json all with parsed:null (VERDICT r9 #1). The full
+    # JSON lives ONLY here; the round snapshot (BENCH_LOCAL_r{N}.json)
+    # is committed per round for cross-round bench_compare gating.
     try:
         here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
             fh.write(json.dumps(out) + "\n")
     except OSError as exc:
         print(f"bench: BENCH_LOCAL.json write failed: {exc}", file=sys.stderr)
+    print(compact_line(out))
     spark.stop()
     # Exit 0 even with per-query errors: a non-zero rc makes the driver
     # discard the whole JSON line (round 2 lost every timing that way).

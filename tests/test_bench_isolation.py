@@ -31,3 +31,38 @@ def test_broken_query_does_not_erase_timings(spark, sf_dir):
     assert all(t > 0 for t in timings.values())
     assert set(errors) == {"q_broken", "q_late"}
     assert "AnalysisException" in errors["q_broken"] or "UNRESOLVED" in errors["q_broken"]
+
+
+def test_compact_line_fits_driver_tail():
+    """VERDICT r9 #1: the driver keeps the LAST 2,000 chars of stdout;
+    the full 340-query map (~8.4 KB) made every BENCH_r*.json
+    parsed:null. The final stdout line must stay under the tail and
+    still parse to the contract shape."""
+    import json
+
+    # 400 queries with long names — worse than the real registry
+    out = {
+        "metric": "total_query_wall_sec",
+        "value": 271.93,
+        "unit": "sec",
+        "queries": {f"query_with_a_long_name_{i:03d}": i * 0.01 for i in range(400)},
+        "sf": 0.1,
+        "errors": {f"broken_query_{i}": "X" * 500 for i in range(10)},
+    }
+    line = bench.compact_line(out)
+    assert len(line) < 1800
+    parsed = json.loads(line)
+    assert parsed["metric"] == "total_query_wall_sec"
+    assert parsed["value"] == 271.93
+    assert parsed["unit"] == "sec"
+    assert parsed["sf"] == 0.1
+    assert parsed["n_queries"] == 400
+    assert parsed["n_errors"] == 10
+    assert len(parsed["queries"]) == 12
+    # slowest-first selection: the max-time query must be present
+    assert "query_with_a_long_name_399" in parsed["queries"]
+
+    # no errors key when clean
+    clean = {k: v for k, v in out.items() if k != "errors"}
+    parsed2 = json.loads(bench.compact_line(clean))
+    assert "errors" not in parsed2 and "n_errors" not in parsed2
