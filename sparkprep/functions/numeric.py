@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from sparkprep.checkpointing import lazy_checkpoint
 
 
 def minmax_scalars(df: DataFrame, *cols: str) -> dict[str, tuple[float, float]]:
@@ -376,7 +377,7 @@ def quantile_normalize(
         value_col,
         (F.row_number().over(w) - 1).cast("long").alias("__i"),
         F.count(F.lit(1)).over(wn).cast("long").alias("__n"),
-    ).localCheckpoint(eager=False)
+    ).transform(lazy_checkpoint)
     ref = ranked.filter(F.col(group_col) == ref_group).select(
         F.col("__i").alias("__ridx"), F.col(value_col).alias("__rval")
     )

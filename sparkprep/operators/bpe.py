@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from sparkprep.checkpointing import lazy_checkpoint
 
 END_OF_WORD = "</w>"
 
@@ -87,7 +88,7 @@ def bpe_train(
     # data: ~100k vocab rows per partition keeps each round one small
     # stage while still scaling past single-machine vocabularies.
     n_part = max(1, vocab.sparkSession.sparkContext.defaultParallelism // 8)
-    sym = sym.repartition(n_part).localCheckpoint(eager=False)
+    sym = sym.repartition(n_part).transform(lazy_checkpoint)
     merges: list[tuple[str, str, int]] = []
     for _ in range(num_merges):
         arr = F.split(F.col("sym"), " ")
@@ -119,7 +120,7 @@ def bpe_train(
                 "sym", _merge_pattern(a, b), _merge_replacement(a, b)
             ).alias("sym"),
             "n",
-        ).localCheckpoint(eager=False)
+        ).transform(lazy_checkpoint)
     return merges
 
 

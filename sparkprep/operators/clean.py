@@ -20,6 +20,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from sparkprep.checkpointing import lazy_checkpoint
 
 # ---------------------------------------------------------------------------
 # Null handling (N1-N5; N6 imputation lives in impute())
@@ -381,7 +382,7 @@ def fd_repair(
 
     # df anchors two consumers (the count fold and the join-back) —
     # truncate lineage or the upstream subtree executes twice
-    df = df.localCheckpoint(eager=False)
+    df = df.transform(lazy_checkpoint)
     counts = (
         df.filter(F.col(value_col).isNotNull())
         .groupBy(key_col, value_col)

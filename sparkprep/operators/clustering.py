@@ -38,6 +38,7 @@ from typing import List
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from sparkprep.checkpointing import lazy_checkpoint
 
 
 def quantize_points(
@@ -106,7 +107,7 @@ def kmeans_lloyd(
     """
 
     def _cp(df: DataFrame) -> DataFrame:
-        return df.localCheckpoint(eager=False) if checkpoint else df
+        return df.transform(lazy_checkpoint) if checkpoint else df
 
     asg = _cp(
         points.select(

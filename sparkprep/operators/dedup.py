@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sparkprep.operators.text import tokens
+from sparkprep.checkpointing import lazy_checkpoint
 
 MERSENNE_P = 2147483647  # 2^31 - 1; keeps a*h + b inside int64
 
@@ -155,7 +156,7 @@ def minhash_candidate_pairs(
     # measured at sf0.1). One lazy localCheckpoint materializes the
     # O(docs x hashes) signature frame once; at 100 TB that is the
     # compact artifact you'd persist anyway before pair generation.
-    sig = sig.localCheckpoint(eager=False)
+    sig = sig.transform(lazy_checkpoint)
     banded = lsh_bands(sig, id_col, num_hashes, bands)
     left = banded.select(
         F.col(id_col).alias("id_a"), "band", "band_key"
@@ -370,7 +371,7 @@ def duplicate_window_coverage(
     # sh feeds the count groupBy AND the join-back; the two exchanges
     # differ below the shuffle (partial aggs vs raw rows) so
     # ReusedExchange can't cover them — truncate once.
-    sh = sh.localCheckpoint(eager=False)
+    sh = sh.transform(lazy_checkpoint)
     counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__docs"))
     return (
         sh.join(counts, "shingle")
@@ -460,7 +461,7 @@ def connected_components(
     # aggregate's own action is what materializes each round's frame, so
     # every round costs ONE job, not two (30% cold / 13% warm measured
     # on a 100k-node chain graph).
-    labels = labels.localCheckpoint(eager=False)
+    labels = labels.transform(lazy_checkpoint)
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
     converged = False
     for round_idx in range(max_iterations):
@@ -490,7 +491,7 @@ def connected_components(
         labels = (
             candidates.groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=False)
+            .transform(lazy_checkpoint)
         )
         new_sum = labels.agg(F.sum("component")).collect()[0][0]
         if new_sum == prev_sum:
@@ -765,7 +766,7 @@ def minhash_estimator_eval(
     # final left join) — lazily checkpoint so the LSH pipeline runs
     # once, not once per consumer; the candidate list is tiny relative
     # to the corpus by construction.
-    cand = cand.localCheckpoint(eager=False)
+    cand = cand.transform(lazy_checkpoint)
     ids = (
         cand.select(F.col("id_a").alias(id_col))
         .unionByName(cand.select(F.col("id_b").alias(id_col)))
@@ -776,7 +777,7 @@ def minhash_estimator_eval(
     # sh feeds sizes + both sides of the intersection join; keep the
     # candidate-doc shingle explode (and the semi-join above it)
     # single-execution.
-    sh = sh.localCheckpoint(eager=False)
+    sh = sh.transform(lazy_checkpoint)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     # Intersections routed THROUGH the candidate list, not a global
     # shingle self-join: joining all candidate-doc shingles on the
@@ -889,9 +890,7 @@ def prefix_jaccard_join(
     ) if k > 1 else df.select(
         id_col, F.explode(F.array_distinct(tokens(text_col))).alias("shingle")
     )
-    tok_rows = tok_rows.withColumnRenamed("shingle", "token").localCheckpoint(
-        eager=False
-    )  # anchors vocab, prefixes, and both intersection legs —
+    tok_rows = tok_rows.withColumnRenamed("shingle", "token").transform(lazy_checkpoint)  # anchors vocab, prefixes, and both intersection legs —
     # 4 consumers, one execution
     vocab = tok_rows.groupBy("token").agg(F.count(F.lit(1)).alias("__df"))
     per_doc = (

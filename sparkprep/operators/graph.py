@@ -24,6 +24,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from sparkprep.checkpointing import lazy_checkpoint
 
 
 def transition_matrix(
@@ -100,7 +101,7 @@ def power_iteration(
     mass-conserving chain. States that nothing transitions INTO simply
     drop out of the result frame after one step.
     """
-    trans = trans.localCheckpoint(eager=False)
+    trans = trans.transform(lazy_checkpoint)
     if init is None:
         whole = Window.partitionBy()
         init = states.select(
@@ -159,14 +160,14 @@ def pagerank(
     iterations, checkpoint the rank frame every ~10 steps too; at the
     default 3 the linear lineage is fine.
     """
-    nodes = nodes.localCheckpoint(eager=False)
+    nodes = nodes.transform(lazy_checkpoint)
     n = nodes.count()
     if n == 0:
         raise ValueError("pagerank needs a non-empty node frame")
     base = scale // n
     teleport = (base * (100 - damping_pct)) // 100
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
-    ed = edges.join(deg, "src").localCheckpoint(eager=False)
+    ed = edges.join(deg, "src").transform(lazy_checkpoint)
     ranks = nodes.select("node", F.lit(base).cast("long").alias("rank"))
     for _ in range(int(iterations)):
         contrib = ed.join(
@@ -347,12 +348,12 @@ def triangle_stats(
     # edge-construction subtree, so truncate lineage once here
     und = edges.select(
         F.col(a_col).alias("a"), F.col(b_col).alias("b")
-    ).localCheckpoint(eager=False)
+    ).transform(lazy_checkpoint)
     # one explode, not a union of selects (re-execution trap)
     ends = und.select(F.explode(F.array("a", "b")).alias("node"))
     deg = ends.groupBy("node").agg(
         F.count(F.lit(1)).alias("d")
-    ).localCheckpoint(eager=False)
+    ).transform(lazy_checkpoint)
     e = (
         und.join(deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a")
         .join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
@@ -364,7 +365,7 @@ def triangle_stats(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(a_first, kb).otherwise(ka).alias("kd"),
-    ).localCheckpoint(eager=False)
+    ).transform(lazy_checkpoint)
     e1 = oriented.select(F.col("src"), F.col("dst").alias("b"), F.col("kd").alias("k1"))
     e2 = oriented.select(F.col("src"), F.col("dst").alias("c"), F.col("kd").alias("k2"))
     wedges = e1.join(e2, "src").filter(F.col("k1") < F.col("k2")).select("b", "c")
@@ -417,7 +418,7 @@ def assortativity(
     """
     und = edges.select(
         F.col(a_col).alias("a"), F.col(b_col).alias("b")
-    ).localCheckpoint(eager=False)  # feeds degrees AND the direction explode
+    ).transform(lazy_checkpoint)  # feeds degrees AND the direction explode
     ends = und.select(F.explode(F.array("a", "b")).alias("node"))
     deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
     directed = und.select(
@@ -562,7 +563,7 @@ def k_core(
     e = (
         edges.select("u", "v")
         .repartition(num_partitions)
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     n_edges = e.count()
     for _ in range(int(max_rounds)):
@@ -575,7 +576,7 @@ def k_core(
             e.join(keep.withColumnRenamed("n", "u"), "u", "semi")
             .join(keep.withColumnRenamed("n", "v"), "v", "semi")
             .select("u", "v")
-            .localCheckpoint(eager=False)
+            .transform(lazy_checkpoint)
         )
         n2 = e2.count()
         if n2 == n_edges:
@@ -622,13 +623,13 @@ def lpa_communities(
         edges.select("u", "v")
         .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .repartition(num_partitions)
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     labels = (
         adj.select(F.col("u").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("lbl"))
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     for _ in range(int(rounds)):
         votes = (
@@ -640,7 +641,7 @@ def lpa_communities(
             votes.groupBy("node")
             .agg(F.min(F.struct((-F.col("__c")).alias("__nc"), F.col("lbl"))).alias("__m"))
             .select("node", F.col("__m.lbl").alias("lbl"))
-            .localCheckpoint(eager=False)
+            .transform(lazy_checkpoint)
         )
     return labels.select("node", F.col("lbl").alias("community"))
 
@@ -717,12 +718,12 @@ def bfs_hops(
         edges.select("u", "v")
         .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .repartition(num_partitions)
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     seed = adj.agg(F.min("u").alias("node")).select(
         "node", F.lit(0).cast("long").alias("hop")
     )
-    dist = seed.localCheckpoint(eager=False)
+    dist = seed.transform(lazy_checkpoint)
     for _ in range(int(rounds)):
         cand = (
             adj.join(dist.withColumnRenamed("node", "u"), "u")
@@ -732,7 +733,7 @@ def bfs_hops(
             dist.union(cand)
             .groupBy("node")
             .agg(F.min("hop").alias("hop"))
-            .localCheckpoint(eager=False)
+            .transform(lazy_checkpoint)
         )
     return dist
 
@@ -764,13 +765,13 @@ def multi_bfs_hops(
         edges.select("u", "v")
         .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .repartition(num_partitions)
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     dist = seeds.select(
         F.col("node").alias("seed"),
         F.col("node"),
         F.lit(0).cast("long").alias("hop"),
-    ).localCheckpoint(eager=False)
+    ).transform(lazy_checkpoint)
     for _ in range(int(rounds)):
         cand = (
             adj.join(dist.withColumnRenamed("node", "u"), "u")
@@ -780,6 +781,6 @@ def multi_bfs_hops(
             dist.union(cand)
             .groupBy("seed", "node")
             .agg(F.min("hop").alias("hop"))
-            .localCheckpoint(eager=False)
+            .transform(lazy_checkpoint)
         )
     return dist

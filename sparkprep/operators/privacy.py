@@ -25,6 +25,7 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from sparkprep.checkpointing import lazy_checkpoint
 
 
 def purge_keys(
@@ -215,7 +216,7 @@ def t_closeness_report(
     cb = (
         staged.groupBy(*quasi_cols, F.col(sensitive_col).alias("__b"))
         .agg(F.count(F.lit(1)).alias("__cnt"))
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     panel = (
         cb.groupBy("__b")

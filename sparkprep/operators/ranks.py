@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from sparkprep.checkpointing import lazy_checkpoint
 
 
 def global_rank(
@@ -65,7 +66,7 @@ def global_rank(
     # from explain); correctness does not depend on it as long as the
     # range partitioning is deterministic for both consumers.
     if checkpoint:
-        parted = parted.localCheckpoint(eager=False)
+        parted = parted.transform(lazy_checkpoint)
     counts = parted.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
     # cumulative offsets over the <= num_partitions-row counts frame:
     # the only global window in the operator, bounded O(N) post-agg
@@ -168,7 +169,7 @@ def global_cumsum(
         "__pid", F.spark_partition_id()
     )
     if checkpoint:
-        parted = parted.localCheckpoint(eager=False)
+        parted = parted.transform(lazy_checkpoint)
     partials = parted.groupBy("__pid").agg(F.sum(value_col).alias("__c"))
     w_off = Window.orderBy("__pid").rowsBetween(
         Window.unboundedPreceding, -1
@@ -219,7 +220,7 @@ def grouped_global_rank(
         num_partitions, *gexprs, *order_exprs
     ).withColumn("__pid", F.spark_partition_id())
     if checkpoint:
-        parted = parted.localCheckpoint(eager=False)
+        parted = parted.transform(lazy_checkpoint)
     counts = parted.groupBy("__pid", *group_cols).agg(
         F.count(F.lit(1)).alias("__c")
     )
@@ -269,7 +270,7 @@ def grouped_global_cumsum(
         num_partitions, *gexprs, *order_exprs
     ).withColumn("__pid", F.spark_partition_id())
     if checkpoint:
-        parted = parted.localCheckpoint(eager=False)
+        parted = parted.transform(lazy_checkpoint)
     partials = parted.groupBy("__pid", *group_cols).agg(
         F.sum(value_col).alias("__c")
     )

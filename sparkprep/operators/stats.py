@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from sparkprep.checkpointing import lazy_checkpoint
 
 
 def anova_f(
@@ -385,7 +386,7 @@ def kendall_tau(
     cells = (
         staged.groupBy("__x", "__y")
         .agg(F.count(F.lit(1)).alias("__n"))
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     ydom = cells.select("__y").distinct().agg(
         F.sort_array(F.collect_list("__y")).alias("__ys")
@@ -501,7 +502,7 @@ def isotonic_bins(
         F.sum(pos_col).over(wc).alias("__cp"),
     )
     if checkpoint:
-        prefix = prefix.localCheckpoint(eager=False)
+        prefix = prefix.transform(lazy_checkpoint)
     pj = prefix.select(
         F.col("__b").alias("jb"),
         (F.col("__cc") - F.col("__c")).alias("jpc"),

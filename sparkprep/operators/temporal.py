@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from sparkprep.checkpointing import lazy_checkpoint
 
 
 def asof_join(
@@ -619,7 +620,7 @@ def window_funnel(
         .groupBy("__k")
         .agg(F.min("__ts").alias("__tk"))
         .withColumn("__t1", F.col("__tk"))
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     per_stage = [cur]
     for stage in stages[1:]:
@@ -629,7 +630,7 @@ def window_funnel(
             .filter((F.col("__ts") > F.col("__tk")) & (F.col("__ts") <= deadline))
             .groupBy("__k")
             .agg(F.min("__ts").alias("__tk"), F.min("__t1").alias("__t1"))
-            .localCheckpoint(eager=False)
+            .transform(lazy_checkpoint)
         )
         per_stage.append(cur)
     counts = None

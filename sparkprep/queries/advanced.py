@@ -23,6 +23,7 @@ from sparkprep.operators import clustering, dedup, graph
 from sparkprep.operators import text as tx
 from sparkprep.queries import t
 from sparkprep.session import tune_for_engine
+from sparkprep.checkpointing import lazy_checkpoint
 
 _D18 = "decimal(18,8)"
 _D38 = "decimal(38,0)"
@@ -253,7 +254,7 @@ def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("lang", tx.lang_id("text").alias("guess"))
         .groupBy("lang", "guess")
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     tot = c.agg(
         F.sum("n").alias("N"),
@@ -408,7 +409,7 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("unix_micros(ts) div 3600000000").alias("h"),
         )
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     bounds = obs.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     grid = bounds.select(F.explode(F.sequence("h0", "h1")).alias("h"))
@@ -540,7 +541,7 @@ def q_isotonic_fit(
         .agg(F.count(F.lit(1)).alias("cnt"), F.sum("__y").alias("pos"))
     )
     if checkpoint:
-        bins = bins.localCheckpoint(eager=False)
+        bins = bins.transform(lazy_checkpoint)
     iso = stats.isotonic_bins(
         bins, "bin", "cnt", "pos", checkpoint=checkpoint
     ).withColumnRenamed("bin", "ib")
@@ -985,9 +986,7 @@ def q_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkprep.queries.llmprep import _corpus_near
 
     corpus = _corpus_near(spark, sf_dir).filter((F.col("doc_id") % 10000) < 60)
-    sh = dd.explode_shingles(corpus, "text", "doc_id", 3).localCheckpoint(
-        eager=False
-    )
+    sh = dd.explode_shingles(corpus, "text", "doc_id", 3).transform(lazy_checkpoint)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
@@ -1088,7 +1087,7 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(nib < "c", F.lit("calib"))
         .otherwise(F.lit("test"))
         .alias("split"),
-    ).localCheckpoint(eager=False)
+    ).transform(lazy_checkpoint)
     d38 = "decimal(38,4)"
     sums = staged.filter(F.col("split") == "train").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1118,7 +1117,7 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("y_cents").cast("double")
             - (F.col("a") + F.col("b") * F.col("x").cast("double"))
         ).alias("r"),
-    ).localCheckpoint(eager=False)
+    ).transform(lazy_checkpoint)
     cal = resid.filter(F.col("split") == "calib")
     ranked = ranks.global_rank(
         cal.select("r"), [F.asc("r")], rank_name="rk", total_name="nc"

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from sparkprep.operators import text as tx
 from sparkprep.queries import t
+from sparkprep.checkpointing import lazy_checkpoint
 
 
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -779,7 +780,7 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bg = staged.select(F.explode(bigrams).alias("__b")).select(
         F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2")
-    ).localCheckpoint(eager=False)  # feeds pair counts AND token totals
+    ).transform(lazy_checkpoint)  # feeds pair counts AND token totals
     pair = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
     # unigram totals over the SAME position stream (first-token-of-
     # bigram / second-token-of-bigram marginals), so N is shared and
@@ -859,7 +860,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("__dummy"))
         .select("source", "__tok")
     )
-    st = st.localCheckpoint(eager=False)  # vocab sizes AND both join sides
+    st = st.transform(lazy_checkpoint)  # vocab sizes AND both join sides
     sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a = st.select(F.col("source").alias("source_a"), "__tok")
     b = st.select(F.col("source").alias("source_b"), "__tok")
@@ -925,7 +926,7 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     occ = dd.explode_shingles(
         docs, "text", "doc_id", k=3, distinct=True
-    ).localCheckpoint(eager=False)  # consumed by the first-seen fold AND the join-back
+    ).transform(lazy_checkpoint)  # consumed by the first-seen fold AND the join-back
     first = occ.groupBy("shingle").agg(F.min("doc_id").alias("__first"))
     per = occ.join(first, "shingle").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("__n"),

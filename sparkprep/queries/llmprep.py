@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from sparkprep.operators import dedup as dd
 from sparkprep.operators import similarity as sim
 from sparkprep.queries import t
+from sparkprep.checkpointing import lazy_checkpoint
 
 # ---------------------------------------------------------------------------
 # corpora
@@ -1630,7 +1631,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("__rk", F.row_number().over(wq))
         .filter(F.col("__rk") <= _MMR_CAND)
         .select("query_id", "cand_id", "rel", "__cv")
-        .localCheckpoint(eager=False)  # anchors the pair frame AND every round
+        .transform(lazy_checkpoint)  # anchors the pair frame AND every round
     )
     a = cand.select("query_id", F.col("cand_id").alias("id_a"), F.col("__cv").alias("__va"))
     b = cand.select("query_id", F.col("cand_id").alias("id_b"), F.col("__cv").alias("__vb"))
@@ -1643,7 +1644,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
             sim.cosine_native(F.col("__va"), F.col("__vb")).alias("sim_ab"),
         )
-        .localCheckpoint(eager=False)  # consumed once per selection round
+        .transform(lazy_checkpoint)  # consumed once per selection round
     )
     pool = cand.select("query_id", "cand_id", "rel")
     lam = F.lit(_MMR_LAMBDA)
@@ -1691,7 +1692,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the next round references `selected` twice (pen + anti-join);
         # checkpoint keeps the accumulated-union lineage flat (the
         # iterative-loop discipline — frames are queries x rounds tiny)
-        selected = selected.unionByName(pick).localCheckpoint(eager=False)
+        selected = selected.unionByName(pick).transform(lazy_checkpoint)
     return selected.select(
         F.col("query_id").cast("long").alias("query_id"),
         "round",

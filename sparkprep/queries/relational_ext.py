@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from sparkprep.operators import graph, transform
 from sparkprep.queries import t
 from sparkprep.session import tune_for_engine
+from sparkprep.checkpointing import lazy_checkpoint
 
 
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -212,7 +213,7 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_supp = li.groupBy("l_suppkey").agg(
         F.round(F.sum(money), 2).cast("double").alias("total_revenue")
-    ).localCheckpoint(eager=False)
+    ).transform(lazy_checkpoint)
     mx = per_supp.agg(F.max("total_revenue").alias("__max_rev"))
     best = (
         per_supp.join(F.broadcast(mx))
@@ -1041,7 +1042,7 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the operator consumes its input twice (rank-map fold + join-back);
     # a raw-parquet input re-scans cheaply, but a JOINED input would
     # re-execute the join per consumer — truncate lineage first
-    pooled = li.join(orders, "l_orderkey").localCheckpoint(eager=False)
+    pooled = li.join(orders, "l_orderkey").transform(lazy_checkpoint)
     return kruskal_wallis(pooled, "l_quantity", "o_orderpriority")
 
 
@@ -2117,7 +2118,7 @@ def q_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dirs = graph.directed_ends_capped(
         edges, max_degree=256
-    ).localCheckpoint(eager=False)
+    ).transform(lazy_checkpoint)
     one = dirs.select("u", "v", F.lit(1).alias("hop"))
     two = (
         dirs.alias("d1")
@@ -2895,7 +2896,7 @@ def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkprep.queries import shared_frames
 
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    op = li.distinct().localCheckpoint(eager=False)  # basket side x2 + supports
+    op = li.distinct().transform(lazy_checkpoint)  # basket side x2 + supports
     n_baskets = op.select("l_orderkey").distinct().count()
     pairs = (
         shared_frames.copurchase_pairs(spark, sf_dir)

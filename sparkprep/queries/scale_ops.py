@@ -15,6 +15,7 @@ from sparkprep.operators import quantize, ranks, sketches
 from sparkprep.queries import relational_ext, t
 from sparkprep.queries import temporal_grouped as _tg
 from sparkprep.session import tune_for_engine
+from sparkprep.checkpointing import lazy_checkpoint
 
 _DIM = 64
 _LEVELS = 255
@@ -1008,7 +1009,7 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     the weight path."""
     orders = t(spark, sf_dir, "orders").select(
         "o_orderkey", F.col("o_totalprice").cast("decimal(18,4)").alias("__p")
-    ).localCheckpoint(eager=False)  # consumed by point agg AND replicate fold
+    ).transform(lazy_checkpoint)  # consumed by point agg AND replicate fold
     rep = orders.withColumn(
         "__md", _boot_digest(F.col("o_orderkey"))
     ).withColumn(

@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from sparkprep.checkpointing import lazy_checkpoint
 
 _FRAMES: dict = {}
 
@@ -62,7 +63,7 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
         return graph.cooccurrence_pairs(
             li, "l_orderkey", "l_partkey", max_items_per_key=64, cap_by="id"
-        ).localCheckpoint(eager=False)
+        ).transform(lazy_checkpoint)
 
     return session_frame(spark, "copurchase_pairs", sf_dir, build)
 

@@ -18,6 +18,7 @@ from sparkprep.functions import numeric
 from sparkprep.operators import graph, grouped, skew, temporal
 from sparkprep.queries import t
 from sparkprep.session import tune_for_engine
+from sparkprep.checkpointing import lazy_checkpoint
 
 
 def q_asof_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2537,7 +2538,7 @@ def q_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(tm >= split, 1).otherwise(0))
             - F.sum(F.when(tm < split, 1).otherwise(0))
         ).alias("__diff")
-    ).localCheckpoint(eager=False)
+    ).transform(lazy_checkpoint)
     return wilcoxon_signed_rank(diffs, "__diff")
 
 
@@ -2597,7 +2598,7 @@ def q_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("__d"),
         )
         .agg(F.count(F.lit(1)).alias("__n"))
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     a, b = daily.alias("a"), daily.alias("b")
     pairs = (
@@ -2970,7 +2971,7 @@ def q_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("event_type") == "purchase", 1).otherwise(0)
             ).alias("__y"),
         )
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     lags = F.array(
         *[F.lit(l) for l in range(-_XCORR_MAX_LAG, _XCORR_MAX_LAG + 1)]
@@ -3540,7 +3541,7 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev, "user_id", "event_type", [F.col("ts"), F.col("event_id")]
         )
         .repartition(1)
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     states = ev.select(F.col("event_type").alias("state")).distinct()
     d_prev = graph.power_iteration(trans, states, steps=_STATIONARY_STEPS - 1)
