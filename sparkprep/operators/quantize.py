@@ -187,8 +187,9 @@ def reconstruction_stats_arrow(
                 }
             )
 
+    idt = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, vec_col).mapInPandas(
         stats,
-        f"{id_col} long, q_min double, q_max double, codes array<int>, "
+        f"{id_col} {idt}, q_min double, q_max double, codes array<int>, "
         "mean_abs_err double, cos_fidelity double",
     )

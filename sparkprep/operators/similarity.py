@@ -22,6 +22,21 @@ import numpy as np
 import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from sparkprep.checkpointing import lazy_checkpoint
+
+
+#: max vectors per folded bucket row in the Arrow verify stages — at
+#: 1024-dim doubles one block row is <= 4096 * 8 KiB = 32 MiB, safely
+#: inside executor memory and Arrow record-size limits.
+BUCKET_BLOCK_CAP = 4096
+
+
+def _id_ddl(df: DataFrame, id_col: str) -> str:
+    """DDL type of the id column, interpolated into every Arrow
+    mapInPandas / pandas_udf schema string — the arrow twins must not
+    silently assume bigint ids when the native engine handles any
+    orderable id type (ADVICE r9)."""
+    return df.schema[id_col].dataType.simpleString()
 
 
 def dot_native(a, b) -> Column:
@@ -113,7 +128,8 @@ def cosine_topk_arrow(
     qmat = np.asarray([query_vecs[i] for i in qids], dtype=np.float64)
     qnorm = np.linalg.norm(qmat, axis=1)
 
-    out_schema = "query_id long, neighbor_id long, cosine double"
+    idt = _id_ddl(emb_df, id_col)
+    out_schema = f"query_id {idt}, neighbor_id {idt}, cosine double"
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -259,7 +275,7 @@ def ann_lsh_topk(
                 yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "__sig": sig})
 
         sigs = emb_df.select(id_col, vec_col).mapInPandas(
-            corpus_sig, f"{id_col} long, __sig long"
+            corpus_sig, f"{id_col} {_id_ddl(emb_df, id_col)}, __sig long"
         )
         c = emb_df.select(
             F.col(id_col), F.col(vec_col).alias("__cv")
@@ -421,7 +437,7 @@ def ann_ivf_topk(
                 yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "__cell": cell})
 
         cells = emb_df.select(id_col, vec_col).mapInPandas(
-            corpus_cells, f"{id_col} long, __cell long"
+            corpus_cells, f"{id_col} {_id_ddl(emb_df, id_col)}, __cell long"
         )
         c = emb_df.select(F.col(id_col), F.col(vec_col).alias("__cv")).join(
             cells, id_col
@@ -472,6 +488,7 @@ def embedding_near_dup_pairs(
     seed: int = 42,
     round_to: int = 4,
     engine: str = "native",
+    block_cap: int = BUCKET_BLOCK_CAP,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold)
     via hyperplane-bucket self-join: vectors with cosine ~1 almost always
@@ -492,7 +509,8 @@ def embedding_near_dup_pairs(
     planes = rng.normal(size=(num_planes, dim))
     if engine == "arrow":
         return _near_dup_pairs_arrow(
-            emb_df, id_col, vec_col, float(threshold), planes, int(round_to)
+            emb_df, id_col, vec_col, float(threshold), planes, int(round_to),
+            block_cap=block_cap,
         )
     # Normalize ONCE per vector (materialized alongside the signature),
     # so the per-pair work is a single dot product instead of
@@ -522,7 +540,7 @@ def embedding_near_dup_pairs(
     # normalize+signature subtree (num_planes interpreted plane dots
     # per vector) would execute twice — truncate lineage once here
     # (same family as the unions-of-selects re-execution landmine)
-    sig = sig.localCheckpoint(eager=False)
+    sig = sig.transform(lazy_checkpoint)
     a = sig.select(F.col(id_col).alias("id_a"), F.col("__unit").alias("__va"), "__sig")
     b = sig.select(F.col(id_col).alias("id_b"), F.col("__unit").alias("__vb"), "__sig")
     return (
@@ -537,6 +555,75 @@ def embedding_near_dup_pairs(
     )
 
 
+def _blocked_bucket_fold(
+    frame: DataFrame, keys: list[str], id_col: str, cap: int = BUCKET_BLOCK_CAP
+) -> DataFrame:
+    """Fold bucket members into BOUNDED array rows for the Arrow GEMM
+    verify stages (``_near_dup_pairs_arrow``, ``semantic_dedup``'s
+    arrow path).
+
+    The unblocked form collected an entire ``keys`` bucket into ONE
+    collect_list row: correct until a degenerate corpus (many
+    near-identical vectors sharing a signature) produces a single row
+    of n x dim x 8 bytes and OOMs the executor (ADVICE r9). Here each
+    member is salted into ``ceil(n/cap)`` blocks by a deterministic id
+    hash and emitted once per block-PAIR, so every unordered member
+    pair co-occurs in exactly one ``(gi <= gj)`` group and a folded row
+    holds at most ``2*cap`` vectors. Any bucket <= ``cap`` degenerates
+    to the original single fold (one (0,0) group, fan-out 1) — the
+    per-row block tag ``b`` tells the verify UDF which side of a cross
+    group a member belongs to.
+
+    Cost: one extra keyed shuffle (the window count that sizes each
+    bucket) — the blocked fold is the scale path's insurance premium,
+    paid only by ``engine='arrow'`` callers.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys)
+    staged = frame.withColumn(
+        "__nblk",
+        F.ceil(F.count(F.lit(1)).over(w) / F.lit(int(cap))).cast("int"),
+    ).withColumn(
+        # deterministic, not oracle-reaching: the pair SET is
+        # blocking-invariant, so any stable hash works here
+        "__blk",
+        F.pmod(F.crc32(F.col(id_col).cast("string")), F.col("__nblk")).cast("int"),
+    )
+    pair_keys = F.transform(
+        F.sequence(F.lit(0), F.col("__nblk") - 1),
+        lambda x: F.struct(
+            F.least(F.col("__blk"), x).alias("gi"),
+            F.greatest(F.col("__blk"), x).alias("gj"),
+        ),
+    )
+    exploded = staged.select(
+        *keys,
+        F.col(id_col),
+        F.col("__unit"),
+        F.col("__blk"),
+        F.explode(pair_keys).alias("__g"),
+    ).select(
+        *keys,
+        F.col(id_col),
+        F.col("__unit"),
+        F.col("__blk"),
+        F.col("__g.gi").alias("__gi"),
+        F.col("__g.gj").alias("__gj"),
+    )
+    return exploded.groupBy(*keys, "__gi", "__gj").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).alias("i"),
+                    F.col("__unit").alias("u"),
+                    F.col("__blk").alias("b"),
+                )
+            )
+        ).alias("__bucket")
+    )
+
+
 def _near_dup_pairs_arrow(
     emb_df: DataFrame,
     id_col: str,
@@ -544,6 +631,7 @@ def _near_dup_pairs_arrow(
     threshold: float,
     planes: np.ndarray,
     round_to: int,
+    block_cap: int = BUCKET_BLOCK_CAP,
 ) -> DataFrame:
     """Arrow twin of the near-dup bucket self-join (see
     embedding_near_dup_pairs docstring). Zero-norm vectors get NaN
@@ -571,43 +659,69 @@ def _near_dup_pairs_arrow(
                 }
             )
 
+    idt = _id_ddl(emb_df, id_col)
     sig_df = emb_df.select(id_col, vec_col).mapInPandas(
-        assign, f"{id_col} long, __unit array<double>, __sig long"
+        assign, f"{id_col} {idt}, __unit array<double>, __sig long"
     )
 
-    @pandas_udf("array<struct<a: bigint, b: bigint, c: double>>")
-    def _bucket_pairs(buckets: pd.Series) -> pd.Series:
+    @pandas_udf(f"array<struct<a: {idt}, b: {idt}, c: double>>")
+    def _bucket_pairs(
+        buckets: pd.Series, gis: pd.Series, gjs: pd.Series
+    ) -> pd.Series:
         out = []
-        for bucket in buckets:
-            n = len(bucket)
-            if n < 2:
+        for bucket, gi, gj in zip(buckets, gis, gjs):
+            if gi == gj:
+                # within-block: ids sorted by the fold, so upper
+                # triangle gives id_a < id_b directly
+                n = len(bucket)
+                if n < 2:
+                    out.append([])
+                    continue
+                ids = [r["i"] for r in bucket]
+                mat = np.asarray([np.asarray(r["u"]) for r in bucket])
+                rows_out = []
+                # block the GEMM: memory bounds at (256 x n), never n^2
+                for lo in range(0, n, 256):
+                    hi = min(lo + 256, n)
+                    with np.errstate(invalid="ignore"):
+                        sims = np.round(mat[lo:hi] @ mat.T, round_to)
+                        rr, cc = np.nonzero(sims >= threshold)
+                    keep = (rr + lo) < cc
+                    for r_, c_ in zip((rr[keep] + lo).tolist(), cc[keep].tolist()):
+                        rows_out.append(
+                            {"a": ids[r_], "b": ids[c_], "c": float(sims[r_ - lo, c_])}
+                        )
+                out.append(rows_out)
+                continue
+            # cross-block: left (b == gi) x right (b == gj) full GEMM;
+            # ids interleave across blocks, so order each pair explicitly
+            left = [r for r in bucket if r["b"] == gi]
+            right = [r for r in bucket if r["b"] == gj]
+            if not left or not right:
                 out.append([])
                 continue
-            ids = np.asarray([r["i"] for r in bucket], dtype=np.int64)
-            mat = np.asarray([np.asarray(r["u"]) for r in bucket])
+            lids = [r["i"] for r in left]
+            rids = [r["i"] for r in right]
+            lmat = np.asarray([np.asarray(r["u"]) for r in left])
+            rmat = np.asarray([np.asarray(r["u"]) for r in right])
             rows_out = []
-            # block the GEMM: a pathological giant bucket costs
-            # (256 x n) memory, never n^2
-            for lo in range(0, n, 256):
-                hi = min(lo + 256, n)
+            for lo in range(0, len(left), 256):
+                hi = min(lo + 256, len(left))
                 with np.errstate(invalid="ignore"):
-                    sims = np.round(mat[lo:hi] @ mat.T, round_to)
+                    sims = np.round(lmat[lo:hi] @ rmat.T, round_to)
                     rr, cc = np.nonzero(sims >= threshold)
-                keep = (rr + lo) < cc  # id_a < id_b (ids sorted)
-                for r_, c_ in zip((rr[keep] + lo).tolist(), cc[keep].tolist()):
-                    rows_out.append(
-                        {"a": int(ids[r_]), "b": int(ids[c_]), "c": float(sims[r_ - lo, c_])}
-                    )
+                for r_, c_ in zip(rr.tolist(), cc.tolist()):
+                    li, ri = lids[r_ + lo], rids[c_]
+                    a, b = (li, ri) if li < ri else (ri, li)
+                    rows_out.append({"a": a, "b": b, "c": float(sims[r_, c_])})
             out.append(rows_out)
         return pd.Series(out)
 
-    folded = sig_df.groupBy("__sig").agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("__unit").alias("u")))
-        ).alias("__bucket")
-    )
+    folded = _blocked_bucket_fold(sig_df, ["__sig"], id_col, cap=block_cap)
     return (
-        folded.select(F.explode(_bucket_pairs("__bucket")).alias("__p"))
+        folded.select(
+            F.explode(_bucket_pairs("__bucket", "__gi", "__gj")).alias("__p")
+        )
         .select(
             F.col("__p.a").alias("id_a"),
             F.col("__p.b").alias("id_b"),
@@ -758,7 +872,9 @@ def _semantic_assign_arrow(
             )
 
     return df.select(id_col, vec_col).mapInPandas(
-        assign, f"{id_col} long, __unit array<double>, __sig long, cluster long"
+        assign,
+        f"{id_col} {_id_ddl(df, id_col)}, __unit array<double>, "
+        "__sig long, cluster long",
     )
 
 
@@ -773,6 +889,7 @@ def semantic_dedup(
     num_planes: int = 8,
     round_to: int = 4,
     engine: str = "native",
+    block_cap: int = BUCKET_BLOCK_CAP,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
     partition the corpus into clusters by nearest centroid, then inside
@@ -831,7 +948,7 @@ def semantic_dedup(
     # final output — without the (lazy) checkpoint the 8+num_planes
     # interpreted dot-folds per row execute three times (28s -> 22s
     # measured at 500k vectors, 12 planes)
-    assigned = assigned.localCheckpoint(eager=False)
+    assigned = assigned.transform(lazy_checkpoint)
     if engine == "arrow":
         # Verify stage, scale path: the native pair filter evaluates an
         # interpreted 1024-element dot fold PER CANDIDATE PAIR (1.2e9
@@ -846,39 +963,59 @@ def semantic_dedup(
         tau_ = float(tau)
         round_ = int(round_to)
 
-        @pandas_udf("array<long>")
-        def _bucket_dropped(buckets: pd.Series) -> pd.Series:
+        @pandas_udf(f"array<{_id_ddl(df, id_col)}>")
+        def _bucket_dropped(
+            buckets: pd.Series, gis: pd.Series, gjs: pd.Series
+        ) -> pd.Series:
             out = []
-            for bucket in buckets:
-                n = len(bucket)
-                if n < 2:
-                    out.append([])
-                    continue
-                ids = np.asarray([r["i"] for r in bucket], dtype=np.int64)
-                mat = np.asarray([np.asarray(r["u"]) for r in bucket])
-                dropped_pos: set = set()
-                # block the GEMM so a pathological giant bucket bounds
-                # memory at (block x n) instead of n^2
-                for lo in range(0, n, 256):
-                    hi = min(lo + 256, n)
-                    sims = np.round(mat[lo:hi] @ mat.T, round_)
-                    rows, cols = np.nonzero(sims >= tau_)
-                    keep = (rows + lo) < cols  # id_a < id_b (ids sorted)
-                    dropped_pos.update(cols[keep].tolist())
-                out.append(ids[sorted(dropped_pos)].tolist())
+            for bucket, gi, gj in zip(buckets, gis, gjs):
+                dropped_ids: set = set()
+                if gi == gj:
+                    n = len(bucket)
+                    if n < 2:
+                        out.append([])
+                        continue
+                    ids = [r["i"] for r in bucket]
+                    mat = np.asarray([np.asarray(r["u"]) for r in bucket])
+                    # block the GEMM so memory bounds at (block x n),
+                    # never n^2
+                    for lo in range(0, n, 256):
+                        hi = min(lo + 256, n)
+                        sims = np.round(mat[lo:hi] @ mat.T, round_)
+                        rows, cols = np.nonzero(sims >= tau_)
+                        keep = (rows + lo) < cols  # id_a < id_b (sorted)
+                        dropped_ids.update(ids[c] for c in cols[keep].tolist())
+                else:
+                    # cross-block: the HIGHER id of any >= tau pair is
+                    # dropped (the keep rule is pairwise, so blocking
+                    # cannot change the dropped set)
+                    left = [r for r in bucket if r["b"] == gi]
+                    right = [r for r in bucket if r["b"] == gj]
+                    if not left or not right:
+                        out.append([])
+                        continue
+                    lids = [r["i"] for r in left]
+                    rids = [r["i"] for r in right]
+                    lmat = np.asarray([np.asarray(r["u"]) for r in left])
+                    rmat = np.asarray([np.asarray(r["u"]) for r in right])
+                    for lo in range(0, len(left), 256):
+                        hi = min(lo + 256, len(left))
+                        sims = np.round(lmat[lo:hi] @ rmat.T, round_)
+                        rows, cols = np.nonzero(sims >= tau_)
+                        dropped_ids.update(
+                            max(lids[r + lo], rids[c])
+                            for r, c in zip(rows.tolist(), cols.tolist())
+                        )
+                out.append(sorted(dropped_ids))
             return pd.Series(out)
 
-        folded = assigned.groupBy("cluster", "__sig").agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col(id_col).alias("i"), F.col("__unit").alias("u")
-                    )
-                )
-            ).alias("__bucket")
+        folded = _blocked_bucket_fold(
+            assigned, ["cluster", "__sig"], id_col, cap=block_cap
         )
         dropped = (
-            folded.select(F.explode(_bucket_dropped("__bucket")).alias(id_col))
+            folded.select(
+                F.explode(_bucket_dropped("__bucket", "__gi", "__gj")).alias(id_col)
+            )
             .distinct()
             .withColumn("__dropped", F.lit(True))
         )
@@ -967,7 +1104,7 @@ def mutual_nn_pairs(
         directed.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") == 1)
         .select("src", "dst", "cosine")
-    ).localCheckpoint(eager=False)  # consumed as BOTH join sides
+    ).transform(lazy_checkpoint)  # consumed as BOTH join sides
     reverse = top1.select(
         F.col("dst").alias("src"), F.col("src").alias("dst")
     )
@@ -1213,7 +1350,7 @@ def embedding_covariance(
         F.count(F.lit(1)).cast("long").alias("__n"),
     )
     # the diagonal re-reads the 2080-row AGGREGATED frame, not the data
-    agg = agg.localCheckpoint(eager=False)
+    agg = agg.transform(lazy_checkpoint)
     diag = agg.filter(F.col("j") == F.col("i")).select(
         F.col("i").alias("__d"), F.col("__sxi").alias("__s")
     )
@@ -1295,7 +1432,7 @@ def embedding_covariance_arrow(
     staged = df.select(vec_col).mapInPandas(partials, schema=partial_schema)
     # one partial row per Arrow batch; three consumers below would
     # re-run the Python stage without the checkpoint
-    staged = staged.localCheckpoint(eager=False)
+    staged = staged.transform(lazy_checkpoint)
     # merge by POSITION via posexplode + groupBy — never a d² -wide
     # aggregate expression list (4,096 element_at sums is the same
     # codegen OOM the exact operator's literal-struct form hit)

@@ -401,6 +401,81 @@ def test_mutual_nn_arrow_agrees_with_native(spark, sf_dir):
     assert nat == arr
 
 
+def test_near_dup_pairs_arrow_blocked_fold_same_pairs(spark, sf_dir):
+    """ADVICE r9: the arrow verify fold salt-splits oversize buckets into
+    block-pairs. A tiny cap forces the cross-block path on every bucket;
+    the pair SET must be blocking-invariant (identical to native)."""
+    import os
+
+    from sparkprep.operators.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    kw = dict(threshold=-1.0, num_planes=6)
+    nat = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(emb, engine="native", **kw).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(
+            emb, engine="arrow", block_cap=4, **kw
+        ).collect()
+    }
+    assert nat == blocked
+
+
+def test_semantic_dedup_arrow_blocked_fold_same_keeps(spark, sf_dir):
+    import os
+
+    from sparkprep.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    nat = {
+        r["vec_id"]: (r["cluster"], r["keep"])
+        for r in semantic_dedup(emb, engine="native", tau=0.5).collect()
+    }
+    blocked = {
+        r["vec_id"]: (r["cluster"], r["keep"])
+        for r in semantic_dedup(
+            emb, engine="arrow", tau=0.5, block_cap=3
+        ).collect()
+    }
+    assert nat == blocked
+
+
+def test_arrow_twins_handle_string_ids(spark):
+    """ADVICE r9: arrow paths interpolated the id type instead of
+    hardcoding bigint — a string-id corpus must work end-to-end."""
+    from sparkprep.operators.quantize import reconstruction_stats_arrow
+    from sparkprep.operators.similarity import (
+        embedding_near_dup_pairs,
+        semantic_dedup,
+    )
+
+    rows = [(f"doc-{i:02d}", [float((i * 7 + j) % 5) + 0.1 for j in range(8)])
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+
+    pairs = embedding_near_dup_pairs(
+        df, threshold=0.99, num_planes=2, dim=8, engine="arrow"
+    ).collect()
+    assert all(isinstance(r.id_a, str) and r.id_a < r.id_b for r in pairs)
+    nat = embedding_near_dup_pairs(
+        df, threshold=0.99, num_planes=2, dim=8, engine="native"
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(r.id_a, r.id_b) for r in nat}
+
+    sem = semantic_dedup(df, num_clusters=2, dim=8, tau=0.99, engine="arrow")
+    assert {type(r["vec_id"]) for r in sem.collect()} == {str}
+
+    rec = reconstruction_stats_arrow(df, "vec_id", "embedding").collect()
+    assert len(rec) == 20 and isinstance(rec[0]["vec_id"], str)
+
+
 def test_near_dup_pairs_arrow_drops_zero_norm(spark):
     from sparkprep.operators.similarity import embedding_near_dup_pairs
 
