@@ -190,17 +190,29 @@ def write_laid_out(
     num_files: int = 32,
     bits: int = 12,
     mode: str = "overwrite",
+    tiebreakers: list[str] | None = None,
 ) -> dict:
     """Advised layout write: run :func:`physical.layout_advisor` over
     the frame against the caller's predicate panel, apply the winning
-    layout (linear sort or z-order — each output partition becomes one
-    file whose min/max zone maps match the simulation), and write
-    parquet. Returns the advisor verdict so callers can log WHY the
-    table is laid out the way it is — the decision record a 100 TB
-    rewrite should leave behind."""
+    layout (linear sort or z-order), and write parquet. Returns the
+    advisor verdict so callers can log WHY the table is laid out the
+    way it is — the decision record a 100 TB rewrite should leave
+    behind.
+
+    Pass ``tiebreakers`` (the table's key columns) whenever ``cols``
+    don't totally order rows — otherwise the simulated file assignment,
+    and therefore the logged decision record, is nondeterministic
+    (ADVICE r9). The written files' zone maps APPROXIMATELY reproduce
+    the simulated scan counts: the apply path partitions with
+    ``repartitionByRange`` (sampled boundaries) while the simulation
+    used exact ntile, so per-file boundaries can differ by sampler
+    slack (tests allow a few files of drift)."""
     from sparkprep.operators.physical import layout_advisor
 
-    advice = layout_advisor(df, cols, predicates, num_files=num_files, bits=bits)
+    advice = layout_advisor(
+        df, cols, predicates, num_files=num_files, bits=bits,
+        tiebreakers=tiebreakers,
+    )
     laid = advice["apply"][advice["recommended"]](df)
     laid.write.mode(mode).parquet(path)
     return advice

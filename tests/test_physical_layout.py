@@ -283,3 +283,29 @@ def test_footer_skipping_report_validates(spark, tmp_path):
     df.coalesce(1).write.parquet(p)
     with pytest.raises(Exception, match="not in footer schema"):
         footer_skipping_report(spark, p, ["zzz"]).collect()
+
+
+def test_footer_skipping_report_tolerates_empty_file(spark, tmp_path):
+    """ADVICE r9: a zero-row-group parquet file must contribute zero
+    report rows, not a misleading 'columns not in footer schema' error
+    (column indices now come from the file schema, which exists even
+    with no row groups)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparkprep.operators.physical import footer_skipping_report
+
+    d = tmp_path / "mix"
+    d.mkdir()
+    full = pa.table({"x": pa.array([1, 2, 3], pa.int64())})
+    pq.write_table(full, str(d / "full.parquet"))
+    pq.write_table(full.slice(0, 0), str(d / "empty.parquet"))
+    assert pq.ParquetFile(str(d / "empty.parquet")).metadata.num_row_groups == 0
+
+    rep = footer_skipping_report(spark, str(d), ["x"]).toPandas()
+    assert set(rep["file"]) == {"full.parquet"}
+    assert rep["n_rows"].sum() == 3
+    # the schema check still fires for genuinely absent columns,
+    # including on the empty file
+    with pytest.raises(Exception, match="not in footer schema"):
+        footer_skipping_report(spark, str(d / "empty.parquet"), ["zzz"]).collect()
