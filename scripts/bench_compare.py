@@ -27,6 +27,15 @@ both observed in the r7→r8 records:
 
 An absolute floor (--min-delta seconds of normalized excess) keeps
 sub-second scheduling jitter below the relative test.
+
+The median normalization has a blind spot (ADVICE r9): a genuine
+UNIFORM regression (e.g. a session-config change slowing every query
+~1.3x) normalizes out exactly like environmental drift. Environmental
+swings shouldn't reproduce in two runs' per-query MINIMA, so when the
+current side folds >= 2 runs and the run-median ratio still exceeds
+--max-median, the gate FAILS on the median itself; with a single
+current run it warns to re-run instead (one run can't distinguish the
+two causes).
 """
 
 from __future__ import annotations
@@ -130,6 +139,14 @@ def main() -> int:
     ap.add_argument("--ratio", type=float, default=1.5)
     ap.add_argument("--min-sec", type=float, default=0.5)
     ap.add_argument("--min-delta", type=float, default=0.5)
+    ap.add_argument(
+        "--max-median",
+        type=float,
+        default=1.25,
+        help="fail when the run-median ratio itself exceeds this bound "
+        "and the current side folds >=2 runs (a uniform slowdown that "
+        "survives two runs' minima is a real regression, not noise)",
+    )
     args = ap.parse_args()
 
     base = load_side(args.baseline)
@@ -150,10 +167,25 @@ def main() -> int:
         print(f"new queries ({len(new)}): {', '.join(new)}")
     for q, b, c, r in sorted(regressed, key=lambda t: -t[3]):
         print(f"REGRESSED {q}: {b:.2f}s -> {c:.2f}s ({r:.2f}x after normalization)")
-    if regressed:
-        return 1
-    print("no regressions")
-    return 0
+    rc = 1 if regressed else 0
+    if med > args.max_median:
+        if len(args.current.split(",")) >= 2:
+            print(
+                f"MEDIAN REGRESSION: run-median ratio {med:.3f}x > "
+                f"{args.max_median}x across the current runs' minima — a "
+                "uniform slowdown (session config? codegen?) that two-run "
+                "min-folding did not cancel"
+            )
+            rc = 1
+        else:
+            print(
+                f"WARNING: run-median ratio {med:.3f}x > {args.max_median}x "
+                "on a SINGLE current run — re-run bench and pass both files "
+                "before reading this as either noise or regression"
+            )
+    if rc == 0:
+        print("no regressions")
+    return rc
 
 
 if __name__ == "__main__":

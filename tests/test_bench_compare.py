@@ -80,6 +80,56 @@ def test_median_fallback_on_tiny_overlap():
     assert run_median_ratio({"a": 1.0}, {"a": 9.0}, 0.5) == 1.0
 
 
+def _run_cli(tmp_path, base_runs, cur_runs, *extra):
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def side(runs, tag):
+        paths = []
+        for i, r in enumerate(runs):
+            p = tmp_path / f"{tag}{i}.json"
+            p.write_text(json.dumps({"queries": r}))
+            paths.append(str(p))
+        return ",".join(paths)
+
+    return subprocess.run(
+        [
+            sys.executable,
+            os.path.join(root, "scripts", "bench_compare.py"),
+            side(base_runs, "b"),
+            side(cur_runs, "c"),
+            *extra,
+        ],
+        capture_output=True,
+        text=True,
+    )
+
+
+def test_uniform_regression_fails_with_two_current_runs(tmp_path):
+    """ADVICE r9: a uniform 1.3x slowdown reproducing in BOTH current
+    runs' minima is a real regression — the median gate must fail it
+    instead of normalizing it away."""
+    slow = {q: s * 1.3 for q, s in BASE.items()}
+    proc = _run_cli(tmp_path, [BASE], [slow, slow])
+    assert proc.returncode == 1, proc.stdout
+    assert "MEDIAN REGRESSION" in proc.stdout
+
+
+def test_uniform_swing_single_run_warns_not_fails(tmp_path):
+    # one run can't distinguish environment from a config regression —
+    # the gate says re-run, it doesn't fail
+    slow = {q: s * 1.3 for q, s in BASE.items()}
+    proc = _run_cli(tmp_path, [BASE], [slow])
+    assert proc.returncode == 0, proc.stdout
+    assert "WARNING" in proc.stdout and "re-run" in proc.stdout
+
+
+def test_clean_two_run_pair_passes_median_gate(tmp_path):
+    cur = {q: s * 1.05 for q, s in BASE.items()}
+    proc = _run_cli(tmp_path, [BASE], [cur, cur])
+    assert proc.returncode == 0, proc.stdout
+    assert "no regressions" in proc.stdout
+
+
 @pytest.mark.parametrize(
     "pair,rc",
     [
