@@ -3,7 +3,7 @@ the bench scale and report wall times + rows, to catch nonlinear cliffs
 (quadratic pair blowups, single-partition stages, interpreted-lambda
 hotspots) that sf0.1 is too small to expose.
 
-Usage: python scripts/scale_smoke.py [core|revenue|graph|all] [args...]
+Usage: python scripts/scale_smoke.py [core|revenue|graph|longdoc|widevec|streaming|all] [args...]
   core    [num_docs] [num_rows]   text/dedup/similarity panel (default)
   revenue [rep] [price_mult]      DECIMAL(38,x) overflow panel: scaled
                                   lineitem/orders (~rep*mult^2 x sf0.1
@@ -55,6 +55,22 @@ Measured round 9 (local[32], idle host):
     native -> 29.9s arrow (residual = probe-bounded native rerank).
     negative_pairs needs NO twin: vectors only move for the <=k*n
     survivors by design — 12.0s at the same width.
+
+Measured round 10 (local[32]):
+  streaming panel (50,000 users, 12 hourly waves x 200,000 events, 2h
+  watermark, maxFilesPerTrigger=1 → one wave per micro-batch):
+    every state curve PLATEAUS at the watermark horizon and drains on
+    the final finalization batch — no unbounded growth anywhere:
+    windowed_agg  20 rows peak (windows x event_type), 111.1s
+    sessionize    ~124.5k rows peak (sessions in horizon), 25.3s
+    dedup_within_watermark 1.0M rows peak (5 waves of event_ids:
+                  2h watermark + 1h wave span + in-flight), 26.2s
+    join_streams  inner and left_outer identical state curves
+                  (~280k rows peak = clicks+purchases in the
+                  watermark+within horizon), 89.5s / 85.8s
+    running_user_profile climbs to exactly |users|=50,000 and goes
+                  flat (running profile state is per-user by design,
+                  bounded by key cardinality), 102.6s
 """
 
 from __future__ import annotations
@@ -770,10 +786,227 @@ def widevec_panel(spark, num_vecs: int = 50_000, dims: int = 1_024) -> None:
         similarity.negative_pairs(labeled, k=3, buckets=2000)))
 
 
+# --- round-10 panel: streaming state growth ---------------------------------
+# The one op class none of the other panels exercises (VERDICT r9 #3):
+# stateful streaming. Land WAVES of event files (one file = one
+# micro-batch via maxFilesPerTrigger=1, each wave one hour later), drive
+# the registered streaming operators through Trigger.AvailableNow, and
+# read the state-store size per progress event
+# (q.recentProgress[*]["stateOperators"]). The invariant: state rows
+# PLATEAU once the watermark horizon fills — sustained growth in the
+# late batches means state is never expired (unbounded on a real
+# 24/7 stream) and the panel FAILS.
+
+
+def _land_wave(df, in_dir: str, name: str) -> None:
+    """Land a frame as FLAT part-files (the file source lists its input
+    dir non-recursively — a nested directory is silently never seen,
+    CLAUDE.md)."""
+    import glob
+    import shutil
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="sparkprep-wave-")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    os.makedirs(in_dir, exist_ok=True)
+    for i, f in enumerate(sorted(glob.glob(os.path.join(stage, "*.parquet")))):
+        shutil.move(f, os.path.join(in_dir, f"{name}-{i}.parquet"))
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def _drain_noop(stream_df, ckpt: str, output_mode: str = "append"):
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("noop")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def _state_curve(q) -> list:
+    """[(batch_id, op_name, state_rows, state_bytes)] from the finished
+    query's progress history."""
+    out = []
+    for p in q.recentProgress:
+        for op in p.get("stateOperators") or []:
+            out.append(
+                (
+                    p["batchId"],
+                    op.get("operatorName", "?"),
+                    int(op.get("numRowsTotal", 0)),
+                    int(op.get("memoryUsedBytes", 0)),
+                )
+            )
+    return out
+
+
+def _check_plateau(name: str, curve: list, tol: float = 1.3) -> None:
+    """State must stop growing once the watermark horizon fills: the
+    peak over the LAST quarter of batches must not exceed tol x the
+    peak over the middle — sustained late growth = never-expired state."""
+    by_batch: dict = {}
+    for b, _opn, rows, _byts in curve:
+        by_batch[b] = by_batch.get(b, 0) + rows
+    batches = sorted(by_batch)
+    rows = [by_batch[b] for b in batches]
+    print(f"{name:34s} state rows/batch: {rows}", flush=True)
+    if len(rows) < 8:
+        print(f"{name}: too few batches for a plateau check", flush=True)
+        return
+    mid_peak = max(rows[len(rows) // 3 : 2 * len(rows) // 3 + 1])
+    late_peak = max(rows[-(len(rows) // 4) :])
+    if late_peak > tol * max(mid_peak, 1):
+        raise SystemExit(
+            f"STATE GROWTH: {name} late-batch state {late_peak} rows > "
+            f"{tol}x mid-run peak {mid_peak} — state is not being expired"
+        )
+
+
+def streaming_panel(
+    spark,
+    num_users: int = 50_000,
+    num_waves: int = 12,
+    events_per_wave: int = 200_000,
+) -> None:
+    """Drive the registered streaming ops at ~10-50x the bench's key
+    cardinality with hour-spaced waves and a 2h watermark, recording the
+    state-store curve per micro-batch."""
+    import shutil
+    import tempfile
+
+    from sparkprep.streaming import events as st
+    from sparkprep.streaming import stateful
+
+    base = tempfile.mkdtemp(prefix="sparkprep-streampanel-")
+    in_dir = os.path.join(base, "in")
+    t0 = 1_700_000_000  # fixed epoch base; waves advance one hour each
+
+    def wave_frame(w: int, users: int, rows: int, id_prefix: str = ""):
+        return spark.range(rows).select(
+            (F.col("id") + w * rows).alias("event_id"),
+            F.timestamp_micros(
+                (
+                    (t0 + w * 3600) * 1_000_000
+                    + F.pmod(F.xxhash64(F.col("id") + w), 3_600_000_000)
+                ).cast("long")
+            ).alias("ts"),
+            F.pmod(F.xxhash64(F.col("id") * 31 + w), users).alias("user_id"),
+            F.element_at(
+                F.array(F.lit("view"), F.lit("click"), F.lit("purchase"),
+                        F.lit("refund"), F.lit("signup")),
+                (F.pmod(F.xxhash64(F.col("id") + 7), 5) + 1).cast("int"),
+            ).alias("event_type"),
+            (F.pmod(F.xxhash64(F.col("id") + 13), 10_000) / 100.0).alias("value"),
+        )
+
+    for w in range(num_waves):
+        _land_wave(wave_frame(w, num_users, events_per_wave), in_dir, f"wave{w:02d}")
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+    def read_stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+
+    print(
+        f"--- streaming panel: {num_users:,} users, {num_waves} hourly waves "
+        f"x {events_per_wave:,} events, 2h watermark ---",
+        flush=True,
+    )
+
+    t = time.perf_counter()
+    q = _drain_noop(
+        st.windowed_agg_stream(read_stream(), window="1 hour", watermark="2 hours"),
+        f"{base}/ck_win",
+    )
+    print(f"windowed_agg_stream drained in {time.perf_counter() - t:.1f}s")
+    _check_plateau("windowed_agg_stream", _state_curve(q))
+
+    t = time.perf_counter()
+    q = _drain_noop(
+        st.sessionize_stream(read_stream(), gap="30 minutes", watermark="2 hours"),
+        f"{base}/ck_sess",
+    )
+    print(f"sessionize_stream drained in {time.perf_counter() - t:.1f}s")
+    _check_plateau("sessionize_stream", _state_curve(q))
+
+    t = time.perf_counter()
+    q = _drain_noop(
+        st.dedup_stream_within_watermark(
+            read_stream(), ["event_id"], watermark="2 hours"
+        ),
+        f"{base}/ck_dedup",
+    )
+    print(f"dedup_within_watermark drained in {time.perf_counter() - t:.1f}s")
+    _check_plateau("dedup_stream_within_watermark", _state_curve(q))
+
+    # stream-stream join, both modes: clicks attribute to purchases
+    # within 1h; state must expire at watermark + within
+    def split_stream():
+        ev = read_stream()
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        return clicks, purchases
+
+    for how in ("inner", "left_outer"):
+        clicks, purchases = split_stream()
+        t = time.perf_counter()
+        q = _drain_noop(
+            st.join_streams(
+                clicks, purchases, ("c_user", "p_user"),
+                "click_ts", "purchase_ts", within="1 hour",
+            ) if how == "inner" else st.join_streams(
+                clicks, purchases, ("c_user", "p_user"),
+                "click_ts", "purchase_ts", within="1 hour", how="left_outer",
+            ),
+            f"{base}/ck_join_{how}",
+        )
+        print(f"join_streams[{how}] drained in {time.perf_counter() - t:.1f}s")
+        _check_plateau(f"join_streams[{how}]", _state_curve(q))
+
+    # custom stateful: per-user running profile. State is a RUNNING
+    # profile — by design it grows to |users| and must then go FLAT
+    # (every later wave touches existing keys, adds none).
+    t = time.perf_counter()
+    q = _drain_noop(
+        stateful.running_user_profile(read_stream()),
+        f"{base}/ck_profile",
+        output_mode="update",
+    )
+    print(f"running_user_profile drained in {time.perf_counter() - t:.1f}s")
+    curve = _state_curve(q)
+    _check_plateau("running_user_profile", curve, tol=1.05)
+    final_rows = max(r for b, _o, r, _m in curve if b == max(c[0] for c in curve))
+    assert final_rows <= num_users, (
+        f"profile state {final_rows} rows exceeds user cardinality {num_users}"
+    )
+    print(f"running_user_profile final state rows={final_rows} (|users|<={num_users})")
+
+    shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     args = list(sys.argv[1:])
     panel = "core"
-    if args and args[0] in ("core", "revenue", "graph", "longdoc", "widevec", "all"):
+    if args and args[0] in (
+        "core", "revenue", "graph", "longdoc", "widevec", "streaming", "all"
+    ):
         panel = args.pop(0)
     spark = build_session(app_name="scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
@@ -797,6 +1030,11 @@ def main() -> None:
         nv = int(args[0]) if panel == "widevec" and args else 50_000
         dims = int(args[1]) if panel == "widevec" and len(args) > 1 else 1_024
         widevec_panel(spark, nv, dims)
+    if panel in ("streaming", "all"):
+        nu = int(args[0]) if panel == "streaming" and args else 50_000
+        nw = int(args[1]) if panel == "streaming" and len(args) > 1 else 12
+        epw = int(args[2]) if panel == "streaming" and len(args) > 2 else 200_000
+        streaming_panel(spark, nu, nw, epw)
     spark.stop()
 
 
