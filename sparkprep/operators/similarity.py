@@ -574,16 +574,18 @@ def _blocked_bucket_fold(
     per-row block tag ``b`` tells the verify UDF which side of a cross
     group a member belongs to.
 
-    Cost: one extra keyed shuffle (the window count that sizes each
-    bucket) — the blocked fold is the scale path's insurance premium,
-    paid only by ``engine='arrow'`` callers.
+    Bucket sizes come from a VECTOR-FREE aggregate joined back on the
+    keys (AQE broadcasts the tiny sizes frame), NOT a window count: a
+    window over the keys would shuffle AND buffer the full 8 KB/row
+    vector payload just to count rows (measured 2-4x on the widevec
+    panel). Callers must lazy-checkpoint ``frame`` first — the sizes
+    aggregate is a second consumer.
     """
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy(*keys)
-    staged = frame.withColumn(
-        "__nblk",
-        F.ceil(F.count(F.lit(1)).over(w) / F.lit(int(cap))).cast("int"),
+    sizes = frame.select(*keys).groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__bn")
+    )
+    staged = frame.join(sizes, list(keys)).withColumn(
+        "__nblk", F.ceil(F.col("__bn") / F.lit(int(cap))).cast("int")
     ).withColumn(
         # deterministic, not oracle-reaching: the pair SET is
         # blocking-invariant, so any stable hash works here
@@ -663,6 +665,9 @@ def _near_dup_pairs_arrow(
     sig_df = emb_df.select(id_col, vec_col).mapInPandas(
         assign, f"{id_col} {idt}, __unit array<double>, __sig long"
     )
+    # two consumers (the bucket-size aggregate + the fold itself) —
+    # without the lineage cut the signature GEMM runs twice
+    sig_df = sig_df.transform(lazy_checkpoint)
 
     @pandas_udf(f"array<struct<a: {idt}, b: {idt}, c: double>>")
     def _bucket_pairs(
