@@ -30,7 +30,11 @@ Measured round 9 (local[32], idle host):
     pagerank(3) 63.7s, k_core(3) 20.8s, LPA(4) 47.9s, BFS(4) 27.7s,
     triangle census 37.8s — every loop converges with bounded lineage;
     the degree-oriented wedge join absorbs the 142k-degree hub (2,200x
-    past the co-purchase cap) without a quadratic cliff.
+    past the co-purchase cap) without a quadratic cliff. r10 rerun
+    (idle host): pagerank 27.5s, k_core 10.8s, LPA 35.1s, BFS 34.0s,
+    triangles 18.9s, k_truss(k=3, 4 rounds) 48.0s — the k_truss
+    degree-ordered orientation bounds the per-round wedge fan-out at
+    the hub (the naive undirected form would enumerate ~2e10 rows).
   graph panel at 3x (2M nodes, 29.7M unique edges, hub degree 303,612):
     pagerank(3) 98.9s, k_core 46.3s, LPA(4) 98.6s, BFS(4) 58.1s,
     triangles 122.2s — 1.5-3.2x for 3x edges: linear-family scaling,
@@ -659,6 +663,11 @@ def graph_panel(spark, num_nodes: int = 1_000_000, num_edges: int = 10_000_000) 
         graph.triangle_stats(
             edges.select(F.col("u").alias("item_a"), F.col("v").alias("item_b"))
         )))
+    # degree-ordered orientation: the hub contributes only rank-above
+    # neighbors to the wedge fan-out — the naive undirected form would
+    # enumerate hub-degree² (~2e10) wedge rows here
+    _bench("k_truss (k=3)", lambda: _materialize(
+        graph.k_truss(edges, k=3, max_rounds=4, num_partitions=64)))
 
 
 # --- round-9 panel: per-ROW width (long documents) -------------------------

@@ -588,6 +588,125 @@ def k_core(
     )
 
 
+def k_truss(
+    edges: DataFrame,
+    k: int = 4,
+    max_rounds: int = 12,
+    num_partitions: int = 8,
+) -> DataFrame:
+    """k-truss decomposition: iteratively PEEL edges supported by
+    fewer than k−2 triangles until a fixpoint — the edge-grain
+    companion of :func:`k_core` (a k-truss is a stricter cohesion
+    standard: every surviving tie is embedded in k−2 closed wedges,
+    so bridges and stars that survive coring are peeled here).
+    ``edges(u, v)`` must be UNDIRECTED UNIQUE pairs (u < v).
+
+    Per round: triangle support per edge via DEGREE-ORDERED
+    orientation — every edge points from its lower-(degree, id)-rank
+    endpoint to the higher, wedges fan out only over ORIENTED
+    out-neighbor pairs, and the closing edge (always oriented
+    lower→higher rank) is one hash equi-join. Each triangle has a
+    unique lowest-rank vertex, so it is found exactly ONCE, then
+    exploded to its three canonical edges for the map-combined
+    support groupBy. The fan-out is Σ outdeg(x)² with outdeg bounded
+    by O(√E) (graph arboricity) — a 142k-degree power-law hub
+    contributes its RANK-ABOVE neighbors only, never hub-degree²
+    wedge rows (the naive undirected-adjacency form dies exactly
+    there; scale_smoke's graph panel is the receipt). Edges below
+    k−2 support drop (including zero-triangle edges, which never
+    appear in the support frame); loop disciplines are k_core's
+    (working set repartitioned small before the loop, survivor set
+    and per-round orientation lazily checkpoint-ed — routed by the
+    engine checkpoint mode — one bounded count scalar per round for
+    early exit).
+
+    Peeling is monotone, so early exit at the fixpoint is
+    result-identical to a fixed-depth unrolled-CTE oracle replay
+    (k_core's convention; pin convergence headroom with a canary).
+    Returns surviving edges with their within-truss support
+    ``(u, v, support)`` — recomputed once on the final edge set so a
+    max_rounds exit still reports honest supports.
+    """
+    thr = int(k) - 2
+    e = (
+        edges.select("u", "v")
+        .repartition(num_partitions)
+        .transform(lazy_checkpoint)
+    )
+    n_edges = e.count()
+
+    def support(cur: DataFrame) -> DataFrame:
+        ends = cur.select(F.explode(F.array("u", "v")).alias("n"))
+        deg = ends.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+        ed = cur.join(
+            deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u"
+        ).join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+        lower_first = (F.col("du") < F.col("dv")) | (
+            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+        )
+        # checkpointed: consumed as BOTH wedge sides AND the closing
+        # join (the self-join ReusedExchange landmine, CLAUDE.md)
+        orient = lazy_checkpoint(
+            ed.select(
+                F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("x"),
+                F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("y"),
+                F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias(
+                    "dy"
+                ),
+            )
+        )
+        w1 = orient.select("x", F.col("y").alias("p"), F.col("dy").alias("dp"))
+        w2 = orient.select("x", F.col("y").alias("q"), F.col("dy").alias("dq"))
+        wed = w1.join(w2, "x").filter(
+            (F.col("dp") < F.col("dq"))
+            | ((F.col("dp") == F.col("dq")) & (F.col("p") < F.col("q")))
+        )
+        tri = wed.join(
+            orient.select(F.col("x").alias("p"), F.col("y").alias("q")),
+            ["p", "q"],
+        ).select("x", "p", "q")
+        edges3 = tri.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.least("x", "p").alias("u"),
+                        F.greatest("x", "p").alias("v"),
+                    ),
+                    F.struct(
+                        F.least("x", "q").alias("u"),
+                        F.greatest("x", "q").alias("v"),
+                    ),
+                    F.struct(
+                        F.least("p", "q").alias("u"),
+                        F.greatest("p", "q").alias("v"),
+                    ),
+                )
+            ).alias("e")
+        ).select("e.u", "e.v")
+        return edges3.groupBy("u", "v").agg(
+            F.count(F.lit(1)).alias("support")
+        )
+
+    for _ in range(int(max_rounds)):
+        if n_edges == 0:
+            break
+        e2 = (
+            support(e)
+            .filter(F.col("support") >= thr)
+            .select("u", "v")
+            .transform(lazy_checkpoint)
+        )
+        n2 = e2.count()
+        if n2 == n_edges:
+            break
+        e, n_edges = e2, n2
+    if n_edges == 0:
+        return e.select(
+            "u", "v", F.lit(0).cast("long").alias("support")
+        ).limit(0)
+    return support(e).select("u", "v", F.col("support").cast("long"))
+
+
 def lpa_communities(
     edges: DataFrame,
     rounds: int = 4,

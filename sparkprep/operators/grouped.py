@@ -235,6 +235,101 @@ def grouped_holt(
     return df.groupBy(*key_cols).applyInPandas(holt, out_schema)
 
 
+def grouped_holt_winters(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    m: int = 7,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+) -> DataFrame:
+    """Per-key additive Holt-Winters (level + trend + m-period
+    seasonal) — the seasonality-aware upgrade of :func:`grouped_holt`
+    for series with a weekly/periodic signal the double-exponential
+    model aliases into trend:
+
+        l_t = α·(y_t − s_{t−m}) + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        s_t = γ·(y_t − l_t) + (1−γ)·s_{t−m}
+
+    Initialization (exactly replayable): l_m = mean(y_1..y_m),
+    b_m = 0, s_p = y_p − l_m for p = 1..m; the recursion starts at
+    t = m+1 and rows 1..m are consumed by the init only (groups with
+    ≤ m rows emit nothing). ``forecast`` is the honest ONE-STEP-AHEAD
+    prediction made before seeing y_t: f_t = l_{t−1} + b_{t−1} +
+    s_{t−m}.
+
+    Bit-parity contract (grouped_holt's): Arrow grouped map with an
+    explicit float-op order the recursive-CTE oracle repeats textually
+    — the m-slot seasonal ring unrolls to m state COLUMNS in the CTE
+    (a LIST-typed recursive column would leave DuckDB's planner no
+    fixed schema), each updated via CASE on the row's phase. The init
+    mean is exact when y is integral (counts ≤ 2^53: the sum is exact
+    in any order, then ONE division) — feed count-valued series, not
+    arbitrary floats. Memory bound = largest single group; use on
+    BOUNDED per-key panels (daily per type), never per-entity raw
+    events. NULLs poison their key's tail — filter first.
+    """
+    import numpy as np
+
+    oneha = 1.0 - alpha
+    onehb = 1.0 - beta
+    onehg = 1.0 - gamma
+    fm = float(m)
+    schema_fields = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in df.columns
+    )
+    out_schema = (
+        f"{schema_fields}, level double, trend double, seasonal double,"
+        " forecast double"
+    )
+
+    def hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        x = pdf[value_col].to_numpy(dtype=float)
+        n = len(x)
+        if n <= m:
+            return pdf.iloc[0:0].assign(
+                level=np.array([], dtype=float),
+                trend=np.array([], dtype=float),
+                seasonal=np.array([], dtype=float),
+                forecast=np.array([], dtype=float),
+            )
+        # init: integral y -> the sum is exact in any order; ONE division
+        mbar = x[:m].sum() / fm
+        s = [x[p] - mbar for p in range(m)]
+        l = mbar
+        b = 0.0
+        lv = np.empty(n - m)
+        tr = np.empty(n - m)
+        se = np.empty(n - m)
+        fc = np.empty(n - m)
+        for i in range(m, n):
+            p = i % m
+            s_prev = s[p]
+            v = x[i]
+            f = l + b + s_prev
+            lp = l
+            l = alpha * (v - s_prev) + oneha * (lp + b)
+            b = beta * (l - lp) + onehb * b
+            s[p] = gamma * (v - l) + onehg * s_prev
+            j = i - m
+            lv[j] = l
+            tr[j] = b
+            se[j] = s[p]
+            fc[j] = f
+        out = pdf.iloc[m:].copy()
+        out["level"] = lv
+        out["trend"] = tr
+        out["seasonal"] = se
+        out["forecast"] = fc
+        return out
+
+    return df.groupBy(*key_cols).applyInPandas(hw, out_schema)
+
+
 def grouped_croston(
     df: DataFrame,
     key_cols: list[str],

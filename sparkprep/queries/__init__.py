@@ -312,6 +312,20 @@ _ROUND8_QUEUE = [
 ]
 
 
+# Round-10 session additions, pinned in landing order (the established
+# window discipline — the self-cleaning filter drops them once
+# adjudicated; every name stays covered by the sf0.001 oracle replay).
+_ROUND10_QUEUE = [
+    "holt_winters",
+    "link_prediction",
+    "k_truss",
+    "merkle_manifest",
+    "krippendorff_alpha",
+    "earth_movers",
+    "silhouette_score",
+]
+
+
 def registry():
     from sparkprep.queries import (
         advanced,
@@ -353,6 +367,7 @@ def registry():
     priority += [n for n in _ROUND5_OVERFLOW if n not in seen and n not in priority]
     priority += [n for n in _ROUND7_QUEUE if n not in seen and n not in priority]
     priority += [n for n in _ROUND8_QUEUE if n not in seen and n not in priority]
+    priority += [n for n in _ROUND10_QUEUE if n not in seen and n not in priority]
     priority += [n for n in merged_q if n not in seen and n not in priority]
     # stale-first rotation for the already-verified remainder: sort by
     # the LAST round each name was adjudicated (ascending — stable, so

@@ -77,7 +77,11 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_sql(k: int, dims: int, scale: int, rounds: int, out_dims: int) -> str:
+def _km_rounds_parts(k: int, dims: int, scale: int, rounds: int):
+    """Shared unrolled-Lloyd CTE chain (through the final-assignment
+    frame ``km_a{rounds}`` and final centroid state ``km_cf``) — used
+    verbatim by the kmeans_assign AND silhouette_score oracles so the
+    two replays can never drift. Returns (parts, qexpr, xcols)."""
     xs = ", ".join(
         f"floor(embedding[{j + 1}]::DOUBLE * {scale} + 0.5)::BIGINT AS x{j}"
         for j in range(dims)
@@ -111,6 +115,11 @@ def _kmeans_sql(k: int, dims: int, scale: int, rounds: int, out_dims: int) -> st
         f"km_cf AS MATERIALIZED (SELECT c, count(*)::BIGINT AS n, {sums} "
         f"FROM km_a{rounds} GROUP BY c)"
     )
+    return parts, qexpr, xcols
+
+
+def _kmeans_sql(k: int, dims: int, scale: int, rounds: int, out_dims: int) -> str:
+    parts, qexpr, _xcols = _km_rounds_parts(k, dims, scale, rounds)
     scols = ", ".join(f"t.s{j}" for j in range(out_dims))
     parts.append(
         f"km_q AS (SELECT t.c, t.n, {scols}, "
@@ -1713,3 +1722,470 @@ FROM cp_c ORDER BY cp_c.chi2 DESC, part_a, part_b LIMIT {_CP_CHI2_TOP}
 
 QUERIES["copurchase_chi2"] = q_copurchase_chi2
 ORACLES["copurchase_chi2"] = _COPURCHASE_CHI2_SQL
+
+
+# ---------------------------------------------------------------------------
+# link prediction (common neighbors / resource allocation / Jaccard) — round 10
+# ---------------------------------------------------------------------------
+
+_LP_TOP = 50
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top non-edges of the co-purchase graph most likely to close,
+    scored by the three classic neighborhood predictors (Zhou/Lü/Zhang
+    2009): common-neighbor count, resource-allocation index
+    RA = Σ_z 1/deg(z), and neighborhood Jaccard — the "which
+    cross-sells are we one campaign away from" readout on top of the
+    graph family. RA is chosen over Adamic-Adar deliberately: 1/deg is
+    ONE division of exact int64s (IEEE-identical on both engines) where
+    AA's 1/ln(deg) inherits libm-vs-Math.log ulp drift; per-candidate
+    terms recast to DECIMAL(38,12) so the sum is exact and
+    order-independent.
+
+    Scale shape: candidates come from the wedge fan-out (adj ⋈ adj on
+    the shared mid-node, a<b) — Σ deg(z)² rows, bounded by the
+    co-occurrence degree cap (max degree 51/13 across testdata
+    generations, canary-pinned), never |V|²; existing edges leave via
+    one hash left-anti join on the canonical (a,b) key; deg lookups are
+    node-count-sized hash joins. At a 100 TB graph the identical plan
+    runs behind ``graph.directed_ends_capped``'s hub guard (the
+    journey_distance convention) — top-k-neighbor approximation at hubs
+    instead of a deg² blow-up."""
+    from sparkprep.queries import shared_frames
+
+    edges = shared_frames.copurchase_edges(spark, sf_dir, a="ea", b="eb")
+    adj = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("ea").alias("u"), F.col("eb").alias("v")),
+                F.struct(F.col("eb").alias("u"), F.col("ea").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    n1 = adj.select(F.col("u").alias("z"), F.col("v").alias("a"))
+    n2 = adj.select(F.col("u").alias("z"), F.col("v").alias("b"))
+    cand = n1.join(n2, "z").filter(F.col("a") < F.col("b"))
+    sc = (
+        cand.join(deg.select(F.col("u").alias("z"), "degree"), "z")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum(
+                (F.lit(1.0) / F.col("degree").cast("double")).cast(
+                    "decimal(38,12)"
+                )
+            ).alias("ra"),
+        )
+    )
+    new = sc.join(
+        edges, (F.col("a") == F.col("ea")) & (F.col("b") == F.col("eb")),
+        "left_anti",
+    )
+    da = deg.select(F.col("u").alias("a"), F.col("degree").alias("da"))
+    db = deg.select(F.col("u").alias("b"), F.col("degree").alias("db"))
+    out = (
+        new.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").cast("long").alias("part_a"),
+            F.col("b").cast("long").alias("part_b"),
+            F.col("cn").cast("long").alias("common_neighbors"),
+            F.col("ra"),
+            _dec_round(
+                F.try_divide(
+                    F.col("cn").cast("double"),
+                    (F.col("da") + F.col("db") - F.col("cn")).cast("double"),
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return (
+        out.orderBy(
+            F.desc("common_neighbors"), F.desc("ra"),
+            F.asc("part_a"), F.asc("part_b"),
+        )
+        .limit(_LP_TOP)
+        .select(
+            "part_a", "part_b", "common_neighbors",
+            F.round(F.col("ra").cast("double"), 6).alias("ra_index"),
+            "jaccard",
+        )
+    )
+
+
+_LINK_PREDICTION_SQL = f"""
+WITH lp_op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+lp_e AS MATERIALIZED (SELECT a.l_partkey AS ea, b.l_partkey AS eb
+  FROM lp_op a JOIN lp_op b ON a.l_orderkey = b.l_orderkey
+  AND a.l_partkey < b.l_partkey GROUP BY 1, 2 HAVING count(*) >= 2),
+lp_adj AS MATERIALIZED (SELECT ea AS u, eb AS v FROM lp_e
+  UNION ALL SELECT eb AS u, ea AS v FROM lp_e),
+lp_deg AS MATERIALIZED (SELECT u, count(*) AS degree FROM lp_adj GROUP BY 1),
+lp_cand AS (SELECT x.u AS z, x.v AS a, y.v AS b
+  FROM lp_adj x JOIN lp_adj y ON x.u = y.u AND x.v < y.v),
+lp_sc AS MATERIALIZED (SELECT c.a, c.b, count(*) AS cn,
+  sum((1.0 / d.degree::DOUBLE)::DECIMAL(38,12)) AS ra
+  FROM lp_cand c JOIN lp_deg d ON c.z = d.u GROUP BY 1, 2),
+lp_new AS (SELECT s.* FROM lp_sc s
+  WHERE NOT EXISTS (SELECT 1 FROM lp_e e WHERE s.a = e.ea AND s.b = e.eb)),
+lp_out AS (SELECT n.a, n.b, n.cn, n.ra,
+  round((n.cn::DOUBLE / (da.degree + db.degree - n.cn)::DOUBLE)::DECIMAL(18,8),
+        6)::DOUBLE AS jaccard
+  FROM lp_new n JOIN lp_deg da ON n.a = da.u JOIN lp_deg db ON n.b = db.u)
+SELECT a::BIGINT AS part_a, b::BIGINT AS part_b,
+       cn::BIGINT AS common_neighbors,
+       round(ra::DOUBLE, 6) AS ra_index, jaccard
+FROM lp_out ORDER BY cn DESC, ra DESC, a, b LIMIT {_LP_TOP}
+"""
+
+
+QUERIES["link_prediction"] = q_link_prediction
+ORACLES["link_prediction"] = _LINK_PREDICTION_SQL
+
+
+# ---------------------------------------------------------------------------
+# k-truss decomposition — round 10
+# ---------------------------------------------------------------------------
+
+_KT_K = 3
+_KT_DEPTH = 8
+
+
+def q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss of the co-purchase graph: every surviving edge is
+    embedded in at least one triangle after iterative peeling — the
+    edge-grain cohesion standard beside k_core's node-grain one
+    (bridges and star spokes that survive coring are peeled here), with
+    each edge's final triangle support as the readout.
+    ``graph.k_truss`` peels distributively (per-round wedge fan-out +
+    close join + map-combined support groupBy, survivor set lazily
+    checkpoint-ed, one bounded count scalar per round); early exit at
+    the fixpoint is result-identical to the oracle's fixed-depth
+    unrolled-CTE replay because edge-peeling is monotone (k_core's
+    convention). Fixpoint reached in 2 rounds on every testdata
+    generation vs depth 8 — canary-pinned in
+    tests/test_headroom_canaries.py."""
+    from sparkprep.queries import shared_frames
+
+    edges = shared_frames.copurchase_edges(spark, sf_dir)
+    out = graph.k_truss(edges, k=_KT_K, max_rounds=_KT_DEPTH)
+    return out.select(
+        F.col("u").cast("long").alias("part_a"),
+        F.col("v").cast("long").alias("part_b"),
+        "support",
+    )
+
+
+def _k_truss_sql(depth: int, k: int) -> str:
+    thr = k - 2
+    parts = [
+        "kt_op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        "kt_e0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v "
+        "FROM kt_op a JOIN kt_op b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey < b.l_partkey GROUP BY 1, 2 HAVING count(*) >= 2)",
+    ]
+    for i in range(depth):
+        # wedge fan-out closed against the current edge list: each
+        # triangle {x<y<z} is found once per CENTER, so the (a,b)
+        # group count IS that edge's triangle support (AS MATERIALIZED:
+        # the chain landmine, CLAUDE.md)
+        parts.append(
+            f"kt_a{i} AS MATERIALIZED (SELECT u AS z, v AS w FROM kt_e{i} "
+            f"UNION ALL SELECT v AS z, u AS w FROM kt_e{i})"
+        )
+        parts.append(
+            f"kt_s{i} AS MATERIALIZED (SELECT w.a AS u, w.b AS v, "
+            f"count(*) AS sup FROM "
+            f"(SELECT x.w AS a, y.w AS b FROM kt_a{i} x JOIN kt_a{i} y "
+            f"ON x.z = y.z AND x.w < y.w) w "
+            f"JOIN kt_e{i} e ON w.a = e.u AND w.b = e.v GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"kt_e{i + 1} AS MATERIALIZED (SELECT u, v FROM kt_s{i} "
+            f"WHERE sup >= {thr})"
+        )
+    # honest final supports recomputed on the surviving edge set
+    parts.append(
+        f"kt_af AS MATERIALIZED (SELECT u AS z, v AS w FROM kt_e{depth} "
+        f"UNION ALL SELECT v AS z, u AS w FROM kt_e{depth})"
+    )
+    parts.append(
+        f"kt_sf AS (SELECT w.a AS u, w.b AS v, count(*) AS sup FROM "
+        f"(SELECT x.w AS a, y.w AS b FROM kt_af x JOIN kt_af y "
+        f"ON x.z = y.z AND x.w < y.w) w "
+        f"JOIN kt_e{depth} e ON w.a = e.u AND w.b = e.v GROUP BY 1, 2)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT u::BIGINT AS part_a, v::BIGINT AS part_b, "
+        "sup::BIGINT AS support FROM kt_sf"
+    )
+
+
+_K_TRUSS_SQL = _k_truss_sql(_KT_DEPTH, _KT_K)
+
+
+QUERIES["k_truss"] = q_k_truss
+ORACLES["k_truss"] = _K_TRUSS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Krippendorff's alpha (nominal, two raters) — round 10
+# ---------------------------------------------------------------------------
+
+
+def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha between the two language HEURISTICS — the
+    stopword-evidence rater (lang_id) and the char-trigram rater
+    (lang_id_ngram) — the genuine inter-annotator setting (two
+    imperfect raters, no gold) that complements cohens_kappa's
+    gold-vs-rater readout. Nominal data, both raters label every unit,
+    so the coincidence matrix closes over the ≤|langs|² confusion
+    frame: with n = 2U total judgments, Σ_{c≠k} o_ck = 2·(disagreeing
+    units) and D_e's numerator is n² − Σ_k n_k², giving
+    α = 1 − (n−1)·2D / (n² − Σ n_k²) — ONE division of exact integers
+    (marginal products carried in DECIMAL(38,0): cohens_kappa's
+    ANSI-overflow discipline). The confusion frame is
+    localCheckpoint-ed because the marginal and disagreement
+    aggregates both consume it."""
+    docs = t(spark, sf_dir, "documents")
+    conf = (
+        docs.select(
+            tx.lang_id("text").alias("a"),
+            tx.lang_id_ngram("text").alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .transform(lazy_checkpoint)
+    )
+    tot = conf.agg(
+        F.sum("n").alias("U"),
+        F.sum(
+            F.when(F.col("a") != F.col("b"), F.col("n")).otherwise(F.lit(0))
+        ).alias("D"),
+    )
+    marg = (
+        conf.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("k"), F.col("n")),
+                    F.struct(F.col("b").alias("k"), F.col("n")),
+                )
+            ).alias("e")
+        )
+        .select("e.k", "e.n")
+        .groupBy("k")
+        .agg(F.sum("n").alias("nk"))
+        .agg(F.sum(F.col("nk").cast(_D38) * F.col("nk")).alias("SK2"))
+    )
+    out = tot.crossJoin(F.broadcast(marg))
+    return out.select(
+        F.col("U").cast("long").alias("n_units"),
+        F.col("D").cast("long").alias("n_disagree"),
+        _dec_round(
+            F.lit(1.0)
+            - F.try_divide(
+                ((F.col("U").cast(_D38) * 2 - 1) * 2 * F.col("D")).cast(
+                    "double"
+                ),
+                (
+                    (F.col("U").cast(_D38) * 2) * (F.col("U").cast(_D38) * 2)
+                    - F.col("SK2")
+                ).cast("double"),
+            ),
+            6,
+        ).alias("alpha"),
+    )
+
+
+_KRIPPENDORFF_SQL = f"""
+WITH ka_s AS (
+  SELECT text,
+         len(list_filter(string_split(text, ' '), x -> x IN ({_KP_DE}))) AS w_de,
+         len(list_filter(string_split(text, ' '), x -> x IN ({_KP_EN}))) AS w_en,
+         len(list_filter(string_split(text, ' '), x -> x IN ({_KP_ES}))) AS w_es,
+         len(list_filter(string_split(text, ' '), x -> x IN ({_KP_FR}))) AS w_fr
+  FROM documents
+), ka_g AS (
+  SELECT CASE WHEN w_de >= w_en AND w_de >= w_es AND w_de >= w_fr THEN 'de'
+              WHEN w_en >= w_es AND w_en >= w_fr THEN 'en'
+              WHEN w_es >= w_fr THEN 'es'
+              ELSE 'fr' END AS a,
+         {{NGRAM_CASE}} AS b
+  FROM ka_s
+), ka_c AS (
+  SELECT a, b, count(*)::BIGINT AS n FROM ka_g GROUP BY 1, 2
+), ka_tot AS (
+  SELECT sum(n) AS U, coalesce(sum(n) FILTER (a <> b), 0) AS D FROM ka_c
+), ka_m AS (
+  SELECT k, sum(n) AS nk FROM (
+    SELECT a AS k, n FROM ka_c UNION ALL SELECT b AS k, n FROM ka_c
+  ) GROUP BY 1
+), ka_mm AS (SELECT sum(nk * nk) AS SK2 FROM ka_m)
+SELECT U::BIGINT AS n_units, D::BIGINT AS n_disagree,
+       round((1.0 - ((2 * U - 1) * 2 * D)::DOUBLE
+              / ((2 * U) * (2 * U) - SK2)::DOUBLE)::DECIMAL(18,8),
+             6)::DOUBLE AS alpha
+FROM ka_tot CROSS JOIN ka_mm
+"""
+
+
+def _krippendorff_sql() -> str:
+    score = {
+        lang: " + ".join(
+            f"(length(lower(text)) - length(replace(lower(text), '{g}', ''))) // 3"
+            for g in grams
+        )
+        for lang, grams in tx._LANG_TRIGRAMS.items()
+    }
+    ngram_case = (
+        f"CASE WHEN ({score['de']}) >= ({score['en']}) "
+        f"AND ({score['de']}) >= ({score['es']}) "
+        f"AND ({score['de']}) >= ({score['fr']}) THEN 'de' "
+        f"WHEN ({score['en']}) >= ({score['es']}) "
+        f"AND ({score['en']}) >= ({score['fr']}) THEN 'en' "
+        f"WHEN ({score['es']}) >= ({score['fr']}) THEN 'es' "
+        f"ELSE 'fr' END"
+    )
+    return _KRIPPENDORFF_SQL.replace("{NGRAM_CASE}", ngram_case)
+
+
+QUERIES["krippendorff_alpha"] = q_krippendorff_alpha
+ORACLES["krippendorff_alpha"] = _krippendorff_sql()
+
+
+# ---------------------------------------------------------------------------
+# simplified silhouette over the k-means assignment — round 10
+# ---------------------------------------------------------------------------
+
+
+def q_silhouette_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster simplified silhouette of the kmeans_assign fit —
+    s(p) = (b−a)/max(a,b) with a = distance to the OWN centroid and
+    b = the nearest OTHER centroid (the centroid-based silhouette:
+    O(n·k), where the classic pairwise form is O(n²) — the only
+    honest variant at corpus scale) — the cluster-quality readout
+    that says whether k-means found structure or just partitioned
+    noise, plus the misassigned count (s < 0: a foreign centroid is
+    closer than the point's own).
+
+    Exactness: the same cross-multiplied integer-exact distance as
+    kmeans_lloyd (the only float op per candidate is ONE division of
+    exact int64s), so a and b are bit-identical on both engines;
+    (b−a)/greatest(a,b) is two more IEEE ops on identical doubles;
+    per-point s recast DECIMAL(38,12) for the order-independent
+    cluster mean. The oracle replays Lloyd through the SHARED
+    `_km_rounds_parts` CTE chain — kmeans_assign and this oracle can
+    never drift. Scale shape: one broadcast of k centroid rows, one
+    map-combined conditional-min groupBy on the point id, one k-row
+    output fold; the points never shuffle."""
+    emb = t(spark, sf_dir, "embeddings")
+    pts = clustering.quantize_points(
+        emb, "vec_id", "embedding", dims=_KM_DIMS, scale=_KM_SCALE
+    )
+    asg = clustering.kmeans_lloyd(pts, k=_KM_K, dims=_KM_DIMS, rounds=_KM_ROUNDS)
+    cent = asg.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.element_at("xi", j + 1)).alias(f"__s{j}")
+            for j in range(_KM_DIMS)
+        ],
+    )
+    cent = cent.select(
+        F.col("cluster").alias("__c"),
+        "__n",
+        F.array(*[F.col(f"__s{j}") for j in range(_KM_DIMS)]).alias("__s"),
+    )
+    scored = (
+        asg.select("id", "xi", F.col("cluster").alias("own"))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "id",
+            "own",
+            "__c",
+            (
+                F.aggregate(
+                    F.zip_with(
+                        "xi",
+                        "__s",
+                        lambda x, s: (F.col("__n") * x - s)
+                        * (F.col("__n") * x - s),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                ).cast("double")
+                / (F.col("__n") * F.col("__n")).cast("double")
+            ).alias("dist"),
+        )
+    )
+    ab = scored.groupBy("id", "own").agg(
+        F.min(F.when(F.col("__c") == F.col("own"), F.col("dist"))).alias("a"),
+        F.min(F.when(F.col("__c") != F.col("own"), F.col("dist"))).alias("b"),
+    )
+    s = ab.select(
+        F.col("own").alias("cluster"),
+        F.try_divide(
+            F.col("b") - F.col("a"), F.greatest("a", "b")
+        ).alias("s"),
+    )
+    return (
+        s.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            _dec_round(
+                F.try_divide(
+                    F.sum(F.col("s").cast("decimal(38,12)")).cast("double"),
+                    F.count(F.lit(1)).cast("double"),
+                ),
+                6,
+            ).alias("mean_silhouette"),
+            F.sum(
+                F.when(F.col("s") < 0, F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("n_negative"),
+        )
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            "n_points",
+            "mean_silhouette",
+            "n_negative",
+        )
+    )
+
+
+def _silhouette_sql(k: int, dims: int, scale: int, rounds: int) -> str:
+    parts, qexpr, _xcols = _km_rounds_parts(k, dims, scale, rounds)
+    parts.append(
+        f"sl_d AS MATERIALIZED (SELECT p.id, p.c AS own, t.c, "
+        f"({qexpr})::DOUBLE / (t.n * t.n)::DOUBLE AS dist "
+        f"FROM km_a{rounds} p CROSS JOIN km_cf t)"
+    )
+    parts.append(
+        "sl_ab AS (SELECT id, own, "
+        "min(CASE WHEN c = own THEN dist END) AS a, "
+        "min(CASE WHEN c <> own THEN dist END) AS b "
+        "FROM sl_d GROUP BY 1, 2)"
+    )
+    parts.append(
+        "sl_s AS (SELECT own AS cluster, (b - a) / greatest(a, b) AS s "
+        "FROM sl_ab)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT cluster::BIGINT AS cluster, count(*)::BIGINT AS n_points, "
+        "round((sum((s)::DECIMAL(38,12))::DOUBLE / count(*)::DOUBLE)"
+        "::DECIMAL(18,8), 6)::DOUBLE AS mean_silhouette, "
+        "coalesce(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END), 0)::BIGINT "
+        "AS n_negative FROM sl_s GROUP BY 1"
+    )
+
+
+_SILHOUETTE_SQL = _silhouette_sql(_KM_K, _KM_DIMS, _KM_SCALE, _KM_ROUNDS)
+
+
+QUERIES["silhouette_score"] = q_silhouette_score
+ORACLES["silhouette_score"] = _SILHOUETTE_SQL

@@ -666,3 +666,60 @@ WITH gl_j AS MATERIALIZED (
 
 QUERIES["generalization_ladder"] = q_generalization_ladder
 ORACLES["generalization_ladder"] = _GENERALIZATION_LADDER_SQL
+
+
+# ---------------------------------------------------------------------------
+# per-source Merkle-style integrity manifest — round 10
+# ---------------------------------------------------------------------------
+
+
+def q_merkle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tamper-evident per-source corpus manifest: each source's digest
+    is md5 over its docs' per-text md5s concatenated in doc_id order —
+    one 32-hex string per source that changes if ANY document is
+    edited, dropped, or reordered, plus the row/char totals an auditor
+    reconciles first. The 100 TB shape is per-SHARD manifests (this
+    exact groupBy keyed on (source, shard)) rolled up the same way —
+    the chain per group is bounded by shard size, never corpus size;
+    here the group key is the source column (4 groups, ~kB of digest
+    string per group). Ordered fold = array_sort(collect_list(struct))
+    — one map-combined exchange, no window; md5 on both engines makes
+    the digest engine-identical (the repo-wide hashing discipline)."""
+    docs = t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        "doc_id",
+        F.md5(F.col("text")).alias("h"),
+        F.length("text").alias("nc"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nc").cast("long").alias("total_chars"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("doc_id", "h"))
+                        ),
+                        lambda s: s["h"],
+                    ),
+                )
+            ).alias("digest"),
+        )
+        .orderBy("source")
+    )
+
+
+_MERKLE_MANIFEST_SQL = """
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(length(text))::BIGINT AS total_chars,
+       md5(string_agg(md5(text), '' ORDER BY doc_id)) AS digest
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+QUERIES["merkle_manifest"] = q_merkle_manifest
+ORACLES["merkle_manifest"] = _MERKLE_MANIFEST_SQL

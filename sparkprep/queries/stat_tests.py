@@ -23,6 +23,7 @@ from pyspark.sql.window import Window
 
 from sparkprep.queries import t
 from sparkprep.session import tune_for_engine
+from sparkprep.checkpointing import lazy_checkpoint
 
 _D18 = "decimal(18,8)"
 
@@ -1083,3 +1084,129 @@ FROM yu_x
 
 QUERIES["yuen_test"] = q_yuen_test
 ORACLES["yuen_test"] = _YUEN_SQL
+
+
+# ---------------------------------------------------------------------------
+# binned 1-D Wasserstein (earth mover's) distance panel — round 10
+# ---------------------------------------------------------------------------
+
+_EMD_BIN = 10_000
+
+
+def q_earth_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise earth-mover's (1-D Wasserstein-1) distances between the
+    order-price distributions of the five order priorities — the
+    drift metric that reports HOW FAR mass must move (in dollars),
+    where KS reports only the largest CDF gap and PSI/JS blow up on
+    empty bins. Binned at $10k (the sample_ks convention: a binned W1
+    lower-bounds the true one; bin width is the resolution statement).
+
+    Exactness: per-bin cumulative counts are integer window sums over
+    the DENSE (priority × bin) grid (a sparse grid would misalign the
+    pair join); the CDF gap is cross-multiplied — |cumA·NB − cumB·NA|
+    — so the only float ops are the final scale-and-divide on exact
+    sums (terms DECIMAL(38,0)-recast: at petabyte row counts the int64
+    product overflows ANSI — the cohens_kappa discipline). The counts
+    frame is localCheckpoint-ed (FOUR consumers: range, priority list,
+    grid join, totals); the cum frame too (both pair-join sides — the
+    self-join ReusedExchange landmine). Scale shape: everything after
+    the one groupBy over orders lives on ≤|priorities|·|bins| rows."""
+    tune_for_engine(spark)
+    o = t(spark, sf_dir, "orders")
+    cnt = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("pr"),
+            F.floor(F.col("o_totalprice") / _EMD_BIN).cast("long").alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .transform(lazy_checkpoint)
+    )
+    rng = cnt.agg(F.min("bin").alias("lo"), F.max("bin").alias("hi"))
+    grid = rng.select(F.explode(F.sequence("lo", "hi")).alias("bin"))
+    prs = cnt.select("pr").distinct()
+    dense = prs.crossJoin(F.broadcast(grid))
+    cum = dense.join(cnt, ["pr", "bin"], "left").select(
+        "pr",
+        "bin",
+        F.sum(F.coalesce("c", F.lit(0)))
+        .over(
+            Window.partitionBy("pr")
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("cum"),
+    )
+    tot = cnt.groupBy("pr").agg(F.sum("c").alias("n"))
+    cumf = (
+        cum.join(tot, "pr")
+        .select("pr", "bin", "cum", "n")
+        .transform(lazy_checkpoint)
+    )
+    a = cumf.select(
+        F.col("pr").alias("pr_a"), "bin",
+        F.col("cum").alias("cum_a"), F.col("n").alias("na"),
+    )
+    b = cumf.select(
+        F.col("pr").alias("pr_b"), F.col("bin").alias("bin_b"),
+        F.col("cum").alias("cum_b"), F.col("n").alias("nb"),
+    )
+    j = a.join(
+        b,
+        (F.col("bin") == F.col("bin_b")) & (F.col("pr_a") < F.col("pr_b")),
+    )
+    agg = j.groupBy("pr_a", "pr_b", "na", "nb").agg(
+        F.sum(
+            F.abs(
+                F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na")
+            ).cast("decimal(38,0)")
+        ).alias("S")
+    )
+    return agg.select(
+        "pr_a",
+        "pr_b",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        _dec_round(
+            F.try_divide(
+                F.col("S").cast("double") * F.lit(float(_EMD_BIN)),
+                (F.col("na").cast("decimal(38,0)") * F.col("nb")).cast(
+                    "double"
+                ),
+            ),
+            4,
+        ).alias("emd"),
+    ).orderBy("pr_a", "pr_b")
+
+
+_EARTH_MOVERS_SQL = f"""
+WITH em_cnt AS (
+  SELECT o_orderpriority AS pr, floor(o_totalprice / {_EMD_BIN})::BIGINT AS bin,
+         count(*)::BIGINT AS c
+  FROM orders GROUP BY 1, 2
+),
+em_rng AS (SELECT min(bin) AS lo, max(bin) AS hi FROM em_cnt),
+em_grid AS (SELECT unnest(generate_series(lo, hi)) AS bin FROM em_rng),
+em_dense AS (SELECT p.pr, g.bin
+  FROM (SELECT DISTINCT pr FROM em_cnt) p CROSS JOIN em_grid g),
+em_tot AS (SELECT pr, sum(c) AS n FROM em_cnt GROUP BY 1),
+em_cum AS MATERIALIZED (
+  SELECT d.pr, d.bin,
+         sum(coalesce(c.c, 0)) OVER (PARTITION BY d.pr ORDER BY d.bin) AS cum
+  FROM em_dense d LEFT JOIN em_cnt c ON d.pr = c.pr AND d.bin = c.bin
+),
+em_j AS (
+  SELECT a.pr AS pr_a, b.pr AS pr_b, ta.n AS na, tb.n AS nb,
+         sum(abs(a.cum * tb.n - b.cum * ta.n)) AS S
+  FROM em_cum a JOIN em_cum b ON a.bin = b.bin AND a.pr < b.pr
+  JOIN em_tot ta ON a.pr = ta.pr JOIN em_tot tb ON b.pr = tb.pr
+  GROUP BY 1, 2, 3, 4
+)
+SELECT pr_a, pr_b, na::BIGINT AS n_a, nb::BIGINT AS n_b,
+       round(((S::DOUBLE * {float(_EMD_BIN)!r}) / (na * nb)::DOUBLE)::DECIMAL(18,8),
+             4)::DOUBLE AS emd
+FROM em_j ORDER BY pr_a, pr_b
+"""
+
+
+QUERIES["earth_movers"] = q_earth_movers
+ORACLES["earth_movers"] = _EARTH_MOVERS_SQL

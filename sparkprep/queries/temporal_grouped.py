@@ -2166,6 +2166,121 @@ FROM h
 """
 
 
+_HW_M = 7
+_HW_GAMMA = 0.2
+
+
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (level + trend + 7-day seasonal) over the
+    per-type daily event panel — the seasonality-aware upgrade of
+    holt_trend for series with a weekly cycle the double-exponential
+    model aliases into trend (``grouped.grouped_holt_winters``, Arrow
+    grouped map over the bounded ~90-row-per-type panel; init l=mean,
+    s_p=y_p−mean over the first week, recursion from day 8).
+    ``forecast`` is the honest one-step-ahead prediction made BEFORE
+    seeing that day. The oracle replays the recurrence as a recursive
+    CTE whose 7-slot seasonal ring unrolls to 7 state columns updated
+    via CASE on the row's phase — bit parity (holt_trend's
+    convention), with the final round run through DECIMAL(18,8) on
+    both engines (exact-half round() divergence, CLAUDE.md)."""
+    tune_for_engine(spark)
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(date_trunc('day', ts)) div 86400000000").alias(
+            "day"
+        ),
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    out = grouped.grouped_holt_winters(
+        daily, ["event_type"], ["day"], "y",
+        m=_HW_M, alpha=_HOLT_ALPHA, beta=_HOLT_BETA, gamma=_HW_GAMMA,
+    )
+
+    def dec6(c: str):
+        return F.round(F.col(c).cast("decimal(18,8)"), 6).cast("double")
+
+    return out.select(
+        "event_type",
+        F.col("day").cast("long").alias("day"),
+        F.col("y").cast("long").alias("n_events"),
+        dec6("level").alias("level"),
+        dec6("trend").alias("trend"),
+        dec6("seasonal").alias("seasonal"),
+        dec6("forecast").alias("forecast"),
+    )
+
+
+def _holt_winters_sql() -> str:
+    m = _HW_M
+    a, bt, g = _HOLT_ALPHA, _HOLT_BETA, _HW_GAMMA
+    ia, ib, ig = 1.0 - a, 1.0 - bt, 1.0 - g
+    phase = f"((o.rn - 1) % {m})"
+    sprev = (
+        f"CASE {phase} "
+        + " ".join(f"WHEN {p} THEN e.s{p}" for p in range(m))
+        + " END"
+    )
+    # float-op order mirrors grouped_holt_winters textually; l_t is
+    # repeated inside b_t and s_t (same expression -> same IEEE result)
+    lexpr = f"{a!r} * (o.y - ({sprev})) + {ia!r} * (e.l + e.b)"
+    bexpr = f"{bt!r} * (({lexpr}) - e.l) + {ib!r} * e.b"
+    sexprs = ", ".join(
+        f"CASE WHEN {phase} = {p} THEN {g!r} * (o.y - ({lexpr})) "
+        f"+ {ig!r} * e.s{p} ELSE e.s{p} END"
+        for p in range(m)
+    )
+    scols = ", ".join(f"s{p}" for p in range(m))
+    inits = ", ".join(
+        f"max(CASE WHEN rn = {p + 1} THEN y END) AS y{p}" for p in range(m)
+    )
+    anchor_s = ", ".join(f"i.y{p} - i.mbar" for p in range(m))
+    out_phase = f"((rn - 1) % {m})"
+    out_seasonal = (
+        f"CASE {out_phase} "
+        + " ".join(f"WHEN {p} THEN s{p}" for p in range(m))
+        + " END"
+    )
+    return f"""
+WITH RECURSIVE hw_daily AS (
+  SELECT event_type,
+         (epoch_us(date_trunc('day', ts)) // 86400000000) AS day,
+         count(*)::DOUBLE AS y
+  FROM events GROUP BY 1, 2
+),
+hw_ordered AS (
+  SELECT event_type, day, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM hw_daily
+),
+hw_init AS (
+  -- integral counts: the week sum is exact in any order, then ONE division
+  SELECT event_type, sum(CASE WHEN rn <= {m} THEN y END) / {float(m)!r} AS mbar,
+         {inits}
+  FROM hw_ordered GROUP BY 1
+),
+hw(event_type, rn, day, y, l, b, fc, {scols}) AS (
+  -- anchor = state after consuming the init week (emitted rows filtered)
+  SELECT o.event_type, o.rn, o.day, o.y, i.mbar, 0.0::DOUBLE, 0.0::DOUBLE,
+         {anchor_s}
+  FROM hw_ordered o JOIN hw_init i USING (event_type) WHERE o.rn = {m}
+  UNION ALL
+  SELECT o.event_type, o.rn, o.day, o.y,
+         {lexpr},
+         {bexpr},
+         e.l + e.b + ({sprev}),
+         {sexprs}
+  FROM hw e JOIN hw_ordered o
+    ON o.event_type = e.event_type AND o.rn = e.rn + 1
+)
+SELECT event_type, day::BIGINT AS day, y::BIGINT AS n_events,
+       round((l)::DECIMAL(18,8), 6)::DOUBLE AS level,
+       round((b)::DECIMAL(18,8), 6)::DOUBLE AS trend,
+       round(({out_seasonal})::DECIMAL(18,8), 6)::DOUBLE AS seasonal,
+       round((fc)::DECIMAL(18,8), 6)::DOUBLE AS forecast
+FROM hw WHERE rn > {m}
+"""
+
+
 def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backtest of the Holt one-step forecast: per event type, MAE and
     sMAPE of f_t = l_t + b_t against the NEXT day's actual (aligned by
@@ -3290,6 +3405,7 @@ QUERIES = {
     "anova_f": q_anova_f,
     "cuped": q_cuped,
     "holt_trend": q_holt_trend,
+    "holt_winters": q_holt_winters,
     "churn_labels": q_churn_labels,
     "forecast_eval": q_forecast_eval,
     "forecast_anomalies": q_forecast_anomalies,
@@ -3350,6 +3466,7 @@ ORACLES = {
     "anova_f": _ANOVA_F_SQL,
     "cuped": _CUPED_SQL,
     "holt_trend": _holt_sql(),
+    "holt_winters": _holt_winters_sql(),
     "churn_labels": _CHURN_LABELS_SQL,
     "forecast_eval": _forecast_eval_sql(),
     "forecast_anomalies": _forecast_anomalies_sql(),

@@ -345,3 +345,42 @@ def test_order_calendar_pins_round8_periods(sfd):
     # day offsets negative and silently wrap the 12-bit z-order block
     # assumption — pin the floor, not just the ceiling
     assert str(lo) >= "1995-01-01", f"{sfd}: orders open {lo} before the pruning-sim day floor"
+
+
+# q_k_truss's unrolled-oracle peel depth (graph.k_truss max_rounds=8
+# and _k_truss_sql(8, 3)): the fixed-depth CTE replay is exact only
+# while the 3-truss edge peel CONVERGES within the depth. Worst
+# observed: 1 peel round (all generations); require <= depth/2.
+K_TRUSS_DEPTH = 8
+
+
+@pytest.mark.parametrize("sfd", _all_sf_dirs())
+def test_k_truss_peel_depth_headroom(sfd):
+    from collections import defaultdict
+
+    con = duckdb.connect()
+    edges = con.execute(f"""
+      WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey
+        FROM '{sfd}/lineitem.parquet'
+      )
+      SELECT a.l_partkey, b.l_partkey
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    """).fetchall()
+    e, rounds = set(edges), 0
+    while True:
+        nbr = defaultdict(set)
+        for u, v in e:
+            nbr[u].add(v)
+            nbr[v].add(u)
+        e2 = {(u, v) for u, v in e if len(nbr[u] & nbr[v]) >= 1}
+        if len(e2) == len(e):
+            break
+        e, rounds = e2, rounds + 1
+    assert rounds <= K_TRUSS_DEPTH // 2, (
+        f"{sfd}: 3-truss peel needs {rounds} rounds — over half the "
+        f"unrolled-oracle depth {K_TRUSS_DEPTH}; raise max_rounds and "
+        "_k_truss_sql's depth together"
+    )

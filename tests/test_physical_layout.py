@@ -299,12 +299,21 @@ def test_footer_skipping_report_tolerates_empty_file(spark, tmp_path):
     d.mkdir()
     full = pa.table({"x": pa.array([1, 2, 3], pa.int64())})
     pq.write_table(full, str(d / "full.parquet"))
-    pq.write_table(full.slice(0, 0), str(d / "empty.parquet"))
+    # a genuinely zero-row-group file: open/close a writer without
+    # writing (pq.write_table of a 0-row table emits ONE empty row
+    # group on this pyarrow — cover that shape separately below)
+    pq.ParquetWriter(str(d / "empty.parquet"), full.schema).close()
     assert pq.ParquetFile(str(d / "empty.parquet")).metadata.num_row_groups == 0
+    pq.write_table(full.slice(0, 0), str(d / "zero_rg.parquet"))
 
     rep = footer_skipping_report(spark, str(d), ["x"]).toPandas()
-    assert set(rep["file"]) == {"full.parquet"}
+    # zero-row-group file contributes nothing; an empty ROW GROUP (if
+    # the writer emitted one) contributes an n_rows=0 row at most
+    assert "full.parquet" in set(rep["file"])
+    assert "empty.parquet" not in set(rep["file"])
     assert rep["n_rows"].sum() == 3
+    zr = rep[rep["file"] == "zero_rg.parquet"]
+    assert (zr["n_rows"] == 0).all()
     # the schema check still fires for genuinely absent columns,
     # including on the empty file
     with pytest.raises(Exception, match="not in footer schema"):

@@ -108,6 +108,9 @@ _TINY_BROADCAST_CROSS = {
     "journey_distance",  # 10-row journey panel broadcast self-join (45 pairs, fixed panel)
     "top_movers",        # 1-row period-totals frame attach to the per-brand frame
     "ltv_curve",         # 1-row max-year horizon attach for the age grid
+    "krippendorff_alpha",  # 1-row totals x 1-row marginal-square attach
+    "earth_movers",      # |priorities|-row (5) frame x ~60-row bin grid
+    "silhouette_score",  # k=4 centroid rows broadcast x points (kmeans_assign's shape)
 }
 
 # the one deliberate Python-row-path showcase: a Python UDTF (SURVEY
