@@ -690,20 +690,22 @@ def k_truss(
     for _ in range(int(max_rounds)):
         if n_edges == 0:
             break
-        e2 = (
-            support(e)
-            .filter(F.col("support") >= thr)
-            .select("u", "v")
-            .transform(lazy_checkpoint)
-        )
+        sup = lazy_checkpoint(support(e))
+        surv = sup.filter(F.col("support") >= thr)
+        e2 = surv.select("u", "v").transform(lazy_checkpoint)
         n2 = e2.count()
         if n2 == n_edges:
-            break
+            # fixpoint: every edge survived, so the supports just
+            # computed on e ARE the final within-truss supports — no
+            # recompute pass needed (the survivor filter is a no-op)
+            return surv.select("u", "v", F.col("support").cast("long"))
         e, n_edges = e2, n2
     if n_edges == 0:
         return e.select(
             "u", "v", F.lit(0).cast("long").alias("support")
         ).limit(0)
+    # max_rounds exit (or immediate empty): honest supports recomputed
+    # on the final surviving edge set
     return support(e).select("u", "v", F.col("support").cast("long"))
 
 

@@ -323,6 +323,7 @@ _ROUND10_QUEUE = [
     "krippendorff_alpha",
     "earth_movers",
     "silhouette_score",
+    "burrows_delta",
 ]
 
 

@@ -1102,3 +1102,175 @@ FROM ba_r ORDER BY source
 
 QUERIES["budget_apportion"] = q_budget_apportion
 ORACLES["budget_apportion"] = _BUDGET_APPORTION_SQL
+
+
+# ---------------------------------------------------------------------------
+# Burrows' delta stylometric source-distance panel — round 10
+# ---------------------------------------------------------------------------
+
+_BD_TOP_WORDS = 30
+_BD_TOP_SOURCES = 10
+
+
+def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' delta between the ten highest-volume sources — the
+    classic stylometric distance (mean |Δz| of per-source relative
+    frequencies of the corpus' 30 most frequent words, z-scored per
+    word across sources). The corpus-forensics readout that clusters
+    sources by REGISTER (function-word profile) where token_js and
+    domain_stats only see topic/volume — near-zero delta between two
+    'different' sources is a template/mirror red flag upstream of
+    near-dup mining.
+
+    Exactness: frequencies are ONE division of exact int64 counts;
+    per-word mean/std use DECIMAL(38,18)-recast sums divided by the
+    exact per-word row COUNT (robust to fewer sources at tiny SF);
+    z and |Δz| are short IEEE chains on identical doubles; sd = 0
+    degenerates through try_divide → NULL terms skipped identically
+    by both engines' conditional sums. Scale shape: one token-explode
+    groupBy (map-combined), then everything lives on bounded frames —
+    the (word × source) grid is 30×10; counts and grid frames are
+    localCheckpoint-ed for their multi-consumer joins; top-k cuts are
+    TakeOrdered, the token stream is never globally ranked."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(tx.tokens(F.lower(F.col("text")))).alias("w")
+    )
+    counts = (
+        tok.groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .transform(lazy_checkpoint)
+    )
+    src_tot = counts.groupBy("source").agg(F.sum("c").alias("n"))
+    top_src = (
+        src_tot.orderBy(F.desc("n"), F.asc("source"))
+        .limit(_BD_TOP_SOURCES)
+    )
+    top_w = (
+        counts.groupBy("w")
+        .agg(F.sum("c").alias("cw"))
+        .orderBy(F.desc("cw"), F.asc("w"))
+        .limit(_BD_TOP_WORDS)
+        .select("w")
+    )
+    grid = top_src.crossJoin(F.broadcast(top_w))
+    f = (
+        grid.join(counts, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            F.try_divide(
+                F.coalesce("c", F.lit(0)).cast("double"),
+                F.col("n").cast("double"),
+            ).alias("f"),
+        )
+        .transform(lazy_checkpoint)
+    )
+    mu = f.groupBy("w").agg(
+        F.try_divide(
+            F.sum(F.col("f").cast("decimal(38,18)")).cast("double"),
+            F.count(F.lit(1)).cast("double"),
+        ).alias("mu")
+    )
+    fm = f.join(mu, "w")
+    sd = fm.groupBy("w").agg(
+        F.sqrt(
+            F.try_divide(
+                F.sum(
+                    (
+                        (F.col("f") - F.col("mu")) * (F.col("f") - F.col("mu"))
+                    ).cast("decimal(38,18)")
+                ).cast("double"),
+                F.count(F.lit(1)).cast("double"),
+            )
+        ).alias("sd")
+    )
+    z = (
+        fm.join(sd, "w")
+        .select(
+            "source",
+            "w",
+            F.try_divide(F.col("f") - F.col("mu"), F.col("sd")).alias("z"),
+        )
+        .transform(lazy_checkpoint)
+    )
+    a = z.select(
+        F.col("source").alias("source_a"), "w", F.col("z").alias("za")
+    )
+    b = z.select(
+        F.col("source").alias("source_b"), F.col("w").alias("wb"),
+        F.col("z").alias("zb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("w") == F.col("wb"))
+        & (F.col("source_a") < F.col("source_b")),
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.col("za") - F.col("zb")).cast("long").alias("n_terms"),
+            F.round(
+                F.try_divide(
+                    F.sum(
+                        F.abs(F.col("za") - F.col("zb")).cast("decimal(38,18)")
+                    ).cast("double"),
+                    F.count(F.col("za") - F.col("zb")).cast("double"),
+                ).cast("decimal(18,8)"),
+                6,
+            )
+            .cast("double")
+            .alias("delta"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+_BURROWS_DELTA_SQL = f"""
+WITH bd_tok AS (
+  SELECT source, unnest(list_filter(
+    regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')) AS w
+  FROM documents
+),
+bd_cnt AS MATERIALIZED (
+  SELECT source, w, count(*)::BIGINT AS c FROM bd_tok GROUP BY 1, 2
+),
+bd_src AS MATERIALIZED (
+  SELECT source, sum(c) AS n FROM bd_cnt GROUP BY 1
+  ORDER BY sum(c) DESC, source LIMIT {_BD_TOP_SOURCES}
+),
+bd_w AS MATERIALIZED (
+  SELECT w FROM (SELECT w, sum(c) AS cw FROM bd_cnt GROUP BY 1)
+  ORDER BY cw DESC, w LIMIT {_BD_TOP_WORDS}
+),
+bd_f AS MATERIALIZED (
+  SELECT s.source, g.w,
+         coalesce(c.c, 0)::DOUBLE / s.n::DOUBLE AS f
+  FROM bd_src s CROSS JOIN bd_w g
+  LEFT JOIN bd_cnt c ON c.source = s.source AND c.w = g.w
+),
+bd_mu AS (
+  SELECT w, sum((f)::DECIMAL(38,18))::DOUBLE / count(*)::DOUBLE AS mu
+  FROM bd_f GROUP BY 1
+),
+bd_sd AS (
+  SELECT f.w,
+         sqrt(sum(((f.f - m.mu) * (f.f - m.mu))::DECIMAL(38,18))::DOUBLE
+              / count(*)::DOUBLE) AS sd
+  FROM bd_f f JOIN bd_mu m ON f.w = m.w GROUP BY 1
+),
+bd_z AS MATERIALIZED (
+  SELECT f.source, f.w, (f.f - m.mu) / s.sd AS z
+  FROM bd_f f JOIN bd_mu m ON f.w = m.w JOIN bd_sd s ON f.w = s.w
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       count(a.z - b.z)::BIGINT AS n_terms,
+       round((sum((abs(a.z - b.z))::DECIMAL(38,18))::DOUBLE
+              / count(a.z - b.z)::DOUBLE)::DECIMAL(18,8), 6)::DOUBLE AS delta
+FROM bd_z a JOIN bd_z b ON a.w = b.w AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+QUERIES["burrows_delta"] = q_burrows_delta
+ORACLES["burrows_delta"] = _BURROWS_DELTA_SQL

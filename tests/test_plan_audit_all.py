@@ -111,6 +111,7 @@ _TINY_BROADCAST_CROSS = {
     "krippendorff_alpha",  # 1-row totals x 1-row marginal-square attach
     "earth_movers",      # |priorities|-row (5) frame x ~60-row bin grid
     "silhouette_score",  # k=4 centroid rows broadcast x points (kmeans_assign's shape)
+    "burrows_delta",     # 10-row source panel x 30-row word panel grid
 }
 
 # the one deliberate Python-row-path showcase: a Python UDTF (SURVEY

@@ -288,3 +288,40 @@ def test_silhouette_separated_blobs(spark):
     assert (out["n_negative"] == 0).all()
     assert (out["mean_silhouette"] > 0.95).all()
     assert out["n_points"].sum() == 200
+
+
+# ---------------------------------------------------------------------------
+# Burrows' delta
+# ---------------------------------------------------------------------------
+
+
+def test_burrows_delta_mirror_sources_near_zero(spark):
+    from sparkprep.queries.corpus import q_burrows_delta
+
+    rng = np.random.RandomState(11)
+    words_a = ["the", "of", "and", "to", "in"]
+    words_b = ["le", "des", "une", "est", "dans"]
+
+    def doc(words):
+        return " ".join(rng.choice(words, 60))
+
+    rows = []
+    did = 0
+    # s1/s2 share a register (template mirror), s3 is a different one
+    for src, words in [("s1", words_a), ("s2", words_a), ("s3", words_b)]:
+        for _ in range(5):
+            txt = doc(words)
+            rows.append((did, txt, "en", src, len(txt)))
+            did += 1
+    docs = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    d = _mini_dir(spark, documents=docs)
+    out = q_burrows_delta(spark, d).toPandas().set_index(
+        ["source_a", "source_b"]
+    )
+    assert len(out) == 3
+    mirror = out.loc[("s1", "s2"), "delta"]
+    cross = min(out.loc[("s1", "s3"), "delta"], out.loc[("s2", "s3"), "delta"])
+    # same-register pair must sit well below either cross-register pair
+    assert mirror < cross / 2
