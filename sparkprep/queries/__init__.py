@@ -324,6 +324,7 @@ _ROUND10_QUEUE = [
     "earth_movers",
     "silhouette_score",
     "burrows_delta",
+    "lsh_tuning",
 ]
 
 

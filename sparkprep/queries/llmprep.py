@@ -141,31 +141,45 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_core_ctes(est_threshold: float) -> str:
-    """CTE chain (toks → … → mh) over a preceding CTE named ``corpus``
-    with (doc_id, text): ``mh`` = (id_a, id_b, est_jaccard) filtered at
-    ``est_threshold``. Shared by the doc-level and chunk-level oracles
-    so the two can never drift."""
+def _minhash_sig_ctes() -> str:
+    """CTE chain (toks → sh → hv → sig) over a preceding CTE named
+    ``corpus`` with (doc_id, text): ``sig`` = one row per doc with
+    h0..h{n−1} MinHash columns. Shared by the pair oracles below AND
+    the lsh_tuning advisor so the signature replay can never drift."""
     coeffs = dd.hash_coeffs(_NUM_HASHES, _SEED)
     P = dd.MERSENNE_P
-    r = _NUM_HASHES // _BANDS
     sig_cols = ", ".join(
         f"min(({a}::BIGINT * h + {b}) % {P}) AS h{i}" for i, (a, b) in enumerate(coeffs)
-    )
-    band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, {j}::BIGINT AS band, md5("
-        + " || '_' || ".join(f"h{j * r + x}::VARCHAR" for x in range(r))
-        + ") AS band_key FROM sig"
-        for j in range(_BANDS)
-    )
-    agree = " + ".join(
-        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(_NUM_HASHES)
     )
     return f"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
 sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
        FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)),
 hv AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % {P} AS h FROM sh),
-sig AS (SELECT doc_id, {sig_cols} FROM hv GROUP BY doc_id),
+sig AS (SELECT doc_id, {sig_cols} FROM hv GROUP BY doc_id)"""
+
+
+def _lsh_band_rows_sql(bands: int, from_cte: str = "sig") -> str:
+    """Banded-key row generator over a signature CTE — the SQL twin of
+    ``dd.lsh_bands`` for an arbitrary band count."""
+    r = _NUM_HASHES // bands
+    return " UNION ALL ".join(
+        f"SELECT doc_id, {j}::BIGINT AS band, md5("
+        + " || '_' || ".join(f"h{j * r + x}::VARCHAR" for x in range(r))
+        + f") AS band_key FROM {from_cte}"
+        for j in range(bands)
+    )
+
+
+def _minhash_core_ctes(est_threshold: float) -> str:
+    """CTE chain (toks → … → mh) over a preceding CTE named ``corpus``
+    with (doc_id, text): ``mh`` = (id_a, id_b, est_jaccard) filtered at
+    ``est_threshold``. Shared by the doc-level and chunk-level oracles
+    so the two can never drift."""
+    band_rows = _lsh_band_rows_sql(_BANDS)
+    agree = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(_NUM_HASHES)
+    )
+    return f"""{_minhash_sig_ctes()},
 bands AS ({band_rows}),
 pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
@@ -1828,3 +1842,119 @@ FROM sd_l GROUP BY 1 ORDER BY 1
 
 QUERIES["source_dup_report"] = q_source_dup_report
 ORACLES["source_dup_report"] = _source_dup_report_sql()
+
+
+# ---------------------------------------------------------------------------
+# LSH banding advisor — round 10
+# ---------------------------------------------------------------------------
+
+_LSHT_BANDS = (2, 4, 8)
+
+
+def _lsh_curve_points(bands: int, r: int) -> tuple[float, float]:
+    """Collision probability 1 − (1 − s^r)^b at s = 0.5 and 0.8,
+    computed ONCE in Python and interpolated as the SAME literal into
+    both engines (r and b are powers of two here, but a literal needs
+    no cross-engine float-op story at all)."""
+    p50 = 1.0 - (1.0 - 0.5 ** r) ** bands
+    p80 = 1.0 - (1.0 - 0.8 ** r) ** bands
+    return round(p50, 6), round(p80, 6)
+
+
+def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding advisor for the MinHash-LSH near-dup pipeline: for each
+    (bands, rows-per-band) split of the SAME 16-hash signature it
+    reports the measured candidate workload on THIS corpus — multi-doc
+    buckets and Σ C(m,2) bucket-pair generations (the join work the
+    banding would enqueue; cross-band duplicate pairs intentionally
+    counted, that IS the work) — beside the theoretical S-curve
+    heights at Jaccard 0.5/0.8. The "which (b,r) catches near-dups
+    without drowning the verifier" decision table a 100 TB dedup run
+    consults BEFORE burning a cluster-day (layout_advice's
+    simulate-first convention).
+
+    Scale shape: signatures computed ONCE (one shingle explode + one
+    map-combined groupBy) and lazily checkpoint-ed — the per-config
+    branches (a union of three aggregates) each re-read the
+    materialized leaf, never the shingle subtree (the
+    unions-of-selects landmine); each branch is one explode to
+    docs×b band rows + one map-combined groupBy. Counts exact int64;
+    C(m,2) via integer div; curve heights are interpolated literals."""
+    corpus = _corpus_near(spark, sf_dir)
+    sigs = dd.minhash_signatures(
+        corpus, "text", "doc_id", num_hashes=_NUM_HASHES, k=_K, seed=_SEED
+    ).transform(lazy_checkpoint)
+    outs = []
+    for b in _LSHT_BANDS:
+        r = _NUM_HASHES // b
+        p50, p80 = _lsh_curve_points(b, r)
+        g = (
+            dd.lsh_bands(sigs, "doc_id", _NUM_HASHES, b)
+            .groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("m"))
+        )
+        outs.append(
+            g.agg(
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("m") >= 2, F.lit(1)).otherwise(F.lit(0))
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("n_buckets_multi"),
+                F.coalesce(
+                    F.sum(F.expr("m * (m - 1) div 2")), F.lit(0)
+                )
+                .cast("long")
+                .alias("n_bucket_pairs"),
+            ).select(
+                F.lit(b).cast("long").alias("bands"),
+                F.lit(r).cast("long").alias("rows_per_band"),
+                "n_buckets_multi",
+                "n_bucket_pairs",
+                F.lit(p50).alias("p_collide_at_50"),
+                F.lit(p80).alias("p_collide_at_80"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("bands")
+
+
+def _lsh_tuning_sql() -> str:
+    parts = [_CORPUS_NEAR_SQL, _minhash_sig_ctes()]
+    # sig is referenced once per config: materialize, or DuckDB inlines
+    # the shingle chain once per reference (the CTE-inlining landmine)
+    parts.append("lt_sig AS MATERIALIZED (SELECT * FROM sig)")
+    selects = []
+    for b in _LSHT_BANDS:
+        r = _NUM_HASHES // b
+        p50, p80 = _lsh_curve_points(b, r)
+        parts.append(
+            f"lt_b{b} AS ({_lsh_band_rows_sql(b, from_cte='lt_sig')})"
+        )
+        parts.append(
+            f"lt_g{b} AS (SELECT band, band_key, count(*)::BIGINT AS m "
+            f"FROM lt_b{b} GROUP BY 1, 2)"
+        )
+        selects.append(
+            f"SELECT {b}::BIGINT AS bands, {r}::BIGINT AS rows_per_band, "
+            f"coalesce(sum(CASE WHEN m >= 2 THEN 1 ELSE 0 END), 0)::BIGINT "
+            f"AS n_buckets_multi, "
+            f"coalesce(sum((m * (m - 1)) // 2), 0)::BIGINT AS n_bucket_pairs, "
+            f"{p50!r} AS p_collide_at_50, {p80!r} AS p_collide_at_80 "
+            f"FROM lt_g{b}"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT * FROM ("
+        + " UNION ALL ".join(selects)
+        + ") ORDER BY bands"
+    )
+
+
+QUERIES["lsh_tuning"] = q_lsh_tuning
+ORACLES["lsh_tuning"] = _lsh_tuning_sql()

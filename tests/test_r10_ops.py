@@ -325,3 +325,24 @@ def test_burrows_delta_mirror_sources_near_zero(spark):
     cross = min(out.loc[("s1", "s3"), "delta"], out.loc[("s2", "s3"), "delta"])
     # same-register pair must sit well below either cross-register pair
     assert mirror < cross / 2
+
+
+# ---------------------------------------------------------------------------
+# LSH banding advisor
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_tuning_monotone_workload(spark, sf_dir):
+    from sparkprep.queries.llmprep import q_lsh_tuning
+
+    out = q_lsh_tuning(spark, sf_dir).toPandas().sort_values("bands")
+    assert list(out["bands"]) == [2, 4, 8]
+    assert list(out["rows_per_band"]) == [8, 4, 2]
+    # more, narrower bands = more collisions: the S-curve heights and
+    # the measured candidate workload must both be non-decreasing
+    assert out["p_collide_at_50"].is_monotonic_increasing
+    assert out["p_collide_at_80"].is_monotonic_increasing
+    assert out["n_bucket_pairs"].is_monotonic_increasing
+    # the corpus has planted near-dup mutants: even the strictest
+    # banding must surface SOME candidate pairs
+    assert out["n_bucket_pairs"].min() > 0
