@@ -344,6 +344,75 @@ def ann_lsh_topk(
     )
 
 
+def ivf_fit_centroid_units(
+    emb_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+    seed: int = 42,
+    lloyd_iterations: int = 2,
+    sample_size: int = 1024,
+) -> "np.ndarray":
+    """Fit the IVF coarse-quantizer and return UNIT-normalized
+    centroids (num_centroids × dim float64) — the shared fit behind
+    :func:`ann_ivf_topk` and ``pipelines.ann_index`` (one fit, so the
+    ad-hoc operator and the persisted index can never disagree on cell
+    geometry).
+
+    A deterministic pseudo-random corpus sample (hash-order ``limit``)
+    refined by ``lloyd_iterations`` rounds of spherical k-means ON THE
+    SAMPLE, driver-side numpy — the sample is O(1) bounded
+    (``sample_size`` rows × dim doubles) regardless of corpus size, so
+    this stays off the scale path. Centroids are pre-normalized
+    DRIVER-side: ranking cells by dot(v, c/|c|) orders identically to
+    cosine(v, c) — the 1/|v| factor is constant across cells — so the
+    per-row assignment costs num_centroids interpreted dot-folds
+    instead of dot + 2 norms each (48 → 16 folds/row measured as the
+    ann_ivf hot spot)."""
+    sample = [
+        [float(x) for x in r[1]]
+        for r in emb_df.select(id_col, vec_col)
+        .orderBy(F.pmod(F.xxhash64(F.col(id_col) + seed), 997), F.col(id_col))
+        .limit(max(sample_size, num_centroids))
+        .collect()
+    ]
+    cmat = np.asarray(sample[:num_centroids], dtype=np.float64)
+    if lloyd_iterations > 0 and len(sample) > num_centroids:
+        X = np.asarray(sample, dtype=np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        for _ in range(lloyd_iterations):
+            Cn = cmat / np.maximum(
+                np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12
+            )
+            assign = np.argmax(Xn @ Cn.T, axis=1)
+            for j in range(num_centroids):
+                members = X[assign == j]
+                if len(members):  # empty cell keeps its old centroid
+                    cmat[j] = members.mean(axis=0)
+    return cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+
+
+def ivf_cell_expr(cunit, vec_col_expr, num_probes: int = 1):
+    """Native Column expression: the ``num_probes`` nearest cell ids
+    (by centroid dot product, smallest-cid tie-break) for a vector
+    column — the same ordering chain ann_ivf_topk scores with."""
+    centroids = [(j, [float(x) for x in cunit[j]]) for j in range(len(cunit))]
+    scored = F.array(
+        *[
+            F.struct(
+                (-dot_native(vec_col_expr, F.array(*[F.lit(x) for x in cvec]))).alias(
+                    "neg"
+                ),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    return F.transform(
+        F.slice(F.array_sort(scored), 1, num_probes), lambda s: s["cid"]
+    )
+
+
 def ann_ivf_topk(
     emb_df: DataFrame,
     query_df: DataFrame,
@@ -382,32 +451,15 @@ def ann_ivf_topk(
     """
     from pyspark.sql.window import Window
 
-    sample = [
-        [float(x) for x in r[1]]
-        for r in emb_df.select(id_col, vec_col)
-        .orderBy(F.pmod(F.xxhash64(F.col(id_col) + seed), 997), F.col(id_col))
-        .limit(max(sample_size, num_centroids))
-        .collect()
-    ]
-    cmat = np.asarray(sample[:num_centroids], dtype=np.float64)
-    if lloyd_iterations > 0 and len(sample) > num_centroids:
-        X = np.asarray(sample, dtype=np.float64)
-        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-        for _ in range(lloyd_iterations):
-            Cn = cmat / np.maximum(
-                np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12
-            )
-            assign = np.argmax(Xn @ Cn.T, axis=1)
-            for j in range(num_centroids):
-                members = X[assign == j]
-                if len(members):  # empty cell keeps its old centroid
-                    cmat[j] = members.mean(axis=0)
-    # Pre-normalize centroids DRIVER-side: ranking cells by
-    # dot(v, c/|c|) orders identically to cosine(v, c) — the 1/|v|
-    # factor is constant across cells — so the per-row assignment costs
-    # num_centroids interpreted dot-folds instead of dot + 2 norms each
-    # (48 -> 16 folds/row measured as the ann_ivf hot spot).
-    cunit = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+    cunit = ivf_fit_centroid_units(
+        emb_df,
+        id_col=id_col,
+        vec_col=vec_col,
+        num_centroids=num_centroids,
+        seed=seed,
+        lloyd_iterations=lloyd_iterations,
+        sample_size=sample_size,
+    )
     centroids = [(j, [float(x) for x in cunit[j]]) for j in range(num_centroids)]
 
     def cell_scores(vec):
