@@ -63,11 +63,12 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan runs with double centroid means like any production k-means —
     the integer form is the oracle-exact variant, not a different
     algorithm)."""
-    emb = t(spark, sf_dir, "embeddings")
-    pts = clustering.quantize_points(
-        emb, "vec_id", "embedding", dims=_KM_DIMS, scale=_KM_SCALE
+    from sparkprep.queries import shared_frames
+
+    asg = shared_frames.kmeans_assignment(
+        spark, sf_dir, k=_KM_K, dims=_KM_DIMS, scale=_KM_SCALE,
+        rounds=_KM_ROUNDS,
     )
-    asg = clustering.kmeans_lloyd(pts, k=_KM_K, dims=_KM_DIMS, rounds=_KM_ROUNDS)
     prof = clustering.cluster_profile(asg, dims=_KM_DIMS, out_dims=_KM_OUT_DIMS)
     return prof.select(
         F.col("cluster").cast("long").alias("cluster"),
@@ -2083,11 +2084,12 @@ def q_silhouette_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     never drift. Scale shape: one broadcast of k centroid rows, one
     map-combined conditional-min groupBy on the point id, one k-row
     output fold; the points never shuffle."""
-    emb = t(spark, sf_dir, "embeddings")
-    pts = clustering.quantize_points(
-        emb, "vec_id", "embedding", dims=_KM_DIMS, scale=_KM_SCALE
+    from sparkprep.queries import shared_frames
+
+    asg = shared_frames.kmeans_assignment(
+        spark, sf_dir, k=_KM_K, dims=_KM_DIMS, scale=_KM_SCALE,
+        rounds=_KM_ROUNDS,
     )
-    asg = clustering.kmeans_lloyd(pts, k=_KM_K, dims=_KM_DIMS, rounds=_KM_ROUNDS)
     cent = asg.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("__n"),
         *[

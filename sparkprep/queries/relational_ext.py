@@ -1352,16 +1352,32 @@ def per_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     twins (scale_ops.q_gini_scale / q_lorenz_scale, which share these
     queries' oracles): per-customer exact-decimal revenue off one keyed
     join. ONE code path — the twins' bit-identity contract must not
-    depend on two hand-synced copies of the money formula."""
-    li = t(spark, sf_dir, "lineitem")
-    orders = t(spark, sf_dir, "orders")
-    money = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,4)"
-    )
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("o_custkey")
-        .agg(F.sum(money).alias("__rev"))
+    depend on two hand-synced copies of the money formula.
+
+    Session-shared + lazily checkpointed (r10): SEVEN registry queries
+    (gini/lorenz/theil exact forms, their scale twins, value_deciles)
+    each re-ran the lineitem⋈orders join + 150k-customer wide-decimal
+    aggregate; the shared_frames discipline materializes it once per
+    (session, sf_dir) — the computed-once artifact a 100 TB pipeline
+    would persist anyway."""
+    from sparkprep.checkpointing import lazy_checkpoint
+    from sparkprep.queries import shared_frames
+
+    def build() -> DataFrame:
+        li = t(spark, sf_dir, "lineitem")
+        orders = t(spark, sf_dir, "orders")
+        money = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(18,4)"
+        )
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_custkey")
+            .agg(F.sum(money).alias("__rev"))
+            .transform(lazy_checkpoint)
+        )
+
+    return shared_frames.session_frame(
+        spark, "per_customer_revenue", sf_dir, build
     )
 
 
@@ -1848,26 +1864,38 @@ def rfm_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared RFM staging for rfm_segments and scale_ops.q_rfm_scale
     (same oracle): per-customer (recency, frequency, monetary) with the
     recency horizon attached via the broadcast 1-row max-day frame.
-    Caller must have pinned the session TZ (tune_for_engine)."""
-    orders = t(spark, sf_dir, "orders").select(
-        "o_custkey",
-        F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").alias(
-            "__day"
-        ),
-        F.col("o_totalprice").cast("decimal(18,4)").alias("__m"),
-    )
-    per_cust = orders.groupBy("o_custkey").agg(
-        F.max("__day").alias("__last"),
-        F.count(F.lit(1)).alias("__f"),
-        F.sum("__m").alias("__mon"),
-    )
-    horizon = per_cust.agg(F.max("__last").alias("__h"))
-    return per_cust.crossJoin(F.broadcast(horizon)).select(
-        "o_custkey",
-        (F.col("__h") - F.col("__last")).alias("__rec"),
-        "__f",
-        "__mon",
-    )
+    Caller must have pinned the session TZ (tune_for_engine).
+
+    Session-shared + lazily checkpointed (r10): rfm_segments and
+    rfm_scale each re-ran the orders scan + per-customer aggregate —
+    and the horizon crossJoin re-executes that aggregate a second time
+    per consumer (the crossJoin(broadcast(df.agg(...))) re-execution
+    landmine); the shared frame pays all of it once per session."""
+    from sparkprep.checkpointing import lazy_checkpoint
+    from sparkprep.queries import shared_frames
+
+    def build() -> DataFrame:
+        orders = t(spark, sf_dir, "orders").select(
+            "o_custkey",
+            F.expr(
+                "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"
+            ).alias("__day"),
+            F.col("o_totalprice").cast("decimal(18,4)").alias("__m"),
+        )
+        per_cust = orders.groupBy("o_custkey").agg(
+            F.max("__day").alias("__last"),
+            F.count(F.lit(1)).alias("__f"),
+            F.sum("__m").alias("__mon"),
+        ).transform(lazy_checkpoint)
+        horizon = per_cust.agg(F.max("__last").alias("__h"))
+        return per_cust.crossJoin(F.broadcast(horizon)).select(
+            "o_custkey",
+            (F.col("__h") - F.col("__last")).alias("__rec"),
+            "__f",
+            "__mon",
+        )
+
+    return shared_frames.session_frame(spark, "rfm_staged", sf_dir, build)
 
 
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -68,6 +68,35 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_frame(spark, "copurchase_pairs", sf_dir, build)
 
 
+def kmeans_assignment(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int,
+    dims: int,
+    scale: int,
+    rounds: int,
+) -> DataFrame:
+    """The fixed-round Lloyd assignment frame ``(id, xi, cluster)`` that
+    kmeans_assign AND silhouette_score both replay (identical
+    quantize + rounds chain, verbatim-shared oracle CTEs) — one Lloyd
+    iteration per session instead of one per consumer. kmeans_lloyd
+    already lazy-localCheckpoints its final assignment, so reuse is a
+    leaf scan; parameters key the cache name so a panel with different
+    (k, dims, rounds) could coexist."""
+    from sparkprep.operators import clustering
+    from sparkprep.queries import t
+
+    def build() -> DataFrame:
+        emb = t(spark, sf_dir, "embeddings")
+        pts = clustering.quantize_points(
+            emb, "vec_id", "embedding", dims=dims, scale=scale
+        )
+        return clustering.kmeans_lloyd(pts, k=k, dims=dims, rounds=rounds)
+
+    name = f"kmeans_asg:k{k}d{dims}s{scale}r{rounds}"
+    return session_frame(spark, name, sf_dir, build)
+
+
 def copurchase_edges(
     spark: SparkSession, sf_dir: str, a: str = "u", b: str = "v"
 ) -> DataFrame:

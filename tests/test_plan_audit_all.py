@@ -142,6 +142,13 @@ def test_single_partition_windows_only_post_agg(all_plans):
     # exchange in the tree, i.e., later in the plan string).
     offenders = []
     for name, plan in all_plans.items():
+        if name in _ENTITY_GRAIN_TOGGLED:
+            # exact entity-grain trio: their per-customer aggregate is the
+            # session-shared checkpointed per_customer_revenue frame (r10),
+            # which truncates the plan to Scan ExistingRDD below the window
+            # — the aggregate is there but machine-invisible; these queries
+            # are adjudicated by the stronger toggle audit below.
+            continue
         lines = plan.splitlines()
         for i, line in enumerate(lines):
             if "Exchange SinglePartition" not in line:
@@ -227,7 +234,8 @@ _BOUNDED_GLOBAL_WINDOW = {
     "user_migration": "per-period argmax frames + 1-row bounds attach",
     "value_deciles": "O(32) ranks.global_cumsum offsets frame only",
     "abc_classification": "O(32) ranks.global_cumsum offsets frame only (part-grain cumsum distributed)",
-    "pruning_sim": "O(32) ranks.global_ntile offsets frames only (two layout passes, file assignment distributed)",
+    # pruning_sim dropped r10: the fused multi_order_global_ntile keys its
+    # offsets window by layout, so no single-partition window remains
     "vocab_growth": "O(32) offsets frames only (2 chained global_cumsum passes)",
     "vocab_coverage": "1-row folded coverage frames",
     "window_funnel": "per-step funnel frame (4 steps)",
