@@ -620,11 +620,13 @@ def q_gini_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition ``row_number`` window. Identical output, same
     oracle (relational_ext._GINI_REVENUE_SQL)."""
     tune_for_engine(spark)
-    per_cust = _per_customer_revenue(spark, sf_dir)
-    ranked = ranks.global_rank(
-        per_cust,
-        [F.asc("__rev"), F.asc("o_custkey")],
-        rank_name="__i",
+    from sparkprep.queries import shared_frames
+
+    # rank from the session-shared one-pass scaffold (r10): same range
+    # ordering + integer rank as the dedicated global_rank call this
+    # replaced, shared with lorenz_scale/value_deciles
+    ranked = shared_frames.customer_revenue_ranked(spark, sf_dir).select(
+        "__rev", F.col("__rank").alias("__i")
     )
     sums = ranked.agg(
         F.count(F.lit(1)).alias("__n"),
@@ -652,12 +654,17 @@ def q_lorenz_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_engine(spark)
     from pyspark.sql.window import Window
 
-    per_cust = _per_customer_revenue(spark, sf_dir)
-    deciles = ranks.global_ntile(
-        per_cust,
-        10,
-        [F.asc("__rev"), F.asc("o_custkey")],
-        bucket_name="decile",
+    from sparkprep.queries import shared_frames
+
+    # deciles derived row-locally from the shared rank scaffold (r10):
+    # ranks.ntile_from_rank is the exact integer ntile math global_ntile
+    # itself uses, so buckets are bit-identical to the dedicated pass
+    ranked = shared_frames.customer_revenue_ranked(spark, sf_dir)
+    deciles = ranked.select(
+        "__rev",
+        ranks.ntile_from_rank(F.col("__rank"), F.col("__n"), 10).alias(
+            "decile"
+        ),
     )
     agg = deciles.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
@@ -688,14 +695,33 @@ def q_rfm_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition ntile windows. Identical output, same oracle."""
     tune_for_engine(spark)
     staged = relational_ext.rfm_staged(spark, sf_dir)
-    scored = ranks.global_ntile(
-        staged, 5, [F.desc("__rec"), F.asc("o_custkey")], bucket_name="r_score"
+    # all three quintile orderings through ONE grouped range pass (r10)
+    # instead of three chained global_ntile pipelines (each paid its own
+    # sampling job + range exchange + checkpoint + counts). Orderings are
+    # made ascending/integer without changing order: recency DESC ==
+    # (-__rec) ASC (exact long negation), and the DECIMAL monetary maps
+    # to exact integer units (__mon·10⁴ — monotone, integral, headroom
+    # 9.2e18 vs ~1e11 at the 1000x revenue panel), so each layout's
+    # bucket is bit-identical to its window-form ntile and the shared
+    # oracle is unchanged. One groupBy pivots the exploded scores back
+    # to customer grain.
+    ranked = ranks.multi_order_global_ntile(
+        staged,
+        5,
+        {
+            "r": [(-F.col("__rec")), F.col("o_custkey")],
+            "f": [F.col("__f"), F.col("o_custkey")],
+            "m": [(F.col("__mon") * 10000).cast("long"), F.col("o_custkey")],
+        },
+        carry=["o_custkey", "__mon"],
+        layout_name="__dim",
+        bucket_name="__q",
     )
-    scored = ranks.global_ntile(
-        scored, 5, [F.asc("__f"), F.asc("o_custkey")], bucket_name="f_score"
-    )
-    scored = ranks.global_ntile(
-        scored, 5, [F.asc("__mon"), F.asc("o_custkey")], bucket_name="m_score"
+    scored = ranked.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("__dim") == "r", F.col("__q"))).alias("r_score"),
+        F.max(F.when(F.col("__dim") == "f", F.col("__q"))).alias("f_score"),
+        F.max(F.when(F.col("__dim") == "m", F.col("__q"))).alias("m_score"),
+        F.max("__mon").alias("__mon"),
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
@@ -764,18 +790,12 @@ def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     spanning several tenths leaves the skipped deciles EMPTY (both
     engines, by construction). One keyed join + one groupBy around the
     cumsum."""
-    per_cust = _per_customer_revenue(spark, sf_dir)
-    units = per_cust.select(
-        "o_custkey",
-        "__rev",
-        (F.col("__rev") * 10000).cast("long").alias("__u"),
-    )
-    cum = ranks.global_cumsum(
-        units,
-        [F.asc("__rev"), F.asc("o_custkey")],
-        "__u",
-        cum_name="__cum",
-        total_name="__tot",
+    from sparkprep.queries import shared_frames
+
+    # running units total from the shared one-pass scaffold (r10): same
+    # ordering, same int64 prefix-sum as the dedicated global_cumsum
+    cum = shared_frames.customer_revenue_ranked(spark, sf_dir).select(
+        "o_custkey", "__rev", "__u", "__cum", "__tot"
     )
     decile = (
         F.expr("greatest(10 * CAST(__cum AS DECIMAL(38,0)) - 1, 0) div __tot")

@@ -196,7 +196,8 @@ _BOUNDED_GLOBAL_WINDOW = {
     "budget_apportion": "per-source frame (~20 rows, bounded by the source domain)",
     "equidepth_bins": "O(32) ranks.global_ntile offsets frame only (raw-fact ntile distributed)",
     "gains_table": "10-row decile frame + O(32) ranks.global_ntile offsets",
-    "gini_scale": "O(32) ranks.global_rank offsets frame only",
+    # gini_scale dropped r10: rank comes from the checkpointed
+    # shared_frames.customer_revenue_ranked scaffold — no window in-plan
     "hybrid_rrf": "bounded top-k retrieval legs",
     "isotonic_fit": "<=50-row bin-prefix window (fixed integer bin grid; machine-visible via the _AUDIT_CHECKPOINT_FREE plan path)",
     "resample_interp": "SinglePartition is the 1-row grid-bounds scalar; the fill windows are event_type-KEYED over the calendar-span-bounded grid",
@@ -206,7 +207,7 @@ _BOUNDED_GLOBAL_WINDOW = {
     "l_diversity": "same QI-class frame as k_anonymity",
     "length_histogram": "fixed length-bin frame",
     "lm_score": "score-bin frame",
-    "lorenz_scale": "O(32) offsets + 10-row decile frames only",
+    "lorenz_scale": "10-row decile cum/total frames only (rank scaffold checkpointed in customer_revenue_ranked)",
     "mann_whitney": "50-row quantity value-frequency rank frame",
     "kruskal_wallis": "50-row quantity value-frequency rank frame",
     "markov_3step": "|event_types|^2 transition frame",
@@ -218,7 +219,8 @@ _BOUNDED_GLOBAL_WINDOW = {
     "pr_auc": "<=1000-row score-bin PR frame (auc_quality's twin)",
     "psi_drift": "2 x K-bin cohort frame",
     "repeat_purchase_curve": "distinct per-user purchase-count frame (10-24 values; canary-pinned <=512 in test_headroom_canaries)",
-    "rfm_scale": "O(32) offsets frames only (3 chained global_ntile passes)",
+    # rfm_scale dropped r10: the fused multi_order_global_ntile keys its
+    # offsets window by dimension — no single-partition window remains
     "sample_ks": "ECDF over bounded value-frequency frame",
     "signed_rank": "|d| value-frequency rank frame (8-26 distinct values; canary-pinned <=512 in test_headroom_canaries)",
     "skyline": "per-level frame of the skyline lattice (bounded)",
@@ -232,7 +234,8 @@ _BOUNDED_GLOBAL_WINDOW = {
     "token_budget": "20-row source frame",
     "token_js": "two-scan vocab panel (vocab-grain, sublinear)",
     "user_migration": "per-period argmax frames + 1-row bounds attach",
-    "value_deciles": "O(32) ranks.global_cumsum offsets frame only",
+    # value_deciles dropped r10: cumsum comes from the checkpointed
+    # shared_frames.customer_revenue_ranked scaffold — no window in-plan
     "abc_classification": "O(32) ranks.global_cumsum offsets frame only (part-grain cumsum distributed)",
     # pruning_sim dropped r10: the fused multi_order_global_ntile keys its
     # offsets window by layout, so no single-partition window remains
