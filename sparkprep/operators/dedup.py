@@ -140,6 +140,7 @@ def minhash_candidate_pairs(
     bands: int = 4,
     seed: int = 42,
     est_threshold: float | None = None,
+    sig_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via MinHash-LSH:
     (id_a, id_b, est_jaccard) with id_a < id_b.
@@ -147,16 +148,26 @@ def minhash_candidate_pairs(
     est_jaccard = fraction of agreeing signature components (unbiased
     MinHash estimator). The heavy lifting is ONE equi-join on
     (band, band_key); no quadratic pair enumeration ever materializes.
+
+    ``sig_df``: an already-materialized :func:`minhash_signatures`
+    frame for ``df`` (same num_hashes/k/seed) — callers that run
+    several LSH consumers over one corpus (pairs, estimator eval,
+    cluster labels, banding advisor) pass a session-shared signature
+    leaf so the shingle+groupBy subtree is paid once per session, not
+    once per query (r10).
     """
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, k, seed)
-    # sig feeds THREE scans (banding + both sides of the signature
-    # join-back) whose exchanges hash on different keys, so AQE's
-    # ReusedExchange cannot cover them — without truncation the whole
-    # shingle-explode + N-min groupBy re-executes per scan (3x
-    # measured at sf0.1). One lazy localCheckpoint materializes the
-    # O(docs x hashes) signature frame once; at 100 TB that is the
-    # compact artifact you'd persist anyway before pair generation.
-    sig = sig.transform(lazy_checkpoint)
+    if sig_df is not None:
+        sig = sig_df
+    else:
+        sig = minhash_signatures(df, text_col, id_col, num_hashes, k, seed)
+        # sig feeds THREE scans (banding + both sides of the signature
+        # join-back) whose exchanges hash on different keys, so AQE's
+        # ReusedExchange cannot cover them — without truncation the whole
+        # shingle-explode + N-min groupBy re-executes per scan (3x
+        # measured at sf0.1). One lazy localCheckpoint materializes the
+        # O(docs x hashes) signature frame once; at 100 TB that is the
+        # compact artifact you'd persist anyway before pair generation.
+        sig = sig.transform(lazy_checkpoint)
     banded = lsh_bands(sig, id_col, num_hashes, bands)
     left = banded.select(
         F.col(id_col).alias("id_a"), "band", "band_key"
@@ -741,6 +752,7 @@ def minhash_estimator_eval(
     est_threshold: float = 0.5,
     sim_threshold: float = 0.5,
     round_to: int = 4,
+    sig_df: DataFrame | None = None,
 ) -> DataFrame:
     """Calibration report for the MinHash-LSH estimator, in one row:
     candidate count, MAE and signed bias of ``est_jaccard`` vs the
@@ -760,7 +772,8 @@ def minhash_estimator_eval(
     presentation rounding.
     """
     cand = minhash_candidate_pairs(
-        df, text_col, id_col, num_hashes, k, bands, seed, est_threshold
+        df, text_col, id_col, num_hashes, k, bands, seed, est_threshold,
+        sig_df=sig_df,
     )
     # cand anchors three consumers (id roll-up via union, and the
     # final left join) — lazily checkpoint so the LSH pipeline runs

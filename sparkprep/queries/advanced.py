@@ -161,8 +161,7 @@ def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     by ≥2 orders; basket cap 64 vs observed max 17, canary-pinned)."""
     from sparkprep.queries import shared_frames
 
-    edges = shared_frames.copurchase_edges(spark, sf_dir)
-    lbl = graph.lpa_communities(edges, rounds=_LPA_ROUNDS)
+    lbl = shared_frames.lpa_labels(spark, sf_dir, rounds=_LPA_ROUNDS)
     return (
         lbl.groupBy(F.col("community").cast("long").alias("community"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
@@ -792,7 +791,7 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three consumers (degrees, intra-edge join, m count) re-scan it
     # cheaply — the per-query localCheckpoint became redundant
     edges = shared_frames.copurchase_edges(spark, sf_dir)
-    lbl = graph.lpa_communities(edges, rounds=_LPA_ROUNDS)
+    lbl = shared_frames.lpa_labels(spark, sf_dir, rounds=_LPA_ROUNDS)
     m_row = edges.agg(F.count(F.lit(1)).alias("m"))
     deg = (
         edges.select(F.explode(F.array("u", "v")).alias("node"))

@@ -115,6 +115,24 @@ _EST_THRESHOLD = 0.5
 # session's dead RDD lineage can never be served stale).
 
 
+def _shared_near_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, h0..h15) MinHash signature frame over the near-dup
+    corpus — FOUR queries (minhash_pairs, minhash_eval, lsh_tuning and
+    the cc_labels family head) each re-ran the identical shingle
+    explode + md5 hash + 16-min groupBy to rebuild it; one session-
+    shared checkpointed leaf pays it once (r10)."""
+    from sparkprep.queries import shared_frames
+
+    def build() -> DataFrame:
+        corpus = _corpus_near(spark, sf_dir)
+        return dd.minhash_signatures(
+            corpus, "text", "doc_id", num_hashes=_NUM_HASHES, k=_K,
+            seed=_SEED,
+        ).transform(lazy_checkpoint)
+
+    return shared_frames.session_frame(spark, "minhash_sigs_near", sf_dir, build)
+
+
 def _shared_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkprep.queries import shared_frames
 
@@ -124,6 +142,7 @@ def _shared_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             corpus, "text", "doc_id",
             num_hashes=_NUM_HASHES, k=_K, bands=_BANDS, seed=_SEED,
             est_threshold=0.8,
+            sig_df=_shared_near_sigs(spark, sf_dir),
         )
         return dd.connected_components(prs)
 
@@ -138,6 +157,7 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, "text", "doc_id",
         num_hashes=_NUM_HASHES, k=_K, bands=_BANDS, seed=_SEED,
         est_threshold=_EST_THRESHOLD,
+        sig_df=_shared_near_sigs(spark, sf_dir),
     )
 
 
@@ -1292,6 +1312,7 @@ def q_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, "text", "doc_id",
         num_hashes=_NUM_HASHES, k=_K, bands=_BANDS, seed=_SEED,
         est_threshold=_EST_THRESHOLD, sim_threshold=0.5,
+        sig_df=_shared_near_sigs(spark, sf_dir),
     )
 
 
@@ -1880,10 +1901,7 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     unions-of-selects landmine); each branch is one explode to
     docs×b band rows + one map-combined groupBy. Counts exact int64;
     C(m,2) via integer div; curve heights are interpolated literals."""
-    corpus = _corpus_near(spark, sf_dir)
-    sigs = dd.minhash_signatures(
-        corpus, "text", "doc_id", num_hashes=_NUM_HASHES, k=_K, seed=_SEED
-    ).transform(lazy_checkpoint)
+    sigs = _shared_near_sigs(spark, sf_dir)
     outs = []
     for b in _LSHT_BANDS:
         r = _NUM_HASHES // b

@@ -97,6 +97,24 @@ def kmeans_assignment(
     return session_frame(spark, name, sf_dir, build)
 
 
+def lpa_labels(spark: SparkSession, sf_dir: str, rounds: int) -> DataFrame:
+    """The fixed-round LPA community labels over the shared co-purchase
+    edge list — communities and modularity both replay the identical
+    4-round propagation (join + groupBy + keyed window per round);
+    memoized once per session. lpa_communities checkpoints per round,
+    so the returned frame is already a materialized leaf chain; one
+    more lazy cut makes reuse a single leaf scan."""
+    from sparkprep.operators import graph
+
+    def build() -> DataFrame:
+        edges = copurchase_edges(spark, sf_dir)
+        return graph.lpa_communities(edges, rounds=rounds).transform(
+            lazy_checkpoint
+        )
+
+    return session_frame(spark, f"lpa_labels:r{rounds}", sf_dir, build)
+
+
 def customer_revenue_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank + running-sum scaffold over per-customer revenue in the ONE
     total ordering (revenue asc, custkey asc) that gini_scale,
