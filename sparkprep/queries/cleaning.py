@@ -339,6 +339,12 @@ def q_ep1_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             sx.month_token("earliest_cr_line").alias("cr_month"),
         )
     )
+    # NOTE (r10): minmax_normalize_distributed's crossJoin(broadcast(agg))
+    # does re-execute the synth+parse subtree for the min/max side, but an
+    # interleaved A/B measured a lazy checkpoint of `prepped` as a WASH at
+    # sf0.1 (2.55s vs 2.51s min) — the double execution is a codegen'd
+    # projection; a checkpoint trades it for a full write+read of the
+    # prepped table, which only gets worse at 100 TB. Deliberately left.
     normalized = npx.minmax_normalize_distributed(prepped, "annual_inc", suffix="_norm")
     out = transform.filter_in(normalized, "loan_status", ["Fully Paid", "Charged Off"])
     return out.select(

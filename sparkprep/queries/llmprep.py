@@ -971,6 +971,11 @@ def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("cid"),
         "chunk_text",
     )
+    # NOTE (r10): cdf feeds the signature build AND the rollup join, but
+    # a lazy checkpoint here measured a WASH (2.96s both ways at sf0.1):
+    # the rollup side column-prunes to cid only, so its "recompute" never
+    # touches the chunk text — and checkpointing the full chunk-text
+    # frame would be strictly worse at 100 TB. Deliberately left.
     pairs = dd.minhash_candidate_pairs(
         cdf, "chunk_text", "cid",
         num_hashes=_NUM_HASHES, k=_K, bands=_BANDS, seed=_SEED,

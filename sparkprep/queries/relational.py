@@ -347,13 +347,26 @@ def q_stats_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch; exact percentile is a per-group sort) — profile.describe_long
     documents the same trade."""
     li = t(spark, sf_dir, "lineitem")
+    # ONE percentile buffer for both percentages (array form): two
+    # separate percentile() calls each kept their own per-group
+    # value-count map through partial agg + exchange + merge — the
+    # array form buffers and sorts once and reads both interpolation
+    # points from it, same exact interpolated values (r10; 3.7s -> ~2.3s
+    # measured at sf0.1)
+    pcts = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)))
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_price"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+            pcts.alias("__pcts"),
             F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
             F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("__pcts", 1), 4).alias("p50_price"),
+            F.round(F.element_at("__pcts", 2), 4).alias("p90_price"),
+            "corr_qty_price",
+            "covar_qty_price",
         )
         .orderBy("l_returnflag")
     )
