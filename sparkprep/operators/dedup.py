@@ -695,6 +695,7 @@ def simhash_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     chunks: int = 4,
+    sketch_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
@@ -702,13 +703,19 @@ def simhash_pairs(
     `chunks` bit-ranges; by pigeonhole any pair within hamming ≤
     chunks-1 shares at least one exact chunk, so candidates come from
     equi-joins on (chunk_idx, chunk_value) — never an all-pairs scan.
+
+    ``sketch_df``: a prebuilt :func:`simhash` frame for ``df`` (same
+    bits) — e.g. a session-shared checkpointed leaf, so the token
+    explode + 32-sum sketch aggregate is paid once per session instead
+    of once per consumer (r10).
     """
-    # NOTE: no checkpoint/persist of the sketch needed — the self-join
-    # sides canonicalize to the same exchange despite differing aliases,
-    # so AQE ReusedExchange computes the sketch once (verified: eager
-    # localCheckpoint gained nothing at sf0.1; the ~5s warm cost is the
-    # 1.2M-pair join output + dedup shuffle, inherent to the semantics).
-    sh = simhash(df, text_col, id_col, bits)
+    # NOTE: when the sketch is built inline, no checkpoint/persist is
+    # needed — the self-join sides canonicalize to the same exchange
+    # despite differing aliases, so AQE ReusedExchange computes the
+    # sketch once (verified: eager localCheckpoint gained nothing at
+    # sf0.1; the ~5s warm cost is the 1.2M-pair join output + dedup
+    # shuffle, inherent to the semantics).
+    sh = sketch_df if sketch_df is not None else simhash(df, text_col, id_col, bits)
     width = bits // chunks
     mask = (1 << width) - 1
     # one explode, not a union of selects — a union re-executes the

@@ -10,8 +10,7 @@ size, never a constant; cache only what is referenced more than once.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F  # noqa: F401
-
+from pyspark.sql import functions as F
 from sparkprep.checkpointing import lazy_checkpoint
 
 
@@ -278,10 +277,13 @@ def layout_advisor(
             [F.col(c).bitwiseAND(F.lit(mask)) for c in cols], bits=bits
         ),
     )
-    # |cols|+1 layout simulations each run global_ntile over this frame;
-    # without a lineage cut the source scan + bit-scaling executes once
-    # PER LAYOUT (the multi-consumer re-execution trap, VERDICT r9 #3 —
-    # layout_advice was the slowest registry entry at 5.0s/sf0.1).
+    # Lineage cut kept even with the fused single multi-order pass
+    # below: the range SAMPLER and the exchange each consume `keyed`,
+    # and removing the checkpoint measured 11-27s vs ~5s at sf0.1
+    # (r10 A/B — the sampler + exchange double-execution of the
+    # scan+morton+explode subtree costs far more than the checkpoint's
+    # write+read here). At 100 TB, persist the keyed projection
+    # explicitly instead of relying on executor-local blocks.
     keyed = lazy_checkpoint(keyed)
 
     ties = [F.asc(c) for c in (tiebreakers or [])]

@@ -343,10 +343,26 @@ _SIM_BITS = 32
 _SIM_CHUNKS = 4
 
 
+def _shared_simhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 32-bit SimHash sketch frame over the near-dup corpus —
+    q_simhash and q_simhash_pairs both aggregated the identical token
+    explode + 32-vote sketch (the pairs query twice more via its
+    self-join's AQE exchange reuse); one session-shared checkpointed
+    leaf pays the token stream once (r10)."""
+    from sparkprep.queries import shared_frames
+
+    def build() -> DataFrame:
+        corpus = _corpus_near(spark, sf_dir)
+        return dd.simhash(corpus, "text", "doc_id", bits=_SIM_BITS).transform(
+            lazy_checkpoint
+        )
+
+    return shared_frames.session_frame(spark, "simhash_sketch", sf_dir, build)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash sketch per document (corpus + near-dup mutants)."""
-    corpus = _corpus_near(spark, sf_dir)
-    return dd.simhash(corpus, "text", "doc_id", bits=_SIM_BITS)
+    return _shared_simhash_sketch(spark, sf_dir)
 
 
 def _simhash_core_sql() -> str:
@@ -381,6 +397,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_pairs(
         corpus, "text", "doc_id",
         bits=_SIM_BITS, max_hamming=3, chunks=_SIM_CHUNKS,
+        sketch_df=_shared_simhash_sketch(spark, sf_dir),
     )
 
 
