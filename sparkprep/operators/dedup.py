@@ -398,13 +398,18 @@ def duplicate_window_coverage(
     have no windows and are absent from the output (no 0/0 row).
     """
     sh = explode_shingles(df, text_col, id_col, k)
-    # sh feeds the count groupBy AND the join-back; the two exchanges
-    # differ below the shuffle (partial aggs vs raw rows) so
-    # ReusedExchange can't cover them — truncate once.
-    sh = sh.transform(lazy_checkpoint)
-    counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__docs"))
+    # carrying-doc count via a shingle-KEYED window (high-cardinality
+    # key) instead of groupBy(shingle) + join-back: the join form
+    # exchanged both the window stream and the count partials by
+    # shingle and sort-merged them; the window form is ONE exchange +
+    # in-partition count, and with a single consumer chain the
+    # checkpoint of sh is no longer needed (r10 — same rewrite measured
+    # 1.39s -> 1.05s on setsim_join's identical stage).
+    from pyspark.sql.window import Window
+
+    w_sh = Window.partitionBy("shingle")
     return (
-        sh.join(counts, "shingle")
+        sh.withColumn("__docs", F.count(F.lit(1)).over(w_sh))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_windows"),
@@ -929,11 +934,19 @@ def prefix_jaccard_join(
     ) if k > 1 else df.select(
         id_col, F.explode(F.array_distinct(tokens(text_col))).alias("shingle")
     )
-    tok_rows = tok_rows.withColumnRenamed("shingle", "token").transform(lazy_checkpoint)  # anchors vocab, prefixes, and both intersection legs —
-    # 4 consumers, one execution
-    vocab = tok_rows.groupBy("token").agg(F.count(F.lit(1)).alias("__df"))
+    tok_rows = tok_rows.withColumnRenamed("shingle", "token").transform(lazy_checkpoint)  # anchors df-counts, prefixes, and both intersection legs —
+    # multiple consumers, one execution
+    # document frequency via a token-KEYED window (high-cardinality key,
+    # never a global sort) instead of groupBy(token) + join-back: the
+    # join form exchanged BOTH the token stream and the vocab partials
+    # by token and then sort-merged them; the window form is ONE
+    # exchange + in-partition count (r10: 1.39s -> 1.05s interleaved on
+    # this stage at sf0.1, identical (df, token) rows verified).
+    from pyspark.sql.window import Window
+
+    w_tok = Window.partitionBy("token")
     per_doc = (
-        tok_rows.join(vocab, "token")
+        tok_rows.withColumn("__df", F.count(F.lit(1)).over(w_tok))
         .groupBy(id_col)
         .agg(
             F.array_sort(
