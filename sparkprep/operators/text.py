@@ -716,9 +716,18 @@ def tf_idf(
     n_docs = df.select(id_col).distinct().count()
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # document frequency via a token-KEYED window over the tf frame
+    # (high-cardinality key) instead of groupBy(token) + join-back —
+    # one exchange of the tf frame, no sort-merge join, no reliance on
+    # ReusedExchange to dedupe the tf subtree (r10, same rewrite as
+    # prefix_jaccard_join; identical (df, token) values)
+    from pyspark.sql.window import Window
+
+    withdf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
+    )
     return (
-        tf.join(dfreq, "token")
+        withdf
         .select(
             F.col(id_col),
             "token",

@@ -924,11 +924,18 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkprep.operators import dedup as dd
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    occ = dd.explode_shingles(
-        docs, "text", "doc_id", k=3, distinct=True
-    ).transform(lazy_checkpoint)  # consumed by the first-seen fold AND the join-back
-    first = occ.groupBy("shingle").agg(F.min("doc_id").alias("__first"))
-    per = occ.join(first, "shingle").groupBy("doc_id").agg(
+    occ = dd.explode_shingles(docs, "text", "doc_id", k=3, distinct=True)
+    # first-seen attribution via a shingle-KEYED window (high-cardinality
+    # key) instead of groupBy(shingle) + join-back: one exchange of the
+    # shingle stream, no sort-merge join, and the single consumer chain
+    # makes the checkpoint unnecessary (r10, the prefix_jaccard_join
+    # rewrite; identical first-seen values)
+    from pyspark.sql.window import Window
+
+    first = occ.withColumn(
+        "__first", F.min("doc_id").over(Window.partitionBy("shingle"))
+    )
+    per = first.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum(
             F.when(F.col("doc_id") == F.col("__first"), 1).otherwise(0)
