@@ -32,9 +32,16 @@ def run_queries(
     lost ALL timings to a single AnalysisException). Failures land in
     the returned errors dict; the other timings survive. Tested by
     tests/test_bench_isolation.py."""
+    from sparkprep.queries import shared_frames
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for _pass in range(passes):
+        # Bill each session-shared frame's build inside the FIRST
+        # consumer's timing on EVERY pass: without this clear, pass-2
+        # minima read the pass-1 checkpoint leaf and the build cost is
+        # charged to no query at all (VERDICT r10 item 1).
+        shared_frames.reset()
         for name, fn in queries.items():
             if name in errors:
                 continue

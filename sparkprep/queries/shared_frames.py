@@ -24,6 +24,19 @@ from sparkprep.checkpointing import lazy_checkpoint
 _FRAMES: dict = {}
 
 
+def reset() -> None:
+    """Drop every memoized frame so the next consumer rebuilds from the
+    parquet inputs. The bench harness calls this at the start of every
+    timing pass so each shared family's build cost is charged inside
+    the FIRST consumer's timing on EVERY pass — without it, the
+    best-of-N minima never bill the build at all (a pass-2 timing of
+    the first consumer reads the pass-1 checkpoint leaf), overstating
+    the shared-frame win (VERDICT r10 item 1). The dropped
+    localCheckpoint blocks are reclaimed by the ContextCleaner once the
+    last DataFrame reference dies; no explicit unpersist is needed."""
+    _FRAMES.clear()
+
+
 def session_frame(
     spark: SparkSession, name: str, sf_dir: str, build: Callable[[], DataFrame]
 ) -> DataFrame:

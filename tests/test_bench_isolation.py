@@ -33,6 +33,33 @@ def test_broken_query_does_not_erase_timings(spark, sf_dir):
     assert "AnalysisException" in errors["q_broken"] or "UNRESOLVED" in errors["q_broken"]
 
 
+def test_shared_frames_reset_between_passes(spark, sf_dir):
+    """VERDICT r10 item 1: session-shared frame builds must be billed
+    inside some query's timing on EVERY pass — run_queries clears the
+    shared_frames cache at the start of each pass so best-of-N minima
+    cannot read a previous pass's checkpoint leaf for free."""
+    from sparkprep.queries import shared_frames
+
+    builds = []
+
+    def uses_shared(s, d):
+        def build():
+            builds.append(1)
+            return s.read.parquet(f"{d}/region.parquet").select("r_name")
+
+        return shared_frames.session_frame(s, "__test_reset__", d, build)
+
+    try:
+        timings, errors = bench.run_queries(
+            spark, {"q_a": uses_shared, "q_b": uses_shared}, sf_dir, passes=2
+        )
+        assert not errors
+        # one build per pass (q_b reuses within the pass), never one total
+        assert len(builds) == 2
+    finally:
+        shared_frames.reset()
+
+
 def test_compact_line_fits_driver_tail():
     """VERDICT r9 #1: the driver keeps the LAST 2,000 chars of stdout;
     the full 340-query map (~8.4 KB) made every BENCH_r*.json
