@@ -52,6 +52,25 @@ def norm_native(a) -> Column:
     )
 
 
+def _unit_vector(vec_col, norm_col) -> Column:
+    """x_i / norm, with the norm evaluated ONCE per row. A plain
+    ``transform(v, x -> try_divide(x, __n))`` is a trap: CollapseProject
+    inlines a single-use ``__n`` alias into the lambda body, and
+    interpreted HOFs then re-evaluate the whole norm fold PER ELEMENT
+    (64 folds per 64-dim vector — 7x measured on the unit stage).
+    Routing the norm through ``array_repeat`` keeps it an argument
+    expression (one evaluation per row) no matter what the optimizer
+    collapses; the lambda touches only its own variables. try_divide:
+    a zero-norm vector must yield NULL units, not an ANSI
+    DIVIDE_BY_ZERO that kills the corpus-wide job. Values are
+    bit-identical to the transform form."""
+    return F.zip_with(
+        vec_col,
+        F.array_repeat(norm_col, F.size(vec_col)),
+        lambda x, n: F.try_divide(x.cast("double"), n),
+    )
+
+
 def cosine_native(a, b) -> Column:
     """try_divide, not ``/``: ANSI mode (Spark 4 default) throws
     DIVIDE_BY_ZERO on a zero-norm vector — one all-zeros embedding in a
@@ -568,20 +587,20 @@ def embedding_near_dup_pairs(
     # so the per-pair work is a single dot product instead of
     # dot + 2 norms — interpreted higher-order lambdas are the cost
     # center here, and pairs >> vectors inside any hot bucket.
-    # The norm gets its own projection first: a lambda of the form
-    # ``x / norm(v)`` would re-evaluate the norm per ELEMENT (64 norms
-    # per vector — the interpreted-HOF quadratic trap again).
+    # The norm must not appear INSIDE a lambda body: CollapseProject
+    # inlines a single-use alias into the consuming projection even
+    # across an intermediate select, so ``transform(v, x -> x / __n)``
+    # becomes ``transform(v, x -> x / sqrt(aggregate(v, ...)))`` — the
+    # interpreted fold re-evaluated per ELEMENT (64 norms per vector;
+    # 7x measured on the unit stage). ``_unit_vector`` routes the norm
+    # through ``array_repeat`` so it is an argument evaluated once per
+    # row, collapse or not.
     staged = emb_df.select(
         F.col(id_col),
         F.col(vec_col),
         norm_native(F.col(vec_col)).alias("__n"),
     )
-    unit = F.transform(
-        F.col(vec_col),
-        # try_divide: a zero-norm vector must yield NULL units, not an
-        # ANSI DIVIDE_BY_ZERO that kills the corpus-wide job
-        lambda x: F.try_divide(x.cast("double"), F.col("__n")),
-    )
+    unit = _unit_vector(F.col(vec_col), F.col("__n"))
     sig = staged.select(
         F.col(id_col),
         unit.alias("__unit"),
@@ -851,19 +870,15 @@ def _semantic_assign_native(
 ) -> DataFrame:
     """Oracle-reproducible assignment: left-fold dots, first-k-wins
     argmax CASE chain (ties to lowest index, mirrored in SQL)."""
-    # Materialize the norm in its own projection: an interpreted HOF
-    # lambda referencing norm(v) would re-evaluate it per ELEMENT.
+    # Norm evaluated once per row via _unit_vector — NOT referenced
+    # inside a transform lambda, where CollapseProject inlining would
+    # re-evaluate the fold per element (see _unit_vector docstring).
     staged = df.select(
         F.col(id_col),
         F.col(vec_col),
         norm_native(F.col(vec_col)).alias("__n"),
     )
-    unit = F.transform(
-        F.col(vec_col),
-        # try_divide: a zero-norm vector must yield NULL units, not an
-        # ANSI DIVIDE_BY_ZERO that kills the corpus-wide job
-        lambda x: F.try_divide(x.cast("double"), F.col("__n")),
-    )
+    unit = _unit_vector(F.col(vec_col), F.col("__n"))
     scored = staged.select(
         F.col(id_col),
         unit.alias("__unit"),
