@@ -79,6 +79,16 @@ def cosine_native(a, b) -> Column:
     return F.try_divide(dot_native(a, b), norm_native(a) * norm_native(b))
 
 
+def cosine_from_norms(a, b, na, nb) -> Column:
+    """:func:`cosine_native` with the two norms precomputed per ROW —
+    attach ``norm_native`` as a column on each JOIN SIDE so the
+    per-pair work is ONE interpreted dot fold instead of dot + 2 norm
+    folds (the norms otherwise re-run per candidate pair: 3x the fold
+    cost on every rerank fan-out). Bit-identical to cosine_native:
+    same dot, same ``na * nb`` product, same try_divide."""
+    return F.try_divide(dot_native(a, b), na * nb)
+
+
 def cosine_topk_native(
     emb_df: DataFrame,
     query_df: DataFrame,
@@ -97,11 +107,15 @@ def cosine_topk_native(
     """
     from pyspark.sql.window import Window
 
+    # norms attached per JOIN SIDE (one fold per row), so the per-pair
+    # rerank is a single dot fold — bit-identical, see cosine_from_norms
     q = query_df.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"),
+        norm_native(F.col(vec_col)).alias("__qn"),
     )
     c = emb_df.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"),
+        norm_native(F.col(vec_col)).alias("__cn"),
     )
     scored = (
         c.join(F.broadcast(q))
@@ -109,7 +123,9 @@ def cosine_topk_native(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_native(F.col("__qv"), F.col("__cv")).alias("__cos"),
+            cosine_from_norms(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+            ).alias("__cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
@@ -299,23 +315,29 @@ def ann_lsh_topk(
         c = emb_df.select(
             F.col(id_col), F.col(vec_col).alias("__cv")
         ).join(sigs, id_col).select(
-            F.col(id_col).alias("neighbor_id"), "__cv", "__sig"
+            F.col(id_col).alias("neighbor_id"), "__cv", "__sig",
+            norm_native(F.col("__cv")).alias("__cn"),
         )
     else:
         c = emb_df.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("__cv"),
             hyperplane_signature(F.col(vec_col), planes).alias("__sig"),
+            norm_native(F.col(vec_col)).alias("__cn"),
         )
     # dots materialized in their own projection, signature + probe set
-    # derived from the column (not the expression) — HOF re-eval trap
+    # derived from the column (not the expression) — HOF re-eval trap.
+    # Norms ride each join side so the per-pair rerank is ONE dot fold
+    # (cosine_from_norms — bit-identical to cosine_native).
     q_stage = query_df.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         hyperplane_dots(F.col(vec_col), planes).alias("__dots"),
+        norm_native(F.col(vec_col)).alias("__qn"),
     ).select(
         "query_id",
         "__qv",
+        "__qn",
         "__dots",
         signature_from_dots(F.col("__dots"), num_planes).alias("__sig0"),
     )
@@ -338,16 +360,22 @@ def ann_lsh_topk(
                 lambda ix: F.col("__sig0").bitwiseXOR(F.element_at(bitvals, ix + 1)),
             ),
         )
-        q = q_stage.select("query_id", "__qv", F.explode(probe_sigs).alias("__sig"))
+        q = q_stage.select(
+            "query_id", "__qv", "__qn", F.explode(probe_sigs).alias("__sig")
+        )
     else:
-        q = q_stage.select("query_id", "__qv", F.col("__sig0").alias("__sig"))
+        q = q_stage.select(
+            "query_id", "__qv", "__qn", F.col("__sig0").alias("__sig")
+        )
     scored = (
         c.join(F.broadcast(q), "__sig")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine_native(F.col("__qv"), F.col("__cv")).alias("__cos"),
+            cosine_from_norms(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+            ).alias("__cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
@@ -512,16 +540,21 @@ def ann_ivf_topk(
         )
         c = emb_df.select(F.col(id_col), F.col(vec_col).alias("__cv")).join(
             cells, id_col
-        ).select(F.col(id_col).alias("neighbor_id"), "__cv", "__cell")
+        ).select(
+            F.col(id_col).alias("neighbor_id"), "__cv", "__cell",
+            norm_native(F.col("__cv")).alias("__cn"),
+        )
     else:
         c = emb_df.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("__cv"),
             top_cells(F.col(vec_col), 1)[0]["cid"].alias("__cell"),
+            norm_native(F.col(vec_col)).alias("__cn"),
         )
     q = query_df.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        norm_native(F.col(vec_col)).alias("__qn"),
         F.explode(
             F.transform(top_cells(F.col(vec_col), num_probes), lambda s: s["cid"])
         ).alias("__cell"),
@@ -532,7 +565,9 @@ def ann_ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_native(F.col("__qv"), F.col("__cv")).alias("__cos"),
+            cosine_from_norms(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+            ).alias("__cos"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -1348,10 +1383,12 @@ def negative_pairs(
         )
     )
     va = emb_df.select(
-        F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("__av")
+        F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("__av"),
+        norm_native(F.col(vec_col)).alias("__an"),
     )
     vc = emb_df.select(
-        F.col(id_col).alias("neg_id"), F.col(vec_col).alias("__cv")
+        F.col(id_col).alias("neg_id"), F.col(vec_col).alias("__cv"),
+        norm_native(F.col(vec_col)).alias("__cn"),
     )
     return (
         kept.join(va, "anchor_id")
@@ -1363,7 +1400,10 @@ def negative_pairs(
             "neg_label",
             "neg_rank",
             F.round(
-                cosine_native(F.col("__av"), F.col("__cv")), round_to
+                cosine_from_norms(
+                    F.col("__av"), F.col("__cv"), F.col("__an"), F.col("__cn")
+                ),
+                round_to,
             ).alias("cosine"),
         )
     )

@@ -129,6 +129,7 @@ def query_ann_index(
     q = query_df.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        sim.norm_native(F.col(vec_col)).alias("__qn"),
         F.explode(
             sim.ivf_cell_expr(cunit, F.col(vec_col), num_probes)
         ).alias("cell"),
@@ -144,6 +145,8 @@ def query_ann_index(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("__cv"),
             "cell",
+            # norm per corpus row, not per candidate pair
+            sim.norm_native(F.col(vec_col)).alias("__cn"),
         )
     )
     scored = (
@@ -152,7 +155,9 @@ def query_ann_index(
         .select(
             "query_id",
             "neighbor_id",
-            sim.cosine_native(F.col("__qv"), F.col("__cv")).alias("__cos"),
+            sim.cosine_from_norms(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+            ).alias("__cos"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )

@@ -1238,18 +1238,22 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(18,12) so the per-query DCG sum is order-independent;
     nDCG is ONE division, NULL when a query has no relevant neighbor
     in its top-k (R=0 → ideal DCG 0, try_divide ↔ DuckDB /0)."""
-    from sparkprep.operators.similarity import cosine_native
+    from sparkprep.operators.similarity import cosine_from_norms, norm_native
 
     emb = t(spark, sf_dir, "embeddings")
+    # norms per join side: the per-pair cosine is one dot fold
+    # (bit-identical — cosine_from_norms)
     q = emb.filter(F.col("vec_id") < _NDCG_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("__qv"),
         F.col("label").alias("__ql"),
+        norm_native(F.col("embedding")).alias("__qn"),
     )
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("__cv"),
         F.col("label").alias("__nl"),
+        norm_native(F.col("embedding")).alias("__cn"),
     )
     scored = (
         c.join(F.broadcast(q))
@@ -1259,7 +1263,9 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neighbor_id",
             "__ql",
             "__nl",
-            cosine_native(F.col("__qv"), F.col("__cv")).alias("__cos"),
+            cosine_from_norms(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+            ).alias("__cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -1667,11 +1667,15 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     emb = t(spark, sf_dir, "embeddings")
+    # norms ride each join side (one fold per row) so every per-pair
+    # cosine is a single dot fold — bit-identical (cosine_from_norms)
     q = emb.filter(F.col("vec_id") < _MMR_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"),
+        sim.norm_native(F.col("embedding")).alias("__qn"),
     )
     c = emb.select(
-        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("__cv")
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("__cv"),
+        sim.norm_native(F.col("embedding")).alias("__cn"),
     )
     scored = (
         c.join(F.broadcast(q))
@@ -1679,19 +1683,28 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "cand_id",
-            sim.cosine_native(F.col("__qv"), F.col("__cv")).alias("rel"),
+            sim.cosine_from_norms(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+            ).alias("rel"),
             "__cv",
+            "__cn",
         )
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cand_id"))
     cand = (
         scored.withColumn("__rk", F.row_number().over(wq))
         .filter(F.col("__rk") <= _MMR_CAND)
-        .select("query_id", "cand_id", "rel", "__cv")
+        .select("query_id", "cand_id", "rel", "__cv", "__cn")
         .transform(lazy_checkpoint)  # anchors the pair frame AND every round
     )
-    a = cand.select("query_id", F.col("cand_id").alias("id_a"), F.col("__cv").alias("__va"))
-    b = cand.select("query_id", F.col("cand_id").alias("id_b"), F.col("__cv").alias("__vb"))
+    a = cand.select(
+        "query_id", F.col("cand_id").alias("id_a"),
+        F.col("__cv").alias("__va"), F.col("__cn").alias("__na"),
+    )
+    b = cand.select(
+        "query_id", F.col("cand_id").alias("id_b"),
+        F.col("__cv").alias("__vb"), F.col("__cn").alias("__nb"),
+    )
     pairs = (
         a.join(b, "query_id")
         .filter(F.col("id_a") != F.col("id_b"))
@@ -1699,7 +1712,9 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "id_a",
             "id_b",
-            sim.cosine_native(F.col("__va"), F.col("__vb")).alias("sim_ab"),
+            sim.cosine_from_norms(
+                F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+            ).alias("sim_ab"),
         )
         .transform(lazy_checkpoint)  # consumed once per selection round
     )
