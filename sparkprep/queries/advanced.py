@@ -260,7 +260,7 @@ def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates consume it (self-join/reuse discipline)."""
     docs = t(spark, sf_dir, "documents")
     c = (
-        docs.select("lang", tx.lang_id("text").alias("guess"))
+        tx.with_lang_id(docs.select("lang", "text"), "text", "guess")
         .groupBy("lang", "guess")
         .agg(F.count(F.lit(1)).alias("n"))
         .transform(lazy_checkpoint)
@@ -1959,10 +1959,19 @@ def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint-ed because the marginal and disagreement
     aggregates both consume it."""
     docs = t(spark, sf_dir, "documents")
+    # both raters' scores staged as columns in ONE projection so the
+    # argmax CASE chains read attributes instead of re-evaluating each
+    # interpreted score expression up to 3x (tx.argmax_lang)
+    sw = tx.lang_scores(F.col("text"))
+    ng = tx.lang_ngram_scores(F.col("text"))
+    staged = docs.select(
+        *[sw[lang].alias(f"__sw_{lang}") for lang in sw],
+        *[ng[lang].alias(f"__ng_{lang}") for lang in ng],
+    )
     conf = (
-        docs.select(
-            tx.lang_id("text").alias("a"),
-            tx.lang_id_ngram("text").alias("b"),
+        staged.select(
+            tx.argmax_lang({lang: F.col(f"__sw_{lang}") for lang in sw}).alias("a"),
+            tx.argmax_lang({lang: F.col(f"__ng_{lang}") for lang in ng}).alias("b"),
         )
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n"))

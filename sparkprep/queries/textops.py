@@ -94,7 +94,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     compared against the label column for an agreement count."""
     docs = t(spark, sf_dir, "documents")
     return (
-        docs.select("lang", tx.lang_id("text").alias("lang_guess"))
+        tx.with_lang_id(docs.select("lang", "text"), "text", "lang_guess")
         .groupBy("lang", "lang_guess")
         .agg(F.count(F.lit(1)).alias("count"))
         .orderBy("lang", "lang_guess")
@@ -131,7 +131,7 @@ def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreement table against the label column."""
     docs = t(spark, sf_dir, "documents")
     return (
-        docs.select("lang", tx.lang_id_ngram("text").alias("lang_guess"))
+        tx.with_lang_id(docs.select("lang", "text"), "text", "lang_guess", method="ngram")
         .groupBy("lang", "lang_guess")
         .agg(F.count(F.lit(1)).alias("count"))
         .orderBy("lang", "lang_guess")
@@ -1271,11 +1271,16 @@ def q_lang_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     model or drop). Scores materialize once into an array; the margin
     is two elements of its descending sort — row-local, map-only."""
     docs = t(spark, sf_dir, "documents")
+    # scores staged as columns ONCE: the argmax CASE and the margin
+    # array otherwise each re-evaluate the 20 trigram counts
     scores = tx.lang_ngram_scores("text")
-    arr = F.sort_array(
-        F.array(*[scores[k] for k in sorted(scores)]), asc=False
+    langs = sorted(scores)
+    pre = docs.select(
+        "doc_id", *[scores[k].alias(f"__sc_{k}") for k in langs]
     )
-    staged = docs.select("doc_id", tx.lang_id_ngram("text").alias("lang_guess"), arr.alias("__s"))
+    cols = {k: F.col(f"__sc_{k}") for k in langs}
+    arr = F.sort_array(F.array(*[cols[k] for k in langs]), asc=False)
+    staged = pre.select("doc_id", tx.argmax_lang(cols).alias("lang_guess"), arr.alias("__s"))
     return staged.select(
         "doc_id",
         "lang_guess",
