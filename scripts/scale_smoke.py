@@ -35,6 +35,10 @@ Measured round 9 (local[32], idle host):
     triangles 18.9s, k_truss(k=3, 4 rounds) 48.0s — the k_truss
     degree-ordered orientation bounds the per-round wedge fan-out at
     the hub (the naive undirected form would enumerate ~2e10 rows).
+    r11 rerun (busy host — pagerank 52.0s on the same run, ~1.9x the
+    idle r10 numbers): LPA(4) 28.2s after the one-vote-exchange-per-
+    round rewrite — beats both prior records despite the slow host,
+    so the hash(v) repartition absorbs the 142k hub fine.
   graph panel at 3x (2M nodes, 29.7M unique edges, hub degree 303,612):
     pagerank(3) 98.9s, k_core 46.3s, LPA(4) 98.6s, BFS(4) 58.1s,
     triangles 122.2s — 1.5-3.2x for 3x edges: linear-family scaling,

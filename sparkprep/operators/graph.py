@@ -740,10 +740,15 @@ def lpa_communities(
 
     Returns ``(node, community)`` after ``rounds`` rounds.
     """
+    # adj hash-partitioned on the JOIN key (not round-robin): the
+    # checkpointed leaf keeps hash(u, num_partitions), so the per-round
+    # labels join re-exchanges only the (tiny) label frame, never the
+    # adjacency (r11: −8% alone, −40% with the vote exchange below,
+    # labels bit-identical).
     adj = (
         edges.select("u", "v")
         .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .repartition(num_partitions)
+        .repartition(num_partitions, "u")
         .transform(lazy_checkpoint)
     )
     labels = (
@@ -753,8 +758,18 @@ def lpa_communities(
         .transform(lazy_checkpoint)
     )
     for _ in range(int(rounds)):
+        # ONE explicit hash(v) exchange per round that BOTH vote levels
+        # reuse: hash(v) satisfies the (v, lbl) count's clustering and
+        # the per-node argmax's, so the per-round plan has one exchange
+        # where groupBy(v,lbl) + groupBy(node) planned two. Trade-off
+        # vs the previous shape: the (v,lbl) count no longer map-side
+        # combines BEFORE its exchange — in round 1 labels are all
+        # distinct so the combine never reduced anything, and the
+        # scale_smoke graph panel (power-law hub) is the guard for the
+        # later, label-converged rounds.
         votes = (
             adj.join(labels.withColumnRenamed("node", "u"), "u")
+            .repartition(num_partitions, "v")
             .groupBy(F.col("v").alias("node"), "lbl")
             .agg(F.count(F.lit(1)).alias("__c"))
         )

@@ -201,6 +201,7 @@ def multi_order_global_ntile(
     layout_name: str = "__layout",
     bucket_name: str = "bucket",
     num_partitions: int = 32,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Exact ``ntile(k)`` under SEVERAL candidate orderings in ONE range
     pass — the layout-simulation primitive (layout_advisor, pruning_sim
@@ -245,6 +246,10 @@ def multi_order_global_ntile(
         rank_name="__mrk",
         group_total_name="__mtot",
         num_partitions=num_partitions,
+        # checkpoint=False exists for plan-shape tests only — the
+        # localCheckpoint truncates explain() to Scan ExistingRDD
+        # (ranks.global_rank convention)
+        checkpoint=checkpoint,
     )
     return ranked.withColumn(
         bucket_name, ntile_from_rank(F.col("__mrk"), F.col("__mtot"), k)

@@ -457,6 +457,64 @@ def test_conformal_interval_distributed_rank(spark, sf_dir):
     assert "rangepartitioning" in rk_plan.lower()
 
 
+def test_multi_order_global_ntile_one_range_exchange(spark):
+    # VERDICT r10 item 3: the fused multi-layout scaffold must show
+    # exactly ONE range exchange (not one per layout) and ZERO
+    # single-partition exchanges — its offsets window is layout-keyed.
+    # Asserted on the checkpoint=False twin; the production
+    # localCheckpoint blinds explain() to Scan ExistingRDD.
+    from pyspark.sql import functions as F
+
+    from sparkprep.operators import ranks
+
+    df = spark.createDataFrame(
+        [(i, i % 7, i % 3) for i in range(50)], ["id", "v", "w"]
+    )
+    fused = ranks.multi_order_global_ntile(
+        df,
+        4,
+        {
+            "a": [F.col("v"), F.col("id"), F.lit(0)],
+            "b": [F.col("w"), F.col("v"), F.col("id")],
+        },
+        carry=["id"],
+        checkpoint=False,
+    )
+    plan = _simple(fused)
+    # the scaffold appears once per consumer (counts + final join) in
+    # the un-checkpointed plan text; BOTH occurrences must be the SAME
+    # layout-keyed pass (the unfused form had one range pass per layout
+    # keyed WITHOUT the layout column). Production checkpoints the
+    # pass, so it executes once.
+    import re
+
+    parts = re.findall(r"Exchange rangepartitioning\((\w+)", plan)
+    assert len(parts) == 2 and all(p.startswith("__layout") for p in parts)
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_customer_revenue_ranked_one_range_exchange(spark, sf_dir):
+    # The shared rank+cumsum scaffold: ONE range pass for the whole
+    # gini/lorenz/deciles family. The single-partition window over the
+    # 32-row per-partition PARTIALS frame is the documented bounded
+    # case (test_plan_audit_all._BOUNDED_GLOBAL_WINDOW) — exactly one
+    # such exchange, and exactly one range exchange of the data.
+    from sparkprep.queries import shared_frames
+
+    out = shared_frames.build_customer_revenue_ranked(
+        spark, sf_dir, checkpoint=False
+    )
+    plan = _simple(out)
+    # one shared (__rev, o_custkey) range pass, embedded once per
+    # consumer (partials + final join) in the un-checkpointed text —
+    # never one dedicated pass per family member
+    import re
+
+    parts = re.findall(r"Exchange rangepartitioning\((\w+)", plan)
+    assert len(parts) == 2 and all(p.startswith("__rev") for p in parts)
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
 def test_bfs_layers_keyed_joins_no_collect_loop(spark, sf_dir):
     # every BFS round is a keyed equi-join + min aggregate; the plan
     # must stay cartesian-free and never fall off the JVM path

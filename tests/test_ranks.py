@@ -198,6 +198,45 @@ def test_grouped_global_rank_single_row_groups(spark):
     assert out == {1: (1, 1), 2: (1, 1)}
 
 
+def test_multi_order_global_ntile_matches_chained_global_ntile(spark):
+    """Pad-slot neutrality (VERDICT r10 item 2): the fused multi-order
+    form pads shorter key lists with a constant-0 slot at a position
+    where the preceding keys already totally order rows. On a frame
+    with HEAVY duplicates in every sort key (so the pad boundary sees
+    ties), each layout's buckets must be bit-identical to a dedicated
+    global_ntile run under that layout's own ordering."""
+    rows = [
+        # v and w both duplicate-heavy; id is the only unique key
+        (i, [1.0, 1.0, 2.0, 2.0, 2.0, 3.0][i % 6], float(i % 3))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["id", "v", "w"])
+    k = 4
+    layouts = {
+        # pad AFTER (v, id) — already a total order, pad never consulted
+        "lin_v": [F.col("v") * 10, F.col("id"), F.lit(0)],
+        "lin_w": [F.col("w") * 10, F.col("v") * 10, F.col("id")],
+    }
+    fused = ranks.multi_order_global_ntile(
+        df, k, layouts, carry=["id"], layout_name="layout", bucket_name="b"
+    )
+    got = {
+        (r["layout"], r["id"]): r["b"] for r in fused.collect()
+    }
+    chained = {}
+    for name, order in {
+        "lin_v": [F.asc((F.col("v") * 10).cast("long")), F.asc("id")],
+        "lin_w": [
+            F.asc((F.col("w") * 10).cast("long")),
+            F.asc((F.col("v") * 10).cast("long")),
+            F.asc("id"),
+        ],
+    }.items():
+        for r in ranks.global_ntile(df, k, order, bucket_name="b").collect():
+            chained[(name, r["id"])] = r["b"]
+    assert got == chained
+
+
 def test_ntile_from_rank_matches_sql_semantics_exhaustively(spark):
     """Pure integer-math check of the bucket formula against the SQL
     definition (first n mod k buckets get one extra row) for every
